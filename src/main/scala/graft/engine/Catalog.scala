@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table registry mirroring the reference's `Catalog`
+  * (reference: src/catalog/catalog.rs:11-43): register a source by name,
+  * get a query-able Frame back.
+  *
+  * Differences by design:
+  *  - the reference EAGERLY parses the whole CSV into memory at
+  *    registration (csv_table.rs:44-72); here registration is lazy — the
+  *    scan happens distributed at action time, with Catalyst pushing
+  *    filters/projections into the (splittable) file scan. At 100 TB,
+  *    eager driver-side load is a non-starter.
+  *  - Parquet is first-class (the reference's `Table` trait mentions other
+  *    sources as an extension point, table.rs:9, but only CSV exists).
+  *  - tables are also published as Spark temp views, so `spark.sql` works
+  *    against them for free — a frontend the reference lacks entirely.
+  */
+final class Catalog(val spark: SparkSession) {
+  import scala.collection.concurrent.TrieMap
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  /** Register a header'd, schema-inferred CSV (reference:
+    * catalog.rs:16-22 + csv_table.rs:44-72). The reference infers from the
+    * first 3 rows; Spark's inference scans the file — strictly better. */
+  def addCsvTable(name: String, path: String): Catalog = {
+    register(name, spark.read
+      .option("header", "true").option("inferSchema", "true").csv(path))
+  }
+
+  /** Register a parquet table (extension beyond the reference's CSV-only
+    * source surface — table.rs:9). */
+  def addParquetTable(name: String, path: String): Catalog =
+    register(name, spark.read.parquet(path))
+
+  /** Register an arbitrary DataFrame (memory-table analogue). */
+  def register(name: String, df: DataFrame): Catalog = {
+    tables.put(name, df)
+    df.createOrReplaceTempView(name)
+    this
+  }
+
+  /** Lookup (reference: catalog.rs:24-29 `get_table_by_name`). */
+  def table(name: String): Frame = Frame(tables.getOrElse(name,
+    throw new NoSuchElementException(s"no such table: $name")))
+
+  /** Reference: catalog.rs:31-42 `get_table_df`. */
+  def getTableDf(name: String): Frame = table(name)
+
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+}
+
+/** Convenience loaders for the driver-provided synthetic star schema
+  * (TESTDATA.md): `tables(spark, sfDir)` registers all ten tables. */
+object Catalog {
+  val tableNamesAll: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  def forTestdata(spark: SparkSession, sfDir: String): Catalog = {
+    val c = new Catalog(spark)
+    tableNamesAll.foreach(n => c.addParquetTable(n, s"$sfDir/$n.parquet"))
+    c
+  }
+}

@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+/** Join types — the reference declares Inner | Left | Right
+  * (reference: src/logical_plan/logical_plan.rs:106-110) but only ever
+  * executes inner (nested_loop_join.rs has no join_type field). Here all
+  * three run with CORRECT SQL semantics via Spark's join (the reference's
+  * positional-zip join and its last-key-wins flag bug, SURVEY.md §4.3, are
+  * deliberately not replicated). */
+object JoinType extends Enumeration {
+  val Inner, Left, Right = Value
+  def toSpark(jt: Value): String = jt match {
+    case Inner => "inner"; case Left => "left"; case Right => "right"
+  }
+}
+
+/** Fluent logical-plan builder mirroring the reference's `DataFrame`
+  * (reference: src/logical_plan/data_frame.rs:15-102) over a Spark Dataset.
+  *
+  * Each method is a LAZY plan transformation — Catalyst analyzes, optimizes
+  * (predicate pushdown, column pruning, join-strategy selection, AQE) and
+  * executes distributed, replacing the reference's 1:1 unoptimized
+  * planner (planner/mod.rs:26-131) and single-threaded full-materialization
+  * executor (physical_plan.rs:8-14).
+  */
+final case class Frame(df: DataFrame) {
+
+  /** Projection (reference: data_frame.rs:24-39 → projection.rs:30-62).
+    * Spark: `select`; Catalyst prunes unused columns all the way into the
+    * parquet scan — the pushdown the reference declares but never wires up
+    * (catalog.rs:37-40 always passes projection=None). */
+  def project(exprs: Expr*): Frame =
+    Frame(df.select(exprs.map(_.toColumn): _*))
+
+  /** Selection/filter. NOTE the reference names this `select`
+    * (data_frame.rs:41-48 — SQL-inverted naming); we keep both spellings.
+    * Rows with a null predicate are dropped (SQL semantics; the reference
+    * emits a null row — quirk not replicated, SURVEY.md §4.3 item 6). */
+  def filter(pred: Expr): Frame = Frame(df.filter(pred.toColumn))
+  /** Reference-compatible alias for [[filter]] (data_frame.rs:41-48). */
+  def select(pred: Expr): Frame = filter(pred)
+
+  /** Aggregation (reference: data_frame.rs:50-71 → aggr/mod.rs:102-245).
+    * Zero group exprs = global aggregate (aggr/mod.rs:125-144). Unlike the
+    * reference: multiple group exprs allowed, group keys may be any
+    * expression, null group keys form a group (SQL semantics). Spark plans
+    * this as partial (map-side) + final HashAggregate — the scale shape the
+    * reference's single HashMap (aggr/mod.rs:56-100) cannot have. */
+  def aggregate(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
+    val aggs = aggExprs.map(e => named(e))
+    if (groupExprs.isEmpty) Frame(df.agg(aggs.head, aggs.tail: _*))
+    else Frame(df.groupBy(groupExprs.map(e => named(e)): _*)
+      .agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Multi-key equi-join (reference: data_frame.rs:73-102 →
+    * nested_loop_join.rs:62-191). `on` is (leftCol, rightCol) pairs, all
+    * ANDed — same signature as the reference, but a real SQL join product
+    * (not the reference's matched-rows positional zip). Catalyst picks
+    * broadcast-hash / shuffled-hash / sort-merge from statistics; AQE can
+    * re-plan at runtime — at 100 TB the dimension side broadcasts and the
+    * fact side never shuffles for it. */
+  def join(right: Frame, on: Seq[(String, String)],
+           joinType: JoinType.Value = JoinType.Inner): Frame = {
+    require(on.nonEmpty, "join requires at least one key pair") // nested_loop_join.rs:68-72
+    val cond = on.map { case (l, r) => df(l) === right.df(r) }.reduce(_ && _)
+    Frame(df.join(right.df, cond, JoinType.toSpark(joinType)))
+  }
+
+  // ---- extension surface: the reference has NO sort/limit/distinct/set
+  // ops (SURVEY.md §2.5 absence matrix) — these close that gap with the
+  // obvious Spark primitives. ----
+
+  /** Total sort; each key (expr, ascending?). Spark plans a range-
+    * partitioned distributed sort, not a single-node sort. */
+  def sort(keys: (Expr, Boolean)*): Frame =
+    Frame(df.orderBy(keys.map { case (e, asc) =>
+      if (asc) e.toColumn.asc else e.toColumn.desc }: _*))
+
+  /** Limit; combined with [[sort]] Spark executes TakeOrderedAndProject —
+    * a per-partition top-k + driver merge, never a full global sort. */
+  def limit(n: Int): Frame = Frame(df.limit(n))
+
+  def distinct(): Frame = Frame(df.distinct())
+
+  def union(other: Frame): Frame = Frame(df.union(other.df))
+
+  /** Reference-style indented plan printer (reference: logical_plan.rs:113-204
+    * is its Display impl — the engine's "EXPLAIN"). Here: Catalyst's plans. */
+  def explain(): String = df.queryExecution.toString()
+  def explainFormatted(): String = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.FormattedMode)
+
+  /** Result surface — the reference returns Vec<RecordBatch> to the caller
+    * (physical_plan.rs:8-14); here an action on the lazy plan. */
+  def collect(): Array[Row] = df.collect()
+  def show(): Unit = df.show(false)
+  def count(): Long = df.count()
+
+  private def named(e: Expr): Column = e match {
+    case _: Alias | _: Raw | _: ColumnRef => e.toColumn
+    case other => other.toColumn.as(other.name) // reference-style auto-name
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** Approximate-nearest-neighbor and embedding near-dup search over an
+  * `array<float>` embedding column.
+  *
+  * Two paths, per the usual scale trade-off:
+  *  - [[bruteForceTopK]]: exact — score every vector (codegen'd fused
+  *    cosine, graft.functions.CosineSimilarity) and take top-k. One scan,
+  *    no shuffle except the final k-row ordering; the right baseline and
+  *    correct at any scale where a full scan is affordable.
+  *  - [[lshTopK]] / [[cosineNearDups]]: sign-random-projection LSH
+  *    (Charikar hyperplane hashing) — b bands of r hyperplane sign bits;
+  *    vectors agreeing with the query (or each other) on ANY band are
+  *    candidates. P(bit agrees) = 1 - theta/pi, so a band of r bits hits
+  *    with (1-theta/pi)^r and b bands give the LSH S-curve. Candidate
+  *    generation is a keyed equi-join on the band key — never a cross
+  *    join — so a 100 TB corpus shuffles only (band-key, id) pairs.
+  *
+  * Hyperplanes are deterministic (seeded java.util.Random per plane), so
+  * signatures are stable across runs/executors/retries and can be
+  * precomputed+stored for the corpus side (only the probe side is hashed
+  * at query time).
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplanes: plane p is seeded by (seed, p). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
+    Array.tabulate(numPlanes) { p =>
+      val rnd = new java.util.Random(seed * 1000003L + p)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+
+  /** Per-band sign-bit keys: band b packs bits [b*r, (b+1)*r) of the
+    * hyperplane signature into a long, tagged with the band id. */
+  def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int,
+      rowsPerBand: Int): Column = {
+    require(planes.length == bands * rowsPerBand)
+    array((0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { j =>
+        val pl = planes(b * rowsPerBand + j)
+        when(VectorExprs.dot(vec, typedLit(pl)) > 0d, 1L << j).otherwise(0L)
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
+    }: _*)
+  }
+
+  /** Exact brute-force cosine top-k against a single query vector.
+    * Deterministic tie-break on id. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    emb.select(col(idCol), VectorExprs.cosineSim(col(vecCol),
+        typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** LSH-bucketed approximate top-k: score only vectors sharing at least
+    * one band key with the query. With b*r planes the corpus side is one
+    * scan + a semi-join on precomputable band keys; at 100 TB the band
+    * keys live next to the embeddings and the probe touches only matching
+    * buckets. May return < k rows if buckets are sparse (documented ANN
+    * trade-off; raise bands for recall). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, bands: Int = 8, rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    // query band keys, computed driver-side (tiny): same hash as the corpus
+    val qKeys = {
+      val sig = planes.map(pl => {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += pl(i).toDouble * query(i).toDouble; i += 1 }
+        s > 0
+      })
+      (0 until bands).map { b =>
+        var key = 0L
+        (0 until rowsPerBand).foreach(j => if (sig(b * rowsPerBand + j)) key |= 1L << j)
+        (b, key)
+      }
+    }
+    val keyed = emb.select(col(idCol), col(vecCol),
+      explode(bandKeys(col(vecCol), planes, bands, rowsPerBand)).as("bk"))
+    val hit = qKeys.map { case (b, key) =>
+      col("bk.band") === lit(b) && col("bk.key") === lit(key)
+    }.reduce(_ || _)
+    keyed.where(hit)
+      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .select(col(idCol), VectorExprs.cosineSim(col(vecCol),
+        typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
+    * found via band-keyed self-join then exact-cosine confirm. Pairs carry
+    * only ids through the candidate shuffle; vectors re-attach by id. */
+  def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, bands: Int = 8, rowsPerBand: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val keyed = base.select(col("id"),
+      explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("band", "key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cosine", VectorExprs.cosineSim(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

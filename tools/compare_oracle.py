@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's DuckDB-oracle compare:
+for each query with an oracle, load the Spark parquet result and the
+DuckDB result, sort columns by name, sort rows, compare values."""
+import duckdb, glob, json, math, sys
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf001"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bytes): return v.hex()
+    return str(v)
+
+n_ok = n_bad = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        duck_rel = con.sql(sql)
+        scols = sorted(spark_rel.columns); dcols = sorted(duck_rel.columns)
+        if [c.lower() for c in scols] != [c.lower() for c in dcols]:
+            print(f"FAIL {name}: columns {scols} vs {dcols}"); n_bad += 1; continue
+        srows = spark_rel.fetchall(); drows = duck_rel.fetchall()
+        sidx = [spark_rel.columns.index(c) for c in scols]
+        didx = [duck_rel.columns.index(c) for c in dcols]
+        s = sorted(tuple(norm(r[i]) for i in sidx) for r in srows)
+        d = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+        if len(s) != len(d):
+            print(f"FAIL {name}: rowcount {len(s)} vs {len(d)}"); n_bad += 1; continue
+        diffs = [(a, b) for a, b in zip(s, d) if a != b]
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}/{len(s)} rows differ; first: {diffs[0]}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(s)} rows)"); n_ok += 1
+    except Exception as e:
+        print(f"ERR  {name}: {e}"); n_bad += 1
+print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total oracles")
