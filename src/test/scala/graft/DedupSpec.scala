@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely different content about spark query engines and distributed joins"),
+    (4L, "another unrelated document mentioning aggregation shuffles and broadcast strategies"))
+  private def docs = base.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("fingerprint dedup agrees with exact dedup") {
+    val a = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    val b = Dedup.exactByFingerprint(docs, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("exact jaccard pairs find dup and near-dup, skip unrelated") {
+    val r = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3,
+      threshold = 0.3).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val pairs = r.map(p => (p._1, p._2)).toSeq
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) &&
+      pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
+    assert(r.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0) // identical
+  }
+
+  test("minhash LSH recall equals exact jaccard at threshold on this corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH candidates then exact confirm -> subset of exact; here high-j
+    // pairs (>=0.9) are caught with prob ~1
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L)))
+  }
+
+  test("minhash LSH is deterministic across runs") {
+    def run() = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(run() == run())
+  }
+
+  test("simhash pairs: identical docs at hamming 0, near-dups close") {
+    val r = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = r.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 0) // identical text -> identical simhash
+    assert(!m.keySet.exists(p => p._2 >= 3L && p._1 <= 2L)) // unrelated far apart
+  }
+
+  test("simhash64 value is stable and order-sensitive input changes it") {
+    val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val v = d2.select(graft.functions.TextExprs.simhash64(
+      TextOps.words(col("text")))).as[Long].collect()
+    assert(v(0) == v(1)) // simhash is bag-of-words: order-insensitive
+    val v2 = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .select(graft.functions.TextExprs.simhash64(TextOps.words(col("text"))))
+      .as[Long].collect().head
+    assert(v(0) == v2) // deterministic across plans
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions.{col => sc, sum => ssum}
+import org.apache.spark.sql.types._
+import graft.engine.{Catalog, Frame, JoinType, Raw}
+import graft.engine.{Exprs => E}
+
+/** Parity-surface tests mirroring the reference engine's per-operator unit
+  * tests (reference files cited per test). */
+class EngineSpec extends SparkSpec {
+
+  private def people = new Catalog(spark)
+    .addCsvTable("people", s"$dataDir/people.csv").table("people")
+  private def payroll = new Catalog(spark)
+    .addCsvTable("payroll", s"$dataDir/payroll.csv").table("payroll")
+
+  // reference: csv_table.rs:84-106 (schema inference: names/types)
+  test("csv schema inference") {
+    val sch = people.df.schema
+    assert(sch.fieldNames.toSeq == Seq("id", "name", "age", "score"))
+    assert(sch("id").dataType == IntegerType)
+    assert(sch("name").dataType == StringType)
+    assert(sch("age").dataType == IntegerType)
+    assert(sch("score").dataType == DoubleType)
+  }
+
+  // reference: data_frame.rs:120-152 + selection.rs:119-168 (canonical
+  // scan -> filter -> project)
+  test("scan -> filter -> project") {
+    val rows = people.filter(E.col("age") >= E.lit(24))
+      .project(E.col("name"), E.col("score"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("bob", 79.25), ("carol", 93.0),
+      ("erin", 88.0), ("frank", 70.5)))
+  }
+
+  // reference: projection.rs:79-120 (column + arithmetic expr)
+  test("projection with arithmetic expression") {
+    val rows = people
+      .project(E.col("id"), (E.col("score") * E.lit(2.0)).as("dbl"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.head == (1, 175.0))
+    assert(rows.length == 6)
+  }
+
+  // reference: binary.rs:87-185 (all 13 ops)
+  test("all 13 binary operators evaluate") {
+    val f = people.project(
+      (E.col("age") === E.lit(24)).as("eq"),
+      (E.col("age") =!= E.lit(24)).as("neq"),
+      (E.col("age") > E.lit(24)).as("gt"),
+      (E.col("age") >= E.lit(24)).as("gte"),
+      (E.col("age") < E.lit(24)).as("lt"),
+      (E.col("age") <= E.lit(24)).as("lte"),
+      ((E.col("age") >= E.lit(21)) && (E.col("age") <= E.lit(27))).as("and"),
+      ((E.col("age") < E.lit(20)) || (E.col("age") > E.lit(28))).as("or"),
+      (E.col("age") + E.lit(1)).as("add"),
+      (E.col("age") - E.lit(1)).as("sub"),
+      (E.col("age") * E.lit(2)).as("mul"),
+      (E.col("score") / E.lit(2.0)).as("div"),
+      (E.col("age") % E.lit(5)).as("mod"))
+    val r = f.df.where(sc("eq")).collect()
+    assert(r.length == 2) // bob, frank (age 24)
+    val bob = f.df.collect().head
+    assert(f.df.columns.toSeq == Seq("eq", "neq", "gt", "gte", "lt", "lte",
+      "and", "or", "add", "sub", "mul", "div", "mod"))
+    assert(!bob.anyNull)
+  }
+
+  // reference: logical_expr.rs:137-143 (declared scalar fns), implemented
+  // via Spark built-ins
+  test("scalar functions CONCAT SUBSTRING ABS SQRT POWER") {
+    val r = people.filter(E.col("id") === E.lit(1))
+      .project(
+        E.concat(E.col("name"), E.lit("!")).as("c"),
+        E.substring(E.col("name"), E.lit(1), E.lit(3)).as("s"),
+        E.abs(E.col("score") - E.lit(100.0)).as("a"),
+        E.sqrt(E.lit(16.0)).as("q"),
+        E.power(E.lit(2.0), E.lit(10.0)).as("p"))
+      .collect().head
+    assert(r.getString(0) == "alice!")
+    assert(r.getString(1) == "ali")
+    assert(math.abs(r.getDouble(2) - 12.5) < 1e-12)
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 1024.0)
+  }
+
+  // reference: aggr/mod.rs:102-245 (grouped, all 5 agg fns)
+  test("grouped aggregation with all five agg functions") {
+    val rows = payroll.aggregate(
+      Seq(E.col("dept")),
+      Seq(E.sum(E.col("salary")), E.min(E.col("salary")),
+        E.max(E.col("salary")), E.avg(E.col("salary")),
+        E.count(E.col("salary"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("eng", 13400.0, 3900.0, 5300.0, 13400.0 / 3, 3L),
+      ("ops", 2800.0, 2800.0, 2800.0, 2800.0, 1L),
+      ("sales", 6700.0, 3100.0, 3600.0, 3350.0, 2L)))
+    // reference-style auto-names (logical_expr.rs:176-191)
+    assert(payroll.aggregate(Seq(E.col("dept")), Seq(E.sum(E.col("salary"))))
+      .df.columns.toSeq == Seq("dept", "SUM(salary)"))
+  }
+
+  // reference: aggr/mod.rs:125-144 (global aggregate)
+  test("global aggregation") {
+    val r = payroll.aggregate(Seq.empty,
+      Seq(E.sum(E.col("salary")), E.count(E.col("id")))).collect().head
+    assert(r.getDouble(0) == 22900.0)
+    assert(r.getLong(1) == 6L)
+  }
+
+  // reference: aggr/mod.rs:264-296 (group by computed expression age<=24)
+  test("group by computed expression") {
+    val rows = people.aggregate(
+      Seq((E.col("age") <= E.lit(24)).as("young")),
+      Seq(E.count(E.col("id"))))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((false, 2L), (true, 4L))) // young: 21,24,18,24
+  }
+
+  // reference: nested_loop_join.rs:201-248 — multi-key join, but with
+  // CORRECT SQL semantics (the reference zips matched rows positionally)
+  test("multi-key inner join") {
+    val joined = people.join(payroll,
+      Seq(("id", "id"), ("name", "name")))
+    assert(joined.count() == 6)
+    val twoKey = people.join(payroll, Seq(("id", "id"), ("name", "name")))
+      .filter(E.col("dept") === E.lit("eng"))
+    assert(twoKey.count() == 3)
+  }
+
+  test("left and right outer joins keep unmatched rows") {
+    val extra = Frame(payroll.df.where(sc("dept") === "eng"))
+    val l = people.join(extra, Seq(("id", "id")), JoinType.Left)
+    assert(l.count() == 6) // all people kept
+    assert(l.df.where(sc("dept").isNull).count() == 3)
+    val r = extra.join(people, Seq(("id", "id")), JoinType.Right)
+    assert(r.count() == 6)
+    assert(r.df.where(sc("dept").isNull).count() == 3)
+  }
+
+  test("join requires at least one key pair") {
+    intercept[IllegalArgumentException] {
+      people.join(payroll, Seq.empty)
+    }
+  }
+
+  // extension surface: sort/limit/distinct/union
+  test("sort limit distinct union") {
+    val top2 = people.sort((E.col("score"), false)).limit(2)
+      .collect().map(_.getAs[String]("name"))
+    assert(top2.toSeq == Seq("carol", "erin"))
+    assert(people.project(E.col("age")).distinct().count() == 5)
+    val u = people.project(E.col("id"))
+      .union(people.project(E.col("id"))).distinct()
+    assert(u.count() == 6)
+  }
+
+  // reference: logical_plan.rs:113-204 (plan inspection)
+  test("explain surfaces the optimized plan") {
+    val e = people.filter(E.col("age") >= E.lit(24))
+      .project(E.col("name")).explain()
+    assert(e.contains("Parsed Logical Plan") || e.contains("== Physical Plan =="))
+  }
+
+  test("catalog registers and looks up by name; missing table throws") {
+    val c = new Catalog(spark).addCsvTable("p2", s"$dataDir/people.csv")
+    assert(c.tableNames.contains("p2"))
+    assert(c.getTableDf("p2").count() == 6)
+    intercept[NoSuchElementException] { c.table("nope") }
+    // temp view published -> SQL frontend works
+    assert(spark.sql("SELECT count(*) AS n FROM p2").collect().head.getLong(0) == 6)
+  }
+
+  test("decimal-sum helper semantics match plain sum on 2-decimal data") {
+    val df = payroll.df
+    val a = df.agg(ssum(sc("salary").cast(DecimalType(18, 2))).cast("double")).collect().head.getDouble(0)
+    assert(a == 22900.0)
+  }
+}

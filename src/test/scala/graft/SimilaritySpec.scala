@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: 40 vectors in R^8; vec 1 = vec 0
+  // scaled (cosine 1), vec 2 = vec 0 slightly perturbed (cosine ~0.999)
+  private def mkVec(seed: Int): Array[Float] = {
+    val r = new java.util.Random(seed)
+    Array.fill(8)(r.nextGaussian().toFloat)
+  }
+  private val v0 = mkVec(100)
+  private val vecs: Seq[(Long, Array[Float])] =
+    Seq(0L -> v0, 1L -> v0.map(_ * 2.0f),
+      2L -> v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }) ++
+      (3L until 40L).map(i => i -> mkVec(i.toInt))
+  private def emb = vecs.toDF("vec_id", "embedding")
+
+  test("dot and cosine expressions compute correct values") {
+    val r = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(VectorExprs.dot(col("a"), col("b")).as("d"),
+        VectorExprs.cosineSim(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect().head
+    assert(r._1 == 32.0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r._2 - expected) < 1e-12)
+    // zero-norm guard
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(VectorExprs.cosineSim(col("a"), col("b"))).as[Double].collect().head
+    assert(z == 0.0)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", v0, 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).take(2).toSet == Set(0L, 1L)) // cosine exactly 1.0 both
+    assert(top(0)._1 == 0L && top(1)._1 == 1L) // tie broken by id
+    assert(top(2)._1 == 2L) // the perturbed one
+    assert(top(2)._2 > 0.99)
+  }
+
+  test("LSH top-k returns a cosine-ranked subset including the near-exact hits") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", v0, 5)
+      .as[(Long, Double)].collect().map(_._1)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", v0, 5)
+      .as[(Long, Double)].collect()
+    // identical-direction vectors share every band with the query
+    assert(lsh.map(_._1).contains(0L) && lsh.map(_._1).contains(1L))
+    // ranking within the returned set is by cosine desc
+    assert(lsh.map(_._2).toSeq == lsh.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    assert(lsh.map(_._1).toSet.subsetOf(vecs.map(_._1).toSet))
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine near-dup pairs find the planted pair, no unrelated pairs") {
+    val r = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.99, dim = 8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val pairs = r.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(r.forall(_._3 >= 0.99))
+  }
+
+  test("LSH near-dups are deterministic across runs") {
+    def run() = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.99, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sortBy(identity).toSeq
+    assert(run() == run())
+  }
+}

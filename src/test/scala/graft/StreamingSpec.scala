@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val evs = Seq(
+    Ev(1, ts(0), 1, "click", 1.0),
+    Ev(2, ts(5), 1, "click", 2.0),
+    Ev(3, ts(10), 2, "view", 3.0),
+    Ev(4, ts(50), 1, "click", 4.0))
+
+  test("windowed counts over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(mem.toDF(), "15 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 10:00:00", "view", 1L),
+      ("2024-01-01 10:45:00", "click", 1L)))
+  }
+
+  test("session windows close after the inactivity gap") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionized(mem.toDF(), "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val rows = spark.table("sess")
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().toSet
+    q.stop()
+    // user 1: events at 10:00,10:05 (one session) and 10:50 (new session)
+    assert(rows == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("streaming transforms work identically on batch frames") {
+    val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+    assert(batch == Set(("click", 2L), ("view", 1L), ("click", 1L)).map(identity) ||
+      batch == Set(("click", 2L), ("view", 1L), ("click", 1L)))
+  }
+}

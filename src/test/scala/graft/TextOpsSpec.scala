@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word shingles: n-grams, short-doc fallback, set semantics") {
+    val df = Seq("a b c d", "a b", "x y x y x y").toDF("text")
+    val sh = df.select(TextOps.wordShingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b")) // shorter than n -> whole text
+    val set = df.select(TextOps.shingleSet(col("text"), 2).as("s"))
+      .as[Seq[String]].collect()
+    assert(set(2).sorted == Seq("x y", "y x")) // distinct
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    val df = Seq(
+      (0L, "the cat sat on the mat and it was happy with this"),
+      (1L, "der hund ist nicht mit der katze und sie ist auch"),
+      (2L, "le chat est dans la maison avec les enfants qui sont"),
+      (3L, "el perro es de los ninos y no se va del parque"))
+      .toDF("doc_id", "text")
+    val r = TextOps.langId(df).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0L, "en"), (1L, "de"), (2L, "fr"), (3L, "es")))
+  }
+
+  test("quality signals compute expected ratios") {
+    val df = Seq((0L, "one two three four five six, seven!")).toDF("doc_id", "text")
+    val r = TextOps.qualitySignals(df).collect().head
+    assert(r.getAs[Int]("n_tokens") == 7)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+    assert(r.getAs[Boolean]("quality_ok"))
+    val junk = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(!TextOps.qualitySignals(junk).collect().head.getAs[Boolean]("quality_ok"))
+  }
+
+  test("token counts: whitespace and regex segmentation") {
+    val df = Seq("hello world 42 foo-bar!").toDF("text")
+    val r = TextOps.tokenCounts(df).select("n_tokens_ws", "n_tokens_re")
+      .as[(Int, Int)].collect().head
+    assert(r._1 == 4)
+    // hello, world, 42, foo, -, bar, ! -> 7
+    assert(r._2 == 7)
+  }
+
+  test("fingerprint is order-sensitive, winnow hash robust to edit") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "beta alpha gamma delta epsilon zeta eta theta"), // swapped words
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))  // tail edit
+      .toDF("doc_id", "text")
+    val r = TextOps.fingerprints(df, window = 3)
+      .select("doc_id", "fp_rolling", "fp_winnow")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 != r(1)._2) // rolling hash sees order
+    assert(r.forall(x => x._2 >= 0 && x._2 < 2147483647L)) // mod 2^31-1, ANSI-safe
+    // deterministic
+    val again = TextOps.fingerprints(df, window = 3)
+      .select("fp_rolling").as[Long].collect().sorted
+    assert(again.toSeq == r.map(_._2).sorted.toSeq)
+  }
+}
