@@ -67,11 +67,18 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // persist: the shingle sets feed the signature branch AND both confirm
+    // joins; recomputing the (interpreted higher-order-fn) shingling three
+    // times costs more than caching one compact string-array table
     val sets = docs.select(col(idCol).cast("long").as("id"),
       TextOps.shingleSet(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist: the (tiny) bucket table is both sides of the self-join; the
+    // 64-pass minhash signature is the expensive part above it
     val buckets = sets
       .select(col("id"), explode(bandKeys(minhashSig(col("sh"),
         bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -79,29 +86,51 @@ object Dedup {
     confirmJaccard(cand, sets, threshold)
   }
 
-  /** Exact all-pairs Jaccard >= threshold via an inverted-index
-    * (token → doc) self-join — the exact set-similarity join. Candidates
-    * are generated per shared token (shuffle keyed on the token), counted
-    * per pair to get |A∩B|, and |A∪B| = |A|+|B|-|A∩B|. A pair sharing no
-    * token can't have Jaccard > 0, so this is exact while never going
-    * all-pairs. At web scale you'd add prefix filtering (index only the
-    * (1-t)|A|+1 rarest tokens); the synthetic corpus's shingle document
-    * frequencies are tiny, so the plain index is already near-linear. */
+  /** Exact all-pairs Jaccard >= threshold via a PREFIX-FILTERED inverted-
+    * index self-join (the PPJoin candidate scheme):
+    *
+    *  1. shingle sets as 64-bit hashes (8-byte shuffle keys, cheap
+    *     intersects; a collision at ~2^-64/pair is irrelevant);
+    *  2. global token order by (document frequency, token) — rarest first;
+    *  3. each doc indexes only its first  |A| - ceil(t*|A|) + 1  tokens in
+    *     that order (its "prefix"). THEOREM (prefix filtering): two sets
+    *     with Jaccard >= t must share at least one prefix token — so
+    *     joining prefixes only is still EXACT, while the join skips
+    *     exactly the high-df tokens that cause candidate-pair blowup;
+    *  4. candidate id-pairs (distinct) re-attach full shingle sets by id
+    *     and an array_intersect confirm computes the exact Jaccard.
+    *
+    * No stage is all-pairs: the only data-sized shuffles are keyed on
+    * token / id. At 100 TB the df table and prefix selection are plain
+    * aggregations, and the candidate join touches only rare tokens. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist: the shingle sets feed the token index AND both confirm
+    // joins. Measured pitfall: Spark's columnar cache reads array<long>
+    // ~80x slower than array<string> — keep the cached form as string
+    // arrays and hash tokens AFTER the explode (flat, codegen'd).
     val sets = docs.select(col(idCol).cast("long").as("id"),
       TextOps.shingleSet(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok"))
-    toks.as("a").join(toks.as("b"), Seq("tok"))
+      explode(col("sh")).as("tok0"))
+      // 8-byte join/sort keys instead of ~20-byte strings; a collision
+      // (~2^-64/pair) cannot change which pairs become candidates enough
+      // to matter, and the confirm pass recomputes Jaccard on the real sets
+      .select(col("id"), col("sz"), xxhash64(col("tok0")).as("tok"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(df, Seq("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    confirmJaccard(cand, sets, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd

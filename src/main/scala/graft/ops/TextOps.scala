@@ -31,6 +31,7 @@ object TextOps {
   /** Distinct shingle set (set semantics for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
 
+
   // --------------------------------------------------------------------
   // Language identification: stopword-overlap heuristic. Scores each
   // candidate language by |words ∩ stopwords(lang)| / |distinct words| and
