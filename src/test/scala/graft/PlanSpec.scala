@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape goldens: the 100x-scale insurance. These assert the
+  * *physical plan properties* that keep the headline queries viable at
+  * 100 TB — filters pushed into the parquet scan, columns pruned at the
+  * reader, dimension joins broadcast, aggregations partial+final — not
+  * just that the answers are right. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def readSchemas(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+
+  test("filter is pushed down into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("projection prunes unused columns at the reader") {
+    val p = plan("q_projection")
+    val rs = readSchemas(p)
+    assert(rs.nonEmpty)
+    // only the 4 referenced columns reach the scan; the other 7 lineitem
+    // columns must not be read
+    assert(rs.forall(l => !l.contains("l_shipdate") && !l.contains("l_tax")
+      && !l.contains("l_returnflag")))
+    assert(rs.exists(l => l.contains("l_extendedprice") && l.contains("l_discount")))
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial+final hash aggregation") {
+    val p = plan("q_agg_grouped")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_sum") || p.contains("partial"))
+  }
+
+  test("global aggregation also aggregates partially per partition") {
+    val p = plan("q_agg_global")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("scan of a projected catalog table reads only what the query needs") {
+    val p = plan("q_distinct")
+    val rs = readSchemas(p)
+    assert(rs.forall(l => !l.contains("l_extendedprice")))
+  }
+
+  test("similarity joins never plan a cartesian product") {
+    for (q <- Seq("q_jaccard_pairs", "q_minhash_lsh", "q_simhash_pairs",
+        "q_cosine_neardups")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not contain a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        q == "q_cosine_neardups", // tiny literal-probe joins are fine
+        s"$q unexpectedly plans a nested-loop join")
+    }
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // FormattedMode tags codegen'd operators with "[codegen id : N]"
+    val p = plan("q_binary_ops")
+    assert(p.contains("codegen id"))
+  }
+}
