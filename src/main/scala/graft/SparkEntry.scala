@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{Catalog, Frame, JoinType, Raw}
 import graft.engine.{Exprs => E}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — every operator from SURVEY.md §2 (parity surface) plus
   * the LLM-data-pipeline extension operators, each as a named query with a
@@ -259,6 +259,76 @@ object SparkEntry {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("sess_id"))
         .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // ---- extension: set ops INTERSECT / EXCEPT ------------------------
+    "q_intersect" -> ((s, dir) => {
+      Frame(t(s, dir, "customer")).project(E.col("c_nationkey").as("nationkey"))
+        .intersect(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
+    }),
+
+    "q_except" -> ((s, dir) => {
+      Frame(t(s, dir, "customer")).project(E.col("c_nationkey").as("nationkey"))
+        .except(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
+    }),
+
+    // ---- extension: CASE WHEN / NULLIF / COALESCE ---------------------
+    "q_case_null" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 500)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "CASE WHEN l_quantity > 40 THEN 'high' WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS qty_band",
+          "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none",
+          "(l_discount = 0) AS no_disc")),
+
+    // ---- extension: date/time part extraction -------------------------
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"))),
+
+    // ---- extension: exact DISTINCT aggregates -------------------------
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))),
+
+    // ---- extension: ROLLUP subtotals ----------------------------------
+    "q_rollup" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "nation")), Seq(("c_nationkey", "n_nationkey")))
+        .join(Frame(t(s, dir, "region")), Seq(("n_regionkey", "r_regionkey")))
+        .rollup(Seq(E.col("r_name"), E.col("n_name")),
+          Seq(Raw(count(lit(1)).as("n_cust"), "n_cust"))).df
+    }),
+
+    // ---- composite showpiece: TPC-H Q3 shape (3-way join + agg + topk) -
+    "q_tpch_q3" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .filter(E.col("c_mktsegment") === E.lit("BUILDING"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")))
+        .filter(Raw(col("o_orderdate") < lit("1998-06-01"), "cond"))
+        .join(Frame(t(s, dir, "lineitem")), Seq(("o_orderkey", "l_orderkey")))
+        .filter(Raw(col("l_shipdate") > lit("1998-06-01"), "cond"))
+        .aggregate(Seq(E.col("l_orderkey")),
+          Seq(Raw(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"), "revenue")))
+        .sort((E.col("revenue"), false), (E.col("l_orderkey"), true))
+        .limit(10).df
+    }),
+
+    // ---- extension: as-of join (latest right row at or before left ts) -
+    "q_asof_join" -> ((s, dir) => {
+      // microsecond epoch on both sides: DuckDB timestamps are us-precision
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("ts_us").as("click_us"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
+        Seq("click_id", "click_us"))
     }),
 
     // ---- LLM: exact dedup (group on full key) -------------------------
@@ -516,6 +586,65 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, sess_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_case_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 40 THEN 'high'
+        |       WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS qty_band,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  (l_discount = 0) AS no_disc
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d FROM orders""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1998-06-01'
+        |  AND l_shipdate > '1998-06-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -86,6 +86,16 @@ final case class Frame(df: DataFrame) {
 
   def union(other: Frame): Frame = Frame(df.union(other.df))
 
+  /** Set intersection/difference (SQL INTERSECT / EXCEPT semantics). */
+  def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
+  def except(other: Frame): Frame = Frame(df.except(other.df))
+
+  /** ROLLUP aggregation (subtotal + grand-total groups). */
+  def rollup(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
+    val aggs = aggExprs.map(e => named(e))
+    Frame(df.rollup(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
   /** Reference-style indented plan printer (reference: logical_plan.rs:113-204
     * is its Display impl — the engine's "EXPLAIN"). Here: Catalyst's plans. */
   def explain(): String = df.queryExecution.toString()

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for every left row, attach the latest right row
+  * with the same key whose time is <= the left row's time.
+  *
+  * Spark has no native as-of join; a naive formulation is a range
+  * theta-join (quadratic per key). This implementation is the
+  * single-shuffle union trick instead:
+  *
+  *   1. tag left rows 1, right rows 0, union them;
+  *   2. one window partitioned by key, ordered by (time, tag) —
+  *      `last(payload, ignoreNulls)` over unbounded-preceding..current
+  *      carries the most recent right payload forward (at equal times the
+  *      right row sorts first, so ties match, like `ON l.t >= r.t`);
+  *   3. keep only the left rows.
+  *
+  * Cost: ONE shuffle on the key column — the same cost as any keyed
+  * aggregation, no join blowup, no range comparison per pair. Skewed keys
+  * behave like any windowed aggregation (salt-able if a key dominates).
+  *
+  * (Extension surface — the reference engine has only an inner equi-join,
+  * reference: src/physical_plan/nested_loop_join.rs:62-191.)
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the carried payload
+    * @param keyCol     equi-key present in both sides
+    * @param timeCol    monotonic order column present in both sides
+    * @param payloadCols right-side columns to carry (become `asof_<name>`)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_tag", lit(1))
+    val lAligned = payloadCols.foldLeft(l)((df, c) =>
+      df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = payloadCols.foldLeft(
+      right.select((keyCol +: timeCol +: payloadCols).distinct.map(col): _*)
+        .withColumn("_tag", lit(0)))((df, c) => df.withColumnRenamed(c, s"_r_$c"))
+    val rAligned = leftCols.foldLeft(r)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lAligned.columns.map(col): _*)
+
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned))(
+      (df, c) => df.withColumn(s"asof_$c",
+        last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    carried.where(col("_tag") === 1)
+      .select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
+  }
+}

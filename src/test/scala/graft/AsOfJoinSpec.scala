@@ -1,0 +1,36 @@
+package graft
+
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the latest right row at or before the left time") {
+    val left = Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 8L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+      (3L, 1L, 999L)).toDF("k", "t", "rid")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+      .select("name", "asof_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(r("p1") == Some(100L)) // t=10 -> right at 8 (not 20)
+    assert(r("p2") == Some(200L)) // t=25 -> right at 20 (not 30)
+    assert(r("p3") == None)       // key 2 has no right rows -> null
+  }
+
+  test("as-of join matches a right row at exactly the left time") {
+    val left = Seq((1L, 20L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 20L, 7L)).toDF("k", "t", "rid")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+      .select("asof_rid").as[Option[Long]].collect().head
+    assert(r == Some(7L)) // >= semantics: equal time matches
+  }
+
+  test("left payload columns pass through unchanged") {
+    val left = Seq((1L, 10L, 3.5)).toDF("k", "t", "v")
+    val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+    assert(out.columns.toSeq == Seq("k", "t", "v", "asof_rid"))
+    assert(out.select("v").as[Double].collect().head == 3.5)
+  }
+}
