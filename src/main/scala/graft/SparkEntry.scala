@@ -331,6 +331,41 @@ object SparkEntry {
         Seq("click_id", "click_us"))
     }),
 
+    // ---- extension: analytic window frames (rank, lag, running sum) ---
+    "q_window_frames" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(WindowFramesSql)
+    }),
+
+    // ---- extension: string function family ----------------------------
+    "q_string_fns" -> ((s, dir) =>
+      t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("up"),
+          lower(col("p_type")).as("lo"),
+          length(col("p_name")).as("len"),
+          trim(col("p_name")).as("tr"),
+          lpad(col("p_brand"), 12, "_").as("pad"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("novowel"),
+          split(col("p_type"), " ").getItem(0).as("first_word"))),
+
+    // ---- extension: array / higher-order functions --------------------
+    "q_array_fns" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("ws", array_sort(array_distinct(split(col("text"), " "))))
+        .select(col("doc_id"),
+          size(col("ws")).as("n_distinct"),
+          array_contains(col("ws"), "spark").as("has_spark"),
+          slice(col("ws"), 1, 3).as("first3"),
+          array_join(slice(col("ws"), 1, 3), "|").as("first3_str"))),
+
+    // ---- extension: exact percentiles (distributed sort-based) --------
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("q1"))),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -405,6 +440,14 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // ---- LLM: IVF ANN (k-means coarse quantizer + probe-limited scan) -
+    "q_ann_ivf" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryVec(emb), 10)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+
     // ---- LLM: embedding near-dup pairs (banded sign-LSH + confirm) ----
     "q_cosine_neardups" -> ((s, dir) => {
       Graft.init(s)
@@ -435,6 +478,19 @@ object SparkEntry {
   private def queryVec(emb: DataFrame): Array[Float] =
     emb.where(col("vec_id") === 0).select(col("embedding"))
       .head.getSeq[Float](0).toArray
+
+  /** Analytic window frames: rank + lag + running sum, shared SQL. */
+  private val WindowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_spend
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
   /** ANSI SQL shared verbatim between Spark and the DuckDB oracle. */
   private val WindowSql: String =
@@ -586,6 +642,33 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, sess_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    "q_window_frames" -> WindowFramesSql,
+
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS up,
+        |  lower(p_type) AS lo,
+        |  length(p_name) AS len,
+        |  trim(p_name) AS tr,
+        |  lpad(p_brand, 12, '_') AS pad,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS novowel,
+        |  string_split(p_type, ' ')[1] AS first_word
+        |FROM part WHERE p_partkey <= 500""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT doc_id,
+        |  len(list_sort(list_distinct(string_split(text, ' ')))) AS n_distinct,
+        |  list_contains(list_sort(list_distinct(string_split(text, ' '))), 'spark') AS has_spark,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS first3_str
+        |FROM documents""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS q1
+        |FROM orders""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

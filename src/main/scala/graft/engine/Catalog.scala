@@ -49,6 +49,25 @@ final class Catalog(val spark: SparkSession) {
   def getTableDf(name: String): Frame = table(name)
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  /** UDF registration passthrough (SURVEY.md §7.3) — exposes Spark's UDF
+    * surface through the engine facade. Prefer built-in functions / native
+    * Expressions (codegen'd) for hot paths; a Scala UDF is the documented
+    * escape hatch, not the default. */
+  def registerUdf[RT: scala.reflect.runtime.universe.TypeTag,
+      A1: scala.reflect.runtime.universe.TypeTag](
+      name: String, f: A1 => RT): Catalog = {
+    spark.udf.register(name, f)
+    this
+  }
+
+  def registerUdf2[RT: scala.reflect.runtime.universe.TypeTag,
+      A1: scala.reflect.runtime.universe.TypeTag,
+      A2: scala.reflect.runtime.universe.TypeTag](
+      name: String, f: (A1, A2) => RT): Catalog = {
+    spark.udf.register(name, f)
+    this
+  }
 }
 
 /** Convenience loaders for the driver-provided synthetic star schema

@@ -94,6 +94,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer + probe-limited
+    * exact search — the other classic scale path besides sign-LSH.
+    *
+    *  - TRAIN: `iters` Lloyd iterations. Assignment is distributed (each
+    *    vector scores k broadcast centroids — a codegen'd cosine per
+    *    centroid, no shuffle); the update step aggregates per
+    *    (cluster, dim) with an exact DECIMAL sum so centroids are
+    *    bit-deterministic across runs/partitionings, then collects just
+    *    k x dim doubles to the driver (the coarse quantizer IS tiny —
+    *    that collect is the standard IVF pattern, not a data collect).
+    *  - INDEX: each vector stores its cluster id (one int per vector).
+    *  - PROBE: score the query against k centroids driver-side, search
+    *    only the `nProbe` nearest clusters exactly. At 100 TB with the
+    *    index partitioned/clustered by cluster id, a probe touches
+    *    nProbe/k of the corpus and the rest is never scanned.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val dim = query.length
+    // deterministic init: the nClusters lowest-id vectors. Teaching-grade
+    // seeding — production IVF uses a kmeans++ sample; with adversarial id
+    // ordering (all seeds from one natural cluster) more Lloyd iterations
+    // or better seeding is needed.
+    var centroids: Array[Array[Float]] = emb
+      .orderBy(col(idCol)).limit(nClusters).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    def nearestCluster(vec: Column): Column =
+      array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorExprs.cosineSim(vec, typedLit(c)).as("cos"),
+          lit(i).as("cluster"))
+      }: _*)).getField("cluster")
+
+    for (_ <- 0 until iters) {
+      val assigned = emb.select(col(vecCol).as("v"),
+        nearestCluster(col(vecCol)).as("cluster"))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1))).as("mean"))
+        .collect()
+      val next = Array.tabulate(nClusters)(i => centroids(i).clone())
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      centroids = next
+    }
+
+    val probeSet = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
+      }
+      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c, query), i) }
+        .take(nProbe).map(_._2).toSet
+    }
+    emb.select(col(idCol), col(vecCol), nearestCluster(col(vecCol)).as("cluster"))
+      .where(col("cluster").isInCollection(probeSet))
+      .select(col(idCol), VectorExprs.cosineSim(col(vecCol),
+        typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via band-keyed self-join then exact-cosine confirm. Pairs carry
     * only ids through the candidate shuffle; vectors re-attach by id. */

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Catalog
+import graft.ops.Similarity
+
+class IvfUdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // clustered synthetic embeddings: 4 well-separated direction clusters
+  // of 12 vectors each in R^8 — IVF must recover the query's cluster
+  private def clustered: Seq[(Long, Array[Float])] = {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+    // ids interleaved across clusters so the quantizer's lowest-id init
+    // seeds one centroid per cluster (see ivfTopK scaladoc on init)
+    for (c <- 0 until 4; j <- 0 until 12) yield {
+      val r = new java.util.Random(c * 100L + j)
+      val v = base(c).map(x => x + (r.nextGaussian() * 0.05).toFloat)
+      (j * 4L + c, v)
+    }
+  }
+
+  test("IVF top-k agrees with brute force on clustered data") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val query = clustered.head._2
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", query, 5,
+      nClusters = 4, nProbe = 1, iters = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    // probing a single cluster already recovers the true top-5: the
+    // query's neighbors all live in its own direction cluster
+    assert(ivf == brute)
+  }
+
+  test("IVF is deterministic across runs") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val query = clustered.last._2
+    def run() = Similarity.ivfTopK(emb, "vec_id", "embedding", query, 5,
+      nClusters = 4, nProbe = 2, iters = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(run() == run())
+  }
+
+  test("UDF passthrough registers callable SQL functions") {
+    val c = new Catalog(spark)
+      .addCsvTable("ppl", s"$dataDir/people.csv")
+      .registerUdf[Int, Int]("plus_ten", (x: Int) => x + 10)
+      .registerUdf2[Double, Double, Double]("hypot2", (a: Double, b: Double) =>
+        math.sqrt(a * a + b * b))
+    val r = spark.sql(
+      "SELECT plus_ten(age) AS a, hypot2(score, 3.0) AS h FROM ppl WHERE id = 1")
+      .as[(Int, Double)].collect().head
+    assert(r._1 == 31)
+    assert(math.abs(r._2 - math.sqrt(87.5 * 87.5 + 9.0)) < 1e-12)
+    assert(c.tableNames.contains("ppl"))
+  }
+}

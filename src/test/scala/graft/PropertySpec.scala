@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.{Frame, Exprs => E}
+
+/** Algebraic properties of the engine surface (SURVEY.md §5 plan): laws
+  * that must hold for ANY data, checked over ScalaCheck-generated inputs
+  * (driven with explicit seeds so failures are reproducible). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Double)]] = Gen.listOfN(60,
+    Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-100.0, 100.0)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filter(p1).filter(p2) == filter(p1 && p2)") {
+    for ((rows, i) <- samples(rowsGen, 8).zipWithIndex) {
+      val thr = -50.0 + i * 12.5
+      val df = rows.toDF("k", "v")
+      val p1 = E.col("v") >= E.lit(thr)
+      val p2 = E.col("k") =!= E.lit(i.toLong)
+      val a = Frame(df).filter(p1).filter(p2).collect().map(_.toSeq).toSet
+      val b = Frame(df).filter(p1 && p2).collect().map(_.toSeq).toSet
+      assert(a == b, s"seed case $i")
+    }
+  }
+
+  test("grouped SUM is invariant under repartitioning") {
+    for ((rows, i) <- samples(rowsGen, 8).zipWithIndex) {
+      // long values -> exact sums regardless of partial-agg order
+      val df = rows.map { case (k, v) => (k, v.toLong) }.toDF("k", "v")
+      val parts = 1 + (i % 7)
+      val a = Frame(df).aggregate(Seq(E.col("k")), Seq(E.sum(E.col("v"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Frame(df.repartition(parts))
+        .aggregate(Seq(E.col("k")), Seq(E.sum(E.col("v"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"seed case $i")
+    }
+  }
+
+  test("distinct union cardinality: max(|A|,|B|) <= |A ∪ B| <= |A| + |B|") {
+    val gs = samples(rowsGen, 8)
+    for (Seq(ra, rb) <- gs.grouped(2) if ra != rb) {
+      val a = Frame(ra.toDF("k", "v").select(col("k")))
+      val b = Frame(rb.toDF("k", "v").select(col("k")))
+      val da = a.distinct().count(); val db = b.distinct().count()
+      val u = a.union(b).distinct().count()
+      assert(u <= da + db && u >= math.max(da, db))
+    }
+  }
+
+  test("projection then projection composes") {
+    for (rows <- samples(rowsGen, 4)) {
+      val df = rows.toDF("k", "v")
+      val a = Frame(df).project(E.col("k"), (E.col("v") * E.lit(2.0)).as("w"))
+        .project(E.col("w")).collect().map(_.getDouble(0)).sorted.toSeq
+      val b = Frame(df).project((E.col("v") * E.lit(2.0)).as("w"))
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      assert(a == b)
+    }
+  }
+}
