@@ -8,6 +8,7 @@ object Graft {
   def init(spark: SparkSession): SparkSession = {
     graft.functions.VectorExprs.register(spark)
     graft.functions.TextExprs.register(spark)
+    graft.functions.ShingleExprs.register(spark)
     spark
   }
 }

@@ -376,14 +376,18 @@ object SparkEntry {
       Dedup.exactByFingerprint(t(s, dir, "documents"), "text", "doc_id")),
 
     // ---- LLM: exact n-gram Jaccard set-similarity join ----------------
-    "q_jaccard_pairs" -> ((s, dir) =>
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Graft.init(s)
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, threshold = 0.3)),
+        shingleN = 3, threshold = 0.3)
+    }),
 
     // ---- LLM: MinHash+LSH near-dup (banded, exact-confirmed) ----------
-    "q_minhash_lsh" -> ((s, dir) =>
+    "q_minhash_lsh" -> ((s, dir) => {
+      Graft.init(s)
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)),
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    }),
 
     // ---- LLM: SimHash near-dup (exact for hamming<=3 by pigeonhole) ---
     "q_simhash_pairs" -> ((s, dir) => {

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, functions}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd shingling + MinHash primitives.
+  *
+  * The higher-order-function formulation (split → transform → slice →
+  * array_join → array_distinct, then k minhash passes) runs interpreted
+  * per-element lambdas — measured ~3s per pass over 5000 docs at sf0.1.
+  * These expressions do the same work in one fused primitive loop inside
+  * whole-stage codegen, cheap enough that dedup pipelines RECOMPUTE
+  * shingles instead of caching them — the right trade at 100 TB, where
+  * persisting a corpus-sized shingle table is not an option.
+  *
+  * Hash design: word w -> xxhash64(bytes); n-gram -> seed-chained
+  * XXH64.hashLong over the n word hashes (order-sensitive, injective whp
+  * on word tuples, so set sizes / intersections — and hence Jaccard —
+  * equal the string-shingle formulation's exactly).
+  */
+case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash64 requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleHash64.compute(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHash64.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+object ShingleHash64 {
+  final val WordSeed = 42L
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  /** Distinct, sorted n-gram hashes of a text's whitespace-split words.
+    * A text with fewer than n words yields one hash chained over all its
+    * words (mirrors the whole-text fallback of the string shingler). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // 1. word hashes
+    var wordCount = 0
+    var words = new Array[Long](math.max(8, bytes / 4))
+    var i = 0
+    while (i < bytes) {
+      while (i < bytes && isSpace(text.getByte(i))) i += 1
+      if (i < bytes) {
+        val start = i
+        while (i < bytes && !isSpace(text.getByte(i))) i += 1
+        if (wordCount == words.length) words = java.util.Arrays.copyOf(words, words.length * 2)
+        words(wordCount) = XXH64.hashUnsafeBytes(base, off + start, i - start, WordSeed)
+        wordCount += 1
+      }
+    }
+    if (wordCount == 0) { // all-whitespace/empty: hash of the empty word
+      words = Array(XXH64.hashUnsafeBytes(base, off, 0, WordSeed)); wordCount = 1
+    }
+    // 2. n-gram chain hashes
+    val m = wordCount - (n - 1)
+    val grams = if (m <= 0) {
+      var acc = WordSeed; var j = 0
+      while (j < wordCount) { acc = XXH64.hashLong(words(j), acc); j += 1 }
+      Array(acc)
+    } else {
+      val out = new Array[Long](m)
+      var g = 0
+      while (g < m) {
+        var acc = WordSeed; var j = 0
+        while (j < n) { acc = XXH64.hashLong(words(g + j), acc); j += 1 }
+        out(g) = acc; g += 1
+      }
+      out
+    }
+    // 3. sort + dedupe (set semantics)
+    java.util.Arrays.sort(grams)
+    var uniq = 1
+    var k = 1
+    while (k < grams.length) {
+      if (grams(k) != grams(k - 1)) { grams(uniq) = grams(k); uniq += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, uniq))
+  }
+}
+
+/** k-permutation MinHash signature over an array<long> shingle-hash set:
+  * sig(i) = min over x of XXH64.hashLong(x, seed_i). One fused pass. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 1024, "minhash count must be in [1, 1024]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    MinHashSig.compute(arr.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Deterministic per-permutation seeds. */
+  private val seeds: Array[Long] =
+    Array.tabulate(1024)(i => XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L))
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = shingles.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashLong(x, seeds(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Registration + Column wrappers (int params are passed as literals and
+  * extracted at function-build time). */
+object ShingleExprs {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_hash64",
+      es => ShingleHash64(es.head, foldInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, foldInt(es(1))), "built-in")
+  }
+
+  private def foldInt(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected a literal int, got $other")
+    }
+
+  /** Requires [[register]] on the active session. */
+  def shingleHash64(text: Column, n: Int): Column =
+    functions.call_function("shingle_hash64", text, functions.lit(n))
+  def minhashSig64(shingles: Column, k: Int): Column =
+    functions.call_function("minhash_sig", shingles, functions.lit(k))
+}

@@ -67,16 +67,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // persist: the shingle sets feed the signature branch AND both confirm
-    // joins; recomputing the (interpreted higher-order-fn) shingling three
-    // times costs more than caching one compact string-array table
+    // shingling + signatures are fused codegen'd expressions
+    // (graft.functions.{ShingleHash64, MinHashSig}) — cheap enough to
+    // RECOMPUTE on every use instead of caching a corpus-sized shingle
+    // table (which at 100 TB is not an option anyway)
+    import graft.functions.ShingleExprs._
     val sets = docs.select(col(idCol).cast("long").as("id"),
-      TextOps.shingleSet(col(textCol), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist: the (tiny) bucket table is both sides of the self-join; the
-    // 64-pass minhash signature is the expensive part above it
+      shingleHash64(col(textCol), shingleN).as("sh"))
+    // persist: the (tiny, flat) bucket table is both sides of the self-join
     val buckets = sets
-      .select(col("id"), explode(bandKeys(minhashSig(col("sh"),
+      .select(col("id"), explode(bandKeys(minhashSig64(col("sh"),
         bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
@@ -106,19 +106,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist: the shingle sets feed the token index AND both confirm
-    // joins. Measured pitfall: Spark's columnar cache reads array<long>
-    // ~80x slower than array<string> — keep the cached form as string
-    // arrays and hash tokens AFTER the explode (flat, codegen'd).
+    import graft.functions.ShingleExprs._
+    // shingles as 64-bit hashes from one fused codegen'd expression
+    // (cheap to recompute -> no corpus-sized cache; 8-byte join keys;
+    // a collision at ~2^-64/pair is irrelevant to intersection counts)
     val sets = docs.select(col(idCol).cast("long").as("id"),
-      TextOps.shingleSet(col(textCol), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingleHash64(col(textCol), shingleN).as("sh"))
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok0"))
-      // 8-byte join/sort keys instead of ~20-byte strings; a collision
-      // (~2^-64/pair) cannot change which pairs become candidates enough
-      // to matter, and the confirm pass recomputes Jaccard on the real sets
-      .select(col("id"), col("sz"), xxhash64(col("tok0")).as("tok"))
+      explode(col("sh")).as("tok"))
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefix = toks.join(df, Seq("tok"))
       .withColumn("pos", row_number().over(

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextOps}
 
@@ -20,43 +21,35 @@ object Profile {
     graft.Graft.init(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.count()
+    val threshold = 0.3
 
     val sets = docs.select(col("doc_id").cast("long").as("id"),
-      TextOps.shingleSet(col("text"), 3).as("sh"))
-    time("shingleSet")(sets.queryExecution.toRdd.count())
-    time("shingleSet x2")(sets.queryExecution.toRdd.count())
+      TextOps.shingleSet(col("text"), 3).as("sh")).persist()
+    time("sets persist")(sets.count())
+    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok0"))
+      .select(col("id"), col("sz"), xxhash64(col("tok0")).as("tok"))
 
-    val sig = sets.withColumn("sig", Dedup.minhashSig(col("sh"), 64))
-    time("minhashSig(transform)")(sig.queryExecution.toRdd.count())
-
-    val toks = sets.select(col("id"), explode(col("sh")).as("tok"))
-    val sig2 = toks.groupBy("id").agg(
-      array((0 until 64).map(i => min(xxhash64(lit(i), col("tok")))): _*).as("sig"))
-    time("minhashSig(explode+agg)")(sig2.queryExecution.toRdd.count())
-
-    val toks2 = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
-    val pairs = toks2.as("a").join(toks2.as("b"), Seq("tok"))
+    val full = toks.as("a").join(toks.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    time("jaccard pair-gen+agg")(println("pairs=" + pairs.count()))
+      .select(col("a.id"), col("b.id")).distinct()
+    time("full-index candidates")(println("cand_full=" + full.count()))
+
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(df, Seq("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("id"), col("tok")).persist()
+    time("prefix build")(println("prefix_toks=" + prefix.count()))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct()
+    time("prefix candidates")(println("cand_prefix=" + cand.count()))
 
     time("jaccardPairs full")(
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3).queryExecution.toRdd.count())
-
-    // minhash pipeline stage-by-stage
-    val setsP = sets.persist()
-    time("sets persist")(setsP.count())
-    val sigP = setsP.withColumn("sig", Dedup.minhashSig(col("sh"), 64))
-    time("sig over cached sets")(sigP.queryExecution.toRdd.count())
-    val bucketsP = setsP.select(col("id"),
-      explode(Dedup.bandKeys(Dedup.minhashSig(col("sh"), 64), 16, 4)).as("bucket"))
-    time("buckets")(println("buckets=" + bucketsP.count()))
-    val candP = bucketsP.as("a").join(bucketsP.as("b"), Seq("bucket"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    time("candidates")(println("cand=" + candP.count()))
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, threshold)
+        .queryExecution.toRdd.count())
     time("minhashNearDups full")(
       Dedup.minhashNearDups(docs, "doc_id", "text").queryExecution.toRdd.count())
     spark.stop()
