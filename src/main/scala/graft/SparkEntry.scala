@@ -366,6 +366,23 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
         round(expr("percentile(o_totalprice, 0.25)"), 2).as("q1"))),
 
+    // ---- extension: JSON column extraction ----------------------------
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").where(col("event_id") <= 2000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))),
+
+    // ---- extension: salted aggregation (skew-safe, result-identical) --
+    "q_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+        t(s, dir, "events").select(col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("v")),
+        "event_type", "v", saltBuckets = 16)
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_v"),
+          col("n"), col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -732,6 +749,20 @@ object SparkEntry {
         |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events WHERE event_id <= 2000""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

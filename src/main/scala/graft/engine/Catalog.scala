@@ -50,6 +50,20 @@ final class Catalog(val spark: SparkSession) {
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
 
+  /** Materialize `df` as a bucketed+sorted table (hash-bucketed on
+    * `bucketCol` into `nBuckets` files per partition). Two tables bucketed
+    * the same way equi-join on that column with NO shuffle on either side
+    * — the shuffle is paid once at write time instead of on every join,
+    * the standard layout for repeatedly-joined 100 TB fact tables. */
+  def addBucketedTable(name: String, df: DataFrame, bucketCol: String,
+      nBuckets: Int): Catalog = {
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+    tables.put(name, spark.table(name))
+    this
+  }
+
   /** UDF registration passthrough (SURVEY.md §7.3) — exposes Spark's UDF
     * surface through the engine facade. Prefer built-in functions / native
     * Expressions (codegen'd) for hot paths; a Scala UDF is the documented

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Catalog
+import graft.ops.Skew
+
+/** Scale-mechanics operators: salting and bucketing. Correctness here is
+  * "identical results to the naive formulation"; the scale property is
+  * asserted on the physical plan. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // heavily skewed: one hot key with 5000 rows, 10 cold keys with 10 each
+  private def skewed = (
+    (1 to 5000).map(i => ("hot", i.toLong)) ++
+    (1 to 10).flatMap(k => (1 to 10).map(i => (s"cold$k", i.toLong)))
+  ).toDF("k", "v")
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val salted = Skew.saltedSumCount(skewed, "k", "v", saltBuckets = 8)
+      .select(col("k"), col("sum_v"), col("n"), col("min_v"), col("max_v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join, including row multiplicity") {
+    val sk = skewed
+    val small = Seq(("hot", "H"), ("cold1", "C1"), ("missing", "M"))
+      .toDF("sk", "label")
+    val plain = sk.join(small, sk("k") === small("sk"))
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(sk, small, "k", "sk", saltBuckets = 8)
+      .groupBy("label").count().as[(String, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.contains(("H", 5000L)))
+  }
+
+  test("bucketed tables equi-join without a shuffle") {
+    val c = new Catalog(spark)
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    try {
+      c.addBucketedTable("cust_b", customer, "c_custkey", 4)
+      c.addBucketedTable("ord_b", orders, "o_custkey", 4)
+      val joined = c.table("cust_b").df.join(c.table("ord_b").df,
+        col("c_custkey") === col("o_custkey"))
+      // same answer as the plain join
+      val plainCount = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey")).count()
+      assert(joined.count() == plainCount)
+      // and the scale property: no shuffle on either side of the join
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}

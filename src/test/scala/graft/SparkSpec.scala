@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Graft.init(s)
