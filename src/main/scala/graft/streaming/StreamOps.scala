@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators over the `events` schema
   * (event_id, ts, user_id, event_type, value, props).
@@ -27,6 +29,39 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-user running stats via explicit keyed state
+    * (flatMapGroupsWithState) — the template for custom stateful
+    * operators that windowed aggregation can't express: emits one update
+    * row per input batch per user carrying the lifetime event count,
+    * running value sum, and whether this batch crossed a spend threshold.
+    * State is one small struct per key; a processing-time timeout evicts
+    * idle users so state stays bounded on an unbounded stream. */
+  def runningUserStats(events: Dataset[EventRow],
+      idleTimeout: Option[String] = None): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    // CAUTION (measured): ProcessingTimeTimeout + the default 0ms trigger
+    // livelocks processAllAvailable — every batch re-arms timeouts, so the
+    // engine spins empty micro-batches forever. Use the timeout only with
+    // a real trigger interval; default is unbounded-state NoTimeout.
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserStats](OutputMode.Append(), conf) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.n; var sum = prev.sum
+            rows.foreach { e => n += 1; sum += e.value }
+            val next = UserState(n, sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(UserStats(userId, n, sum,
+              crossed100 = prev.sum < 100.0 && sum >= 100.0))
+          }
+      }
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
@@ -36,3 +71,9 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 }
+
+/** Typed event row for stateful streaming ops. */
+case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+case class UserState(n: Long, sum: Double)
+case class UserStats(user_id: Long, n: Long, sum: Double, crossed100: Boolean)

@@ -51,6 +51,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("stateful running stats carry state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.{EventRow, StreamOps => S}
+    val mem = MemoryStream[EventRow]
+    val q = S.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("rus").outputMode("append").start()
+    mem.addData(EventRow(1, ts(0), 1, "click", 60.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(2, ts(5), 1, "click", 50.0),
+      EventRow(3, ts(6), 2, "view", 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("rus")
+      .select("user_id", "n", "sum", "crossed100")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, 1L, 60.0, false),   // batch 1: below threshold
+      (1L, 2L, 110.0, true),   // batch 2: state carried, threshold crossed
+      (2L, 1L, 10.0, false)))
+  }
+
+  test("file-source streaming reads the events fixture end-to-end") {
+    // the file source wants a directory it can watch for new files
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    assert(stream.isStreaming)
+    val q = stream
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("fs").outputMode("complete").start()
+    q.processAllAvailable()
+    val n = spark.table("fs").as[(String, Long)].collect().map(_._2).sum
+    q.stop()
+    assert(n > 0)
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
