@@ -45,6 +45,11 @@ sealed trait Expr {
   def /(other: Expr): Expr = BinaryExpr(this, Op.Div, other)
   def %(other: Expr): Expr = BinaryExpr(this, Op.Mod, other)
   def as(alias: String): Expr = Alias(this, alias)
+  // unary completions (extension beyond the reference's 13 binary ops)
+  def unary_! : Expr = Raw(!this.toColumn, s"NOT ${this.name}")
+  def unary_- : Expr = Raw(-this.toColumn, s"-${this.name}")
+  def isNull: Expr = Raw(this.toColumn.isNull, s"${this.name} IS NULL")
+  def isNotNull: Expr = Raw(this.toColumn.isNotNull, s"${this.name} IS NOT NULL")
 }
 
 /** Binary operator enum — exactly the reference's 13 (logical_expr.rs:94-121). */

@@ -147,6 +147,15 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("unary operators: not, negate, null checks") {
+    val r = people.filter(!(E.col("age") >= E.lit(24)))
+    assert(r.count() == 2) // alice(21), dave(18)
+    val n = people.project((-E.col("score")).as("neg"),
+      E.col("name").isNull.as("nn"), E.col("name").isNotNull.as("nnn"))
+      .collect().head
+    assert(n.getDouble(0) < 0 && !n.getBoolean(1) && n.getBoolean(2))
+  }
+
   // extension surface: sort/limit/distinct/union
   test("sort limit distinct union") {
     val top2 = people.sort((E.col("score"), false)).limit(2)
