@@ -111,13 +111,22 @@ class EngineSpec extends SparkSpec {
     assert(r.getLong(1) == 6L)
   }
 
-  // reference: aggr/mod.rs:264-296 (group by computed expression age<=24)
-  test("group by computed expression") {
+  // reference: aggr/mod.rs:264-296 — the reference's own aggregation test
+  // (group by age<=24, MAX/MIN/COUNT/AVG/SUM of score) is PRINT-ONLY
+  // there; here the same query shape is asserted on values.
+  test("group by computed expression with all five aggregates") {
     val rows = people.aggregate(
       Seq((E.col("age") <= E.lit(24)).as("young")),
-      Seq(E.count(E.col("id"))))
-      .collect().map(r => (r.getBoolean(0), r.getLong(1))).sortBy(_._1)
-    assert(rows.toSeq == Seq((false, 2L), (true, 4L))) // young: 21,24,18,24
+      Seq(E.max(E.col("score")), E.min(E.col("score")),
+        E.count(E.col("score")), E.avg(E.col("score")),
+        E.sum(E.col("score"))))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    // young group: alice 87.5, bob 79.25, dave 61.75, frank 70.5
+    val ySum = 87.5 + 79.25 + 61.75 + 70.5
+    // old group: carol 93.0, erin 88.0
+    assert(rows(0) == (false, 93.0, 88.0, 2L, 90.5, 181.0))
+    assert(rows(1) == (true, 87.5, 61.75, 4L, ySum / 4, ySum))
   }
 
   // reference: nested_loop_join.rs:201-248 — multi-key join, but with
