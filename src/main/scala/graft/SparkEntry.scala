@@ -383,6 +383,35 @@ object SparkEntry {
           col("n"), col("min_v").cast("double").as("min_v"),
           col("max_v").cast("double").as("max_v"))),
 
+    // ---- extension: CUBE (all grouping-set combinations) --------------
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+
+    // ---- extension: pivot (wide aggregation) --------------------------
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))),
+
+    // ---- extension: explode with position (lateral view) --------------
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("word"))),
+
+    // ---- extension: min_by / max_by (deterministic composite key) -----
+    "q_minmax_by" -> ((s, dir) => {
+      val key = round(col("o_totalprice") * 100).cast("long") * 1000000L +
+        col("o_orderkey")
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), key).as("top_order"),
+          min_by(col("o_orderkey"), key).as("bottom_order"))
+    }),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -749,6 +778,32 @@ object SparkEntry {
         |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_explode" ->
+      """SELECT doc_id, u['pos'] AS pos, u['word'] AS word FROM (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i-1, 'word': s[i]} for i in range(1, len(s)+1)]) AS u
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |        FROM documents WHERE doc_id < 50) t)""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*1000000 + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT)*1000000 + o_orderkey) AS bottom_order
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,
