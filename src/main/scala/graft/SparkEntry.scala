@@ -412,6 +412,23 @@ object SparkEntry {
           min_by(col("o_orderkey"), key).as("bottom_order"))
     }),
 
+    // ---- LLM flagship: end-to-end corpus curation ---------------------
+    // quality-filter -> near-dup removal (keep lowest id of each pair)
+    // -> per-source stats: the composed pipeline a 100 TB pre-training
+    // corpus actually runs, as ONE declarative plan.
+    "q_corpus_curate" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      val quality = TextOps.qualitySignals(docs)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_ok"))
+      val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      quality.where(col("quality_ok"))
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -818,6 +835,32 @@ object SparkEntry {
         |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_corpus_curate" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, length(text) AS n_chars,
+        |         string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, len(ws) AS n_tokens,
+        |    len(ws) >= 5 AND len(ws) <= 100000
+        |      AND (n_chars - (len(ws) - 1)) * 1.0 / greatest(len(ws), 1) >= 2
+        |      AND (n_chars - (len(ws) - 1)) * 1.0 / greatest(len(ws), 1) <= 20 AS ok
+        |  FROM w),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+        |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
+        |GROUP BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

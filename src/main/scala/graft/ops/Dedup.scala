@@ -119,10 +119,14 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
       .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("sz"), col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // length filter (also exact): J(A,B) >= t forces t*|B| <= |A| <= |B|/t,
+    // pruning size-mismatched candidates inside the join
     val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
-      .where(col("a.id") < col("b.id"))
+      .where(col("a.id") < col("b.id") &&
+        col("a.sz") >= col("b.sz") * lit(threshold) &&
+        col("b.sz") >= col("a.sz") * lit(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     confirmJaccard(cand, sets, threshold)
