@@ -429,6 +429,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // ---- LLM: transitive near-dup clusters (connected components) -----
+    "q_dedup_clusters" -> ((s, dir) => {
+      Graft.init(s)
+      Dedup.nearDupClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
+    }),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -861,6 +868,30 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
         |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
         |GROUP BY source""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -155,6 +155,48 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Transitive near-dup clusters: connected components over a pair graph
+    * ((id_a, id_b) edges from any of the near-dup detectors), each node
+    * labeled with the minimum doc id reachable from it — the cluster
+    * representative to KEEP; every other member is the dedup drop set.
+    *
+    * Algorithm: iterative min-label propagation (the shuffle-based
+    * connected-components idiom): each round joins current labels across
+    * edges and takes the min of neighbor labels; stops when a round
+    * changes nothing. Rounds needed = graph diameter (near-dup clusters
+    * are tiny — a handful of rounds); every round is two keyed
+    * shuffles, never an all-pairs step. The driver-side work per round is
+    * ONE scalar (the changed-count), not data. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"),
+          col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Shared exact-Jaccard confirm pass: re-attach shingle sets to candidate
     * id-pairs (two id-keyed joins — cheap, hits only candidates) and keep
     * pairs at or above the threshold. */

@@ -65,6 +65,15 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._2 >= 3L && p._1 <= 2L)) // unrelated far apart
   }
 
+  test("near-dup clusters are transitive (connected components)") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // 0-1-2 form one cluster labeled by min id even though (0,2) is not
+    // an edge; 5-6 a separate cluster
+    assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash64 value is stable and order-sensitive input changes it") {
     val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")
