@@ -65,6 +65,36 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._2 >= 3L && p._1 <= 2L)) // unrelated far apart
   }
 
+  test("jaccardPairs equals brute force on random corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until 20).map(i => (i.toLong,
+        Seq.fill(5 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      def shset(t: String): Set[String] = {
+        val w = t.split("\\s+")
+        (if (w.length < 3) Array(w.mkString(" "))
+         else w.sliding(3).map(_.mkString(" ")).toArray).toSet
+      }
+      val sets = corpus.map { case (id, t) => id -> shset(t) }.toMap
+      val ids = corpus.map(_._1)
+      val expect = (for {
+        a <- ids; b <- ids if a < b
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= 0.3
+      } yield (a, b) -> j).toMap
+      val got = Dedup.jaccardPairs(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", 3, 0.3).as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(got.keySet == expect.keySet, s"seed=$seed pair sets differ")
+      got.foreach { case (k, j) =>
+        assert(math.abs(j - expect(k)) < 5.1e-5, s"seed=$seed pair $k") }
+    }
+  }
+
   test("near-dup clusters are transitive (connected components)") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
     val r = Dedup.nearDupClusters(pairs)
