@@ -943,6 +943,25 @@ object SparkEntry {
         |    AND (n_chars - (len(ws) - 1)) * 1.0 / greatest(len(ws), 1) <= 20 AS quality_ok
         |FROM w""".stripMargin,
 
+    // lang-ID argmax mirrored via fixed-width score-string encoding:
+    // greatest() over printf('%014.9f', score) || lang reproduces Spark's
+    // struct(score, lang) max ordering including the tie-break on lang.
+    "q_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS dw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, greatest(
+        |    printf('%014.9f', len(list_intersect(dw, ['the','of','and','to','in','is','it','you','that','was','for','on','are','with','as','at','this'])) * 1.0 / greatest(len(dw),1)) || 'en',
+        |    printf('%014.9f', len(list_intersect(dw, ['der','die','das','und','ist','ich','nicht','mit','ein','eine','zu','den','von','sie','auch'])) * 1.0 / greatest(len(dw),1)) || 'de',
+        |    printf('%014.9f', len(list_intersect(dw, ['le','la','les','de','et','un','une','est','pour','que','dans','qui','pas','sur','avec'])) * 1.0 / greatest(len(dw),1)) || 'fr',
+        |    printf('%014.9f', len(list_intersect(dw, ['el','los','las','de','y','un','una','es','por','que','en','no','se','del','con'])) * 1.0 / greatest(len(dw),1)) || 'es',
+        |    printf('%014.9f', len(list_intersect(dw, ['的','是','不','了','在','人','有','我','他','这'])) * 1.0 / greatest(len(dw),1)) || 'zh') AS key
+        |  FROM w)
+        |SELECT substr(key, 15) AS lang_pred, count(*) AS n
+        |FROM s GROUP BY 1""".stripMargin,
+
     "q_ann_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
