@@ -523,10 +523,20 @@ object SparkEntry {
     }),
 
     // ---- LLM: embedding near-dup pairs (banded sign-LSH + confirm) ----
+    // The fixture corpus has no natural near-dups (max pairwise cosine
+    // 0.51), so the query plants one duplicate per vec_id < 50 — a 2x
+    // scaled copy, which preserves direction exactly: cosine 1.0,
+    // identical sign bits on every hyperplane, hence guaranteed LSH
+    // recall. Expected output is exactly those 50 pairs (oracle below).
     "q_cosine_neardups" -> ((s, dir) => {
       Graft.init(s)
-      Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.9)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      Similarity.cosineNearDups(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.9)
     }),
 
     // ---- LLM: multimodal metadata over a binary payload column --------
@@ -977,6 +987,10 @@ object SparkEntry {
         |                           CAST(q.embedding AS DOUBLE[])) AS cos_raw
         |  FROM embeddings e, q) t
         |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_cosine_neardups" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
