@@ -38,6 +38,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.contains(("H", 5000L)))
   }
 
+  test("partitioned writes enable partition pruning at read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // one directory per event_type
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.length == 5)
+    val q = spark.read.parquet(dir).where(col("event_type") === "purchase")
+    val plan = q.queryExecution.executedPlan.toString()
+    // the filter becomes a partition filter: only 1 of 5 directories read
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type#") || plan.contains("isnotnull(event_type"))
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head
+      .toString()
+    assert(!scanned.contains("PushedFilters: [IsNotNull(event_type)"),
+      "event_type must be pruned as a partition column, not a data filter")
+    assert(q.count() ==
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .where(col("event_type") === "purchase").count())
+  }
+
   test("bucketed tables equi-join without a shuffle") {
     val c = new Catalog(spark)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
