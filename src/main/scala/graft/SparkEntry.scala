@@ -43,9 +43,12 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
+    * curation pipeline exercises the engine end-to-end: quality scoring
+    * (expression layer) -> exact similarity join (codegen'd shingles,
+    * prefix-filtered index) -> anti-join -> aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_inner")(spark, "/root/testdata/sf0.001")
+    queries("q_corpus_curate")(spark, "/root/testdata/sf0.001")
 
   // -------------------------------------------------------------------
   // Queries. Names are stable across rounds; each parity query routes

@@ -119,14 +119,19 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
       .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
-      .select(col("id"), col("sz"), col("tok"))
+      .select(col("id"), col("sz"), col("pos"), col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // length filter (also exact): J(A,B) >= t forces t*|B| <= |A| <= |B|/t,
-    // pruning size-mismatched candidates inside the join
+    // two more EXACT prunes inside the candidate join:
+    //  - length filter: J >= t forces t*|B| <= |A| <= |B|/t;
+    //  - positional filter (PPJoin): a shared prefix token at positions
+    //    (pa, pb) bounds the total overlap by 1 + min(|A|-pa, |B|-pb),
+    //    which must reach the overlap threshold ceil(t/(1+t)*(|A|+|B|)).
     val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id") &&
         col("a.sz") >= col("b.sz") * lit(threshold) &&
-        col("b.sz") >= col("a.sz") * lit(threshold))
+        col("b.sz") >= col("a.sz") * lit(threshold) &&
+        (lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) >=
+          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     confirmJaccard(cand, sets, threshold)
