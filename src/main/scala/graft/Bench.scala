@@ -8,13 +8,16 @@ import org.apache.spark.sql.SparkSession
   * that point, so Catalyst cannot prune the projected/computed columns the
   * way a plain `df.count()` would (VERDICT r1, "What's wrong" #2). */
 object Bench {
-  /** Representative slice: scan-heavy agg, broadcast join, outer join,
-    * window fns, top-k, sessionize, and the LLM-pipeline ops (similarity
-    * join, MinHash LSH, ANN, text scoring). */
+  /** Representative slice (stable from round 2 on): scan-heavy agg,
+    * broadcast join, outer join, window fns, top-k, sessionize, the
+    * composite showpieces (TPC-H Q3 shape, as-of join, corpus curation),
+    * and the LLM-pipeline ops (similarity join, MinHash LSH, ANN, text
+    * scoring). */
   val headline: Seq[String] = Seq(
     "q_agg_grouped", "q_join_inner", "q_join_left", "q_window",
-    "q_sort_limit", "q_sessionize", "q_jaccard_pairs", "q_minhash_lsh",
-    "q_ann_topk", "q_quality")
+    "q_sort_limit", "q_sessionize", "q_tpch_q3", "q_asof_join",
+    "q_jaccard_pairs", "q_minhash_lsh", "q_ann_topk", "q_quality",
+    "q_corpus_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

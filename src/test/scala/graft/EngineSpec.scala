@@ -192,6 +192,26 @@ class EngineSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM p2").collect().head.getLong(0) == 6)
   }
 
+  // SURVEY §4.3 items 4-5: the reference leaks MIN/MAX/SUM init sentinels
+  // (i64::MAX etc.) on empty input and drops null group keys; this engine
+  // deliberately keeps SQL semantics instead.
+  test("empty-input aggregates yield SQL NULLs, not sentinels; null keys group") {
+    val empty = Frame(payroll.df.where(sc("salary") < 0))
+    val r = empty.aggregate(Seq.empty,
+      Seq(E.sum(E.col("salary")), E.min(E.col("salary")),
+        E.max(E.col("salary")), E.avg(E.col("salary")),
+        E.count(E.col("salary")))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getLong(4) == 0L)
+    // null group keys form a group (the reference drops them)
+    import spark.implicits._
+    val withNull = Seq((Some("a"), 1), (None, 2), (None, 3))
+      .toDF("k", "v")
+    val g = Frame(withNull).aggregate(Seq(E.col("k")), Seq(E.sum(E.col("v"))))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(g == Set((Some("a"), 1L), (None, 5L)))
+  }
+
   test("decimal-sum helper semantics match plain sum on 2-decimal data") {
     val df = payroll.df
     val a = df.agg(ssum(sc("salary").cast(DecimalType(18, 2))).cast("double")).collect().head.getDouble(0)
