@@ -71,6 +71,32 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize over a binary payload: keep every `factor`-th byte —
+    * deterministic fake downsampling standing in for an image resize (the
+    * real codec slots into the same per-partition pass as [[decodeStub]]).
+    * Output schema keeps the payload binary with updated metadata. */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(2)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](2)
+          // --- resize codec would go here; byte subsampling instead ---
+          val resized = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < resized.length) { resized(i) = bytes(i * factor); i += 1 }
+          Row(r.getLong(0), r.getString(1), resized, resized.length)
+        }
+      }(enc)
+  }
+
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */

@@ -65,21 +65,28 @@ object Similarity {
     * trade-off; raise bands for recall). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, bands: Int = 8, rowsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val dim = query.length
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
-    // query band keys, computed driver-side (tiny): same hash as the corpus
+    // query band keys, computed driver-side (tiny): same hash as the
+    // corpus. Multi-probe additionally visits every 1-bit-flipped bucket
+    // per band (the nearest neighbor buckets under the sign metric) —
+    // bands*(1+r) probe buckets instead of bands, recall up at zero index
+    // cost; the corpus side is untouched.
     val qKeys = {
       val sig = planes.map(pl => {
         var s = 0.0; var i = 0
         while (i < dim) { s += pl(i).toDouble * query(i).toDouble; i += 1 }
         s > 0
       })
-      (0 until bands).map { b =>
+      val exact = (0 until bands).map { b =>
         var key = 0L
         (0 until rowsPerBand).foreach(j => if (sig(b * rowsPerBand + j)) key |= 1L << j)
         (b, key)
       }
+      if (!multiProbe) exact
+      else exact ++ exact.flatMap { case (b, key) =>
+        (0 until rowsPerBand).map(j => (b, key ^ (1L << j))) }
     }
     val keyed = emb.select(col(idCol), col(vecCol),
       explode(bandKeys(col(vecCol), planes, bands, rowsPerBand)).as("bk"))

@@ -35,6 +35,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0)._2 == 128)
   }
 
+  test("resize stub subsamples payload bytes deterministically") {
+    val r = Multimodal.resizeStub(Multimodal.mediaFromDocs(docs), 4)
+      .where(col("media_id") === 1)
+      .select("payload", "n_bytes").collect().head
+    // "short" (5 bytes) at factor 4 -> bytes at offsets 0 and 4: 's','t'
+    assert(r.getInt(1) == 2)
+    assert(new String(r.getAs[Array[Byte]](0)) == "st")
+  }
+
   test("frame sampling yields expected frame counts and frame bytes") {
     val fr = Multimodal.frameSample(Multimodal.mediaFromDocs(docs), 64, 16)
       .select("media_id", "n_frames").as[(Long, Int)].collect().sortBy(_._1)
