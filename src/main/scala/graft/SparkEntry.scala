@@ -439,6 +439,12 @@ object SparkEntry {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
     }),
 
+    // ---- LLM: stable content-keyed train/test split -------------------
+    "q_stable_split" -> ((s, dir) =>
+      graft.ops.Sampling.stableSplit(t(s, dir, "documents"), "text", 80)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -881,6 +887,15 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
         |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
         |GROUP BY source""".stripMargin,
+
+    "q_stable_split" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 80 THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE w AS (

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-keyed sampling and splits.
+  *
+  * Training pipelines need splits that are STABLE: the same document must
+  * land in the same split on every run, every cluster, every engine —
+  * `rand()`-based sampling breaks all three. Keying on a content hash
+  * (first 8 md5 hex digits mod 100) gives a uniform, reproducible bucket
+  * in [0, 100) that any engine can recompute (the DuckDB oracle does).
+  *
+  * Per-row expression — no shuffle, no state; at 100 TB the split is a
+  * pushed-down filter, not a pass over the data.
+  */
+object Sampling {
+
+  /** Uniform deterministic bucket in [0, 100) from a key column. */
+  def bucketOf(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Add a stable `split` column: "train" for buckets < pctTrain. */
+  def stableSplit(df: DataFrame, keyCol: String, pctTrain: Int): DataFrame = {
+    require(pctTrain >= 0 && pctTrain <= 100)
+    df.withColumn("split",
+      when(bucketOf(col(keyCol)) < pctTrain, "train").otherwise("test"))
+  }
+
+  /** Keep a stable ~pct% sample keyed on `keyCol`. */
+  def sampleByKey(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(bucketOf(col(keyCol)) < pct)
+}

@@ -104,6 +104,21 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("stable split is deterministic and key-consistent") {
+    import graft.ops.Sampling
+    val d = docs
+    val a = Sampling.stableSplit(d, "text", 80).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.stableSplit(d, "text", 80).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    // identical content -> identical split (docs 0 and 1 share text)
+    assert(a(0L) == a(1L))
+    // 0/100 are degenerate but legal
+    assert(Sampling.sampleByKey(d, "text", 100).count() == d.count())
+    assert(Sampling.sampleByKey(d, "text", 0).count() == 0)
+  }
+
   test("simhash64 value is stable and order-sensitive input changes it") {
     val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")
