@@ -34,6 +34,14 @@ final class Catalog(val spark: SparkSession) {
   def addParquetTable(name: String, path: String): Catalog =
     register(name, spark.read.parquet(path))
 
+  /** Register a JSON-lines table (schema inferred). */
+  def addJsonTable(name: String, path: String): Catalog =
+    register(name, spark.read.json(path))
+
+  /** Register an ORC table. */
+  def addOrcTable(name: String, path: String): Catalog =
+    register(name, spark.read.orc(path))
+
   /** Register an arbitrary DataFrame (memory-table analogue). */
   def register(name: String, df: DataFrame): Catalog = {
     tables.put(name, df)

@@ -183,6 +183,24 @@ class EngineSpec extends SparkSpec {
     assert(e.contains("Parsed Logical Plan") || e.contains("== Physical Plan =="))
   }
 
+  test("json and orc sources register and read back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src")
+    val json = tmp.resolve("t.jsonl")
+    java.nio.file.Files.writeString(json,
+      """{"id":1,"name":"a"}
+        |{"id":2,"name":"b"}
+        |""".stripMargin)
+    val orcDir = tmp.resolve("orc").toString
+    payroll.df.write.mode("overwrite").orc(orcDir)
+    val c = new Catalog(spark)
+      .addJsonTable("jt", json.toString)
+      .addOrcTable("ot", orcDir)
+    assert(c.table("jt").count() == 2)
+    assert(c.table("jt").df.schema.fieldNames.sorted.toSeq == Seq("id", "name"))
+    assert(c.table("ot").count() == 6)
+    assert(c.table("ot").df.schema.fieldNames.contains("salary"))
+  }
+
   test("catalog registers and looks up by name; missing table throws") {
     val c = new Catalog(spark).addCsvTable("p2", s"$dataDir/people.csv")
     assert(c.tableNames.contains("p2"))
