@@ -321,6 +321,23 @@ object SparkEntry {
         .limit(10).df
     }),
 
+    // ---- composite: TPC-H Q5 shape (6-table join, local-supplier rule) -
+    "q_tpch_q5" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")))
+        .join(Frame(t(s, dir, "lineitem")), Seq(("o_orderkey", "l_orderkey")))
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .filter(Raw(col("c_nationkey") === col("s_nationkey"), "local"))
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .join(Frame(t(s, dir, "region")), Seq(("n_regionkey", "r_regionkey")))
+        .filter(Raw(col("r_name") === lit("ASIA"), "asia"))
+        .aggregate(Seq(E.col("n_name")),
+          Seq(Raw(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"), "revenue"),
+            Raw(count(lit(1)).as("n_items"), "n_items")))
+        .df
+    }),
+
     // ---- extension: as-of join (latest right row at or before left ts) -
     "q_asof_join" -> ((s, dir) => {
       // microsecond epoch on both sides: DuckDB timestamps are us-precision
@@ -808,6 +825,19 @@ object SparkEntry {
         |  AND l_shipdate > '1998-06-01'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (

@@ -67,6 +67,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    require(shingleN >= 1 && bands >= 1 && rowsPerBand >= 1,
+      "shingleN/bands/rowsPerBand must be positive")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // shingling + signatures are fused codegen'd expressions
     // (graft.functions.{ShingleHash64, MinHashSig}) — cheap enough to
     // RECOMPUTE on every use instead of caching a corpus-sized shingle
@@ -105,6 +108,8 @@ object Dedup {
     * aggregations, and the candidate join touches only rare tokens. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.3): DataFrame = {
+    require(shingleN >= 1, "shingleN must be positive")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.ShingleExprs._
     // shingles as 64-bit hashes from one fused codegen'd expression
