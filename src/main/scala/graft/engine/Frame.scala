@@ -96,6 +96,21 @@ final case class Frame(df: DataFrame) {
     Frame(df.rollup(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
   }
 
+  // ---- scale-control passthroughs -----------------------------------
+
+  /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
+    * explicit control where statistics mislead the optimizer. */
+  def hint(name: String, params: Any*): Frame = Frame(df.hint(name, params: _*))
+
+  /** Hash-repartition on columns (pre-shuffle for repeated co-located
+    * work) or round-robin on a count. */
+  def repartition(n: Int, exprs: Expr*): Frame =
+    if (exprs.isEmpty) Frame(df.repartition(n))
+    else Frame(df.repartition(n, exprs.map(_.toColumn): _*))
+
+  /** Merge to fewer partitions without a shuffle (output sizing). */
+  def coalesce(n: Int): Frame = Frame(df.coalesce(n))
+
   /** Reference-style indented plan printer (reference: logical_plan.rs:113-204
     * is its Display impl — the engine's "EXPLAIN"). Here: Catalyst's plans. */
   def explain(): String = df.queryExecution.toString()

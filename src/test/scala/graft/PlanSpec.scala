@@ -77,6 +77,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("broadcast hint forces a broadcast join; repartition/coalesce shape partitions") {
+    import graft.engine.{Frame, Exprs => E}
+    val big = Frame(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val alsoBig = Frame(spark.read.parquet(s"$sfDir/orders.parquet"))
+    val hinted = big.join(alsoBig.hint("broadcast"),
+      Seq(("l_orderkey", "o_orderkey")))
+    assert(hinted.df.queryExecution.executedPlan.toString()
+      .contains("BroadcastHashJoin"))
+    assert(big.repartition(7, E.col("l_orderkey")).df.rdd.getNumPartitions == 7)
+    assert(big.repartition(6).coalesce(3).df.rdd.getNumPartitions == 3)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     // FormattedMode tags codegen'd operators with "[codegen id : N]"
     val p = plan("q_binary_ops")
