@@ -9,6 +9,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
+  test("bench headline names are all registered queries") {
+    val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline without queries: $missing")
+  }
+
   test("oracle map only references registered queries") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
