@@ -251,6 +251,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
+    // ---- extension: sliding event-time windows (1h size, 30m slide) ---
+    "q_events_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts_us"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("string").as("win_start"),
+          col("event_type"), col("n"))),
+
     // ---- extension: sessionization via window fns (lag + running sum) -
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
@@ -734,6 +743,17 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS b
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, unnest([b, b - 1800]) AS ws FROM e)
+        |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
