@@ -128,6 +128,11 @@ object Similarity {
     var centroids: Array[Array[Float]] = emb
       .orderBy(col(idCol)).limit(nClusters).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    // corpus smaller than the requested quantizer: clamp (every vector
+    // its own centroid) instead of indexing past the collected seeds
+    val k2 = centroids.length
+    require(k2 > 0, "ivfTopK requires a non-empty corpus")
+    val nProbe2 = math.min(nProbe, k2)
 
     def nearestCluster(vec: Column): Column =
       array_max(array(centroids.zipWithIndex.map { case (c, i) =>
@@ -144,7 +149,7 @@ object Similarity {
         .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
           .cast("double") / count(lit(1))).as("mean"))
         .collect()
-      val next = Array.tabulate(nClusters)(i => centroids(i).clone())
+      val next = Array.tabulate(k2)(i => centroids(i).clone())
       updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
       centroids = next
     }
@@ -156,7 +161,7 @@ object Similarity {
         val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
       }
       centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c, query), i) }
-        .take(nProbe).map(_._2).toSet
+        .take(nProbe2).map(_._2).toSet
     }
     emb.select(col(idCol), col(vecCol), nearestCluster(col(vecCol)).as("cluster"))
       .where(col("cluster").isInCollection(probeSet))

@@ -46,6 +46,14 @@ class IvfUdfSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("IVF clamps when the corpus is smaller than the quantizer") {
+    val tiny = clustered.take(3).toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(tiny, "vec_id", "embedding",
+      clustered.head._2, 5, nClusters = 16, nProbe = 8, iters = 1)
+      .as[(Long, Double)].collect()
+    assert(r.nonEmpty && r.length <= 3)
+  }
+
   test("UDF passthrough registers callable SQL functions") {
     val c = new Catalog(spark)
       .addCsvTable("ppl", s"$dataDir/people.csv")
