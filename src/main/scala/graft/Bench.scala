@@ -28,9 +28,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      // lookup inside the try: one stale headline name must cost one
+      // entry, not the whole round's benchmark output
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9

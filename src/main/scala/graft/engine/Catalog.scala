@@ -68,7 +68,10 @@ final class Catalog(val spark: SparkSession) {
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)
-    tables.put(name, spark.table(name))
+    // read back with a database-qualified name: an unqualified lookup
+    // would resolve a same-named temp view first and silently register
+    // the old unbucketed plan
+    tables.put(name, spark.table(s"default.`$name`"))
     this
   }
 

@@ -49,7 +49,8 @@ object ShingleHash64 {
   final val WordSeed = 42L
 
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
+      b == 0x0B // vertical tab — Java regex \s (TextOps.words) includes it
 
   /** Distinct, sorted n-gram hashes of a text's whitespace-split words.
     * A text with fewer than n words yields one hash chained over all its

@@ -42,11 +42,14 @@ abstract class FloatVecBinary extends BinaryExpression {
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 }
 
-/** dot(a, b) — inner product in double precision. */
+/** dot(a, b) — inner product in double precision. Mismatched lengths
+  * yield NULL (a silent prefix-dot would corrupt every downstream
+  * ANN/LSH score without any error surfacing). */
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "dot_f"
   override protected def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0; var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
@@ -55,24 +58,30 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot / (|a|·|b|); 0.0 when either norm is 0. One fused
-  * pass computes the dot product and both norms. */
+/** cosine(a, b) = dot / (|a|·|b|); 0.0 when either norm is 0; NULL on
+  * mismatched lengths (see [[DotProduct]]). One fused pass computes the
+  * dot product and both norms. */
 case class CosineSimilarity(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "cosine_sim"
   override protected def compute(a: ArrayData, b: ArrayData): Any = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
@@ -88,15 +97,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val den = ctx.freshName("den")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
          |}
-         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

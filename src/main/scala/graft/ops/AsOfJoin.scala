@@ -36,23 +36,30 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left.withColumn("_tag", lit(1))
-    val lAligned = payloadCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
-    val r = payloadCols.foldLeft(
+    // the whole right payload travels as ONE struct: last(_, ignoreNulls)
+    // then selects the latest right ROW atomically — per-column carrying
+    // would resurrect an older value when the latest right row holds a
+    // null, and could even stitch fields from different right rows
+    val payloadStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
+    val structType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lAligned = left.withColumn("_tag", lit(1))
+      .withColumn("_r", lit(null).cast(structType))
+    val rAligned = leftCols.foldLeft(
       right.select((keyCol +: timeCol +: payloadCols).distinct.map(col): _*)
-        .withColumn("_tag", lit(0)))((df, c) => df.withColumnRenamed(c, s"_r_$c"))
-    val rAligned = leftCols.foldLeft(r)((df, c) =>
+        .withColumn("_tag", lit(0))
+        .withColumn("_r", payloadStruct))((df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(lAligned.columns.map(col): _*)
 
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned))(
-      (df, c) => df.withColumn(s"asof_$c",
-        last(col(s"_r_$c"), ignoreNulls = true).over(w)))
-    carried.where(col("_tag") === 1)
-      .select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
+    lAligned.unionByName(rAligned)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+      .select((leftCols.map(col) ++
+        payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   *  - Candidate pairs carry only ids through the shuffle; shingle sets are
   *    re-attached by id-join afterwards (2 cheap joins beat 16x payload
   *    duplication through the band explode).
-  *  - All hashing is `xxhash64(seed, value)` — deterministic across runs,
+  *  - All hashing is deterministic (seeded xxHash64 chains) across runs,
   *    executors, and retries; no RNG state on the driver.
+  *  - Cache ownership: the small flat intermediates persisted here
+  *    (bucket/prefix tables) stay cached for the session; MEMORY_AND_DISK
+  *    entries are LRU-evicted under pressure, and batch entry points
+  *    (Verify/Bench) reclaim everything at session stop. Long-lived
+  *    sessions running dedup over many corpora should `spark.catalog
+  *    .clearCache()` between corpora.
   *
   * (Extension surface — the reference engine has no dedup at all; its only
   * distinct-like machinery is the group-by HashMap in
@@ -39,13 +45,6 @@ object Dedup {
   def exactByFingerprint(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(keyCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
-
-  /** k-permutation MinHash signature of a shingle-set column:
-    * h_i = min over shingles s of xxhash64(i, s). One pass over the set
-    * per hash function, all inside codegen'd higher-order functions. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
 
   /** LSH band keys: `bands` buckets, each hashing `rowsPerBand` adjacent
     * signature entries. Docs agreeing on ANY band become candidates. */
@@ -120,10 +119,17 @@ object Dedup {
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // EPS relaxes every pruning bound below: the thresholds are rationals
+    // computed in double arithmetic (sz * t can round UP past the exact
+    // value, e.g. 100 * 0.07 = 7.000000000000001, wrongly rejecting
+    // sz = 7), and the EXACT contract forbids over-pruning. Relative
+    // rounding error is ~1e-16 * sz, so 1e-9 absolute is orders of
+    // magnitude of slack while admitting no extra candidate in practice.
+    val EPS = 1e-9
     val prefix = toks.join(df, Seq("tok"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold) - EPS) + 1)
       .select(col("id"), col("sz"), col("pos"), col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two more EXACT prunes inside the candidate join:
@@ -133,10 +139,10 @@ object Dedup {
     //    which must reach the overlap threshold ceil(t/(1+t)*(|A|+|B|)).
     val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id") &&
-        col("a.sz") >= col("b.sz") * lit(threshold) &&
-        col("b.sz") >= col("a.sz") * lit(threshold) &&
+        col("a.sz") >= col("b.sz") * lit(threshold) - EPS &&
+        col("b.sz") >= col("a.sz") * lit(threshold) - EPS &&
         (lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) >=
-          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold))))
+          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold)) - EPS))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     confirmJaccard(cand, sets, threshold)

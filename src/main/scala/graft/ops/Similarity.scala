@@ -160,7 +160,11 @@ object Similarity {
         while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
         val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
       }
-      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c, query), i) }
+      // tie-break on HIGHER index to match nearestCluster's array_max
+      // struct ordering (equal cosines resolve to the larger cluster id);
+      // mismatched tie-breaks could index a vector in a cluster the probe
+      // then skips
+      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c, query), -i) }
         .take(nProbe2).map(_._2).toSet
     }
     emb.select(col(idCol), col(vecCol), nearestCluster(col(vecCol)).as("cluster"))

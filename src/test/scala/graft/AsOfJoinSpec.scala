@@ -26,6 +26,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r == Some(7L)) // >= semantics: equal time matches
   }
 
+  test("a null in the latest right row is carried, not an older value") {
+    val left = Seq((1L, 30L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, Some(5L), Some(50L)),
+                    (1L, 20L, None, Some(60L))) // latest row: rid is null
+      .toDF("k", "t", "rid", "other")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "other"))
+      .select("asof_rid", "asof_other")
+      .as[(Option[Long], Option[Long])].collect().head
+    // the t=20 row is the match: rid must be null (not resurrect 5 from
+    // t=10), and both fields must come from the SAME right row
+    assert(r == (None, Some(60L)))
+  }
+
   test("left payload columns pass through unchanged") {
     val left = Seq((1L, 10L, 3.5)).toDF("k", "t", "v")
     val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")

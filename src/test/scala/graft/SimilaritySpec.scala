@@ -32,6 +32,11 @@ class SimilaritySpec extends SparkSpec {
     val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
       .select(VectorExprs.cosineSim(col("a"), col("b"))).as[Double].collect().head
     assert(z == 0.0)
+    // mismatched dimensions -> NULL, never a silent prefix-dot
+    val m = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(VectorExprs.dot(col("a"), col("b")).as("d"),
+        VectorExprs.cosineSim(col("a"), col("b")).as("c")).collect().head
+    assert(m.isNullAt(0) && m.isNullAt(1))
   }
 
   test("brute-force top-k ranks by cosine with id tie-break") {
