@@ -183,14 +183,20 @@ object Dedup {
     * are tiny — a handful of rounds); every round is two keyed
     * shuffles, never an all-pairs step. The driver-side work per round is
     * ONE scalar (the changed-count), not data. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round's twice, so lineage roughly DOUBLES per iteration —
+    // without truncation the plan tree is exponential in the iteration
+    // count (measured: OOM merely stringifying it around 30 rounds). On a
+    // multi-node cluster prefer reliable `checkpoint` with a checkpoint
+    // dir (localCheckpoint stores on executors, not fault-tolerant).
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -201,15 +207,16 @@ object Dedup {
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"),
           col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters rounds — the pair " +
+        "graph has a component with a longer min-label path; raise maxIters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -39,6 +39,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r == (None, Some(60L)))
   }
 
+  test("as-of join equals brute force on random inputs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // distinct times per key on the right so the expected match is unique
+      val leftRows = (1 to 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val rightRows = rnd.shuffle(
+        (for (k <- 0L until 5L; t <- 0L until 1000L by 7L) yield (k, t)).toList
+      ).take(120).map { case (k, t) => (k, t, k * 10000 + t) }
+      val left = leftRows.toDF("k", "t", "lid")
+      val right = rightRows.toDF("k", "t", "rid")
+      val got = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+        .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      val byKey = rightRows.groupBy(_._1)
+      leftRows.foreach { case (k, t, lid) =>
+        val expect = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(lid) == expect, s"seed=$seed key=$k t=$t")
+      }
+    }
+  }
+
   test("left payload columns pass through unchanged") {
     val left = Seq((1L, 10L, 3.5)).toDF("k", "t", "v")
     val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")

@@ -104,6 +104,28 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("near-dup clusters equal brute-force union-find on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 40).map(_ =>
+        (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30)))
+      // brute-force union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b"), maxIters = 30)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("stable split is deterministic and key-consistent") {
     import graft.ops.Sampling
     val d = docs
