@@ -118,8 +118,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
 
 /** Registration + Column-level wrappers. Registration is per-session and
   * idempotent; wrappers use `call_function`, so they resolve against the
-  * active session's registry at analysis time (works on any session the
-  * driver hands us — no SparkSessionExtensions needed at build time). */
+  * active session's registry at analysis time. Requires a CLASSIC
+  * SparkSession (the cast below throws on a Spark Connect session) —
+  * Connect deployments should configure
+  * `spark.sql.extensions=graft.GraftExtensions` on the server instead. */
 object VectorExprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -36,6 +36,10 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_tag", "_r", "_asof") ++ payloadCols.map("asof_" + _)
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with reserved as-of names: " +
+        leftCols.filter(reserved.contains).mkString(", "))
     // the whole right payload travels as ONE struct: last(_, ignoreNulls)
     // then selects the latest right ROW atomically — per-column carrying
     // would resurrect an older value when the latest right row holds a
@@ -48,13 +52,22 @@ object AsOfJoin {
       .withColumn("_r", lit(null).cast(structType))
     val rAligned = leftCols.foldLeft(
       right.select((keyCol +: timeCol +: payloadCols).distinct.map(col): _*)
+        // a NULL key or time can never legitimately match under SQL
+        // `l.k = r.k AND l.t >= r.t` semantics — but asc-nulls-first
+        // ordering would sort such rows before everything and leak their
+        // payload into every left row, so drop them up front
+        .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
         .withColumn("_tag", lit(0))
         .withColumn("_r", payloadStruct))((df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(lAligned.columns.map(col): _*)
 
-    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_tag"))
+    // final `_r` tiebreaker: several right rows at the same (key, time)
+    // would otherwise resolve by physical row order — nondeterministic
+    // across retries; struct ordering makes last() pick the max payload
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol), col("_tag"), col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -32,6 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The near-dup detectors key their pair tables on a long id; a blind
+    * cast("long") would turn string/UUID ids into NULLs and silently
+    * report "no duplicates", so non-integral id columns are rejected. */
+  private[ops] def longId(df: DataFrame, idCol: String): Column = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => col(idCol).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"$idCol must be an integral type (got ${t.catalogString}); " +
+          "map string/UUID ids to longs first (e.g. xxhash64 or a join key)")
+    }
+  }
+
   /** Exact dedup: one representative (min id) per identical key value.
     * `groupBy(key)` → partial+final HashAggregate; at scale the combine
     * happens map-side so only one row per distinct key crosses the wire. */
@@ -41,7 +56,8 @@ object Dedup {
 
   /** Exact dedup by 128-bit content fingerprint: shuffles a 32-byte md5
     * instead of the (possibly multi-MB) payload — the form you actually
-    * run on a 100 TB corpus. Collision probability at 10^12 docs ~ 2^-64. */
+    * run on a 100 TB corpus. Birthday-bound collision probability at
+    * 10^12 docs ~ (10^12)^2 / 2^129 ~ 2^-49 — comfortably negligible. */
   def exactByFingerprint(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(keyCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
@@ -74,7 +90,7 @@ object Dedup {
     // RECOMPUTE on every use instead of caching a corpus-sized shingle
     // table (which at 100 TB is not an option anyway)
     import graft.functions.ShingleExprs._
-    val sets = docs.select(col(idCol).cast("long").as("id"),
+    val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     // persist: the (tiny, flat) bucket table is both sides of the self-join
     val buckets = sets
@@ -114,7 +130,7 @@ object Dedup {
     // shingles as 64-bit hashes from one fused codegen'd expression
     // (cheap to recompute -> no corpus-sized cache; 8-byte join keys;
     // a collision at ~2^-64/pair is irrelevant to intersection counts)
-    val sets = docs.select(col(idCol).cast("long").as("id"),
+    val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
@@ -156,7 +172,12 @@ object Dedup {
     * positives. No cross join anywhere. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("id"),
+    // the 4x16-bit banding is pigeonhole-EXACT only for hamming <= 3;
+    // larger values would silently lose pairs whose differing bits span
+    // all four bands
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for exact 4-band recall, got $maxHamming")
+    val sh = docs.select(longId(docs, idCol).as("id"),
       graft.functions.TextExprs.simhash64(TextOps.words(col(textCol))).as("sim"))
     val bands = sh.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),

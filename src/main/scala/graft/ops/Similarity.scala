@@ -182,7 +182,7 @@ object Similarity {
       threshold: Double = 0.9, bands: Int = 8, rowsPerBand: Int = 8,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
-    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val base = emb.select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
     val keyed = base.select(col("id"),
       explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))

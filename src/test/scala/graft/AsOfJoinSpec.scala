@@ -39,6 +39,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r == (None, Some(60L)))
   }
 
+  test("null right keys/times never match; equal-time ties are deterministic") {
+    val left = Seq((1L, 5L, "p")).toDF("k", "t", "name")
+    val right = Seq((Some(1L), None, Some(9L)), (Some(1L), Some(10L), Some(2L)),
+      (None, Some(1L), Some(7L)))
+      .toDF("k", "t", "rid")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+      .select("asof_rid").as[Option[Long]].collect().head
+    assert(r == None) // the null-time and null-key rows must not leak in
+    // equal-time duplicates resolve deterministically (max payload struct)
+    val right2 = Seq((1L, 10L, 100L), (1L, 10L, 200L)).toDF("k", "t", "rid")
+    val left2 = Seq((1L, 10L, "p")).toDF("k", "t", "name")
+    val picks = (1 to 3).map(_ => AsOfJoin.asOf(left2, right2, "k", "t",
+      Seq("rid")).select("asof_rid").as[Long].collect().head).toSet
+    assert(picks == Set(200L))
+  }
+
   test("as-of join equals brute force on random inputs") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)

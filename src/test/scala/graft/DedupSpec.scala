@@ -104,6 +104,17 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("non-integral id columns are rejected, not silently nulled") {
+    val stringIds = Seq(("doc-1", "a b c"), ("doc-2", "a b c"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(stringIds, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("near-dup clusters equal brute-force union-find on random graphs") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
