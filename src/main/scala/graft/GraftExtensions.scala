@@ -18,30 +18,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - double dot product of two float arrays"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      arity("dot_f", 2)(es => DotProduct(es(0), es(1)))))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+      arity("cosine_sim", 2)(es => CosineSimilarity(es(0), es(1)))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a string array"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      arity("simhash64", 1)(es => SimHash64(es.head))))
     ext.injectFunction((FunctionIdentifier("shingle_hash64"),
       info("shingle_hash64", "shingle_hash64(text, n) - distinct n-gram hashes"),
-      (es: Seq[Expression]) => ShingleHash64(es(0), GraftExtensions.foldInt(es(1)))))
+      arity("shingle_hash64", 2)(es =>
+        ShingleHash64(es(0), ShingleExprs.foldInt(es(1))))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation minhash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0), GraftExtensions.foldInt(es(1)))))
-  }
-}
-
-object GraftExtensions {
-  private[graft] def foldInt(e: Expression): Int = e.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"expected a literal int, got $other")
+      arity("minhash_sig", 2)(es =>
+        MinHashSig(es(0), ShingleExprs.foldInt(es(1))))))
   }
 }

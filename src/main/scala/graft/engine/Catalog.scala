@@ -42,10 +42,12 @@ final class Catalog(val spark: SparkSession) {
   def addOrcTable(name: String, path: String): Catalog =
     register(name, spark.read.orc(path))
 
-  /** Register an arbitrary DataFrame (memory-table analogue). */
+  /** Register an arbitrary DataFrame (memory-table analogue). The temp
+    * view is created FIRST so an invalid identifier fails before the
+    * engine map is touched (no half-registered state). */
   def register(name: String, df: DataFrame): Catalog = {
-    tables.put(name, df)
     df.createOrReplaceTempView(name)
+    tables.put(name, df)
     this
   }
 
@@ -68,10 +70,13 @@ final class Catalog(val spark: SparkSession) {
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)
-    // read back with a database-qualified name: an unqualified lookup
-    // would resolve a same-named temp view first and silently register
-    // the old unbucketed plan
-    tables.put(name, spark.table(s"default.`$name`"))
+    // a lingering same-named temp view would shadow the new table for
+    // BOTH the SQL frontend and an unqualified read-back — drop it, then
+    // read back qualified with the CURRENT database (saveAsTable writes
+    // there, not necessarily `default`)
+    spark.catalog.dropTempView(name)
+    val db = spark.catalog.currentDatabase
+    tables.put(name, spark.table(s"`$db`.`$name`"))
     this
   }
 

@@ -110,9 +110,11 @@ final case class BinaryExpr(left: Expr, op: Op.Value, right: Expr) extends Expr 
   * POWER but never implements them (planner/mod.rs:164 `unimplemented!()`);
   * here each maps to the codegen'd Spark built-in. */
 final case class ScalarFn(fn: String, args: Seq[Expr]) extends Expr {
+  // Locale.ROOT: a tr_TR default locale would uppercase "min" to "MİN"
+  private def fnU: String = fn.toUpperCase(java.util.Locale.ROOT)
   def toColumn: Column = {
     val c = args.map(_.toColumn)
-    fn.toUpperCase match {
+    fnU match {
       case "CONCAT"    => functions.concat(c: _*)
       case "SUBSTRING" => c.head.substr(c(1), c(2))
       case "ABS"       => functions.abs(c.head)
@@ -122,7 +124,7 @@ final case class ScalarFn(fn: String, args: Seq[Expr]) extends Expr {
         s"unknown scalar function: $other")
     }
   }
-  def name: String = s"${fn.toUpperCase}(${args.map(_.name).mkString(", ")})"
+  def name: String = s"$fnU(${args.map(_.name).mkString(", ")})"
 }
 
 /** Aggregate function call (reference: physical_plan/aggr/{sum,min,max,avg,
@@ -131,9 +133,10 @@ final case class ScalarFn(fn: String, args: Seq[Expr]) extends Expr {
   * aggregated. Output name follows the reference's "FN(operand)" convention
   * (logical_expr.rs:176-191) unless aliased. */
 final case class AggFn(fn: String, child: Expr) extends Expr {
+  private def fnU: String = fn.toUpperCase(java.util.Locale.ROOT)
   def toColumn: Column = {
     val c = child.toColumn
-    fn.toUpperCase match {
+    fnU match {
       case "SUM" => functions.sum(c)
       case "MIN" => functions.min(c)
       case "MAX" => functions.max(c)
@@ -143,7 +146,7 @@ final case class AggFn(fn: String, child: Expr) extends Expr {
         s"unknown aggregate function: $other")
     }
   }
-  def name: String = s"${fn.toUpperCase}(${child.name})"
+  def name: String = s"$fnU(${child.name})"
 }
 
 /** Escape hatch: wrap any Spark Column in the Expr ADT, so engine users can

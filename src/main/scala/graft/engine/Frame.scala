@@ -48,6 +48,7 @@ final case class Frame(df: DataFrame) {
     * this as partial (map-side) + final HashAggregate — the scale shape the
     * reference's single HashMap (aggr/mod.rs:56-100) cannot have. */
   def aggregate(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
+    require(aggExprs.nonEmpty, "aggregate requires at least one aggregate expression")
     val aggs = aggExprs.map(e => named(e))
     if (groupExprs.isEmpty) Frame(df.agg(aggs.head, aggs.tail: _*))
     else Frame(df.groupBy(groupExprs.map(e => named(e)): _*)
@@ -64,8 +65,17 @@ final case class Frame(df: DataFrame) {
   def join(right: Frame, on: Seq[(String, String)],
            joinType: JoinType.Value = JoinType.Inner): Frame = {
     require(on.nonEmpty, "join requires at least one key pair") // nested_loop_join.rs:68-72
-    val cond = on.map { case (l, r) => df(l) === right.df(r) }.reduce(_ && _)
-    Frame(df.join(right.df, cond, JoinType.toSpark(joinType)))
+    // per-join unique aliases: conditions built from df(col) attribute
+    // references break when both sides share lineage (e.g. the SAME
+    // cached Catalog.table frame self-joined on differently-named keys
+    // hits AMBIGUOUS_SELF_JOIN); alias-qualified name resolution is
+    // robust for self-joins and normal joins alike
+    val (la, ra) = (s"__jl${Frame.joinId.incrementAndGet()}",
+      s"__jr${Frame.joinId.incrementAndGet()}")
+    val cond = on.map { case (l, r) =>
+      org.apache.spark.sql.functions.col(s"$la.$l") ===
+        org.apache.spark.sql.functions.col(s"$ra.$r") }.reduce(_ && _)
+    Frame(df.as(la).join(right.df.as(ra), cond, JoinType.toSpark(joinType)))
   }
 
   // ---- extension surface: the reference has NO sort/limit/distinct/set
@@ -92,6 +102,7 @@ final case class Frame(df: DataFrame) {
 
   /** ROLLUP aggregation (subtotal + grand-total groups). */
   def rollup(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
+    require(aggExprs.nonEmpty, "rollup requires at least one aggregate expression")
     val aggs = aggExprs.map(e => named(e))
     Frame(df.rollup(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
   }
@@ -127,4 +138,8 @@ final case class Frame(df: DataFrame) {
     case _: Alias | _: Raw | _: ColumnRef => e.toColumn
     case other => other.toColumn.as(other.name) // reference-style auto-name
   }
+}
+
+object Frame {
+  private val joinId = new java.util.concurrent.atomic.AtomicLong(0L)
 }

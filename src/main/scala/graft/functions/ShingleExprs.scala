@@ -163,7 +163,7 @@ object ShingleExprs {
       es => MinHashSig(es.head, foldInt(es(1))), "built-in")
   }
 
-  private def foldInt(e: Expression): Int =
+  private[graft] def foldInt(e: Expression): Int =
     e.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt

@@ -20,6 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Normalize an event-time column to TimestampType: the driver fixtures
+    * arrive with ts as a LONG of epoch-nanos (parquet TIMESTAMP(NANOS)
+    * read under spark.sql.legacy.parquet.nanosAsLong) which
+    * watermark/window reject. Pass frames through here first when the
+    * time column may be a nanos long. */
+  def withEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case _ => df
+    }
+
   /** Tumbling-window counts+sums per event_type with late-data cutoff. */
   def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =

@@ -140,6 +140,18 @@ class EngineSpec extends SparkSpec {
     assert(twoKey.count() == 3)
   }
 
+  test("self-join of the SAME cached catalog frame on different keys") {
+    // Catalog.table returns the same DataFrame instance each call; the
+    // alias-based join condition must survive the shared lineage
+    val c = new Catalog(spark).addCsvTable("pp", s"$dataDir/people.csv")
+    val joined = c.table("pp").join(c.table("pp"), Seq(("id", "age")))
+    // ids 21,24,27,30 don't exist; ages 1..6 don't exist -> match where
+    // left.id == right.age: no overlap (ids 1-6, ages 18-30) -> 0 rows
+    assert(joined.count() == 0)
+    val same = c.table("pp").join(c.table("pp"), Seq(("id", "id")))
+    assert(same.count() == 6)
+  }
+
   test("left and right outer joins keep unmatched rows") {
     val extra = Frame(payroll.df.where(sc("dept") === "eng"))
     val l = people.join(extra, Seq(("id", "id")), JoinType.Left)

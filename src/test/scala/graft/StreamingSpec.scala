@@ -90,6 +90,18 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("withEventTime normalizes nanos-long ts to a timestamp") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType) // nanosAsLong fixture shape
+    val fixed = graft.streaming.StreamOps.withEventTime(raw)
+    assert(fixed.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and the batch windowed agg now works directly on the fixture
+    val n = graft.streaming.StreamOps.windowedCounts(fixed).count()
+    assert(n > 0)
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
