@@ -16,7 +16,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q_agg_grouped", "q_join_inner", "q_join_left", "q_window",
     "q_sort_limit", "q_sessionize", "q_tpch_q3", "q_asof_join",
-    "q_jaccard_pairs", "q_minhash_lsh", "q_ann_topk", "q_quality",
+    "q_jaccard_pairs05", "q_minhash_lsh", "q_ann_topk", "q_quality",
     "q_corpus_curate")
 
   def main(args: Array[String]): Unit = {
@@ -31,15 +31,21 @@ object Bench {
       val t0 = System.nanoTime()
       // lookup inside the try: one stale headline name must cost one
       // entry, not the whole round's benchmark output
-      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a crashed query records -1 (NOT its near-zero elapsed time) and is
+    // excluded from the total, so failures can't make the bench look fast
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -6,9 +6,19 @@ import org.apache.spark.sql.SparkSession
   * (idempotent, per-session). Call before using graft.ops on a session. */
 object Graft {
   def init(spark: SparkSession): SparkSession = {
-    graft.functions.VectorExprs.register(spark)
-    graft.functions.TextExprs.register(spark)
-    graft.functions.ShingleExprs.register(spark)
+    // quiet idempotence: re-registering via createOrReplaceTempFunction
+    // logs a "replaced a previously registered function" warning per
+    // function per call, burying real warnings when many queries each
+    // init the same session — so skip when already registered (dot_f is
+    // the sentinel; all functions register together)
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"))) {
+      graft.functions.VectorExprs.register(spark)
+      graft.functions.TextExprs.register(spark)
+      graft.functions.ShingleExprs.register(spark)
+    }
     spark
   }
 }

@@ -189,6 +189,38 @@ object SparkEntry {
           sum(a.df("l_quantity") * b.df("l_quantity")).as("sum_qq"))
     }),
 
+    // ---- extension: left semi join (EXISTS) — customers with orders ---
+    "q_join_semi" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")),
+          JoinType.Semi)
+        .aggregate(Seq(E.col("c_mktsegment")),
+          Seq(Raw(count(lit(1)).as("n_cust"), "n_cust"))).df
+    }),
+
+    // ---- extension: left anti join (NOT EXISTS) — order-less customers
+    "q_join_anti" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")),
+          JoinType.Anti)
+        .aggregate(Seq(E.col("c_mktsegment")),
+          Seq(Raw(count(lit(1)).as("n_cust"), "n_cust"))).df
+    }),
+
+    // ---- extension: full outer join — both sides filtered so both
+    // null-extension directions are actually exercised ------------------
+    "q_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") <= 900)
+      val o = t(s, dir, "orders").where(col("o_custkey") >= 800)
+      Frame(c).join(Frame(o), Seq(("c_custkey", "o_custkey")), JoinType.FullOuter)
+        .aggregate(Seq.empty,
+          Seq(Raw(count(lit(1)).as("n_rows"), "n_rows"),
+            Raw(count(col("c_custkey")).as("n_left"), "n_left"),
+            Raw(count(col("o_orderkey")).as("n_right"), "n_right"),
+            Raw(count(when(col("c_custkey").isNull, lit(1))).as("n_left_null"),
+              "n_left_null"))).df
+    }),
+
     // ---- §2.4 catalog + CSV source (ref catalog.rs + csv_table.rs) ----
     "q_csv_catalog" -> ((s, _) => {
       val c = new Catalog(s)
@@ -353,9 +385,16 @@ object SparkEntry {
       val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      // right side pre-deduped to one row per (user, time), keeping the
+      // max click_id — identical to the engine's max-payload-struct
+      // tie-break (click_us == ts_us), and it removes DuckDB ASOF JOIN's
+      // arbitrary-row choice on exact time ties, so the oracle compare
+      // cannot flake if the fixture ever holds two clicks at one instant
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("click_id"), col("ts_us").as("click_us"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), col("click_id"),
+          col("ts_us").as("click_us"))
       AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
         Seq("click_id", "click_us"))
     }),
@@ -385,7 +424,9 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("ws")).as("n_distinct"),
           array_contains(col("ws"), "spark").as("has_spark"),
-          slice(col("ws"), 1, 3).as("first3"),
+          // raw array columns stay internal: the driver's comparator can only
+          // hash scalar cells, so the slice is surfaced via array_join only
+          // (array values are asserted in TextOpsSpec).
           array_join(slice(col("ws"), 1, 3), "|").as("first3_str"))),
 
     // ---- extension: exact percentiles (distributed sort-based) --------
@@ -452,10 +493,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_ok"))
       val dupIds = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .select(col("id_b").as("doc_id")).distinct()
-      quality.where(col("quality_ok"))
-        .join(dupIds, Seq("doc_id"), "left_anti")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      // the whole flagship goes through the engine surface: filter ->
+      // anti-join (JoinType.Anti, Spark left_anti) -> grouped aggregate
+      Frame(quality)
+        .filter(Raw(col("quality_ok"), "quality_ok"))
+        .join(Frame(dupIds), Seq("doc_id" -> "doc_id"), JoinType.Anti)
+        .aggregate(
+          Seq(E.col("source")),
+          Seq(E.count(E.lit(1)).as("n_docs"),
+            E.sum(E.col("n_tokens")).as("sum_tokens")))
+        .df
     }),
 
     // ---- LLM: transitive near-dup clusters (connected components) -----
@@ -481,24 +528,59 @@ object SparkEntry {
       Dedup.exactByFingerprint(t(s, dir, "documents"), "text", "doc_id")),
 
     // ---- LLM: exact n-gram Jaccard set-similarity join ----------------
+    // threshold 0.3 is the STRESS entry (the prefix filter keeps ~70% of
+    // each doc's tokens, so candidates swell — exact but expensive);
+    // the 0.5 variant below is the bench headline
     "q_jaccard_pairs" -> ((s, dir) => {
       Graft.init(s)
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, threshold = 0.3)
     }),
 
-    // ---- LLM: MinHash+LSH near-dup (banded, exact-confirmed) ----------
-    "q_minhash_lsh" -> ((s, dir) => {
+    "q_jaccard_pairs05" -> ((s, dir) => {
       Graft.init(s)
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
     }),
 
-    // ---- LLM: SimHash near-dup (exact for hamming<=3 by pigeonhole) ---
+    // ---- LLM: MinHash+LSH near-dup (banded, exact-confirmed) ----------
+    // Planted-truth oracle (same trick as q_cosine_neardups): exact copies
+    // of docs 0..24 are unioned in at id+100000. At threshold 1.0 the
+    // exact-Jaccard confirm admits only set-identical pairs; the fixture
+    // has NO natural identical-shingle-set pair (verified: max natural
+    // 3-gram Jaccard is 0.989 < 1), and an identical doc is guaranteed LSH
+    // recall (identical signature -> same bucket in every band). Output is
+    // therefore exactly the 25 planted pairs — closed-form oracle below.
+    // Natural-corpus thresholds (0.5) are exercised in DedupSpec's
+    // recall-vs-exact tests.
+    "q_minhash_lsh" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 1.0)
+    }),
+
+    // ---- LLM: SimHash near-dup (exact for hamming<=k by pigeonhole) ---
+    // Incremental-batch framing with a planted-truth oracle: a "new batch"
+    // of exact copies (docs 0..24, id+100000) is deduped against the
+    // corpus at hamming 0; only corpus-vs-batch pairs are reported. An
+    // exact copy has an identical simhash, and no natural doc shares a
+    // simhash with any doc id < 25 (verified: the fixture's natural
+    // hamming-0 pairs are (58,293),(61,185),(285,301),(393,420) — all
+    // endpoints >= 58) -> output is exactly the 25 planted pairs.
+    // Natural-corpus hamming<=3 is exercised in DedupSpec.
     "q_simhash_pairs" -> ((s, dir) => {
       Graft.init(s)
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhashNearDups(docs.unionByName(batch), "doc_id", "text",
+        maxHamming = 0)
+        .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
     // ---- LLM: token counting ------------------------------------------
@@ -711,6 +793,24 @@ object SparkEntry {
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber""".stripMargin,
 
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT count(*) AS n_rows, count(c_custkey) AS n_left,
+        |  count(o_orderkey) AS n_right,
+        |  count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_left_null
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 900) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey >= 800) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
     "q_csv_catalog" ->
       """SELECT name, score
         |FROM read_csv_auto('/root/repo/src/test/resources/data/people.csv')
@@ -767,8 +867,9 @@ object SparkEntry {
         |  FROM e),
         |s AS (
         |  SELECT user_id,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS sess_id
         |  FROM g)
         |SELECT user_id, sess_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
@@ -790,7 +891,6 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(list_sort(list_distinct(string_split(text, ' ')))) AS n_distinct,
         |  list_contains(list_sort(list_distinct(string_split(text, ' '))), 'spark') AS has_spark,
-        |  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
         |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS first3_str
         |FROM documents""".stripMargin,
 
@@ -865,8 +965,9 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |         event_id AS click_id, epoch_us(ts) AS click_us
-        |  FROM events WHERE event_type = 'click')
+        |         max(event_id) AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
         |SELECT p.event_id, p.user_id, p.ts_us, p.value,
         |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
         |FROM p ASOF LEFT JOIN c
@@ -934,7 +1035,7 @@ object SparkEntry {
         |  SELECT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
-        |SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
         |GROUP BY source""".stripMargin,
 
@@ -944,7 +1045,7 @@ object SparkEntry {
         |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bkt
         |  FROM documents)
         |SELECT CASE WHEN bkt < 80 THEN 'train' ELSE 'test' END AS split,
-        |  count(*) AS n, sum(n_chars) AS sum_chars
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1""".stripMargin,
 
     "q_dedup_clusters" ->
@@ -997,6 +1098,35 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(inter * 1.0 / uni, 4) AS jaccard
         |FROM p WHERE inter * 1.0 / uni >= 0.3""".stripMargin,
+
+    "q_jaccard_pairs05" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter * 1.0 / uni, 4) AS jaccard
+        |FROM p WHERE inter * 1.0 / uni >= 0.5""".stripMargin,
+
+    // planted-truth closed forms (see the query comments): the only
+    // qualifying pairs are the 25 planted exact copies
+    "q_minhash_lsh" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS jaccard
+        |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    "q_simhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id < 25""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

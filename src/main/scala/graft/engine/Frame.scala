@@ -9,9 +9,15 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * positional-zip join and its last-key-wins flag bug, SURVEY.md §4.3, are
   * deliberately not replicated). */
 object JoinType extends Enumeration {
-  val Inner, Left, Right = Value
+  val Inner, Left, Right, FullOuter, Semi, Anti = Value
   def toSpark(jt: Value): String = jt match {
     case Inner => "inner"; case Left => "left"; case Right => "right"
+    // extension surface beyond the reference's three declared types:
+    // FULL OUTER, LEFT SEMI (exists) and LEFT ANTI (not-exists) — Semi and
+    // Anti return only the left side's columns (SQL semantics; Spark plans
+    // them as existence joins, so the right side never materializes into
+    // the output and broadcasts when small).
+    case FullOuter => "full_outer"; case Semi => "left_semi"; case Anti => "left_anti"
   }
 }
 
@@ -133,6 +139,13 @@ final case class Frame(df: DataFrame) {
   def collect(): Array[Row] = df.collect()
   def show(): Unit = df.show(false)
   def count(): Long = df.count()
+
+  /** Sink facade (extension — the reference has no sinks, SURVEY.md §2.5):
+    * distributed write, one file per partition; combine with
+    * [[repartition]]/[[coalesce]] to control output file count/size. */
+  def write(path: String, format: String = "parquet",
+            mode: String = "overwrite"): Unit =
+    df.write.format(format).mode(mode).save(path)
 
   private def named(e: Expr): Column = e match {
     case _: Alias | _: Raw | _: ColumnRef => e.toColumn

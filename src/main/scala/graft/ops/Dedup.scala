@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The near-dup detectors key their pair tables on a long id; a blind
     * cast("long") would turn string/UUID ids into NULLs and silently
     * report "no duplicates", so non-integral id columns are rejected. */
@@ -127,6 +129,17 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.ShingleExprs._
+    // Prefix length is |A| - ceil(t|A|) + 1 ≈ (1-t)|A| + 1, so LOW
+    // thresholds index most of every document and the candidate join can
+    // dominate the whole pipeline (measured: t=0.3 indexes ~70% of each
+    // doc's tokens and is ~half a 13-query benchmark at sf0.1). The
+    // result stays exact — this is a cost cliff, not a correctness one;
+    // below 0.4 prefer minhashNearDups (probabilistic recall, flat cost)
+    // unless exactness at low similarity is a hard requirement.
+    if (threshold < 0.4) log.warn(
+      s"jaccardPairs threshold=$threshold indexes ~${math.round((1 - threshold) * 100)}% " +
+        "of each doc's tokens as join prefix; candidate generation may dominate. " +
+        "Consider minhashNearDups for low-threshold near-dup detection.")
     // shingles as 64-bit hashes from one fused codegen'd expression
     // (cheap to recompute -> no corpus-sized cache; 8-byte join keys;
     // a collision at ~2^-64/pair is irrelevant to intersection counts)
@@ -161,7 +174,13 @@ object Dedup {
           ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1 + threshold)) - EPS))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    confirmJaccard(cand, sets, threshold)
+    // named observation: surviving candidate-pair count, collected during
+    // the SAME job (no extra pass) — visible to QueryExecutionListeners /
+    // the SQL UI as "graft_jaccard_candidates", the number to watch when
+    // a low threshold makes this pipeline slow
+    val observed = cand.observe("graft_jaccard_candidates",
+      count(lit(1)).as("n_candidate_pairs"))
+    confirmJaccard(observed, sets, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd

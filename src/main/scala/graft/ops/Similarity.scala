@@ -35,16 +35,31 @@ object Similarity {
     }
 
   /** Per-band sign-bit keys: band b packs bits [b*r, (b+1)*r) of the
-    * hyperplane signature into a long, tagged with the band id. */
+    * hyperplane signature into a long, tagged with the band id.
+    *
+    * FAIL-FAST contract: `dot` yields NULL on a NULL embedding or a
+    * vector whose length differs from the hyperplane dimension. A NULL
+    * here previously collapsed to bit 0, giving EVERY bad vector the same
+    * all-zero band keys — which silently degenerates the "keyed self-join,
+    * never a cross join" guarantee into an N^2 bucket. The bit is now
+    * NULL-propagating and a NULL key raises, so a dim mismatch surfaces
+    * as an error instead of a quiet scale collapse. */
   def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int,
       rowsPerBand: Int): Column = {
     require(planes.length == bands * rowsPerBand)
+    val dim = planes.head.length
     array((0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { j =>
         val pl = planes(b * rowsPerBand + j)
-        when(VectorExprs.dot(vec, typedLit(pl)) > 0d, 1L << j).otherwise(0L)
+        // boolean->long cast keeps NULL (dim mismatch / NULL vec) NULL
+        (VectorExprs.dot(vec, typedLit(pl)) > 0d).cast("long") * lit(1L << j)
       }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
+      struct(lit(b).as("band"),
+        coalesce(bits.reduce(_ + _),
+          raise_error(concat(lit(s"graft LSH: NULL embedding or vector " +
+            s"dimension != $dim (hyperplane dim); got length "),
+            coalesce(size(vec).cast("string"), lit("NULL"))))
+            .cast("long")).as("key"))
     }: _*)
   }
 
@@ -132,6 +147,9 @@ object Similarity {
     // its own centroid) instead of indexing past the collected seeds
     val k2 = centroids.length
     require(k2 > 0, "ivfTopK requires a non-empty corpus")
+    require(centroids.forall(_.length == dim),
+      s"ivfTopK: corpus vector dimension ${centroids.map(_.length).distinct.mkString("/")} " +
+        s"does not match query dimension $dim")
     val nProbe2 = math.min(nProbe, k2)
 
     def nearestCluster(vec: Column): Column =
@@ -177,11 +195,22 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via band-keyed self-join then exact-cosine confirm. Pairs carry
-    * only ids through the candidate shuffle; vectors re-attach by id. */
+    * only ids through the candidate shuffle; vectors re-attach by id.
+    *
+    * `dim` defaults to -1 = infer from the first non-null vector (one
+    * 1-row driver lookup — a scalar, like the ANN probe fetch). Vectors
+    * that don't match the resolved dimension fail fast in [[bandKeys]]
+    * rather than silently degrading the bucketing. */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, bands: Int = 8, rowsPerBand: Int = 8,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+      dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else emb.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+        .head(1).headOption.map(_.getInt(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cosineNearDups: no non-null $vecCol to infer dimension from"))
+    val planes = hyperplanes(bands * rowsPerBand, d, seed)
     val base = emb.select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
     val keyed = base.select(col("id"),
       explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))

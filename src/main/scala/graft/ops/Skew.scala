@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row-spreading salt (content-hashed, stable across
-    * retries; which bucket a row lands in does not affect results). */
+  /** Row-spreading salt. Content hash alone would send FULLY identical
+    * rows (a hot key with a constant payload — common in exactly the
+    * skewed data this targets) to one bucket, leaving the hot partition
+    * unsplit; mixing in `monotonically_increasing_id` (partition id +
+    * per-partition row index) spreads them. The id is NOT stable across
+    * task retries, which is safe here: results never depend on bucket
+    * placement (aggregates are algebraic; the join replicates the small
+    * side to every bucket), only load balance does. */
   private def saltOf(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
+    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*),
+      lit(buckets.toLong)).cast("int")
 
   /** Exact sum/count per key via two-phase salted aggregation. */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,

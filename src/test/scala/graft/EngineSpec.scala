@@ -168,6 +168,35 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  // extension surface: semi / anti / full-outer
+  test("semi, anti and full-outer joins") {
+    val eng = Frame(payroll.df.where(sc("dept") === "eng"))
+    val semi = people.join(eng, Seq(("id", "id")), JoinType.Semi)
+    assert(semi.count() == 3)
+    // semi/anti return ONLY left columns (SQL existence-join semantics)
+    assert(semi.df.columns.toSeq == people.df.columns.toSeq)
+    val anti = people.join(eng, Seq(("id", "id")), JoinType.Anti)
+    assert(anti.count() == 3)
+    assert(semi.df.select("id").collect().map(_.getInt(0)).toSet
+      .intersect(anti.df.select("id").collect().map(_.getInt(0)).toSet).isEmpty)
+    // full outer keeps unmatched rows from BOTH sides
+    val left = Frame(people.df.where(sc("id") <= 4))   // ids 1..4
+    val right = Frame(payroll.df.where(sc("id") >= 3)) // ids 3..6
+    val full = left.join(right, Seq(("id", "id")), JoinType.FullOuter)
+    assert(full.count() == 6) // 2 matched + 2 left-only + 2 right-only
+    assert(full.df.where(sc("dept").isNull).count() == 2)
+    assert(full.df.where(sc("age").isNull).count() == 2)
+  }
+
+  test("write facade round-trips parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_write").toString
+    val out = s"$dir/people_out"
+    people.filter(E.col("age") >= E.lit(24)).write(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.columns.toSeq == people.df.columns.toSeq)
+  }
+
   test("unary operators: not, negate, null checks") {
     val r = people.filter(!(E.col("age") >= E.lit(24)))
     assert(r.count() == 2) // alice(21), dave(18)

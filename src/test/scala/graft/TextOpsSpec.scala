@@ -64,4 +64,18 @@ class TextOpsSpec extends SparkSpec {
       .select("fp_rolling").as[Long].collect().sorted
     assert(again.toSeq == r.map(_._2).sorted.toSeq)
   }
+
+  test("array slice values match the joined-string surface (q_array_fns)") {
+    // The q_array_fns query only emits first3_str (the driver's comparator
+    // cannot hash array cells); the underlying array values are pinned here.
+    val df = Seq((0L, "delta alpha charlie bravo alpha")).toDF("doc_id", "text")
+    val ws = array_sort(array_distinct(split(col("text"), " ")))
+    val r = df.select(
+      slice(ws, 1, 3).as("first3"),
+      array_join(slice(ws, 1, 3), "|").as("first3_str"))
+      .as[(Seq[String], String)].collect().head
+    assert(r._1 == Seq("alpha", "bravo", "charlie"))
+    assert(r._2 == "alpha|bravo|charlie")
+    assert(r._1.mkString("|") == r._2)
+  }
 }
