@@ -94,4 +94,37 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_binary_ops")
     assert(p.contains("codegen id"))
   }
+
+  test("TPC-H Q5 shape broadcasts every dimension; fact side never shuffles for joins") {
+    val p = plan("q_tpch_q5")
+    // all five joins resolve as broadcast-hash: lineitem (the fact) is
+    // joined to orders/customer/supplier/nation/region without a single
+    // sort-merge or shuffled-hash join — at 100 TB only the final
+    // aggregation shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+    // filters on the dimension tables are pushed into their scans
+    assert(p.contains("PushedFilters:"))
+  }
+
+  test("as-of join is a single shuffle: one Exchange, no join operator at all") {
+    val p = plan("q_asof_join")
+    // the union-window trick: the whole as-of is ONE hashpartitioning
+    // exchange on the key plus a Window sort — never a range/theta join.
+    // (The right side's tie-dedup aggregation shares the same
+    // hashpartitioning, so AQE may reuse, but no Exchange may appear on
+    // a non-key column and no join operator may appear.)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"))
+    // FormattedMode puts partitioning in the detail section
+    // ("Arguments: hashpartitioning(user_id#..., N)") — every hash
+    // exchange must lead with the join key (the window shuffle on
+    // user_id; the right side's tie-dedup pre-aggregation on
+    // (user_id, ts_us)); nothing may shuffle on a non-key column
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("user_id")),
+      s"every hash exchange must be keyed on user_id:\n${exchanges.mkString("\n")}")
+  }
 }
