@@ -453,6 +453,18 @@ object SparkEntry {
           col("n"), col("min_v").cast("double").as("min_v"),
           col("max_v").cast("double").as("max_v"))),
 
+    // ---- scale mechanics: salted join, hash-equal to the plain join ----
+    // (salting replicates the small side across buckets and spreads the
+    // big side; row multiplicity — and hence any aggregate over the
+    // result — is EXACTLY that of the unsalted join)
+    "q_salted_join" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", saltBuckets = 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))),
+
     // ---- extension: CUBE (all grouping-set combinations) --------------
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1012,6 +1024,12 @@ object SparkEntry {
         |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_corpus_curate" ->
       """WITH w AS (

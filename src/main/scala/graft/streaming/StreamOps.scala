@@ -74,6 +74,26 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup by content fingerprint — the ingestion-time
+    * form of [[graft.ops.Dedup.exactByFingerprint]]: a document whose
+    * md5 fingerprint was already seen within the watermark horizon is
+    * dropped. State holds one 16-byte fingerprint per distinct document
+    * and `dropDuplicatesWithinWatermark` evicts entries older than the
+    * watermark, so state stays bounded on an unbounded stream (plain
+    * `dropDuplicates` would grow forever). On a batch frame this runs as
+    * ordinary fingerprint dedup (`dropDuplicatesWithinWatermark` is
+    * streaming-only, and on finite input bounded state is moot), keeping
+    * the batch/stream parity contract. */
+  def dedupByFingerprint(df: DataFrame, contentCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val fp = df.withColumn("_fp", md5(col(contentCol).cast("binary")))
+    val deduped =
+      if (df.isStreaming)
+        fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("_fp")
+      else fp.dropDuplicates("_fp")
+    deduped.drop("_fp")
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -102,6 +102,32 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("streaming dedup drops repeated content across micro-batches, keeps state bounded by watermark") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // dedup key: event_type stands in for document content here
+    val q = StreamOps.dedupByFingerprint(mem.toDF(), "event_type",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 2, "click", 2.0))
+    q.processAllAvailable()
+    // second batch: a duplicate within the watermark horizon + new content
+    mem.addData(Ev(3, ts(2), 3, "click", 3.0), Ev(4, ts(3), 4, "view", 4.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id")
+      .as[Long].collect().toSet
+    q.stop()
+    // first "click" of batch 1 kept, the in-batch and cross-batch click
+    // duplicates dropped, the new "view" kept
+    assert(ids == Set(1L, 4L))
+  }
+
+  test("streaming dedup on a batch frame equals fingerprint dedup") {
+    val deduped = StreamOps.dedupByFingerprint(evs.toDF(), "event_type")
+      .select("event_type").as[String].collect().sorted
+    assert(deduped.toSeq == Seq("click", "view"))
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
