@@ -27,6 +27,19 @@ import graft.functions.VectorExprs
   */
 object Similarity {
 
+  /** Driver-side cosine over float arrays (IVF seeding + probe selection
+    * — k×dim scalar work, never data-sized). */
+  private def cosD(a: Array[Float], b: Array[Float], dim: Int): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < dim) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
+  }
+
   /** Deterministic Gaussian hyperplanes: plane p is seeded by (seed, p). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
     Array.tabulate(numPlanes) { p =>
@@ -136,20 +149,40 @@ object Similarity {
       query: Array[Float], k: Int, nClusters: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
     val dim = query.length
-    // deterministic init: the nClusters lowest-id vectors. Teaching-grade
-    // seeding — production IVF uses a kmeans++ sample; with adversarial id
-    // ordering (all seeds from one natural cluster) more Lloyd iterations
-    // or better seeding is needed.
-    var centroids: Array[Array[Float]] = emb
-      .orderBy(col(idCol)).limit(nClusters).select(col(vecCol))
+    // SEEDING: deterministic farthest-point ("kmeans++ with the argmax
+    // instead of the RNG") over a hash-ordered sample. Naive lowest-id
+    // seeding degrades adversarially — ids clustered by content put every
+    // seed in one natural cluster. The sample order is xxhash64(id)
+    // (stable across partitionings and retries, unlike df.sample), the
+    // sample is tiny (<= max(64*k, k) rows of dim floats — same "coarse
+    // quantizer is small" contract as the centroid-mean collects), and
+    // each next seed maximizes distance to its nearest chosen seed with
+    // a lowest-index tie-break, so the whole init is deterministic.
+    val sampleN = math.max(nClusters, math.min(64 * nClusters, 4096))
+    val sample: Array[Array[Float]] = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfTopK requires a non-empty corpus")
+    require(sample.forall(_.length == dim),
+      s"ivfTopK: corpus vector dimension ${sample.map(_.length).distinct.mkString("/")} " +
+        s"does not match query dimension $dim")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (seeds.length < math.min(nClusters, sample.length)) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        var dMin = Double.MaxValue
+        seeds.foreach { s => val d = 1.0 - cosD(sample(i), s, dim); if (d < dMin) dMin = d }
+        if (dMin > bestD) { bestD = dMin; best = i }
+        i += 1
+      }
+      seeds += sample(best)
+    }
+    var centroids: Array[Array[Float]] = seeds.toArray
     // corpus smaller than the requested quantizer: clamp (every vector
     // its own centroid) instead of indexing past the collected seeds
     val k2 = centroids.length
-    require(k2 > 0, "ivfTopK requires a non-empty corpus")
-    require(centroids.forall(_.length == dim),
-      s"ivfTopK: corpus vector dimension ${centroids.map(_.length).distinct.mkString("/")} " +
-        s"does not match query dimension $dim")
     val nProbe2 = math.min(nProbe, k2)
 
     def nearestCluster(vec: Column): Column =
@@ -173,16 +206,11 @@ object Similarity {
     }
 
     val probeSet = {
-      def cos(a: Array[Float], b: Array[Float]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
-      }
       // tie-break on HIGHER index to match nearestCluster's array_max
       // struct ordering (equal cosines resolve to the larger cluster id);
       // mismatched tie-breaks could index a vector in a cluster the probe
       // then skips
-      centroids.zipWithIndex.sortBy { case (c, i) => (-cos(c, query), -i) }
+      centroids.zipWithIndex.sortBy { case (c, i) => (-cosD(c, query, dim), -i) }
         .take(nProbe2).map(_._2).toSet
     }
     emb.select(col(idCol), col(vecCol), nearestCluster(col(vecCol)).as("cluster"))

@@ -15,8 +15,9 @@ class IvfUdfSpec extends SparkSpec {
       Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
       Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
       Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
-    // ids interleaved across clusters so the quantizer's lowest-id init
-    // seeds one centroid per cluster (see ivfTopK scaladoc on init)
+    // ids interleaved across clusters; the quantizer's farthest-point
+    // init spreads one seed per direction cluster regardless of order
+    // (see ivfTopK scaladoc on seeding)
     for (c <- 0 until 4; j <- 0 until 12) yield {
       val r = new java.util.Random(c * 100L + j)
       val v = base(c).map(x => x + (r.nextGaussian() * 0.05).toFloat)
