@@ -563,8 +563,12 @@ object SparkEntry {
     // 3-gram Jaccard is 0.989 < 1), and an identical doc is guaranteed LSH
     // recall (identical signature -> same bucket in every band). Output is
     // therefore exactly the 25 planted pairs — closed-form oracle below.
-    // Natural-corpus thresholds (0.5) are exercised in DedupSpec's
-    // recall-vs-exact tests.
+    // The corpus-vs-batch output filter keeps the oracle sound even at
+    // SFs whose natural corpus contains identical-set pairs (sf0.1 has
+    // 8, all with both endpoints >= 179 — no doc_id < 25 involved, so
+    // batch pairs remain exactly the planted ones). Natural-corpus
+    // thresholds (0.5) are exercised in DedupSpec's recall-vs-exact
+    // tests.
     "q_minhash_lsh" -> ((s, dir) => {
       Graft.init(s)
       val docs = t(s, dir, "documents")
@@ -573,6 +577,7 @@ object SparkEntry {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 1.0)
+        .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
     // ---- LLM: SimHash near-dup (exact for hamming<=k by pigeonhole) ---
@@ -580,10 +585,10 @@ object SparkEntry {
     // of exact copies (docs 0..24, id+100000) is deduped against the
     // corpus at hamming 0; only corpus-vs-batch pairs are reported. An
     // exact copy has an identical simhash, and no natural doc shares a
-    // simhash with any doc id < 25 (verified: the fixture's natural
-    // hamming-0 pairs are (58,293),(61,185),(285,301),(393,420) — all
-    // endpoints >= 58) -> output is exactly the 25 planted pairs.
-    // Natural-corpus hamming<=3 is exercised in DedupSpec.
+    // simhash with any doc id < 25 (verified with tools/FixtureStats at
+    // BOTH verify-able SFs: sf0.01's natural hamming-0 pairs have
+    // endpoints >= 58, sf0.1's >= 179) -> output is exactly the 25
+    // planted pairs. Natural-corpus hamming<=3 is exercised in DedupSpec.
     "q_simhash_pairs" -> ((s, dir) => {
       Graft.init(s)
       val docs = t(s, dir, "documents")

@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The near-dup detectors key their pair tables on a long id; a blind
     * cast("long") would turn string/UUID ids into NULLs and silently
@@ -176,9 +177,14 @@ object Dedup {
       .distinct()
     // named observation: surviving candidate-pair count, collected during
     // the SAME job (no extra pass) — visible to QueryExecutionListeners /
-    // the SQL UI as "graft_jaccard_candidates", the number to watch when
-    // a low threshold makes this pipeline slow
-    val observed = cand.observe("graft_jaccard_candidates",
+    // the SQL UI as "graft_jaccard_candidates_<n>", the number to watch
+    // when a low threshold makes this pipeline slow. The per-call suffix
+    // matters: Spark rejects two DIFFERENT datasets sharing one metric
+    // name in a single plan (DUPLICATED_METRICS_NAME), which would break
+    // any query composing two jaccardPairs results (e.g. two thresholds
+    // unioned)
+    val observed = cand.observe(
+      s"graft_jaccard_candidates_${Dedup.observeId.incrementAndGet()}",
       count(lit(1)).as("n_candidate_pairs"))
     confirmJaccard(observed, sets, threshold)
   }

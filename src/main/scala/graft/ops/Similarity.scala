@@ -50,13 +50,16 @@ object Similarity {
   /** Per-band sign-bit keys: band b packs bits [b*r, (b+1)*r) of the
     * hyperplane signature into a long, tagged with the band id.
     *
-    * FAIL-FAST contract: `dot` yields NULL on a NULL embedding or a
-    * vector whose length differs from the hyperplane dimension. A NULL
-    * here previously collapsed to bit 0, giving EVERY bad vector the same
-    * all-zero band keys — which silently degenerates the "keyed self-join,
-    * never a cross join" guarantee into an N^2 bucket. The bit is now
+    * FAIL-FAST contract: `dot` yields NULL on a vector whose length
+    * differs from the hyperplane dimension. A NULL here previously
+    * collapsed to bit 0, giving EVERY bad vector the same all-zero band
+    * keys — which silently degenerates the "keyed self-join, never a
+    * cross join" guarantee into an N^2 bucket. The bit is now
     * NULL-propagating and a NULL key raises, so a dim mismatch surfaces
-    * as an error instead of a quiet scale collapse. */
+    * as an error instead of a quiet scale collapse. Callers must filter
+    * NULL embeddings out first (cosineNearDups/lshTopK do) — a NULL
+    * vector can never be a near-dup/neighbor under SQL semantics, and
+    * letting it reach the banding would abort the query. */
   def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int,
       rowsPerBand: Int): Column = {
     require(planes.length == bands * rowsPerBand)
@@ -69,8 +72,8 @@ object Similarity {
       }
       struct(lit(b).as("band"),
         coalesce(bits.reduce(_ + _),
-          raise_error(concat(lit(s"graft LSH: NULL embedding or vector " +
-            s"dimension != $dim (hyperplane dim); got length "),
+          raise_error(concat(lit(s"graft LSH: vector dimension != $dim " +
+            "(hyperplane dim); got length "),
             coalesce(size(vec).cast("string"), lit("NULL"))))
             .cast("long")).as("key"))
     }: _*)
@@ -116,8 +119,11 @@ object Similarity {
       else exact ++ exact.flatMap { case (b, key) =>
         (0 until rowsPerBand).map(j => (b, key ^ (1L << j))) }
     }
-    val keyed = emb.select(col(idCol), col(vecCol),
-      explode(bandKeys(col(vecCol), planes, bands, rowsPerBand)).as("bk"))
+    // NULL embeddings can't match any bucket (and would trip bandKeys'
+    // dim-mismatch fail-fast) — exclude them, mirroring SQL semantics
+    val keyed = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        explode(bandKeys(col(vecCol), planes, bands, rowsPerBand)).as("bk"))
     val hit = qKeys.map { case (b, key) =>
       col("bk.band") === lit(b) && col("bk.key") === lit(key)
     }.reduce(_ || _)
@@ -239,7 +245,11 @@ object Similarity {
           throw new IllegalArgumentException(
             s"cosineNearDups: no non-null $vecCol to infer dimension from"))
     val planes = hyperplanes(bands * rowsPerBand, d, seed)
-    val base = emb.select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
+    // NULL embeddings are excluded up front (same reasoning as the dim
+    // inference above): they can't be near anything, and bandKeys
+    // fail-fasts on NULL dots by design
+    val base = emb.where(col(vecCol).isNotNull)
+      .select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
     val keyed = base.select(col("id"),
       explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))

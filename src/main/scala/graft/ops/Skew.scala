@@ -26,17 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Row-spreading salt. Content hash alone would send FULLY identical
-    * rows (a hot key with a constant payload — common in exactly the
-    * skewed data this targets) to one bucket, leaving the hot partition
-    * unsplit; mixing in `monotonically_increasing_id` (partition id +
-    * per-partition row index) spreads them. The id is NOT stable across
-    * task retries, which is safe here: results never depend on bucket
-    * placement (aggregates are algebraic; the join replicates the small
-    * side to every bucket), only load balance does. */
+  /** Deterministic row-spreading salt (content-hashed, stable across
+    * retries; which bucket a row lands in does not affect results).
+    *
+    * KNOWN LIMITATION: FULLY identical rows (same key AND same payload)
+    * hash to the same bucket, so a hot key whose rows are byte-identical
+    * stays unsplit. A row-position disambiguator
+    * (monotonically_increasing_id) would spread them but is NOT stable
+    * across task retries — a recomputed map task would re-salt rows into
+    * different buckets than the copies already fetched by reducers,
+    * silently double-counting or losing rows (Spark only rolls back
+    * whole stages for operators it marks order-indeterminate, not for
+    * nondeterministic column expressions). Exactness wins: if your hot
+    * key's rows are identical, aggregate them (they collapse to one
+    * partial row per bucket anyway) or add a real disambiguating column
+    * upstream. */
   private def saltOf(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*),
-      lit(buckets.toLong)).cast("int")
+    pmod(xxhash64(cols: _*), lit(buckets.toLong)).cast("int")
 
   /** Exact sum/count per key via two-phase salted aggregation. */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,

@@ -86,6 +86,10 @@ object StreamOps {
     * the batch/stream parity contract. */
   def dedupByFingerprint(df: DataFrame, contentCol: String,
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    // same reserved-name contract as AsOfJoin: silently overwriting and
+    // then dropping a user column called _fp would corrupt the output
+    require(!df.columns.contains("_fp"),
+      "dedupByFingerprint reserves the column name _fp; rename it upstream")
     val fp = df.withColumn("_fp", md5(col(contentCol).cast("binary")))
     val deduped =
       if (df.isStreaming)

@@ -152,6 +152,13 @@ class DedupSpec extends SparkSpec {
     assert(Sampling.sampleByKey(d, "text", 0).count() == 0)
   }
 
+  test("two jaccardPairs results compose in one plan (unique observe names)") {
+    // a shared metric name would throw DUPLICATED_METRICS_NAME at analysis
+    val u = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .unionByName(graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.9))
+    assert(u.count() >= 0) // must analyze + execute, row count irrelevant
+  }
+
   test("simhash64 value is stable and order-sensitive input changes it") {
     val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")

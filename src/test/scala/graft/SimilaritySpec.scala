@@ -76,4 +76,22 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().sortBy(identity).toSeq
     assert(run() == run())
   }
+
+  test("NULL embeddings are skipped, not fatal; dim is inferred; mismatch raises") {
+    val withNull = vecs.map { case (i, v) => (i, Option(v)) } :+ (99L -> None)
+    val df = withNull.toDF("vec_id", "embedding")
+    // default dim = -1 -> inferred from first non-null vector; the NULL
+    // row is filtered, the planted pair still found
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+    // a vector of the WRONG length must fail fast, not silently bucket
+    val bad = (vecs :+ (99L -> Array(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cosineNearDups(bad, "vec_id", "embedding", 0.99, dim = 8)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

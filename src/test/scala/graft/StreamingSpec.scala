@@ -126,6 +126,11 @@ class StreamingSpec extends SparkSpec {
     val deduped = StreamOps.dedupByFingerprint(evs.toDF(), "event_type")
       .select("event_type").as[String].collect().sorted
     assert(deduped.toSeq == Seq("click", "view"))
+    // a user column named _fp must be rejected, not silently clobbered
+    intercept[IllegalArgumentException] {
+      StreamOps.dedupByFingerprint(
+        evs.toDF().withColumn("_fp", lit("mine")), "event_type")
+    }
   }
 
   test("streaming transforms work identically on batch frames") {
