@@ -605,6 +605,25 @@ object SparkEntry {
       TextOps.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_re"))),
 
+    // ---- LLM: overlapping token-window chunking -----------------------
+    "q_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(t(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", chunkSize = 20, overlap = 5)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))),
+
+    // ---- LLM: per-shard greedy sequence packing -----------------------
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", when(trim(col("text")) === "", lit(0))
+          .otherwise(size(TextOps.words(col("text")))))
+      TextOps.packSequences(docs, "doc_id", "n_tokens", "source",
+          capacity = 512)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // ---- LLM: quality scoring -----------------------------------------
     "q_quality" -> ((s, dir) =>
       TextOps.qualitySignals(t(s, dir, "documents"))
@@ -1156,6 +1175,39 @@ object SparkEntry {
         |  (length(text) - length(replace(text, ' ', ''))) + 1 AS n_tokens_ws,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_re
         |FROM documents""".stripMargin,
+
+    // chunking: DuckDB list slices are 1-based inclusive, so
+    // ws[i*15+1 : i*15+20] is exactly Spark's slice(ws, i*15+1, 20)
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (
+        |  SELECT doc_id, len(ws) AS n,
+        |    unnest([{'cid': i,
+        |             'txt': array_to_string(ws[i*15+1 : i*15+20], ' ')}
+        |            for i in range(0, ((len(ws) - 1) // 15) + 1)]) AS u
+        |  FROM w)
+        |SELECT doc_id, u['cid'] AS chunk_id, u['txt'] AS chunk_text,
+        |  CASE WHEN u['txt'] = '' THEN 0
+        |       ELSE least(20, n - u['cid'] * 15) END AS n_tokens
+        |FROM c""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens) / 512) AS BIGINT) AS pack_id
+        |  FROM w)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY source, pack_id""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

@@ -125,6 +125,54 @@ object TextOps {
   def minWindowHash(text: Column, n: Int): Column =
     array_min(transform(wordShingles(text, n), s => xxhash64(s)))
 
+  /** Split documents into overlapping token-window chunks — the
+    * pre-tokenization step of every training-data pipeline (context
+    * windows, embedding inputs). Chunk c covers words
+    * [c*stride, c*stride + chunkSize) with stride = chunkSize - overlap;
+    * boundaries are content-deterministic. Entirely per-row array
+    * expressions (sequence/transform/posexplode) — NO shuffle; at 100 TB
+    * this is a map-only stage that pipelines into whatever follows. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("_ws", words(col(textCol)))
+      .select(col(idCol), size(col("_ws")).as("_n"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("_ws")) - 1, lit(0)), lit(stride)),
+          s => array_join(slice(col("_ws"), s + 1, lit(chunkSize)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      // chunk token count in closed form (empty doc -> one empty chunk
+      // of 0 tokens); identical formula in the DuckDB oracle
+      .withColumn("n_tokens", when(col("chunk_text") === "", lit(0))
+        .otherwise(least(lit(chunkSize), col("_n") - col("chunk_id") * stride)))
+      .drop("_n")
+  }
+
+  /** Greedy sequential sequence packing: walking each shard's documents
+    * in id order, a document joins pack floor(tokens_before / capacity)
+    * — the deterministic start-offset variant of training-batch packing.
+    * Windowed per SHARD (not global): a global ORDER BY would serialize
+    * the corpus through one partition at 100 TB, while per-shard packing
+    * keeps every shard an independent window partition and downstream
+    * consumers read (shard, pack_id) groups. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+      shardCol: String, capacity: Int = 2048): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("_cum_before",
+        sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("pack_id",
+        floor(col("_cum_before") / capacity).cast("long"))
+      .drop("_cum_before")
+  }
+
   def fingerprints(docs: DataFrame, textCol: String = "text", window: Int = 5): DataFrame =
     docs
       .withColumn("fp_rolling", fingerprint(col(textCol)))

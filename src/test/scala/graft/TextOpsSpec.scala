@@ -65,6 +65,36 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq == r.map(_._2).sorted.toSeq)
   }
 
+  test("chunkDocs windows with overlap; boundaries, counts, empty doc") {
+    val df = Seq((1L, (1 to 10).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_id").select("chunk_id", "chunk_text", "n_tokens")
+      .as[(Int, String, Int)].collect()
+    // stride 3 over 10 words: starts 0,3,6,9; overlap word repeats
+    assert(r.map(_._2).toSeq ==
+      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(r.map(_._3).toSeq == Seq(4, 4, 4, 1))
+    val empty = TextOps.chunkDocs(Seq((2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 1).select("chunk_text", "n_tokens")
+      .as[(String, Int)].collect()
+    assert(empty.toSeq == Seq(("", 0)))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("packSequences fills packs per shard by running token count") {
+    val df = Seq(
+      (1L, "a", 300), (2L, "a", 300), (3L, "a", 300), (4L, "a", 300),
+      (10L, "b", 600))
+      .toDF("doc_id", "source", "n_tokens")
+    val r = TextOps.packSequences(df, "doc_id", "n_tokens", "source",
+        capacity = 512)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // shard a tokens-before: 0,300,600,900 -> packs 0,0,1,1; shard b independent
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
+  }
+
   test("array slice values match the joined-string surface (q_array_fns)") {
     // The q_array_fns query only emits first3_str (the driver's comparator
     // cannot hash array cells); the underlying array values are pinned here.
