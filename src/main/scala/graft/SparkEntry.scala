@@ -615,8 +615,7 @@ object SparkEntry {
     // ---- LLM: per-shard greedy sequence packing -----------------------
     "q_pack_sequences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("n_tokens", when(trim(col("text")) === "", lit(0))
-          .otherwise(size(TextOps.words(col("text")))))
+        .withColumn("n_tokens", TextOps.nTokens(col("text")))
       TextOps.packSequences(docs, "doc_id", "n_tokens", "source",
           capacity = 512)
         .groupBy(col("source"), col("pack_id"))
@@ -1186,7 +1185,7 @@ object SparkEntry {
         |  SELECT doc_id, len(ws) AS n,
         |    unnest([{'cid': i,
         |             'txt': array_to_string(ws[i*15+1 : i*15+20], ' ')}
-        |            for i in range(0, ((len(ws) - 1) // 15) + 1)]) AS u
+        |            for i in range(0, (greatest(len(ws) - 6, 0) // 15) + 1)]) AS u
         |  FROM w)
         |SELECT doc_id, u['cid'] AS chunk_id, u['txt'] AS chunk_text,
         |  CASE WHEN u['txt'] = '' THEN 0
@@ -1202,7 +1201,8 @@ object SparkEntry {
         |p AS (
         |  SELECT source, doc_id, n_tokens,
         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source
-        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        ORDER BY doc_id, n_tokens
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      - n_tokens) / 512) AS BIGINT) AS pack_id
         |  FROM w)
         |SELECT source, pack_id, count(*) AS n_docs,

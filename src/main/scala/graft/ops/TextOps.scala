@@ -18,6 +18,16 @@ object TextOps {
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Whitespace token count with the empty-doc-is-zero convention: an
+    * empty or NULL text has 0 tokens, not the 1 that `size(words(...))`
+    * reports for the [''] split artifact. THE shared definition for
+    * operators needing a token count (packSequences, the pack query);
+    * qualitySignals keeps its historical len(ws) convention, pinned by
+    * its oracle. */
+  def nTokens(text: Column): Column =
+    when(trim(coalesce(text, lit(""))) === "", lit(0))
+      .otherwise(size(words(text)))
+
   /** Word n-gram shingles as space-joined strings; a document shorter than
     * n words contributes its whole text as one shingle. */
   def wordShingles(text: Column, n: Int): Column = {
@@ -131,7 +141,15 @@ object TextOps {
     * [c*stride, c*stride + chunkSize) with stride = chunkSize - overlap;
     * boundaries are content-deterministic. Entirely per-row array
     * expressions (sequence/transform/posexplode) — NO shuffle; at 100 TB
-    * this is a map-only stage that pipelines into whatever follows. */
+    * this is a map-only stage that pipelines into whatever follows.
+    *
+    * Chunk starts run while start <= n - overlap - 1 (not n - 1): a
+    * start inside the previous chunk's overlap region would emit a tail
+    * chunk FULLY CONTAINED in its predecessor — duplicated training
+    * content (28/100 fixture docs under a naive bound). Chunk 0 always
+    * exists, so every word is still covered exactly once outside
+    * overlaps. NULL text is treated as empty (one ("", 0) chunk) rather
+    * than silently dropping the document. */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
@@ -139,10 +157,11 @@ object TextOps {
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
     docs
-      .withColumn("_ws", words(col(textCol)))
+      .withColumn("_ws", words(coalesce(col(textCol), lit(""))))
       .select(col(idCol), size(col("_ws")).as("_n"),
         posexplode(transform(
-          sequence(lit(0), greatest(size(col("_ws")) - 1, lit(0)), lit(stride)),
+          sequence(lit(0),
+            greatest(size(col("_ws")) - (overlap + 1), lit(0)), lit(stride)),
           s => array_join(slice(col("_ws"), s + 1, lit(chunkSize)), " ")))
           .as(Seq("chunk_id", "chunk_text")))
       // chunk token count in closed form (empty doc -> one empty chunk
@@ -158,12 +177,19 @@ object TextOps {
     * Windowed per SHARD (not global): a global ORDER BY would serialize
     * the corpus through one partition at 100 TB, while per-shard packing
     * keeps every shard an independent window partition and downstream
-    * consumers read (shard, pack_id) groups. */
+    * consumers read (shard, pack_id) groups.
+    *
+    * The window orders by (id, tokens): with duplicate ids the running
+    * sum over an id-only ordering would assign tied rows arbitrary
+    * cumulative offsets (same tie-nondeterminism class as the as-of
+    * join's payload tie-break); the token tiebreak pins the order, and
+    * rows tied on BOTH columns are interchangeable, so the output
+    * multiset is deterministic regardless. */
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
       shardCol: String, capacity: Int = 2048): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .partitionBy(col(shardCol)).orderBy(col(idCol), col(tokensCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs.withColumn("_cum_before",

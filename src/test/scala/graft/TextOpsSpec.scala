@@ -70,14 +70,21 @@ class TextOpsSpec extends SparkSpec {
     val r = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 1)
       .orderBy("chunk_id").select("chunk_id", "chunk_text", "n_tokens")
       .as[(Int, String, Int)].collect()
-    // stride 3 over 10 words: starts 0,3,6,9; overlap word repeats
+    // stride 3 over 10 words: starts 0,3,6 (start 9 would emit a chunk
+    // fully contained in chunk 2 — the redundant-tail case)
     assert(r.map(_._2).toSeq ==
-      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
-    assert(r.map(_._3).toSeq == Seq(4, 4, 4, 1))
-    val empty = TextOps.chunkDocs(Seq((2L, "   ")).toDF("doc_id", "text"),
+      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(r.map(_._3).toSeq == Seq(4, 4, 4))
+    // a doc shorter than chunkSize emits exactly ONE chunk
+    val short = TextOps.chunkDocs(Seq((3L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 1).select("chunk_text").as[String].collect()
+    assert(short.toSeq == Seq("a b c"))
+    // empty and NULL text both yield one ("", 0) chunk, not zero rows
+    val empty = TextOps.chunkDocs(
+      Seq((2L, Some("   ")), (4L, None)).toDF("doc_id", "text"),
       "doc_id", "text", 4, 1).select("chunk_text", "n_tokens")
       .as[(String, Int)].collect()
-    assert(empty.toSeq == Seq(("", 0)))
+    assert(empty.toSeq == Seq(("", 0), ("", 0)))
     intercept[IllegalArgumentException] {
       TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 4)
     }
