@@ -123,7 +123,11 @@ object SparkEntry {
         Seq(
           Raw(sum(col("l_quantity")).as("sum_qty"), "sum_qty"),
           Raw(dsum(col("l_extendedprice")).as("sum_base"), "sum_base"),
-          Raw(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          // rounded to cents AFTER the exact DECIMAL(28,8) accumulation:
+          // at sf >= 0.1 the unrounded double differs by 1 ulp between
+          // engines (DuckDB converts its int128 decimal by float
+          // division; Spark casts the exact decimal) — measured at sf0.1
+          Raw(round(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("sum_disc_price"), "sum_disc_price"),
           Raw((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"), "avg_qty"),
           Raw(min(col("l_extendedprice")).as("min_price"), "min_price"),
@@ -784,7 +788,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,

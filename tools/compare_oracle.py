@@ -2,10 +2,13 @@
 """Local pre-check mimicking the driver's DuckDB-oracle compare:
 for each query with an oracle, load the Spark parquet result and the
 DuckDB result, sort columns by name, sort rows, compare values."""
-import duckdb, glob, json, math, sys
+import duckdb, glob, json, math, os, sys
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf001"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# comma-separated oracle names to skip (e.g. the O(n^2) document-pair
+# oracles when comparing at sf0.1, where DuckDB would grind for minutes)
+skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -24,6 +27,8 @@ def norm(v):
 
 n_ok = n_bad = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print(f"SKIP {name}"); continue
     try:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
