@@ -383,6 +383,48 @@ object SparkEntry {
         .df
     }),
 
+    // ---- composite: TPC-H Q6 shape (pure filter + conditional sum) ----
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(dsum8(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n"))),
+
+    // ---- composite: TPC-H Q14 shape (join + conditional revenue share) -
+    "q_tpch_q14" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          dsum8(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
+          dsum8(disc), 4).as("promo_pct"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- extension: sequential funnel (view -> signup -> purchase) ----
+    // per-user stage times chained by strict ordering; each stage is a
+    // keyed agg + broadcast-able join on user_id — no window needed
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t0"))
+      val sg = ev.where(col("event_type") === "signup")
+        .join(v, Seq("user_id")).where(col("ts_us") > col("t0"))
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(sg, Seq("user_id")).where(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(sg.agg(count(lit(1)).as("n_signup_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_signup")))
+    }),
+
     // ---- extension: as-of join (latest right row at or before left ts) -
     "q_asof_join" -> ((s, dir) => {
       // microsecond epoch on both sides: DuckDB timestamps are us-precision
@@ -711,7 +753,27 @@ object SparkEntry {
     // ---- LLM: stubbed decode / feature extraction (mapPartitions) -----
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.mediaFromDocs(t(s, dir, "documents")))
-        .select(col("media_id"), col("n_bytes"), col("byte_mean"))))
+        .select(col("media_id"), col("n_bytes"), col("byte_mean"))),
+
+    // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
+    // The md5-derived stub embedding is reproducible in SQL, so the whole
+    // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
+    // oracle. Components stay DOUBLE here (bit-parity with the oracle's
+    // arithmetic, left-assoc sums both sides); the array<float> variant
+    // of the same stub (Multimodal.featurizeStub) feeds the ANN ops and
+    // is covered in MultimodalSpec.
+    "q_multimodal_embed" -> ((s, dir) => {
+      val m = Multimodal.mediaFromDocs(t(s, dir, "documents"))
+      val es = (0 until 8).map { i =>
+        (conv(substring(md5(concat(col("payload"),
+          lit(i.toString).cast("binary"))), 1, 8), 16, 10).cast("long")
+          % 1000L) / lit(999.0)
+      }
+      val sumv = es.reduce(_ + _)
+      val sumsq = es.map(e => e * e).reduce(_ + _)
+      m.select(col("media_id"), col("kind"),
+        round(sumv / (sqrt(sumsq) * lit(math.sqrt(8.0))), 4).as("probe_cos"))
+    }))
 
   /** Driver-side fetch of the probe vector (vec_id=0) — a 1-row lookup,
     * the documented pattern for parameterizing an ANN probe. */
@@ -998,6 +1060,42 @@ object SparkEntry {
         |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
 
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(28,8))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,8))) AS DOUBLE), 4) AS promo_pct,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |sg AS (
+        |  SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'signup' AND ts_us > t0 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN sg USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t1 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM sg) AS n_signup_after_view,
+        |       (SELECT count(*) FROM p) AS n_purchase_after_signup""".stripMargin,
+
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
@@ -1276,6 +1374,22 @@ object SparkEntry {
         |  substring(text, 1, 4) AS format,
         |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+
+    // the md5-derived stub embedding, reproduced value-for-value; sums
+    // are written left-associative to match the engine's reduce order
+    "q_multimodal_embed" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |    [CAST((('0x' || substring(md5(text || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        |           % 1000) / 999.0 AS DOUBLE) for i in range(0, 8)] AS v
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |  round((v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8]) /
+        |        (sqrt(v[1]*v[1]+v[2]*v[2]+v[3]*v[3]+v[4]*v[4]
+        |              +v[5]*v[5]+v[6]*v[6]+v[7]*v[7]+v[8]*v[8])
+        |         * sqrt(8.0)), 4) AS probe_cos
+        |FROM m""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,

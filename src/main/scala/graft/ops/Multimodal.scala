@@ -97,6 +97,22 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB feature extractor: a `dim`-dimensional deterministic embedding
+    * derived from the payload's md5 — standing in for a real image/audio
+    * encoder (the codec libs aren't in this container). The plumbing is
+    * the real contract: binary in, fixed-width `array<float>` out, pure
+    * per-row codegen-friendly expressions, no UDF, no shuffle; the output
+    * feeds the ANN/near-dup ops directly (Similarity.lshTopK etc.). Each
+    * component is (md5(payload || i)[0:8] as int) % 1000 / 999 in [0,1]. */
+  def featurizeStub(media: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    media.withColumn("embedding", array((0 until dim).map { i =>
+      ((conv(substring(md5(concat(col("payload"),
+          lit(i.toString).cast("binary"))), 1, 8), 16, 10).cast("long")
+        % 1000L) / lit(999.0)).cast("float")
+    }: _*))
+  }
+
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */

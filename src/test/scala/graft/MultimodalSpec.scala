@@ -53,4 +53,23 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Array[Byte]]].collect().head
     assert(frames.length == 1 && frames.head.length == 64)
   }
+
+  test("featurize stub emits deterministic fixed-width float vectors that feed the ANN ops") {
+    graft.Graft.init(spark)
+    val m = Multimodal.featurizeStub(Multimodal.mediaFromDocs(docs), dim = 8)
+    val vs = m.select("media_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(vs.forall(_._2.length == 8))
+    assert(vs.forall(_._2.forall(x => x >= 0f && x <= 1f)))
+    // deterministic across evaluations
+    val again = Multimodal.featurizeStub(Multimodal.mediaFromDocs(docs), 8)
+      .select("media_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(vs.toSeq == again.toSeq)
+    // and the output plugs straight into the similarity surface
+    val q = vs.head._2.toArray
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      m.select(col("media_id").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", q, 2).collect()
+    assert(topk.length == 2 && topk.head.getLong(0) == vs.head._1)
+  }
 }
