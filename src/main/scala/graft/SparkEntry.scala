@@ -35,6 +35,16 @@ object SparkEntry {
   private def dsum8(c: Column): Column =
     sum(c.cast(DecimalType(28, 8))).cast("double")
 
+  /** Exact DECIMAL(28,8) sum rounded to `scale` IN DECIMAL, then cast.
+    * The rounding must happen before the cast: a cents value's integer
+    * representation stays below 2^53, so both engines' decimal->double
+    * conversions reduce to one correctly-rounded IEEE division and agree
+    * bit-for-bit — whereas casting the scale-8 sum first double-rounds
+    * and measurably diverges by 1 ulp across engines at sf >= 0.1
+    * (DuckDB float-divides its int128; Spark casts the exact decimal). */
+  private def dsum8r(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(28, 8))), scale).cast("double")
+
   /** events with ts normalized: parquet TIMESTAMP(NANOS) arrives as a long
     * (spark.sql.legacy.parquet.nanosAsLong) — expose both an epoch-seconds
     * long and a microsecond timestamp. Integer `div` keeps full precision
@@ -42,6 +52,12 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts_sec", expr("ts div 1000000000"))
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+
+  /** events with ts_us as a PLAIN LONG of epoch-micros (not a timestamp)
+    * — the form the as-of join and funnel order by; one definition so no
+    * query silently shadows the timestamp column with a long. */
+  private def eventsUsLong(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
     * curation pipeline exercises the engine end-to-end: quality scoring
@@ -123,11 +139,7 @@ object SparkEntry {
         Seq(
           Raw(sum(col("l_quantity")).as("sum_qty"), "sum_qty"),
           Raw(dsum(col("l_extendedprice")).as("sum_base"), "sum_base"),
-          // rounded to cents AFTER the exact DECIMAL(28,8) accumulation:
-          // at sf >= 0.1 the unrounded double differs by 1 ulp between
-          // engines (DuckDB converts its int128 decimal by float
-          // division; Spark casts the exact decimal) — measured at sf0.1
-          Raw(round(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"), "sum_disc_price"),
           Raw((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"), "avg_qty"),
           Raw(min(col("l_extendedprice")).as("min_price"), "min_price"),
@@ -360,7 +372,7 @@ object SparkEntry {
         .join(Frame(t(s, dir, "lineitem")), Seq(("o_orderkey", "l_orderkey")))
         .filter(Raw(col("l_shipdate") > lit("1998-06-01"), "cond"))
         .aggregate(Seq(E.col("l_orderkey")),
-          Seq(Raw(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"), "revenue")))
         .sort((E.col("revenue"), false), (E.col("l_orderkey"), true))
         .limit(10).df
@@ -377,40 +389,44 @@ object SparkEntry {
         .join(Frame(t(s, dir, "region")), Seq(("n_regionkey", "r_regionkey")))
         .filter(Raw(col("r_name") === lit("ASIA"), "asia"))
         .aggregate(Seq(E.col("n_name")),
-          Seq(Raw(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"), "revenue"),
             Raw(count(lit(1)).as("n_items"), "n_items")))
         .df
     }),
 
-    // ---- composite: TPC-H Q6 shape (pure filter + conditional sum) ----
+    // ---- composite: TPC-H Q6 shape (pure filter + conditional sum),
+    // expressed on the engine surface like Q3/Q5 ----------------------
     "q_tpch_q6" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01") &&
+      Frame(t(s, dir, "lineitem"))
+        .filter(Raw(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(round(dsum8(col("l_extendedprice") * col("l_discount")), 2)
-          .as("revenue"), count(lit(1)).as("n"))),
+          col("l_quantity") < 24, "q6_range"))
+        .aggregate(Seq.empty,
+          Seq(Raw(dsum8r(col("l_extendedprice") * col("l_discount"))
+            .as("revenue"), "revenue"),
+            Raw(count(lit(1)).as("n"), "n"))).df),
 
     // ---- composite: TPC-H Q14 shape (join + conditional revenue share) -
     "q_tpch_q14" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-03-01") &&
-          col("l_shipdate") < lit("1996-04-01"))
-        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .agg(round(lit(100.0) *
-          dsum8(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
-          dsum8(disc), 4).as("promo_pct"),
-          count(lit(1)).as("n"))
+      Frame(t(s, dir, "lineitem"))
+        .filter(Raw(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"), "q14_month"))
+        .join(Frame(t(s, dir, "part")), Seq(("l_partkey", "p_partkey")))
+        .aggregate(Seq.empty,
+          Seq(Raw(round(lit(100.0) *
+            dsum8r(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) /
+            dsum8r(disc), 4).as("promo_pct"), "promo_pct"),
+            Raw(count(lit(1)).as("n"), "n"))).df
     }),
 
     // ---- extension: sequential funnel (view -> signup -> purchase) ----
     // per-user stage times chained by strict ordering; each stage is a
     // keyed agg + broadcast-able join on user_id — no window needed
     "q_funnel" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsUsLong(s, dir)
         .select(col("user_id"), col("event_type"), col("ts_us"))
       val v = ev.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t0"))
@@ -428,7 +444,7 @@ object SparkEntry {
     // ---- extension: as-of join (latest right row at or before left ts) -
     "q_asof_join" -> ((s, dir) => {
       // microsecond epoch on both sides: DuckDB timestamps are us-precision
-      val ev = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsUsLong(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       // right side pre-deduped to one row per (user, time), keeping the
@@ -764,11 +780,7 @@ object SparkEntry {
     // is covered in MultimodalSpec.
     "q_multimodal_embed" -> ((s, dir) => {
       val m = Multimodal.mediaFromDocs(t(s, dir, "documents"))
-      val es = (0 until 8).map { i =>
-        (conv(substring(md5(concat(col("payload"),
-          lit(i.toString).cast("binary"))), 1, 8), 16, 10).cast("long")
-          % 1000L) / lit(999.0)
-      }
+      val es = (0 until 8).map(i => Multimodal.embedComponent(col("payload"), i))
       val sumv = es.reduce(_ + _)
       val sumsq = es.map(e => e * e).reduce(_ + _)
       m.select(col("media_id"), col("kind"),
@@ -850,7 +862,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
@@ -1037,7 +1049,7 @@ object SparkEntry {
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -1049,7 +1061,7 @@ object SparkEntry {
 
     "q_tpch_q5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -1061,8 +1073,8 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     "q_tpch_q6" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
-        |    AS DECIMAL(28,8))) AS DOUBLE), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -1071,11 +1083,11 @@ object SparkEntry {
 
     "q_tpch_q14" ->
       """SELECT round(100.0 *
-        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
         |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-        |      AS DECIMAL(28,8))) AS DOUBLE) /
-        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |      AS DECIMAL(28,8))) AS DOUBLE), 4) AS promo_pct,
+        |      AS DECIMAL(28,8))), 2) AS DOUBLE) /
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,8))), 2) AS DOUBLE), 4) AS promo_pct,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,

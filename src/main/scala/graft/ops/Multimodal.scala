@@ -106,12 +106,18 @@ object Multimodal {
     * component is (md5(payload || i)[0:8] as int) % 1000 / 999 in [0,1]. */
   def featurizeStub(media: DataFrame, dim: Int = 8): DataFrame = {
     require(dim >= 1, "dim must be positive")
-    media.withColumn("embedding", array((0 until dim).map { i =>
-      ((conv(substring(md5(concat(col("payload"),
-          lit(i.toString).cast("binary"))), 1, 8), 16, 10).cast("long")
-        % 1000L) / lit(999.0)).cast("float")
-    }: _*))
+    media.withColumn("embedding", array((0 until dim).map(i =>
+      embedComponent(col("payload"), i).cast("float")): _*))
   }
+
+  /** One stub-embedding component as a DOUBLE column — the single
+    * definition shared by [[featurizeStub]] (float-cast for the ANN ops)
+    * and the oracle-checked q_multimodal_embed query (double, bit-parity
+    * with the DuckDB formula). Changing the stub here changes both. */
+  def embedComponent(payload: org.apache.spark.sql.Column, i: Int):
+      org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(payload, lit(i.toString).cast("binary"))),
+      1, 8), 16, 10).cast("long") % 1000L) / lit(999.0)
 
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row

@@ -55,7 +55,6 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("featurize stub emits deterministic fixed-width float vectors that feed the ANN ops") {
-    graft.Graft.init(spark)
     val m = Multimodal.featurizeStub(Multimodal.mediaFromDocs(docs), dim = 8)
     val vs = m.select("media_id", "embedding")
       .as[(Long, Seq[Float])].collect().sortBy(_._1)

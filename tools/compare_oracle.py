@@ -8,7 +8,8 @@ out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf001"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 # comma-separated oracle names to skip (e.g. the O(n^2) document-pair
 # oracles when comparing at sf0.1, where DuckDB would grind for minutes)
-skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
+skip = set(filter(None, (n.strip() for n in
+                         os.environ.get("ORACLE_SKIP", "").split(","))))
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -16,6 +17,8 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+for unknown in sorted(skip - set(oracle)):
+    print(f"WARN unknown ORACLE_SKIP entry: {unknown!r}")
 
 def norm(v):
     if v is None: return "NULL"
