@@ -422,6 +422,25 @@ object SparkEntry {
             Raw(count(lit(1)).as("n"), "n"))).df
     }),
 
+    // ---- extension: approximate sketches within pinned tolerance ------
+    // HLL++ distinct and quantile-sketch median, each checked against its
+    // exact counterpart IN the query; the oracle pins the exact values
+    // and `true` for the tolerance flags, so the driver verifies both
+    // that the sketches run and that their error stays in budget
+    // (HLL default rsd 0.05 -> 0.15 is a 3-sigma bound).
+    "q_approx_sketches" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+          approx_count_distinct(col("o_custkey")).as("apx_d"),
+          countDistinct(col("o_custkey")).as("exact_d"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("apx_m"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_m"))
+        .select(col("exact_d").as("exact_distinct"),
+          (abs(col("apx_d") - col("exact_d")) <=
+            col("exact_d") * 0.15).as("distinct_ok"),
+          round(col("exact_m"), 2).as("exact_median"),
+          (abs(col("apx_m") - col("exact_m")) <=
+            col("exact_m") * 0.05).as("median_ok"))),
+
     // ---- extension: sequential funnel (view -> signup -> purchase) ----
     // per-user stage times chained by strict ordering; each stage is a
     // keyed agg + broadcast-able join on user_id — no window needed
@@ -1091,6 +1110,13 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+
+    "q_approx_sketches" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_distinct,
+        |  true AS distinct_ok,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+        |  true AS median_ok
+        |FROM orders""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (
