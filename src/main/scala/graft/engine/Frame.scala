@@ -142,10 +142,14 @@ final case class Frame(df: DataFrame) {
 
   /** Sink facade (extension — the reference has no sinks, SURVEY.md §2.5):
     * distributed write, one file per partition; combine with
-    * [[repartition]]/[[coalesce]] to control output file count/size. */
+    * [[repartition]]/[[coalesce]] to control output file count/size.
+    * `partitionBy` lays the output out hive-style (col=value directories)
+    * so downstream readers get partition pruning for free. */
   def write(path: String, format: String = "parquet",
-            mode: String = "overwrite"): Unit =
-    df.write.format(format).mode(mode).save(path)
+            mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
 
   private def named(e: Expr): Column = e match {
     case _: Alias | _: Raw | _: ColumnRef => e.toColumn

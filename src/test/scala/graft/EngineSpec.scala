@@ -195,6 +195,12 @@ class EngineSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() == 4)
     assert(back.columns.toSeq == people.df.columns.toSeq)
+    // partitioned layout: hive-style dirs, partition column round-trips
+    val pOut = s"$dir/payroll_by_dept"
+    payroll.write(pOut, partitionBy = Seq("dept"))
+    assert(new java.io.File(pOut).listFiles().exists(_.getName.startsWith("dept=")))
+    val pruned = spark.read.parquet(pOut).where(sc("dept") === "eng")
+    assert(pruned.count() == 3)
   }
 
   test("unary operators: not, negate, null checks") {
