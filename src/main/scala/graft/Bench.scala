@@ -6,7 +6,16 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Evaluation is forced through
   * `queryExecution.toRdd.count()` — the physical plan is already fixed at
   * that point, so Catalyst cannot prune the projected/computed columns the
-  * way a plain `df.count()` would (VERDICT r1, "What's wrong" #2). */
+  * way a plain `df.count()` would (VERDICT r1, "What's wrong" #2).
+  *
+  * Run hygiene (VERDICT r3, "What's wrong" #1/#2): each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+  * MEDIAN, so one GC pause or JIT warmup can't masquerade as a plan
+  * regression; `spark.catalog.clearCache()` runs between measurements so
+  * no query inherits (or pays eviction for) a predecessor's cached
+  * intermediates — a 14-entry single-JVM bench otherwise accumulates
+  * session-lifetime caches and the tail entries degrade for reasons that
+  * have nothing to do with their plans. */
 object Bench {
   /** Representative slice (stable from round 2 on): scan-heavy agg,
     * broadcast join, outer join, window fns, top-k, sessionize, the
@@ -19,23 +28,42 @@ object Bench {
     "q_jaccard_pairs05", "q_minhash_lsh", "q_ann_topk", "q_quality",
     "q_corpus_curate")
 
+  /** Upper median — with the default 3 runs, the true middle value. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT/codegen/parquet-footer costs land here, not in query #1
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = headline.map { name =>
+
+    def timed(body: => Unit): (Double, Boolean) = {
+      // every measurement starts from an empty SQL cache: caching is part
+      // of a query's OWN cost, not a subsidy it leaves for its successors
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      // lookup inside the try: one stale headline name must cost one
-      // entry, not the whole round's benchmark output
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { body; true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+          System.err.println(s"[bench] failed: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    val results = headline.map { name =>
+      val samples = (1 to runs).map { _ =>
+        // lookup inside the try: one stale headline name must cost one
+        // entry, not the whole round's benchmark output
+        timed(SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count())
+      }
+      val ok = samples.map(_._1).zip(samples.map(_._2)).collect { case (t, true) => t }
+      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
     }
     // streaming headline: the same tumbling-window aggregation the batch
     // oracle q_events_hourly verifies, driven as a REAL Structured
@@ -45,26 +73,30 @@ object Bench {
     // micro-batches to completion.
     val streaming = {
       val name = "s_windowed_counts"
-      try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-          dir.resolve("events.parquet"))
-        val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-        val t0 = System.nanoTime()
-        val q = graft.streaming.StreamOps.windowedCounts(
-            graft.streaming.StreamOps.withEventTime(
-              spark.readStream.schema(schema).parquet(dir.toString)))
-          .writeStream.format("memory").queryName("bench_stream")
-          .outputMode("complete").start()
-        q.processAllAvailable(); q.stop()
-        val n = spark.table("bench_stream").count()
-        require(n > 0, "streaming query produced no windows")
-        (name, (System.nanoTime() - t0) / 1e9, true)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] s_windowed_counts failed: ${e.getMessage}")
-        (name, -1.0, false)
+      val samples = (1 to runs).map { i =>
+        try {
+          val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-stream$i")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+            dir.resolve("events.parquet"))
+          val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+          timed {
+            val q = graft.streaming.StreamOps.windowedCounts(
+                graft.streaming.StreamOps.withEventTime(
+                  spark.readStream.schema(schema).parquet(dir.toString)))
+              .writeStream.format("memory").queryName(s"bench_stream$i")
+              .outputMode("complete").start()
+            q.processAllAvailable(); q.stop()
+            val n = spark.table(s"bench_stream$i").count()
+            require(n > 0, "streaming query produced no windows")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, false)
+        }
       }
+      val ok = samples.collect { case (t, true) => t }
+      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
     }
     val all = results :+ streaming
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
@@ -73,8 +105,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = all.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"runs":$runs,"sf":"$sfDir"}"""
+    // two delivery paths (VERDICT r3 "What's wrong" #3 — BENCH_r03 came
+    // back parsed:null): stdout (unprefixed now that build.sbt forks the
+    // run with StdoutOutput) and, when SPARK_GRAFT_BENCH_OUT is set, a
+    // file the driver can read without scraping sbt logs at all.
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -547,10 +547,12 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("sum_price"))),
 
     // ---- extension: CUBE (all grouping-set combinations) --------------
+    // routed through the engine surface (Frame.cube, rollup's sibling)
     "q_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+      Frame(t(s, dir, "lineitem"))
+        .cube(Seq(E.col("l_returnflag"), E.col("l_linestatus")),
+          Seq(Raw(count(lit(1)).as("n"), "n"),
+            Raw(sum(col("l_quantity")).as("sum_qty"), "sum_qty"))).df),
 
     // ---- extension: pivot (wide aggregation) --------------------------
     "q_pivot" -> ((s, dir) =>

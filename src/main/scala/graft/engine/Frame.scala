@@ -113,6 +113,14 @@ final case class Frame(df: DataFrame) {
     Frame(df.rollup(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
   }
 
+  /** CUBE aggregation (every grouping-set combination — rollup's sibling,
+    * same partial+final aggregate shape with a grouping-id column). */
+  def cube(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
+    require(aggExprs.nonEmpty, "cube requires at least one aggregate expression")
+    val aggs = aggExprs.map(e => named(e))
+    Frame(df.cube(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   *    duplication through the band explode).
   *  - All hashing is deterministic (seeded xxHash64 chains) across runs,
   *    executors, and retries; no RNG state on the driver.
-  *  - Cache ownership: the small flat intermediates persisted here
-  *    (bucket/prefix tables) stay cached for the session; MEMORY_AND_DISK
-  *    entries are LRU-evicted under pressure, and batch entry points
-  *    (Verify/Bench) reclaim everything at session stop. Long-lived
-  *    sessions running dedup over many corpora should `spark.catalog
-  *    .clearCache()` between corpora.
+  *  - Cache ownership: NOTHING here persists (VERDICT r3 — session-scoped
+  *    caches with no reclaim accumulated across a 14-query bench until
+  *    unrelated queries degraded 4x). The self-joined bucket/prefix
+  *    tables are identical subplans shuffled on the same key, so Spark's
+  *    ReuseExchange computes them ONCE and the second join side reads the
+  *    first's shuffle files — the exact benefit the old persist bought,
+  *    minus the session-lifetime leak. DedupSpec pins both properties
+  *    (ReusedExchange in the plan, empty CacheManager after the action).
   *
   * (Extension surface — the reference engine has no dedup at all; its only
   * distinct-like machinery is the group-by HashMap in
@@ -95,11 +97,12 @@ object Dedup {
     import graft.functions.ShingleExprs._
     val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
-    // persist: the (tiny, flat) bucket table is both sides of the self-join
+    // the bucket table is both sides of the self-join; both sides are the
+    // SAME deterministic subplan exchanged on the same key, so ReuseExchange
+    // materializes it once (no persist — see the cache-ownership header)
     val buckets = sets
       .select(col("id"), explode(bandKeys(minhashSig64(col("sh"),
         bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -161,7 +164,9 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
       .where(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold) - EPS) + 1)
       .select(col("id"), col("sz"), col("pos"), col("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix is both sides of the candidate self-join: same subplan, same
+    // tok exchange -> ReuseExchange computes it once (no persist; see the
+    // cache-ownership header)
     // two more EXACT prunes inside the candidate join:
     //  - length filter: J >= t forces t*|B| <= |A| <= |B|/t;
     //  - positional filter (PPJoin): a shared prefix token at positions

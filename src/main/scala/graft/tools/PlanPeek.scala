@@ -7,7 +7,8 @@ object PlanPeek {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val p = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    val p = graft.SparkEntry.queries(args(0))(
+        spark, if (args.length > 1) args(1) else "/root/testdata/sf0.001")
       .queryExecution.explainString(FormattedMode)
     println(p)
     spark.stop()

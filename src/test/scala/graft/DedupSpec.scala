@@ -159,6 +159,34 @@ class DedupSpec extends SparkSpec {
     assert(u.count() >= 0) // must analyze + execute, row count irrelevant
   }
 
+  test("dedup ops leave no session-lifetime cache behind (VERDICT r3 #2)") {
+    // the r3 bench showed unrelated queries degrading 4x as persisted
+    // bucket/prefix tables accumulated across a 14-entry single-JVM run;
+    // the ops now own no cache at all
+    spark.catalog.clearCache()
+    Dedup.minhashNearDups(docs, "doc_id", "text", 2, 16, 4, 0.5).collect()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashNearDups/jaccardPairs must not register CacheManager entries")
+  }
+
+  test("self-join sides reuse one exchange when too big to broadcast") {
+    // at data scales where the bucket table exceeds the broadcast
+    // threshold, the two (identical, deterministic) self-join sides must
+    // resolve to ONE exchange + a ReusedExchange — the no-persist design
+    // relies on it (Dedup cache-ownership header)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.minhashNearDups(docs, "doc_id", "text", 2, 16, 4, 0.5)
+      df.collect() // AQE inserts ReusedExchange at runtime, not in the
+                   // initial plan — inspect the final adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"expected a ReusedExchange in the non-broadcast self-join plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash64 value is stable and order-sensitive input changes it") {
     val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")

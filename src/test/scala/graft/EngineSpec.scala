@@ -223,6 +223,21 @@ class EngineSpec extends SparkSpec {
     assert(u.count() == 6)
   }
 
+  test("rollup and cube emit their grouping-set combinations") {
+    import spark.implicits._
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("k1", "k2", "v")
+    val groups = Seq(E.col("k1"), E.col("k2"))
+    val aggs = Seq(E.sum(E.col("v")).as("s"))
+    // rollup: (k1,k2), (k1), (): 3 + 2 + 1 rows
+    assert(Frame(d).rollup(groups, aggs).count() == 6)
+    // cube adds the (k2) set: 3 + 2 + 2 + 1 rows
+    val c = Frame(d).cube(groups, aggs).df
+    assert(c.count() == 8)
+    val total = c.where(sc("k1").isNull && sc("k2").isNull)
+      .select("s").as[Long].head()
+    assert(total == 6L)
+  }
+
   // reference: logical_plan.rs:113-204 (plan inspection)
   test("explain surfaces the optimized plan") {
     val e = people.filter(E.col("age") >= E.lit(24))
