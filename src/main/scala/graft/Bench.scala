@@ -37,7 +37,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
+    // shuffle-partition count decoupled from thread count for sizing
+    // experiments (VERDICT r3 ask #5); default stays = cpus
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
+    val spark = GraftSession.create(s"local[$cpus]", shuffle)
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT/codegen/parquet-footer costs land here, not in query #1
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -480,6 +480,22 @@ object SparkEntry {
         Seq("click_id", "click_us"))
     }),
 
+    // same as-of join through the TIME-RANGE SALTED path (skew defense:
+    // each user's window split across 8 time buckets + carry pre-pass) —
+    // byte-identical result, so it shares q_asof_join's oracle SQL
+    "q_asof_salted" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), col("click_id"),
+          col("ts_us").as("click_us"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
+        Seq("click_id", "click_us"), saltBuckets = 8)
+    }),
+
     // ---- extension: analytic window frames (rank, lag, running sum) ---
     "q_window_frames" -> ((s, dir) => {
       Catalog.forTestdata(s, dir)
@@ -1163,6 +1179,21 @@ object SparkEntry {
         |       (SELECT count(*) FROM p) AS n_purchase_after_signup""".stripMargin,
 
     "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         max(event_id) AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // the salted path must produce the identical result — same oracle
+    "q_asof_salted" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |  FROM events WHERE event_type = 'purchase'),

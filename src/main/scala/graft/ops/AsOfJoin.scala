@@ -19,24 +19,40 @@ import org.apache.spark.sql.functions._
   *   3. keep only the left rows.
   *
   * Cost: ONE shuffle on the key column — the same cost as any keyed
-  * aggregation, no join blowup, no range comparison per pair. Skewed keys
-  * behave like any windowed aggregation (salt-able if a key dominates).
+  * aggregation, no join blowup, no range comparison per pair.
+  *
+  * SKEW (`saltBuckets`, VERDICT r3 ask #7): the plain form puts a key's
+  * ENTIRE history in one window partition — a single hot key (one user
+  * with a billion events) lands on one task. `saltBuckets = B > 1` splits
+  * every key's window by TIME RANGE instead: the observed time span is cut
+  * into B fixed-width buckets, each (key, bucket) windows independently,
+  * and a tiny carry pre-pass (per-(key,bucket) latest right row, then a
+  * B-row-per-key running max) injects "the latest right row from any
+  * earlier bucket" as one synthetic row per bucket, preserving exact
+  * semantics. The hot key's history now spreads over B tasks; the
+  * pre-pass shuffles only (key, bucket)-cardinality rows, never data.
+  * Requires a time column with a monotonic cast to long (numeric or
+  * timestamp — bucketing only needs order preservation, not precision).
   *
   * (Extension surface — the reference engine has only an inner equi-join,
   * reference: src/physical_plan/nested_loop_join.rs:62-191.)
   */
 object AsOfJoin {
 
-  /** @param left       rows to enrich
-    * @param right      rows providing the carried payload
-    * @param keyCol     equi-key present in both sides
-    * @param timeCol    monotonic order column present in both sides
+  /** @param left        rows to enrich
+    * @param right       rows providing the carried payload
+    * @param keyCol      equi-key present in both sides
+    * @param timeCol     monotonic order column present in both sides
     * @param payloadCols right-side columns to carry (become `asof_<name>`)
+    * @param saltBuckets > 1 splits each key's window into that many
+    *                    time-range buckets (skew defense, same result)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+      timeCol: String, payloadCols: Seq[String],
+      saltBuckets: Int = 1): DataFrame = {
     val leftCols = left.columns.toSeq
-    val reserved = Seq("_tag", "_r", "_asof") ++ payloadCols.map("asof_" + _)
+    val reserved = Seq("_tag", "_r", "_asof", "_b", "_last", "_carry") ++
+      payloadCols.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         leftCols.filter(reserved.contains).mkString(", "))
@@ -62,17 +78,57 @@ object AsOfJoin {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(lAligned.columns.map(col): _*)
+    val unioned = lAligned.unionByName(rAligned)
 
-    // final `_r` tiebreaker: several right rows at the same (key, time)
-    // would otherwise resolve by physical row order — nondeterministic
-    // across retries; struct ordering makes last() pick the max payload
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(timeCol), col("_tag"), col("_r").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lAligned.unionByName(rAligned)
-      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
-      .where(col("_tag") === 1)
-      .select((leftCols.map(col) ++
-        payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+    def finish(df: DataFrame, partCols: Seq[String]): DataFrame = {
+      // final `_r` tiebreaker: several right rows at the same (key, time)
+      // would otherwise resolve by physical row order — nondeterministic
+      // across retries; struct ordering makes last() pick the max payload
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col(timeCol), col("_tag"), col("_r").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+        .where(col("_tag") === 1)
+        .select((leftCols.map(col) ++
+          payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+    }
+
+    if (saltBuckets <= 1) return finish(unioned, Seq(keyCol))
+
+    // ---- time-range salted path ------------------------------------
+    // observed span -> B fixed-width buckets (2 driver scalars, one agg)
+    val mm = unioned.select(col(timeCol).cast("long").as("_t"))
+      .where(col("_t").isNotNull).agg(min("_t"), max("_t")).head()
+    if (mm.isNullAt(0)) return finish(unioned, Seq(keyCol)) // no usable times
+    val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val width = (tmax - tmin) / saltBuckets + 1 // >= 1, covers tmax
+    val withB = unioned.withColumn("_b",
+      ((col(timeCol).cast("long") - lit(tmin)) / lit(width)).cast("long"))
+    // latest right row per (key, bucket): max struct(time, payload) is
+    // exactly the row last() would carry (same (time, _r) tie-break)
+    val rb = withB.where(col("_tag") === 0)
+      .groupBy(col(keyCol), col("_b"))
+      .agg(max(struct(col(timeCol).as("t"), col("_r").as("r"))).as("_last"))
+    // carry INTO bucket b = running max over strictly earlier buckets, on
+    // the full (key, bucket) grid (left-only buckets still need a carry).
+    // Window size <= saltBuckets rows per key — driver-small per task.
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = withB.select(col(keyCol), col("_b")).distinct()
+      .join(rb, Seq(keyCol, "_b"), "left")
+      .withColumn("_carry", max(col("_last")).over(wCarry))
+      .where(col("_carry").isNotNull)
+    // one synthetic right row per (key, bucket), at the carried row's
+    // ORIGINAL time: strictly earlier than every in-bucket time (the cast
+    // is monotonic), so it sorts first in the bucket's window and any real
+    // in-bucket right row at or before a left row correctly wins over it
+    val carryRows = carries.select(lAligned.columns.map {
+      case "_tag" => lit(0).as("_tag")
+      case "_r" => col("_carry.r").as("_r")
+      case c if c == keyCol => col(keyCol)
+      case c if c == timeCol => col("_carry.t").as(timeCol)
+      case c => lit(null).cast(left.schema(c).dataType).as(c)
+    } :+ col("_b"): _*)
+    finish(withB.unionByName(carryRows), Seq(keyCol, "_b"))
   }
 }

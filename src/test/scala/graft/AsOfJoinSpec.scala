@@ -77,6 +77,44 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("time-range salted as-of equals the unsalted result on a skewed fixture") {
+    // one hot key carrying ~90% of all rows — exactly the shape the
+    // salting targets — plus normal keys, equal-time ties, a key with
+    // right rows only in early buckets (carry must cross empty buckets),
+    // and a left-only key
+    val rnd = new scala.util.Random(7)
+    val leftRows =
+      (1 to 400).map(i => (0L, rnd.nextInt(2000).toLong, i.toLong)) ++ // hot
+      (1 to 40).map(i => (1L + rnd.nextInt(3), rnd.nextInt(2000).toLong, 1000L + i)) ++
+      Seq((9L, 1999L, 9001L), (9L, 3L, 9002L)) // key 9: rights only at t<10
+    val rightRows =
+      (1 to 300).map(_ => (0L, rnd.nextInt(2000).toLong, rnd.nextInt(50).toLong)) ++
+      (1 to 30).map(_ => (1L + rnd.nextInt(3), rnd.nextInt(2000).toLong, 100L + rnd.nextInt(9))) ++
+      Seq((9L, 2L, 900L), (9L, 7L, 901L))
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid")
+    val plain = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    for (buckets <- Seq(2, 7, 64)) {
+      val salted = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        saltBuckets = buckets)
+        .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      assert(salted == plain, s"saltBuckets=$buckets diverged from unsalted")
+    }
+  }
+
+  test("salted as-of handles degenerate spans (all times equal, empty right)") {
+    val left = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, 42L)).toDF("k", "t", "rid")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), saltBuckets = 8)
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(r == Map("a" -> Some(42L), "b" -> None))
+    val empty = right.where(org.apache.spark.sql.functions.col("rid") < 0)
+    val r2 = AsOfJoin.asOf(left, empty, "k", "t", Seq("rid"), saltBuckets = 4)
+      .select("asof_rid").as[Option[Long]].collect().toSeq
+    assert(r2 == Seq(None, None))
+  }
+
   test("left payload columns pass through unchanged") {
     val left = Seq((1L, 10L, 3.5)).toDF("k", "t", "v")
     val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")
