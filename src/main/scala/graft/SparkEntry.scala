@@ -738,6 +738,37 @@ object SparkEntry {
       TextOps.fingerprints(t(s, dir, "documents"))
         .select(col("doc_id"), col("fp_rolling"), col("fp_winnow"))),
 
+    // ---- LLM: PII redaction (emails / IPv4 / digit runs) --------------
+    // The fixture text is synthetic and PII-free, so the query first
+    // plants deterministic PII per doc (email + ip + account number
+    // derived from doc_id — reproducible in SQL on both engines), then
+    // redacts: the oracle checks real substitutions, not a no-op.
+    "q_pii_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0.0."),
+          col("doc_id") % 256, lit(" id 1234567890")).as("text"))
+      TextOps.redactPii(withPii) // counts cast long: DuckDB len() is BIGINT
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_digit_runs").cast("long").as("n_digit_runs"),
+          col("text_redacted"))
+    }),
+
+    // ---- LLM: vocabulary extraction (token -> tf / doc frequency) -----
+    // top slice by (tf desc, token) for a deterministic result set
+    "q_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(t(s, dir, "documents"))
+        .orderBy(col("tf").desc, col("token")).limit(100)),
+
+    // ---- LLM: embedding L2 norms (codegen'd self-dot, map-only) -------
+    "q_embed_norm" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(sqrt(graft.functions.VectorExprs.dot(col("embedding"),
+          col("embedding"))), 4).as("l2_norm"))
+    }),
+
     // ---- LLM: cosine scoring against a query vector (exact, codegen'd) -
     "q_ann_cosine" -> ((s, dir) => {
       Graft.init(s)
@@ -1443,6 +1474,37 @@ object SparkEntry {
         |  FROM w)
         |SELECT substr(key, 15) AS lang_pred, count(*) AS n
         |FROM s GROUP BY 1""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.0.'
+        |      || (doc_id % 256) || ' id 1234567890' AS text
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS n_digit_runs,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{9,}\b', '<NUM>', 'g') AS text_redacted
+        |FROM d""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+        |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_aggregate(
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')), 4)
+        |    AS l2_norm
+        |FROM embeddings""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -79,6 +79,16 @@ object Similarity {
     }: _*)
   }
 
+  /** L2-normalized copy of an embedding column (unit vectors) — the
+    * preprocessing step that lets downstream ANN use plain dot products
+    * as cosine. Per-row, shuffle-free; zero vectors pass through
+    * unchanged (normalizing them has no defined direction). */
+  def l2Normalize(vec: Column): Column = {
+    val n = sqrt(VectorExprs.dot(vec, vec))
+    when(vec.isNull || n === 0d, vec)
+      .otherwise(transform(vec, x => (x / n).cast("float")))
+  }
+
   /** Exact brute-force cosine top-k against a single query vector.
     * Deterministic tie-break on id. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -117,6 +117,45 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // PII redaction: scrub emails / IPv4 addresses / long digit runs from
+  // a text column before training — the compliance pass every corpus
+  // pipeline runs. Pure per-row regexp chains over codegen'd built-ins:
+  // map-only, no shuffle, linear at 100 TB. Patterns are deliberately
+  // conservative (precision over recall) and stay within the regex
+  // subset Java (Spark) and RE2 (DuckDB/validators) share, so ONE
+  // pattern string serves engine and oracle alike.
+  // --------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val DigitRunRe = "\\b[0-9]{9,}\\b" // phone / account / id digit runs
+
+  /** Per-doc PII counts + the redacted text. Replacement order (email →
+    * ip → digit-run) matters only for overlapping matches and is part of
+    * the documented contract (mirrored by the oracle). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_digit_runs", regexp_count(col(textCol), lit(DigitRunRe)))
+      .withColumn("text_redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRunRe, "<NUM>"))
+
+  // --------------------------------------------------------------------
+  // Vocabulary extraction: token -> (term frequency, document frequency)
+  // — the "build the tokenizer corpus stats" step. One shuffle keyed on
+  // token; partial+final hash aggregation means only one (token, counts)
+  // row per distinct token per partition crosses the wire, so cost is
+  // vocabulary-sized, not corpus-sized.
+  // --------------------------------------------------------------------
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(words(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df_docs"))
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: order-sensitive polynomial rolling hash over
   // the word-hash sequence, computed mod the Mersenne prime 2^31-1 so the
   // accumulator never exceeds ~2^51 (Spark 4 runs ANSI mode — a wrapping

@@ -102,6 +102,52 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L))
   }
 
+  test("PII redaction scrubs emails, IPv4s and digit runs; counts match") {
+    val df = Seq(
+      (0L, "mail me at jane.doe+x@corp.example.org or call 12345678901 " +
+        "from host 192.168.1.100 please"),
+      (1L, "no pii here, just words and the number 42"),
+      (2L, "two mails a@b.io c@d.net one ip 10.0.0.1")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.redactPii(df)
+      .select("doc_id", "n_emails", "n_ipv4", "n_digit_runs", "text_redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0)._2 == 1 && r(0)._3 == 1 && r(0)._4 == 1)
+    assert(r(0)._5 == "mail me at <EMAIL> or call <NUM> from host <IP> please")
+    assert(r(1) == ((1L, 0, 0, 0, "no pii here, just words and the number 42")))
+    assert(r(2)._2 == 2 && r(2)._3 == 1)
+    assert(r(2)._5 == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+
+  test("vocabulary counts term and document frequency per token") {
+    val df = Seq((0L, "the cat sat"), (1L, "the THE dog"), (2L, "cat"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextOps.vocabulary(df)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // lowercased: "the" appears 3x across 2 docs
+    assert(r("the") == ((3L, 2L)))
+    assert(r("cat") == ((2L, 2L)))
+    assert(r("dog") == ((1L, 1L)))
+    assert(r("sat") == ((1L, 1L)))
+  }
+
+  test("l2Normalize yields unit vectors; zero and null vectors pass through") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (0L, Some(Array(3f, 4f))),
+      (1L, Some(Array(0f, 0f))),
+      (2L, Option.empty[Array[Float]])).toDF("id", "v")
+    val r = df.select(col("id"), Similarity.l2Normalize(col("v")).as("n"))
+      .as[(Long, Option[Seq[Float]])].collect().sortBy(_._1)
+    assert(r(0)._2.get == Seq(0.6f, 0.8f))
+    assert(r(1)._2.get == Seq(0f, 0f))
+    assert(r(2)._2.isEmpty)
+    // normalized vector has norm 1 (within float rounding)
+    val n = df.where(col("id") === 0).select(
+      graft.functions.VectorExprs.dot(Similarity.l2Normalize(col("v")),
+        Similarity.l2Normalize(col("v")))).as[Double].collect().head
+    assert(math.abs(n - 1.0) < 1e-6)
+  }
+
   test("array slice values match the joined-string surface (q_array_fns)") {
     // The q_array_fns query only emits first3_str (the driver's comparator
     // cannot hash array cells); the underlying array values are pinned here.
