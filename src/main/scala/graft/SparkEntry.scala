@@ -570,19 +570,21 @@ object SparkEntry {
           Seq(Raw(count(lit(1)).as("n"), "n"),
             Raw(sum(col("l_quantity")).as("sum_qty"), "sum_qty"))).df),
 
-    // ---- extension: pivot (wide aggregation) --------------------------
+    // ---- extension: pivot (wide aggregation, engine surface) ----------
+    // the Raw (unaliased) agg keeps Spark's bare pivot column names F/O
     "q_pivot" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity")))),
+      Frame(t(s, dir, "lineitem"))
+        .pivot(Seq(E.col("l_returnflag")), "l_linestatus", Seq("F", "O"),
+          Seq(Raw(sum(col("l_quantity")), "sum_qty"))).df),
 
-    // ---- extension: explode with position (lateral view) --------------
+    // ---- extension: explode with position (engine surface) ------------
     "q_explode" -> ((s, dir) =>
-      t(s, dir, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
-        .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("word"))),
+      Frame(t(s, dir, "documents"))
+        .filter(Raw(col("doc_id") < 50, "doc_id < 50"))
+        .explode(Raw(split(col("text"), " "), "words"), "pos0", "word",
+          Seq(E.col("doc_id")))
+        .project(E.col("doc_id"),
+          Raw(col("pos0").cast("long").as("pos"), "pos"), E.col("word")).df),
 
     // ---- extension: min_by / max_by (deterministic composite key) -----
     "q_minmax_by" -> ((s, dir) => {

@@ -121,6 +121,60 @@ final case class Frame(df: DataFrame) {
     Frame(df.cube(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
   }
 
+  /** PIVOT (wide aggregation): one output column per pivoted value.
+    * Values are EXPLICIT — the scale-safe form: no hidden distinct pass
+    * over the corpus to discover them. */
+  def pivot(groupExprs: Seq[Expr], pivotCol: String, values: Seq[Any],
+      aggExprs: Seq[Expr]): Frame = {
+    require(aggExprs.nonEmpty, "pivot requires at least one aggregate expression")
+    require(values.nonEmpty, "pivot requires explicit pivot values")
+    val aggs = aggExprs.map(e => named(e))
+    Frame(df.groupBy(groupExprs.map(e => named(e)): _*)
+      .pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Explode-with-position (LATERAL VIEW POSEXPLODE): one output row per
+    * array element of `arrayExpr`, as (posAlias, valAlias), keeping the
+    * `keep` columns. Generates rows inside the scan stage — no shuffle. */
+  def explode(arrayExpr: Expr, posAlias: String, valAlias: String,
+      keep: Seq[Expr]): Frame =
+    Frame(df.select(keep.map(_.toColumn) :+
+      org.apache.spark.sql.functions.posexplode(arrayExpr.toColumn)
+        .as(Seq(posAlias, valAlias)): _*))
+
+  /** Windowed analytics (extension surface, string-fn convention of
+    * [[Exprs.AggFn]]): appends each (fn, operand, alias) column over ONE
+    * window spec. RANK / DENSE_RANK / ROW_NUMBER ignore the operand;
+    * LAG / LEAD read the previous/next row; SUM MIN MAX AVG COUNT run
+    * cumulatively (unbounded preceding .. current row). One shuffle on
+    * the partition keys — same cost class as a keyed aggregation. */
+  def window(partitionBy: Seq[Expr], orderBy: Seq[(Expr, Boolean)],
+      cols: Seq[(String, Expr, String)]): Frame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.{functions => F}
+    require(cols.nonEmpty, "window requires at least one analytic column")
+    val base = W.partitionBy(partitionBy.map(_.toColumn): _*)
+      .orderBy(orderBy.map { case (e, asc) =>
+        if (asc) e.toColumn.asc else e.toColumn.desc }: _*)
+    val running = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val out = cols.map { case (fn, operand, alias) =>
+      val fnU = fn.toUpperCase(java.util.Locale.ROOT)
+      val c = fnU match {
+        case "RANK" => F.rank().over(base)
+        case "DENSE_RANK" => F.dense_rank().over(base)
+        case "ROW_NUMBER" => F.row_number().over(base)
+        case "LAG" => F.lag(operand.toColumn, 1).over(base)
+        case "LEAD" => F.lead(operand.toColumn, 1).over(base)
+        case "SUM" | "MIN" | "MAX" | "AVG" | "COUNT" =>
+          AggFn(fnU, operand).toColumn.over(running)
+        case other => throw new IllegalArgumentException(
+          s"unknown window function: $other")
+      }
+      c.as(alias)
+    }
+    Frame(df.select(df.columns.toSeq.map(org.apache.spark.sql.functions.col) ++ out: _*))
+  }
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —

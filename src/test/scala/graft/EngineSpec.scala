@@ -238,6 +238,48 @@ class EngineSpec extends SparkSpec {
     assert(total == 6L)
   }
 
+  test("pivot widens one column per explicit value") {
+    import spark.implicits._
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("k", "p", "v")
+    val r = Frame(d).pivot(Seq(E.col("k")), "p", Seq("x", "y"),
+      Seq(Raw(ssum(sc("v")), "s"))).df
+    assert(r.columns.toSeq == Seq("k", "x", "y"))
+    val m = r.as[(String, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m("a") == ((Some(1L), Some(2L))))
+    assert(m("b") == ((Some(3L), None)))
+  }
+
+  test("explode emits one positioned row per array element") {
+    import spark.implicits._
+    val d = Seq((7L, "a b c")).toDF("id", "s")
+    val r = Frame(d).explode(
+        Raw(org.apache.spark.sql.functions.split(sc("s"), " "), "arr"),
+        "pos", "w", Seq(E.col("id")))
+      .df.as[(Long, Int, String)].collect().toSeq
+    assert(r == Seq((7L, 0, "a"), (7L, 1, "b"), (7L, 2, "c")))
+  }
+
+  test("window appends rank/lag/running-sum analytics over one spec") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("b", 1L, 5L))
+      .toDF("k", "t", "v")
+    val r = Frame(d).window(Seq(E.col("k")), Seq((E.col("t"), true)),
+        Seq(("row_number", E.lit(1), "rn"), ("lag", E.col("v"), "prev"),
+          ("sum", E.col("v"), "running")))
+      .df.orderBy(sc("k"), sc("t"))
+      .as[(String, Long, Long, Int, Option[Long], Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 1L, 10L, 1, None, 10L),
+      ("a", 2L, 20L, 2, Some(10L), 30L),
+      ("a", 3L, 30L, 3, Some(20L), 60L),
+      ("b", 1L, 5L, 1, None, 5L)))
+    intercept[IllegalArgumentException] {
+      Frame(d).window(Seq(E.col("k")), Seq((E.col("t"), true)),
+        Seq(("median", E.col("v"), "m")))
+    }
+  }
+
   // reference: logical_plan.rs:113-204 (plan inspection)
   test("explain surfaces the optimized plan") {
     val e = people.filter(E.col("age") >= E.lit(24))
