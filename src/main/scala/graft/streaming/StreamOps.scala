@@ -98,6 +98,24 @@ object StreamOps {
     deduped.drop("_fp")
   }
 
+  /** Streaming corpus ingestion: the composed pipeline a training-data
+    * ingest job runs CONTINUOUSLY — quality gate (per-row, pipelines in
+    * the source stage) → watermark-bounded fingerprint dedup → per-source
+    * running totals. The same call works on a batch frame (the dedup
+    * branches to plain dropDuplicates, the aggregation is an ordinary
+    * groupBy), so the batch result IS the oracle for the streaming one —
+    * parity pinned in StreamingSpec. At scale: the only stateful pieces
+    * are the fingerprint store (16 bytes/doc, watermark-evicted) and one
+    * counter row per source. */
+  def ingestCorpus(docs: DataFrame, tsCol: String = "ingest_ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val quality = graft.ops.TextOps.qualitySignals(docs)
+      .where(col("quality_ok"))
+    dedupByFingerprint(quality, "text", tsCol, watermark)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -133,6 +133,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("corpus ingest pipeline: stream result equals the batch run") {
+    implicit val sql = spark.sqlContext
+    // long enough to pass the quality gate's token minimum; doc 3
+    // duplicates doc 1's text (same source, so the kept-row choice
+    // cannot change the per-source counts); doc 4 is low-quality junk
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet green forest before nightfall tonight"
+    val rows = Seq(
+      (1L, "web", good, ts(0)),
+      (2L, "web", good + " with a different ending sentence entirely", ts(1)),
+      (3L, "web", good, ts(2)), // exact dup of doc 1
+      (4L, "books", "x", ts(3))) // fails the quality gate
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "source", "text", "ingest_ts")
+    val q = StreamOps.ingestCorpus(stream)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("complete").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*) // dup arrives in a LATER micro-batch
+    q.processAllAvailable()
+    val streamed = spark.table("ingest")
+      .select("source", "n_docs").as[(String, Long)].collect().toSet
+    q.stop()
+    val batch = StreamOps.ingestCorpus(
+        rows.toDF("doc_id", "source", "text", "ingest_ts"))
+      .select("source", "n_docs").as[(String, Long)].collect().toSet
+    assert(streamed == Set(("web", 2L))) // dup dropped across batches, junk gated
+    assert(streamed == batch) // batch run IS the oracle
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
