@@ -631,6 +631,14 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- LLM: stratified sampling (per-source mixing weights) ---------
+    "q_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+          "source", "text",
+          Map("src0" -> 0, "src1" -> 25, "src2" -> 50), defaultPct = 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -755,6 +763,20 @@ object SparkEntry {
           col("n_ipv4").cast("long").as("n_ipv4"),
           col("n_digit_runs").cast("long").as("n_digit_runs"),
           col("text_redacted"))
+    }),
+
+    // ---- LLM: benchmark decontamination (n-gram overlap vs eval set) --
+    // docs 0..19 play the eval benchmark; planted copies of them at
+    // id+100000 guarantee non-trivial hits, and any NATURAL corpus doc
+    // sharing an 8-gram with the eval docs is flagged too — the oracle
+    // runs the identical construction, so no closed form is needed.
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20).unionByName(
+        evalSet.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
     // ---- LLM: vocabulary extraction (token -> tf / doc frequency) -----
@@ -1321,6 +1343,16 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1""".stripMargin,
 
+    "q_stratified" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bkt,
+        |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 25
+        |                WHEN 'src2' THEN 50 ELSE 100 END AS pct
+        |  FROM documents)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -1492,6 +1524,26 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{9,}\b', '<NUM>', 'g') AS text_redacted
         |FROM d""".stripMargin,
+
+    // mirrors TextOps.wordShingles exactly: docs of <= n-1 words
+    // contribute their whole text as one shingle; DuckDB's 1-based
+    // INCLUSIVE slice ws[i:i+7] is Spark's slice(ws, i, 8)
+    "q_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) - 7 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 7)] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, g FROM g WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
+        |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (

@@ -31,4 +31,21 @@ object Sampling {
   /** Keep a stable ~pct% sample keyed on `keyCol`. */
   def sampleByKey(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(bucketOf(col(keyCol)) < pct)
+
+  /** Stratified deterministic sampling: a different keep-percentage per
+    * stratum (e.g. down-weight web crawl, keep all of books — the data-
+    * mixing step of corpus assembly). Strata missing from `pctByStratum`
+    * fall back to `defaultPct`. Same contract as [[sampleByKey]]: pure
+    * per-row expression, reproducible anywhere md5 exists, and at scale
+    * the predicate pushes down to the scan (with hive-partitioned strata
+    * the scan also partition-prunes fully-dropped strata). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "percentages must be in [0, 100]")
+    val pct = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc) }
+    df.where(bucketOf(col(keyCol)) < pct)
+  }
 }

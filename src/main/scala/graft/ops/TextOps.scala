@@ -142,6 +142,25 @@ object TextOps {
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRunRe, "<NUM>"))
 
   // --------------------------------------------------------------------
+  // Benchmark decontamination: flag corpus documents sharing ANY word
+  // n-gram with an evaluation set — the "don't train on your benchmark"
+  // pass every serious pre-training pipeline runs. The eval side is tiny
+  // by contract (benchmarks are thousands of docs), so its distinct
+  // n-gram set broadcasts and the corpus side NEVER shuffles: scan →
+  // explode → broadcast semi-join → distinct ids. If the eval set
+  // outgrows the broadcast threshold, drop the hint and the same plan
+  // runs as a gram-keyed shuffle join — still never all-pairs.
+  // --------------------------------------------------------------------
+  def contaminatedIds(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
+    corpus.select(col(idCol), explode(wordShingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  // --------------------------------------------------------------------
   // Vocabulary extraction: token -> (term frequency, document frequency)
   // — the "build the tokenizer corpus stats" step. One shuffle keyed on
   // token; partial+final hash aggregation means only one (token, counts)

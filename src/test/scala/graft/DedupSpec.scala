@@ -152,6 +152,27 @@ class DedupSpec extends SparkSpec {
     assert(Sampling.sampleByKey(d, "text", 0).count() == 0)
   }
 
+  test("stratified sampling: per-stratum rates, deterministic, subset of input") {
+    import graft.ops.Sampling
+    val d = (0 until 300).map(i => (i.toLong, s"src${i % 3}", s"document text $i"))
+      .toDF("doc_id", "source", "text")
+    val r = Sampling.stratifiedSample(d, "source", "text",
+      Map("src0" -> 0, "src1" -> 50), defaultPct = 100)
+    val bySrc = r.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src0"))       // rate 0: stratum fully dropped
+    assert(bySrc("src2") == 100L)         // default 100: kept in full
+    val s1 = bySrc.getOrElse("src1", 0L)
+    assert(s1 > 20 && s1 < 80, s"~50% of 100 expected, got $s1")
+    // determinism + consistency: rerun == same rows; sampled src1 ids are
+    // exactly the ids sampleByKey(50) keeps
+    val ids1 = r.where(col("source") === "src1").select("doc_id")
+      .as[Long].collect().toSet
+    val ids2 = Sampling.sampleByKey(d.where(col("source") === "src1"), "text", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("two jaccardPairs results compose in one plan (unique observe names)") {
     // a shared metric name would throw DUPLICATED_METRICS_NAME at analysis
     val u = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)

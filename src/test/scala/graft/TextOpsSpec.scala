@@ -118,6 +118,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2)._5 == "two mails <EMAIL> <EMAIL> one ip <IP>")
   }
 
+  test("decontamination flags n-gram overlap with the eval set, exact docs included") {
+    val eval = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 8-gram "beta gamma ... iota" with the eval doc
+      (10L, "prefix beta gamma delta epsilon zeta eta theta iota suffix tail"),
+      // shares words but no full 8-gram
+      (11L, "alpha beta gamma delta other epsilon zeta eta theta iota"),
+      (12L, "completely unrelated words about distributed query engines here"),
+      // shorter than 8 words on BOTH sides would compare whole texts;
+      // here only corpus-side is short: its whole-text shingle is not an
+      // eval 8-gram
+      (13L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.contaminatedIds(corpus, eval, "doc_id", "text", 8)
+      .as[Long].collect().sorted.toSeq
+    assert(r == Seq(10L))
+  }
+
   test("vocabulary counts term and document frequency per token") {
     val df = Seq((0L, "the cat sat"), (1L, "the THE dog"), (2L, "cat"))
       .toDF("doc_id", "text")
