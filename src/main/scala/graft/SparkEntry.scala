@@ -738,6 +738,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_ok"))),
 
+    // ---- LLM: group-wise top-k (keep best N per source) ---------------
+    // "keep the k longest docs per domain" — the per-stratum curation
+    // cut, expressed entirely on the engine surface (Frame.window +
+    // filter). Deterministic order: (n_tokens desc, doc_id asc).
+    "q_topk_per_group" -> ((s, dir) => {
+      val q = TextOps.qualitySignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      Frame(q).window(Seq(E.col("source")),
+          Seq((E.col("n_tokens"), false), (E.col("doc_id"), true)),
+          Seq(("row_number", E.lit(1), "rn")))
+        .filter(Raw(col("rn") <= 3, "rn <= 3"))
+        .project(E.col("source"), E.col("doc_id"), E.col("n_tokens"),
+          Raw(col("rn").cast("long").as("rn"), "rn")).df
+    }),
+
     // ---- LLM: language ID (stopword-overlap heuristic) ----------------
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents"))
@@ -1544,6 +1560,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens, rn FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM q) WHERE rn <= 3""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (
