@@ -801,6 +801,20 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))
         .orderBy(col("tf").desc, col("token")).limit(100)),
 
+    // ---- LLM: int8 quantization error bounds (all-double mirror) ------
+    // the oracle recomputes quantize→dequantize in DOUBLE arithmetic on
+    // both engines (float→double casts are exact, round() ties-away on
+    // both), pinning scale and the max reconstruction error per vector
+    "q_embed_quant" -> ((s, dir) => {
+      val v = col("embedding")
+      val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127d)
+      val deq = transform(v, x => round(x.cast("double") / scale) * scale)
+      val err = array_max(zip_with(v, deq,
+        (x, d) => abs(x.cast("double") - d)))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(scale, 6).as("scale"), round(err, 6).as("max_err"))
+    }),
+
     // ---- LLM: embedding L2 norms (codegen'd self-dot, map-only) -------
     "q_embed_norm" -> ((s, dir) => {
       Graft.init(s)
@@ -1579,6 +1593,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        |  FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(x - round(x / scale) * scale))), 6) AS max_err
+        |FROM s""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id,

@@ -89,6 +89,26 @@ object Similarity {
       .otherwise(transform(vec, x => (x / n).cast("float")))
   }
 
+  /** Symmetric per-vector int8 quantization: 4× storage reduction for an
+    * embedding corpus (the difference between 100 TB and 25 TB of
+    * vectors). Returns struct(scale: double, q: array<tinyint>) with
+    * scale = max|x| / 127; zero vectors quantize to all-zero with
+    * scale 0. Per-row, shuffle-free. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127d)
+    struct(scale.as("scale"),
+      when(scale === 0d, transform(vec, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(vec,
+          x => round(x.cast("double") / scale).cast("tinyint"))).as("q"))
+  }
+
+  /** Reconstruct an approximate float vector from [[quantizeInt8]] output;
+    * max per-component error is scale/2. Feed the result to any of the
+    * ANN ops — cosine degrades by well under 1e-3 at 8 bits. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"),
+      i => (i.cast("double") * quant.getField("scale")).cast("float"))
+
   /** Exact brute-force cosine top-k against a single query vector.
     * Deterministic tie-break on id. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -167,6 +167,27 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6)
   }
 
+  test("int8 quantize/dequantize bounds error by scale/2; cosine survives") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (0L, Array(0.31f, -0.84f, 0.02f, 0.55f, -0.17f, 0.93f, -0.44f, 0.08f)),
+      (1L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("id", "v")
+    val q = df.select(col("id"), col("v"),
+      Similarity.quantizeInt8(col("v")).as("quant"))
+    val rows = q.select(col("id"), col("v"), col("quant.scale").as("scale"),
+        Similarity.dequantizeInt8(col("quant")).as("deq"))
+      .as[(Long, Seq[Float], Double, Seq[Float])].collect().sortBy(_._1)
+    val (_, v0, scale0, deq0) = rows(0)
+    v0.zip(deq0).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= scale0 / 2 + 1e-9) }
+    // zero vector: scale 0, all-zero reconstruction, no NaN/error
+    assert(rows(1)._3 == 0.0 && rows(1)._4.forall(_ == 0f))
+    val cos = q.where(col("id") === 0).select(
+      graft.functions.VectorExprs.cosineSim(col("v"),
+        Similarity.dequantizeInt8(col("quant")))).as[Double].collect().head
+    assert(cos > 0.999)
+  }
+
   test("array slice values match the joined-string surface (q_array_fns)") {
     // The q_array_fns query only emits first3_str (the driver's comparator
     // cannot hash array cells); the underlying array values are pinned here.
