@@ -738,6 +738,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_ok"))),
 
+    // ---- LLM: intra-doc repetition (duplicate 3-gram fraction) --------
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          round(col("dup_gram_frac"), 6).as("dup_gram_frac"))),
+
     // ---- LLM: group-wise top-k (keep best N per source) ---------------
     // "keep the k longest docs per domain" — the per-stratum curation
     // cut, expressed entirely on the engine surface (Frame.window +
@@ -1574,6 +1580,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
+
+    // 3-gram construction mirrors TextOps.wordShingles (see q_decontam)
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 2)] END AS grams
+        |  FROM tok)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  round((len(grams) - len(list_distinct(grams))) * 1.0
+        |    / greatest(len(grams), 1), 6) AS dup_gram_frac
+        |FROM g""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH q AS (

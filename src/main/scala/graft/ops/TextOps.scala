@@ -117,6 +117,22 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // Intra-document repetition: the fraction of word n-gram positions
+  // occupied by a repeated n-gram — the classic "templated/spammy text"
+  // quality gate (high values flag boilerplate and keyboard-mash). Pure
+  // per-row array expressions, linear in document length, no shuffle.
+  // --------------------------------------------------------------------
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val grams = wordShingles(col(textCol), n)
+    docs
+      .withColumn("n_grams", size(grams))
+      .withColumn("dup_gram_frac",
+        (size(grams) - size(array_distinct(grams))).cast("double") /
+          greatest(size(grams), lit(1)))
+  }
+
+  // --------------------------------------------------------------------
   // PII redaction: scrub emails / IPv4 addresses / long digit runs from
   // a text column before training — the compliance pass every corpus
   // pipeline runs. Pure per-row regexp chains over codegen'd built-ins:

@@ -167,6 +167,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6)
   }
 
+  test("repetition signal flags duplicated n-grams, clean text scores 0") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam"), // every 3-gram identical
+      (1L, "all words here are fully distinct tokens"),
+      (2L, "ab")).toDF("doc_id", "text") // shorter than n: one whole-text gram
+    val r = graft.ops.TextOps.repetitionSignals(df)
+      .select("doc_id", "n_grams", "dup_gram_frac")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(r(0)._2 == 4 && r(0)._3 == 0.75) // 4 grams, 1 distinct
+    assert(r(1)._3 == 0.0)
+    assert(r(2)._2 == 1 && r(2)._3 == 0.0)
+  }
+
   test("int8 quantize/dequantize bounds error by scale/2; cosine survives") {
     import graft.ops.Similarity
     val df = Seq(
