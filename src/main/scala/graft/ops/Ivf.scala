@@ -167,4 +167,35 @@ object Ivf {
       .orderBy(col("cosine").desc, col(model.idCol))
       .limit(k)
   }
+
+  /** Batched probe: exact top-k for EVERY query in one distributed pass —
+    * the production shape when probes arrive in batches rather than one
+    * at a time. Cluster ranking per query happens driver-side (Q x k x
+    * dim scalars); the (qid, cluster, qvec) probe table broadcasts, joins
+    * the index on cluster — on a saved index Spark's dynamic partition
+    * pruning restricts the scan to the union of probed clusters — and a
+    * per-qid window takes top-k. Only candidate rows (probed clusters)
+    * ever shuffle, keyed on qid. Result: (qid, id, cosine), k rows per
+    * query, same per-query answers as [[probe]]. */
+  def probeMany(model: IvfModel, queries: Seq[(Long, Array[Float])], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    require(queries.nonEmpty, "Ivf.probeMany requires at least one query")
+    require(queries.forall(_._2.length == model.dim),
+      s"Ivf.probeMany: query dimensions must all equal index dimension ${model.dim}")
+    val spark = model.index.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nP = math.min(nProbe, model.centroids.length)
+    val pairs = queries.flatMap { case (qid, qv) =>
+      model.centroids.zipWithIndex
+        .sortBy { case (c, i) => (-Similarity.cosD(c, qv, model.dim), -i) }
+        .take(nP).map { case (_, c) => (qid, c, qv) }
+    }.toDF("qid", "cluster", "qvec")
+    model.index.join(broadcast(pairs), Seq("cluster"))
+      .select(col("qid"), col(model.idCol),
+        VectorExprs.cosineSim(col(model.vecCol), col("qvec")).as("cosine"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col(model.idCol))))
+      .where(col("_rn") <= k).drop("_rn")
+  }
 }

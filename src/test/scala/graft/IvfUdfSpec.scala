@@ -73,6 +73,24 @@ class IvfUdfSpec extends SparkSpec {
     assert(probed == oneShot)
   }
 
+  test("batched probe equals per-query probes on a loaded index") {
+    import graft.ops.Ivf
+    val emb = clustered.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    Ivf.save(Ivf.index(emb, "vec_id", "embedding", nClusters = 4, iters = 2), tmp)
+    val model = Ivf.load(spark, tmp)
+    val queries = Seq(0L -> clustered.head._2, 1L -> clustered(13)._2,
+      2L -> clustered.last._2)
+    val batched = Ivf.probeMany(model, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Ivf.probe(model, qv, 5, 2)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      assert(batched(qid) == single, s"qid=$qid diverged from single probe")
+    }
+  }
+
   test("probe rejects a query whose dimension differs from the index") {
     import graft.ops.Ivf
     val emb = clustered.toDF("vec_id", "embedding")
