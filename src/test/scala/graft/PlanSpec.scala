@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("round-4 pipeline queries keep their scale shapes") {
+    // decontamination: eval grams broadcast, corpus never shuffles for
+    // the join, and no cartesian anywhere
+    val d = plan("q_decontam")
+    assert(d.contains("BroadcastHashJoin") && !d.contains("CartesianProduct"))
+    assert(!d.contains("SortMergeJoin"))
+    // vocabulary: deterministic top slice is TakeOrdered, not global sort
+    assert(plan("q_vocab").contains("TakeOrderedAndProject"))
+    // PII redaction and quantization are pure map stages: no Exchange
+    assert(!plan("q_pii_redact").contains("Exchange"))
+    assert(!plan("q_embed_quant").contains("Exchange"))
+    // stratified sampling pushes its bucket predicate below the agg: the
+    // only Exchange is the aggregation's
+    assert("Exchange".r.findAllIn(plan("q_stratified")).size <= 2)
+  }
+
   test("as-of join is a single shuffle: one Exchange, no join operator at all") {
     val p = plan("q_asof_join")
     // the union-window trick: the whole as-of is ONE hashpartitioning

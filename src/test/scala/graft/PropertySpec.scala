@@ -64,4 +64,55 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  private val textGen: Gen[String] = Gen.listOfN(12,
+    Gen.oneOf("alpha", "beta", "gamma", "user@example.org", "10.0.0.42",
+      "1234567890", "call", "now", "words")).map(_.mkString(" "))
+
+  test("PII redaction is idempotent: redacting twice changes nothing") {
+    // the replacement tokens <EMAIL>/<IP>/<NUM> match none of the
+    // patterns, so a second pass must be the identity
+    for ((texts, i) <- samples(Gen.listOfN(20, textGen), 5).zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.ops.TextOps.redactPii(df)
+        .select(col("doc_id"), col("text_redacted").as("text"))
+      val twice = graft.ops.TextOps.redactPii(once)
+        .select("doc_id", "text_redacted")
+      val a = once.as[(Long, String)].collect().toMap
+      val b = twice.as[(Long, String)].collect().toMap
+      assert(a == b, s"seed case $i")
+    }
+  }
+
+  test("stratified sample is always a subset; rate 100 is the identity") {
+    for ((rows, i) <- samples(rowsGen, 5).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((k, v), j) =>
+        (j.toLong, s"src${k % 3}", s"text $k $v") }.toDF("id", "source", "text")
+      val pcts = Map("src0" -> (i * 20) % 101, "src1" -> 100)
+      val sampled = graft.ops.Sampling.stratifiedSample(df, "source", "text", pcts)
+      val all = df.select("id").as[Long].collect().toSet
+      val kept = sampled.select("id").as[Long].collect().toSet
+      assert(kept.subsetOf(all))
+      // rate-100 strata keep every row
+      val src1All = df.where(col("source") === "src1").count()
+      assert(sampled.where(col("source") === "src1").count() == src1All)
+    }
+  }
+
+  test("int8 quantization error never exceeds scale/2 on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    for ((vecs, i) <- samples(Gen.listOfN(10, vecGen), 3).zipWithIndex) {
+      val df = vecs.zipWithIndex.map { case (v, j) => (j.toLong, v.toArray) }
+        .toDF("id", "v")
+      val bad = df.select(col("id"),
+          graft.ops.Similarity.quantizeInt8(col("v")).as("quant"), col("v"))
+        .select(col("id"), col("quant.scale").as("s"),
+          graft.ops.Similarity.dequantizeInt8(col("quant")).as("deq"), col("v"))
+        .as[(Long, Double, Seq[Float], Seq[Float])].collect()
+        .filter { case (_, s, deq, v) =>
+          v.zip(deq).exists { case (x, d) => math.abs(x - d) > s / 2 + 1e-6 } }
+      assert(bad.isEmpty, s"seed case $i: ${bad.map(_._1).mkString(",")}")
+    }
+  }
 }
