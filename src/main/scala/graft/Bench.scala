@@ -26,7 +26,9 @@ object Bench {
     "q_agg_grouped", "q_join_inner", "q_join_left", "q_window",
     "q_sort_limit", "q_sessionize", "q_tpch_q3", "q_asof_join",
     "q_jaccard_pairs05", "q_minhash_lsh", "q_ann_topk", "q_quality",
-    "q_corpus_curate")
+    "q_corpus_curate",
+    // round-4 additions: the two newest corpus-scale op families
+    "q_decontam", "q_vocab")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
