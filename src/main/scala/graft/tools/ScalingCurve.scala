@@ -1,0 +1,40 @@
+package graft.tools
+
+/** Empirical scaling curve: times representative queries at three scale
+  * factors spanning 100× of data (sf0.001 → sf0.01 → sf0.1) with Bench's
+  * measurement discipline (median of 3, cache cleared, toRdd.count).
+  * A plan that survives a 100× scale-up should grow clearly sublinearly
+  * with data here (fixed per-query overhead dominates the small SFs);
+  * anything growing FASTER than data is a scale bug. Results are recorded
+  * in SCALING.md. */
+object ScalingCurve {
+  private val queries = Seq("q_agg_grouped", "q_window", "q_tpch_q3",
+    "q_quality", "q_ann_topk", "q_minhash_lsh", "q_jaccard_pairs05",
+    "q_decontam", "q_vocab")
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.create(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val rows = queries.map { q =>
+      val times = sfs.map { sf =>
+        val samples = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, sf).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        samples(1)
+      }
+      (q, times)
+    }
+    println(f"${"query"}%-20s ${"sf0.001"}%9s ${"sf0.01"}%9s ${"sf0.1"}%9s ${"t(100x)/t(1x)"}%14s")
+    rows.foreach { case (q, ts) =>
+      println(f"$q%-20s ${ts(0)}%8.2fs ${ts(1)}%8.2fs ${ts(2)}%8.2fs ${ts(2) / ts(0)}%13.1fx")
+    }
+    spark.stop()
+  }
+}
