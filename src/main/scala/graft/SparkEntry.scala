@@ -770,6 +770,15 @@ object SparkEntry {
       TextOps.fingerprints(t(s, dir, "documents"))
         .select(col("doc_id"), col("fp_rolling"), col("fp_winnow"))),
 
+    // ---- LLM: fingerprinting, oracle-checkable md5 variant ------------
+    // same rolling/winnow algorithms as q_fingerprint with an md5-based
+    // word hash both engines can compute — the algorithm itself gets a
+    // full rows+schema+hash oracle (q_fingerprint stays the fast
+    // xxhash64 path, rows-only)
+    "q_fingerprint_md5" -> ((s, dir) =>
+      TextOps.fingerprintsMd5(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp_rolling"), col("fp_winnow"))),
+
     // ---- LLM: PII redaction (emails / IPv4 / digit runs) --------------
     // The fixture text is synthetic and PII-free, so the query first
     // plants deterministic PII per doc (email + ip + account number
@@ -1544,6 +1553,26 @@ object SparkEntry {
         |  FROM w)
         |SELECT substr(key, 15) AS lang_pred, count(*) AS n
         |FROM s GROUP BY 1""".stripMargin,
+
+    // list_prepend(0, ...) gives DuckDB's fold the same 0 seed as Spark's
+    // aggregate(); the 5-word shingles mirror TextOps.wordShingles
+    "q_fingerprint_md5" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) - 4 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+4], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 4)] END AS grams
+        |  FROM tok)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0, list_transform(ws,
+        |      w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+        |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_rolling,
+        |  list_min(list_transform(grams,
+        |    g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS fp_winnow
+        |FROM g""".stripMargin,
 
     "q_pii_redact" ->
       """WITH d AS (

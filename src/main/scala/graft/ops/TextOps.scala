@@ -277,4 +277,31 @@ object TextOps {
     docs
       .withColumn("fp_rolling", fingerprint(col(textCol)))
       .withColumn("fp_winnow", minWindowHash(col(textCol), window))
+
+  // --------------------------------------------------------------------
+  // Cross-engine-recomputable fingerprint variant: same rolling-hash and
+  // winnowing ALGORITHMS, but the per-word hash is the first 8 md5 hex
+  // digits (32 bits) instead of xxhash64 — md5 exists in every engine, so
+  // the whole fingerprint is DuckDB-oracle-checkable end-to-end
+  // (q_fingerprint_md5), closing the "hash-internal, rows-only" gap for
+  // the algorithm itself. The xxhash64 default stays the fast path
+  // (codegen'd, no string round-trip).
+  // --------------------------------------------------------------------
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  def fingerprintWith(text: Column, wordHash: Column => Column): Column =
+    aggregate(transform(words(text), w => wordHash(w)),
+      lit(0L), (acc, h) => pmod(acc * P + h, lit(M)))
+
+  def minWindowHashWith(text: Column, n: Int,
+      gramHash: Column => Column): Column =
+    array_min(transform(wordShingles(text, n), gramHash))
+
+  def fingerprintsMd5(docs: DataFrame, textCol: String = "text",
+      window: Int = 5): DataFrame =
+    docs
+      .withColumn("fp_rolling", fingerprintWith(col(textCol), md5Hash32))
+      .withColumn("fp_winnow",
+        minWindowHashWith(col(textCol), window, md5Hash32))
 }

@@ -167,6 +167,18 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6)
   }
 
+  test("md5 fingerprint variant: order-sensitive rolling, edit-robust winnow") {
+    val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
+      (1L, "beta alpha gamma delta epsilon zeta eta"), // swapped first words
+      (2L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.fingerprintsMd5(df)
+      .select("doc_id", "fp_rolling", "fp_winnow")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 == r(2)._2 && r(0)._3 == r(2)._3) // deterministic
+    assert(r(0)._2 != r(1)._2) // rolling hash is order-sensitive
+    assert(r.forall(t => t._2 >= 0 && t._2 < 2147483647L))
+  }
+
   test("repetition signal flags duplicated n-grams, clean text scores 0") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"), // every 3-gram identical
