@@ -562,6 +562,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("sum_price"))),
 
+    // ---- scale mechanics: bucketed co-located join --------------------
+    // both sides pre-bucketed on the join key (the "delete the per-query
+    // shuffle" pattern for repeated fact joins at 100 TB); the result is
+    // the plain join's, which is what the oracle states. The bucketed
+    // tables are (re)written into the session warehouse per run and
+    // dropped after — ScaleOpsSpec separately asserts the no-Exchange
+    // plan property.
+    "q_bucketed_join" -> ((s, dir) => {
+      val cat = new Catalog(s)
+      cat.addBucketedTable("g_cust_b", t(s, dir, "customer"), "c_custkey", 4)
+      cat.addBucketedTable("g_ord_b", t(s, dir, "orders"), "o_custkey", 4)
+      val j = cat.table("g_cust_b")
+        .join(cat.table("g_ord_b"), Seq(("c_custkey", "o_custkey")))
+      Frame(j.df).aggregate(
+        Seq(E.col("c_mktsegment")),
+        Seq(E.count(E.lit(1)).as("n"),
+          Raw(dsum(col("o_totalprice")).as("sum_price"), "sum_price"))).df
+    }),
+
     // ---- extension: CUBE (all grouping-set combinations) --------------
     // routed through the engine surface (Frame.cube, rollup's sibling)
     "q_cube" -> ((s, dir) =>
@@ -1348,6 +1367,13 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // bucketing changes the physical plan, never the answer
+    "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
