@@ -849,6 +849,22 @@ object SparkEntry {
         round(scale, 6).as("scale"), round(err, 6).as("max_err"))
     }),
 
+    // ---- LLM: tokenization against a top-1000 vocabulary --------------
+    // tokens outside the top-1000 (by tf, token-tiebroken) map to -1
+    // (OOV); output is scalar columns only (ids as a joined string — the
+    // driver comparator can't hash array cells)
+    "q_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextOps.vocabulary(docs)
+        .orderBy(col("tf").desc, col("token")).limit(1000)
+      TextOps.tokenizeWithVocab(docs, vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          size(filter(col("token_ids"), i => i === -1)).cast("long").as("n_oov"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("ids_str"))
+    }),
+
     // ---- LLM: embedding L2 norms (codegen'd self-dot, map-only) -------
     "q_embed_norm" -> ((s, dir) => {
       Graft.init(s)
@@ -1670,6 +1686,29 @@ object SparkEntry {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_tokenize" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, row_number() OVER (ORDER BY tf DESC, token) - 1 AS tok_id
+        |  FROM (
+        |    SELECT token, count(*) AS tf
+        |    FROM (SELECT unnest(ws) AS token FROM tok) GROUP BY token)
+        |  QUALIFY tok_id < 1000),
+        |e AS (
+        |  SELECT doc_id, unnest(
+        |    [{'i': i, 'token': ws[i]} FOR i IN generate_series(1, len(ws))]) AS u
+        |  FROM tok),
+        |j AS (
+        |  SELECT e.doc_id, e.u.i AS i, coalesce(v.tok_id, -1) AS tid
+        |  FROM e LEFT JOIN v ON e.u.token = v.token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(count(*) FILTER (tid = -1) AS BIGINT) AS n_oov,
+        |  array_to_string(list(tid ORDER BY i), ' ') AS ids_str
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (

@@ -67,6 +67,21 @@ final class Catalog(val spark: SparkSession) {
     * the standard layout for repeatedly-joined 100 TB fact tables. */
   def addBucketedTable(name: String, df: DataFrame, bucketCol: String,
       nBuckets: Int): Catalog = {
+    // a table directory left behind by a PREVIOUS session (in-memory
+    // metastore gone, files still in the warehouse) is an orphan that
+    // mode("overwrite") refuses with LOCATION_ALREADY_EXISTS — remove it,
+    // but ONLY when the catalog genuinely has no such table (never
+    // delete data a live catalog entry owns)
+    if (!spark.catalog.tableExists(name)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val orphan = java.nio.file.Paths.get(wh, name)
+      if (java.nio.file.Files.exists(orphan)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)

@@ -191,6 +191,33 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df_docs"))
 
   // --------------------------------------------------------------------
+  // Tokenization against a vocabulary: map each (lowercased, whitespace)
+  // token to its dense integer id — vocabulary rank by (tf desc, token) —
+  // with unknown tokens as -1 (OOV). The final text-side step before
+  // id sequences feed chunking/packing/tensors. The vocab side is
+  // vocabulary-sized and broadcasts; the only data-sized shuffle
+  // reassembles documents by id. (The vocab ranking itself uses one
+  // global window over the vocabulary table — vocabulary-sized by
+  // definition, not corpus-sized.)
+  // --------------------------------------------------------------------
+  def tokenizeWithVocab(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocab.select(col("token"),
+      (row_number().over(Window.orderBy(col("tf").desc, col("token"))) - 1)
+        .as("tok_id"))
+    docs
+      .select(col(idCol),
+        posexplode(words(lower(col(textCol)))).as(Seq("pos", "token")))
+      .join(broadcast(ranked), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        coalesce(col("tok_id"), lit(-1)).as("tok_id")))).as("ps"))
+      .select(col(idCol),
+        transform(col("ps"), p => p.getField("tok_id")).as("token_ids"))
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: order-sensitive polynomial rolling hash over
   // the word-hash sequence, computed mod the Mersenne prime 2^31-1 so the
   // accumulator never exceeds ~2^51 (Spark 4 runs ANSI mode — a wrapping

@@ -167,6 +167,18 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-6)
   }
 
+  test("tokenization maps by vocab rank, preserves order, OOVs to -1") {
+    val docs = Seq((0L, "the cat sat on the mat"), (1L, "unknownword the"))
+      .toDF("doc_id", "text")
+    val vocab = graft.ops.TextOps.vocabulary(docs)
+      .where(col("token") =!= "unknownword") // force an OOV
+    val r = graft.ops.TextOps.tokenizeWithVocab(docs, vocab)
+      .as[(Long, Seq[Int])].collect().toMap
+    // ranks: tf desc then token asc -> the(3)=0, then cat/mat/on/sat by name
+    assert(r(0L) == Seq(0, 1, 4, 3, 0, 2))
+    assert(r(1L) == Seq(-1, 0))
+  }
+
   test("md5 fingerprint variant: order-sensitive rolling, edit-robust winnow") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
       (1L, "beta alpha gamma delta epsilon zeta eta"), // swapped first words
