@@ -103,7 +103,39 @@ object Bench {
       val ok = samples.collect { case (t, true) => t }
       (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
     }
-    val all = results :+ streaming
+    // second streaming entry: the composed corpus-ingest pipeline
+    // (quality gate -> watermark-bounded dedup -> per-source totals)
+    // driven as a real file-source stream over the documents fixture
+    val streamingIngest = {
+      val name = "s_ingest_corpus"
+      val samples = (1 to runs).map { i =>
+        try {
+          val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-ingest$i")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+            dir.resolve("documents.parquet"))
+          val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+          timed {
+            val src = spark.readStream.schema(schema).parquet(dir.toString)
+              .withColumn("ingest_ts",
+                org.apache.spark.sql.functions.timestamp_micros(
+                  org.apache.spark.sql.functions.col("doc_id") * 1000000L))
+            val q = graft.streaming.StreamOps.ingestCorpus(src)
+              .writeStream.format("memory").queryName(s"bench_ingest$i")
+              .outputMode("complete").start()
+            q.processAllAvailable(); q.stop()
+            val n = spark.table(s"bench_ingest$i").count()
+            require(n > 0, "ingest stream produced no per-source rows")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, false)
+        }
+      }
+      val ok = samples.collect { case (t, true) => t }
+      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
+    }
+    val all = results :+ streaming :+ streamingIngest
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
     val qs = all.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
