@@ -965,9 +965,15 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_frames"))),
 
     // ---- LLM: stubbed decode / feature extraction (mapPartitions) -----
+    // The actual mapPartitions byte loop is what executes here; the
+    // oracle recomputes the expected bytes in SQL via ascii() — valid
+    // because the fixture text is pure ASCII (byte == code point,
+    // verified at both SFs), while the engine path handles arbitrary
+    // binary. byte_mean is one exact-int division on both engines.
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeStub(Multimodal.mediaFromDocs(t(s, dir, "documents")))
-        .select(col("media_id"), col("n_bytes"), col("byte_mean"))),
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("byte_mean"))),
 
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
@@ -1763,6 +1769,13 @@ object SparkEntry {
     "q_cosine_neardups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))])
+        |    * 1.0 / greatest(length(text), 1) AS byte_mean
+        |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
