@@ -476,8 +476,8 @@ object SparkEntry {
         .agg(max(col("event_id")).as("click_id"))
         .select(col("user_id"), col("ts_us"), col("click_id"),
           col("ts_us").as("click_us"))
-      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
-        Seq("click_id", "click_us"))
+      Frame(purchases).asOf(Frame(clicks), "user_id", "ts_us",
+        Seq("click_id", "click_us")).df
     }),
 
     // same as-of join through the TIME-RANGE SALTED path (skew defense:
@@ -492,8 +492,8 @@ object SparkEntry {
         .agg(max(col("event_id")).as("click_id"))
         .select(col("user_id"), col("ts_us"), col("click_id"),
           col("ts_us").as("click_us"))
-      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us",
-        Seq("click_id", "click_us"), saltBuckets = 8)
+      Frame(purchases).asOf(Frame(clicks), "user_id", "ts_us",
+        Seq("click_id", "click_us"), saltBuckets = 8).df
     }),
 
     // ---- extension: analytic window frames (rank, lag, running sum) ---

@@ -175,6 +175,15 @@ final case class Frame(df: DataFrame) {
     Frame(df.select(df.columns.toSeq.map(org.apache.spark.sql.functions.col) ++ out: _*))
   }
 
+  /** As-of join (ops/AsOfJoin passthrough): attach the latest `right` row
+    * with the same key at or before each left row's time, as
+    * `asof_<payload>` columns. One shuffle on the key; `saltBuckets > 1`
+    * splits hot keys' windows by time range with identical results. */
+  def asOf(right: Frame, keyCol: String, timeCol: String,
+      payloadCols: Seq[String], saltBuckets: Int = 1): Frame =
+    Frame(graft.ops.AsOfJoin.asOf(df, right.df, keyCol, timeCol,
+      payloadCols, saltBuckets))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
