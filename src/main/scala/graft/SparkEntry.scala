@@ -378,6 +378,35 @@ object SparkEntry {
         .limit(10).df
     }),
 
+    // ---- composite: TPC-H Q10 shape (returned-item revenue by customer) -
+    "q_tpch_q10" -> ((s, dir) => {
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")))
+        .join(Frame(t(s, dir, "lineitem")), Seq(("o_orderkey", "l_orderkey")))
+        .filter(Raw(col("l_returnflag") === "R", "l_returnflag = 'R'"))
+        .join(Frame(t(s, dir, "nation")), Seq(("c_nationkey", "n_nationkey")))
+        .aggregate(Seq(E.col("c_custkey"), E.col("c_name"), E.col("n_name")),
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"), "revenue")))
+        .sort((E.col("revenue"), false), (E.col("c_custkey"), true))
+        .limit(20).df
+    }),
+
+    // ---- composite: TPC-H Q18 shape (large-volume orders) --------------
+    // groupBy + HAVING subquery joined back — the "big order" cut
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = Frame(t(s, dir, "lineitem"))
+        .aggregate(Seq(E.col("l_orderkey")),
+          Seq(Raw(dsum(col("l_quantity")).as("sum_qty"), "sum_qty")))
+        .filter(Raw(col("sum_qty") > 250, "sum_qty > 250"))
+      Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders")), Seq(("c_custkey", "o_custkey")))
+        .join(big, Seq(("o_orderkey", "l_orderkey")))
+        .project(E.col("c_name"), E.col("o_orderkey"), E.col("sum_qty"))
+        .sort((E.col("sum_qty"), false), (E.col("o_orderkey"), true))
+        .limit(20).df
+    }),
+
     // ---- composite: TPC-H Q5 shape (6-table join, local-supplier rule) -
     "q_tpch_q5" -> ((s, dir) => {
       Frame(t(s, dir, "customer"))
@@ -1262,6 +1291,29 @@ object SparkEntry {
         |  AND l_shipdate > '1998-06-01'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, o_orderkey, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
