@@ -28,6 +28,11 @@ import graft.functions.VectorExprs
   * File-count control at scale: the partitioned write produces one file
   * per (writing task x cluster); repartition the index by `cluster` first
   * for one file per cluster, or leave as-is to preserve write parallelism.
+  *
+  * (Extension surface — the reference engine has no vector or ANN support;
+  * the capability bar it sets is sources-as-extension-points,
+  * reference: src/datasource/table.rs:9, applied here to a derived,
+  * partition-pruned index artifact.)
   */
 object Ivf {
 
