@@ -407,6 +407,47 @@ object SparkEntry {
         .limit(20).df
     }),
 
+    // ---- composite: TPC-H Q4 shape (correlated EXISTS -> semi join) ----
+    // orders with at least one late-shipping lineitem (shipped > 10 days
+    // after the order date) counted by priority: the EXISTS decorrelates
+    // to a LEFT SEMI theta-join — Catalyst hashes on the orderkey equality
+    // and keeps the date range as a residual, and the right side never
+    // materializes into the output
+    "q_tpch_q4" -> ((s, dir) =>
+      Frame(t(s, dir, "orders"))
+        .joinOn(Frame(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_shipdate"))),
+          Raw(col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 10 DAYS"),
+            "late_exists"), JoinType.Semi)
+        .aggregate(Seq(E.col("o_orderpriority")),
+          Seq(Raw(count(lit(1)).as("order_count"), "order_count"))).df),
+
+    // ---- composite: TPC-H Q17 shape (scalar subquery -> two-pass agg) --
+    // "small-quantity" line items: quantity below 20% of the part's own
+    // average. The correlated scalar subquery decorrelates into a per-part
+    // aggregate joined back (broadcast at this SF, shuffled hash at 100 TB
+    // — both sides key on partkey). The predicate q < 0.2 * sum/cnt runs
+    // as q * cnt * 5 < sum in exact decimals, so both engines compare
+    // identically with no float-division drift.
+    "q_tpch_q17" -> ((s, dir) => {
+      val partAvg = Frame(t(s, dir, "lineitem"))
+        .aggregate(Seq(E.col("l_partkey")),
+          Seq(Raw(count(lit(1)).as("cnt"), "cnt"),
+            Raw(sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .as("sum_qty"), "sum_qty")))
+        .project(Raw(col("l_partkey").as("pa_partkey"), "pa_partkey"),
+          E.col("cnt"), E.col("sum_qty"))
+      Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "part")), Seq(("l_partkey", "p_partkey")))
+        .join(partAvg, Seq(("l_partkey", "pa_partkey")))
+        .filter(Raw(col("l_quantity").cast(DecimalType(18, 2)) * col("cnt") * 5 <
+          col("sum_qty"), "below_fifth_of_avg"))
+        .aggregate(Seq(E.col("p_brand")),
+          Seq(Raw(count(lit(1)).as("n_small"), "n_small"),
+            Raw(dsum(col("l_extendedprice")).as("sum_extended"), "sum_extended"))).df
+    }),
+
     // ---- composite: TPC-H Q5 shape (6-table join, local-supplier rule) -
     "q_tpch_q5" -> ((s, dir) => {
       Frame(t(s, dir, "customer"))
@@ -525,6 +566,23 @@ object SparkEntry {
         Seq("click_id", "click_us"), saltBuckets = 8).df
     }),
 
+    // ---- extension: point-in-interval range join (attribution shape) --
+    // every click within one day AFTER a purchase by the same user; the
+    // range dimension is bin-sharded so candidates come from an equi-join
+    // on (user, day-bin), never a per-key cross product (ops/RangeJoin)
+    "q_range_join" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+      val day = 86400000000L // one day of microseconds
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts_us").as("p_start"), (col("ts_us") + day).as("p_end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      graft.ops.RangeJoin.pointInInterval(clicks, "user_id", "ts_us",
+          purchases, "p_user", "p_start", "p_end", binWidth = day)
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    }),
+
     // ---- extension: analytic window frames (rank, lag, running sum) ---
     "q_window_frames" -> ((s, dir) => {
       Catalog.forTestdata(s, dir)
@@ -610,6 +668,25 @@ object SparkEntry {
           Raw(dsum(col("o_totalprice")).as("sum_price"), "sum_price"))).df
     }),
 
+    // ---- scale mechanics: clustered write -> stat-pruned scan ----------
+    // lineitem rewritten range-clustered on l_shipdate (Layout
+    // .writeClustered), then read back with a one-month predicate: the
+    // filter reaches the new scan as PushedFilters and, because each file
+    // covers a narrow disjoint shipdate range, parquet min/max stats skip
+    // all but ~1/12 of the bytes (LayoutSpec pins both properties). The
+    // layout changes the physical plan, never the answer — the oracle is
+    // the same filter over the unclustered source.
+    "q_layout_scan" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-layout")
+        .resolve("lineitem_by_shipdate").toString
+      graft.ops.Layout.writeClustered(t(s, dir, "lineitem"), path, 12, "l_shipdate")
+      s.read.parquet(path)
+        .where(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- extension: CUBE (all grouping-set combinations) --------------
     // routed through the engine surface (Frame.cube, rollup's sibling)
     "q_cube" -> ((s, dir) =>
@@ -617,6 +694,18 @@ object SparkEntry {
         .cube(Seq(E.col("l_returnflag"), E.col("l_linestatus")),
           Seq(Raw(count(lit(1)).as("n"), "n"),
             Raw(sum(col("l_quantity")).as("sum_qty"), "sum_qty"))).df),
+
+    // ---- extension: GROUPING SETS (explicit grouping combinations) ----
+    // the general form under rollup/cube: exactly the listed sets, on the
+    // engine surface (Frame.groupingSets)
+    "q_grouping_sets" -> ((s, dir) =>
+      Frame(t(s, dir, "lineitem"))
+        .groupingSets(
+          Seq(Seq(E.col("l_returnflag"), E.col("l_linestatus")),
+            Seq(E.col("l_returnflag")), Seq.empty),
+          Seq(E.col("l_returnflag"), E.col("l_linestatus")),
+          Seq(Raw(count(lit(1)).as("n"), "n"),
+            Raw(dsum(col("l_quantity")).as("sum_qty"), "sum_qty"))).df),
 
     // ---- extension: pivot (wide aggregation, engine surface) ----------
     // the Raw (unaliased) agg keeps Spark's bare pivot column names F/O
@@ -1348,6 +1437,27 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
 
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 10 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pa_partkey, count(*) AS cnt,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_extended
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN pa ON pa_partkey = l_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
+        |GROUP BY p_brand""".stripMargin,
+
     "q_approx_sketches" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,
         |  true AS distinct_ok,
@@ -1405,6 +1515,25 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |         ts AS s, ts + INTERVAL 1 DAY AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.user_id AS user_id, iv.purchase_id, c.click_id
+        |FROM c JOIN iv ON c.user_id = iv.user_id
+        |  AND c.ts >= iv.s AND c.ts < iv.e""".stripMargin,
+
     "q_pivot" ->
       """SELECT l_returnflag,
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
@@ -1452,6 +1581,14 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // layout changes the physical plan, never the answer
+    "q_layout_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_corpus_curate" ->
       """WITH w AS (

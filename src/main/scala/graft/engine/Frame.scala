@@ -84,6 +84,17 @@ final case class Frame(df: DataFrame) {
     Frame(df.as(la).join(right.df.as(ra), cond, JoinType.toSpark(joinType)))
   }
 
+  /** General theta join (extension — the reference's join is equi-only,
+    * nested_loop_join.rs:62-191): joins on an arbitrary boolean condition.
+    * Catalyst still extracts any equi-conjuncts as hash-join keys and keeps
+    * the rest as a residual filter, so "key equality AND range" plans as a
+    * hash join, not a cartesian. For a pure range predicate on BIG sides
+    * prefer [[graft.ops.RangeJoin]], which bin-shards the range dimension
+    * instead of filtering a per-key cross product. */
+  def joinOn(right: Frame, cond: Expr,
+             joinType: JoinType.Value = JoinType.Inner): Frame =
+    Frame(df.join(right.df, cond.toColumn, JoinType.toSpark(joinType)))
+
   // ---- extension surface: the reference has NO sort/limit/distinct/set
   // ops (SURVEY.md §2.5 absence matrix) — these close that gap with the
   // obvious Spark primitives. ----
@@ -119,6 +130,21 @@ final case class Frame(df: DataFrame) {
     require(aggExprs.nonEmpty, "cube requires at least one aggregate expression")
     val aggs = aggExprs.map(e => named(e))
     Frame(df.cube(groupExprs.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** GROUPING SETS aggregation — the general form under [[rollup]] and
+    * [[cube]]: aggregate over exactly the listed grouping-key combinations.
+    * `groupCols` is the union of columns any set mentions (they appear in
+    * the output, NULL where a set omits them). Same partial+final
+    * hash-aggregate shape as a plain groupBy — one shuffle, expanded by the
+    * number of sets map-side. */
+  def groupingSets(sets: Seq[Seq[Expr]], groupCols: Seq[Expr],
+      aggExprs: Seq[Expr]): Frame = {
+    require(sets.nonEmpty, "groupingSets requires at least one grouping set")
+    require(aggExprs.nonEmpty, "groupingSets requires at least one aggregate expression")
+    val aggs = aggExprs.map(e => named(e))
+    Frame(df.groupingSets(sets.map(_.map(e => named(e))),
+      groupCols.map(e => named(e)): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** PIVOT (wide aggregation): one output column per pivoted value.

@@ -116,6 +116,34 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Stream-stream interval join: attribute each click to every purchase
+    * by the same user within `window` after the purchase — the streaming
+    * form of [[graft.ops.RangeJoin.pointInInterval]]. Both inputs use the
+    * events schema with a TimestampType `ts`.
+    *
+    * Scale/state contract: Spark co-partitions both streams on the join
+    * key and the time-range condition plus the two watermarks bound the
+    * buffered state — a purchase can be dropped from state once the click
+    * watermark passes purchase.ts + window, so state never grows with
+    * stream length, only with the in-flight window. On a batch frame the
+    * watermarks are no-ops and this is a plain hash join, so the batch
+    * result (verified against [[graft.ops.RangeJoin]] and the q_range_join
+    * oracle) IS the oracle for the streaming one — parity pinned in
+    * StreamingSpec. */
+  def attributedClicks(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 day", watermark: String = "2 days"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

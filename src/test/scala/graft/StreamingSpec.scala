@@ -164,6 +164,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // batch run IS the oracle
   }
 
+  test("stream-stream interval join attributes clicks across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamOps.attributedClicks(purchases.toDF(), clicks.toDF(),
+        window = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    purchases.addData(Ev(100, ts(0), 1, "purchase", 9.0),
+      Ev(101, ts(10), 2, "purchase", 5.0))
+    q.processAllAvailable()
+    // clicks arrive in a LATER micro-batch: the join must still see the
+    // buffered purchases (state held under the watermark)
+    clicks.addData(Ev(200, ts(5), 1, "click", 0.0),   // in [10:00, 10:30)
+      Ev(201, ts(40), 1, "click", 0.0),               // past the window
+      Ev(202, ts(15), 2, "click", 0.0))               // in [10:10, 10:40)
+    q.processAllAvailable()
+    val streamed = spark.table("attr")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == Set((1L, 100L, 200L), (2L, 101L, 202L)))
+    // the batch run of the same transform IS the oracle
+    val batch = StreamOps.attributedClicks(
+        Seq(Ev(100, ts(0), 1, "purchase", 9.0), Ev(101, ts(10), 2, "purchase", 5.0)).toDF(),
+        Seq(Ev(200, ts(5), 1, "click", 0.0), Ev(201, ts(40), 1, "click", 0.0),
+          Ev(202, ts(15), 2, "click", 0.0)).toDF(),
+        window = "30 minutes")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
