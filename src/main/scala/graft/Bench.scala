@@ -27,8 +27,10 @@ object Bench {
     "q_sort_limit", "q_sessionize", "q_tpch_q3", "q_asof_join",
     "q_jaccard_pairs05", "q_minhash_lsh", "q_ann_topk", "q_quality",
     "q_corpus_curate",
-    // round-4 additions: the two newest corpus-scale op families
-    "q_decontam", "q_vocab")
+    // round-4 additions: the newest corpus-scale op families
+    "q_decontam", "q_vocab",
+    // late round 4: the bin-sharded range join (attribution shape)
+    "q_range_join")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

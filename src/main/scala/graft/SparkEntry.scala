@@ -687,6 +687,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- scale mechanics: z-ordered write -> 2-D stat-pruned scan -----
+    // lineitem rewritten z-ordered on (l_orderkey, l_partkey): each file
+    // covers a small rectangle of the key plane, so a predicate on BOTH
+    // dimensions skips most files via parquet min/max stats — pruning a
+    // single-column sort can only give one of them (LayoutSpec pins the
+    // per-file rectangle claim). Same answer as the unclustered source.
+    "q_zorder_scan" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-zorder")
+        .resolve("lineitem_z").toString
+      graft.ops.Layout.writeZOrdered(t(s, dir, "lineitem"), path, 16,
+        "l_orderkey", "l_partkey")
+      s.read.parquet(path)
+        .where(col("l_orderkey") < 3000 && col("l_partkey") < 500)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- extension: interval-overlap join (both sides are ranges) -----
+    // pairs of purchase attribution windows by the same user that overlap
+    // in time: both interval sets bin-shard and each overlapping pair
+    // matches exactly once, in the bin of the later start (ops/RangeJoin
+    // .intervalOverlap). a_id < b_id keeps one row per unordered pair.
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+      val day = 86400000000L
+      def windows(idName: String, keyName: String, sName: String, eName: String) =
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as(idName), col("user_id").as(keyName),
+            col("ts_us").as(sName), (col("ts_us") + day).as(eName))
+      graft.ops.RangeJoin.intervalOverlap(
+          windows("a_id", "a_user", "a_start", "a_end"), "a_user", "a_start", "a_end",
+          windows("b_id", "b_user", "b_start", "b_end"), "b_user", "b_start", "b_end",
+          binWidth = day)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+    }),
+
+    // ---- extension: deterministic training-order shuffle --------------
+    // every document gets a reproducible epoch position from md5(id, seed)
+    // — same permutation on any engine, any retry (ops/Sampling
+    // .shuffleDeterministic); the oracle recomputes it as a row_number
+    // over the same md5 ordering
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleDeterministic(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // ---- extension: CUBE (all grouping-set combinations) --------------
     // routed through the engine surface (Frame.cube, rollup's sibling)
     "q_cube" -> ((s, dir) =>
@@ -1589,6 +1636,27 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey < 3000 AND l_partkey < 500
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT event_id AS id, user_id, ts AS s, ts + INTERVAL 1 DAY AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id AS user_id, a.id AS a_id, b.id AS b_id
+        |FROM w a JOIN w b ON a.user_id = b.user_id
+        |  AND a.s < b.e AND b.s < a.e AND a.id < b.id""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     "q_corpus_curate" ->
       """WITH w AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-layout control: cluster a table on its dominant filter columns at
   * write time so downstream scans prune instead of reading everything.
@@ -37,5 +37,79 @@ object Layout {
     df.repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-value of two numeric columns: each is min/max-scaled to `bits` bits
+    * (the min/max pairs are four scalars computed by one tiny aggregate up
+    * front — the only non-per-row step) and the bits are interleaved, so
+    * rows close in BOTH dimensions get close z-values. Unrolls to a flat
+    * chain of shift/mask/or terms — pure codegen, no UDF. */
+  private def zValue(a: Column, b: Column,
+      aMin: Double, aMax: Double, bMin: Double, bMax: Double,
+      bits: Int): Column = {
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+          ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit((1L << bits) - 1)),
+          lit(0.0)), lit(((1L << bits) - 1).toDouble))
+        .cast("long")
+    val (sa, sb) = (scaled(a, aMin, aMax), scaled(b, bMin, bMax))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(sa, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(sb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Rewrite `df` z-ordered on two numeric columns: files are
+    * range-partitioned and sorted on the interleaved-bit z-value, so each
+    * file covers a small rectangle of the (colA, colB) plane and a range
+    * predicate on EITHER column (or both) skips most files via parquet
+    * min/max stats — the multi-dimensional complement of
+    * [[writeClustered]], which buys pruning on one ordering only.
+    *
+    * Cost: one scalar min/max aggregate over the two columns (to fix the
+    * bit scaling) plus the same single range-exchange as writeClustered.
+    * The z column is dropped before the write — layout only, never schema. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String, bits: Int = 16): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val Array(aMin, aMax, bMin, bMax) =
+      df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
+          min(col(colB).cast("double")), max(col(colB).cast("double")))
+        .collect()(0).toSeq.map {
+          case null => 0.0
+          case d: Double => d
+        }.toArray
+    df.withColumn("_z", zValue(col(colA), col(colB), aMin, aMax, bMin, bMax, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a parquet directory into files of roughly `targetFileBytes`
+    * (computed from the directory's current on-disk size, so the output
+    * file count adapts to the data): the small-file fix for corpora
+    * ingested by many tiny micro-batches, where a 100 TB table fragmented
+    * into millions of KB-files spends its scan time on open/footer
+    * overhead instead of IO. One round-robin exchange, no sort — pair with
+    * [[writeClustered]]/[[writeZOrdered]] when the table also needs an
+    * ordering. Writes to `outPath` (never in place — the caller swaps
+    * directories after validating). Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(inPath != outPath, "compact never rewrites in place; give a fresh outPath")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
   }
 }

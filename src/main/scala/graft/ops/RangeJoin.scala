@@ -69,4 +69,45 @@ object RangeJoin {
       .select(points.columns.map(c => col(s"_rjp.`$c`")).toSeq ++
         intervals.columns.map(c => col(s"_rji.`$c`")): _*)
   }
+
+  /** Inner join of two interval tables on equal key where the half-open
+    * windows [aStart, aEnd) and [bStart, bEnd) overlap. Same bin-sharding
+    * as [[pointInInterval]], with one extra rule because BOTH sides span
+    * bins: a pair could meet in every bin both cover, so the join also
+    * requires the bin to be the pair's OWNERSHIP bin — the bin containing
+    * max(aStart, bStart), the later start. For an overlapping pair that
+    * bin lies inside both intervals' bin spans (the later start is before
+    * both ends), so every overlapping pair matches exactly once and
+    * non-overlapping pairs never do — no post-join dedup, same equi-join
+    * scale shape. Output = a's columns ++ b's columns (names disjoint). */
+  def intervalOverlap(a: DataFrame, aKey: String, aStart: String, aEnd: String,
+      b: DataFrame, bKey: String, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalOverlap requires disjoint column names; both sides have: " +
+        overlap.mkString(", "))
+    require(!a.columns.contains("_bin") && !b.columns.contains("_bin"),
+      "intervalOverlap reserves the column name _bin; rename it upstream")
+
+    def binned(df: DataFrame, key: String, s: String, e: String) = df
+      .where(col(key).isNotNull && col(s).isNotNull && col(e).isNotNull &&
+        col(e) > col(s) && col(s) >= 0L)
+      .withColumn("_bin", explode(sequence(
+        expr(s"`$s` div ${binWidth}L"),
+        expr(s"(`$e` - 1L) div ${binWidth}L"))))
+
+    binned(a, aKey, aStart, aEnd).as("_ra")
+      .join(binned(b, bKey, bStart, bEnd).as("_rb"),
+        col("_ra._bin") === col("_rb._bin") &&
+          col(s"_ra.`$aKey`") === col(s"_rb.`$bKey`") &&
+          // integer div, not float /: epoch-micros exceed double precision
+          col("_ra._bin") ===
+            expr(s"greatest(`$aStart`, `$bStart`) div ${binWidth}L") &&
+          col(s"_ra.`$aStart`") < col(s"_rb.`$bEnd`") &&
+          col(s"_rb.`$bStart`") < col(s"_ra.`$aEnd`"))
+      .select(a.columns.map(c => col(s"_ra.`$c`")).toSeq ++
+        b.columns.map(c => col(s"_rb.`$c`")): _*)
+  }
 }

@@ -32,6 +32,36 @@ object Sampling {
   def sampleByKey(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(bucketOf(col(keyCol)) < pct)
 
+  /** Deterministic global shuffle for training order: every epoch of
+    * training wants the corpus in a different but REPRODUCIBLE order, and
+    * `orderBy(rand())` is neither reproducible across retries nor stable
+    * across engines. Ordering by md5(key ++ seed) is both — any engine
+    * recomputes the same permutation from (key, seed), a lost task re-sorts
+    * identically, and changing the seed gives an independent epoch order.
+    *
+    * Adds `shuffle_pos` (0-based contiguous position). Cost at scale: one
+    * range exchange (sampled boundaries) + per-partition sort — a global
+    * sort IS the operation, there is no cheaper exact form; the md5 key is
+    * 1 cheap column, and zipWithIndex assigns positions from per-partition
+    * counts without a second pass over the rows. Ties (duplicate keys)
+    * break by the key itself, so the order is total and deterministic. */
+  def shuffleDeterministic(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    require(!df.columns.contains("shuffle_pos"),
+      "shuffleDeterministic reserves the column name shuffle_pos")
+    val ordered = df
+      .withColumn("_shufkey",
+        md5(concat(col(keyCol).cast("string"), lit(":" + seed))))
+      .orderBy(col("_shufkey"), col(keyCol))
+      .drop("_shufkey") // narrow projection — the sort order survives
+    val withPos = ordered.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(withPos,
+      org.apache.spark.sql.types.StructType(ordered.schema.fields :+
+        org.apache.spark.sql.types.StructField("shuffle_pos",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Stratified deterministic sampling: a different keep-percentage per
     * stratum (e.g. down-weight web crawl, keep all of books — the data-
     * mixing step of corpus assembly). Strata missing from `pctByStratum`

@@ -173,6 +173,30 @@ class DedupSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("deterministic shuffle: a reproducible, seed-dependent permutation") {
+    import graft.ops.Sampling
+    val d = (0 until 200).map(_.toLong).toDF("doc_id")
+    val a = Sampling.shuffleDeterministic(d, "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    // a permutation: every input id exactly once, positions 0..n-1 contiguous
+    assert(a.map(_._1).sorted.toSeq == (0L until 200L))
+    assert(a.map(_._2).sorted.toSeq == (0L until 200L))
+    // reproducible: same seed -> identical positions
+    val b = Sampling.shuffleDeterministic(d, "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.toMap == b.toMap)
+    // seed-dependent: a different seed gives a different order
+    val c = Sampling.shuffleDeterministic(d, "doc_id", seed = 8L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(a.toMap != c.toMap)
+    // and it actually shuffles (not the identity order)
+    assert(a.toMap != (0L until 200L).map(i => i -> i).toMap)
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleDeterministic(
+        d.withColumn("shuffle_pos", col("doc_id")), "doc_id", 1L)
+    }
+  }
+
   test("two jaccardPairs results compose in one plan (unique observe names)") {
     // a shared metric name would throw DUPLICATED_METRICS_NAME at analysis
     val u = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5)

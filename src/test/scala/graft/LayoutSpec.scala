@@ -62,5 +62,69 @@ class LayoutSpec extends SparkSpec {
   test("rejects bad arguments up front") {
     intercept[IllegalArgumentException] { Layout.writeClustered(src, "/tmp/x", 0, "l_shipdate") }
     intercept[IllegalArgumentException] { Layout.writeClustered(src, "/tmp/x", 4) }
+    intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(src, "/tmp/x", 0, "l_orderkey", "l_partkey") }
+    intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(src, "/tmp/x", 4, "l_orderkey", "l_partkey", bits = 0) }
+    intercept[IllegalArgumentException] { Layout.compact(spark, "/tmp/x", "/tmp/x") }
+    intercept[IllegalArgumentException] { Layout.compact(spark, "/tmp/x", "/tmp/y", 0L) }
+  }
+
+  test("z-order readback equals the source; schema untouched") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
+      .resolve("lineitem").toString
+    Layout.writeZOrdered(src, path, 8, "l_orderkey", "l_partkey")
+    val back = spark.read.parquet(path)
+    assert(back.schema == src.schema) // the _z helper column never leaks
+    val key = src.columns.map(col)
+    assert(back.select(key: _*).except(src.select(key: _*)).isEmpty)
+    assert(back.count() == src.count())
+  }
+
+  test("z-order files cover small rectangles on BOTH dimensions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
+      .resolve("lineitem").toString
+    Layout.writeZOrdered(src, path, 8, "l_orderkey", "l_partkey")
+    def spans(p: String, c: String): Seq[Long] =
+      spark.read.parquet(p)
+        .select(input_file_name().as("f"), col(c).cast("long").as("v"))
+        .groupBy("f").agg((max("v") - min("v")).as("span"))
+        .select("span").as[Long].collect().toSeq
+    val Seq(okGlobal, pkGlobal) = src
+      .agg(max("l_orderkey") - min("l_orderkey"),
+        max(col("l_partkey").cast("long")) - min(col("l_partkey").cast("long")))
+      .as[(Long, Long)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    // files cover narrow rectangles ON AVERAGE on both axes (mean, not
+    // max: the one file straddling a major z-curve boundary legitimately
+    // spans wide on one axis; a single-column sort would instead give
+    // near-full-span files on the whole other axis)
+    val okSpans = spans(path, "l_orderkey")
+    val pkSpans = spans(path, "l_partkey")
+    assert(okSpans.size == 8 && pkSpans.size == 8)
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    assert(mean(okSpans) < okGlobal * 0.8, s"orderkey spans $okSpans vs $okGlobal")
+    assert(mean(pkSpans) < pkGlobal * 0.8, s"partkey spans $pkSpans vs $pkGlobal")
+    // contrast: cluster on orderkey alone and partkey files stay full-span
+    val flat = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
+      .resolve("flat").toString
+    Layout.writeClustered(src, flat, 8, "l_orderkey")
+    assert(spans(flat, "l_partkey").exists(_ >= pkGlobal * 9 / 10))
+  }
+
+  test("compact merges a fragmented directory without changing the rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-spec")
+    val fragged = dir.resolve("fragged").toString
+    src.limit(5000).repartition(40).write.parquet(fragged)
+    def nFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(fragged) == 40)
+    val out = dir.resolve("compacted").toString
+    // target far above the data size -> everything folds into one file
+    val planned = Layout.compact(spark, fragged, out, targetFileBytes = 1L << 30)
+    assert(planned == 1 && nFiles(out) == 1)
+    val key = src.columns.map(col)
+    assert(spark.read.parquet(out).select(key: _*)
+      .except(spark.read.parquet(fragged).select(key: _*)).isEmpty)
+    assert(spark.read.parquet(out).count() == 5000)
   }
 }

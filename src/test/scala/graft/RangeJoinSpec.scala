@@ -80,6 +80,45 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap equals the brute-force theta join on the events fixture") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val day = 86400000000L
+    def w(id: String, k: String, s: String, e: String) =
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as(id), col("user_id").as(k),
+          col("ts_us").as(s), (col("ts_us") + day).as(e))
+    val binned = RangeJoin.intervalOverlap(
+        w("a_id", "a_user", "a_s", "a_e"), "a_user", "a_s", "a_e",
+        w("b_id", "b_user", "b_s", "b_e"), "b_user", "b_s", "b_e", day)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val brute = w("a_id", "a_user", "a_s", "a_e")
+      .join(w("b_id", "b_user", "b_s", "b_e"),
+        col("a_user") === col("b_user") &&
+          col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // set-equal AND multiplicity-equal: the ownership-bin rule must make
+    // each overlapping pair match exactly once, never once per shared bin
+    assert(binned.nonEmpty)
+    assert(binned.groupBy(identity).view.mapValues(_.size).toMap ==
+      brute.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("interval overlap: bin-spanning pairs match once; touching intervals don't") {
+    def iv(rows: (Long, Long, Long, Long)*) = rows.toDF("aid", "ak", "as_", "ae")
+    def jv(rows: (Long, Long, Long, Long)*) = rows.toDF("bid", "bk", "bs", "be")
+    val r = RangeJoin.intervalOverlap(
+        // a1 spans bins 0..9, a2 is empty-adjacent later
+        iv((1L, 1L, 0L, 1000L), (2L, 1L, 1000L, 1100L)), "ak", "as_", "ae",
+        // b1 overlaps a1 across many shared bins; b2 only TOUCHES a1 at
+        // t=1000 (half-open: no overlap); b3 overlaps both a1 and a2
+        jv((10L, 1L, 500L, 900L), (11L, 1L, 1000L, 1050L), (12L, 1L, 950L, 1020L)),
+        "bk", "bs", "be", binWidth = 100L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(r.groupBy(identity).view.mapValues(_.size).toMap == Map(
+      (1L, 10L) -> 1, (1L, 12L) -> 1, (2L, 11L) -> 1, (2L, 12L) -> 1))
+  }
+
   test("candidate generation is an equi-join on (key, bin), not a cartesian") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
