@@ -1000,6 +1000,14 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))
         .orderBy(col("tf").desc, col("token")).limit(100)),
 
+    // ---- LLM: unigram LM quality score (model-based filter slot) ------
+    // per-doc mean token log-prob under the corpus's own unigram model;
+    // log-probs quantized to 1e-6 and folded in token order so both
+    // engines produce the identical double (TextOps.lmScore)
+    "q_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_logp"))),
+
     // ---- LLM: int8 quantization error bounds (all-double mirror) ------
     // the oracle recomputes quantize→dequantize in DOUBLE arithmetic on
     // both engines (float→double casts are exact, round() ties-away on
@@ -1949,6 +1957,31 @@ object SparkEntry {
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // mirrors TextOps.lmScore exactly: quantized per-token ln, ordered
+    // list fold (list_prepend seed trick, as in q_fingerprint_md5)
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(
+        |    [{'i': i, 'token': ws[i]} FOR i IN generate_series(1, len(ws))]) AS u
+        |  FROM tok),
+        |v AS (
+        |  SELECT u.token AS token, count(*) AS tf FROM e GROUP BY u.token),
+        |t AS (SELECT sum(tf) AS total FROM v),
+        |lp AS (
+        |  SELECT token, round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+        |    AS logp
+        |  FROM v, t),
+        |d AS (
+        |  SELECT e.doc_id, list(lp.logp ORDER BY e.u.i) AS lps
+        |  FROM e JOIN lp ON e.u.token = lp.token GROUP BY e.doc_id)
+        |SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(0.0, lps), (a, x) -> a + x) / len(lps)
+        |    AS mean_logp
+        |FROM d""".stripMargin,
 
     "q_tokenize" ->
       """WITH tok AS (

@@ -218,6 +218,43 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // Unigram LM scoring: the model-based quality-filter slot (perplexity
+  // filtering reduced to its unigram core — rare-token-heavy gibberish
+  // scores low, fluent text scores high). The model trains on the corpus
+  // itself in one token-keyed aggregate; scoring re-joins per-token
+  // log-probs and folds them per document.
+  //
+  // Determinism contract: per-token log-probs are QUANTIZED to 1e-6
+  // (round after ln) and the per-doc sum is a sequential fold in token
+  // order — so the score is bit-reproducible across engines whose ln may
+  // differ in the last ulp (quantization error <= 5e-7/token is orders of
+  // magnitude below the signal). Same spirit as the dsum decimal trick.
+  //
+  // Scale shape: one token-keyed agg (vocabulary-sized output) + one
+  // 2-scalar global agg; the vocab broadcasts to the scoring join (swap
+  // for a token-keyed shuffle join if the vocab outgrows broadcast); the
+  // only corpus-sized shuffle reassembles documents by id.
+  // --------------------------------------------------------------------
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(words(lower(col(textCol)))).as(Seq("pos", "token")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("tf").cast("double") / col("total").cast("double")), 6)
+          .as("logp"))
+    toks.join(broadcast(logp), Seq("token")) // self-trained: never OOV
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("ps"))
+      .select(col(idCol),
+        size(col("ps")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("ps"), p => p.getField("logp")),
+          lit(0.0), (a, x) => a + x) / size(col("ps"))).as("mean_logp"))
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: order-sensitive polynomial rolling hash over
   // the word-hash sequence, computed mod the Mersenne prime 2^31-1 so the
   // accumulator never exceeds ~2^51 (Spark 4 runs ANSI mode — a wrapping

@@ -179,6 +179,31 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L) == Seq(-1, 0))
   }
 
+  test("unigram LM score equals the brute-force model; rare tokens score lower") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the the the the"),            // all-common: highest mean logp
+      (2L, "zqx wvu qqq"))                // all-rare: lowest
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.lmScore(docs)
+      .select("doc_id", "n_tokens", "mean_logp")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // brute-force unigram model with the op's exact quantization contract
+    val toks = Map(
+      0L -> "the cat sat on the mat".split("\\s+").toSeq,
+      1L -> "the the the the".split("\\s+").toSeq,
+      2L -> "zqx wvu qqq".split("\\s+").toSeq)
+    val tf = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = toks.values.map(_.size).sum.toDouble
+    def logp(t: String) = BigDecimal(math.log(tf(t) / total))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = toks.view.mapValues { ts =>
+      (ts.size.toLong, ts.map(logp).foldLeft(0.0)(_ + _) / ts.size)
+    }.toMap
+    assert(got == expect) // bit-exact, including the sequential fold order
+    assert(got(1L)._2 > got(0L)._2 && got(0L)._2 > got(2L)._2)
+  }
+
   test("md5 fingerprint variant: order-sensitive rolling, edit-robust winnow") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
       (1L, "beta alpha gamma delta epsilon zeta eta"), // swapped first words
