@@ -578,9 +578,9 @@ object SparkEntry {
           col("ts_us").as("p_start"), (col("ts_us") + day).as("p_end"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
-      graft.ops.RangeJoin.pointInInterval(clicks, "user_id", "ts_us",
-          purchases, "p_user", "p_start", "p_end", binWidth = day)
-        .select(col("user_id"), col("purchase_id"), col("click_id"))
+      Frame(clicks).rangeJoin(Frame(purchases), "user_id", "ts_us",
+          "p_user", "p_start", "p_end", binWidth = day)
+        .df.select(col("user_id"), col("purchase_id"), col("click_id"))
     }),
 
     // ---- extension: analytic window frames (rank, lag, running sum) ---
@@ -716,11 +716,11 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase")
           .select(col("event_id").as(idName), col("user_id").as(keyName),
             col("ts_us").as(sName), (col("ts_us") + day).as(eName))
-      graft.ops.RangeJoin.intervalOverlap(
-          windows("a_id", "a_user", "a_start", "a_end"), "a_user", "a_start", "a_end",
-          windows("b_id", "b_user", "b_start", "b_end"), "b_user", "b_start", "b_end",
+      Frame(windows("a_id", "a_user", "a_start", "a_end"))
+        .intervalOverlap(Frame(windows("b_id", "b_user", "b_start", "b_end")),
+          "a_user", "a_start", "a_end", "b_user", "b_start", "b_end",
           binWidth = day)
-        .where(col("a_id") < col("b_id"))
+        .df.where(col("a_id") < col("b_id"))
         .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
     }),
 

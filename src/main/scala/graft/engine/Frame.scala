@@ -210,6 +210,24 @@ final case class Frame(df: DataFrame) {
     Frame(graft.ops.AsOfJoin.asOf(df, right.df, keyCol, timeCol,
       payloadCols, saltBuckets))
 
+  /** Point-in-interval range join (ops/RangeJoin passthrough): this frame
+    * is the point side; every `intervals` row with equal key whose
+    * [start, end) contains the point's time matches exactly once. The
+    * range dimension is bin-sharded so candidates come from an equi-join
+    * on (key, bin) — never a per-key cross product. */
+  def rangeJoin(intervals: Frame, key: String, time: String,
+      iKey: String, iStart: String, iEnd: String, binWidth: Long): Frame =
+    Frame(graft.ops.RangeJoin.pointInInterval(df, key, time,
+      intervals.df, iKey, iStart, iEnd, binWidth))
+
+  /** Interval-overlap join (ops/RangeJoin passthrough): both sides are
+    * [start, end) ranges; equal-key overlapping pairs match exactly once
+    * via the ownership-bin rule. */
+  def intervalOverlap(right: Frame, key: String, start: String, end: String,
+      rKey: String, rStart: String, rEnd: String, binWidth: Long): Frame =
+    Frame(graft.ops.RangeJoin.intervalOverlap(df, key, start, end,
+      right.df, rKey, rStart, rEnd, binWidth))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
