@@ -15,6 +15,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // big-big shuffle joins with a selective side: build a bloom filter
+      // from the filtered side and drop fact rows BEFORE the shuffle
+      // (ScaleOpsSpec pins the rewrite; thresholds stay Spark's defaults,
+      // sized for real clusters rather than the test fixtures)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -100,6 +100,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("range joins equal the brute-force theta join on random intervals") {
+    // random keys/times stress bin boundaries (times land on multiples of
+    // small primes vs binWidth 10) and hot keys (keys drawn from 0..4)
+    val pointsGen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 200L)))
+    val ivGen = Gen.listOfN(40, Gen.zip(Gen.zip(
+      Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 200L)), Gen.chooseNum(0L, 60L)))
+    for (i <- 0 until 6) {
+      val pts = samples(pointsGen, i + 1).last.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+      val ivs = samples(ivGen, i + 1).last.zipWithIndex
+        .map { case (((k, s), len), id) => (id.toLong, k, s, s + len) }
+      val p = pts.toDF("pid", "pk", "pt")
+      val v = ivs.toDF("iid", "ik", "is", "ie")
+      val got = graft.ops.RangeJoin.pointInInterval(p, "pk", "pt",
+          v, "ik", "is", "ie", binWidth = 10L)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val want = pts.flatMap { case (pid, pk, pt) =>
+        ivs.collect { case (iid, ik, s, e) if ik == pk && pt >= s && pt < e =>
+          (pid, iid) }
+      }.sorted
+      assert(got == want, s"pointInInterval case $i")
+      val ov = graft.ops.RangeJoin.intervalOverlap(
+          v, "ik", "is", "ie",
+          v.toDF("jid", "jk", "js", "je"), "jk", "js", "je", binWidth = 10L)
+        .select("iid", "jid").as[(Long, Long)].collect().sorted.toSeq
+      val wantOv = ivs.flatMap { case (a, ak, as_, ae) =>
+        ivs.collect { case (b, bk, bs, be)
+          if ak == bk && as_ < ae && bs < be && as_ < be && bs < ae => (a, b) }
+      }.sorted
+      assert(ov == wantOv, s"intervalOverlap case $i")
+    }
+  }
+
   test("int8 quantization error never exceeds scale/2 on random vectors") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
     for ((vecs, i) <- samples(Gen.listOfN(10, vecGen), 3).zipWithIndex) {

@@ -60,6 +60,44 @@ class ScaleOpsSpec extends SparkSpec {
         .where(col("event_type") === "purchase").count())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a big-big shuffle join where one side carries a
+    // selective filter — Spark injects a bloom filter built from the
+    // filtered side into the other side's scan, so most fact rows drop
+    // BEFORE the shuffle. Thresholds are lowered so the sf0.001 fixture
+    // exercises the same rewrite a real cluster would apply at size.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creationSideThreshold is a MAX (build side must be smaller),
+      // applicationSideScanSizeThreshold a MIN (probe side must be bigger)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .where(col("o_totalprice") > 400000.0) // selective build side
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter:\n$plan")
+      // and the rewrite never changes the answer
+      val expect = li.join(ord.hint("broadcast"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSet
+      assert(joined.as[(String, Long)].collect().toSet == expect)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("bucketed tables equi-join without a shuffle") {
     val c = new Catalog(spark)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
