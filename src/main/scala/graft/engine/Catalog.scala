@@ -73,13 +73,26 @@ final class Catalog(val spark: SparkSession) {
     // but ONLY when the catalog genuinely has no such table (never
     // delete data a live catalog entry owns)
     if (!spark.catalog.tableExists(name)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val orphan = java.nio.file.Paths.get(wh, name)
-      if (java.nio.file.Files.exists(orphan)) {
+      val wh = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+        .toAbsolutePath.normalize
+      val orphan = wh.resolve(name).toAbsolutePath.normalize
+      // deletion guards: the resolved path must be a DIRECT child of the
+      // warehouse (a name containing separators or ".." escapes neither
+      // deletes outside it nor deletes the warehouse itself), and the
+      // directory must look like a Spark-written table (parquet part files
+      // or a _SUCCESS marker) — never reap arbitrary user directories
+      require(orphan.getParent == wh && orphan.getFileName.toString == name,
+        s"addBucketedTable: illegal table name '$name' (resolves outside the warehouse)")
+      if (java.nio.file.Files.isDirectory(orphan)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        val files = java.nio.file.Files.walk(orphan).iterator().asScala.toSeq
+        val sparkWritten = files.exists { p =>
+          val fn = p.getFileName.toString
+          fn == "_SUCCESS" || (fn.startsWith("part-") && fn.contains(".parquet"))
+        }
+        if (sparkWritten)
+          files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
     df.write.mode("overwrite")

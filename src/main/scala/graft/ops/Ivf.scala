@@ -83,8 +83,12 @@ object Ivf {
     var centroids: Array[Array[Float]] = seeds.toArray
     val k2 = centroids.length
     for (_ <- 0 until iters) {
+      // apply nearestCluster to the source column directly: referencing a
+      // lateral alias ("v") would be shadowed by an input column of the
+      // same name and cluster on the wrong data
       val assigned = emb.where(col(vecCol).isNotNull)
-        .select(col(vecCol).as("v"), nearestCluster(centroids)(col("v")).as("cluster"))
+        .select(col(vecCol).as("v"),
+          nearestCluster(centroids)(col(vecCol)).as("cluster"))
       val updated = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
@@ -114,6 +118,8 @@ object Ivf {
     * dimension contract). */
   def index(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, iters: Int = 2): IvfModel = {
+    require(!emb.columns.contains("cluster"),
+      "Ivf.index reserves the column name cluster; rename it upstream")
     val dim = emb.where(col(vecCol).isNotNull).select(size(col(vecCol)))
       .head(1).headOption.map(_.getInt(0)).getOrElse(
         throw new IllegalArgumentException(

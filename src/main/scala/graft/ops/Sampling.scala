@@ -48,6 +48,8 @@ object Sampling {
   def shuffleDeterministic(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
     require(!df.columns.contains("shuffle_pos"),
       "shuffleDeterministic reserves the column name shuffle_pos")
+    require(!df.columns.contains("_shufkey"),
+      "shuffleDeterministic reserves the column name _shufkey; rename it upstream")
     val ordered = df
       .withColumn("_shufkey",
         md5(concat(col(keyCol).cast("string"), lit(":" + seed))))
