@@ -20,6 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Catalog(val spark: SparkSession) {
   import scala.collection.concurrent.TrieMap
   private val tables = TrieMap.empty[String, DataFrame]
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Register a header'd, schema-inferred CSV (reference:
     * catalog.rs:16-22 + csv_table.rs:44-72). The reference infers from the
@@ -67,32 +68,47 @@ final class Catalog(val spark: SparkSession) {
     * the standard layout for repeatedly-joined 100 TB fact tables. */
   def addBucketedTable(name: String, df: DataFrame, bucketCol: String,
       nBuckets: Int): Catalog = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      .toAbsolutePath.normalize
+    val loc = wh.resolve(name).toAbsolutePath.normalize
+    // name guard first, on EVERY path: a name containing separators or
+    // ".." must fail identically whether or not the table already exists
+    // (a live-table overwrite with a bad name must not reach saveAsTable)
+    require(loc.getParent == wh && loc.getFileName.toString == name,
+      s"addBucketedTable: illegal table name '$name' (resolves outside the warehouse)")
     // a table directory left behind by a PREVIOUS session (in-memory
     // metastore gone, files still in the warehouse) is an orphan that
     // mode("overwrite") refuses with LOCATION_ALREADY_EXISTS — remove it,
     // but ONLY when the catalog genuinely has no such table (never
     // delete data a live catalog entry owns)
-    if (!spark.catalog.tableExists(name)) {
-      val wh = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-        .toAbsolutePath.normalize
-      val orphan = wh.resolve(name).toAbsolutePath.normalize
-      // deletion guards: the resolved path must be a DIRECT child of the
-      // warehouse (a name containing separators or ".." escapes neither
-      // deletes outside it nor deletes the warehouse itself), and the
-      // directory must look like a Spark-written table (parquet part files
-      // or a _SUCCESS marker) — never reap arbitrary user directories
-      require(orphan.getParent == wh && orphan.getFileName.toString == name,
-        s"addBucketedTable: illegal table name '$name' (resolves outside the warehouse)")
-      if (java.nio.file.Files.isDirectory(orphan)) {
-        import scala.jdk.CollectionConverters._
-        val files = java.nio.file.Files.walk(orphan).iterator().asScala.toSeq
-        val sparkWritten = files.exists { p =>
-          val fn = p.getFileName.toString
-          fn == "_SUCCESS" || (fn.startsWith("part-") && fn.contains(".parquet"))
+    if (!spark.catalog.tableExists(name) && Files.isDirectory(loc)) {
+      // reclaim only when Spark-output markers sit DIRECTLY under the
+      // directory: a data/commit marker buried deeper belongs to a nested
+      // output inside a user-owned directory, which we must not reap.
+      // Markers: _SUCCESS, part-* data files of any format, and the
+      // _temporary/_committed/_started droppings of an aborted write.
+      val topLevel = {
+        val s = Files.list(loc)
+        try s.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally s.close()
+      }
+      val sparkWritten = topLevel.exists { fn =>
+        fn == "_SUCCESS" || fn == "_temporary" || fn.startsWith("part-") ||
+          fn.startsWith("_committed") || fn.startsWith("_started")
+      }
+      if (sparkWritten) {
+        val files = {
+          val s = Files.walk(loc)
+          try s.iterator().asScala.toSeq finally s.close()
         }
-        if (sparkWritten)
-          files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        files.reverse.foreach(Files.deleteIfExists(_))
+      } else {
+        log.warn(s"addBucketedTable: existing directory $loc has no " +
+          "Spark-output marker at its top level; leaving it in place — " +
+          "the write below will fail with LOCATION_ALREADY_EXISTS")
       }
     }
     df.write.mode("overwrite")
