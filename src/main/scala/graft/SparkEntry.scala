@@ -566,6 +566,36 @@ object SparkEntry {
         Seq("click_id", "click_us"), saltBuckets = 8).df
     }),
 
+    // forward direction: each purchase takes the EARLIEST click at or
+    // after it (next-touch attribution), same shuffle cost as backward
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), col("click_id"),
+          col("ts_us").as("click_us"))
+      Frame(purchases).asOf(Frame(clicks), "user_id", "ts_us",
+        Seq("click_id", "click_us"), direction = "forward").df
+    }),
+
+    // tolerance band: a backward match older than 2 days nulls out (the
+    // left row survives) — pandas merge_asof tolerance semantics
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), col("click_id"),
+          col("ts_us").as("click_us"))
+      Frame(purchases).asOf(Frame(clicks), "user_id", "ts_us",
+        Seq("click_id", "click_us"), tolerance = Some(172800000000L)).df
+    }),
+
     // ---- extension: point-in-interval range join (attribution shape) --
     // every click within one day AFTER a purchase by the same user; the
     // range dimension is bin-sharded so candidates come from an equi-join
@@ -1564,6 +1594,42 @@ object SparkEntry {
         |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         max(event_id) AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id AS asof_click_id, c.click_us AS asof_click_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us""".stripMargin,
+
+    // DuckDB ASOF has no tolerance — post-filter the matched distance
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         max(event_id) AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |         c.click_id, c.click_us, c.ts_us AS c_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts_us >= c.ts_us)
+        |SELECT event_id, user_id, ts_us, value,
+        |  CASE WHEN ts_us - c_ts <= 172800000000 THEN click_id END
+        |    AS asof_click_id,
+        |  CASE WHEN ts_us - c_ts <= 172800000000 THEN click_us END
+        |    AS asof_click_us
+        |FROM m""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

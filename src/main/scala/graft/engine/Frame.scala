@@ -206,9 +206,11 @@ final case class Frame(df: DataFrame) {
     * `asof_<payload>` columns. One shuffle on the key; `saltBuckets > 1`
     * splits hot keys' windows by time range with identical results. */
   def asOf(right: Frame, keyCol: String, timeCol: String,
-      payloadCols: Seq[String], saltBuckets: Int = 1): Frame =
+      payloadCols: Seq[String], saltBuckets: Int = 1,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): Frame =
     Frame(graft.ops.AsOfJoin.asOf(df, right.df, keyCol, timeCol,
-      payloadCols, saltBuckets))
+      payloadCols, saltBuckets, direction, tolerance))
 
   /** Point-in-interval range join (ops/RangeJoin passthrough): this frame
     * is the point side; every `intervals` row with equal key whose

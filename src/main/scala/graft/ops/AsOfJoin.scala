@@ -46,24 +46,59 @@ object AsOfJoin {
     * @param payloadCols right-side columns to carry (become `asof_<name>`)
     * @param saltBuckets > 1 splits each key's window into that many
     *                    time-range buckets (skew defense, same result)
+    * @param direction   "backward" (latest right at or before the left
+    *                    time — the default) or "forward" (earliest right
+    *                    at or after it)
+    * @param tolerance   maximum |left time - matched right time| in units
+    *                    of the time column's long cast (seconds for
+    *                    timestamps, native units for numerics); a match
+    *                    farther away yields nulls, like pandas merge_asof
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCols: Seq[String],
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1, direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOf direction must be 'backward' or 'forward', got '$direction'")
+    if (direction == "forward") {
+      // exact reduction: forward on t IS backward on -t. "earliest right
+      // with r.t >= l.t" == "latest right with r.(-t) <= l.(-t)", and the
+      // tolerance band |lt - rt| is symmetric under negation. The salted
+      // path only needs a monotonic long cast, which -cast(t) is.
+      val l2 = left.withColumn("_negt", -col(timeCol).cast("long"))
+      val r2 = right.withColumn("_negt", -col(timeCol).cast("long"))
+      return asOfOn(l2, r2, keyCol, "_negt", payloadCols, saltBuckets,
+        tolerance).drop("_negt")
+    }
+    asOfOn(left, right, keyCol, timeCol, payloadCols, saltBuckets, tolerance)
+  }
+
+  /** The backward-direction core, windowing on `timeCol` as given. */
+  private def asOfOn(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String],
+      saltBuckets: Int, tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     val reserved = Seq("_tag", "_r", "_asof", "_b", "_last", "_carry") ++
       payloadCols.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         leftCols.filter(reserved.contains).mkString(", "))
+    require(!payloadCols.contains("_grft_mt"),
+      "payload column name _grft_mt is reserved for the tolerance check")
     // the whole right payload travels as ONE struct: last(_, ignoreNulls)
     // then selects the latest right ROW atomically — per-column carrying
     // would resurrect an older value when the latest right row holds a
-    // null, and could even stitch fields from different right rows
-    val payloadStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
+    // null, and could even stitch fields from different right rows.
+    // The matched right time rides along as the LAST struct field (so the
+    // struct-ordering tiebreak among same-(time, tag) rows is unchanged —
+    // the field is equal across any such tie) for the tolerance check.
+    val payloadStruct = struct(payloadCols.map(c => col(c).as(c)) :+
+      col(timeCol).cast("long").as("_grft_mt"): _*)
     val structType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => org.apache.spark.sql.types.StructField(
-        c, right.schema(c).dataType, nullable = true)))
+        c, right.schema(c).dataType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField("_grft_mt",
+          org.apache.spark.sql.types.LongType, nullable = true))
     val lAligned = left.withColumn("_tag", lit(1))
       .withColumn("_r", lit(null).cast(structType))
     val rAligned = leftCols.foldLeft(
@@ -87,10 +122,18 @@ object AsOfJoin {
       val w = Window.partitionBy(partCols.map(col): _*)
         .orderBy(col(timeCol), col("_tag"), col("_r").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // tolerance: the carried distance is lt - mt >= 0 by construction
+      // (on the negated axis for forward joins, where it equals rt - lt);
+      // outside the band the payload nulls out but the left row survives
+      val within = tolerance match {
+        case Some(t) =>
+          col(timeCol).cast("long") - col("_asof._grft_mt") <= lit(t)
+        case None => lit(true)
+      }
       df.withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
         .where(col("_tag") === 1)
-        .select((leftCols.map(col) ++
-          payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+        .select((leftCols.map(col) ++ payloadCols.map(c =>
+          when(within, col(s"_asof.$c")).as(s"asof_$c"))): _*)
     }
 
     if (saltBuckets <= 1) return finish(unioned, Seq(keyCol))

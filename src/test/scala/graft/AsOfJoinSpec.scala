@@ -115,6 +115,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r2 == Seq(None, None))
   }
 
+  test("forward direction picks the earliest right row at or after the left time") {
+    val left = Seq((1L, 10L, "p1"), (1L, 25L, "p2"), (1L, 31L, "p3"),
+      (2L, 5L, "p4")).toDF("k", "t", "name")
+    val right = Seq((1L, 8L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+      (1L, 25L, 250L)).toDF("k", "t", "rid")
+    val r = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        direction = "forward")
+      .select("name", "asof_rid").as[(String, Option[Long])]
+      .collect().toMap
+    assert(r("p1") == Some(200L)) // t=10 -> right at 20 (not 8 or 25)
+    assert(r("p2") == Some(250L)) // equal time matches (>= semantics)
+    assert(r("p3") == None)       // nothing at or after 31
+    assert(r("p4") == None)       // key 2 has no right rows
+  }
+
+  test("forward equals brute force on random inputs, salted and not") {
+    val rnd = new scala.util.Random(11)
+    val leftRows = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0L until 5L; t <- 0L until 1000L by 7L) yield (k, t)).toList
+    ).take(120).map { case (k, t) => (k, t, k * 10000 + t) }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid")
+    val byKey = rightRows.groupBy(_._1)
+    for (buckets <- Seq(1, 8)) {
+      val got = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+          saltBuckets = buckets, direction = "forward")
+        .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      leftRows.foreach { case (k, t, lid) =>
+        val expect = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        assert(got(lid) == expect, s"buckets=$buckets key=$k t=$t")
+      }
+    }
+  }
+
+  test("tolerance nulls matches farther than the band, both directions") {
+    val left = Seq((1L, 100L, "near"), (1L, 500L, "far")).toDF("k", "t", "name")
+    val right = Seq((1L, 90L, 9L)).toDF("k", "t", "rid")
+    val back = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        tolerance = Some(50L))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(back == Map("near" -> Some(9L), "far" -> None)) // 410 > 50
+    val fwd = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        direction = "forward", tolerance = Some(50L))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(fwd == Map("near" -> None, "far" -> None)) // no right >= either
+    // tolerance survives the salted path (the matched time rides the carry)
+    val salted = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        saltBuckets = 4, tolerance = Some(50L))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(salted == back)
+  }
+
   test("left payload columns pass through unchanged") {
     val left = Seq((1L, 10L, 3.5)).toDF("k", "t", "v")
     val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")

@@ -10,6 +10,10 @@ sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 # oracles when comparing at sf0.1, where DuckDB would grind for minutes)
 skip = set(filter(None, (n.strip() for n in
                          os.environ.get("ORACLE_SKIP", "").split(","))))
+# comma-separated names to compare EXCLUSIVELY (fast iteration on new
+# oracles); empty means all
+only = set(filter(None, (n.strip() for n in
+                         os.environ.get("ORACLE_ONLY", "").split(","))))
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -30,8 +34,9 @@ def norm(v):
 
 n_ok = n_bad = 0
 for name, sql in sorted(oracle.items()):
-    if name in skip:
-        print(f"SKIP {name}"); continue
+    if name in skip or (only and name not in only):
+        if name in skip: print(f"SKIP {name}")
+        continue
     try:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
