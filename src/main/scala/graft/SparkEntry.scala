@@ -935,6 +935,20 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("chunk_text"), col("n_tokens").cast("long").as("n_tokens"))),
 
+    // ---- LLM: line-level corpus dedup (C4/CCNet boilerplate removal) --
+    // the fixture has no newlines, so first reflow each doc into 3-word
+    // lines (deterministic, SQL-mirrorable), then drop every line present
+    // in more than 2 distinct documents and reassemble the survivors
+    "q_dedup_lines" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val nLines = ceil(size(ws) / 3.0).cast("int")
+      val reflowed = t(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(sequence(lit(1), nLines),
+          i => array_join(slice(ws, (i - lit(1)) * 3 + 1, lit(3)), " ")), "\n")
+          .as("text"))
+      TextOps.dedupLines(reflowed, "doc_id", "text", maxDf = 2)
+    }),
+
     // ---- LLM: per-shard greedy sequence packing -----------------------
     "q_pack_sequences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1865,6 +1879,21 @@ object SparkEntry {
 
     // chunking: DuckDB list slices are 1-based inclusive, so
     // ws[i*15+1 : i*15+20] is exactly Spark's slice(ws, i*15+1, 20)
+    "q_dedup_lines" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(w[(i-1)*3+1 : i*3], ' ') AS line
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(
+        |    1, CAST(ceil(len(w)/3.0) AS BIGINT))) AS i) g),
+        |freq AS (
+        |  SELECT line FROM lines
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM lines WHERE line NOT IN (SELECT line FROM freq)
+        |GROUP BY doc_id""".stripMargin,
+
     "q_chunk_docs" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws

@@ -368,4 +368,37 @@ object TextOps {
       .withColumn("fp_rolling", fingerprintWith(col(textCol), md5Hash32))
       .withColumn("fp_winnow",
         minWindowHashWith(col(textCol), window, md5Hash32))
+
+  /** Line-level corpus deduplication (the C4/CCNet preprocessing step):
+    * drop every line that occurs verbatim in MORE THAN `maxDf` distinct
+    * documents across the whole corpus — boilerplate (nav bars, cookie
+    * banners, license headers) repeats across pages, body text doesn't —
+    * then reassemble each document from its surviving lines in original
+    * order. Documents whose every line was boilerplate disappear.
+    *
+    * Scale shape: the document-frequency count groups by the 64-bit
+    * xxhash64 of the line, so the counting shuffle carries (hash, id)
+    * pairs, never line text; the frequent-line set (lines above `maxDf`)
+    * is orders of magnitude smaller than the corpus and anti-joins
+    * against the exploded lines (broadcast-able in practice; Catalyst/AQE
+    * decides). Reassembly is one groupBy on the id — the same cost as any
+    * keyed aggregation. Hash collisions can only ever REMOVE an innocent
+    * line (never corrupt one), with probability ~2^-64 per distinct pair.
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDf: Int = 1,
+      delim: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+      .withColumn("_h", xxhash64(col("line")))
+    val frequent = lines.groupBy("_h")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") > maxDf).select("_h")
+    lines.join(frequent, Seq("_h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), delim).as(textCol))
+  }
 }

@@ -250,6 +250,32 @@ class TextOpsSpec extends SparkSpec {
     assert(cos > 0.999)
   }
 
+  test("line-level dedup drops corpus-frequent lines, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "cookie banner\nunique one\nfooter"),
+      (2L, "cookie banner\nunique two\nfooter"),
+      (3L, "cookie banner\nunique three\nfooter"),
+      (4L, "cookie banner\nfooter")).toDF("doc_id", "text")
+    // maxDf=2: both boilerplate lines appear in 4 docs > 2 -> dropped;
+    // unique lines survive; doc 4 loses everything and disappears
+    val r = TextOps.dedupLines(docs, "doc_id", "text", maxDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "unique one", 2L -> "unique two",
+      3L -> "unique three"))
+    // maxDf=4 keeps everything, in original line order
+    val all = TextOps.dedupLines(docs, "doc_id", "text", maxDf = 4)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) == "cookie banner\nunique one\nfooter")
+    assert(all(4L) == "cookie banner\nfooter")
+    // df counts DISTINCT docs: a line repeated inside ONE doc is not
+    // boilerplate and survives maxDf=1
+    val rep = Seq((1L, "again\nagain\nmine"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.dedupLines(rep, "doc_id", "text", maxDf = 1)
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) == "again\nagain\nmine")
+  }
+
   test("array slice values match the joined-string surface (q_array_fns)") {
     // The q_array_fns query only emits first3_str (the driver's comparator
     // cannot hash array cells); the underlying array values are pinned here.
