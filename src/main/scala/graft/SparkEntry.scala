@@ -853,6 +853,18 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- LLM: source-weighted mixture to a token budget ---------------
+    // 40k-char budget at 50/25/12.5/12.5 over four sources: src0 upsamples
+    // to ~2.5 epochs, src2/src3 downsample to ~0.65, the rest drop out
+    "q_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureToBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+          "src3" -> 0.125),
+        budgetTokens = 40000L)),
+
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -1790,6 +1802,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    // weights sum to exactly 1.0 in double, so the engine's w/Σw and this
+    // literal wt agree bit-for-bit; per-row double math is cross-engine
+    // exact (see the dsum note)
+    "q_mixture" ->
+      """WITH w(source, wt) AS (VALUES
+        |  ('src0', 0.5), ('src1', 0.25), ('src2', 0.125), ('src3', 0.125)),
+        |tot AS (SELECT source, sum(n_chars) AS t FROM documents
+        |        GROUP BY source),
+        |f AS (SELECT tot.source,
+        |        CAST(40000 AS DOUBLE) * CAST(wt AS DOUBLE)
+        |          / CAST(t AS DOUBLE) AS f
+        |      FROM tot JOIN w USING (source))
+        |SELECT doc_id, source, n_chars, n_copies FROM (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    CAST(floor(f) + CASE WHEN
+        |      CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+        |        || ':mix'), 1, 8) AS BIGINT) % 10000
+        |        < (f - floor(f)) * 10000 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM documents d JOIN f USING (source))
+        |WHERE n_copies > 0""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE w AS (

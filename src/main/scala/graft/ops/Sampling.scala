@@ -64,6 +64,57 @@ object Sampling {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Source-weighted mixture sampling to a token budget — the data-mixing
+    * step of corpus assembly stated the way mixture specs actually come:
+    * "train on B tokens, 50% source A, 25% B, …". For each source s with
+    * weight w_s the target is `budget * w_s / Σw` tokens; with T_s tokens
+    * on hand the per-document epoch count is the closed form
+    *
+    *   f_s   = target_s / T_s                    (may exceed 1: upsampling)
+    *   n_doc = floor(f_s) + [bucket(key) < frac(f_s) * granularity]
+    *
+    * with a deterministic md5 bucket in [0, granularity), so expected
+    * emitted tokens per source = target_s exactly, every run and every
+    * engine picks the same documents, and a document is either repeated
+    * whole (epochs) or dropped whole — never split. Sources without a
+    * weight get 0 copies; weighted sources absent from the corpus just
+    * leave their budget share unmet (no silent renormalization).
+    *
+    * Scale shape: ONE aggregation producing #sources scalars collected to
+    * the driver (the only collect — source count is human-sized), then a
+    * pure per-row expression; no join, no second shuffle. Downstream
+    * training epochs materialize by exploding `sequence(1, n_copies)` or
+    * by reading the frame `n_copies` times.
+    *
+    * Rows with `n_copies = 0` are dropped (the common case downstream).
+    */
+  def mixtureToBudget(docs: DataFrame, sourceCol: String, keyCol: String,
+      tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
+      granularity: Int = 10000): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0)
+      && weights.values.sum > 0, "weights must be non-negative, sum > 0")
+    require(!docs.columns.contains("n_copies"),
+      "mixtureToBudget reserves the column name n_copies")
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_t")).collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+      .toMap
+    val frac: Seq[(String, Double)] = weights.toSeq.sortBy(_._1).flatMap {
+      case (s, w) => totals.get(s).filter(_ > 0).map(t =>
+        s -> budgetTokens.toDouble * w / wsum / t.toDouble)
+    }
+    val f = frac.foldLeft(lit(0.0)) { case (acc, (s, fr)) =>
+      when(col(sourceCol) === s, lit(fr)).otherwise(acc) }
+    val bucket = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":mix")).cast("binary")), 1, 8), 16, 10).cast("long") % granularity
+    docs.withColumn("n_copies", (floor(f) +
+        when(bucket < (f - floor(f)) * granularity, 1).otherwise(0))
+      .cast("long"))
+      .where(col("n_copies") > 0)
+  }
+
   /** Stratified deterministic sampling: a different keep-percentage per
     * stratum (e.g. down-weight web crawl, keep all of books — the data-
     * mixing step of corpus assembly). Strata missing from `pctByStratum`

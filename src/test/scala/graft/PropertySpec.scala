@@ -100,6 +100,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling hits each source's token budget in expectation") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 2000).map { i =>
+      (i.toLong, s"s${i % 4}", 50L + rnd.nextInt(100)) }
+      .toDF("id", "source", "toks")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.25)
+    val budget = 300000L
+    val out = graft.ops.Sampling.mixtureToBudget(df, "source", "id",
+      "toks", weights, budget)
+    val emitted = out.groupBy("source")
+      .agg(sum(col("toks") * col("n_copies")).as("e"))
+      .as[(String, Long)].collect().toMap
+    // unweighted source drops out entirely
+    assert(!emitted.contains("s3"))
+    // per-source emitted tokens within 10% of target (md5 bucket noise)
+    for ((s, w) <- weights) {
+      val target = budget * w
+      assert(math.abs(emitted(s) - target) < target * 0.10,
+        s"source $s emitted ${emitted(s)} vs target $target")
+    }
+    // s0's fraction is ~2.3: every kept doc repeats at least twice
+    val minCopies = out.where(col("source") === "s0")
+      .agg(min("n_copies")).as[Long].collect().head
+    assert(minCopies >= 2)
+    // determinism: identical output on re-run
+    val again = graft.ops.Sampling.mixtureToBudget(df, "source", "id",
+      "toks", weights, budget)
+      .select("id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(again == out.select("id", "n_copies")
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("range joins equal the brute-force theta join on random intervals") {
     // random keys/times stress bin boundaries (times land on multiples of
     // small primes vs binWidth 10) and hot keys (keys drawn from 0..4)
