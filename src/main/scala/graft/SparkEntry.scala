@@ -1036,6 +1036,22 @@ object SparkEntry {
           col("text_redacted"))
     }),
 
+    // ---- LLM: Unicode normalization + canonical cleaning --------------
+    // planted NFD sequences (combining marks) exercise the non-ASCII
+    // path of the codegen'd unicode_normalize; the corpus rows take the
+    // ASCII identity fast path
+    "q_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (100001L, "cafe\u0301  du   monde"),
+        (100002L, "A\u030Angstro\u0308m UNITS"),
+        (100003L, "  already clean  ")).toDF("doc_id", "text")
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+        .select(col("doc_id"), TextOps.normalizeText(col("text"))
+          .as("text_norm"))
+    }),
+
     // ---- LLM: benchmark decontamination (n-gram overlap vs eval set) --
     // docs 0..19 play the eval benchmark; planted copies of them at
     // id+100000 guarantee non-trivial hits, and any NATURAL corpus doc
@@ -2030,6 +2046,21 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\b[0-9]{9,}\b', '<NUM>', 'g') AS text_redacted
+        |FROM d""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A ring,
+    // chr(776)=U+0308 diaeresis — the same decomposed sequences the
+    // Spark side plants; nfc_normalize is DuckDB's NFC
+    "q_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT 100001, 'cafe' || chr(769) || '  du   monde'
+        |  UNION ALL SELECT 100002,
+        |    'A' || chr(778) || 'ngstro' || chr(776) || 'm UNITS'
+        |  UNION ALL SELECT 100003, '  already clean  ')
+        |SELECT doc_id,
+        |  lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))
+        |    AS text_norm
         |FROM d""".stripMargin,
 
     // mirrors TextOps.wordShingles exactly: docs of <= n-1 words

@@ -74,6 +74,56 @@ object SimHash64 {
   }
 }
 
+/** Unicode canonical/compatibility normalization (NFC/NFD/NFKC/NFKD) as
+  * a native codegen'd expression — the first step of any text-cleaning
+  * pipeline (the same byte sequence rendered two ways must dedup, hash,
+  * and match as one). Spark has no built-in for this; a Scala UDF would
+  * pay (de)serialization per row.
+  *
+  * Fast path: a pure-ASCII string (numBytes == numChars) is invariant
+  * under every normalization form and is returned without any String
+  * round-trip — on mostly-ASCII corpora the expression is near-free and
+  * stays inside whole-stage codegen.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if UnicodeNormalize.Forms.contains(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize form must be one of ${UnicodeNormalize.Forms.mkString(", ")}, got '$form'")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize requires a string argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNormalize.compute(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"""graft.functions.UnicodeNormalize.compute($a, "$form")""")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, form: String): UTF8String = {
+    // ASCII bytes == chars; ASCII is closed under all four forms
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
 /** Registration + Column wrappers for the text expressions. */
 object TextExprs {
   def register(spark: SparkSession): Unit = {
@@ -81,9 +131,20 @@ object TextExprs {
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("unicode_normalize", es =>
+      UnicodeNormalize(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got $other")
+      }), "built-in")
   }
 
   /** Requires [[register]] on the active session. */
   def simhash64(tokens: Column): Column =
     functions.call_function("simhash64", tokens)
+
+  /** Requires [[register]] on the active session. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    functions.call_function("unicode_normalize", text, functions.lit(form))
 }

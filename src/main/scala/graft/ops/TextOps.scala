@@ -369,6 +369,16 @@ object TextOps {
       .withColumn("fp_winnow",
         minWindowHashWith(col(textCol), window, md5Hash32))
 
+  /** Canonical text-cleaning step: Unicode NFC (via the codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — requires
+    * `Graft.init`), whitespace collapse, trim, lowercase. Pure per-row,
+    * shuffle-free; run it BEFORE hashing/dedup so visually-identical
+    * byte variants collapse to one form. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      graft.functions.TextExprs.unicodeNormalize(text, "NFC"),
+      "\\s+", " ")))
+
   /** Line-level corpus deduplication (the C4/CCNet preprocessing step):
     * drop every line that occurs verbatim in MORE THAN `maxDf` distinct
     * documents across the whole corpus — boilerplate (nav bars, cookie

@@ -250,6 +250,38 @@ class TextOpsSpec extends SparkSpec {
     assert(cos > 0.999)
   }
 
+  test("unicode_normalize: NFC composes, NFKC folds, ASCII identity, nulls") {
+    Graft.init(spark)
+    import graft.functions.TextExprs
+    val df = Seq((1L, "café"), (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String]), (4L, "ﬁle")).toDF("id", "s")
+    val out = df.select(col("id"),
+        TextExprs.unicodeNormalize(col("s"), "NFC").as("c"),
+        TextExprs.unicodeNormalize(col("s"), "NFKC").as("k"))
+      .as[(Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == Some("café")) // composed, 4 chars
+    assert(out(1L)._1.get.length == 4)
+    assert(out(2L) == (Some("plain ascii"), Some("plain ascii")))
+    assert(out(3L) == (None, None))
+    assert(out(4L)._1 == Some("ﬁle")) // NFC keeps the ligature
+    assert(out(4L)._2 == Some("file"))     // NFKC folds it
+    // SQL frontend surface
+    val viaSql = spark.sql("SELECT unicode_normalize('café', 'NFC')")
+      .as[String].collect().head
+    assert(viaSql == "café")
+    // a bad form fails analysis, not execution
+    val e = intercept[Exception] {
+      df.select(TextExprs.unicodeNormalize(col("s"), "NFX")).collect()
+    }
+    assert(e.getMessage.contains("NFC"))
+    // the composite clean step: normalize + collapse + trim + lower
+    val norm = Seq(("  Å   b  ", 0)).toDF("s", "z")
+      .select(graft.ops.TextOps.normalizeText(col("s"))).as[String]
+      .collect().head
+    assert(norm == "å b")
+  }
+
   test("line-level dedup drops corpus-frequent lines, keeps order, drops empty docs") {
     val docs = Seq(
       (1L, "cookie banner\nunique one\nfooter"),
