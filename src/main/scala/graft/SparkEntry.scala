@@ -247,6 +247,26 @@ object SparkEntry {
         .df
     }),
 
+    // JSON source parity: write nation as JSON lines, read it back
+    // through the catalog's JSON source (schema inferred), and the
+    // round-trip must equal the parquet original
+    "q_json_roundtrip" -> ((s, dir) => {
+      val path = "/tmp/graft_rt/nation_json"
+      t(s, dir, "nation").write.mode("overwrite").json(path)
+      new Catalog(s).addJsonTable("nation_json_rt", path)
+        .table("nation_json_rt").df
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    // ORC source parity, same round-trip shape
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = "/tmp/graft_rt/nation_orc"
+      t(s, dir, "nation").write.mode("overwrite").orc(path)
+      new Catalog(s).addOrcTable("nation_orc_rt", path)
+        .table("nation_orc_rt").df
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
     // ---- SQL frontend over registered catalog views -------------------
     "q_sql_frontend" -> ((s, dir) => {
       Catalog.forTestdata(s, dir)
@@ -1000,6 +1020,22 @@ object SparkEntry {
           Raw(col("rn").cast("long").as("rn"), "rn")).df
     }),
 
+    // ---- analytic distribution functions on the Frame surface ---------
+    // ntile/percent_rank/cume_dist over a TIE-FREE order (totalprice,
+    // orderkey): a tied order would make ntile engine-arbitrary
+    "q_window_analytics" -> ((s, dir) =>
+      Frame(t(s, dir, "orders").where(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")))
+        .window(Seq(E.col("o_orderpriority")),
+          Seq((E.col("o_totalprice"), true), (E.col("o_orderkey"), true)),
+          Seq(("ntile", E.lit(4), "tile4"),
+            ("percent_rank", E.lit(1), "pct_rank"),
+            ("cume_dist", E.lit(1), "cume")))
+        .project(E.col("o_orderkey"), E.col("o_orderpriority"),
+          Raw(col("tile4").cast("long").as("tile4"), "tile4"),
+          E.col("pct_rank"), E.col("cume")).df),
+
     // ---- LLM: language ID (stopword-overlap heuristic) ----------------
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents"))
@@ -1377,6 +1413,12 @@ object SparkEntry {
       """SELECT name, score
         |FROM read_csv_auto('/root/repo/src/test/resources/data/people.csv')
         |WHERE age >= 24""".stripMargin,
+
+    // the round-trips must reproduce the parquet original exactly
+    "q_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q_sql_frontend" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
@@ -2109,6 +2151,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_tokens DESC, doc_id) AS rn
         |  FROM q) WHERE rn <= 3""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (

@@ -189,6 +189,19 @@ final case class Frame(df: DataFrame) {
         case "RANK" => F.rank().over(base)
         case "DENSE_RANK" => F.dense_rank().over(base)
         case "ROW_NUMBER" => F.row_number().over(base)
+        case "PERCENT_RANK" => F.percent_rank().over(base)
+        case "CUME_DIST" => F.cume_dist().over(base)
+        case "NTILE" =>
+          // bucket count must be a literal (SQL says so too); NTILE
+          // depends on the FULL order — give it a tie-free orderBy or
+          // bucket assignment is engine-arbitrary
+          val n = operand match {
+            case Lit(v: Int) => v
+            case Lit(v: Long) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"NTILE requires an integer literal bucket count, got $other")
+          }
+          F.ntile(n).over(base)
         case "LAG" => F.lag(operand.toColumn, 1).over(base)
         case "LEAD" => F.lead(operand.toColumn, 1).over(base)
         case "SUM" | "MIN" | "MAX" | "AVG" | "COUNT" =>
