@@ -427,6 +427,101 @@ object SparkEntry {
         .limit(20).df
     }),
 
+    // ---- composite: TPC-H Q7 shape (volume shipping between nation
+    // pairs) — the dual-dimension join: nation enters TWICE under
+    // different roles, pre-projected to distinct names, plus a
+    // disjunctive pair filter and a group-by-expression on the year
+    "q_tpch_q7" -> ((s, dir) => {
+      val custNation = Frame(t(s, dir, "nation").select(
+        col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      val suppNation = Frame(t(s, dir, "nation").select(
+        col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "orders")), Seq(("l_orderkey", "o_orderkey")))
+        .join(Frame(t(s, dir, "customer")), Seq(("o_custkey", "c_custkey")))
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .join(custNation, Seq(("c_nationkey", "cnk")))
+        .join(suppNation, Seq(("s_nationkey", "snk")))
+        .filter(Raw(
+          (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+          (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"),
+          "nation pair"))
+        .aggregate(Seq(E.col("supp_nation"), E.col("cust_nation"),
+            Raw(year(col("l_shipdate")).cast("long").as("l_year"), "l_year")),
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"), "revenue")))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q8 shape (market share): one nation's share
+    // of a region's revenue for one part type, by year — conditional
+    // aggregation divided by the total
+    "q_tpch_q8" -> ((s, dir) => {
+      val suppNation = Frame(t(s, dir, "nation").select(
+        col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "part")), Seq(("l_partkey", "p_partkey")))
+        .filter(Raw(col("p_type") === "STANDARD", "type"))
+        .join(Frame(t(s, dir, "orders")), Seq(("l_orderkey", "o_orderkey")))
+        .join(Frame(t(s, dir, "customer")), Seq(("o_custkey", "c_custkey")))
+        .join(Frame(t(s, dir, "nation")), Seq(("c_nationkey", "n_nationkey")))
+        .join(Frame(t(s, dir, "region")), Seq(("n_regionkey", "r_regionkey")))
+        .filter(Raw(col("r_name") === "ASIA", "asia"))
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .join(suppNation, Seq(("s_nationkey", "snk")))
+        .aggregate(Seq(Raw(year(col("o_orderdate")).cast("long")
+            .as("o_year"), "o_year")),
+          Seq(Raw(round(dsum8(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0.0))) / dsum8(vol), 6).as("mkt_share"),
+            "mkt_share")))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q19 shape (disjunction of conjunctive bands)
+    // — an OR of brand/size/quantity envelopes over the part join; the
+    // partial predicates still push into both scans
+    "q_tpch_q19" -> ((s, dir) =>
+      Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "part")), Seq(("l_partkey", "p_partkey")))
+        .filter(Raw(
+          (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 30) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(10, 30) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 40),
+          "q19 bands"))
+        .aggregate(Seq.empty,
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"), "revenue"),
+            Raw(count(lit(1)).as("n_items"), "n_items")))
+        .df),
+
+    // ---- composite: TPC-H Q22 shape (scalar subquery + anti join) ----
+    // above-average-balance customers who never placed an URGENT order,
+    // by nation: the global average enters as a broadcast 1-row cross
+    // join, the "never placed" as an anti join (every sf0.01 customer
+    // has SOME order, so the classic never-ordered cut would be empty)
+    "q_tpch_q22" -> ((s, dir) => {
+      val avgBal = Frame(t(s, dir, "customer"))
+        .filter(Raw(col("c_acctbal") > 0.0, "positive"))
+        .aggregate(Seq.empty, Seq(Raw(
+          (dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"),
+          "avg_bal")))
+      Frame(t(s, dir, "customer"))
+        .joinOn(avgBal, Raw(lit(true), "cross"))
+        .filter(Raw(col("c_acctbal") > col("avg_bal"), "rich"))
+        .join(Frame(t(s, dir, "orders"))
+            .filter(Raw(col("o_orderpriority") === "1-URGENT", "urgent")),
+          Seq(("c_custkey", "o_custkey")), JoinType.Anti)
+        .join(Frame(t(s, dir, "nation")), Seq(("c_nationkey", "n_nationkey")))
+        .aggregate(Seq(E.col("n_name")),
+          Seq(Raw(count(lit(1)).as("n_cust"), "n_cust"),
+            Raw(dsum(col("c_acctbal")).as("total_bal"), "total_bal")))
+        .df
+    }),
+
     // ---- composite: TPC-H Q4 shape (correlated EXISTS -> semi join) ----
     // orders with at least one late-shipping lineitem (shipped > 10 days
     // after the order date) counted by priority: the EXISTS decorrelates
@@ -1572,6 +1667,65 @@ object SparkEntry {
         |JOIN orders ON c_custkey = o_custkey
         |JOIN big ON o_orderkey = l_orderkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(28,8))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,8))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 10 AND l_quantity <= 40)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |r AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, a
+        |  WHERE c_acctbal > a.avg_bal
+        |    AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderpriority = '1-URGENT'))
+        |SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM r JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
