@@ -968,6 +968,34 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- LLM: incremental dedup (new crawl batch vs standing corpus) --
+    // docs < 250 play yesterday's corpus (kept only as fingerprints);
+    // the new batch is docs >= 250 plus planted re-ids of docs 0-9,
+    // which the anti-join must eliminate as already-seen
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seen = docs.where(col("doc_id") < 250)
+        .select(Dedup.fingerprintOf(col("text")).as("fp"))
+      val newBatch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.newUnseen(newBatch, seen, "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
+    // ---- LLM: per-source quantile curation (keep each source's top
+    // half by length) — percent_rank over a tie-free order, the
+    // distribution-aware cut that absolute thresholds can't express
+    "q_quality_quantile" -> ((s, dir) =>
+      Frame(t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")))
+        .window(Seq(E.col("source")),
+          Seq((E.col("n_chars"), true), (E.col("doc_id"), true)),
+          Seq(("percent_rank", E.lit(1), "pr")))
+        .filter(Raw(col("pr") >= 0.5, "top half"))
+        .project(E.col("doc_id"), E.col("source"), E.col("n_chars")).df),
+
     // ---- LLM: source-weighted mixture to a token budget ---------------
     // 40k-char budget at 50/25/12.5/12.5 over four sources: src0 upsamples
     // to ~2.5 epochs, src2/src3 downsample to ~0.65, the rest drop out
@@ -2014,6 +2042,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        |newb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+        |unseen AS (
+        |  SELECT md5(text) AS fp, doc_id FROM newb
+        |  WHERE md5(text) NOT IN (SELECT fp FROM seen))
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM unseen GROUP BY fp""".stripMargin,
+
+    "q_quality_quantile" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents) WHERE pr >= 0.5""".stripMargin,
 
     // weights sum to exactly 1.0 in double, so the engine's w/Σw and this
     // literal wt agree bit-for-bit; per-row double math is cross-engine

@@ -67,6 +67,26 @@ object Dedup {
     df.groupBy(md5(col(keyCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-crawl shape: which NEW documents
+    * are not already in the corpus? `seen` is the standing fingerprint
+    * table (maintain it with [[fingerprintOf]] over the corpus — 16-byte
+    * md5 per document, the only state the pipeline keeps); the new batch
+    * anti-joins against it BY FINGERPRINT, then dedups within itself
+    * (the batch can repeat internally too). Shuffles fingerprints + ids
+    * only, never text; the standing set never rescans the corpus.
+    */
+  def newUnseen(newDocs: DataFrame, seen: DataFrame, keyCol: String,
+      idCol: String, seenFpCol: String = "fp"): DataFrame = {
+    val withFp = newDocs.withColumn("fp", fingerprintOf(col(keyCol)))
+    withFp.join(seen.select(col(seenFpCol).as("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
+
+  /** The standing-corpus fingerprint: md5 over the raw content bytes —
+    * the same fingerprint [[exactByFingerprint]] groups on. */
+  def fingerprintOf(key: Column): Column = md5(key.cast("binary"))
+
   /** LSH band keys: `bands` buckets, each hashing `rowsPerBand` adjacent
     * signature entries. Docs agreeing on ANY band become candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -232,6 +232,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental dedup keeps only fingerprints unseen by the corpus") {
+    val seen = Seq("the corpus doc", "another old doc").toDF("text")
+      .select(Dedup.fingerprintOf(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "the corpus doc"),   // already seen -> dropped
+      (11L, "genuinely new"),
+      (12L, "genuinely new"),    // internal dup -> one row, min id
+      (13L, "also new")).toDF("doc_id", "text")
+    val out = Dedup.newUnseen(batch, seen, "text", "doc_id")
+      .select(col("doc_id"), col("n_copies"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+    // empty standing set degenerates to plain exact dedup
+    val all = Dedup.newUnseen(batch, seen.limit(0), "text", "doc_id")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(all == Set(10L, 11L, 13L))
+  }
+
   test("simhash64 value is stable and order-sensitive input changes it") {
     val d2 = Seq((0L, "alpha beta gamma delta"), (1L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")
