@@ -30,7 +30,10 @@ object Bench {
     // round-4 additions: the newest corpus-scale op families
     "q_decontam", "q_vocab",
     // late round 4: the bin-sharded range join (attribution shape)
-    "q_range_join")
+    "q_range_join",
+    // round 6: line-level dedup (two extra shuffles over exploded lines),
+    // mixture sampling (agg + per-row), the 6-table dual-nation join
+    "q_dedup_lines", "q_mixture", "q_tpch_q7")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
