@@ -44,5 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation minhash signature"),
       arity("minhash_sig", 2)(es =>
         MinHashSig(es(0), ShingleExprs.foldInt(es(1))))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),
+      arity("unicode_normalize", 2)(es =>
+        UnicodeNormalize(es(0), es(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }))))
   }
 }

@@ -980,8 +980,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .unionByName(docs.where(col("doc_id") < 10)
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.newUnseen(newBatch, seen, "text", "doc_id")
-        .select(col("doc_id"), col("n_copies"))
+      Frame(newBatch).newUnseen(Frame(seen), "text", "doc_id")
+        .df.select(col("doc_id"), col("n_copies"))
     }),
 
     // ---- LLM: per-source quantile curation (keep each source's top
@@ -1000,13 +1000,12 @@ object SparkEntry {
     // 40k-char budget at 50/25/12.5/12.5 over four sources: src0 upsamples
     // to ~2.5 epochs, src2/src3 downsample to ~0.65, the rest drop out
     "q_mixture" -> ((s, dir) =>
-      graft.ops.Sampling.mixtureToBudget(
-        t(s, dir, "documents").select(col("doc_id"), col("source"),
-          col("n_chars")),
-        "source", "doc_id", "n_chars",
-        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
-          "src3" -> 0.125),
-        budgetTokens = 40000L)),
+      Frame(t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")))
+        .mixtureToBudget("source", "doc_id", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+            "src3" -> 0.125),
+          budgetTokens = 40000L).df),
 
     // ---- LLM: exact dedup (group on full key) -------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -1101,7 +1100,7 @@ object SparkEntry {
         array_join(transform(sequence(lit(1), nLines),
           i => array_join(slice(ws, (i - lit(1)) * 3 + 1, lit(3)), " ")), "\n")
           .as("text"))
-      TextOps.dedupLines(reflowed, "doc_id", "text", maxDf = 2)
+      Frame(reflowed).dedupLines("doc_id", "text", maxDf = 2).df
     }),
 
     // ---- LLM: per-shard greedy sequence packing -----------------------

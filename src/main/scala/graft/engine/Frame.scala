@@ -243,6 +243,29 @@ final case class Frame(df: DataFrame) {
     Frame(graft.ops.RangeJoin.intervalOverlap(df, key, start, end,
       right.df, rKey, rStart, rEnd, binWidth))
 
+  // ---- LLM-pipeline passthroughs ------------------------------------
+
+  /** Line-level corpus dedup (ops/TextOps passthrough): drop lines
+    * occurring in more than `maxDf` distinct documents, reassemble the
+    * survivors in order. */
+  def dedupLines(idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Int = 1, delim: String = "\n"): Frame =
+    Frame(graft.ops.TextOps.dedupLines(df, idCol, textCol, maxDf, delim))
+
+  /** Incremental dedup (ops/Dedup passthrough): rows of this frame whose
+    * content fingerprint is absent from `seen`, deduped internally. */
+  def newUnseen(seen: Frame, keyCol: String, idCol: String,
+      seenFpCol: String = "fp"): Frame =
+    Frame(graft.ops.Dedup.newUnseen(df, seen.df, keyCol, idCol, seenFpCol))
+
+  /** Source-weighted mixture sampling to a token budget (ops/Sampling
+    * passthrough): adds a deterministic `n_copies` epoch count per row
+    * and drops rows outside the mixture. */
+  def mixtureToBudget(sourceCol: String, keyCol: String, tokensCol: String,
+      weights: Map[String, Double], budgetTokens: Long): Frame =
+    Frame(graft.ops.Sampling.mixtureToBudget(df, sourceCol, keyCol,
+      tokensCol, weights, budgetTokens))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
