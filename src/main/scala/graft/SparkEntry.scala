@@ -247,6 +247,15 @@ object SparkEntry {
         .df
     }),
 
+    // dirty-ingestion contract: enforced schema + DROPMALFORMED skips
+    // the three broken lines in the fixture, keeps the five clean rows
+    "q_json_malformed" -> ((s, _) =>
+      new Catalog(s).addJsonTableStrict("docs_dirty",
+          "/root/repo/src/test/resources/data/docs_malformed.jsonl",
+          "id BIGINT, text STRING, lang STRING")
+        .table("docs_dirty").df
+        .select(col("id"), col("text"), col("lang"))),
+
     // JSON source parity: write nation as JSON lines, read it back
     // through the catalog's JSON source (schema inferred), and the
     // round-trip must equal the parquet original
@@ -1535,6 +1544,16 @@ object SparkEntry {
       """SELECT name, score
         |FROM read_csv_auto('/root/repo/src/test/resources/data/people.csv')
         |WHERE age >= 24""".stripMargin,
+
+    // DuckDB's ignore_errors nulls unparseable lines instead of
+    // dropping them — filter to mirror Spark's DROPMALFORMED
+    "q_json_malformed" ->
+      """SELECT id, text, lang FROM read_json(
+        |  '/root/repo/src/test/resources/data/docs_malformed.jsonl',
+        |  format = 'newline_delimited',
+        |  columns = {'id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'},
+        |  ignore_errors = true)
+        |WHERE id IS NOT NULL""".stripMargin,
 
     // the round-trips must reproduce the parquet original exactly
     "q_json_roundtrip" ->

@@ -43,6 +43,22 @@ final class Catalog(val spark: SparkSession) {
   def addOrcTable(name: String, path: String): Catalog =
     register(name, spark.read.orc(path))
 
+  /** Register a JSON-lines table with an ENFORCED schema and an explicit
+    * malformed-record policy — the shape real crawl ingestion needs
+    * (inference on dirty data at 100 TB is both a full extra pass and a
+    * correctness hazard). `mode` is Spark's reader contract:
+    * PERMISSIVE (nulls + `_corrupt_record` when the schema declares it),
+    * DROPMALFORMED (skip bad lines), FAILFAST (error out). */
+  def addJsonTableStrict(name: String, path: String, schemaDdl: String,
+      mode: String = "DROPMALFORMED"): Catalog = {
+    require(Seq("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
+      .contains(mode.toUpperCase(java.util.Locale.ROOT)),
+      s"unknown malformed-record mode: $mode")
+    register(name, spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .option("mode", mode).json(path))
+  }
+
   /** Register an arbitrary DataFrame (memory-table analogue). The temp
     * view is created FIRST so an invalid identifier fails before the
     * engine map is touched (no half-registered state). */

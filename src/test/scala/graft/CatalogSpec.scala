@@ -82,6 +82,31 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("strict JSON ingestion honors the malformed-record policy") {
+    val path = "src/test/resources/data/docs_malformed.jsonl"
+    val ddl = "id BIGINT, text STRING, lang STRING"
+    val c = new Catalog(spark)
+    // DROPMALFORMED: the 3 broken lines vanish, 5 clean rows remain
+    c.addJsonTableStrict("dirty_drop", path, ddl)
+    assert(c.table("dirty_drop").df.count() == 5)
+    // PERMISSIVE with a declared corrupt column captures the raw line
+    c.addJsonTableStrict("dirty_keep", path,
+      ddl + ", _corrupt_record STRING", "PERMISSIVE")
+    // (Spark refuses plans referencing ONLY the corrupt column — keep a
+    // data column in the projection)
+    val bad = c.table("dirty_keep").df
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("_corrupt_record"))
+      .collect().filter(!_.isNullAt(1))
+    assert(bad.length == 3)
+    // FAILFAST surfaces the first broken line as an error
+    c.addJsonTableStrict("dirty_fail", path, ddl, "FAILFAST")
+    intercept[Exception] { c.table("dirty_fail").df.count() }
+    intercept[IllegalArgumentException] {
+      c.addJsonTableStrict("x", path, ddl, "LENIENT")
+    }
+  }
+
   test("illegal table name rejected before any write, on both paths") {
     val c = new Catalog(spark)
     intercept[IllegalArgumentException] {

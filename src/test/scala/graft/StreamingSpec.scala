@@ -122,6 +122,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 4L))
   }
 
+  test("per-row cleaning (normalizeText) is stream/batch identical") {
+    Graft.init(spark)
+    implicit val sql = spark.sqlContext
+    val docs = Seq((1L, "café  RAW"), (2L, "  plain   ascii  "),
+      (3L, "Å B"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextOps.normalizeText(col("text")).as("text_norm"))
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("norm_stream")
+      .as[(Long, String)].collect().toMap
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextOps.normalizeText(col("text")).as("text_norm"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == "café raw" && streamed(3L) == "å b")
+  }
+
   test("streaming dedup on a batch frame equals fingerprint dedup") {
     val deduped = StreamOps.dedupByFingerprint(evs.toDF(), "event_type")
       .select("event_type").as[String].collect().sorted
