@@ -977,6 +977,14 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- LLM: ingestion profiling (per-column quality summary) --------
+    // exactDistinct so the oracle can mirror; long/string columns only
+    // (double min/max stringification differs across engines)
+    "q_profile" -> ((s, dir) =>
+      Frame(t(s, dir, "documents"))
+        .profile(Seq("doc_id", "lang", "source", "n_chars"),
+          exactDistinct = true).df),
+
     // ---- LLM: incremental dedup (new crawl batch vs standing corpus) --
     // docs < 250 play yesterday's corpus (kept only as fingerprints);
     // the new batch is docs >= 250 plus planted re-ids of docs 0-9,
@@ -2060,6 +2068,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_s,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), min(source), max(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |  CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH seen AS (

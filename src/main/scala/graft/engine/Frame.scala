@@ -266,6 +266,11 @@ final case class Frame(df: DataFrame) {
     Frame(graft.ops.Sampling.mixtureToBudget(df, sourceCol, keyCol,
       tokensCol, weights, budgetTokens))
 
+  /** Column profiling (ops/Profile passthrough): per-column row/null/
+    * distinct counts and min/max in one aggregation pass. */
+  def profile(cols: Seq[String] = Nil, exactDistinct: Boolean = false): Frame =
+    Frame(graft.ops.Profile.summarize(df, cols, exactDistinct))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —

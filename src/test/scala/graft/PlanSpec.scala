@@ -108,6 +108,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:"))
   }
 
+  test("TPC-H Q7 dual-nation join broadcasts all five dimensions") {
+    val p = plan("q_tpch_q7")
+    // customer, supplier, and BOTH nation roles broadcast; the lineitem
+    // fact side shuffles only for the final aggregation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("line-level dedup anti-joins the frequent set broadcast; no text in the count shuffle") {
+    val p = plan("q_dedup_lines")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"frequent-line set should broadcast into a LeftAnti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("IVF probe partition-prunes to the probed clusters; no assignment recompute") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Ivf
