@@ -122,6 +122,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 4L))
   }
 
+  test("file-sink stream resumes from its checkpoint exactly once") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-ckpt-src").toString
+    val sink = Files.createTempDirectory("graft-ckpt-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-state").toString
+    def start() = spark.readStream
+      .schema("id BIGINT").parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // batch 1 lands, stream consumes it, stops (a crash/redeploy)
+    spark.range(0, 100).toDF("id").write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // batch 2 lands while the stream is down; the restarted query must
+    // pick up ONLY the new file — no reprocessing of batch 1
+    spark.range(100, 200).toDF("id").write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(sink).as[Long].collect().sorted
+    assert(ids.length == 200, s"expected exactly-once delivery, got ${ids.length} rows")
+    assert(ids.toSeq == (0L until 200L))
+  }
+
   test("per-row cleaning (normalizeText) is stream/batch identical") {
     Graft.init(spark)
     implicit val sql = spark.sqlContext
