@@ -1371,6 +1371,24 @@ object SparkEntry {
         "embedding", threshold = 0.9)
     }),
 
+    // ---- LLM: k-nearest-neighbor join (top-k similar per document) ----
+    // same planted direction-preserving copies as q_cosine_neardups:
+    // each planted probe's rank-1 neighbor is its original at cosine 1.0
+    // (identical sign bits => in-bucket; natural cosines max ~0.51)
+    "q_knn" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      Similarity.knnJoin(emb.unionByName(planted), "vec_id", "embedding",
+          k = 1)
+        .where(col("qid") >= 100000L)
+        .select(col("qid"), col("nid"), col("cosine"),
+          col("rank").as("nn_rank"))
+    }),
+
     // ---- LLM: multimodal metadata over a binary payload column --------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocs(t(s, dir, "documents"))
@@ -2514,6 +2532,11 @@ object SparkEntry {
 
     "q_cosine_neardups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_knn" ->
+      """SELECT vec_id + 100000 AS qid, vec_id AS nid, 1.0 AS cosine,
+        |  CAST(1 AS BIGINT) AS nn_rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     "q_multimodal_decode" ->

@@ -223,4 +223,48 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** k-nearest-neighbor self-join: for EVERY document, its top-k most
+    * cosine-similar neighbors — the retrieval / clustering / hard-negative
+    * mining primitive (a per-row [[lshTopK]], but as one distributed join,
+    * no driver loop). Candidates come from the same sign-LSH band-keyed
+    * self-join as [[cosineNearDups]] (ids-only shuffle, vectors re-attach
+    * by id), then a per-query window keeps the k best by exact cosine.
+    * Approximate by construction: a neighbor sharing no band is invisible
+    * — identical vectors share every band, so exact duplicates are always
+    * found (the property the planted oracle pins). Raise
+    * `bands`×`rowsPerBand` for recall, lower `rowsPerBand` for wider
+    * buckets. Output: (qid, nid, cosine, rank), rank 1..k, ties broken by
+    * neighbor id for cross-run determinism. */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 8, dim: Int = -1,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d =
+      if (dim > 0) dim
+      else emb.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+        .head(1).headOption.map(_.getInt(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s"knnJoin: no non-null $vecCol to infer dimension from"))
+    val planes = hyperplanes(bands * rowsPerBand, d, seed)
+    val base = emb.where(col(vecCol).isNotNull)
+      .select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
+    val keyed = base.select(col("id"),
+      explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("band", "key"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("nid"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    cand
+      .join(base.select(col("id").as("qid"), col("v").as("v_q")), Seq("qid"))
+      .join(base.select(col("id").as("nid"), col("v").as("v_n")), Seq("nid"))
+      .withColumn("cosine", VectorExprs.cosineSim(col("v_q"), col("v_n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("cosine"), 4).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
 }

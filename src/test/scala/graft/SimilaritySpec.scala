@@ -77,6 +77,34 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("knn join matches brute force on tight clusters (full recall regime)") {
+    // 4 clusters of 5 scaled copies each: every cluster-mate shares all
+    // sign bits, so every true neighbor IS a candidate and the LSH result
+    // must equal the exact brute-force top-k
+    val clustered = (0 until 20).map { i =>
+      val c = mkVec(500 + i / 5)
+      (i.toLong, c.map(_ * (1.0f + 0.5f * (i % 5))))
+    }
+    val df = clustered.toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(df, "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    clustered.foreach { case (qid, v) =>
+      val expect = clustered.filter(_._1 != qid)
+        .map { case (nid, w) => (nid, cos(v, w)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).map(_._1)
+      assert(got(qid) == expect, s"qid=$qid: ${got(qid)} vs $expect")
+    }
+    // every doc got exactly k ranked neighbors, ranks contiguous from 1
+    assert(got.values.forall(_.length == 3))
+  }
+
   test("NULL embeddings are skipped, not fatal; dim is inferred; mismatch raises") {
     val withNull = vecs.map { case (i, v) => (i, Option(v)) } :+ (99L -> None)
     val df = withNull.toDF("vec_id", "embedding")
