@@ -20,28 +20,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Catalog(val spark: SparkSession) {
   import scala.collection.concurrent.TrieMap
   private val tables = TrieMap.empty[String, DataFrame]
+  // file-backed registrations (format, path, options) — what [[save]]
+  // persists; DataFrames registered directly have no durable source and
+  // are deliberately excluded
+  private val sources = TrieMap.empty[String, Seq[String]]
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Register a header'd, schema-inferred CSV (reference:
     * catalog.rs:16-22 + csv_table.rs:44-72). The reference infers from the
     * first 3 rows; Spark's inference scans the file — strictly better. */
   def addCsvTable(name: String, path: String): Catalog = {
+    sources.put(name, Seq("csv", path))
     register(name, spark.read
       .option("header", "true").option("inferSchema", "true").csv(path))
   }
 
   /** Register a parquet table (extension beyond the reference's CSV-only
     * source surface — table.rs:9). */
-  def addParquetTable(name: String, path: String): Catalog =
+  def addParquetTable(name: String, path: String): Catalog = {
+    sources.put(name, Seq("parquet", path))
     register(name, spark.read.parquet(path))
+  }
 
   /** Register a JSON-lines table (schema inferred). */
-  def addJsonTable(name: String, path: String): Catalog =
+  def addJsonTable(name: String, path: String): Catalog = {
+    sources.put(name, Seq("json", path))
     register(name, spark.read.json(path))
+  }
 
   /** Register an ORC table. */
-  def addOrcTable(name: String, path: String): Catalog =
+  def addOrcTable(name: String, path: String): Catalog = {
+    sources.put(name, Seq("orc", path))
     register(name, spark.read.orc(path))
+  }
 
   /** Register a JSON-lines table with an ENFORCED schema and an explicit
     * malformed-record policy — the shape real crawl ingestion needs
@@ -54,9 +65,30 @@ final class Catalog(val spark: SparkSession) {
     require(Seq("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
       .contains(mode.toUpperCase(java.util.Locale.ROOT)),
       s"unknown malformed-record mode: $mode")
+    sources.put(name, Seq("json-strict", path, schemaDdl, mode))
     register(name, spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .option("mode", mode).json(path))
+  }
+
+  /** Persist the file-backed registrations (format + path + options per
+    * table) so a fresh session can [[Catalog.load]] the same catalog —
+    * the registry is metadata-only (a few strings per table), never data.
+    * Tables registered from in-memory DataFrames have no durable source
+    * and are skipped with a warning. Tab-separated, one table per line. */
+  def save(path: String): Catalog = {
+    (tables.keySet -- sources.keySet).toSeq.sorted.foreach(n =>
+      log.warn(s"catalog save: '$n' was registered from a DataFrame, " +
+        "not a file source — skipped"))
+    val lines = sources.toSeq.sortBy(_._1).map { case (n, fields) =>
+      val all = n +: fields
+      require(all.forall(f => !f.contains('\t') && !f.contains('\n')),
+        s"catalog save: field with tab/newline in table '$n'")
+      all.mkString("\t")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    this
   }
 
   /** Register an arbitrary DataFrame (memory-table analogue). The temp
@@ -166,6 +198,27 @@ object Catalog {
   val tableNamesAll: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
+
+  /** Rebuild a catalog saved by [[Catalog.save]] on a (possibly new)
+    * session. Registration is lazy, so loading is metadata-only. */
+  def load(spark: SparkSession, path: String): Catalog = {
+    val c = new Catalog(spark)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    content.split("\n").filter(_.nonEmpty).foreach { line =>
+      line.split("\t").toSeq match {
+        case Seq(n, "csv", p) => c.addCsvTable(n, p)
+        case Seq(n, "parquet", p) => c.addParquetTable(n, p)
+        case Seq(n, "json", p) => c.addJsonTable(n, p)
+        case Seq(n, "orc", p) => c.addOrcTable(n, p)
+        case Seq(n, "json-strict", p, ddl, mode) =>
+          c.addJsonTableStrict(n, p, ddl, mode)
+        case other => throw new IllegalArgumentException(
+          s"catalog load: unrecognized registry line: $other")
+      }
+    }
+    c
+  }
 
   def forTestdata(spark: SparkSession, sfDir: String): Catalog = {
     val c = new Catalog(spark)

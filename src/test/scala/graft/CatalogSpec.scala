@@ -107,6 +107,23 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog save/load round-trips file-backed registrations") {
+    val reg = Files.createTempFile("graft-catalog", ".tsv").toString
+    val c = new Catalog(spark)
+      .addParquetTable("cat_nation", s"$sfDir/nation.parquet")
+      .addCsvTable("cat_people", s"$dataDir/people.csv")
+      .addJsonTableStrict("cat_dirty", s"$dataDir/docs_malformed.jsonl",
+        "id BIGINT, text STRING, lang STRING", "DROPMALFORMED")
+      .register("cat_mem", df) // DataFrame-only: skipped on save
+    c.save(reg)
+    val loaded = Catalog.load(spark, reg)
+    assert(loaded.tableNames == Seq("cat_dirty", "cat_nation", "cat_people"))
+    assert(loaded.table("cat_nation").df.count()
+      == c.table("cat_nation").df.count())
+    assert(loaded.table("cat_dirty").df.count() == 5) // policy survives
+    intercept[NoSuchElementException] { loaded.table("cat_mem") }
+  }
+
   test("illegal table name rejected before any write, on both paths") {
     val c = new Catalog(spark)
     intercept[IllegalArgumentException] {
