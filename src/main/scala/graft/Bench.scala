@@ -33,7 +33,10 @@ object Bench {
     "q_range_join",
     // round 6: line-level dedup (two extra shuffles over exploded lines),
     // mixture sampling (agg + per-row), the 6-table dual-nation join
-    "q_dedup_lines", "q_mixture", "q_tpch_q7")
+    "q_dedup_lines", "q_mixture", "q_tpch_q7",
+    // full-suite landmarks: the pricing-summary wide aggregate and the
+    // EXISTS/NOT-EXISTS semi+anti composite
+    "q_tpch_q1", "q_tpch_q21")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

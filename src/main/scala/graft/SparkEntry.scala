@@ -616,6 +616,234 @@ object SparkEntry {
             Raw(count(lit(1)).as("n"), "n"))).df
     }),
 
+    // ---- composite: TPC-H Q1 shape (pricing summary report) -----------
+    // the canonical wide aggregate: 4 decimal-accumulated sums, 3
+    // averages (exact-sum / count — one IEEE division, bit-exact on
+    // both engines), one count, grouped on two low-cardinality keys.
+    // Map-side partial agg reduces 600 k rows to 6 groups before the
+    // (tiny) shuffle — the shape survives 100 TB unchanged.
+    "q_tpch_q1" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Frame(t(s, dir, "lineitem"))
+        .filter(Raw(col("l_shipdate") <= lit("1998-09-01"), "cutoff"))
+        .aggregate(Seq(E.col("l_returnflag"), E.col("l_linestatus")),
+          Seq(Raw(dsum(col("l_quantity")).as("sum_qty"), "sum_qty"),
+            Raw(dsum(col("l_extendedprice")).as("sum_base_price"), "sum_base_price"),
+            Raw(dsum8r(disc).as("sum_disc_price"), "sum_disc_price"),
+            Raw(dsum8r(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"), "sum_charge"),
+            Raw((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"), "avg_qty"),
+            Raw((dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"), "avg_price"),
+            Raw((dsum(col("l_discount")) / count(lit(1))).as("avg_disc"), "avg_disc"),
+            Raw(count(lit(1)).as("count_order"), "count_order")))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q2 shape (min-cost supplier per part) --------
+    // the fixtures have no partsupp, so the part<->supplier relation is
+    // derived from lineitem (distinct pairs — the natural stand-in); the
+    // correlated MIN subquery decorrelates into a per-part aggregate
+    // joined back, exactly like Q17's per-part average
+    "q_tpch_q2" -> ((s, dir) => {
+      val link = Frame(t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct())
+      val suppEur = Frame(t(s, dir, "supplier"))
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .join(Frame(t(s, dir, "region")), Seq(("n_regionkey", "r_regionkey")))
+        .filter(Raw(col("r_name") === "EUROPE", "europe"))
+      val cand = Frame(t(s, dir, "part"))
+        .filter(Raw(col("p_size").between(10, 20) &&
+          col("p_type") === "STANDARD", "part cut"))
+        .join(link, Seq(("p_partkey", "l_partkey")))
+        .join(suppEur, Seq(("l_suppkey", "s_suppkey")))
+      val minBal = cand
+        .aggregate(Seq(Raw(col("p_partkey").as("mb_partkey"), "mb_partkey")),
+          Seq(Raw(min(col("s_acctbal")).as("min_bal"), "min_bal")))
+      cand.join(minBal, Seq(("p_partkey", "mb_partkey")))
+        .filter(Raw(col("s_acctbal") === col("min_bal"), "is_min"))
+        .project(E.col("s_acctbal"), E.col("s_name"), E.col("n_name"),
+          E.col("p_partkey"), E.col("p_brand"), E.col("l_suppkey"))
+        .sort((E.col("s_acctbal"), false), (E.col("p_partkey"), true),
+          (E.col("l_suppkey"), true))
+        .limit(20).df
+    }),
+
+    // ---- composite: TPC-H Q9 shape (product-type profit by nation/year)
+    // — no partsupp supplycost in the fixtures, so cost is modeled as
+    // 10% of retail price x quantity; amount stays per-row double (both
+    // engines run the identical IEEE expression) and the SUM goes
+    // through the exact decimal accumulator
+    "q_tpch_q9" -> ((s, dir) => {
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "part")), Seq(("l_partkey", "p_partkey")))
+        .filter(Raw(col("p_name").contains("red"), "name cut"))
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .join(Frame(t(s, dir, "orders")), Seq(("l_orderkey", "o_orderkey")))
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .aggregate(Seq(E.col("n_name"),
+            Raw(year(col("o_orderdate")).cast("long").as("o_year"), "o_year")),
+          Seq(Raw(dsum8r(amount).as("sum_profit"), "sum_profit")))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q11 shape (important stock: HAVING vs a
+    // scalar fraction of the global total) — per-part value within one
+    // nation, kept when above 0.2% of that nation's total; the scalar
+    // enters as a broadcast 1-row cross join
+    "q_tpch_q11" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val base = Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .filter(Raw(col("n_name") === "NATION_1", "nation cut"))
+      val perPart = base.aggregate(Seq(E.col("l_partkey")),
+        Seq(Raw(dsum8r(disc).as("part_value"), "part_value")))
+      val total = base.aggregate(Seq.empty,
+        Seq(Raw((dsum8r(disc) * lit(0.002)).as("threshold"), "threshold")))
+      perPart.joinOn(total, Raw(lit(true), "cross"))
+        .filter(Raw(col("part_value") > col("threshold"), "important"))
+        .project(E.col("l_partkey"), E.col("part_value"))
+        .sort((E.col("part_value"), false), (E.col("l_partkey"), true))
+        .limit(50).df
+    }),
+
+    // ---- composite: TPC-H Q12 shape (late-shipment priority split) -----
+    // CASE-aggregation over a join with a date-arithmetic residual: the
+    // fixtures lack l_shipmode/commitdate, so the mode group is the
+    // returnflag and "late" is shipped >15 days after the order date
+    "q_tpch_q12" -> ((s, dir) =>
+      Frame(t(s, dir, "orders"))
+        .join(Frame(t(s, dir, "lineitem")), Seq(("o_orderkey", "l_orderkey")))
+        .filter(Raw(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 15 DAYS"), "late"))
+        .aggregate(Seq(E.col("l_returnflag")),
+          Seq(Raw(sum(when(col("o_orderpriority") === "1-URGENT" ||
+                col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"), "high_line_count"),
+            Raw(sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+                col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"), "low_line_count")))
+        .df),
+
+    // ---- composite: TPC-H Q13 shape (customer order-count distribution)
+    // — the double-aggregate: LEFT join keeps order-less customers (the
+    // filtered right side makes some), count per customer, then the
+    // distribution of those counts. Pure counts — exactness is free.
+    "q_tpch_q13" -> ((s, dir) => {
+      val perCust = Frame(t(s, dir, "customer"))
+        .join(Frame(t(s, dir, "orders"))
+            .filter(Raw(col("o_orderpriority") =!= "1-URGENT", "not urgent")),
+          Seq(("c_custkey", "o_custkey")), JoinType.Left)
+        .aggregate(Seq(E.col("c_custkey")),
+          Seq(Raw(count(col("o_orderkey")).as("c_count"), "c_count")))
+      perCust.aggregate(Seq(E.col("c_count")),
+          Seq(Raw(count(lit(1)).as("custdist"), "custdist")))
+        .sort((E.col("custdist"), false), (E.col("c_count"), false))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q15 shape (top supplier by quarterly revenue)
+    // — a MAX scalar subquery over an aggregate, joined back by exact
+    // equality (both sides are the same rounded-decimal double, so the
+    // comparison is bit-exact on both engines)
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Frame(t(s, dir, "lineitem"))
+        .filter(Raw(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"), "quarter"))
+        .aggregate(Seq(E.col("l_suppkey")),
+          Seq(Raw(dsum8r(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"), "total_revenue")))
+      val mx = rev.aggregate(Seq.empty,
+        Seq(Raw(max(col("total_revenue")).as("max_rev"), "max_rev")))
+      Frame(t(s, dir, "supplier"))
+        .join(rev, Seq(("s_suppkey", "l_suppkey")))
+        .joinOn(mx, Raw(lit(true), "cross"))
+        .filter(Raw(col("total_revenue") === col("max_rev"), "is max"))
+        .project(E.col("s_suppkey"), E.col("s_name"), E.col("total_revenue"))
+        .sort((E.col("s_suppkey"), true))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q16 shape (supplier count by part attrs,
+    // minus excluded suppliers) — the NOT IN decorrelates to an anti
+    // join; the part<->supplier relation again derives from lineitem,
+    // and "complaint" suppliers are the negative-balance ones
+    "q_tpch_q16" -> ((s, dir) => {
+      val link = Frame(t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct())
+      val bad = Frame(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey").as("bad_suppkey")))
+      Frame(t(s, dir, "part"))
+        .filter(Raw(col("p_brand") =!= "Brand#1" &&
+          col("p_size").between(1, 25), "part cut"))
+        .join(link, Seq(("p_partkey", "l_partkey")))
+        .join(bad, Seq(("l_suppkey", "bad_suppkey")), JoinType.Anti)
+        .aggregate(Seq(E.col("p_brand"), E.col("p_type"), E.col("p_size")),
+          Seq(Raw(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+            "supplier_cnt")))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q20 shape (nested-IN chain -> semi joins) ----
+    // suppliers in one nation who shipped a meaningful volume of the
+    // selected parts in one year: part-IN and supplier-IN both run as
+    // LEFT SEMI hash joins, the heavy-shipper cut as a HAVING
+    "q_tpch_q20" -> ((s, dir) => {
+      val redParts = Frame(t(s, dir, "part")
+        .filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey")))
+      val heavy = Frame(t(s, dir, "lineitem"))
+        .filter(Raw(year(col("l_shipdate")) === 1996, "year cut"))
+        .join(redParts, Seq(("l_partkey", "p_partkey")), JoinType.Semi)
+        .aggregate(Seq(E.col("l_suppkey")),
+          Seq(Raw(dsum(col("l_quantity")).as("ship_qty"), "ship_qty")))
+        .filter(Raw(col("ship_qty") > 50.0, "heavy"))
+      Frame(t(s, dir, "supplier"))
+        .join(heavy, Seq(("s_suppkey", "l_suppkey")), JoinType.Semi)
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .filter(Raw(col("n_name") === "NATION_2", "nation cut"))
+        .project(E.col("s_suppkey"), E.col("s_name"))
+        .sort((E.col("s_suppkey"), true))
+        .df
+    }),
+
+    // ---- composite: TPC-H Q21 shape (EXISTS + NOT EXISTS on the same
+    // table under different predicates) — suppliers who were the sole
+    // late shipper on a finished multi-supplier order: the EXISTS is a
+    // LEFT SEMI theta-join, the NOT EXISTS a LEFT ANTI, both hashed on
+    // the orderkey equality with the supplier inequality as residual.
+    // "Late" is shipped >20 days after the order date (the fixtures
+    // carry no commit/receipt dates).
+    "q_tpch_q21" -> ((s, dir) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 20 DAYS")
+      val l1 = Frame(t(s, dir, "lineitem"))
+        .join(Frame(t(s, dir, "orders")), Seq(("l_orderkey", "o_orderkey")))
+        .filter(Raw(col("o_orderstatus") === "F" && late, "late on F"))
+      val others = Frame(t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey")))
+      val lateOthers = Frame(t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("o_orderstatus") === "F" && late)
+        .select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey")))
+      l1.joinOn(others, Raw(col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "other supplier"),
+          JoinType.Semi)
+        .joinOn(lateOthers, Raw(col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "no other late"),
+          JoinType.Anti)
+        .join(Frame(t(s, dir, "supplier")), Seq(("l_suppkey", "s_suppkey")))
+        .join(Frame(t(s, dir, "nation")), Seq(("s_nationkey", "n_nationkey")))
+        .filter(Raw(col("n_name") === "NATION_1", "nation cut"))
+        .aggregate(Seq(E.col("s_name")),
+          Seq(Raw(count(lit(1)).as("numwait"), "numwait")))
+        .sort((E.col("numwait"), false), (E.col("s_name"), true))
+        .limit(20).df
+    }),
+
     // ---- extension: approximate sketches within pinned tolerance ------
     // HLL++ distinct and quantile-sketch median, each checked against its
     // exact counterpart IN the query; the oracle pins the exact values
@@ -1852,6 +2080,155 @@ object SparkEntry {
         |JOIN pa ON pa_partkey = l_partkey
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
         |GROUP BY p_brand""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT p_partkey, p_brand, s_acctbal, s_name, n_name, l_suppkey
+        |  FROM part
+        |  JOIN link ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        |    AND r_name = 'EUROPE'),
+        |mb AS (SELECT p_partkey AS mb_partkey, min(s_acctbal) AS min_bal
+        |       FROM cand GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, l_suppkey
+        |FROM cand JOIN mb ON p_partkey = mb_partkey
+        |WHERE s_acctbal = min_bal
+        |ORDER BY s_acctbal DESC, p_partkey, l_suppkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      - 0.1 * p_retailprice * l_quantity
+        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH base AS (
+        |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS disc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'),
+        |pp AS (
+        |  SELECT l_partkey, CAST(round(sum(CAST(disc AS DECIMAL(28,8))), 2)
+        |    AS DOUBLE) AS part_value
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(round(sum(CAST(disc AS DECIMAL(28,8))), 2) AS DOUBLE)
+        |    * 0.002 AS threshold
+        |  FROM base)
+        |SELECT l_partkey, part_value FROM pp CROSS JOIN tot
+        |WHERE part_value > threshold
+        |ORDER BY part_value DESC, l_partkey LIMIT 50""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 15 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier
+        |JOIN rev ON s_suppkey = l_suppkey
+        |CROSS JOIN mx
+        |WHERE total_revenue = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN link ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH heavy AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1996
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 20 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q_approx_sketches" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,

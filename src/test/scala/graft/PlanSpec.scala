@@ -163,6 +163,33 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan("q_stratified")).size <= 2)
   }
 
+  test("TPC-H Q1 is one shuffle: partial+final agg over a pushed scan") {
+    val p = plan("q_tpch_q1")
+    // 600 k rows reduce to 6 groups map-side before the only exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"))
+    // tree entries render as "Exchange (n)"; the detail section repeats
+    // each node as "(n) Exchange" — count tree entries only
+    assert("""Exchange \(""".r.findAllIn(p).size == 1)
+  }
+
+  test("TPC-H Q21 EXISTS/NOT EXISTS run as hashed semi/anti joins") {
+    val p = plan("q_tpch_q21")
+    // the supplier-inequality residual must ride a hashed equi-join on
+    // the orderkey, never degrade to a nested-loop/cartesian plan
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("TPC-H Q13 left join keeps order-less customers; both aggs partial+final") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+    // the priority filter pushes into the orders scan below the join
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"))
+  }
+
   test("as-of join is a single shuffle: one Exchange, no join operator at all") {
     val p = plan("q_asof_join")
     // the union-window trick: the whole as-of is ONE hashpartitioning
