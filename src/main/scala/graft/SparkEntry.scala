@@ -1617,6 +1617,41 @@ object SparkEntry {
           col("rank").as("nn_rank"))
     }),
 
+    // ---- LLM: SemDeDup-style semantic dedup (keep-first selection) ----
+    // planted scaled copies (ids >= 100000) sit at cosine 1.0 from their
+    // originals (identical sign bits => guaranteed candidate recall);
+    // keep-first drops every planted copy (its original has the smaller
+    // id) and no organic row (max natural pairwise cosine ~0.51 < 0.9),
+    // so the survivor set is closed-form: exactly the original corpus
+    "q_semantic_dedup" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      Similarity.semanticDedup(emb.unionByName(planted), "vec_id",
+          "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+    }),
+
+    // ---- LLM: ANN recall harness (self-evaluating) --------------------
+    // 10 exact copies of the probe planted at ids >= 100000: the exact
+    // top-10 is the probe + 9 copies at cosine 1.0, every copy shares
+    // every LSH band and lands in the probe's IVF cluster, so both
+    // measured recalls are provably 1.0 — the oracle pins the closed
+    // form while the measurement machinery runs for real
+    "q_ann_recall" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = queryVec(emb)
+      val planted = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          typedLit(q).as("embedding"))
+      Similarity.annRecall(emb.unionByName(planted), "vec_id", "embedding",
+        q, k = 10)
+    }),
+
     // ---- LLM: multimodal metadata over a binary payload column --------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocs(t(s, dir, "documents"))
@@ -2910,6 +2945,18 @@ object SparkEntry {
     "q_cosine_neardups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    // keep-first semantic dedup over the same planted corpus: every
+    // planted copy (id >= 100000) is dropped against its original, no
+    // organic row has a neighbor above 0.9 — survivors = the corpus
+    "q_semantic_dedup" ->
+      """SELECT vec_id FROM embeddings""".stripMargin,
+
+    // closed-form recall (see the query comment): both indexes find the
+    // full exact top-10
+    "q_ann_recall" ->
+      """SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_exact,
+        |  1.0 AS lsh_recall, 1.0 AS ivf_recall""".stripMargin,
 
     "q_knn" ->
       """SELECT vec_id + 100000 AS qid, vec_id AS nid, 1.0 AS cosine,

@@ -267,4 +267,55 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cosine"), 4).as("cosine"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** SemDeDup-style semantic dedup: KEEP-FIRST selection over the
+    * embedding near-dup relation — a row is dropped when any row with a
+    * smaller id sits within `threshold` cosine of it; survivors are the
+    * rows with no above-threshold neighbor of smaller id. This is the
+    * SELECTION companion to [[cosineNearDups]] (which reports the pairs):
+    * the op a curation pipeline actually ends with. Pairwise, not
+    * transitive: dropping i because of j does not resurrect rows that
+    * were near only i — the deterministic, SQL-expressible policy.
+    *
+    * Scale shape is [[cosineNearDups]]'s: sign-LSH banded candidates,
+    * ids-only shuffles, exact-cosine confirm; the final cut is one
+    * broadcast-able anti join on the dropped-id set (at 100 TB the
+    * dropped set is a fraction of the corpus and shuffles only ids).
+    * Rows with NULL embeddings survive by definition (near nothing).
+    * Returns the surviving rows with their original columns. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, bands: Int = 8, rowsPerBand: Int = 8,
+      dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val dropped = cosineNearDups(emb, idCol, vecCol, threshold, bands,
+        rowsPerBand, dim, seed)
+      .select(col("id_b").as("__sem_drop_id")).distinct()
+    emb.join(dropped,
+        Dedup.longId(emb, idCol) === col("__sem_drop_id"), "left_anti")
+  }
+
+  /** ANN recall harness: what fraction of the exact top-k does each
+    * approximate index find? One row out: (k, n_exact, lsh_recall,
+    * ivf_recall). This is the eval primitive for tuning bands /
+    * rowsPerBand / nClusters / nProbe before a production run — measured
+    * on the engine, not estimated. All three top-k sets are k-row
+    * frames; the intersections are semi joins on the id, so nothing
+    * data-sized reaches the driver. */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, bands: Int = 8, rowsPerBand: Int = 8,
+      nClusters: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val exact = bruteForceTopK(emb, idCol, vecCol, query, k).select(col(idCol))
+    val lsh = lshTopK(emb, idCol, vecCol, query, k, bands, rowsPerBand, seed)
+      .select(col(idCol))
+    val ivf = ivfTopK(emb, idCol, vecCol, query, k, nClusters, nProbe)
+      .select(col(idCol))
+    val n = exact.agg(count(lit(1)).as("n_exact"))
+    val lshHits = exact.join(lsh, Seq(idCol), "leftsemi")
+      .agg(count(lit(1)).as("lsh_hits"))
+    val ivfHits = exact.join(ivf, Seq(idCol), "leftsemi")
+      .agg(count(lit(1)).as("ivf_hits"))
+    n.crossJoin(lshHits).crossJoin(ivfHits)
+      .select(lit(k.toLong).as("k"), col("n_exact"),
+        (col("lsh_hits").cast("double") / col("n_exact")).as("lsh_recall"),
+        (col("ivf_hits").cast("double") / col("n_exact")).as("ivf_recall"))
+  }
 }

@@ -77,6 +77,36 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("semantic dedup keeps the smallest id of each near-dup group and all singletons") {
+    // vecs 0/1/2 form a near-dup group at 0.99 (1 = scaled 0, 2 = perturbed
+    // 0); keep-first must drop 1 and 2, keep 0, and keep every other row
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.99, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == (Set(0L) ++ (3L until 40L)))
+    // survivors carry their original columns (id + vector)
+    val cols = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.99, dim = 8)
+      .columns.toSeq
+    assert(cols == Seq("vec_id", "embedding"))
+    // NULL embeddings survive (near nothing)
+    val withNull = emb.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val s2 = Similarity.semanticDedup(withNull, "vec_id", "embedding", 0.99, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2.contains(99L))
+  }
+
+  test("ann recall harness reports full recall on an exact-duplicate probe") {
+    // probe = v0; ids 0 and 1 are exact-direction copies, so with k=2 the
+    // exact top-2 is {0, 1} and both indexes find it (identical sign bits
+    // / same cluster) -> recall exactly 1.0 on both
+    val r = Similarity.annRecall(emb, "vec_id", "embedding", v0, k = 2,
+        nClusters = 4, nProbe = 2)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 == 2L && r._2 == 2L)
+    assert(r._3 == 1.0 && r._4 == 1.0)
+  }
+
   test("knn join matches brute force on tight clusters (full recall regime)") {
     // 4 clusters of 5 scaled copies each: every cluster-mate shares all
     // sign bits, so every true neighbor IS a candidate and the LSH result
