@@ -1475,6 +1475,18 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))
         .orderBy(col("tf").desc, col("token")).limit(100)),
 
+    // ---- LLM: BPE tokenizer training (iterative pair merges) ----------
+    // the first learned merge rule is SQL-expressible (one weighted
+    // adjacent-character-pair count over the word-frequency table +
+    // deterministic argmax), so it carries the oracle; the multi-merge
+    // path is pinned by q_bpe_merges (rows-only, double-run determinism)
+    // and TextOpsSpec's reference-implementation comparison
+    "q_bpe_first" -> ((s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"), numMerges = 1)),
+
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"), numMerges = 8)),
+
     // ---- LLM: unigram LM quality score (model-based filter slot) ------
     // per-doc mean token log-prob under the corpus's own unigram model;
     // log-probs quantized to 1e-6 and folded in token order so both
@@ -2835,6 +2847,25 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 2000
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // BPE merge #1: the arg-max weighted adjacent character pair over the
+    // word-frequency table, tie-broken (count desc, left, right) exactly
+    // as the engine pins it
+    "q_bpe_first" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents WHERE trim(coalesce(text, '')) <> '')
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS pair_count
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+        |  pair_count
+        |FROM p WHERE pair_count >= 2
+        |ORDER BY pair_count DESC, l, r LIMIT 1""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (

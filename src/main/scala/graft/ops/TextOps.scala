@@ -411,4 +411,82 @@ object TextOps {
         array_sort(collect_list(struct(col("pos"), col("line")))),
         x => x("line")), delim).as(textCol))
   }
+
+  /** The distinct-word frequency table BPE trains on: (word, cnt).
+    * Standard tokenizer training aggregates the corpus to word counts
+    * FIRST — the iteration then runs over vocab-sized data (millions of
+    * rows at 100 TB), not corpus-sized, which is what makes distributed
+    * BPE tractable. One corpus pass, one vocab-sized shuffle. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.where(trim(coalesce(col(textCol), lit(""))) =!= "")
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The weighted adjacent-symbol-pair counts of a symbolized vocabulary
+    * — one BPE statistics pass. `syms` is array<string>. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Byte-pair-encoding tokenizer training: learn `numMerges` merge rules
+    * from the corpus (the standard subword-vocabulary construction).
+    * Each iteration counts weighted adjacent symbol pairs over the
+    * word-frequency table, takes the arg-max pair (count desc, then
+    * left/right lexicographic — pinned for cross-run determinism), and
+    * merges it greedily left-to-right in every word. Returns the learned
+    * rules: (merge_rank, left, right, pair_count).
+    *
+    * Scale shape: after [[wordCounts]] collapses the corpus, every
+    * iteration is one vocab-sized pair count (partial+final hash agg on
+    * (l, r)) plus a pure per-row merge projection; the only driver
+    * traffic is ONE (l, r, count) row per iteration — a scalar, like the
+    * IVF centroid means. The per-iteration argmax is a TakeOrdered of 1.
+    * `localCheckpoint` every 4 rounds truncates the growing transform
+    * lineage (same pattern as [[Dedup.nearDupClusters]]; use reliable
+    * checkpointing on a real cluster).
+    *
+    * The greedy in-word merge is an `aggregate` fold: append each
+    * symbol, or fuse it with the accumulator's tail when the tail/next
+    * pair equals the rule — left-to-right non-overlapping semantics
+    * ("aaa" under rule a+a gives ["aa","a"]), matching reference BPE. */
+  def bpeMerges(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordCounts(docs, textCol)
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .where(col("pair_count") >= minCount)
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((i + 1, l, r, c))
+        val merged = concat(lit(l), lit(r))
+        vocab = vocab.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x)))).as("syms"), col("cnt"))
+        if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint(true)
+        i += 1
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("left"), col("right"), col("pair_count"))
+  }
 }
