@@ -271,6 +271,18 @@ final case class Frame(df: DataFrame) {
   def profile(cols: Seq[String] = Nil, exactDistinct: Boolean = false): Frame =
     Frame(graft.ops.Profile.summarize(df, cols, exactDistinct))
 
+  /** Semantic dedup (ops/Similarity passthrough): keep-first selection
+    * over the embedding near-dup relation — survivors keep their
+    * original columns. */
+  def semanticDedup(idCol: String, vecCol: String,
+      threshold: Double = 0.9): Frame =
+    Frame(graft.ops.Similarity.semanticDedup(df, idCol, vecCol, threshold))
+
+  /** BPE tokenizer training (ops/TextOps passthrough): learn `numMerges`
+    * merge rules from this frame's text column. */
+  def bpeMerges(textCol: String = "text", numMerges: Int = 8): Frame =
+    Frame(graft.ops.TextOps.bpeMerges(df, textCol, numMerges))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
