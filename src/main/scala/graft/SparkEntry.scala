@@ -1069,6 +1069,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- scale mechanics: idempotent partition-level re-ingest --------
+    // orders lands hive-partitioned on a 5-way bucket; the bkt=2 slice
+    // then re-lands with corrected prices via dynamic partition
+    // overwrite — run TWICE to pin idempotence. The read-back must show
+    // exactly the corrected bkt=2 rows and untouched others (per-row
+    // double add, bit-exact on both engines).
+    "q_upsert_partitions" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-upsert")
+        .resolve("orders_by_bkt").toString
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 5).cast("int").as("bkt"))
+      base.write.mode("overwrite").partitionBy("bkt").parquet(path)
+      val fixed = base.where(col("bkt") === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      graft.ops.Layout.upsertPartitions(fixed, path, Seq("bkt"))
+      graft.ops.Layout.upsertPartitions(fixed, path, Seq("bkt"))
+      s.read.parquet(path)
+        .select(col("o_orderkey"), col("o_totalprice"), col("bkt"))
+    }),
+
     // ---- scale mechanics: z-ordered write -> 2-D stat-pruned scan -----
     // lineitem rewritten z-ordered on (l_orderkey, l_partkey): each file
     // covers a small rectangle of the key plane, so a predicate on BOTH
@@ -2438,6 +2459,15 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     // layout changes the physical plan, never the answer
+    // the upserted table: bkt=2 carries the corrected price, every other
+    // partition the original
+    "q_upsert_partitions" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(o_orderkey % 5 AS INTEGER) AS bkt
+        |FROM orders""".stripMargin,
+
     "q_layout_scan" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

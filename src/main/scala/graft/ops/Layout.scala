@@ -112,4 +112,22 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Idempotent partition-level re-ingest (dynamic partition overwrite):
+    * land `df` into the hive-partitioned table at `path`, replacing ONLY
+    * the partitions present in `df` and leaving every other partition's
+    * files physically untouched. This is the batch-recovery contract a
+    * 100 TB ingest needs: a failed or reprocessed slice (a day, a crawl
+    * shard) re-lands its own partitions wholesale, re-running the same
+    * batch is a no-op at the table level, and no job ever rewrites data
+    * it didn't produce. Spark's STATIC overwrite (the default) would
+    * instead truncate the whole table — the per-write option pins the
+    * dynamic mode regardless of session configuration. */
+  def upsertPartitions(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "upsertPartitions needs at least one partition column")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.ops.Layout
 
@@ -126,5 +128,38 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).select(key: _*)
       .except(spark.read.parquet(fragged).select(key: _*)).isEmpty)
     assert(spark.read.parquet(out).count() == 5000)
+  }
+
+  test("upsertPartitions replaces only the batch's partitions, idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-spec")
+      .resolve("t").toString
+    val base = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c"))
+      .toDF("id", "part")
+    base.write.mode("overwrite").partitionBy("part").parquet(dir)
+
+    def files(sub: String): Seq[(String, Long)] = {
+      val d = java.nio.file.Paths.get(dir, sub)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .map(p => (p.getFileName.toString, java.nio.file.Files.size(p)))
+        .sortBy(_._1)
+      finally s.close()
+    }
+    val bBefore = files("part=b")
+    val cBefore = files("part=c")
+
+    val batch = Seq((9, "a")).toDF("id", "part")
+    Layout.upsertPartitions(batch, dir, Seq("part"))
+    val out1 = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    // partition a replaced WHOLESALE (old rows 1 and 3 gone), b/c intact
+    assert(out1 == Set((9, "a"), (2, "b"), (4, "c")))
+    // untouched partitions keep their exact physical files
+    assert(files("part=b") == bBefore && files("part=c") == cBefore)
+
+    // re-landing the same batch is a table-level no-op
+    Layout.upsertPartitions(batch, dir, Seq("part"))
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet == out1)
+    assert(files("part=b") == bBefore && files("part=c") == cBefore)
   }
 }

@@ -67,12 +67,13 @@ class PlanSpec extends SparkSpec {
 
   test("similarity joins never plan a cartesian product") {
     for (q <- Seq("q_jaccard_pairs", "q_minhash_lsh", "q_simhash_pairs",
-        "q_cosine_neardups")) {
+        "q_cosine_neardups", "q_semantic_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must not contain a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin") ||
-        q == "q_cosine_neardups", // tiny literal-probe joins are fine
+        q == "q_cosine_neardups" || q == "q_semantic_dedup",
+        // tiny literal-probe joins are fine
         s"$q unexpectedly plans a nested-loop join")
     }
   }
