@@ -144,6 +144,26 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-to-table landing with idempotent partition replacement:
+    * every micro-batch lands via [[graft.ops.Layout.upsertPartitions]],
+    * replacing only the partitions that batch touches. Combined with the
+    * checkpointed source offsets this gives effectively-once table
+    * contents under retry: a replayed micro-batch re-lands the same
+    * partitions wholesale instead of appending duplicates — the
+    * standard continuous-ingest landing pattern for a partitioned
+    * 100 TB corpus. CORRECTNESS PRECONDITION: partitions must be
+    * batch-aligned (every partition's rows arrive within one
+    * micro-batch — e.g. partition by the batch's ingest window); a
+    * partition spread across batches would be replaced, not extended,
+    * by the later batch. Caller starts/stops the returned query. */
+  def upsertSink(stream: DataFrame, path: String, partCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Layout.upsertPartitions(batch, path, partCols)
+      }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

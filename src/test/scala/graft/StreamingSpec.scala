@@ -144,6 +144,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 200L))
   }
 
+  test("upsert sink lands batch-aligned partitions effectively once across restart") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-upsink-src").toString
+    val table = Files.createTempDirectory("graft-upsink-tbl")
+      .resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-upsink-ckpt").toString
+    def start() = StreamOps.upsertSink(
+      spark.readStream.schema("id BIGINT, part INT").parquet(src),
+      table, Seq("part"), ckpt).start()
+    // shard 1 (partition 1) lands, is consumed, stream stops (redeploy)
+    spark.range(0, 50).toDF("id").withColumn("part", lit(1))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // shard 2 (partition 2) lands while the stream is down; the restart
+    // must land ONLY partition 2 — partition 1's rows survive untouched
+    spark.range(50, 80).toDF("id").withColumn("part", lit(2))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(table).select("id", "part")
+      .as[(Long, Int)].collect().toSet
+    assert(out == ((0L until 50L).map((_, 1)) ++
+      (50L until 80L).map((_, 2))).toSet)
+  }
+
   test("per-row cleaning (normalizeText) is stream/batch identical") {
     Graft.init(spark)
     implicit val sql = spark.sqlContext
