@@ -1212,6 +1212,17 @@ object SparkEntry {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
     }),
 
+    // ---- LLM: cluster-representative dedup (the final corpus) ---------
+    // near-dup clusters collapse to their min-id representative; rows in
+    // no pair survive untouched — the end-to-end "dedup this corpus"
+    "q_dedup_reps" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      Dedup.representatives(docs,
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5), "doc_id")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ---- LLM: stable content-keyed train/test split -------------------
     "q_stable_split" -> ((s, dir) =>
       graft.ops.Sampling.stableSplit(t(s, dir, "documents"), "text", 80)
@@ -1507,6 +1518,18 @@ object SparkEntry {
 
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"), numMerges = 8)),
+
+    // apply half of the tokenizer: train 8 rules, replay them over the
+    // corpus (rows-only; rules + replay pinned vs a reference
+    // implementation in TextOpsSpec, cross-run determinism by the smoke
+    // double-run)
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, numMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, merges)
+    }),
 
     // ---- LLM: unigram LM quality score (model-based filter slot) ------
     // per-doc mean token log-prob under the corpus's own unigram model;
@@ -2623,6 +2646,34 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // same pair graph + reachability as q_dedup_clusters; survivors are
+    // rows that are their own cluster min (or in no pair at all)
+    "q_dedup_reps" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cl <> id)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -291,6 +291,23 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** The deduped corpus a near-dup pass actually produces: from a pair
+    * relation (id_a, id_b), keep ONE representative per connected
+    * near-dup cluster — the min id, which [[nearDupClusters]]' min-label
+    * propagation already computes as the cluster id — plus every row
+    * that appears in no pair. Deterministic by construction; the
+    * selection is one anti join on the (small) dropped-id set, so the
+    * corpus shuffles nothing and survivors keep their original columns.
+    * Compose with [[jaccardPairs]] / [[minhashNearDups]] /
+    * [[simhashNearDups]] for the end-to-end "dedup this corpus" op. */
+  def representatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val dropped = nearDupClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__rep_drop"))
+    docs.join(dropped, longId(docs, idCol) === col("__rep_drop"), "left_anti")
+  }
+
   /** Shared exact-Jaccard confirm pass: re-attach shingle sets to candidate
     * id-pairs (two id-keyed joins — cheap, hits only candidates) and keep
     * pairs at or above the threshold. */

@@ -489,4 +489,33 @@ object TextOps {
       .select(col("merge_rank").cast("long").as("merge_rank"),
         col("left"), col("right"), col("pair_count"))
   }
+
+  /** Apply one learned merge rule to a symbol array (the same greedy
+    * left-to-right fold [[bpeMerges]] trains with). */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE encoding: tokenize text with rules learned by [[bpeMerges]] —
+    * the apply half of the tokenizer. Each word splits to characters and
+    * replays the merges in learned order (rule k only ever fires on the
+    * output of rules 1..k-1, exactly as in training); the document's
+    * token sequence is the concatenation over its words. Pure per-row
+    * column expressions — no shuffle, no UDF; the rule list compiles
+    * into the plan as literals (fine for demonstration-sized rule sets;
+    * a production 32k-merge vocabulary wants a single codegen'd
+    * trie-matcher Expression in `functions/` — the documented growth
+    * path, same slot as the multimodal codec stubs).
+    * Output: (idCol, tokens array<string>, n_tokens). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        flatten(transform(words(col(textCol)),
+          w => merges.foldLeft(split(w, ""): Column) {
+            case (e, (l, r)) => applyMerge(e, l, r) })).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
 }

@@ -261,4 +261,16 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().head
     assert(v(0) == v2) // deterministic across plans
   }
+
+  test("representatives keep the min id per cluster and every singleton") {
+    val docs = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters: {1,2,5} (transitive via 2) and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.representatives(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L, 6L, 7L, 9L))
+    // survivors keep their original columns
+    assert(Dedup.representatives(docs, pairs, "doc_id").columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
 }

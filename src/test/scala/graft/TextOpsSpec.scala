@@ -363,5 +363,23 @@ class TextOpsSpec extends SparkSpec {
     // reference implements the identical fold — equality above covers
     // it; this pins the intent)
     assert(got.nonEmpty)
+
+    // encode replays the learned rules: engine vs the same reference fold
+    val rules = got.map(m => (m._2, m._3))
+    val docs2 = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(docs2, rules)
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val expEnc = corpus.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        rules.foldLeft(w.toVector.map(_.toString)) {
+          case (syms, (l, r)) => mergeSeq(syms, l, r) }
+      }
+    }.toMap
+    assert(enc == expEnc, s"encode mismatch: $enc vs $expEnc")
+    // merged symbols actually appear (the corpus trains 'lo' or 'er'
+    // early, so some token is multi-character)
+    assert(enc.values.exists(_.exists(_.length > 1)))
   }
 }
