@@ -1069,6 +1069,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- scale mechanics: bloom-filtered write -> point-lookup scan ---
+    // lineitem rewritten (unsorted) with a bloom filter on l_partkey:
+    // the equality probe skips row groups whose bloom excludes the key —
+    // pruning that min/max stats cannot give on unclustered data. Same
+    // answer as the plain source (the oracle). At this SF the column
+    // stays dictionary-encoded so parquet-mr serves the probe from the
+    // (exact) dictionary instead of materializing the bloom — the bloom
+    // path itself is pinned at overflow cardinality in LayoutSpec.
+    "q_bloom_scan" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+        .resolve("lineitem_bloom").toString
+      graft.ops.Layout.writeWithBloom(t(s, dir, "lineitem"), path,
+        Seq("l_partkey"), expectedNdv = 300000L)
+      s.read.parquet(path)
+        .where(col("l_partkey") === 1234L)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- scale mechanics: idempotent partition-level re-ingest --------
     // orders lands hive-partitioned on a 5-way bucket; the bkt=2 slice
     // then re-lands with corrected prices via dynamic partition
@@ -2482,6 +2500,11 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     // layout changes the physical plan, never the answer
+    "q_bloom_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey = 1234""".stripMargin,
+
     // the upserted table: bkt=2 carries the corrected price, every other
     // partition the original
     "q_upsert_partitions" ->

@@ -113,6 +113,33 @@ object Layout {
     nFiles
   }
 
+  /** Write with parquet bloom filters on the named high-cardinality
+    * columns: an equality predicate can then skip whole row groups whose
+    * bloom filter excludes the value — the point-lookup complement of
+    * min/max stat pruning ([[writeClustered]]/[[writeZOrdered]]), and it
+    * works on UNSORTED data, where min/max ranges cover everything. The
+    * reader side is free: parquet-mr evaluates pushed equality filters
+    * against the bloom at row-group granularity. Size `expectedNdv` to
+    * the column's distinct count per file — too low inflates the false-
+    * positive rate and the filter stops skipping.
+    *
+    * Dictionary interplay (parquet-mr semantics): a column whose every
+    * page stays dictionary-encoded gets NO bloom — the dictionary is
+    * already an exact membership filter. Blooms materialize exactly
+    * when they're needed: once a 100 TB-scale file's cardinality
+    * overflows the dictionary page and encoding falls back to plain.
+    * `extraOptions` passes further parquet writer knobs through. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long = 1000000L,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloom needs at least one column")
+    bloomCols.foldLeft(df.write.mode("overwrite").options(extraOptions)) {
+      (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(path)
+  }
+
   /** Idempotent partition-level re-ingest (dynamic partition overwrite):
     * land `df` into the hive-partitioned table at `path`, replacing ONLY
     * the partitions present in `df` and leaving every other partition's

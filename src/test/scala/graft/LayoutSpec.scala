@@ -130,6 +130,38 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 5000)
   }
 
+  test("writeWithBloom writes a bloom filter for the named column only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-spec")
+      .resolve("t").toString
+    // a 1 KB dictionary page forces the encoder off the dictionary path
+    // at this fixture's cardinality — parquet-mr only materializes a
+    // bloom once the column is not fully dictionary-encoded (at real
+    // scale the cardinality itself overflows the default 1 MB page)
+    Layout.writeWithBloom(src.limit(5000), dir, Seq("l_partkey"),
+      extraOptions = Map("parquet.dictionary.page.size" -> "1024"))
+    val file = {
+      val d = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.toSeq
+        .find(_.getFileName.toString.startsWith("part-")).get.toString
+      finally s.close()
+    }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val offs = cols.map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(offs("l_partkey") >= 0, "l_partkey must carry a bloom filter")
+      assert(offs("l_orderkey") == -1, "unlisted columns must not pay for one")
+    } finally reader.close()
+    // the rewrite changes layout only: a point lookup reads back equal
+    val probe = src.limit(5000).where(col("l_partkey") === 42L).count()
+    assert(spark.read.parquet(dir).where(col("l_partkey") === 42L).count()
+      == probe)
+  }
+
   test("upsertPartitions replaces only the batch's partitions, idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert-spec")
       .resolve("t").toString
