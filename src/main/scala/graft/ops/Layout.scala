@@ -39,13 +39,15 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Z-value of two numeric columns: each is min/max-scaled to `bits` bits
-    * (the min/max pairs are four scalars computed by one tiny aggregate up
-    * front — the only non-per-row step) and the bits are interleaved, so
-    * rows close in BOTH dimensions get close z-values. Unrolls to a flat
-    * chain of shift/mask/or terms — pure codegen, no UDF. */
-  private def zValue(a: Column, b: Column,
-      aMin: Double, aMax: Double, bMin: Double, bMax: Double,
+  /** Z-value of N numeric columns: each is min/max-scaled to `bits` bits
+    * (the min/max pairs are 2N scalars computed by one tiny aggregate up
+    * front — the only non-per-row step) and the bits are interleaved
+    * round-robin, so rows close in EVERY dimension get close z-values.
+    * Unrolls to a flat chain of shift/mask/or terms — pure codegen, no
+    * UDF. Bit layout for dimension d of n at bit i: position
+    * `n*i + (n-1-d)` — for n=2 this is the classic (2i+1, 2i)
+    * interleave. */
+  private def zValue(cols: Seq[Column], bounds: Seq[(Double, Double)],
       bits: Int): Column = {
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
@@ -53,11 +55,13 @@ object Layout {
           ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit((1L << bits) - 1)),
           lit(0.0)), lit(((1L << bits) - 1).toDouble))
         .cast("long")
-    val (sa, sb) = (scaled(a, aMin, aMax), scaled(b, bMin, bMax))
+    val n = cols.length
+    val s = cols.zip(bounds).map { case (c, (lo, hi)) => scaled(c, lo, hi) }
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(sa, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftrightunsigned(sb, i).bitwiseAND(lit(1L)), 2 * i))
+      s.zipWithIndex.foldLeft(acc) { case (a, (sc, d)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(sc, i).bitwiseAND(lit(1L)), n * i + (n - 1 - d)))
+      }
     }
   }
 
@@ -72,17 +76,30 @@ object Layout {
     * bit scaling) plus the same single range-exchange as writeClustered.
     * The z column is dropped before the write — layout only, never schema. */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
-      colA: String, colB: String, bits: Int = 16): Unit = {
+      colA: String, colB: String, bits: Int = 16): Unit =
+    writeZOrderedN(df, path, numFiles, Seq(colA, colB), bits)
+
+  /** N-dimensional z-ordered rewrite — [[writeZOrdered]] generalized:
+    * files cover small boxes of the N-column key space, buying min/max
+    * stat pruning for range predicates on ANY subset of the columns.
+    * Pruning power per dimension dilutes as N grows (each file's box
+    * halves per dimension only every N z-bits), so 2–4 dimensions is
+    * the practical sweet spot. `bits * N` must fit a signed long. */
+  def writeZOrderedN(df: DataFrame, path: String, numFiles: Int,
+      cols: Seq[String], bits: Int = 16): Unit = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val Array(aMin, aMax, bMin, bMax) =
-      df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
-          min(col(colB).cast("double")), max(col(colB).cast("double")))
-        .collect()(0).toSeq.map {
-          case null => 0.0
-          case d: Double => d
-        }.toArray
-    df.withColumn("_z", zValue(col(colA), col(colB), aMin, aMax, bMin, bMax, bits))
+    require(cols.size >= 2, s"z-ordering needs >= 2 columns, got ${cols.size}")
+    require(bits > 0 && bits * cols.size <= 62,
+      s"bits * dimensions must fit a long: got $bits * ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mmRow = df.agg(aggs.head, aggs.tail: _*)
+      .collect()(0).toSeq.map {
+        case null => 0.0
+        case d: Double => d
+      }
+    val bounds = mmRow.grouped(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+    df.withColumn("_z", zValue(cols.map(col), bounds, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

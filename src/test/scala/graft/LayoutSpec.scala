@@ -130,6 +130,31 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 5000)
   }
 
+  test("3-dim z-order files cover small boxes on all three dimensions") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder3-spec")
+      .resolve("lineitem").toString
+    Layout.writeZOrderedN(src, path, 8,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    def meanSpan(c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col(c).cast("long").as("v"))
+        .groupBy("f").agg((max("v") - min("v")).as("span"))
+        .select("span").as[Long].collect()
+      spans.sum.toDouble / spans.length
+    }
+    def globalSpan(c: String): Long = src
+      .agg(max(col(c).cast("long")) - min(col(c).cast("long")))
+      .as[Long].collect().head
+    // 8 files = one z-bit per dimension: every file should halve each
+    // axis on average (mean, not max — boundary-straddling files span
+    // wide legitimately)
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      assert(meanSpan(c) < globalSpan(c) * 0.85,
+        s"$c mean span ${meanSpan(c)} vs global ${globalSpan(c)}")
+    // round-trip: layout only
+    assert(spark.read.parquet(path).count() == src.count())
+  }
+
   test("writeWithBloom writes a bloom filter for the named column only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-spec")
       .resolve("t").toString
