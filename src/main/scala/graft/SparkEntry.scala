@@ -1230,6 +1230,14 @@ object SparkEntry {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
     }),
 
+    // ---- LLM: edit-distance fuzzy join (SymSpell deletion buckets) ----
+    // supplier names differ in single digits, so the ed<=1 pair set is
+    // dense and the full cross-join oracle is exact at this SF; the
+    // engine path never cross-joins (variant-keyed equi-join + confirm)
+    "q_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name",
+        maxDist = 1)),
+
     // ---- LLM: cluster-representative dedup (the final corpus) ---------
     // near-dup clusters collapse to their min-id representative; rows in
     // no pair survive untouched — the end-to-end "dedup this corpus"
@@ -2669,6 +2677,12 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q_editdist_pairs" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     // same pair graph + reachability as q_dedup_clusters; survivors are
     // rows that are their own cluster min (or in no pair at all)

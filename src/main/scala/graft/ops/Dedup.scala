@@ -291,6 +291,56 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** All one-character-deletion variants of a string (SymSpell
+    * candidate keys), as a pure column expression. */
+  private def del1(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), length(s) - i))))
+
+  /** Edit-distance near-dup pairs via SymSpell-style deletion
+    * neighborhoods: two strings within Levenshtein distance `maxDist`
+    * always share a string reachable by at most `maxDist` deletions
+    * from each (a substitution deletes one char from both sides, an
+    * insert/delete from one), so candidates come from an equi-join on
+    * exploded deletion variants — never a cross join — and one exact
+    * `levenshtein` pass confirms. The fuzzy-matching primitive for
+    * entity resolution / typo-tolerant dedup on short keys (names,
+    * titles, codes).
+    *
+    * Scale shape: the candidate shuffle is keyed on the variant string
+    * and carries (variant, id) only; neighborhood size is L+1 per
+    * string at maxDist=1 and O(L²) at maxDist=2 — the documented cost
+    * knob, which is why this op is for short key columns, not document
+    * bodies (near-dup text belongs to the shingle family above). A
+    * high-frequency variant is the same hot-bucket hazard as a high-df
+    * PPJoin token; the exact confirm keeps correctness regardless.
+    * Output: (id_a, id_b, dist), id_a < id_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2, got $maxDist (larger radii explode the neighborhood)")
+    val base = df.where(col(strCol).isNotNull)
+      .select(longId(df, idCol).as("id"), col(strCol).as("s"))
+    val variants =
+      if (maxDist == 1) concat(array(col("s")), del1(col("s")))
+      else concat(array(col("s")), del1(col("s")),
+        flatten(transform(del1(col("s")), v => del1(v))))
+    val keyed = base.select(col("id"),
+      explode(array_distinct(variants)).as("v"))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("v"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .where(levenshtein(col("s_a"), col("s_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+  }
+
   /** The deduped corpus a near-dup pass actually produces: from a pair
     * relation (id_a, id_b), keep ONE representative per connected
     * near-dup cluster — the min id, which [[nearDupClusters]]' min-label

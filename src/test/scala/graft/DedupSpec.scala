@@ -262,6 +262,32 @@ class DedupSpec extends SparkSpec {
     assert(v(0) == v2) // deterministic across plans
   }
 
+  test("edit-distance pairs match brute-force Levenshtein at maxDist 1 and 2") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // substitutions, inserts, deletes, transposition (= ed 2), empties
+    val names = Seq("alpha", "alphb", "alpah", "alph", "alphas", "beta",
+      "bета", "gamma", "", "a", "b")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    for (d <- Seq(1, 2)) {
+      val got = graft.ops.Dedup.editDistancePairs(df, "id", "name", d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+        .collect().toSet
+      val want = (for {
+        i <- names.indices; j <- names.indices if i < j
+        e = lev(names(i), names(j)) if e <= d
+      } yield (i.toLong, j.toLong, e.toLong)).toSet
+      assert(got == want, s"maxDist=$d: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    }
+  }
+
   test("representatives keep the min id per cluster and every singleton") {
     val docs = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two clusters: {1,2,5} (transitive via 2) and {7,8}
