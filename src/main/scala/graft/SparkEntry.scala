@@ -1238,6 +1238,18 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name",
         maxDist = 1)),
 
+    // ---- LLM: end-to-end fuzzy entity resolution ----------------------
+    // edit-distance pair graph -> connected clusters -> min-id canonical
+    // entity per cluster: the composition a master-data pipeline runs.
+    // The oracle walks the same ed<=1 graph with a recursive CTE.
+    "q_entity_resolution" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+      Dedup.representatives(supp,
+          Dedup.editDistancePairs(supp, "s_suppkey", "s_name", 1),
+          "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // ---- LLM: cluster-representative dedup (the final corpus) ---------
     // near-dup clusters collapse to their min-id representative; rows in
     // no pair survive untouched — the end-to-end "dedup this corpus"
@@ -2683,6 +2695,23 @@ object SparkEntry {
         |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
+    // survivors of the ed<=1 graph: rows that are their own reachability
+    // min (or in no pair) — the canonical entities
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.s_suppkey AS ia, b.s_suppkey AS ib
+        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey NOT IN (SELECT id FROM lab WHERE cl <> id)""".stripMargin,
 
     // same pair graph + reachability as q_dedup_clusters; survivors are
     // rows that are their own cluster min (or in no pair at all)
