@@ -882,6 +882,21 @@ object SparkEntry {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_signup")))
     }),
 
+    // ---- extension: time-series resample + forward-fill ---------------
+    // per-user hourly grid from first to last active hour; gap hours
+    // carry the latest earlier hourly sum (decimal-exact), event counts
+    // coalesce to zero — the feature-pipeline regularization step
+    "q_resample_ffill" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts_sec"), col("value"))
+      graft.ops.TimeSeries.resampleFfill(ev, "user_id",
+          expr("ts_sec div 3600"),
+          aggs = Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("v")),
+          fillCols = Seq("v"))
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("v").as("v_ffill"))
+    }),
+
     // ---- extension: as-of join (latest right row at or before left ts) -
     "q_asof_join" -> ((s, dir) => {
       // microsecond epoch on both sides: DuckDB timestamps are us-precision
@@ -2381,6 +2396,27 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM sg) AS n_signup_after_view,
         |       (SELECT count(*) FROM p) AS n_purchase_after_signup""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH hr AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |           FROM hr GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |         FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.bucket,
+        |    coalesce(hr.n_events, 0) AS n_events, hr.v
+        |  FROM grid g LEFT JOIN hr
+        |    ON g.user_id = hr.user_id AND g.bucket = hr.bucket)
+        |SELECT user_id, bucket, n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (
