@@ -1290,6 +1290,14 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- extension: exact one-pass covariance/correlation matrix ------
+    // moment sums in DECIMAL(38,8) (exact for the 2-decimal fixtures),
+    // final arithmetic a fixed IEEE sequence mirrored by the oracle —
+    // unlike covar_pop/corr built-ins, reproducible across engines
+    "q_covariance" -> ((s, dir) =>
+      graft.ops.Profile.covarianceMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // ---- LLM: ingestion profiling (per-column quality summary) --------
     // exactDistinct so the oracle can mirror; long/string columns only
     // (double min/max stringification differs across engines)
@@ -2642,6 +2650,45 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    // the moment sums and final arithmetic mirror Profile.covarianceMatrix
+    // operation-for-operation: decimal-exact sums, then the identical
+    // IEEE sequence cov = sp/n - (sa/n)(sb/n),
+    // corr = cov / (sqrt(va) * sqrt(vb))
+    "q_covariance" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s_q,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS ss_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_e,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS ss_e,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS ss_d,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sp_qe,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sp_qd,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sp_ed
+        |  FROM lineitem),
+        |f AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  sp_qe / nd - (s_q / nd) * (s_e / nd) AS cov,
+        |  (sp_qe / nd - (s_q / nd) * (s_e / nd)) /
+        |    (sqrt(ss_q / nd - (s_q / nd) * (s_q / nd)) *
+        |     sqrt(ss_e / nd - (s_e / nd) * (s_e / nd))) AS corr
+        |FROM f
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n,
+        |  sp_qd / nd - (s_q / nd) * (s_d / nd),
+        |  (sp_qd / nd - (s_q / nd) * (s_d / nd)) /
+        |    (sqrt(ss_q / nd - (s_q / nd) * (s_q / nd)) *
+        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd)))
+        |FROM f
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n,
+        |  sp_ed / nd - (s_e / nd) * (s_d / nd),
+        |  (sp_ed / nd - (s_e / nd) * (s_d / nd)) /
+        |    (sqrt(ss_e / nd - (s_e / nd) * (s_e / nd)) *
+        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd)))
+        |FROM f""".stripMargin,
 
     "q_profile" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -44,4 +44,44 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("p")).select("p.*")
   }
+
+  /** Exact pairwise population covariance and correlation over fixed-
+    * decimal numeric columns, in ONE aggregation pass: all moment sums
+    * (Σx, Σx², Σxy) accumulate in DECIMAL(38,8) — exact for ≤2-decimal
+    * inputs — and only the final per-pair arithmetic runs in doubles,
+    * a short, fixed IEEE sequence that is reproducible bit-for-bit on
+    * any engine that mirrors it (the oracle does). Spark's built-in
+    * `covar_pop`/`corr` stream doubles and are order-sensitive across
+    * partitions; this variant trades a wider accumulator for
+    * deterministic cross-engine answers — the same convention as the
+    * `dsum` aggregates.
+    *
+    * Output: one row per column pair (col_a, col_b, n, cov, corr),
+    * population formulas cov = Σxy/n − (Σx/n)(Σy/n),
+    * corr = cov / (sqrt(varx) * sqrt(vary)). Scale: a single
+    * partial+final aggregate with k + k + C(k,2) accumulators; output
+    * is C(k,2) rows regardless of input size. */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "covarianceMatrix needs at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 8)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j)
+      yield (cols(i), cols(j))
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(dsum(col(c)).as(s"__s_$c"),
+        dsum(col(c) * col(c)).as(s"__ss_$c"))) ++
+       pairs.map { case (a, b) =>
+         dsum(col(a) * col(b)).as(s"__sp_${a}_$b") })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def mean(c: String) = col(s"__s_$c") / n
+    def variance(c: String) = col(s"__ss_$c") / n - mean(c) * mean(c)
+    val entries = array(pairs.map { case (a, b) =>
+      val cov = col(s"__sp_${a}_$b") / n - mean(a) * mean(b)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        cov.as("cov"),
+        (cov / (sqrt(variance(a)) * sqrt(variance(b)))).as("corr"))
+    }: _*)
+    one.select(explode(entries).as("p")).select("p.*")
+  }
 }

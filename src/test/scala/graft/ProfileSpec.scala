@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("covariance matrix computes exact population moments") {
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 3.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val rows = Profile.covarianceMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(rows.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    val (n, covXY, corrXY) = rows(("x", "y"))
+    assert(n == 3L)
+    // cov = 28/3 - 2*4 = 4/3; y = 2x exactly -> corr 1
+    assert(math.abs(covXY - 4.0 / 3.0) < 1e-12)
+    assert(math.abs(corrXY - 1.0) < 1e-12)
+    // z = 7 - 2x -> perfectly anti-correlated with x
+    assert(math.abs(rows(("x", "z"))._3 + 1.0) < 1e-12)
+  }
+
+  test("summarize reports rows, nulls, distincts and bounds per column") {
+    val df = Seq(Some(1), Some(1), Some(3), None).toDF("v")
+    val p = Profile.summarize(df, Seq("v"), exactDistinct = true)
+      .as[(String, Long, Long, Long, String, String)].collect().head
+    assert(p == (("v", 4L, 1L, 2L, "1", "3")))
+  }
+}
