@@ -36,7 +36,10 @@ object Bench {
     "q_dedup_lines", "q_mixture", "q_tpch_q7",
     // full-suite landmarks: the pricing-summary wide aggregate and the
     // EXISTS/NOT-EXISTS semi+anti composite
-    "q_tpch_q1", "q_tpch_q21")
+    "q_tpch_q1", "q_tpch_q21",
+    // late round 6: semantic dedup (sign-LSH + anti join), SymSpell
+    // fuzzy join, per-key grid resample + forward-fill
+    "q_semantic_dedup", "q_editdist_pairs", "q_resample_ffill")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

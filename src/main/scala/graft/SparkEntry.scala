@@ -1298,6 +1298,11 @@ object SparkEntry {
       graft.ops.Profile.covarianceMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // ---- extension: equi-width histogram (densified, fixed bounds) ----
+    "q_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(t(s, dir, "orders"), "o_totalprice",
+        nBins = 20, lo = 0.0, hi = 600000.0)),
+
     // ---- LLM: ingestion profiling (per-column quality summary) --------
     // exactDistinct so the oracle can mirror; long/string columns only
     // (double min/max stringification differs across engines)
@@ -2650,6 +2655,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    // bin arithmetic mirrors Profile.histogram: floor((x-lo)/w) clamped
+    // into [0, nBins), all bins densified via a generated grid
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 30000.0)
+        |      AS BIGINT), 0), 19) AS bin, count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 19)) AS bin)
+        |SELECT g.bin, coalesce(c.n, 0) AS n,
+        |  0.0 + CAST(g.bin AS DOUBLE) * 30000.0 AS bin_lo
+        |FROM g LEFT JOIN c ON g.bin = c.bin""".stripMargin,
 
     // the moment sums and final arithmetic mirror Profile.covarianceMatrix
     // operation-for-operation: decimal-exact sums, then the identical

@@ -84,4 +84,27 @@ object Profile {
     }: _*)
     one.select(explode(entries).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram with explicit bounds: `nBins` buckets over
+    * [lo, hi), values at/above `hi` clamped into the last bin, values
+    * below `lo` into the first — every bin present in the output, empty
+    * ones at count 0 (the densified form a plotting or drift-detection
+    * consumer wants). Explicit bounds keep it a single aggregation pass
+    * (no min/max pre-scan) and make runs comparable across batches —
+    * the drift-monitoring use case. NULLs are excluded. */
+  def histogram(df: DataFrame, colName: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(colName).cast("double") - lit(lo)) / lit(w)).cast("long"),
+      lit(0L)), lit((nBins - 1).toLong))
+    val counts = df.where(col(colName).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(0, nBins).select(col("id").as("bin"))
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        (lit(lo) + col("bin").cast("double") * lit(w)).as("bin_lo"))
+  }
 }

@@ -21,6 +21,15 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(rows(("x", "z"))._3 + 1.0) < 1e-12)
   }
 
+  test("histogram densifies empty bins and clamps out-of-range values") {
+    val df = Seq(-5.0, 0.0, 1.0, 1.5, 9.9, 25.0).toDF("v")
+    val h = Profile.histogram(df, "v", nBins = 5, lo = 0.0, hi = 10.0)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0L until 5L))        // every bin present
+    assert(h.map(_._2).toSeq == Seq(4L, 0L, 0L, 0L, 2L)) // clamped ends
+    assert(h.map(_._3).toSeq == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+
   test("summarize reports rows, nulls, distincts and bounds per column") {
     val df = Seq(Some(1), Some(1), Some(3), None).toDF("v")
     val p = Profile.summarize(df, Seq("v"), exactDistinct = true)
