@@ -283,6 +283,32 @@ final case class Frame(df: DataFrame) {
   def bpeMerges(textCol: String = "text", numMerges: Int = 8): Frame =
     Frame(graft.ops.TextOps.bpeMerges(df, textCol, numMerges))
 
+  /** Edit-distance fuzzy pairs (ops/Dedup passthrough): SymSpell
+    * deletion-neighborhood join, maxDist 1 or 2. */
+  def editDistancePairs(idCol: String, strCol: String,
+      maxDist: Int = 1): Frame =
+    Frame(graft.ops.Dedup.editDistancePairs(df, idCol, strCol, maxDist))
+
+  /** Cluster-representative dedup (ops/Dedup passthrough): keep the
+    * min-id row of every connected near-dup cluster in `pairs`. */
+  def representatives(pairs: Frame, idCol: String): Frame =
+    Frame(graft.ops.Dedup.representatives(df, pairs.df, idCol))
+
+  /** Time-series resample + forward-fill (ops/TimeSeries passthrough). */
+  def resampleFfill(keyCol: String, bucket: Expr, aggs: Seq[Expr],
+      fillCols: Seq[String]): Frame =
+    Frame(graft.ops.TimeSeries.resampleFfill(df, keyCol, bucket.toColumn,
+      aggs.map(named), fillCols))
+
+  /** Exact one-pass covariance/correlation matrix (ops/Profile
+    * passthrough). */
+  def covarianceMatrix(cols: Seq[String]): Frame =
+    Frame(graft.ops.Profile.covarianceMatrix(df, cols))
+
+  /** Densified equi-width histogram (ops/Profile passthrough). */
+  def histogram(colName: String, nBins: Int, lo: Double, hi: Double): Frame =
+    Frame(graft.ops.Profile.histogram(df, colName, nBins, lo, hi))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —
