@@ -316,12 +316,19 @@ object Dedup {
     * bodies (near-dup text belongs to the shingle family above). A
     * high-frequency variant is the same hot-bucket hazard as a high-df
     * PPJoin token; the exact confirm keeps correctness regardless.
-    * Output: (id_a, id_b, dist), id_a < id_b. */
+    * Output: (id_a, id_b, dist), id_a < id_b.
+    *
+    * `maxLen` guards the neighborhood blowup: strings longer than it
+    * are excluded from pairing entirely (a 1000-char value at
+    * maxDist=2 would emit ~500k variant keys). Fuzzy matching on keys
+    * longer than ~100 chars belongs to the shingle family, not here. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxLen: Int = 256): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2, got $maxDist (larger radii explode the neighborhood)")
-    val base = df.where(col(strCol).isNotNull)
+    require(maxLen >= 1, "maxLen must be positive")
+    val base = df.where(col(strCol).isNotNull &&
+        length(col(strCol)) <= maxLen)
       .select(longId(df, idCol).as("id"), col(strCol).as("s"))
     val variants =
       if (maxDist == 1) concat(array(col("s")), del1(col("s")))

@@ -286,6 +286,13 @@ class DedupSpec extends SparkSpec {
       } yield (i.toLong, j.toLong, e.toLong)).toSet
       assert(got == want, s"maxDist=$d: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
     }
+    // the maxLen guard excludes long values from pairing entirely
+    val long1 = "x" * 300
+    val dfLong = Seq((0L, long1), (1L, long1 + "y"), (2L, "ab"), (3L, "ac"))
+      .toDF("id", "name")
+    val guarded = graft.ops.Dedup.editDistancePairs(dfLong, "id", "name", 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((2L, 3L)))
   }
 
   test("representatives keep the min id per cluster and every singleton") {

@@ -191,6 +191,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"))
   }
 
+  test("resample grid keys every exchange on the user; fuzzy join never cross-joins") {
+    val p = plan("q_resample_ffill")
+    // aggregation, gap join and ffill window all partition on user_id
+    // (alone or with the bucket) — nothing shuffles on a non-key column
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("user_id")),
+      s"every hash exchange must be keyed on user_id:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+    val e = plan("q_editdist_pairs")
+    assert(!e.contains("CartesianProduct") &&
+      !e.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("as-of join is a single shuffle: one Exchange, no join operator at all") {
     val p = plan("q_asof_join")
     // the union-window trick: the whole as-of is ONE hashpartitioning
