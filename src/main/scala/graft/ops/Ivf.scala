@@ -144,6 +144,24 @@ object Ivf {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally add a batch of vectors to a SAVED index without
+    * retraining: assign each new vector to its nearest existing
+    * centroid and APPEND the assignments into the cluster-partitioned
+    * layout — new files land inside the touched cluster directories,
+    * existing files are never rewritten, and the next [[load]]/[[probe]]
+    * sees the union. This is the standing-corpus maintenance path: a
+    * daily embedding batch lands in seconds instead of re-clustering
+    * 100 TB. The quantizer drifts as data drifts — retrain (rebuild)
+    * when probe recall degrades; [[graft.ops.Similarity.annRecall]] is
+    * the measurement. NULL vectors are excluded as in [[index]]. */
+  def addToIndex(model: IvfModel, newEmb: DataFrame, path: String): Unit = {
+    val assignments = newEmb.where(col(model.vecCol).isNotNull)
+      .select(col(model.idCol), col(model.vecCol),
+        nearestCluster(model.centroids)(col(model.vecCol)).as("cluster"))
+    assignments.write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/index")
+  }
+
   /** Load a saved index. Column roles are recovered from the schema: the
     * array column is the vector, the remaining non-cluster column the id. */
   def load(spark: SparkSession, path: String): IvfModel = {

@@ -73,6 +73,34 @@ class IvfUdfSpec extends SparkSpec {
     assert(probed == oneShot)
   }
 
+  test("incremental add lands in the saved index without touching old files") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Ivf
+    val emb = clustered.toDF("vec_id", "embedding")
+    val query = clustered.head._2
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-add").toString
+    Ivf.save(Ivf.index(emb, "vec_id", "embedding", nClusters = 4, iters = 2), tmp)
+    def files(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp, "index"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(_.toString).toSet
+      finally s.close()
+    }
+    val before = files()
+    // new batch: an exact copy of the probe at a fresh id — it must land
+    // in the probe's cluster and surface at rank 1 after reload
+    val batch = Seq((999L, query)).toDF("vec_id", "embedding")
+    Ivf.addToIndex(Ivf.load(spark, tmp), batch, tmp)
+    assert(before.subsetOf(files()), "append must never rewrite old files")
+    assert(files().size > before.size)
+    val probed = Ivf.probe(Ivf.load(spark, tmp), query, 3, 2)
+      .as[(Long, Double)].collect()
+    // cosine 1.0 twice (original vec 0 and the added copy), id ascending
+    assert(probed.take(2).map(_._1).toSet == Set(0L, 999L))
+    assert(probed.take(2).forall(_._2 == 1.0))
+  }
+
   test("batched probe equals per-query probes on a loaded index") {
     import graft.ops.Ivf
     val emb = clustered.toDF("vec_id", "embedding")
