@@ -2662,7 +2662,9 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 30000.0)
         |      AS BIGINT), 0), 19) AS bin, count(*) AS n
-        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        |  GROUP BY 1),
         |g AS (SELECT unnest(generate_series(0, 19)) AS bin)
         |SELECT g.bin, coalesce(c.n, 0) AS n,
         |  0.0 + CAST(g.bin AS DOUBLE) * 30000.0 AS bin_lo

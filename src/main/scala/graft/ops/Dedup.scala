@@ -343,9 +343,12 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
-      .where(levenshtein(col("s_a"), col("s_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      // compute the O(L²) DP once per candidate, then filter on the
+      // column — a filter-then-reproject would pay it twice (no
+      // cross-operator subexpression sharing)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** The deduped corpus a near-dup pass actually produces: from a pair

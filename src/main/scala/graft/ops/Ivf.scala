@@ -153,8 +153,22 @@ object Ivf {
     * daily embedding batch lands in seconds instead of re-clustering
     * 100 TB. The quantizer drifts as data drifts — retrain (rebuild)
     * when probe recall degrades; [[graft.ops.Similarity.annRecall]] is
-    * the measurement. NULL vectors are excluded as in [[index]]. */
+    * the measurement. NULL vectors are excluded as in [[index]].
+    *
+    * The batch must match the index's dimension and float element type
+    * — a mismatched batch would otherwise be silently assigned to one
+    * cluster (NULL cosines) and poison the saved index permanently. */
   def addToIndex(model: IvfModel, newEmb: DataFrame, path: String): Unit = {
+    val batchDim = newEmb.where(col(model.vecCol).isNotNull)
+      .select(size(col(model.vecCol))).head(1).headOption.map(_.getInt(0))
+    require(batchDim.forall(_ == model.dim),
+      s"addToIndex: batch dimension ${batchDim.get} != index dimension ${model.dim}")
+    newEmb.schema(model.vecCol).dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"addToIndex: ${model.vecCol} must be array<float> (got ${t.catalogString}); " +
+          "a different element type would break reads of the whole saved index")
+    }
     val assignments = newEmb.where(col(model.vecCol).isNotNull)
       .select(col(model.idCol), col(model.vecCol),
         nearestCluster(model.centroids)(col(model.vecCol)).as("cluster"))

@@ -60,9 +60,15 @@ object Profile {
     * population formulas cov = Σxy/n − (Σx/n)(Σy/n),
     * corr = cov / (sqrt(varx) * sqrt(vary)). Scale: a single
     * partial+final aggregate with k + k + C(k,2) accumulators; output
-    * is C(k,2) rows regardless of input size. */
+    * is C(k,2) rows regardless of input size.
+    *
+    * NULL handling is LISTWISE: rows with a NULL in ANY profiled column
+    * are dropped before the sums, so every moment accumulates over the
+    * same support and n is consistent across pairs (mixing per-column
+    * supports would silently skew every mean). */
   def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "covarianceMatrix needs at least two columns")
+    val complete = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
     val dec = org.apache.spark.sql.types.DecimalType(38, 8)
     def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
     val pairs = for (i <- cols.indices; j <- cols.indices if i < j)
@@ -72,7 +78,7 @@ object Profile {
         dsum(col(c) * col(c)).as(s"__ss_$c"))) ++
        pairs.map { case (a, b) =>
          dsum(col(a) * col(b)).as(s"__sp_${a}_$b") })
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = complete.agg(aggs.head, aggs.tail: _*)
     val n = col("__n").cast("double")
     def mean(c: String) = col(s"__s_$c") / n
     def variance(c: String) = col(s"__ss_$c") / n - mean(c) * mean(c)
@@ -91,16 +97,19 @@ object Profile {
     * ones at count 0 (the densified form a plotting or drift-detection
     * consumer wants). Explicit bounds keep it a single aggregation pass
     * (no min/max pre-scan) and make runs comparable across batches —
-    * the drift-monitoring use case. NULLs are excluded. */
+    * the drift-monitoring use case. NULLs and NaNs are excluded (a NaN
+    * would otherwise clamp into bin 0 and fake a bottom-of-range
+    * spike). */
   def histogram(df: DataFrame, colName: String, nBins: Int,
       lo: Double, hi: Double): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val w = (hi - lo) / nBins
+    val v = col(colName).cast("double")
     val bin = least(greatest(
-      floor((col(colName).cast("double") - lit(lo)) / lit(w)).cast("long"),
+      floor((v - lit(lo)) / lit(w)).cast("long"),
       lit(0L)), lit((nBins - 1).toLong))
-    val counts = df.where(col(colName).isNotNull)
+    val counts = df.where(col(colName).isNotNull && !isnan(v))
       .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
     val grid = df.sparkSession.range(0, nBins).select(col("id").as("bin"))
     grid.join(counts, Seq("bin"), "left")

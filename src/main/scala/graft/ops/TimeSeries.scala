@@ -16,8 +16,10 @@ object TimeSeries {
 
   /** Per-key fixed-step grid from each key's first to last bucket, with
     * the supplied per-bucket aggregates, and the `fillCols` columns
-    * forward-filled across gap rows (a gap row carries the latest
-    * earlier value; rows at data points keep their own).
+    * forward-filled: a row (gap row OR data-point row whose aggregate
+    * is NULL, e.g. sum over all-NULL values) carries the latest earlier
+    * non-NULL value — standard ffill semantics; non-NULL aggregates at
+    * data points always keep their own value.
     *
     * `bucket` must be an integral column expression over `df`'s rows
     * (e.g. `expr("ts_sec div 3600")` for hourly buckets) — the grid

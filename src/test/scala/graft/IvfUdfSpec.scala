@@ -99,6 +99,15 @@ class IvfUdfSpec extends SparkSpec {
     // cosine 1.0 twice (original vec 0 and the added copy), id ascending
     assert(probed.take(2).map(_._1).toSet == Set(0L, 999L))
     assert(probed.take(2).forall(_._2 == 1.0))
+    // wrong-dimension and wrong-element-type batches are rejected, not
+    // silently appended into one cluster
+    val wrongDim = Seq((1000L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ivf.addToIndex(Ivf.load(spark, tmp), wrongDim, tmp) }
+    val wrongType = Seq((1001L, query.map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ivf.addToIndex(Ivf.load(spark, tmp), wrongType, tmp) }
   }
 
   test("batched probe equals per-query probes on a loaded index") {

@@ -22,12 +22,26 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("histogram densifies empty bins and clamps out-of-range values") {
-    val df = Seq(-5.0, 0.0, 1.0, 1.5, 9.9, 25.0).toDF("v")
+    val df = Seq(-5.0, 0.0, 1.0, 1.5, 9.9, 25.0, Double.NaN).toDF("v")
     val h = Profile.histogram(df, "v", nBins = 5, lo = 0.0, hi = 10.0)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(h.map(_._1).toSeq == (0L until 5L))        // every bin present
-    assert(h.map(_._2).toSeq == Seq(4L, 0L, 0L, 0L, 2L)) // clamped ends
+    // clamped ends; the NaN is excluded, not counted into bin 0
+    assert(h.map(_._2).toSeq == Seq(4L, 0L, 0L, 0L, 2L))
     assert(h.map(_._3).toSeq == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+
+  test("covariance drops incomplete rows listwise, keeping supports consistent") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (None: Option[Double], Some(6.0))).toDF("x", "y")
+    val r = Profile.covarianceMatrix(df, Seq("x", "y"))
+      .as[(String, String, Long, Double, Double)].collect().head
+    // only the two complete rows participate: n=2, exact cov of
+    // (1,2),(2,4) = 2.5 - 1.5*3 = 0.5? -> sums: sx=3 sxx=5 sy=6 syy=20
+    // sxy=10; cov = 10/2 - (3/2)(6/2) = 0.5; y=2x -> corr 1
+    assert(r._3 == 2L)
+    assert(math.abs(r._4 - 0.5) < 1e-12)
+    assert(math.abs(r._5 - 1.0) < 1e-12)
   }
 
   test("summarize reports rows, nulls, distincts and bounds per column") {
