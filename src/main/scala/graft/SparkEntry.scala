@@ -2689,24 +2689,24 @@ object SparkEntry {
         |  FROM lineitem),
         |f AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM s)
         |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
-        |  sp_qe / nd - (s_q / nd) * (s_e / nd) AS cov,
-        |  (sp_qe / nd - (s_q / nd) * (s_e / nd)) /
+        |  round(sp_qe / nd - (s_q / nd) * (s_e / nd), 9) AS cov,
+        |  round((sp_qe / nd - (s_q / nd) * (s_e / nd)) /
         |    (sqrt(ss_q / nd - (s_q / nd) * (s_q / nd)) *
-        |     sqrt(ss_e / nd - (s_e / nd) * (s_e / nd))) AS corr
+        |     sqrt(ss_e / nd - (s_e / nd) * (s_e / nd))), 12) AS corr
         |FROM f
         |UNION ALL
         |SELECT 'l_quantity', 'l_discount', n,
-        |  sp_qd / nd - (s_q / nd) * (s_d / nd),
-        |  (sp_qd / nd - (s_q / nd) * (s_d / nd)) /
+        |  round(sp_qd / nd - (s_q / nd) * (s_d / nd), 9),
+        |  round((sp_qd / nd - (s_q / nd) * (s_d / nd)) /
         |    (sqrt(ss_q / nd - (s_q / nd) * (s_q / nd)) *
-        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd)))
+        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd))), 12)
         |FROM f
         |UNION ALL
         |SELECT 'l_extendedprice', 'l_discount', n,
-        |  sp_ed / nd - (s_e / nd) * (s_d / nd),
-        |  (sp_ed / nd - (s_e / nd) * (s_d / nd)) /
+        |  round(sp_ed / nd - (s_e / nd) * (s_d / nd), 9),
+        |  round((sp_ed / nd - (s_e / nd) * (s_d / nd)) /
         |    (sqrt(ss_e / nd - (s_e / nd) * (s_e / nd)) *
-        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd)))
+        |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd))), 12)
         |FROM f""".stripMargin,
 
     "q_profile" ->

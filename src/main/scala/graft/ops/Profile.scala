@@ -65,7 +65,14 @@ object Profile {
     * NULL handling is LISTWISE: rows with a NULL in ANY profiled column
     * are dropped before the sums, so every moment accumulates over the
     * same support and n is consistent across pairs (mixing per-column
-    * supports would silently skew every mean). */
+    * supports would silently skew every mean).
+    *
+    * Outputs are rounded (cov to 9 decimals, corr to 12): once a moment
+    * sum's scaled-integer form exceeds 2^53 (measured at 600 k rows of
+    * price-squared sums), engines legitimately differ in the last ulp
+    * of the decimal→double conversion — rounding well above ulp scale
+    * restores cross-engine equality without losing statistical
+    * precision. */
   def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "covarianceMatrix needs at least two columns")
     val complete = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
@@ -85,8 +92,8 @@ object Profile {
     val entries = array(pairs.map { case (a, b) =>
       val cov = col(s"__sp_${a}_$b") / n - mean(a) * mean(b)
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
-        cov.as("cov"),
-        (cov / (sqrt(variance(a)) * sqrt(variance(b)))).as("corr"))
+        round(cov, 9).as("cov"),
+        round(cov / (sqrt(variance(a)) * sqrt(variance(b))), 12).as("corr"))
     }: _*)
     one.select(explode(entries).as("p")).select("p.*")
   }

@@ -14,11 +14,11 @@ class ProfileSpec extends SparkSpec {
     assert(rows.keySet == Set(("x", "y"), ("x", "z"), ("y", "z")))
     val (n, covXY, corrXY) = rows(("x", "y"))
     assert(n == 3L)
-    // cov = 28/3 - 2*4 = 4/3; y = 2x exactly -> corr 1
-    assert(math.abs(covXY - 4.0 / 3.0) < 1e-12)
-    assert(math.abs(corrXY - 1.0) < 1e-12)
+    // cov = 28/3 - 2*4 = 4/3 (rounded to 9 dp); y = 2x exactly -> corr 1
+    assert(covXY == 1.333333333)
+    assert(corrXY == 1.0)
     // z = 7 - 2x -> perfectly anti-correlated with x
-    assert(math.abs(rows(("x", "z"))._3 + 1.0) < 1e-12)
+    assert(rows(("x", "z"))._3 == -1.0)
   }
 
   test("histogram densifies empty bins and clamps out-of-range values") {
