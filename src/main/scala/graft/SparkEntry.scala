@@ -1290,6 +1290,25 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- extension: null-safe equality join (<=> / IS NOT DISTINCT) ---
+    // nullable keys synthesized from orders: a hashed join on <=> where
+    // NULL keys match each other exactly once per pair — the join-key
+    // form SQL engines need when key columns are nullable
+    "q_nullsafe_eq" -> ((s, dir) => {
+      def keyed(limit: Int, ka: String) = Frame(t(s, dir, "orders")
+        .where(col("o_orderkey") <= limit)
+        .select(col("o_orderkey").as(s"${ka}_id"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as(ka)))
+      keyed(200, "ka").joinOn(keyed(300, "kb"),
+          E.col("ka") <=> E.col("kb"))
+        .aggregate(Seq.empty,
+          Seq(Raw(count(lit(1)).as("n_pairs"), "n_pairs"),
+            Raw(sum(when(col("ka").isNull, 1L).otherwise(0L))
+              .as("n_null_pairs"), "n_null_pairs")))
+        .df
+    }),
+
     // ---- extension: exact one-pass covariance/correlation matrix ------
     // moment sums in DECIMAL(38,8) (exact for the 2-decimal fixtures),
     // final arithmetic a fixed IEEE sequence mirrored by the oracle —
@@ -2655,6 +2674,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    "q_nullsafe_eq" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS ka_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ka
+        |  FROM orders WHERE o_orderkey <= 200),
+        |b AS (
+        |  SELECT o_orderkey AS kb_id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS kb
+        |  FROM orders WHERE o_orderkey <= 300)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_pairs
+        |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb""".stripMargin,
 
     // bin arithmetic mirrors Profile.histogram: floor((x-lo)/w) clamped
     // into [0, nBins), all bins densified via a generated grid

@@ -45,6 +45,12 @@ sealed trait Expr {
   def /(other: Expr): Expr = BinaryExpr(this, Op.Div, other)
   def %(other: Expr): Expr = BinaryExpr(this, Op.Mod, other)
   def as(alias: String): Expr = Alias(this, alias)
+  /** Null-safe equality (SQL IS NOT DISTINCT FROM): NULL <=> NULL is
+    * TRUE, NULL <=> x is FALSE — never NULL. The join-key form SQL
+    * engines use when key columns are nullable (extension beyond the
+    * reference's 13 binary ops, which are all null-propagating). */
+  def <=>(other: Expr): Expr = Raw(this.toColumn <=> other.toColumn,
+    s"${this.name} <=> ${other.name}")
   // unary completions (extension beyond the reference's 13 binary ops)
   def unary_! : Expr = Raw(!this.toColumn, s"NOT ${this.name}")
   def unary_- : Expr = Raw(-this.toColumn, s"-${this.name}")

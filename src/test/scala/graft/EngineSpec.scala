@@ -339,4 +339,19 @@ class EngineSpec extends SparkSpec {
     val a = df.agg(ssum(sc("salary").cast(DecimalType(18, 2))).cast("double")).collect().head.getDouble(0)
     assert(a == 22900.0)
   }
+
+  test("null-safe equality truth table: never NULL, NULLs match each other") {
+    import spark.implicits._
+    val df = Seq((Option(1), Option(1)), (Option(1), Option(2)),
+      (Option.empty[Int], Option(1)), (Option.empty[Int], Option.empty[Int]))
+      .toDF("a", "b")
+    val r = Frame(df)
+      .project((E.col("a") <=> E.col("b")).as("eq")).df
+      .as[Boolean].collect().toSeq
+    assert(r == Seq(true, false, false, true))
+    // contrast: plain === is NULL-propagating on the same rows
+    val plain = Frame(df).project(Raw(sc("a") === sc("b"), "eq")).df
+      .collect().map(x => if (x.isNullAt(0)) None else Some(x.getBoolean(0)))
+    assert(plain.toSeq == Seq(Some(true), Some(false), None, None))
+  }
 }
