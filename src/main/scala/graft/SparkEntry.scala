@@ -1290,6 +1290,16 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
 
+    // ---- extension: outer explode (NULL collections keep their row) ---
+    "q_explode_outer" -> ((s, dir) => {
+      val base = Frame(t(s, dir, "documents")
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit(null))
+            .otherwise(split(col("text"), " ")).as("toks")))
+      base.explodeOuter(E.col("toks"), "pos", "tok", Seq(E.col("doc_id"))).df
+    }),
+
     // ---- extension: null-safe equality join (<=> / IS NOT DISTINCT) ---
     // nullable keys synthesized from orders: a hashed join on <=> where
     // NULL keys match each other exactly once per pair — the join-key
@@ -2674,6 +2684,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bkt < pct GROUP BY source""".stripMargin,
+
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN NULL
+        |                      ELSE string_split(text, ' ') END AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+        |FROM t, unnest(generate_series(1, len(toks))) AS s(i)
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS INTEGER), NULL FROM t
+        |WHERE toks IS NULL""".stripMargin,
 
     "q_nullsafe_eq" ->
       """WITH a AS (

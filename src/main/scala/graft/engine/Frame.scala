@@ -168,6 +168,25 @@ final case class Frame(df: DataFrame) {
       org.apache.spark.sql.functions.posexplode(arrayExpr.toColumn)
         .as(Seq(posAlias, valAlias)): _*))
 
+  /** Outer explode: rows whose array is NULL or empty are KEPT with
+    * NULL position/value — the left-join form of [[explode]], needed
+    * when the per-row context must survive empty collections. */
+  def explodeOuter(arrayExpr: Expr, posAlias: String, valAlias: String,
+      keep: Seq[Expr]): Frame =
+    Frame(df.select(keep.map(_.toColumn) :+
+      org.apache.spark.sql.functions.posexplode_outer(arrayExpr.toColumn)
+        .as(Seq(posAlias, valAlias)): _*))
+
+  /** Append (or replace) one computed column — the incremental form of
+    * [[project]]. */
+  def withColumn(name: String, expr: Expr): Frame =
+    Frame(df.withColumn(name, expr.toColumn))
+
+  def drop(cols: String*): Frame = Frame(df.drop(cols: _*))
+
+  def rename(from: String, to: String): Frame =
+    Frame(df.withColumnRenamed(from, to))
+
   /** Windowed analytics (extension surface, string-fn convention of
     * [[Exprs.AggFn]]): appends each (fn, operand, alias) column over ONE
     * window spec. RANK / DENSE_RANK / ROW_NUMBER ignore the operand;
