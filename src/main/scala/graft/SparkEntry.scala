@@ -1276,6 +1276,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // ---- LLM: weighted sampling (Efraimidis–Spirakis priorities) ------
+    // longer documents win proportionally more often; the md5-derived
+    // uniform, the priority formula and the 9-dp rounding are mirrored
+    // in SQL, and the id tie-break makes the top-k a total order
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(t(s, dir, "documents"),
+          "text", "doc_id", length(col("text")), k = 50)
+        .select(col("doc_id"), col("priority"))),
+
     // ---- LLM: stable content-keyed train/test split -------------------
     "q_stable_split" -> ((s, dir) =>
       graft.ops.Sampling.stableSplit(t(s, dir, "documents"), "text", 80)
@@ -2665,6 +2674,16 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
         |GROUP BY source""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    round(pow((CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+        |        + 1.0) / 4294967297.0,
+        |      1.0 / length(text)), 9) AS priority
+        |  FROM documents)
+        |SELECT doc_id, priority FROM p
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_stable_split" ->
       """WITH b AS (

@@ -131,4 +131,26 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc) }
     df.where(bucketOf(col(keyCol)) < pct)
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * priority sampling), deterministic: each row gets a reproducible
+    * uniform u ∈ (0, 1] from its md5 key, priority u^(1/w), and the k
+    * highest priorities win — inclusion probability scales with the
+    * weight (quality-weighted corpus selection, importance sampling).
+    * Priorities are rounded to 9 decimals with the id as the final
+    * tie-break, so the selection is a TOTAL order both across runs and
+    * across engines (pow may differ in the last ulp between libms;
+    * rounding absorbs it). The top-k is TakeOrdered — per-partition
+    * heaps, k rows to the driver, no global sort. `weight` must be
+    * strictly positive. */
+  def weightedSample(df: DataFrame, keyCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val pri = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    df.withColumn("priority", pri)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -181,4 +181,19 @@ class PropertySpec extends SparkSpec {
       assert(bad.isEmpty, s"seed case $i: ${bad.map(_._1).mkString(",")}")
     }
   }
+
+  test("weighted sampling is deterministic and an extreme weight always wins") {
+    import graft.ops.Sampling
+    val docs = (1L to 100L).map(i => (i, s"doc number $i", 1.0)) :+
+      ((999L, "the heavy one", 1e9))
+    val df = docs.toDF("doc_id", "text", "w")
+    def run() = Sampling.weightedSample(df, "text", "doc_id", col("w"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    val top = run()
+    // priority u^(1/1e9) ~ 1.0 for any u: the heavy row must lead
+    assert(top.head == 999L)
+    assert(top == run(), "selection must be reproducible")
+    // k caps the output; all rows distinct
+    assert(top.size == 10 && top.distinct.size == 10)
+  }
 }
