@@ -12,7 +12,8 @@ object ScalingCurve {
     "q_quality", "q_ann_topk", "q_minhash_lsh", "q_jaccard_pairs05",
     "q_decontam", "q_vocab", "q_range_join", "q_corpus_shuffle",
     "q_dedup_lines", "q_mixture", "q_tpch_q7",
-    "q_tpch_q1", "q_tpch_q21", "q_semantic_dedup")
+    "q_tpch_q1", "q_tpch_q21", "q_semantic_dedup",
+    "q_editdist_pairs", "q_resample_ffill", "q_covariance")
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
 
