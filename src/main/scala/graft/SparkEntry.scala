@@ -283,6 +283,15 @@ object SparkEntry {
                WHERE o_totalprice > 100000 GROUP BY o_orderpriority""")
     }),
 
+    // ---- SQL frontend portability: the ORACLE TEXT runs verbatim ------
+    // the same ANSI string is (a) this query via spark.sql, (b) the
+    // DuckDB oracle, and (c) semantically the Frame-built q_tpch_q3 —
+    // one query text, two engines, three routes, one answer
+    "q_sql_tpch_q3" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q3"))
+    }),
+
     // ---- extension: sort + limit (top-k) ------------------------------
     "q_sort_limit" -> ((s, dir) => {
       Frame(t(s, dir, "orders"))
@@ -1858,6 +1867,23 @@ object SparkEntry {
     emb.where(col("vec_id") === 0).select(col("embedding"))
       .head.getSeq[Float](0).toArray
 
+  /** TPC-H Q3 shape in the ANSI subset BOTH engines parse: the Frame
+    * query q_tpch_q3 compiles to this semantics, q_sql_tpch_q3 runs
+    * this very string through spark.sql, and the driver runs it in
+    * DuckDB as the oracle for both — one query text, three routes, one
+    * answer. */
+  private val TpchQ3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < '1998-06-01'
+      |  AND l_shipdate > '1998-06-01'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   /** Analytic window frames: rank + lag + running sum, shared SQL. */
   private val WindowFramesSql: String =
     """SELECT o_custkey, o_orderkey,
@@ -2128,17 +2154,10 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
 
-    "q_tpch_q3" ->
-      """SELECT l_orderkey,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < '1998-06-01'
-        |  AND l_shipdate > '1998-06-01'
-        |GROUP BY l_orderkey
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q3" -> TpchQ3Sql,
+
+    // the SQL-frontend route: Spark parses and runs the IDENTICAL text
+    "q_sql_tpch_q3" -> TpchQ3Sql,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
