@@ -343,11 +343,13 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
-      // compute the O(L²) DP once per candidate, then filter on the
-      // column — a filter-then-reproject would pay it twice (no
-      // cross-operator subexpression sharing)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .where(col("dist") <= maxDist)
+      // bounded confirm: the threshold form runs the banded O(k·L) DP
+      // and returns -1 past the bound — computed once per candidate,
+      // then filtered on the column (a filter-then-reproject would pay
+      // the DP twice; no cross-operator subexpression sharing)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
