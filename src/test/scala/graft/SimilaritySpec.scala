@@ -96,6 +96,34 @@ class SimilaritySpec extends SparkSpec {
     assert(s2.contains(99L))
   }
 
+  test("semantic dedup keep-first invariant over many interleaved dup groups") {
+    // 10 direction groups x 3 scaled copies, ids interleaved across
+    // groups — scaled copies sit at cosine 1.0 (guaranteed candidate
+    // recall: identical sign bits), distinct directions stay far below
+    // the threshold, so keep-first must keep exactly the min id of
+    // every group
+    val groups = (0 until 10).map(g => mkVec(1000 + g))
+    val vecs2 = for (g <- 0 until 10; c <- 0 until 3)
+      yield (c * 10L + g, groups(g).map(x => x * (c + 1).toFloat))
+    val survivors = Similarity.semanticDedup(
+        vecs2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.99, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // min id of group g is g itself (copy 0)
+    assert(survivors == (0L until 10L).toSet)
+    // and the survivor set is independent: no surviving pair is a near-dup
+    val sv = vecs2.filter(v => survivors(v._1))
+    for (Seq((ia, va), (ib, vb)) <- sv.combinations(2)) {
+      val cos = {
+        val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      assert(cos < 0.99, s"survivors $ia and $ib are near-dups (cos $cos)")
+    }
+  }
+
   test("ann recall harness reports full recall on an exact-duplicate probe") {
     // probe = v0; ids 0 and 1 are exact-direction copies, so with k=2 the
     // exact top-2 is {0, 1} and both indexes find it (identical sign bits
