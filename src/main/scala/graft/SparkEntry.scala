@@ -1294,6 +1294,12 @@ object SparkEntry {
           "text", "doc_id", length(col("text")), k = 50)
         .select(col("doc_id"), col("priority"))),
 
+    // ---- LLM: per-source weighted sampling (stratified selection) -----
+    "q_weighted_by_source" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSampleByGroup(t(s, dir, "documents"),
+          "text", "doc_id", "source", length(col("text")), k = 10)
+        .select(col("source"), col("doc_id"), col("priority"))),
+
     // ---- LLM: stable content-keyed train/test split -------------------
     "q_stable_split" -> ((s, dir) =>
       graft.ops.Sampling.stableSplit(t(s, dir, "documents"), "text", 80)
@@ -2693,6 +2699,19 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM q WHERE ok AND doc_id NOT IN (SELECT id_b FROM p)
         |GROUP BY source""".stripMargin,
+
+    "q_weighted_by_source" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    round(pow((CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+        |        + 1.0) / 4294967297.0,
+        |      1.0 / length(text)), 9) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY priority DESC, doc_id) AS pick
+        |  FROM p)
+        |SELECT source, doc_id, priority FROM r WHERE pick <= 10""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH p AS (

@@ -153,4 +153,24 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-group [[weightedSample]]: the k highest priorities WITHIN each
+    * group — stratified quality-weighted selection (k docs per source,
+    * per language, per domain). One shuffle on the group key, window
+    * rank in-partition; same deterministic priority and tie-break as
+    * the global form. */
+  def weightedSampleByGroup(df: DataFrame, keyCol: String, idCol: String,
+      groupCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val pri = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("priority", pri)
+      .withColumn("pick", row_number().over(w))
+      .where(col("pick") <= k)
+      .drop("pick")
+  }
 }
