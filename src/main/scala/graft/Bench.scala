@@ -46,6 +46,18 @@ object Bench {
     val s = xs.sorted; s(s.length / 2)
   }
 
+  /** One bench entry: the successful per-run samples (seconds, run order
+    * preserved) plus the ok flag. The JSON reports every sample AND the
+    * min/median/max, not just the median — a 3-run spread of 2–10× is the
+    * signature of a contended machine, while a tight-but-slow spread is a
+    * real plan regression; with only the median in the artifact the two
+    * are indistinguishable (VERDICT r6: the 130.5 s r6 total was pure
+    * contention, provable only by out-of-band reruns). */
+  private final case class Entry(name: String, samples: Seq[Double]) {
+    def ok: Boolean = samples.nonEmpty
+    def med: Double = if (ok) median(samples) else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,8 +90,7 @@ object Bench {
         timed(SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.toRdd.count())
       }
-      val ok = samples.map(_._1).zip(samples.map(_._2)).collect { case (t, true) => t }
-      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
+      Entry(name, samples.collect { case (t, true) => t })
     }
     // Streaming entries run with shuffle partitions sized to the STATE,
     // not the core count: each stateful operator materializes one state
@@ -91,6 +102,7 @@ object Bench {
     // executor count.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", math.min(4, shuffle).toString)
+    val (streaming, streamingIngest) = try {
     // streaming headline: the same tumbling-window aggregation the batch
     // oracle q_events_hourly verifies, driven as a REAL Structured
     // Streaming query over the file source — the batch/stream parity
@@ -99,6 +111,7 @@ object Bench {
     // micro-batches to completion.
     val streaming = {
       val name = "s_windowed_counts"
+      // (entry shape mirrors the batch loop: ok samples only)
       val samples = (1 to runs).map { i =>
         try {
           val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-stream$i")
@@ -121,8 +134,7 @@ object Bench {
           (-1.0, false)
         }
       }
-      val ok = samples.collect { case (t, true) => t }
-      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
+      Entry(name, samples.collect { case (t, true) => t })
     }
     // second streaming entry: the composed corpus-ingest pipeline
     // (quality gate -> watermark-bounded dedup -> per-source totals)
@@ -153,18 +165,31 @@ object Bench {
           (-1.0, false)
         }
       }
-      val ok = samples.collect { case (t, true) => t }
-      (name, if (ok.isEmpty) -1.0 else median(ok), ok.nonEmpty)
+      Entry(name, samples.collect { case (t, true) => t })
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    (streaming, streamingIngest)
+    // exception-safe restore (ADVICE r6): without the finally, a crash in
+    // the streaming section leaves the shared session pinned at 4 shuffle
+    // partitions for everything that runs after the bench
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val all = results :+ streaming :+ streamingIngest
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
-    val qs = all.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = all.map(e => "\"" + e.name + "\":" + e.med).mkString("{", ",", "}")
+    val failed = all.collect { case e if !e.ok => "\"" + e.name + "\"" }
+    val total = all.filter(_.ok).map(_.med).sum
+    // full per-run samples + min/max: lets the reader separate machine
+    // contention (wide spread) from plan regression (tight slow spread)
+    // without rerunning anything
+    val samplesJson = all.map(e =>
+        "\"" + e.name + "\":" + e.samples.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val failed = all.collect { case (k, _, false) => "\"" + k + "\"" }
-    val total = all.collect { case (_, v, true) => v }.sum
+    val statsJson = all.filter(_.ok).map { e =>
+        "\"" + e.name + "\":{\"min\":" + e.samples.min +
+          ",\"median\":" + e.med + ",\"max\":" + e.samples.max + "}" }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""samples":$samplesJson,"stats":$statsJson,""" +
       s""""failed":[${failed.mkString(",")}],"runs":$runs,"sf":"$sfDir"}"""
     // two delivery paths (VERDICT r3 "What's wrong" #3 — BENCH_r03 came
     // back parsed:null): stdout (unprefixed now that build.sbt forks the

@@ -159,10 +159,19 @@ object Ivf {
     * — a mismatched batch would otherwise be silently assigned to one
     * cluster (NULL cosines) and poison the saved index permanently. */
   def addToIndex(model: IvfModel, newEmb: DataFrame, path: String): Unit = {
-    val batchDim = newEmb.where(col(model.vecCol).isNotNull)
-      .select(size(col(model.vecCol))).head(1).headOption.map(_.getInt(0))
-    require(batchDim.forall(_ == model.dim),
-      s"addToIndex: batch dimension ${batchDim.get} != index dimension ${model.dim}")
+    // validate the WHOLE batch, not its first row (ADVICE r6, medium): a
+    // mixed-dimension batch whose first row happens to be correct would
+    // otherwise append rows that get NULL nearest-cluster and land in a
+    // __HIVE_DEFAULT_PARTITION__ directory, silently corrupting the saved
+    // index. One min/max aggregate over the increment — the batch is the
+    // daily delta, never the corpus.
+    val dims = newEmb.where(col(model.vecCol).isNotNull)
+      .agg(min(size(col(model.vecCol))).as("mn"),
+        max(size(col(model.vecCol))).as("mx")).head()
+    if (!dims.isNullAt(0))
+      require(dims.getInt(0) == model.dim && dims.getInt(1) == model.dim,
+        s"addToIndex: batch dimensions [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+          s"!= index dimension ${model.dim}")
     newEmb.schema(model.vecCol).dataType match {
       case ArrayType(org.apache.spark.sql.types.FloatType, _) => ()
       case t => throw new IllegalArgumentException(

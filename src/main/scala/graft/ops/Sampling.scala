@@ -142,29 +142,44 @@ object Sampling {
     * across engines (pow may differ in the last ulp between libms;
     * rounding absorbs it). The top-k is TakeOrdered — per-partition
     * heaps, k rows to the driver, no global sort. `weight` must be
-    * strictly positive. */
+    * strictly positive — a null or non-positive weight fails the query at
+    * runtime (ADVICE r6: w <= 0 would otherwise silently produce
+    * pow(u, ±Infinity) priorities of 0/1/NaN and a biased selection).
+    * The synthesized `priority` column is RETAINED in the output — it is
+    * the selection's audit trail (re-rank the winners, reproduce the
+    * cut-off); drop it downstream if unwanted. */
   def weightedSample(df: DataFrame, keyCol: String, idCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967297.0)
-    val pri = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val pri = round(pow(u, lit(1.0) / checkedWeight(weight, "weightedSample")), 9)
     df.withColumn("priority", pri)
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
 
+  /** Runtime guard for sampling weights: strictly positive or the query
+    * fails with a named error instead of a silently degenerate sample. */
+  private def checkedWeight(weight: Column, fn: String): Column = {
+    val wd = weight.cast("double")
+    when(wd.isNull || wd <= 0d || wd.isNaN,
+      raise_error(concat(lit(s"$fn: weight must be strictly positive, got "),
+        coalesce(wd.cast("string"), lit("null")))))
+      .otherwise(wd)
+  }
+
   /** Per-group [[weightedSample]]: the k highest priorities WITHIN each
     * group — stratified quality-weighted selection (k docs per source,
     * per language, per domain). One shuffle on the group key, window
-    * rank in-partition; same deterministic priority and tie-break as
-    * the global form. */
+    * rank in-partition; same deterministic priority, tie-break, weight
+    * guard, and retained `priority` column as the global form. */
   def weightedSampleByGroup(df: DataFrame, keyCol: String, idCol: String,
       groupCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967297.0)
-    val pri = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val pri = round(pow(u, lit(1.0) / checkedWeight(weight, "weightedSampleByGroup")), 9)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("priority").desc, col(idCol))

@@ -108,6 +108,15 @@ class IvfUdfSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
       Ivf.addToIndex(Ivf.load(spark, tmp), wrongType, tmp) }
+    // a MIXED batch whose first row is correct must also be rejected
+    // (ADVICE r6: head-only validation let the bad tail through)
+    val mixed = Seq((1002L, query), (1003L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ivf.addToIndex(Ivf.load(spark, tmp), mixed, tmp) }
+    assert(Ivf.load(spark, tmp).index
+      .where(col("vec_id").isin(1002L, 1003L)).count() == 0,
+      "a rejected batch must append nothing")
   }
 
   test("batched probe equals per-query probes on a loaded index") {

@@ -54,6 +54,55 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 1 && frames.head.length == 64)
   }
 
+  test("PPM decode: real pixel math over a hand-built P6 payload") {
+    // 2x1 image: pixel0 = (10, 20, 30), pixel1 = (40, 50, 255)
+    val raster = Array(10, 20, 30, 40, 50, 255).map(_.toByte)
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ raster
+    val media = Seq((7L, "image", ppm)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeImages(media).collect().head
+    assert(r.getInt(3) == 2 && r.getInt(4) == 1)
+    assert(r.getDouble(5) == 25.0)   // (10+40)/2
+    assert(r.getDouble(6) == 35.0)   // (20+50)/2
+    assert(r.getDouble(7) == 142.5)  // (30+255)/2
+  }
+
+  test("PPM decode: comment headers parse, malformed payloads yield nulls") {
+    val withComment = ("P6\n# a comment line\n 1 1 # trailing\n255\n"
+      .getBytes("US-ASCII")) ++ Array(1, 2, 3).map(_.toByte)
+    val truncated = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array(1.toByte)
+    val sixteenBit = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array.fill(6)(0.toByte)
+    val media = Seq(
+      (1L, "image", withComment),
+      (2L, "image", truncated),
+      (3L, "image", sixteenBit),
+      (4L, "image", "not a ppm at all".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(3) == 1 && rows(1L).getDouble(5) == 1.0)
+    assert(Seq(2L, 3L, 4L).forall(id => rows(id).isNullAt(3)))
+  }
+
+  test("planted PPM payloads decode to the closed-form channel means") {
+    val planted = Multimodal.plantedPpm(docs)
+    val decoded = Multimodal.decodeImages(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // recompute the closed form driver-side and compare
+    for (id <- Seq(0L, 1L, 2L)) {
+      val w = 2 + (id % 3).toInt; val h = 2 + (id % 2).toInt
+      val px = (0 until w * h * 3).map(i => (id * 7 + i * 13) % 256)
+      val r = decoded(id)
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      val meanOf = (ch: Int) =>
+        px.zipWithIndex.collect { case (v, i) if i % 3 == ch => v }
+          .sum.toDouble / (w * h)
+      assert(r.getDouble(5) == meanOf(0))
+      assert(r.getDouble(6) == meanOf(1))
+      assert(r.getDouble(7) == meanOf(2))
+    }
+  }
+
   test("featurize stub emits deterministic fixed-width float vectors that feed the ANN ops") {
     val m = Multimodal.featurizeStub(Multimodal.mediaFromDocs(docs), dim = 8)
     val vs = m.select("media_id", "embedding")

@@ -196,4 +196,20 @@ class PropertySpec extends SparkSpec {
     // k caps the output; all rows distinct
     assert(top.size == 10 && top.distinct.size == 10)
   }
+
+  test("weighted sampling rejects non-positive weights at runtime") {
+    import graft.ops.Sampling
+    val df = Seq((1L, "a", 1.0), (2L, "b", 0.0), (3L, "c", 2.0))
+      .toDF("doc_id", "text", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "text", "doc_id", col("w"), 2).collect() }
+    assert(e.getMessage.contains("strictly positive"),
+      s"unexpected error: ${e.getMessage}")
+    val neg = Seq((1L, "a", 1.0, "g"), (2L, "b", -3.0, "g"))
+      .toDF("doc_id", "text", "w", "src")
+    val e2 = intercept[Exception] {
+      Sampling.weightedSampleByGroup(neg, "text", "doc_id", "src",
+        col("w"), 1).collect() }
+    assert(e2.getMessage.contains("strictly positive"))
+  }
 }
