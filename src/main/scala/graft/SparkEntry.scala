@@ -292,6 +292,22 @@ object SparkEntry {
       s.sql(oracleSql("q_sql_tpch_q3"))
     }),
 
+    // dialect-clean subset widened beyond Q3 (r6 verdict #7): the
+    // pricing summary, the forecast-revenue scan, and the
+    // INTERVAL-arithmetic join all run as the oracle's own text
+    "q_sql_tpch_q1" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q1"))
+    }),
+    "q_sql_tpch_q6" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q6"))
+    }),
+    "q_sql_tpch_q12" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q12"))
+    }),
+
     // ---- extension: sort + limit (top-k) ------------------------------
     "q_sort_limit" -> ((s, dir) => {
       Frame(t(s, dir, "orders"))
@@ -1915,6 +1931,49 @@ object SparkEntry {
       |GROUP BY l_orderkey
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q1 pricing summary, dialect-clean shared text (same
+    * one-text-two-engines contract as [[TpchQ3Sql]]). */
+  private val TpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 forecast-revenue-change, dialect-clean shared text. */
+  private val TpchQ6Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q12 shipping-priority counts, dialect-clean shared text
+    * (INTERVAL arithmetic and ordinal GROUP BY parse identically in
+    * Spark and DuckDB). */
+  private val TpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 15 DAY
+      |GROUP BY 1""".stripMargin
+
   /** Analytic window frames: rank + lag + running sum, shared SQL. */
   private val WindowFramesSql: String =
     """SELECT o_custkey, o_orderkey,
@@ -2359,14 +2418,8 @@ FROM e"""
         |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
 
-    "q_tpch_q6" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
-        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q6" -> TpchQ6Sql,
+    "q_sql_tpch_q6" -> TpchQ6Sql,
 
     "q_tpch_q14" ->
       """SELECT round(100.0 *
@@ -2400,21 +2453,9 @@ FROM e"""
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
         |GROUP BY p_brand""".stripMargin,
 
-    "q_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |    AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q1" -> TpchQ1Sql,
+    // same text verbatim through spark.sql (one text, two engines)
+    "q_sql_tpch_q1" -> TpchQ1Sql,
 
     "q_tpch_q2" ->
       """WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -2466,17 +2507,8 @@ FROM e"""
         |WHERE part_value > threshold
         |ORDER BY part_value DESC, l_partkey LIMIT 50""".stripMargin,
 
-    "q_tpch_q12" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
-        |    AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS low_line_count
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_shipdate > o_orderdate + INTERVAL 15 DAY
-        |GROUP BY 1""".stripMargin,
+    "q_tpch_q12" -> TpchQ12Sql,
+    "q_sql_tpch_q12" -> TpchQ12Sql,
 
     "q_tpch_q13" ->
       """WITH pc AS (

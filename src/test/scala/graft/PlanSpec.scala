@@ -183,6 +183,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Q21 broadcast is size-based: above threshold the joins fall back to sort-merge") {
+    // At 100 TB the semi/anti build side (a full lineitem projection)
+    // exceeds any broadcast threshold; the plan must degrade to
+    // shuffle-based joins BY SIZE, not by anything hard-coded in the
+    // query. Simulate the crossing by disabling the broadcast budget:
+    // every join — including the dimension joins that broadcast at
+    // fixture scale — must re-plan as sort-merge/shuffled-hash, still
+    // with no nested-loop or cartesian anywhere.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_tpch_q21")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "joins must fall back to shuffle-based strategies")
+      assert(!p.contains("BroadcastHashJoin"),
+        "no broadcast may survive a zero broadcast budget")
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("TPC-H Q13 left join keeps order-less customers; both aggs partial+final") {
     val p = plan("q_tpch_q13")
     assert(p.contains("LeftOuter"))
