@@ -18,6 +18,7 @@ object Graft {
       graft.functions.VectorExprs.register(spark)
       graft.functions.TextExprs.register(spark)
       graft.functions.ShingleExprs.register(spark)
+      graft.functions.BpeEncode.register(spark)
     }
     spark
   }

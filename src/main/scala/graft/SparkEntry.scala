@@ -1672,7 +1672,12 @@ object SparkEntry {
       val merges = TextOps.bpeMerges(docs, numMerges = 8)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextOps.bpeEncode(docs, merges)
+      // production path: the single codegen'd bpe_encode expression
+      // (fold-equivalence pinned in TextOpsSpec; the oracle below replays
+      // training+encode independently in DuckDB, so this row verifies the
+      // expression end-to-end)
+      graft.Graft.init(s)
+      TextOps.bpeEncodeFast(docs, merges)
         .select(col("doc_id"),
           array_join(col("tokens"), "|").as("tokens_joined"),
           col("n_tokens"))

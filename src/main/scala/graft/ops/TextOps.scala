@@ -518,4 +518,20 @@ object TextOps {
             case (e, (l, r)) => applyMerge(e, l, r) })).as("tokens"))
       .select(col(idCol), col("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
+
+  /** [[bpeEncode]] through the single codegen'd expression
+    * ([[graft.functions.BpeEncode]]) — the production path. The fold
+    * form above compiles one nested `aggregate` per rule into the plan
+    * (fine at 8 rules, unplannable at a 32k-merge production
+    * vocabulary); this one carries the whole rule table as ONE
+    * task-shared hash map and encodes each word with the rank-priority
+    * algorithm, identical to sequential rule application for any
+    * trained merge list (equivalence pinned in TextOpsSpec). Same
+    * output contract: (idCol, tokens array<string>, n_tokens). */
+  def bpeEncodeFast(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.BpeEncode.bpeEncode(col(textCol), merges).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
 }

@@ -382,4 +382,52 @@ class TextOpsSpec extends SparkSpec {
     // early, so some token is multi-character)
     assert(enc.values.exists(_.exists(_.length > 1)))
   }
+
+  test("codegen'd BPE expression equals the fold encoder on trained rules") {
+    // fixture-trained rules: the real contract (trained lists are the
+    // input class where rank-priority == sequential application)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .where(col("doc_id") < 200)
+    val rules = TextOps.bpeMerges(docs, numMerges = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.size == 8)
+    val fold = TextOps.bpeEncode(docs, rules)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    val fast = TextOps.bpeEncodeFast(docs, rules)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    assert(fast == fold)
+
+    // edge docs: empty, whitespace-only, overlap runs, cascading rules
+    // (rule 2's left side is rule 1's output), single char, unicode
+    val crafted = Seq(
+      (0L, ""), (1L, "   "), (2L, "aaa aaaa ab"), (3L, "xyx"),
+      (4L, "abab abcabc"), (5L, "a"), (6L, "café café")).toDF("doc_id", "text")
+    val chain = Seq(("a", "b"), ("ab", "c"), ("a", "a"), ("é", "é"))
+    val foldC = TextOps.bpeEncode(crafted, chain)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    val fastC = TextOps.bpeEncodeFast(crafted, chain)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    assert(fastC == foldC, s"$fastC vs $foldC")
+    // and the chain actually fused: "abcabc" -> [abc, abc]
+    assert(foldC.find(_._1 == 4L).get._2 == Seq("ab", "ab", "abc", "abc"))
+
+    // null text propagates as a null token array
+    val withNull = Seq((0L, Option("ab")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val rows = TextOps.bpeEncodeFast(withNull, chain).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(0L) && rows(1L))
+
+    // the expression stays inside whole-stage codegen (the project that
+    // computes bpe_encode carries the codegen-stage marker)
+    val plan = TextOps.bpeEncodeFast(docs, rules)
+      .queryExecution.executedPlan
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    assert(plan.toString.linesIterator
+      .exists(l => l.contains("bpe_encode") && l.contains("*(")),
+      "the bpe_encode projection must sit inside a codegen stage")
+  }
 }
