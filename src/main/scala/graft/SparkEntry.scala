@@ -1897,6 +1897,18 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // ---- LLM: REAL image resize (decode -> subsample -> re-encode) ----
+    // the resized payload is a VALID PPM decoded again by the same
+    // parser; the oracle recomputes the nearest-neighbor-sampled pixel
+    // grid in closed form — the full decode/transform/encode loop runs
+    // on real bytes
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.resizeImages(
+          Multimodal.plantedPpm(t(s, dir, "documents")), 2))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
     // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
@@ -3546,6 +3558,37 @@ FROM e"""
         |    / (any_value(w) * any_value(h)) AS mean_g,
         |  CAST(sum(v) FILTER (ch = 2) AS DOUBLE)
         |    / (any_value(w) * any_value(h)) AS mean_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    // nearest-neighbor downsample of the planted closed form: output
+    // pixel (x, y, ch) carries source index ((2y)*w + 2x)*3 + ch
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, w, h, (w + 1) // 2 AS nw, (h + 1) // 2 AS nh
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id, nw, nh,
+        |    (doc_id * 7 + (((2 * y) * w + 2 * x) * 3 + ch) * 13) % 256 AS v,
+        |    ch
+        |  FROM dims,
+        |    unnest(generate_series(0, nh - 1)) AS ty(y),
+        |    unnest(generate_series(0, nw - 1)) AS tx(x),
+        |    unnest(generate_series(0, 2)) AS tc(ch))
+        |SELECT doc_id AS media_id,
+        |  CAST(any_value(nw) AS INT) AS width,
+        |  CAST(any_value(nh) AS INT) AS height,
+        |  CAST(length('P6' || chr(10) || any_value(nw) || ' ' || any_value(nh)
+        |    || chr(10) || '255' || chr(10))
+        |    + any_value(nw) * any_value(nh) * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(v) FILTER (ch = 0) AS DOUBLE)
+        |    / (any_value(nw) * any_value(nh)) AS mean_r,
+        |  CAST(sum(v) FILTER (ch = 1) AS DOUBLE)
+        |    / (any_value(nw) * any_value(nh)) AS mean_g,
+        |  CAST(sum(v) FILTER (ch = 2) AS DOUBLE)
+        |    / (any_value(nw) * any_value(nh)) AS mean_b
         |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -133,7 +133,9 @@ object Multimodal {
     * and returns (width, height, sumR, sumG, sumB) over the raster, or
     * None for anything malformed (wrong magic, maxval > 255, truncated
     * raster). Per-row, allocation-free beyond the input. */
-  private[ops] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+  /** Header parse only: (width, height, raster offset), or None for
+    * anything malformed. Shared by the decode and resize paths. */
+  private[ops] def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
@@ -164,7 +166,11 @@ object Multimodal {
       if pos < bytes.length && isWs(bytes(pos))
       raster = pos + 1
       if bytes.length - raster >= w.toLong * h * 3
-    } yield {
+    } yield (w, h, raster)
+  }
+
+  private[ops] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    parsePpmHeader(bytes).map { case (w, h, raster) =>
       var (sr, sg, sb) = (0L, 0L, 0L)
       var i = raster
       val end = raster + w * h * 3
@@ -176,6 +182,62 @@ object Multimodal {
       }
       (w, h, sr, sg, sb)
     }
+
+  /** Serialize a raster back to a standard P6 payload. */
+  private[ops] def ppmBytes(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == w * h * 3, "raster size mismatch")
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ raster
+  }
+
+  /** REAL image resize for P6 payloads: nearest-neighbor downsample by
+    * `factor` (output pixel (x, y) = source pixel (x*factor, y*factor),
+    * width/height rounded up), re-encoded as a valid PPM — decode,
+    * transform and re-encode all actually run, and the output payload
+    * feeds [[decodeImages]] again. Non-PPM payloads keep the byte-
+    * subsampling stub behavior with null dimensions (the honest "codec
+    * missing" signal, as in [[decodeImages]]). Same per-partition
+    * streaming shape as every codec-slot pass. */
+  def resizeImages(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be positive")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(2)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](2)
+          parsePpmHeader(bytes) match {
+            case Some((w, h, raster)) =>
+              val nw = (w + factor - 1) / factor
+              val nh = (h + factor - 1) / factor
+              val px = new Array[Byte](nw * nh * 3)
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) {
+                  val src = raster + ((y * factor) * w + (x * factor)) * 3
+                  val dst = (y * nw + x) * 3
+                  px(dst) = bytes(src)
+                  px(dst + 1) = bytes(src + 1)
+                  px(dst + 2) = bytes(src + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.getLong(0), r.getString(1), ppmBytes(nw, nh, px), nw, nh)
+            case None =>
+              val sub = new Array[Byte]((bytes.length + factor - 1) / factor)
+              var i = 0
+              while (i < sub.length) { sub(i) = bytes(i * factor); i += 1 }
+              Row(r.getLong(0), r.getString(1), sub, null, null)
+          }
+        }
+      }(enc)
   }
 
   /** Decode a binary payload column for real where the format allows it:
@@ -230,13 +292,12 @@ object Multimodal {
           val id = r.getLong(0)
           val w = 2 + (math.floorMod(id, 3)).toInt
           val h = 2 + (math.floorMod(id, 2)).toInt
-          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
           val px = new Array[Byte](w * h * 3)
           var i = 0
           while (i < px.length) {
             px(i) = math.floorMod(id * 7 + i * 13L, 256L).toByte; i += 1
           }
-          Row(id, "image", header ++ px)
+          Row(id, "image", ppmBytes(w, h, px))
         }
       }(enc)
   }

@@ -84,6 +84,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L).forall(id => rows(id).isNullAt(3)))
   }
 
+  test("PPM resize: nearest-neighbor subsample re-encodes a valid PPM") {
+    // 3x3 image, pixel (x,y) = (10x+y, 100+x, 200+y); factor 2 keeps
+    // pixels (0,0),(2,0),(0,2),(2,2)
+    val px = Array.tabulate(3 * 3 * 3) { i =>
+      val p = i / 3; val ch = i % 3; val x = p % 3; val y = p / 3
+      (ch match { case 0 => 10 * x + y; case 1 => 100 + x; case 2 => 200 + y })
+        .toByte
+    }
+    val media = Seq((1L, "image",
+      "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px))
+      .toDF("media_id", "kind", "payload")
+    val r = Multimodal.resizeImages(media, 2).collect().head
+    assert(r.getInt(3) == 2 && r.getInt(4) == 2)
+    // decode the re-encoded payload: kept pixels are (0,0),(2,0),(0,2),(2,2)
+    val d = Multimodal.decodeImages(
+      Seq((1L, "image", r.getAs[Array[Byte]](2)))
+        .toDF("media_id", "kind", "payload")).collect().head
+    assert(d.getInt(3) == 2 && d.getInt(4) == 2)
+    assert(d.getDouble(5) == (0 + 20 + 2 + 22) / 4.0)   // R = 10x+y
+    assert(d.getDouble(6) == (100 + 102 + 100 + 102) / 4.0) // G = 100+x
+    assert(d.getDouble(7) == (200 + 200 + 202 + 202) / 4.0) // B = 200+y
+    // non-PPM payloads keep the byte-subsampling stub with null dims
+    val stub = Multimodal.resizeImages(
+      Seq((2L, "audio", "abcdefgh".getBytes("US-ASCII")))
+        .toDF("media_id", "kind", "payload"), 4).collect().head
+    assert(stub.isNullAt(3) && stub.isNullAt(4))
+    assert(new String(stub.getAs[Array[Byte]](2)) == "ae")
+  }
+
   test("planted PPM payloads decode to the closed-form channel means") {
     val planted = Multimodal.plantedPpm(docs)
     val decoded = Multimodal.decodeImages(planted).collect()
