@@ -1380,6 +1380,14 @@ object SparkEntry {
         .profile(Seq("doc_id", "lang", "source", "n_chars"),
           exactDistinct = true).df),
 
+    // ---- extension: join-key skew diagnostics -------------------------
+    // the pre-shuffle measurement that decides hash vs salted vs
+    // broadcast: l_orderkey (mild skew), l_suppkey (balanced),
+    // l_returnflag (3 keys, catastrophic if hash-partitioned)
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.Profile.skewReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag"))),
+
     // ---- LLM: incremental dedup (new crawl batch vs standing corpus) --
     // docs < 250 play yesterday's corpus (kept only as fingerprints);
     // the new batch is docs >= 250 plus planted re-ids of docs 0-9,
@@ -2967,6 +2975,41 @@ FROM e"""
         |    (sqrt(ss_e / nd - (s_e / nd) * (s_e / nd)) *
         |     sqrt(ss_d / nd - (s_d / nd) * (s_d / nd))), 12)
         |FROM f""".stripMargin,
+
+    // per-key-column blocks over the same grouped counts the engine
+    // aggregates; integer '/' is float division in both engines, so the
+    // skew-ratio arithmetic matches token for token
+    "q_skew_report" ->
+      """WITH c1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |c2 AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+        |       FROM lineitem GROUP BY 1),
+        |c3 AS (SELECT CAST(l_returnflag AS VARCHAR) AS key, count(*) AS cnt
+        |       FROM lineitem GROUP BY 1)
+        |SELECT 'l_orderkey' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_key_rows,
+        |  (SELECT key FROM c1 ORDER BY cnt DESC, key LIMIT 1) AS top_key,
+        |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6) AS skew_ratio,
+        |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6) AS top_share,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50_key_rows,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99_key_rows
+        |FROM c1
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(sum(cnt) AS BIGINT), count(*),
+        |  CAST(max(cnt) AS BIGINT),
+        |  (SELECT key FROM c2 ORDER BY cnt DESC, key LIMIT 1),
+        |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6),
+        |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6),
+        |  round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6)
+        |FROM c2
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(sum(cnt) AS BIGINT), count(*),
+        |  CAST(max(cnt) AS BIGINT),
+        |  (SELECT key FROM c3 ORDER BY cnt DESC, key LIMIT 1),
+        |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6),
+        |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6),
+        |  round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6)
+        |FROM c3""".stripMargin,
 
     "q_profile" ->
       """SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -98,6 +98,45 @@ object Profile {
     one.select(explode(entries).as("p")).select("p.*")
   }
 
+  /** Join/grouping-key skew diagnostics: one row per candidate key
+    * column with the numbers that decide a partitioning strategy BEFORE
+    * a 100 TB shuffle is paid — total rows, distinct keys, the heaviest
+    * key and its row share, the p50/p99/max per-key row counts, and the
+    * max/mean skew ratio. A skew_ratio near 1 means hash partitioning
+    * balances; a large ratio with a dominant top_share is the salting /
+    * AQE-skew-join signal ([[graft.ops.Sampling]]'s salted shapes,
+    * `q_salted_join`).
+    *
+    * Scale shape: one partial+final count aggregation per key column
+    * (the same shuffle a groupBy on that key would pay, which is exactly
+    * the quantity being measured) followed by a 1-row statistics
+    * aggregate over key counts — nothing data-sized reaches the driver.
+    * NULL keys count as one key group (they hash-partition together,
+    * which is precisely the skew a NULL-heavy join key causes).
+    * Deterministic: the top key tie-breaks (count desc, key asc) and
+    * doubles are rounded to 6dp. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val spark = df.sparkSession
+    keyCols.map { k =>
+      val counts = df.groupBy(col(k).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_key_rows"),
+          min_by(col("key"), struct(-col("cnt"), col("key"))).as("top_key"),
+          round(expr("percentile(cnt, 0.5)"), 6).as("p50_key_rows"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_key_rows"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("top_key"),
+          round(col("max_key_rows") / (col("n_rows") / col("n_keys")), 6)
+            .as("skew_ratio"),
+          round(col("max_key_rows") / col("n_rows"), 6).as("top_share"),
+          col("p50_key_rows"), col("p99_key_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Equi-width histogram with explicit bounds: `nBins` buckets over
     * [lo, hi), values at/above `hi` clamped into the last bin, values
     * below `lo` into the first — every bin present in the output, empty

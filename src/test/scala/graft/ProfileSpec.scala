@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Profile
+import org.apache.spark.sql.functions.col
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -49,5 +50,26 @@ class ProfileSpec extends SparkSpec {
     val p = Profile.summarize(df, Seq("v"), exactDistinct = true)
       .as[(String, Long, Long, Long, String, String)].collect().head
     assert(p == (("v", 4L, 1L, 2L, "1", "3")))
+  }
+
+  test("skew report surfaces the heavy key, ratio, share and count quantiles") {
+    // counts: a=6, b=2, c=1, NULL=3 -> 12 rows over 4 key groups
+    val df = (Seq.fill(6)(Option("a")) ++ Seq.fill(2)(Option("b")) ++
+      Seq(Option("c")) ++ Seq.fill(3)(Option.empty[String]))
+      .zipWithIndex.map(_.swap).toDF("id", "k")
+    val r = Profile.skewReport(df, Seq("k")).collect().head
+    assert(r.getAs[String]("key_col") == "k")
+    assert(r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("n_keys") == 4L) // NULL is one key group
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(r.getAs[String]("top_key") == "a")
+    assert(r.getAs[Double]("skew_ratio") == 2.0) // 6 / (12/4)
+    assert(r.getAs[Double]("top_share") == 0.5)
+    // counts sorted [1,2,3,6]: interpolated p50 = 2.5
+    assert(r.getAs[Double]("p50_key_rows") == 2.5)
+    // a balanced key reports ratio 1
+    val bal = Profile.skewReport(df.where(col("k").isNotNull)
+      .withColumn("k2", col("id") % 3), Seq("k2")).collect().head
+    assert(bal.getAs[Double]("skew_ratio") == 1.0)
   }
 }
