@@ -197,6 +197,30 @@ class PropertySpec extends SparkSpec {
     assert(top.size == 10 && top.distinct.size == 10)
   }
 
+  test("BPE expression == fold encoder on rules trained from random corpora") {
+    import graft.ops.TextOps
+    // random word soup over a tiny alphabet (dense adjacent-pair
+    // statistics -> deep merge chains), trained per corpus, then both
+    // encoders replay the learned rules over the same corpus
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(25, docGen)
+    for ((corpus, i) <- samples(corpusGen, 6).zipWithIndex) {
+      val docs = corpus.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val rules = TextOps.bpeMerges(docs, numMerges = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val fold = TextOps.bpeEncode(docs, rules)
+        .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+      val fast = TextOps.bpeEncodeFast(docs, rules)
+        .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+      assert(fast == fold, s"seed case $i (rules=$rules)")
+    }
+  }
+
   test("weighted sampling rejects non-positive weights at runtime") {
     import graft.ops.Sampling
     val df = Seq((1L, "a", 1.0), (2L, "b", 0.0), (3L, "c", 2.0))
