@@ -534,4 +534,29 @@ object TextOps {
         graft.functions.BpeEncode.bpeEncode(col(textCol), merges).as("tokens"))
       .select(col(idCol), col("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
+
+  /** Persist a learned merge list as a tiny rank-ordered parquet table —
+    * the tokenizer artifact of the train-once/encode-everywhere
+    * workflow: [[bpeMerges]] pays the training iterations ONCE on the
+    * full corpus, then every encode job (batch or streaming) loads the
+    * kilobyte-scale rule table and runs shuffle-free. A merge list is
+    * rank-sensitive, so the file carries the rank explicitly rather
+    * than trusting row order. */
+  def saveBpe(merges: Seq[(String, String)], spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("merge_rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveBpe]] (or the 4-column output of
+    * [[bpeMerges]] written as-is), rank order restored explicitly. */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select(col("merge_rank").cast("long"), col("left"), col("right"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 }

@@ -383,6 +383,27 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.values.exists(_.exists(_.length > 1)))
   }
 
+  test("BPE tokenizer round-trips through save/load (rank order preserved)") {
+    val rules = Seq(("e", "r"), ("er", "s"), ("a", "b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/rules"
+    TextOps.saveBpe(rules, spark, tmp)
+    assert(TextOps.loadBpe(spark, tmp) == rules)
+    // the 4-column bpeMerges output written as-is also loads
+    val docs = Seq((1L, "the merge merge merges")).toDF("doc_id", "text")
+    val learned = TextOps.bpeMerges(docs, numMerges = 2, minCount = 2)
+    learned.write.mode("overwrite").parquet(tmp)
+    val loaded = TextOps.loadBpe(spark, tmp)
+    assert(loaded == learned.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+    // and a loaded tokenizer encodes identically to the in-session one
+    val a = TextOps.bpeEncodeFast(docs, loaded).collect().map(_.toString).toSeq
+    val b = TextOps.bpeEncodeFast(docs,
+      learned.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("codegen'd BPE expression equals the fold encoder on trained rules") {
     // fixture-trained rules: the real contract (trained lists are the
     // input class where rank-priority == sequential application)
