@@ -53,5 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"unicode_normalize form must be a string literal, got $other")
         }))))
+    ext.injectFunction((FunctionIdentifier("bpe_encode"),
+      info("bpe_encode",
+        "bpe_encode(text, merges) - BPE tokenization; merges is the " +
+          "U+0001/U+0000-encoded rule-list literal BpeEncode.bpeEncode builds"),
+      arity("bpe_encode", 2)(es =>
+        BpeEncode(es(0), es(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            BpeEncode.decodeMerges(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode merges must be a string literal, got $other")
+        }))))
   }
 }

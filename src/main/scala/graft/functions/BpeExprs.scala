@@ -145,10 +145,10 @@ object BpeEncode {
   private final val PairSep = '\u0001'
   private final val SideSep = '\u0000'
 
-  private[functions] def encodeMerges(merges: Seq[(String, String)]): String =
+  private[graft] def encodeMerges(merges: Seq[(String, String)]): String =
     merges.map { case (l, r) => s"$l$SideSep$r" }.mkString(PairSep.toString)
 
-  private[functions] def decodeMerges(s: String): Seq[(String, String)] =
+  private[graft] def decodeMerges(s: String): Seq[(String, String)] =
     if (s.isEmpty) Seq.empty
     else s.split(PairSep).toSeq.map { p =>
       val i = p.indexOf(SideSep.toInt)

@@ -31,13 +31,16 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash64(array('a','b')) = simhash64(array('b','a')) AS bag,
           |  size(shingle_hash64('w1 w2 w3 w4', 3)) AS nsh,
           |  size(minhash_sig(shingle_hash64('w1 w2 w3 w4', 3), 8)) AS k,
-          |  unicode_normalize('café', 'NFC') AS norm
+          |  unicode_normalize('café', 'NFC') AS norm,
+          |  bpe_encode('abab cab', concat('a', chr(0), 'b')) AS toks
           |""".stripMargin).collect().head
       assert(r.getDouble(0) == 11.0)
       assert(r.getBoolean(1)) // simhash is bag-of-words
       assert(r.getInt(2) == 2) // two 3-grams in 4 words
       assert(r.getInt(3) == 8)
       assert(r.getString(4) == "café" && r.getString(4).length == 4)
+      // one rule (a,b): "abab" -> [ab, ab], "cab" -> [c, ab]
+      assert(r.getSeq[String](5) == Seq("ab", "ab", "c", "ab"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
