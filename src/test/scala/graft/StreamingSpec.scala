@@ -191,6 +191,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L) == "café raw" && streamed(3L) == "å b")
   }
 
+  test("streaming BPE tokenization is stream/batch identical") {
+    // the codegen'd bpe_encode expression is stateless per-row, so a
+    // trained tokenizer drops into a streaming ingest unchanged — the
+    // train-once / encode-everywhere path under Structured Streaming
+    Graft.init(spark)
+    implicit val sql = spark.sqlContext
+    val rules = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq((1L, "abcabc ab"), (2L, "xyz"), (3L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps.bpeEncodeFast(
+        mem.toDF().toDF("doc_id", "text"), rules)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpe_stream")
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.TextOps.bpeEncodeFast(
+        docs.toDF("doc_id", "text"), rules)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.head._2 == Seq("abc", "abc", "ab"))
+  }
+
   test("streaming dedup on a batch frame equals fingerprint dedup") {
     val deduped = StreamOps.dedupByFingerprint(evs.toDF(), "event_type")
       .select("event_type").as[String].collect().sorted
