@@ -190,6 +190,22 @@ final class Catalog(val spark: SparkSession) {
     spark.udf.register(name, f)
     this
   }
+
+  /** Typed UDAF registration (the user-facing form of the reference's
+    * internal `AggrOperator` trait — reference: aggr/mod.rs:22-32, which
+    * has no registration API). A Spark `Aggregator[IN, BUF, OUT]` gets
+    * full partial+final distributed execution: `reduce` runs map-side,
+    * `merge` combines per-partition buffers, so a custom aggregate
+    * scales exactly like a built-in. Same escape-hatch guidance as
+    * [[registerUdf]]: prefer built-ins / native expressions where one
+    * exists — a UDAF's buffer serializes through the encoder on every
+    * exchange. */
+  def registerUdaf[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
+      name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]): Catalog = {
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(agg))
+    this
+  }
 }
 
 /** Convenience loaders for the driver-provided synthetic star schema

@@ -159,4 +159,40 @@ class IvfUdfSpec extends SparkSpec {
     assert(math.abs(r._2 - math.sqrt(87.5 * 87.5 + 9.0)) < 1e-12)
     assert(c.tableNames.contains("ppl"))
   }
+
+  test("UDAF registration gets partial+final distributed execution") {
+    new Catalog(spark).registerUdaf("geo_mean", GeoMeanAgg)
+    Seq(("a", 2.0), ("a", 8.0), ("b", 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("gm_in")
+    val r = spark.sql(
+      "SELECT k, geo_mean(v) AS g FROM gm_in GROUP BY k ORDER BY k")
+      .as[(String, Double)].collect()
+    assert(math.abs(r(0)._2 - 4.0) < 1e-12) // sqrt(2*8)
+    assert(math.abs(r(1)._2 - 5.0) < 1e-12)
+    // runs over many partitions too (merge path exercised)
+    val big = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .repartition(8)
+    big.createOrReplaceTempView("gm_big")
+    val g = spark.sql("SELECT geo_mean(v) FROM gm_big").as[Double].collect().head
+    val expected = math.exp((1 to 1000).map(i => math.log(i)).sum / 1000.0)
+    assert(math.abs(g - expected) < 1e-9)
+  }
+}
+
+/** Geometric mean — not a Spark built-in, the canonical custom
+  * aggregate; buffer is (sum of logs, count). Top-level so the closure
+  * serializer ships only the aggregator, not the test suite. */
+object GeoMeanAgg extends org.apache.spark.sql.expressions.Aggregator[
+    Double, (Double, Long), Double] {
+  def zero: (Double, Long) = (0.0, 0L)
+  def reduce(b: (Double, Long), x: Double): (Double, Long) =
+    (b._1 + math.log(x), b._2 + 1)
+  def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Double, Long)): Double =
+    if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+  def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaDouble,
+    org.apache.spark.sql.Encoders.scalaLong)
+  def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
