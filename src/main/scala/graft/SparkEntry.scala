@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{Catalog, Frame, JoinType, Raw}
 import graft.engine.{Exprs => E}
-import graft.ops.{AsOfJoin, Dedup, Ivf, Multimodal, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Ivf, Multimodal, Pq, Similarity, TextOps}
 
 /** Driver contract — every operator from SURVEY.md §2 (parity surface) plus
   * the LLM-data-pipeline extension operators, each as a named query with a
@@ -1868,6 +1868,19 @@ object SparkEntry {
         q, k = 10)
     }),
 
+    // ---- LLM: product quantization + asymmetric-distance top-k --------
+    // encode (per-subspace argmin over a planted codebook) + ADC scan,
+    // the memory-bound ANN path: codes are m small ints per vector, the
+    // query scores rows via LUT lookups without touching raw vectors.
+    // The codebook is the deterministic dyadic formula both engines
+    // state independently (Pq.plantedModel / pqAdcSql); the trained-
+    // codebook path (Pq.train) is pinned in PqSpec.
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.adcTopK(emb, "vec_id", "embedding",
+        Pq.plantedModel(64, 4, 4), queryVec(emb), 10)
+    }),
+
     // ---- LLM: multimodal metadata over a binary payload column --------
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocs(t(s, dir, "documents"))
@@ -2093,6 +2106,48 @@ e AS (
 SELECT doc_id, array_to_string(toks, '|') AS tokens_joined,
   CAST(len(toks) AS BIGINT) AS n_tokens
 FROM e"""
+  }
+
+  /** DuckDB replay of [[graft.ops.Pq]]'s planted-codebook encode + ADC:
+    * the codebook VALUES are the same dyadic formula `plantedModel`
+    * states ((j*31 + i*17 + d*7) % 19 - 9) / 16 — exact in decimal text,
+    * binary doubles and parquet floats alike — and every fold runs in
+    * the shared list_reduce(list_prepend(0.0, …)) element order, so
+    * distances match bit for bit. The LUT is the vec_id=0 row of the
+    * same dists relation, exactly as the engine's driver-side lut
+    * mirrors its own subDists fold. */
+  private def pqAdcSql(dim: Int, m: Int, k: Int, topk: Int): String = {
+    val dsub = dim / m
+    val cbRows = (for (j <- 0 until m; i <- 0 until k) yield {
+      val vals = (0 until dsub)
+        .map(d => f"${((j * 31 + i * 17 + d * 7) % 19 - 9) / 16.0}%.4f")
+        .mkString(", ")
+      s"($j, $i, [$vals])"
+    }).mkString(",\n    ")
+    s"""WITH cb(j, i, c) AS (VALUES
+    $cbRows),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+dists AS MATERIALIZED (
+  SELECT e.vec_id, cb.j, cb.i,
+    list_reduce(list_prepend(0.0,
+      [(e.v[cb.j * $dsub + d] - cb.c[d]) * (e.v[cb.j * $dsub + d] - cb.c[d])
+       FOR d IN generate_series(1, $dsub)]),
+      (acc, x) -> acc + x) AS dist
+  FROM e, cb),
+codes AS (
+  SELECT vec_id, j, i AS code FROM (
+    SELECT vec_id, j, i,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, i) AS rn
+    FROM dists) WHERE rn = 1),
+lut AS (SELECT j, i, dist FROM dists WHERE vec_id = 0)
+SELECT c.vec_id,
+  array_to_string(list(c.code ORDER BY c.j), '|') AS codes_joined,
+  list_reduce(list_prepend(0.0, list(l.dist ORDER BY c.j)),
+    (acc, x) -> acc + x) AS adc_dist
+FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.i
+GROUP BY c.vec_id
+ORDER BY adc_dist, c.vec_id LIMIT $topk"""
   }
 
   // -------------------------------------------------------------------
@@ -3570,6 +3625,8 @@ FROM e"""
       """SELECT vec_id + 100000 AS qid, vec_id AS nid, 1.0 AS cosine,
         |  CAST(1 AS BIGINT) AS nn_rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    "q_pq_adc" -> pqAdcSql(64, 4, 4, 10),
 
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,

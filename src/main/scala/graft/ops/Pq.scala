@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: the memory-bound ANN answer at 100 TB. A
+  * 64-dim float vector is 256 bytes; its PQ code at m=4 subspaces is 4
+  * small ints — the whole corpus's codes fit where the vectors never
+  * could, and a query scans codes with table lookups (ADC) instead of
+  * touching raw vectors. PQ composes with [[Ivf]]: IVF partition-prunes
+  * to candidate clusters, PQ scans their codes, exact cosine re-ranks
+  * the survivors (the standard IVF-PQ pipeline, each stage independently
+  * testable here).
+  *
+  *  - [[train]]: per-subspace k-means with the same determinism contract
+  *    as [[Ivf.train]] (hash-ordered sample, farthest-point init, exact
+  *    DECIMAL centroid means) — only m·k·dsub scalars reach the driver.
+  *  - [[encode]]: one distributed pass; each subvector scores k
+  *    broadcast centroids, argmin with a FIRST-index tie-break. Pure
+  *    column expressions (zip_with/aggregate folds), no UDF.
+  *  - [[adcTopK]]: the query builds an m×k lookup table driver-side
+  *    (scalar work); every row's score is m array lookups + a sum. The
+  *    fold orders match DuckDB's `list_reduce(list_prepend(0.0, …))`
+  *    convention token for token, so the whole encode+ADC path carries a
+  *    full cross-engine oracle (q_pq_adc) on a planted codebook.
+  *
+  * All distance arithmetic is double (float inputs cast exactly), L2 on
+  * subvectors — the standard PQ metric; cosine users L2-normalize
+  * upstream ([[Similarity]] `embedNorm`).
+  *
+  * (Extension surface — the reference engine has no vector support; see
+  * SURVEY.md §2.5.)
+  */
+object Pq {
+
+  /** m codebooks of k centroids of dsub doubles each. */
+  final case class PqModel(dim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = dim / m
+    require(dim % m == 0, s"dim $dim not divisible by m ${codebooks.length}")
+  }
+
+  /** The deterministic synthetic codebook shared with the q_pq_adc
+    * oracle: centroid value (j, i, d) = ((j*31 + i*17 + d*7) % 19 - 9)
+    * / 16.0 — dyadic rationals, so the Scala double, the SQL literal and
+    * the parquet round-trip are all the same bits. */
+  def plantedModel(dim: Int, m: Int, k: Int): PqModel =
+    PqModel(dim, Array.tabulate(m, k, dim / m)((j, i, d) =>
+      ((j * 31 + i * 17 + d * 7) % 19 - 9) / 16.0))
+
+  /** Per-subspace squared-L2 to each centroid, folded element-by-element
+    * in index order (the cross-engine fold convention). */
+  private def subDists(vec: Column, model: PqModel, j: Int): Column = {
+    val sub = slice(vec, j * model.dsub + 1, model.dsub)
+    array(model.codebooks(j).map { c =>
+      aggregate(
+        zip_with(sub, typedLit(c.toSeq),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** The m-entry PQ code of a vector column: per subspace, the 0-based
+    * index of the nearest centroid, first index winning ties (matches
+    * the oracle's `ORDER BY dist, i LIMIT 1`). */
+  def encodeCol(vec: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      val d = subDists(vec, model, j)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+
+  /** Distributed encode: (idCol, codes array<int>). Codes are what a
+    * 100 TB deployment PERSISTS — m small ints per row in place of the
+    * vector. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), encodeCol(col(vecCol), model).as("codes"))
+
+  /** Driver-side ADC lookup table: lut(j)(i) = squared-L2 of the query's
+    * j-th subvector to centroid i, summed in element order (mirrors
+    * [[subDists]] exactly — same IEEE ops, same order). */
+  def lut(query: Array[Float], model: PqModel): Array[Array[Double]] =
+    Array.tabulate(model.m, model.k) { (j, i) =>
+      var acc = 0.0
+      var d = 0
+      while (d < model.dsub) {
+        val diff = query(j * model.dsub + d).toDouble - model.codebooks(j)(i)(d)
+        acc = acc + diff * diff
+        d += 1
+      }
+      acc
+    }
+
+  /** Asymmetric-distance top-k: encode (or reuse stored codes via
+    * [[codesTopK]]) and score every row as m LUT lookups + an in-order
+    * sum. Output: (idCol, codes_joined, adc_dist), ascending distance,
+    * id tie-break. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, query: Array[Float], k: Int): DataFrame = {
+    require(query.length == model.dim,
+      s"Pq.adcTopK: query dim ${query.length} != model dim ${model.dim}")
+    codesTopK(encode(emb, idCol, vecCol, model), idCol, model, query, k)
+  }
+
+  /** ADC over PRE-ENCODED codes — the production path (codes persisted,
+    * vectors cold). */
+  def codesTopK(codes: DataFrame, idCol: String, model: PqModel,
+      query: Array[Float], k: Int): DataFrame = {
+    val table = lut(query, model)
+    val score = (0 until model.m).map { j =>
+      element_at(typedLit(table(j).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+    }.foldLeft(lit(0.0))((acc, x) => acc + x)
+    codes.select(col(idCol),
+        array_join(col("codes"), "|").as("codes_joined"),
+        score.as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Per-subspace k-means, deterministic (same contract as
+    * [[Ivf.train]]): hash-ordered sample, farthest-point init under
+    * squared-L2, Lloyd updates with exact DECIMAL means. m·iters small
+    * jobs; only the codebook scalars reach the driver. */
+  def train(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      k: Int, iters: Int = 2): PqModel = {
+    val dim = emb.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Pq.train: no non-null $vecCol to infer dimension from"))
+    require(dim % m == 0, s"Pq.train: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sampleN = math.max(k, math.min(64 * k, 4096))
+    val codebooks = (0 until m).map { j =>
+      val subCol = slice(col(vecCol), j * dsub + 1, dsub)
+      val sample: Array[Array[Double]] = emb.where(col(vecCol).isNotNull)
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+        .select(subCol.cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "Pq.train requires a non-empty corpus")
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var d = 0
+        while (d < dsub) { val x = a(d) - b(d); acc += x * x; d += 1 }
+        acc
+      }
+      val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+      while (seeds.length < math.min(k, sample.length)) {
+        var best = -1; var bestD = -1.0
+        var i = 0
+        while (i < sample.length) {
+          var dMin = Double.MaxValue
+          seeds.foreach { s => val d = l2(sample(i), s); if (d < dMin) dMin = d }
+          if (dMin > bestD) { bestD = dMin; best = i }
+          i += 1
+        }
+        seeds += sample(best)
+      }
+      var cb: Array[Array[Double]] = seeds.toArray
+      for (_ <- 0 until iters) {
+        val model1 = PqModel(dim, Array.tabulate(m, cb.length, dsub)(
+          (jj, i, d) => if (jj == j) cb(i)(d) else 0.0))
+        val assigned = emb.where(col(vecCol).isNotNull)
+          .select(subCol.as("v"), {
+            val ds = subDists(col(vecCol), model1, j)
+            (array_position(ds, array_min(ds)) - 1).cast("int").as("c")
+          })
+        val updated = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("c", "d")
+          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+            .cast("double") / count(lit(1))).as("mean"))
+          .collect()
+        val next = Array.tabulate(cb.length)(i => cb(i).clone())
+        updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cb = next
+      }
+      cb
+    }.toArray
+    PqModel(dim, codebooks)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pq
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 direction clusters in R^8, same construction as IvfUdfSpec: PQ
+  // trained per-subspace must separate them well enough that ADC ranks
+  // a vector's own cluster first
+  private def clustered: Seq[(Long, Array[Float])] = {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+    for (c <- 0 until 4; j <- 0 until 12) yield {
+      val r = new java.util.Random(c * 100L + j)
+      (j * 4L + c, base(c).map(x => x + (r.nextGaussian() * 0.05).toFloat))
+    }
+  }
+
+  test("planted-codebook encode is deterministic and code-ranged") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val model = Pq.plantedModel(8, 2, 4)
+    val codes = Pq.encode(emb, "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codes.forall(_._2.length == 2))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    val again = Pq.encode(emb, "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codes == again)
+  }
+
+  test("trained PQ + ADC recovers the true nearest cluster") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val model = Pq.train(emb, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    assert(model.m == 2 && model.k == 4 && model.dsub == 4)
+    // training is deterministic across runs
+    val again = Pq.train(emb, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    assert(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // ADC top-12 for a cluster-0 query: the 12 cluster-0 vectors (ids
+    // ≡ 0 mod 4) must dominate — PQ cells align with the direction
+    // clusters, so at least 10 of 12 survive quantization
+    val query = clustered.head._2
+    val top = Pq.adcTopK(emb, "vec_id", "embedding", model, query, 12)
+      .as[(Long, String, Double)].collect()
+    assert(top.length == 12)
+    assert(top.count(_._1 % 4 == 0) >= 10,
+      s"cluster-0 hits: ${top.map(_._1).toSeq}")
+    // distances ascend and the codes column is the joined form
+    assert(top.map(_._3).toSeq == top.map(_._3).sorted.toSeq)
+    assert(top.forall(_._2.split("\\|").length == 2))
+  }
+
+  test("codesTopK over persisted codes equals encode-then-score") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val model = Pq.plantedModel(8, 2, 4)
+    val query = clustered.last._2
+    val direct = Pq.adcTopK(emb, "vec_id", "embedding", model, query, 5)
+      .collect().map(_.toString).toSeq
+    // persist codes (the 100 TB layout: codes hot, vectors cold)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/codes"
+    Pq.encode(emb, "vec_id", "embedding", model).write.parquet(tmp)
+    val stored = Pq.codesTopK(spark.read.parquet(tmp), "vec_id", model,
+      query, 5).collect().map(_.toString).toSeq
+    assert(stored == direct)
+  }
+
+  test("train rejects a dimension not divisible by m") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.train(emb, "vec_id", "embedding", m = 3, k = 2)
+    }
+  }
+}
