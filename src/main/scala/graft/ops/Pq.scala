@@ -120,6 +120,43 @@ object Pq {
       .limit(k)
   }
 
+  /** The composed IVF-PQ pipeline — the canonical billion-scale ANN
+    * architecture, each stage one of this library's primitives:
+    *  1. IVF partition-prunes to the nProbe clusters nearest the query
+    *     (at 100 TB on a saved index this is a partition FILTER — the
+    *     other clusters' files are never opened);
+    *  2. ADC scans only the candidates' PQ codes (m LUT lookups per
+    *     row) for a shortlist of `refine`·k;
+    *  3. exact codegen'd cosine re-ranks the shortlist to the final k
+    *     (PQ distances are approximations; the re-rank touches raw
+    *     vectors for only refine·k rows).
+    * One-shot form (trains both quantizers in place, like
+    * [[Similarity.ivfTopK]]); a production deployment persists the IVF
+    * index ([[Ivf.save]]) and the PQ codes ([[encode]] written next to
+    * them) and runs the same three stages over the saved artifacts.
+    * Probe-cluster selection mirrors [[Ivf.probe]]'s ranking exactly
+    * (cosine desc, higher cluster id on ties). */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 4, kSub: Int = 16, refine: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && refine >= 1, "need k > 0 and refine >= 1")
+    val ivf = Ivf.index(emb, idCol, vecCol, nClusters, iters)
+    require(query.length == ivf.dim,
+      s"Pq.ivfPqTopK: query dim ${query.length} != corpus dim ${ivf.dim}")
+    val pq = train(emb, idCol, vecCol, m, kSub, iters)
+    val probeSet = ivf.centroids.zipWithIndex
+      .sortBy { case (c, i) => (-Similarity.cosD(c, query, ivf.dim), -i) }
+      .take(math.min(nProbe, ivf.centroids.length)).map(_._2).toSet
+    val cand = ivf.index.where(col("cluster").isInCollection(probeSet))
+    val shortlist = codesTopK(encode(cand, idCol, vecCol, pq),
+      idCol, pq, query, refine * k).select(col(idCol))
+    cand.join(shortlist, Seq(idCol), "left_semi")
+      .select(col(idCol), graft.functions.VectorExprs.cosineSim(
+        col(vecCol), typedLit(query.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-subspace k-means, deterministic (same contract as
     * [[Ivf.train]]): hash-ordered sample, farthest-point init under
     * squared-L2, Lloyd updates with exact DECIMAL means. m·iters small

@@ -69,6 +69,21 @@ class PqSpec extends SparkSpec {
     assert(stored == direct)
   }
 
+  test("composed IVF-PQ pipeline agrees with brute force on clustered data") {
+    val emb = clustered.toDF("vec_id", "embedding")
+    val query = clustered.head._2
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val ivfpq = Pq.ivfPqTopK(emb, "vec_id", "embedding", query, 5,
+      nClusters = 4, nProbe = 2, m = 2, kSub = 4, refine = 3, iters = 2)
+      .as[(Long, Double)].collect()
+    // the exact re-rank stage makes the final scores true cosines, so
+    // agreement with brute force is exact on well-separated clusters
+    assert(ivfpq.map(_._1).toSeq == brute)
+    assert(ivfpq.map(_._2).toSeq == ivfpq.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("train rejects a dimension not divisible by m") {
     val emb = clustered.toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
