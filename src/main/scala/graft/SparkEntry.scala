@@ -2119,8 +2119,11 @@ FROM e"""
   private def pqAdcSql(dim: Int, m: Int, k: Int, topk: Int): String = {
     val dsub = dim / m
     val cbRows = (for (j <- 0 until m; i <- 0 until k) yield {
+      // Locale.ROOT: the f"" interpolator uses the JVM default locale,
+      // and a comma-decimal locale would corrupt the SQL list literals
       val vals = (0 until dsub)
-        .map(d => f"${((j * 31 + i * 17 + d * 7) % 19 - 9) / 16.0}%.4f")
+        .map(d => String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(((j * 31 + i * 17 + d * 7) % 19 - 9) / 16.0)))
         .mkString(", ")
       s"($j, $i, [$vals])"
     }).mkString(",\n    ")
@@ -3043,7 +3046,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |       FROM lineitem GROUP BY 1)
         |SELECT 'l_orderkey' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_key_rows,
-        |  (SELECT key FROM c1 ORDER BY cnt DESC, key LIMIT 1) AS top_key,
+        |  (SELECT key FROM c1 ORDER BY cnt DESC, key NULLS FIRST LIMIT 1) AS top_key,
         |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6) AS skew_ratio,
         |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6) AS top_share,
         |  round(quantile_cont(cnt, 0.5), 6) AS p50_key_rows,
@@ -3052,7 +3055,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |UNION ALL
         |SELECT 'l_suppkey', CAST(sum(cnt) AS BIGINT), count(*),
         |  CAST(max(cnt) AS BIGINT),
-        |  (SELECT key FROM c2 ORDER BY cnt DESC, key LIMIT 1),
+        |  (SELECT key FROM c2 ORDER BY cnt DESC, key NULLS FIRST LIMIT 1),
         |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6),
         |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6),
         |  round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6)
@@ -3060,7 +3063,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |UNION ALL
         |SELECT 'l_returnflag', CAST(sum(cnt) AS BIGINT), count(*),
         |  CAST(max(cnt) AS BIGINT),
-        |  (SELECT key FROM c3 ORDER BY cnt DESC, key LIMIT 1),
+        |  (SELECT key FROM c3 ORDER BY cnt DESC, key NULLS FIRST LIMIT 1),
         |  round(max(cnt) / (CAST(sum(cnt) AS BIGINT) / count(*)), 6),
         |  round(max(cnt) / CAST(sum(cnt) AS BIGINT), 6),
         |  round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6)

@@ -145,8 +145,20 @@ object BpeEncode {
   private final val PairSep = '\u0001'
   private final val SideSep = '\u0000'
 
-  private[graft] def encodeMerges(merges: Seq[(String, String)]): String =
+  private[graft] def encodeMerges(merges: Seq[(String, String)]): String = {
+    // a rule side containing a separator would decode to a DIFFERENT
+    // rule silently (the side sep splits at the first occurrence) —
+    // refuse loudly instead. Whitespace-split words can in principle
+    // carry control characters; rules trained on such a corpus must go
+    // through the direct-expression path, not the wire encoding.
+    merges.foreach { case (l, r) =>
+      require(!l.contains(PairSep) && !l.contains(SideSep) &&
+          !r.contains(PairSep) && !r.contains(SideSep),
+        "bpe_encode: merge side contains a wire-encoding separator " +
+          "(U+0000/U+0001); register the expression directly instead")
+    }
     merges.map { case (l, r) => s"$l$SideSep$r" }.mkString(PairSep.toString)
+  }
 
   private[graft] def decodeMerges(s: String): Seq[(String, String)] =
     if (s.isEmpty) Seq.empty

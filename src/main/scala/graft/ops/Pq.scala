@@ -105,7 +105,14 @@ object Pq {
   }
 
   /** ADC over PRE-ENCODED codes — the production path (codes persisted,
-    * vectors cold). */
+    * vectors cold). Rows with any NULL code entry (a wrong-dimension or
+    * null-element vector propagated through [[encode]]) are EXCLUDED
+    * up front, mirroring the null-vector convention everywhere else in
+    * the ANN surface. The explicit forall guard matters doubly: an
+    * ascending sort would otherwise rank corrupt rows first, and
+    * `element_at` on a NON-NULLABLE literal array treats a null index
+    * as the element type's default (0.0 here) rather than null — a
+    * corrupt row would score as a PERFECT match, not even a null one. */
   def codesTopK(codes: DataFrame, idCol: String, model: PqModel,
       query: Array[Float], k: Int): DataFrame = {
     val table = lut(query, model)
@@ -113,7 +120,11 @@ object Pq {
       element_at(typedLit(table(j).toSeq),
         element_at(col("codes"), j + 1) + 1)
     }.foldLeft(lit(0.0))((acc, x) => acc + x)
-    codes.select(col(idCol),
+    codes
+      .where(col("codes").isNotNull &&
+        size(col("codes")) === model.m &&
+        forall(col("codes"), c => c.isNotNull))
+      .select(col(idCol),
         array_join(col("codes"), "|").as("codes_joined"),
         score.as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
@@ -163,20 +174,33 @@ object Pq {
     * jobs; only the codebook scalars reach the driver. */
   def train(emb: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int, iters: Int = 2): PqModel = {
-    val dim = emb.where(col(vecCol).isNotNull).select(size(col(vecCol)))
-      .head(1).headOption.map(_.getInt(0)).getOrElse(
-        throw new IllegalArgumentException(
-          s"Pq.train: no non-null $vecCol to infer dimension from"))
+    // validate the WHOLE corpus dimension with one aggregate (the
+    // Ivf.addToIndex lesson): a mixed-dimension corpus would otherwise
+    // surface as an opaque NPE deep inside the Lloyd update when a
+    // short vector's null subspace distances produce a null cluster code
+    val dims = emb.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head()
+    require(!dims.isNullAt(0),
+      s"Pq.train: no non-null $vecCol to infer dimension from")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"Pq.train: mixed vector dimensions [${dims.getInt(0)}, ${dims.getInt(1)}]")
+    val dim = dims.getInt(0)
     require(dim % m == 0, s"Pq.train: dim $dim not divisible by m $m")
     val dsub = dim / m
+    // ONE hash-ordered sample pass for all subspaces (full vectors,
+    // sliced driver-side) — the sort+collect is the expensive stage and
+    // is identical per subspace, so paying it m times buys nothing
     val sampleN = math.max(k, math.min(64 * k, 4096))
+    val fullSample: Array[Array[Double]] = emb.where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(fullSample.nonEmpty, "Pq.train requires a non-empty corpus")
     val codebooks = (0 until m).map { j =>
       val subCol = slice(col(vecCol), j * dsub + 1, dsub)
-      val sample: Array[Array[Double]] = emb.where(col(vecCol).isNotNull)
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
-        .select(subCol.cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty, "Pq.train requires a non-empty corpus")
+      val sample: Array[Array[Double]] =
+        fullSample.map(_.slice(j * dsub, (j + 1) * dsub))
       def l2(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var d = 0
         while (d < dsub) { val x = a(d) - b(d); acc += x * x; d += 1 }
@@ -204,6 +228,10 @@ object Pq {
             (array_position(ds, array_min(ds)) - 1).cast("int").as("c")
           })
         val updated = assigned
+          // a vector with null ELEMENTS yields a null code even at the
+          // right dimension — skip it here (the null-vector convention)
+          // rather than NPE in the centroid update
+          .where(col("c").isNotNull)
           .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy("c", "d")
           .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))

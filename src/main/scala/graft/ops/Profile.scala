@@ -112,12 +112,14 @@ object Profile {
     * the quantity being measured) followed by a 1-row statistics
     * aggregate over key counts — nothing data-sized reaches the driver.
     * NULL keys count as one key group (they hash-partition together,
-    * which is precisely the skew a NULL-heavy join key causes).
-    * Deterministic: the top key tie-breaks (count desc, key asc) and
-    * doubles are rounded to 6dp. */
+    * which is precisely the skew a NULL-heavy join key causes); if the
+    * NULL group ties for heaviest it WINS the tie (struct ordering puts
+    * null first — the oracle mirrors this with NULLS FIRST), surfacing
+    * top_key = null as the "your join key is null-heavy" signal.
+    * Deterministic: the top key tie-breaks (count desc, null, then key
+    * asc) and doubles are rounded to 6dp. */
   def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val spark = df.sparkSession
     keyCols.map { k =>
       val counts = df.groupBy(col(k).cast("string").as("key"))
         .agg(count(lit(1)).as("cnt"))

@@ -90,4 +90,23 @@ class PqSpec extends SparkSpec {
       Pq.train(emb, "vec_id", "embedding", m = 3, k = 2)
     }
   }
+
+  test("mixed-dimension corpora are rejected; corrupt rows never rank first") {
+    // train: whole-corpus validation, not first-row (the Ivf lesson)
+    val mixed = (clustered :+ (999L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.train(mixed, "vec_id", "embedding", m = 2, k = 4)
+    }
+    assert(e.getMessage.contains("mixed vector dimensions"))
+    // ADC: a wrong-dimension row propagates a null score and is
+    // EXCLUDED — without the filter, nulls-first ordering would crown
+    // the corrupt row the #1 nearest neighbor
+    val model = Pq.plantedModel(8, 2, 4)
+    val top = Pq.adcTopK(mixed, "vec_id", "embedding", model,
+      clustered.head._2, 48)
+      .as[(Long, String, Double)].collect()
+    assert(!top.map(_._1).contains(999L))
+    assert(top.forall(r => !r._3.isNaN))
+  }
 }
