@@ -39,7 +39,9 @@ object Bench {
     "q_tpch_q1", "q_tpch_q21",
     // late round 6: semantic dedup (sign-LSH + anti join), SymSpell
     // fuzzy join, per-key grid resample + forward-fill
-    "q_semantic_dedup", "q_editdist_pairs", "q_resample_ffill")
+    "q_semantic_dedup", "q_editdist_pairs", "q_resample_ffill",
+    // round 7: PQ encode + ADC scan, per-key skew diagnostics
+    "q_pq_adc", "q_skew_report")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
