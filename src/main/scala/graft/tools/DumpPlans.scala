@@ -31,7 +31,9 @@ object DumpPlans {
     "q_tpch_q21" -> "EXISTS and NOT EXISTS under inequality residuals: both compile to hashed LeftSemi/LeftAnti joins keyed on the orderkey equality — no nested-loop fallback, no cartesian.",
     "q_semantic_dedup" -> "SemDeDup keep-first selection: sign-LSH band-keyed candidate self-join (ids-only shuffles), exact-cosine confirm, then ONE anti join dropping higher-id near-dups — survivors never shuffle their vectors.",
     "q_editdist_pairs" -> "SymSpell fuzzy join: candidates from an equi-join on exploded deletion variants (no cross join anywhere), one exact levenshtein confirm on candidates only.",
-    "q_resample_ffill" -> "Per-key grid resample: one (key, bucket) aggregation, a per-key bounded sequence explode (never a global time-axis product), keyed gap join, and one window for the forward fill — every exchange keyed on the user.")
+    "q_resample_ffill" -> "Per-key grid resample: one (key, bucket) aggregation, a per-key bounded sequence explode (never a global time-axis product), keyed gap join, and one window for the forward fill — every exchange keyed on the user.",
+    "q_pq_adc" -> "PQ encode + ADC scan: pure projections over the embedding scan (codebook and LUT ride as literals), the only ordering work a TakeOrderedAndProject — no join, no aggregation, nothing data-sized leaves the scan stage.",
+    "q_skew_report" -> "Skew diagnostics: per key column exactly one partial+final count aggregation (the shuffle being measured) and a 1-row stats aggregate, unioned — no join, no cartesian.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)

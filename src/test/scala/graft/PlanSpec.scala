@@ -205,6 +205,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PQ ADC scan is shuffle-free up to the top-k; skew report keys every exchange") {
+    // encode + score are pure projections over the scan; the only
+    // ordering work is the TakeOrdered top-k — no join, no aggregation,
+    // no exchange beyond it
+    val p = plan("q_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).isEmpty)
+    // skew report: each key column costs exactly its own count
+    // aggregation (the shuffle being measured) and a 1-row stats agg
+    val sk = plan("q_skew_report")
+    assert(!sk.contains("CartesianProduct"))
+    assert(sk.contains("Union"))
+  }
+
   test("TPC-H Q13 left join keeps order-less customers; both aggs partial+final") {
     val p = plan("q_tpch_q13")
     assert(p.contains("LeftOuter"))
