@@ -38,6 +38,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.contains(("H", 5000L)))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the documented skew escape hatch beyond manual salting: one key
+    // owning ~all rows of the left side must be detected and SPLIT by
+    // AQE's runtime re-plan (skew=true on the join). Thresholds are
+    // lowered so fixture-scale data crosses them; every conf is
+    // restored afterwards.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 60000)
+        .selectExpr("CAST(id % 600 = 0 AS INT) * 0 AS k", // ~all rows k=0
+          "id AS payload", "repeat('x', 24) AS pad")
+      val right = spark.range(0, 10).selectExpr("CAST(id AS INT) AS k",
+        "id * 100 AS rv")
+      val joined = left.join(right, "k")
+      // materialize through the SAME QueryExecution we inspect — count()
+      // would wrap the plan in its own execution and leave this one
+      // un-finalized (isFinalPlan=false, no AQE re-plan to see)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned writes enable partition pruning at read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     spark.read.parquet(s"$sfDir/events.parquet")
