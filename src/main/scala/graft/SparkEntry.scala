@@ -1699,6 +1699,26 @@ object SparkEntry {
       TextOps.lmScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("mean_logp"))),
 
+    // ---- LLM: TF-IDF top-5 keywords per document ----------------------
+    // idf quantized to 1e-6 before the single tf·idf multiply (lmScore
+    // determinism contract); ties break on token ascending
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
+
+    // ---- semi-structured: JSON property extraction + rollup -----------
+    // the raw-log ingestion shape: pull a typed field out of a JSON
+    // payload column (codegen'd get_json_object — no UDF, no parse to an
+    // intermediate struct) and aggregate it; map-side extraction
+    // pipelines inside the scan stage, one event_type-keyed shuffle
+    "q_json_props" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // ---- LLM: int8 quantization error bounds (all-double mirror) ------
     // the oracle recomputes quantize→dequantize in DOUBLE arithmetic on
     // both engines (float→double casts are exact, round() ties-away on
@@ -3534,6 +3554,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  list_reduce(list_prepend(0.0, lps), (a, x) -> a + x) / len(lps)
         |    AS mean_logp
         |FROM d""".stripMargin,
+
+    // mirrors TextOps.tfidfTopTerms: idf quantized to 1e-6 before the
+    // single tf·idf multiply, rank ties broken on token ascending
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT token,
+        |    round(ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6)
+        |      AS idf
+        |  FROM df, n),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE) * idf.idf, 6) AS tfidf
+        |  FROM tf JOIN idf USING (token)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM s)
+        |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_tokenize" ->
       """WITH tok AS (

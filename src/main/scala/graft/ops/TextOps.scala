@@ -255,6 +255,47 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // TF-IDF keyword extraction: top-k terms per document by tf·idf — the
+  // classic "what is this document about" signal (topical tagging,
+  // domain-mixture diagnostics, keyword-based filtering).
+  //
+  // Determinism contract (same spirit as lmScore): idf = ln(N/df) is
+  // QUANTIZED to 1e-6 before the single tf·idf multiplication, whose
+  // product is then rounded to 1e-6 — one multiply of exact values is
+  // bit-identical across engines. Rank ties break on token ascending.
+  //
+  // Scale shape: one corpus-sized shuffle keyed (doc, token) with
+  // partial+final hash aggregation (per-doc term counts), a
+  // vocabulary-sized df aggregate derived FROM that output (no second
+  // corpus pass), idf broadcast back, and one doc-keyed window for the
+  // per-doc top-k (per-key sort bounded by the doc's distinct-term
+  // count, never global). Two corpus-sized shuffles total.
+  // --------------------------------------------------------------------
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n)) // 1-row scalar attach
+      .select(col("token"),
+        round(log(col("n_docs").cast("double") / col("df_docs").cast("double")),
+          6).as("idf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(idf), Seq("token"))
+      .select(col(idCol), col("token"), col("tf"),
+        round(col("tf").cast("double") * col("idf"), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: order-sensitive polynomial rolling hash over
   // the word-hash sequence, computed mod the Mersenne prime 2^31-1 so the
   // accumulator never exceeds ~2^51 (Spark 4 runs ANSI mode — a wrapping

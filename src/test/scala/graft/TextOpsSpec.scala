@@ -204,6 +204,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(0L)._2 && got(0L)._2 > got(2L)._2)
   }
 
+  test("tfidf top terms equal the brute-force model; k and ties respected") {
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana cherry cherry durian"),
+      (2L, "apple apple apple elderberry"),
+      (3L, "fig fig banana")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, k = 2)
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    // brute force in plain Scala with the same quantization contract
+    val toks = Map(
+      0L -> Seq("apple", "banana", "apple", "cherry"),
+      1L -> Seq("banana", "cherry", "cherry", "durian"),
+      2L -> Seq("apple", "apple", "apple", "elderberry"),
+      3L -> Seq("fig", "fig", "banana"))
+    val n = toks.size.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, v) => t -> v.size }
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, v) =>
+          (id, t, v.size.toLong, q6(v.size * q6(math.log(n / df(t))))) }
+        .sortBy { case (_, t, _, s) => (-s, t) }
+        .take(2)
+    }.toSet
+    assert(got == want)
+    // every doc contributes exactly k rows (it has >= k distinct terms)
+    assert(got.groupBy(_._1).values.forall(_.size == 2))
+  }
+
   test("md5 fingerprint variant: order-sensitive rolling, edit-robust winnow") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
       (1L, "beta alpha gamma delta epsilon zeta eta"), // swapped first words
