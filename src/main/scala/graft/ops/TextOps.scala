@@ -264,12 +264,18 @@ object TextOps {
   // product is then rounded to 1e-6 — one multiply of exact values is
   // bit-identical across engines. Rank ties break on token ascending.
   //
-  // Scale shape: one corpus-sized shuffle keyed (doc, token) with
-  // partial+final hash aggregation (per-doc term counts), a
-  // vocabulary-sized df aggregate derived FROM that output (no second
-  // corpus pass), idf broadcast back, and one doc-keyed window for the
-  // per-doc top-k (per-key sort bounded by the doc's distinct-term
-  // count, never global). Two corpus-sized shuffles total.
+  // Scale shape: the corpus is tokenized and shuffled ONCE — a
+  // (doc, token) keyed partial+final hash aggregation; everything after
+  // operates on the (much smaller) distinct doc-term table. df comes
+  // from a token-keyed window count over that table rather than a
+  // re-aggregate + self-join — a join back to the tf table would
+  // duplicate the tokenize subtree in the plan (DataFrame DAGs lower to
+  // trees, and Catalyst's count-pruning de-canonicalizes the copy, so
+  // AQE cannot reuse the exchange — measured, not theory: the corpus
+  // scanned twice). Then one 1-row n_docs broadcast attach and a
+  // doc-keyed window for the per-doc top-k (per-key sort bounded by the
+  // doc's distinct-term count, never global). PlanSpec pins the
+  // single-tokenize shape.
   // --------------------------------------------------------------------
   def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5): DataFrame = {
@@ -279,17 +285,17 @@ object TextOps {
       .select(col(idCol), explode(words(lower(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = df.crossJoin(broadcast(n)) // 1-row scalar attach
-      .select(col("token"),
-        round(log(col("n_docs").cast("double") / col("df_docs").cast("double")),
-          6).as("idf"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(idf), Seq("token"))
+    tf
+      .withColumn("df_docs",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(n)) // 1-row scalar attach
       .select(col(idCol), col("token"), col("tf"),
-        round(col("tf").cast("double") * col("idf"), 6).as("tfidf"))
+        round(col("tf").cast("double") *
+          round(log(col("n_docs").cast("double") /
+            col("df_docs").cast("double")), 6), 6).as("tfidf"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")

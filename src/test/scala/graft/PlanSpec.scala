@@ -260,4 +260,28 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(_.contains("user_id")),
       s"every hash exchange must be keyed on user_id:\n${exchanges.mkString("\n")}")
   }
+
+  test("tfidf tokenizes the corpus once; json extraction is one map-side agg") {
+    val p = plan("q_tfidf")
+    // the corpus-sized tokenize (explode of the word split) must appear
+    // exactly ONCE — a join-back-to-tf formulation duplicates the
+    // subtree and scans the corpus twice (Catalyst's count-pruning
+    // de-canonicalizes the copy, so AQE can't reuse the exchange)
+    assert("explode\\(".r.findAllIn(p).size == 1, p)
+    // no join of the corpus against anything but the 1-row n_docs
+    // scalar (broadcast nested-loop on a literal-true condition)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // three keyed shuffles: (doc,token) tf agg, token-keyed df window,
+    // doc-keyed rank window — all over the distinct doc-term table
+    assert(p.linesIterator.count(_.contains("hashpartitioning(")) <= 3, p)
+    // per-doc top-k is a window rank, not a global sort
+    assert(p.contains("Window"))
+
+    val j = plan("q_json_props")
+    // field extraction pipelines inside the scan stage: the only
+    // exchange is the event_type aggregation's, with map-side partials
+    assert(j.linesIterator.count(_.contains("hashpartitioning(")) == 1, j)
+    assert("HashAggregate".r.findAllIn(j).size >= 2)
+    assert(j.contains("get_json_object"))
+  }
 }
