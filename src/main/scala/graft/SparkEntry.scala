@@ -1705,6 +1705,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
 
+    // ---- LLM: PMI collocations (phrase mining, word2phrase step) ------
+    // top-20 bigrams by pointwise mutual information among those seen
+    // >= 5 times; ln quantized to 1e-6, ties break on the bigram string
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(t(s, dir, "documents"), minCount = 5, k = 20)),
+
     // ---- semi-structured: JSON property extraction + rollup -----------
     // the raw-log ingestion shape: pull a typed field out of a JSON
     // payload column (codegen'd get_json_object — no UDF, no parse to an
@@ -3580,6 +3586,34 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
         |  FROM s)
         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    // mirrors TextOps.collocations: one tokenize, quantized ln, bigram
+    // tie-break; DuckDB list comprehension builds the bigram events
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |uni AS (SELECT unnest(ws) AS tok FROM tok),
+        |ucnt AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY tok),
+        |big AS (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1]
+        |                 FOR i IN generate_series(1, len(ws) - 1)]) AS b
+        |  FROM tok WHERE len(ws) >= 2),
+        |bcnt AS (SELECT b, count(*) AS cnt FROM big GROUP BY b),
+        |tt AS (SELECT sum(c_tok) AS t_uni FROM ucnt),
+        |bt AS (SELECT sum(cnt) AS t_big FROM bcnt),
+        |j AS (
+        |  SELECT b.b AS bigram, b.cnt,
+        |    round(ln((CAST(b.cnt AS DOUBLE) / CAST(t_big AS DOUBLE)) /
+        |      ((CAST(ux.c_tok AS DOUBLE) / CAST(t_uni AS DOUBLE)) *
+        |       (CAST(uy.c_tok AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6)
+        |      AS pmi
+        |  FROM bcnt b, tt, bt
+        |  JOIN ucnt ux ON string_split(b.b, ' ')[1] = ux.tok
+        |  JOIN ucnt uy ON string_split(b.b, ' ')[2] = uy.tok
+        |  WHERE b.cnt >= 5)
+        |SELECT bigram, CAST(cnt AS BIGINT) AS cnt, pmi FROM j
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

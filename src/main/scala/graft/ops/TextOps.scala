@@ -302,6 +302,67 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // PMI collocation extraction: top-k bigrams by pointwise mutual
+  // information — the phrase-mining step of tokenizer/vocab prep
+  // (word2phrase: "new york" should be one token, "of the" should not).
+  // pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ), counts over the whole corpus,
+  // restricted to bigrams seen >= minCount times.
+  //
+  // Determinism contract: the ln is quantized to 1e-6 (lmScore rule);
+  // ranking ties break on the bigram string ascending.
+  //
+  // Scale shape: two corpus-sized tokenize+aggregate passes (unigram
+  // counts keyed on token, bigram counts keyed on bigram — each scan
+  // explodes only what its branch needs; forcing both kinds through one
+  // union-pass doesn't survive Catalyst, whose per-branch filter/column
+  // pruning de-canonicalizes the shared subtree and defeats AQE
+  // exchange reuse, while shuffling 2× the events) plus a THIRD pass
+  // for the (T, B) grand totals that never explodes — a map-only
+  // sum-of-array-sizes scalar agg. The unigram table broadcasts into
+  // both the x and y attaches, and the two broadcast builds collapse to
+  // one ReusedExchange (pinned in PlanSpec; swap for token-keyed
+  // shuffle joins if the vocab outgrows broadcast). The final top-k is
+  // a TakeOrdered, never a global sort.
+  // --------------------------------------------------------------------
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ws = words(lower(col(textCol)))
+    val n = size(ws)
+    val bigrams = when(n >= 2,
+      zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val uni = docs.select(explode(ws).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val big = docs.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("bigram"), col("cnt"),
+        split(col("bigram"), " ").getItem(0).as("x"),
+        split(col("bigram"), " ").getItem(1).as("y"))
+    // grand totals without exploding: sum of per-doc event counts
+    // (sum(size(ws)) == exploded unigram rows exactly, incl. the ['']
+    // empty-text split artifact both engines share)
+    val totals = docs.agg(
+      sum(size(ws)).as("t_uni"),
+      sum(when(n >= 2, n - 1).otherwise(0)).as("t_big"))
+    big
+      .join(broadcast(uni.select(col("tok").as("x"), col("c_tok").as("cx"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("tok").as("y"), col("c_tok").as("cy"))),
+        Seq("y"))
+      .crossJoin(broadcast(totals)) // 1-row scalar attach
+      .select(col("bigram"), col("cnt"),
+        round(log((col("cnt").cast("double") / col("t_big").cast("double")) /
+          ((col("cx").cast("double") / col("t_uni").cast("double")) *
+            (col("cy").cast("double") / col("t_uni").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting: order-sensitive polynomial rolling hash over
   // the word-hash sequence, computed mod the Mersenne prime 2^31-1 so the
   // accumulator never exceeds ~2^51 (Spark 4 runs ANSI mode — a wrapping

@@ -277,6 +277,24 @@ class PlanSpec extends SparkSpec {
     // per-doc top-k is a window rank, not a global sort
     assert(p.contains("Window"))
 
+    // collocations: the corpus pays exactly two keyed shuffles (unigram
+    // counts on token, bigram counts on bigram); the totals pass never
+    // explodes (map-only scalar agg, SinglePartition exchange); the
+    // unigram broadcast feeding BOTH the x and y attaches must collapse
+    // to one build + ReusedExchange at runtime
+    val c = plan("q_collocations")
+    assert(!c.contains("SortMergeJoin") && !c.contains("CartesianProduct"))
+    val cq = SparkEntry.queries("q_collocations")(spark, sfDir)
+    cq.collect() // AQE inserts ReusedExchange at runtime only
+    val cfin = cq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // final adaptive plan only
+    assert(cfin.contains("ReusedExchange"),
+      s"expected the unigram broadcast built once:\n$cfin")
+    val keyed = cfin.linesIterator
+      .count(_.contains("Exchange hashpartitioning("))
+    assert(keyed == 2,
+      s"expected 2 materialized keyed exchanges, got $keyed:\n$cfin")
+
     val j = plan("q_json_props")
     // field extraction pipelines inside the scan stage: the only
     // exchange is the event_type aggregation's, with map-side partials

@@ -236,6 +236,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.size == 2))
   }
 
+  test("collocations rank bigrams by PMI; minCount and single-word docs handled") {
+    // "new york" always co-occurs (high PMI); "w" is everywhere, so any
+    // bigram touching it scores low; rare bigrams fall to minCount
+    val docs = (1 to 6).map(i => (i.toLong, "new york w w w w")) ++
+      Seq((7L, "rare pair"), (8L, "solo")) // below minCount; 1-token doc
+    val out = TextOps.collocations(docs.toDF("doc_id", "text"),
+      minCount = 6, k = 3).as[(String, Long, Double)].collect()
+    assert(out.head._1 == "new york" && out.head._2 == 6L)
+    assert(!out.map(_._1).contains("rare pair"))
+    // brute-force PMI for the winner with the same quantization:
+    // unigrams 6*6 + 2 + 1 = 39, bigrams 6*5 + 1 = 31
+    val (tUni, tBig) = (39.0, 31.0)
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = q6(math.log((6.0 / tBig) / ((6.0 / tUni) * (6.0 / tUni))))
+    assert(out.head._3 == want)
+    // PMI ordering is descending, ties on the bigram string
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse)
+  }
+
   test("md5 fingerprint variant: order-sensitive rolling, edit-robust winnow") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta"),
       (1L, "beta alpha gamma delta epsilon zeta eta"), // swapped first words
