@@ -41,7 +41,9 @@ object Bench {
     // fuzzy join, per-key grid resample + forward-fill
     "q_semantic_dedup", "q_editdist_pairs", "q_resample_ffill",
     // round 7: PQ encode + ADC scan, per-key skew diagnostics
-    "q_pq_adc", "q_skew_report")
+    "q_pq_adc", "q_skew_report",
+    // late round 7: corpus analysis — TF-IDF keywords, PMI collocations
+    "q_tfidf", "q_collocations")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
