@@ -26,6 +26,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted token blocks for q_repeated_spans: shared verbatim between
+    * the Spark plant and the DuckDB oracle so both engines see the same
+    * partial-overlap pairs. */
+  private val spanBlock12: String = (1 to 12).map(i => s"aq$i").mkString(" ")
+  private val spanBlock8: String = (1 to 8).map(i => s"bq$i").mkString(" ")
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -1704,6 +1710,24 @@ object SparkEntry {
     // determinism contract); ties break on token ascending
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
+
+    // ---- LLM: exact repeated-substring spans (suffix-array-style ------
+    // dedup, Lee et al. 2022): maximal shared token spans >= 8 across
+    // doc pairs, anchored on md5 shingles with a df<=64 guard; two
+    // planted partial-overlap pairs (ids >= 100000) give closed-form
+    // truths (12-token block at offsets 1/3; 8-token block at 1/2)
+    "q_repeated_spans" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (100001L, s"$spanBlock12 tail1 tail2"),
+        (100002L, s"lead1 lead2 $spanBlock12"),
+        (100003L, s"$spanBlock8 end1"),
+        (100004L, s"pre1 $spanBlock8")).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      Dedup.repeatedSpans(docs, "doc_id", "text",
+        minLen = 8, maxShingleDf = 64)
+    }),
 
     // ---- LLM: PMI collocations (phrase mining, word2phrase step) ------
     // top-20 bigrams by pointwise mutual information among those seen
@@ -3586,6 +3610,42 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
         |  FROM s)
         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    // mirrors Dedup.repeatedSpans: md5 anchors, df<=64 guard,
+    // gaps-and-islands over (pair, offset); all-integer span arithmetic
+    "q_repeated_spans" ->
+      s"""WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (100001, '$spanBlock12 tail1 tail2'),
+        |    (100002, 'lead1 lead2 $spanBlock12'),
+        |    (100003, '$spanBlock8 end1'),
+        |    (100004, 'pre1 $spanBlock8')) v(doc_id, text)),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        |  FROM docs2),
+        |anch AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
+        |     FOR i IN generate_series(1, len(ws) - 7)]) AS u
+        |  FROM tok WHERE len(ws) >= 8),
+        |a AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch),
+        |g AS (
+        |  SELECT * FROM (
+        |    SELECT a.*, count(*) OVER (PARTITION BY h) AS df_h FROM a)
+        |  WHERE df_h <= 64),
+        |cand AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, y.pos AS pb
+        |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa - pb AS d, pa,
+        |    pa - row_number() OVER (
+        |      PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+        |  FROM cand)
+        |SELECT da AS doc_a, db AS doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |  CAST(min(pa) - d AS BIGINT) AS start_b,
+        |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_len
+        |FROM runs GROUP BY da, db, d, grp""".stripMargin,
 
     // mirrors TextOps.collocations: one tokenize, quantized ln, bigram
     // tie-break; DuckDB list comprehension builds the bigram events

@@ -214,6 +214,74 @@ object Dedup {
     confirmJaccard(observed, sets, threshold)
   }
 
+  /** Exact repeated-substring span detection — the suffix-array-style
+    * dedup of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022), re-expressed for a shuffle engine: find every
+    * MAXIMAL token span of length >= minLen that two documents share
+    * verbatim, reporting both start offsets and the span length. Exact
+    * dedup catches identical documents; MinHash catches high-overlap
+    * pairs; THIS catches the long-tail case both miss — two otherwise
+    * unrelated documents embedding the same quote/boilerplate/license
+    * block, the dominant duplication mode in web corpora.
+    *
+    * Method (no suffix array needed): every minLen-token shingle is an
+    * anchor (1-based pos, md5 of the joined window). Two docs sharing a
+    * span of L >= minLen tokens share exactly L-minLen+1 CONSECUTIVE
+    * anchors at a constant offset d = pa-pb, so after the anchor
+    * equi-join, maximal spans are gaps-and-islands runs within each
+    * (doc_a, doc_b, d) group: pa - row_number() is constant along a run.
+    * Span arithmetic is all-integer — bit-exact across engines.
+    *
+    * Scale shape: one (much wider than the corpus) shingle table,
+    * shuffled ONCE on the anchor hash — the frequent-anchor guard is a
+    * count window over that partitioning, and the self-join reuses it
+    * (identical subplans on the same key -> ReuseExchange, the Dedup
+    * cache-ownership rule). Candidate volume is bounded by
+    * maxShingleDf² per anchor, the same guard PPJoin's prefix filter
+    * provides for jaccardPairs: boilerplate seen in > maxShingleDf
+    * shingle-positions corpus-wide stops generating pairs (spans
+    * through a dropped anchor split — a cost/recall dial, not silent
+    * truncation). Islands are per-(pair, offset) windows, never global.
+    * Only ids, positions and 16-byte hashes ever shuffle — the text
+    * stays in the scan stage. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, maxShingleDf: Long = 64): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    import org.apache.spark.sql.expressions.Window
+    val id = longId(docs, idCol)
+    val ws = TextOps.words(lower(col(textCol)))
+    val anchors = docs
+      .filter(size(ws) >= minLen)
+      .select(id.as("id"), explode(transform(
+        sequence(lit(1), size(ws) - (minLen - 1)),
+        i => struct(i.as("pos"),
+          md5(array_join(slice(ws, i, lit(minLen)), " ").cast("binary"))
+            .as("h")))).as("e"))
+      .select(col("id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    val guarded = anchors
+      .withColumn("df_h", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df_h") <= maxShingleDf)
+      .drop("df_h")
+    val cand = guarded
+      .join(guarded.select(col("id").as("id_b"), col("pos").as("pb"),
+        col("h")), Seq("h"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("doc_a"), col("id_b").as("doc_b"),
+        col("pos").as("pa"), col("pb"), (col("pos") - col("pb")).as("d"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
+      .orderBy(col("pa"))
+    cand
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("grp"))
+      .agg(min(col("pa")).as("start_a"),
+        (max(col("pa")) - min(col("pa")) + lit(minLen)).as("span_len"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") - col("d")).cast("long").as("start_b"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd
     * Catalyst expression, graft.functions.SimHash64), split into 4 bands of
     * 16 bits. By pigeonhole, any pair at hamming distance <= 3 agrees on at

@@ -14,6 +14,45 @@ class DedupSpec extends SparkSpec {
     (4L, "another unrelated document mentioning aggregation shuffles and broadcast strategies"))
   private def docs = base.toDF("doc_id", "text")
 
+  test("repeated spans find maximal shared blocks; df guard bounds candidates") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),          // 8-token block at pos 1
+      (2L, "x a b c d e f g h y"),          // same block at pos 2
+      (3L, "p q r s t u v w"),              // unrelated
+      (4L, "m n o p q r s t u v w z")       // shares 3's 8 tokens at pos 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", minLen = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // maximal spans only — no sub-span rows, both offsets reported
+    assert(got == Set((1L, 2L, 1L, 2L, 8L), (3L, 4L, 1L, 4L, 8L)))
+
+    // an anchor seen in more than maxShingleDf positions stops pairing:
+    // with three copies every anchor has df 3 -> no spans at the df=2 cap
+    val boiler = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(boiler, "doc_id", "text",
+      minLen = 4, maxShingleDf = 2).isEmpty)
+    // and the cap at 3 restores all three pairs' full-length spans
+    val all = Dedup.repeatedSpans(boiler, "doc_id", "text",
+      minLen = 4, maxShingleDf = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L, 1L, 1L, 6L), (1L, 3L, 1L, 1L, 6L),
+      (2L, 3L, 1L, 1L, 6L)))
+
+    // the anchor self-join must reuse ONE shuffle of the guarded anchor
+    // table when it can't broadcast (the Dedup cache-ownership rule)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Dedup.repeatedSpans(corpus, "doc_id", "text", minLen = 4)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"expected the anchor table to shuffle once:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
