@@ -42,8 +42,9 @@ object Bench {
     "q_semantic_dedup", "q_editdist_pairs", "q_resample_ffill",
     // round 7: PQ encode + ADC scan, per-key skew diagnostics
     "q_pq_adc", "q_skew_report",
-    // late round 7: corpus analysis — TF-IDF keywords, PMI collocations
-    "q_tfidf", "q_collocations")
+    // late round 7: corpus analysis — TF-IDF keywords, PMI collocations —
+    // and the suffix-array-style repeated-span dedup (anchor self-join)
+    "q_tfidf", "q_collocations", "q_repeated_spans")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
