@@ -33,7 +33,10 @@ object DumpPlans {
     "q_editdist_pairs" -> "SymSpell fuzzy join: candidates from an equi-join on exploded deletion variants (no cross join anywhere), one exact levenshtein confirm on candidates only.",
     "q_resample_ffill" -> "Per-key grid resample: one (key, bucket) aggregation, a per-key bounded sequence explode (never a global time-axis product), keyed gap join, and one window for the forward fill — every exchange keyed on the user.",
     "q_pq_adc" -> "PQ encode + ADC scan: pure projections over the embedding scan (codebook and LUT ride as literals), the only ordering work a TakeOrderedAndProject — no join, no aggregation, nothing data-sized leaves the scan stage.",
-    "q_skew_report" -> "Skew diagnostics: per key column exactly one partial+final count aggregation (the shuffle being measured) and a 1-row stats aggregate, unioned — no join, no cartesian.")
+    "q_skew_report" -> "Skew diagnostics: per key column exactly one partial+final count aggregation (the shuffle being measured) and a 1-row stats aggregate, unioned — no join, no cartesian.",
+    "q_tfidf" -> "TF-IDF top-k: ONE tokenize explode feeding one (doc, token) aggregation; df is a token-keyed window over that output (a join-back would scan the corpus twice — Catalyst de-canonicalizes the copy, defeating exchange reuse), top-k a per-doc WindowGroupLimit.",
+    "q_collocations" -> "PMI collocations: unigram and bigram counts each one keyed aggregation; the grand totals never explode (map-only sum of array sizes); the unigram broadcast is built once and Reused for both the x and y attaches; final top-k is TakeOrderedAndProject.",
+    "q_repeated_spans" -> "Repeated-span dedup: the md5 anchor table shuffles once — the df guard is a count window over that partitioning and the self-join ReusedExchanges it; islands run per (pair, offset) window; no text beyond the scan stage, no cartesian.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
