@@ -1711,6 +1711,17 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
 
+    // ---- quality: PSI drift report (distribution-shift monitor) -------
+    // per-bin Population Stability Index of the purchase slice vs all
+    // other event types over value in [0, 500), 20 bins; quantized ln
+    "q_drift_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.ops.Profile.driftReport(
+        e.where(col("event_type") =!= "purchase"),
+        e.where(col("event_type") === "purchase"),
+        "value", nBins = 20, lo = 0.0, hi = 500.0)
+    }),
+
     // ---- LLM: exact repeated-substring spans (suffix-array-style ------
     // dedup, Lee et al. 2022): maximal shared token spans >= 8 across
     // doc pairs, anchored on md5 shingles with a df<=64 guard; two
@@ -3610,6 +3621,42 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
         |  FROM s)
         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    // mirrors Profile.driftReport token-for-token: same clamped-bin
+    // expression as q_histogram, window-total shares, quantized ln
+    "q_drift_psi" ->
+      """WITH rb AS (
+        |  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+        |      / 25.0) AS BIGINT), 0), 19) AS bin, count(*) AS n
+        |  FROM events
+        |  WHERE event_type <> 'purchase'
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+        |      / 25.0) AS BIGINT), 0), 19) AS bin, count(*) AS n
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(0, 19)) AS bin),
+        |h AS (
+        |  SELECT g.bin, 0.0 + CAST(g.bin AS DOUBLE) * 25.0 AS bin_lo,
+        |    CAST(coalesce(rb.n, 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(cb.n, 0) AS BIGINT) AS n_cur
+        |  FROM grid g
+        |  LEFT JOIN rb ON g.bin = rb.bin
+        |  LEFT JOIN cb ON g.bin = cb.bin),
+        |s AS (
+        |  SELECT *,
+        |    greatest(CAST(n_ref AS DOUBLE) /
+        |      CAST(sum(n_ref) OVER () AS DOUBLE), 1e-6) AS rs,
+        |    greatest(CAST(n_cur AS DOUBLE) /
+        |      CAST(sum(n_cur) OVER () AS DOUBLE), 1e-6) AS cs
+        |  FROM h)
+        |SELECT bin, bin_lo, n_ref, n_cur,
+        |  round((cs - rs) * round(ln(cs / rs), 6), 6) AS psi_contrib
+        |FROM s""".stripMargin,
 
     // mirrors Dedup.repeatedSpans: md5 anchors, df<=64 guard,
     // gaps-and-islands over (pair, offset); all-integer span arithmetic

@@ -164,4 +164,40 @@ object Profile {
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
         (lit(lo) + col("bin").cast("double") * lit(w)).as("bin_lo"))
   }
+
+  /** Population Stability Index drift report between a reference and a
+    * current slice of the same column — the standard "did the
+    * distribution move" monitor for data pipelines (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). Reported PER BIN:
+    * psi = Σ over bins of (cur_share − ref_share)·ln(cur_share/ref_share),
+    * and emitting the per-bin contributions instead of the scalar total
+    * keeps the output actionable (WHICH bins moved) and sidesteps a
+    * multi-row double sum whose accumulation order differs across
+    * engines — the ln is quantized to 1e-6 and each contribution rounded
+    * to 1e-6, so every value is bit-reproducible (lmScore rule).
+    * Empty-bin shares clamp to minShare (the standard PSI epsilon).
+    *
+    * Scale shape: two independent histogram passes (each one
+    * partial+final count aggregation over its slice — nBins rows out),
+    * then everything downstream operates on the nBins-row grid: a
+    * bin-keyed join and an unpartitioned window over nBins rows. Nothing
+    * data-sized moves after the histograms. */
+  def driftReport(ref: DataFrame, cur: DataFrame, colName: String,
+      nBins: Int, lo: Double, hi: Double,
+      minShare: Double = 1e-6): DataFrame = {
+    require(minShare > 0, s"minShare must be positive, got $minShare")
+    import org.apache.spark.sql.expressions.Window
+    val hr = histogram(ref, colName, nBins, lo, hi)
+      .select(col("bin"), col("bin_lo"), col("n").as("n_ref"))
+    val hc = histogram(cur, colName, nBins, lo, hi)
+      .select(col("bin"), col("n").as("n_cur"))
+    val all = Window.partitionBy() // nBins rows — bounded by definition
+    val rs = greatest(col("n_ref").cast("double") /
+      sum(col("n_ref")).over(all).cast("double"), lit(minShare))
+    val cs = greatest(col("n_cur").cast("double") /
+      sum(col("n_cur")).over(all).cast("double"), lit(minShare))
+    hr.join(hc, Seq("bin"))
+      .select(col("bin"), col("bin_lo"), col("n_ref"), col("n_cur"),
+        round((cs - rs) * round(log(cs / rs), 6), 6).as("psi_contrib"))
+  }
 }

@@ -72,4 +72,31 @@ class ProfileSpec extends SparkSpec {
       .withColumn("k2", col("id") % 3), Seq("k2")).collect().head
     assert(bal.getAs[Double]("skew_ratio") == 1.0)
   }
+
+  test("PSI drift report: zero on identical slices, closed form on a shift") {
+    def slice(counts: Seq[Int]) = counts.zipWithIndex
+      .flatMap { case (n, b) => Seq.fill(n)(b * 10.0 + 5.0) }
+      .toDF("v") // values dead-center in bin b of [0,40) @ width 10
+    // identical distributions -> every contribution exactly 0
+    val same = Profile.driftReport(slice(Seq(4, 3, 2, 1)),
+      slice(Seq(4, 3, 2, 1)), "v", 4, 0.0, 40.0)
+      .select("psi_contrib").as[Double].collect()
+    assert(same.toSeq == Seq.fill(4)(0.0))
+    // shifted mass: ref (5,5,0,0)/10, cur (2,5,2,1)/10; bin 2 and 3 are
+    // empty in ref -> ref share clamps to minShare
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib(rs: Double, cs: Double) = q6((cs - rs) * q6(math.log(cs / rs)))
+    val got = Profile.driftReport(slice(Seq(5, 5, 0, 0)),
+      slice(Seq(2, 5, 2, 1)), "v", 4, 0.0, 40.0)
+      .orderBy("bin").select("bin", "n_ref", "n_cur", "psi_contrib")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 5L, 2L, contrib(0.5, 0.2)),
+      (1L, 5L, 5L, contrib(0.5, 0.5)),
+      (2L, 0L, 2L, contrib(1e-6, 0.2)),
+      (3L, 0L, 1L, contrib(1e-6, 0.1))))
+    // the clamped empty bins dominate, as PSI is designed to flag
+    assert(got(2)._4 > 1.0 && got(3)._4 > 1.0)
+  }
 }
