@@ -328,6 +328,32 @@ final case class Frame(df: DataFrame) {
   def histogram(colName: String, nBins: Int, lo: Double, hi: Double): Frame =
     Frame(graft.ops.Profile.histogram(df, colName, nBins, lo, hi))
 
+  /** PSI drift report vs a reference slice (ops/Profile passthrough):
+    * per-bin Population Stability Index contributions of THIS frame
+    * against `ref` over the same column. */
+  def drift(ref: Frame, colName: String, nBins: Int, lo: Double,
+      hi: Double): Frame =
+    Frame(graft.ops.Profile.driftReport(ref.df, df, colName, nBins, lo, hi))
+
+  /** TF-IDF keyword extraction (ops/TextOps passthrough): top-k terms
+    * per document by quantized tf·idf. */
+  def tfidfTopTerms(idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 5): Frame =
+    Frame(graft.ops.TextOps.tfidfTopTerms(df, idCol, textCol, k))
+
+  /** PMI collocations (ops/TextOps passthrough): top-k bigrams by
+    * pointwise mutual information among those seen >= minCount times. */
+  def collocations(textCol: String = "text", minCount: Long = 5,
+      k: Int = 20): Frame =
+    Frame(graft.ops.TextOps.collocations(df, textCol, minCount, k))
+
+  /** Exact repeated-substring spans (ops/Dedup passthrough): maximal
+    * shared token spans of length >= minLen across document pairs. */
+  def repeatedSpans(idCol: String = "doc_id", textCol: String = "text",
+      minLen: Int = 8, maxShingleDf: Long = 64): Frame =
+    Frame(graft.ops.Dedup.repeatedSpans(df, idCol, textCol, minLen,
+      maxShingleDf))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —

@@ -203,6 +203,22 @@ class EngineSpec extends SparkSpec {
     assert(pruned.count() == 3)
   }
 
+  test("corpus-analysis facades wire through to the ops layer") {
+    import spark.implicits._
+    val docs = Frame(Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta gamma gamma delta")).toDF("doc_id", "text"))
+    assert(docs.tfidfTopTerms(k = 2).count() == 4) // 2 docs x top-2
+    assert(docs.collocations(minCount = 1, k = 3).count() == 3)
+    val dup = Frame(Seq(
+      (1L, "a b c d e f g h"), (2L, "z a b c d e f g h")).toDF("doc_id", "text"))
+    assert(dup.repeatedSpans(minLen = 8).count() == 1)
+    val vals = Frame((1 to 10).map(_.toDouble).toDF("v"))
+    val d = vals.drift(vals, "v", 5, 0.0, 10.0)
+    assert(d.count() == 5 &&
+      d.df.selectExpr("max(abs(psi_contrib))").as[Double].head() == 0.0)
+  }
+
   test("unary operators: not, negate, null checks") {
     val r = people.filter(!(E.col("age") >= E.lit(24)))
     assert(r.count() == 2) // alice(21), dave(18)
