@@ -32,6 +32,46 @@ object SparkEntry {
   private val spanBlock12: String = (1 to 12).map(i => s"aq$i").mkString(" ")
   private val spanBlock8: String = (1 to 8).map(i => s"bq$i").mkString(" ")
 
+  /** Shared oracle CTE block mirroring Dedup.repeatedSpans (md5 anchors,
+    * df<=64 guard, gaps-and-islands over (pair, offset)) on the planted
+    * corpus — ends with a `spans` CTE used by q_repeated_spans and the
+    * q_dup_fraction composition. */
+  private def spanCtes: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES
+       |    (100001, '$spanBlock12 tail1 tail2'),
+       |    (100002, 'lead1 lead2 $spanBlock12'),
+       |    (100003, '$spanBlock8 end1'),
+       |    (100004, 'pre1 $spanBlock8')) v(doc_id, text)),
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM docs2),
+       |anch AS (
+       |  SELECT doc_id, unnest(
+       |    [{'pos': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
+       |     FOR i IN generate_series(1, len(ws) - 7)]) AS u
+       |  FROM tok WHERE len(ws) >= 8),
+       |a AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch),
+       |g AS (
+       |  SELECT * FROM (
+       |    SELECT a.*, count(*) OVER (PARTITION BY h) AS df_h FROM a)
+       |  WHERE df_h <= 64),
+       |cand AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, y.pos AS pb
+       |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |runs AS (
+       |  SELECT da, db, pa - pb AS d, pa,
+       |    pa - row_number() OVER (
+       |      PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+       |  FROM cand),
+       |spans AS (
+       |  SELECT da AS doc_a, db AS doc_b,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) - d AS BIGINT) AS start_b,
+       |    CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_len
+       |  FROM runs GROUP BY da, db, d, grp)""".stripMargin
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -1737,6 +1777,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .unionByName(planted)
       Dedup.repeatedSpans(docs, "doc_id", "text",
+        minLen = 8, maxShingleDf = 64)
+    }),
+
+    // ---- LLM: duplicated-content fraction per document ----------------
+    // the actionable composition over q_repeated_spans: coverage-merged
+    // duplicated token intervals / nTokens, on the same planted corpus
+    "q_dup_fraction" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (100001L, s"$spanBlock12 tail1 tail2"),
+        (100002L, s"lead1 lead2 $spanBlock12"),
+        (100003L, s"$spanBlock8 end1"),
+        (100004L, s"pre1 $spanBlock8")).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      Dedup.duplicatedTokenStats(docs, "doc_id", "text",
         minLen = 8, maxShingleDf = 64)
     }),
 
@@ -3661,38 +3717,44 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // mirrors Dedup.repeatedSpans: md5 anchors, df<=64 guard,
     // gaps-and-islands over (pair, offset); all-integer span arithmetic
     "q_repeated_spans" ->
-      s"""WITH docs2 AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT * FROM (VALUES
-        |    (100001, '$spanBlock12 tail1 tail2'),
-        |    (100002, 'lead1 lead2 $spanBlock12'),
-        |    (100003, '$spanBlock8 end1'),
-        |    (100004, 'pre1 $spanBlock8')) v(doc_id, text)),
-        |tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
-        |  FROM docs2),
-        |anch AS (
-        |  SELECT doc_id, unnest(
-        |    [{'pos': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
-        |     FOR i IN generate_series(1, len(ws) - 7)]) AS u
-        |  FROM tok WHERE len(ws) >= 8),
-        |a AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch),
-        |g AS (
-        |  SELECT * FROM (
-        |    SELECT a.*, count(*) OVER (PARTITION BY h) AS df_h FROM a)
-        |  WHERE df_h <= 64),
-        |cand AS (
-        |  SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, y.pos AS pb
-        |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id),
-        |runs AS (
-        |  SELECT da, db, pa - pb AS d, pa,
-        |    pa - row_number() OVER (
-        |      PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
-        |  FROM cand)
-        |SELECT da AS doc_a, db AS doc_b, CAST(min(pa) AS BIGINT) AS start_a,
-        |  CAST(min(pa) - d AS BIGINT) AS start_b,
-        |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_len
-        |FROM runs GROUP BY da, db, d, grp""".stripMargin,
+      s"""$spanCtes
+        |SELECT doc_a, doc_b, start_a, start_b, span_len
+        |FROM spans""".stripMargin,
+
+    // mirrors Dedup.duplicatedTokenStats: both sides' span intervals per
+    // doc, coverage-merged (gaps-and-islands again), over nTokens
+    "q_dup_fraction" ->
+      s"""$spanCtes,
+        |iv AS (
+        |  SELECT doc_a AS id, start_a AS s, start_a + span_len AS e
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_b, start_b, start_b + span_len FROM spans),
+        |m AS (
+        |  SELECT id, s, e, max(e) OVER (
+        |    PARTITION BY id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM iv),
+        |isl AS (
+        |  SELECT id, s, e, sum(CASE WHEN pe IS NULL OR s > pe THEN 1
+        |    ELSE 0 END) OVER (
+        |    PARTITION BY id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |cov AS (
+        |  SELECT id, grp, max(e) - min(s) AS cov FROM isl GROUP BY id, grp),
+        |dup AS (SELECT id, sum(cov) AS dup_tokens FROM cov GROUP BY id),
+        |toks AS (
+        |  SELECT doc_id, CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+        |    AS n_tokens
+        |  FROM docs2)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CASE WHEN t.n_tokens > 0 THEN
+        |    round(CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) /
+        |      CAST(t.n_tokens AS DOUBLE), 6) ELSE 0.0 END AS dup_fraction
+        |FROM toks t LEFT JOIN dup d ON t.doc_id = d.id""".stripMargin,
 
     // mirrors TextOps.collocations: one tokenize, quantized ln, bigram
     // tie-break; DuckDB list comprehension builds the bigram events

@@ -354,6 +354,14 @@ final case class Frame(df: DataFrame) {
     Frame(graft.ops.Dedup.repeatedSpans(df, idCol, textCol, minLen,
       maxShingleDf))
 
+  /** Duplicated-content fraction (ops/Dedup passthrough): coverage-merged
+    * shared-span tokens per document over its token count. */
+  def duplicatedTokenStats(idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8,
+      maxShingleDf: Long = 64): Frame =
+    Frame(graft.ops.Dedup.duplicatedTokenStats(df, idCol, textCol, minLen,
+      maxShingleDf))
+
   // ---- scale-control passthroughs -----------------------------------
 
   /** Plan hint (e.g. "broadcast", "merge", "shuffle_hash", "rebalance") —

@@ -282,6 +282,51 @@ object Dedup {
         col("span_len").cast("long").as("span_len"))
   }
 
+  /** Per-document duplicated-content fraction — the actionable end of
+    * [[repeatedSpans]]: how many of each document's tokens sit inside
+    * SOME shared span with ANY other document. A doc sharing its spans
+    * with many partners isn't double-counted: both sides' intervals are
+    * coverage-merged per doc (gaps-and-islands over [start, start+len)),
+    * so `dup_tokens` is the size of the UNION of duplicated regions.
+    * This is the curation signal span detection exists to feed — "drop
+    * or trim documents whose duplicated fraction exceeds X".
+    *
+    * Scale shape: [[repeatedSpans]]'s shape plus one doc-keyed window
+    * over span INTERVALS (pairs-level cardinality, far below anchor
+    * level), two small aggregations, and one left join back to the
+    * per-doc token counts (map-side counted, never exploded). */
+  def duplicatedTokenStats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, maxShingleDf: Long = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = repeatedSpans(docs, idCol, textCol, minLen, maxShingleDf)
+    val iv = spans
+      .select(col("doc_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("span_len")).as("e"))
+      .unionByName(spans.select(col("doc_b").as("id"),
+        col("start_b").as("s"), (col("start_b") + col("span_len")).as("e")))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prevEnd = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val dup = iv
+      .withColumn("new_isl",
+        when(prevEnd.isNull || col("s") > prevEnd, 1).otherwise(0))
+      .withColumn("grp", sum(col("new_isl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("grp"))
+      .agg((max(col("e")) - min(col("s"))).as("cov"))
+      .groupBy(col("id")).agg(sum(col("cov")).as("dup_tokens"))
+    docs
+      .select(longId(docs, idCol).as("id"),
+        TextOps.nTokens(col(textCol)).cast("long").as("n_tokens"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6)).otherwise(lit(0.0))
+          .as("dup_fraction"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd
     * Catalyst expression, graft.functions.SimHash64), split into 4 bands of
     * 16 bits. By pigeonhole, any pair at hamming distance <= 3 agrees on at

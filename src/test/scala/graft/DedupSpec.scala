@@ -53,6 +53,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("duplicated-token stats coverage-merge overlapping spans per doc") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),     // [1,5) from 2 and [3,7) from 3 -> union 6
+      (2L, "a b c d x1"),      // 4 of 5 duplicated
+      (3L, "y1 c d e f"),      // 4 of 5 duplicated
+      (4L, "p q r s t u v w"), // 4 of 8 -> 0.5
+      (5L, "p q r s z9"),
+      (6L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedTokenStats(corpus, "doc_id", "text", minLen = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 6L, 6L, 1.0),  // overlapping partner intervals NOT summed to 8
+      (2L, 5L, 4L, 0.8),
+      (3L, 5L, 4L, 0.8),
+      (4L, 8L, 4L, 0.5),
+      (5L, 5L, 4L, 0.8),
+      (6L, 5L, 0L, 0.0)))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
