@@ -72,6 +72,50 @@ object SparkEntry {
        |    CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_len
        |  FROM runs GROUP BY da, db, d, grp)""".stripMargin
 
+  /** DuckDB replay of Graph.pageRank on the undirected supplier<->
+    * customer graph: the 5 iterations unrolled as chained CTE stages.
+    * Every double expression mirrors the Spark side token-for-token —
+    * including the rebase constant written as (1.0 - 0.85), the IEEE
+    * expression the op evaluates, NOT the literal 0.15 (a different
+    * double 2e-17 away). Contributions are double-computed, DECIMAL-
+    * summed, ranks rounded to 9dp per round, so both engines walk the
+    * identical number sequence. Graph CTEs are MATERIALIZED: each
+    * stage re-references e/od/nodes, and inlining them per stage would
+    * re-run the base join five times. */
+  private def pageRankSql(iterations: Int): String = {
+    val stages = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
+         |      coalesce(CAST(s.csum AS DOUBLE), CAST(0.0 AS DOUBLE)), 9)
+         |      AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(CAST(CAST(0.85 AS DOUBLE) * r.pr / CAST(od.odeg AS DOUBLE)
+         |        AS DECIMAL(28,8))) AS csum
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr_pairs AS MATERIALIZED (
+       |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+       |    'c:' || CAST(o_custkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pr_pairs
+       |  UNION SELECT b, a FROM pr_pairs),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |od AS MATERIALIZED (
+       |  SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+       |$stages
+       |SELECT node, pr FROM r$iterations""".stripMargin
+  }
+
+  private val PageRankSql: String = pageRankSql(5)
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -967,6 +1011,54 @@ object SparkEntry {
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           col("v").as("v_ffill"))
     }),
+
+    // ---- extension: cohort retention matrix ---------------------------
+    // hourly cohorts over events: first-active hour per user, then how
+    // many of each cohort remain active k hours later — the product-
+    // analytics staple (two keyed aggs + one entity join; output is
+    // bounded by #buckets^2 regardless of row count)
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.TimeSeries.cohortRetention(events(s, dir), "user_id",
+        expr("ts_sec div 3600"))),
+
+    // ---- extension: rolling z-score outlier detection -----------------
+    // each event's value scored against its user's 20 preceding values
+    // (frame excludes the current row so an outlier can't mask itself);
+    // decimal-accumulated frame moments keep the score cross-engine
+    // bit-exact
+    "q_rolling_zscore" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingZscore(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_sec").as("sec"), col("value")),
+        "user_id", Seq(col("sec"), col("event_id")), "value",
+        lookback = 20, minPeriods = 10)),
+
+    // ---- extension: PageRank over the transaction graph ---------------
+    // undirected supplier<->customer co-transaction graph (both edge
+    // directions), 5 join+aggregate iterations; per-edge contributions
+    // double-computed but DECIMAL-accumulated, rank re-rounded to 9dp
+    // every round — deterministic across engines AND partitionings
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s:"), col("l_suppkey")).as("a"),
+          concat(lit("c:"), col("o_custkey")).as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5)
+    }),
+
+    // ---- extension: graph degree table --------------------------------
+    // directed supplier->customer edges; out/in/total degree per node
+    "q_graph_degrees" -> ((s, dir) =>
+      graft.ops.Graph.degrees(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s:"), col("l_suppkey")).as("a"),
+            concat(lit("c:"), col("o_custkey")).as("b")),
+        "a", "b")),
 
     // ---- extension: as-of join (latest right row at or before left ts) -
     "q_asof_join" -> ((s, dir) => {
@@ -2824,6 +2916,80 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
         |FROM j""".stripMargin,
+
+    // mirrors TimeSeries.cohortRetention at hourly resolution: distinct
+    // (user, hour) activity, min-hour cohorts, (cohort, period) counts,
+    // cohort size = the period-0 count via first_value
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS entity,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS bucket
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT entity, min(bucket) AS cohort FROM a GROUP BY entity),
+        |m AS (
+        |  SELECT cohort, bucket - cohort AS period, count(*) AS n_active
+        |  FROM a JOIN c USING (entity) GROUP BY 1, 2)
+        |SELECT cohort, period, n_active,
+        |  first_value(n_active) OVER (PARTITION BY cohort ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cohort_size,
+        |  round(CAST(n_active AS DOUBLE) /
+        |    CAST(first_value(n_active) OVER (PARTITION BY cohort
+        |      ORDER BY period
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+        |    6) AS retention
+        |FROM m""".stripMargin,
+
+    // mirrors TimeSeries.rollingZscore: decimal frame moments over the
+    // 20-preceding-rows frame, then the identical double mean/var/z
+    // token sequence; zero-variance history yields NULL z
+    "q_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, sec, value,
+        |    count(value) OVER fr AS n_hist,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER fr AS DOUBLE)
+        |      AS s2
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT user_id, event_id, sec, value, n_hist,
+        |    round(s / n_hist, 6) AS mean_hist,
+        |    CASE WHEN greatest(s2 / n_hist - (s / n_hist) * (s / n_hist),
+        |        0.0) > 0.0
+        |      THEN round((value - s / n_hist) /
+        |        sqrt(greatest(s2 / n_hist - (s / n_hist) * (s / n_hist),
+        |          0.0)), 6)
+        |      END AS z
+        |  FROM w WHERE n_hist >= 10)
+        |SELECT user_id, event_id, sec, value, n_hist, mean_hist, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_outlier
+        |FROM z""".stripMargin,
+
+    // mirrors Graph.pageRank on the undirected supplier<->customer
+    // graph: 5 unrolled iterations, per-edge double contributions
+    // accumulated in DECIMAL(28,8), rank re-based at (1.0 - 0.85) —
+    // that exact IEEE expression, not the literal 0.15 — and rounded
+    // to 9dp each round
+    "q_pagerank" -> PageRankSql,
+
+    // mirrors Graph.degrees on the directed supplier->customer edges
+    "q_graph_degrees" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c:' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+        |SELECT coalesce(o.node, i.node) AS node,
+        |  coalesce(out_degree, 0) AS out_degree,
+        |  coalesce(in_degree, 0) AS in_degree,
+        |  coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+        |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (

@@ -319,6 +319,29 @@ final case class Frame(df: DataFrame) {
     Frame(graft.ops.TimeSeries.resampleFfill(df, keyCol, bucket.toColumn,
       aggs.map(named), fillCols))
 
+  /** Cohort retention matrix (ops/TimeSeries passthrough): first-active
+    * bucket per entity, survivors per (cohort, period). */
+  def cohortRetention(entityCol: String, bucket: Expr): Frame =
+    Frame(graft.ops.TimeSeries.cohortRetention(df, entityCol,
+      bucket.toColumn))
+
+  /** Rolling z-score outlier detection (ops/TimeSeries passthrough):
+    * each row scored against its key's preceding-rows window. */
+  def rollingZscore(keyCol: String, orderCols: Seq[Expr], valueCol: String,
+      lookback: Int = 20, minPeriods: Int = 10): Frame =
+    Frame(graft.ops.TimeSeries.rollingZscore(df, keyCol,
+      orderCols.map(_.toColumn), valueCol, lookback, minPeriods))
+
+  /** PageRank over this frame as an edge table (ops/Graph passthrough). */
+  def pageRank(srcCol: String, dstCol: String, iterations: Int,
+      damping: Double = 0.85): Frame =
+    Frame(graft.ops.Graph.pageRank(df, srcCol, dstCol, iterations, damping))
+
+  /** Degree table over this frame as an edge table (ops/Graph
+    * passthrough). */
+  def degrees(srcCol: String, dstCol: String): Frame =
+    Frame(graft.ops.Graph.degrees(df, srcCol, dstCol))
+
   /** Exact one-pass covariance/correlation matrix (ops/Profile
     * passthrough). */
   def covarianceMatrix(cols: Seq[String]): Frame =

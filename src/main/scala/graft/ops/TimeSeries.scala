@@ -48,4 +48,88 @@ object TimeSeries {
     fillCols.foldLeft(joined)((d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
+
+  /** Cohort retention matrix: bucket each entity's activity (the
+    * `bucket` expression sets the resolution — hour, day, week), define
+    * its cohort as its FIRST active bucket, and count how many of each
+    * cohort's entities are still active `period` buckets later.
+    * `retention` divides by the cohort's own size (its period-0 count —
+    * present by construction, since the cohort bucket is itself an
+    * activity row).
+    *
+    * Scale shape: activity collapses to distinct (entity, bucket) in
+    * one partial+final aggregation; cohorts are a second entity-keyed
+    * aggregation; the join back is entity-keyed (never data-sized on
+    * the driver); the final matrix is one (cohort, period) aggregation
+    * whose output is bounded by #buckets², independent of row count.
+    * The cohort-size attach is a window over that matrix — cohort-sized
+    * partitions, trivially small. */
+  def cohortRetention(df: DataFrame, entityCol: String,
+      bucket: Column): DataFrame = {
+    val activity = df
+      .select(col(entityCol).as("entity"), bucket.cast("long").as("bucket"))
+      .where(col("entity").isNotNull && col("bucket").isNotNull)
+      .distinct()
+    val cohorts = activity.groupBy(col("entity"))
+      .agg(min(col("bucket")).as("cohort"))
+    val matrix = activity.join(cohorts, Seq("entity"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("period"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matrix
+      .withColumn("cohort_size", first(col("n_active")).over(w))
+      .select(col("cohort"), col("period"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** Rolling z-score outlier detection: each row's value scored against
+    * the mean/stddev of its key's `lookback` PRECEDING rows (the frame
+    * excludes the current row, so an outlier can't mask itself). Rows
+    * with fewer than `minPeriods` history rows are dropped — their
+    * estimates are noise.
+    *
+    * Cross-engine exactness (the [[Profile.covarianceMatrix]]
+    * convention): the frame's Σx accumulates in DECIMAL(18,2) and Σx²
+    * in DECIMAL(28,8) — exact, order-independent — and only the final
+    * per-row mean/variance/z arithmetic runs in doubles, a fixed IEEE
+    * sequence any engine reproduces token-for-token; z rounds to 6dp.
+    * Spark's own stddev over a window streams doubles in frame order
+    * and is NOT cross-engine stable.
+    *
+    * Scale shape: one shuffle on the key, one window pass computing all
+    * three frame aggregates together; everything after is per-row
+    * projection. A pathologically hot key concentrates its rows in one
+    * window partition — the as-of join's salting pattern applies if a
+    * key's row count outgrows a task. */
+  def rollingZscore(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, lookback: Int = 20, minPeriods: Int = 10):
+      DataFrame = {
+    require(lookback >= minPeriods && minPeriods >= 2,
+      s"need lookback >= minPeriods >= 2, got $lookback/$minPeriods")
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+    val v = col(valueCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-lookback.toLong, -1L)
+    val scored = df
+      .withColumn("n_hist", count(v).over(w))
+      .withColumn("__s", sum(v.cast(dec2)).over(w).cast("double"))
+      .withColumn("__s2", sum((v * v).cast(dec8)).over(w).cast("double"))
+      .where(col("n_hist") >= minPeriods)
+    val mean = col("__s") / col("n_hist")
+    val variance = greatest(
+      col("__s2") / col("n_hist") - mean * mean, lit(0.0))
+    scored
+      .withColumn("mean_hist", round(mean, 6))
+      // zero-variance history (all-equal values) gets NULL, not ±inf/NaN
+      // — engines disagree on IEEE edge signs, and NULL is the honest
+      // answer for "no spread to score against"
+      .withColumn("z",
+        when(variance > 0.0, round((v - mean) / sqrt(variance), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("z")) > 3.0, lit(false)))
+      .drop("__s", "__s2")
+  }
 }

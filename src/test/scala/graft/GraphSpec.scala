@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star: hub h points at leaves a,b,c and each leaf points back
+  private def star = Seq(("h", "a"), ("h", "b"), ("h", "c"),
+    ("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+
+  test("degrees counts in/out per node, parallel edges collapsed") {
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val got = Graph.degrees(e, "src", "dst")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 2L, 0L, 2L),   // a->b counted once
+      ("b", 1L, 1L, 2L),
+      ("c", 0L, 2L, 2L)))  // sink: out_degree zero, still present
+  }
+
+  test("pageRank matches a local reference simulation exactly") {
+    // reference walks the SAME quantized sequence: double contribution,
+    // exact (BigDecimal) accumulation, 9dp rebase per round
+    def simulate(edges: Seq[(String, String)], iters: Int):
+        Map[String, Double] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val odeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+      var pr = nodes.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val sums = scala.collection.mutable.Map[String, BigDecimal]()
+        for ((s, d) <- e) {
+          val c = BigDecimal(0.85 * pr(s) / odeg(s).toDouble)
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+          sums(d) = sums.getOrElse(d, BigDecimal(0)) + c
+        }
+        pr = nodes.map(n => n -> BigDecimal(
+            (1.0 - 0.85) + sums.getOrElse(n, BigDecimal(0)).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      }
+      pr
+    }
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"),
+      ("a", "h"), ("b", "h"), ("c", "h"), ("a", "b"))
+    val want = simulate(edges, 4)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", 4)
+      .as[(String, Double)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("pageRank ranks the hub above the leaves and is deterministic") {
+    val r1 = Graph.pageRank(star, "src", "dst", 5)
+      .as[(String, Double)].collect().toMap
+    val r2 = Graph.pageRank(star, "src", "dst", 5)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == r2)
+    assert(r1("h") > r1("a") && r1("a") == r1("b") && r1("b") == r1("c"))
+  }
+
+  test("pageRank leaves dangling nodes at the base rank") {
+    // x -> y, y has no out-edges: y never sends mass, x never receives
+    val e = Seq(("x", "y")).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", 3)
+      .as[(String, Double)].collect().toMap
+    assert(got("x") == 0.15)          // 1.0 - 0.85, rounded to 9dp
+    assert(got("y") > got("x"))       // receives x's full damped rank
+  }
+}

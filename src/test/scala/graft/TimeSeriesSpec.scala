@@ -33,4 +33,78 @@ class TimeSeriesSpec extends SparkSpec {
     // 1002 x 2 rows of a global time-axis product
     assert(n == 5)
   }
+
+  test("cohortRetention counts survivors against the first-bucket size") {
+    // cohort 10: users 1,2,3 — all at 10; 1,2 at 11; 1 at 13
+    // cohort 11: user 4 — at 11 and 13; duplicate activity collapses
+    val ev = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 10L), (2L, 11L), (3L, 10L),
+      (4L, 11L), (4L, 13L)).toDF("user_id", "b")
+    val got = TimeSeries.cohortRetention(ev, "user_id", col("b"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (10L, 0L, 3L, 3L, 1.0),
+      (10L, 1L, 2L, 3L, 0.666667),
+      (10L, 3L, 1L, 3L, 0.333333),
+      (11L, 0L, 1L, 1L, 1.0),
+      (11L, 2L, 1L, 1L, 1.0)))
+  }
+
+  test("rollingZscore scores against preceding rows only") {
+    // key 1: nine 10.0s then a 20.0 spike, lookback covers all history.
+    // The spike's own value must NOT enter its frame (else it would
+    // drag the mean and mask itself); history variance is zero -> the
+    // stable rows have NULL z, and the spike also scores NULL (no
+    // spread). Add jitter history for key 2 to get a real z.
+    val base = (1 to 9).map(i => (1L, i.toLong, 10.0))
+    val spike = Seq((1L, 10L, 20.0))
+    val jitter = (1 to 10).map(i =>
+      (2L, i.toLong, if (i % 2 == 0) 12.0 else 8.0))
+    val probe = Seq((2L, 11L, 30.0))
+    val df = (base ++ spike ++ jitter ++ probe).toDF("k", "t", "value")
+    val out = TimeSeries.rollingZscore(df, "k", Seq(col("t")), "value",
+        lookback = 20, minPeriods = 9)
+      .select(col("k"), col("t"), col("n_hist"), col("mean_hist"),
+        col("z"), col("is_outlier"))
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    // key 1 spike: 9 rows of history, all 10.0 -> zero variance, NULL z
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5, r._6))
+      .toSeq == Seq((10L, 9L, 10.0, None, false)))
+    // key 2 probe: mean 10, pop-std 2 -> z = (30-10)/2 = 10, outlier
+    val probeRow = out.filter(r => r._1 == 2L && r._2 == 11L).head
+    assert(probeRow._3 == 10L && probeRow._4 == 10.0 &&
+      probeRow._5.contains(10.0) && probeRow._6)
+    // rows with fewer than minPeriods history rows are dropped
+    assert(!out.exists(r => r._3 < 9L))
+  }
+
+  test("rollingZscore matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(7)
+    val rows = for (k <- 1 to 3; t <- 1 to 40)
+      yield (k.toLong, t.toLong, rng.nextInt(2000) / 100.0)
+    val df = rows.toDF("k", "t", "value")
+    val got = TimeSeries.rollingZscore(df, "k", Seq(col("t")), "value",
+        lookback = 12, minPeriods = 5)
+      .select(col("k"), col("t"), col("z"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byKey = rows.groupBy(_._1)
+    var checked = 0
+    for (((k, t), z) <- got) {
+      val hist = byKey(k).filter(r => r._2 >= t - 12 && r._2 < t)
+        .map(_._3)
+      assert(hist.size >= 5)
+      val mean = hist.sum / hist.size
+      val variance = hist.map(x => x * x).sum / hist.size - mean * mean
+      val v = byKey(k).find(_._2 == t).get._3
+      if (variance > 0) {
+        val expect = (v - mean) / math.sqrt(variance)
+        assert(z.isDefined && math.abs(z.get - expect) < 1e-4,
+          s"key $k t $t: got $z want $expect")
+      } else assert(z.isEmpty)
+      checked += 1
+    }
+    assert(checked == 3 * (40 - 5))
+  }
 }
