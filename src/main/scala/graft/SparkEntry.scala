@@ -73,26 +73,24 @@ object SparkEntry {
        |  FROM runs GROUP BY da, db, d, grp)""".stripMargin
 
   /** DuckDB replay of Graph.pageRank on the undirected supplier<->
-    * customer graph: the 5 iterations unrolled as chained CTE stages.
-    * Every double expression mirrors the Spark side token-for-token —
-    * including the rebase constant written as (1.0 - 0.85), the IEEE
-    * expression the op evaluates, NOT the literal 0.15 (a different
-    * double 2e-17 away). Contributions are double-computed, DECIMAL-
-    * summed, ranks rounded to 9dp per round, so both engines walk the
-    * identical number sequence. Graph CTEs are MATERIALIZED: each
-    * stage re-references e/od/nodes, and inlining them per stage would
-    * re-run the base join five times. */
+    * customer graph: the 5 iterations unrolled as chained CTE stages,
+    * in the op's FIXED-POINT integer arithmetic — BIGINT nano-scale
+    * ranks, truncating `(rank_n * 85) // (odeg * 100)` contributions
+    * (`//` floors, `div` truncates: identical on the all-positive
+    * ranks), exact BIGINT sums, one final divide to double. No float
+    * appears inside the loop on either engine, so there is nothing to
+    * round differently (a double→DECIMAL contribution variant measured
+    * 473/16k rows off by 1e-8 at sf0.1). Graph CTEs are MATERIALIZED:
+    * each stage re-references e/od/nodes, and inlining them per stage
+    * would re-run the base join five times. */
   private def pageRankSql(iterations: Int): String = {
     val stages = (1 to iterations).map { k =>
       s"""r$k AS (
          |  SELECT n.node,
-         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) +
-         |      coalesce(CAST(s.csum AS DOUBLE), CAST(0.0 AS DOUBLE)), 9)
-         |      AS pr
+         |    150000000 + coalesce(s.csum, 0) AS pr_n
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node,
-         |      sum(CAST(CAST(0.85 AS DOUBLE) * r.pr / CAST(od.odeg AS DOUBLE)
-         |        AS DECIMAL(28,8))) AS csum
+         |      CAST(sum((r.pr_n * 85) // (od.odeg * 100)) AS BIGINT) AS csum
          |    FROM e JOIN r${k - 1} r ON e.src = r.node
          |    JOIN od ON e.src = od.src
          |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
@@ -109,9 +107,10 @@ object SparkEntry {
        |  UNION SELECT DISTINCT dst FROM e),
        |od AS MATERIALIZED (
        |  SELECT src, count(*) AS odeg FROM e GROUP BY src),
-       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_n FROM nodes),
        |$stages
-       |SELECT node, pr FROM r$iterations""".stripMargin
+       |SELECT node, CAST(pr_n AS DOUBLE) / 1000000000.0 AS pr
+       |FROM r$iterations""".stripMargin
   }
 
   private val PageRankSql: String = pageRankSql(5)
@@ -1035,9 +1034,9 @@ object SparkEntry {
 
     // ---- extension: PageRank over the transaction graph ---------------
     // undirected supplier<->customer co-transaction graph (both edge
-    // directions), 5 join+aggregate iterations; per-edge contributions
-    // double-computed but DECIMAL-accumulated, rank re-rounded to 9dp
-    // every round — deterministic across engines AND partitionings
+    // directions), 5 join+aggregate iterations in fixed-point BIGINT
+    // nano-units (truncating integer division per edge, exact integer
+    // sums) — bit-identical across engines AND partitionings
     "q_pagerank" -> ((s, dir) => {
       val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
@@ -2971,10 +2970,8 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM z""".stripMargin,
 
     // mirrors Graph.pageRank on the undirected supplier<->customer
-    // graph: 5 unrolled iterations, per-edge double contributions
-    // accumulated in DECIMAL(28,8), rank re-based at (1.0 - 0.85) —
-    // that exact IEEE expression, not the literal 0.15 — and rounded
-    // to 9dp each round
+    // graph: 5 unrolled iterations in fixed-point BIGINT nano-units —
+    // no float inside the loop on either engine (see pageRankSql)
     "q_pagerank" -> PageRankSql,
 
     // mirrors Graph.degrees on the directed supplier->customer edges

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph analytics over edge DataFrames — the entity-graph
   * siblings of [[Dedup]]'s connected components: influence scoring over
@@ -24,12 +23,18 @@ object Graph {
     * RANKING use (influence ordering), and is what an engine comparing
     * against this must reproduce.
     *
-    * Cross-engine determinism: per-edge contributions are computed in
-    * doubles (`damping * rank / out_degree` — a fixed per-row IEEE
-    * sequence) but ACCUMULATED in DECIMAL(28,8), so the per-node sum is
-    * exact and order-independent; the new rank rounds to 9dp each
-    * iteration, well above ulp scale. Spark's summation order across
-    * shuffle partitions can never leak into the result.
+    * Cross-engine determinism: the ENTIRE iteration runs in fixed-point
+    * integer arithmetic — ranks are BIGINT nano-units (1e9 scale), each
+    * per-edge contribution is one truncating integer division
+    * `(rank_n * d) div (out_degree * 100)` (damping as d/100), and the
+    * per-node sum is an exact BIGINT aggregate. No float appears until
+    * the single final divide to double. Float formulations fail here in
+    * practice: a double→DECIMAL contribution cast disagrees between
+    * engines in the last decimal (Spark rounds the shortest string
+    * repr, others round the exact binary value — measured at sf0.1,
+    * 473/16k rows off by 1e-8), and integer arithmetic has no such
+    * seam. Partitioning, summation order, and engine can never change
+    * the answer.
     *
     * Scale shape per iteration: one src-keyed equi-join attaching
     * (rank, out_degree) to edges — both rank and degree tables are
@@ -38,13 +43,19 @@ object Graph {
     * driver; `iterations` is a fixed small constant (5–20), so the
     * lineage stays bounded. For 100 TB-scale edge sets the edge table
     * is the only big operand and it is never materialized more than
-    * once per iteration.
+    * once per iteration. Headroom: rank_n * d needs rank ≤ ~1e8 before
+    * the ANSI overflow guard trips — a graph would need ~1e8 nodes
+    * funneling into ONE hub to get there.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    val dec8 = DecimalType(28, 8)
+    val d100 = math.round(damping * 100).toInt
+    require(math.abs(d100 / 100.0 - damping) < 1e-12,
+      s"damping must have at most 2 decimals (got $damping) — it becomes " +
+        "the exact integer ratio d/100 inside the fixed-point iteration")
+    val baseN = 1000000000L - d100 * 10000000L // (1 - damping) in nanos
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -53,21 +64,20 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    var ranks = nodes.select(col("node"), lit(1.0).as("pr"))
+    var ranks = nodes.select(col("node"), lit(1000000000L).as("pr_n"))
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outDeg, Seq("src"))
         .select(col("dst").as("node"),
-          (lit(damping) * col("pr") / col("odeg").cast("double"))
-            .cast(dec8).as("c"))
+          expr(s"(pr_n * $d100) div (odeg * 100)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          round(lit(1.0 - damping) +
-            coalesce(col("csum").cast("double"), lit(0.0)), 9).as("pr"))
+          (lit(baseN) + coalesce(col("csum"), lit(0L))).as("pr_n"))
     }
-    ranks
+    ranks.select(col("node"),
+      (col("pr_n").cast("double") / lit(1.0e9)).as("pr"))
   }
 
   /** Degree table for a directed edge set: one row per node with its

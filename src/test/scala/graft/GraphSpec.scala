@@ -21,26 +21,24 @@ class GraphSpec extends SparkSpec {
   }
 
   test("pageRank matches a local reference simulation exactly") {
-    // reference walks the SAME quantized sequence: double contribution,
-    // exact (BigDecimal) accumulation, 9dp rebase per round
+    // reference walks the SAME fixed-point integer sequence: nano-scale
+    // ranks, truncating per-edge division, exact integer sums
     def simulate(edges: Seq[(String, String)], iters: Int):
         Map[String, Double] = {
       val e = edges.distinct
       val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
       val odeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
-      var pr = nodes.map(_ -> 1.0).toMap
+      var pr = nodes.map(_ -> 1000000000L).toMap
       for (_ <- 1 to iters) {
-        val sums = scala.collection.mutable.Map[String, BigDecimal]()
+        val sums = scala.collection.mutable.Map[String, Long]()
         for ((s, d) <- e) {
-          val c = BigDecimal(0.85 * pr(s) / odeg(s).toDouble)
-            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
-          sums(d) = sums.getOrElse(d, BigDecimal(0)) + c
+          val c = (pr(s) * 85L) / (odeg(s) * 100L)
+          sums(d) = sums.getOrElse(d, 0L) + c
         }
-        pr = nodes.map(n => n -> BigDecimal(
-            (1.0 - 0.85) + sums.getOrElse(n, BigDecimal(0)).toDouble)
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+        pr = nodes.map(n =>
+          n -> (150000000L + sums.getOrElse(n, 0L))).toMap
       }
-      pr
+      pr.map { case (n, v) => n -> v.toDouble / 1.0e9 }
     }
     val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"),
       ("a", "h"), ("b", "h"), ("c", "h"), ("a", "b"))
