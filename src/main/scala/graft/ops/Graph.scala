@@ -46,9 +46,26 @@ object Graph {
     * once per iteration. Headroom: rank_n * d needs rank ≤ ~1e8 before
     * the ANSI overflow guard trips — a graph would need ~1e8 nodes
     * funneling into ONE hub to get there.
-    */
+    *
+    * `broadcastState` (default true) broadcasts the rank/degree tables
+    * into the edge join each round, so the EDGE table never shuffles —
+    * the iteration cost collapses to one edge scan plus a partially-
+    * aggregated node-sized shuffle (measured 2.8× at sf0.1: the
+    * checkpointed tables carry no stats, so without the hint Catalyst
+    * sort-merge-joins the edge side every round). Pass false for graphs
+    * whose NODE count itself outgrows a broadcast (billions of nodes) —
+    * the formulation degrades gracefully to shuffle joins.
+    *
+    * `assumeDistinct` skips the internal parallel-edge collapse for
+    * callers that already dedup — e.g. a mirrored undirected graph
+    * built as `distinct(pairs) ∪ mirror(distinct(pairs))` is distinct
+    * by construction at half the dedup width, and re-running distinct
+    * over the mirrored union would double the heaviest shuffle of the
+    * whole op. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      broadcastState: Boolean = true,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val d100 = math.round(damping * 100).toInt
@@ -56,25 +73,39 @@ object Graph {
       s"damping must have at most 2 decimals (got $damping) — it becomes " +
         "the exact integer ratio d/100 inside the fixed-point iteration")
     val baseN = 1000000000L - d100 * 10000000L // (1 - damping) in nanos
-    val e = edges
+    // localCheckpoint the loop invariants ONCE (the nearDupClusters
+    // convention): without truncation every iteration's plan re-derives
+    // the deduped edge set and degree table from the raw input — at
+    // sf0.1 that re-ran a 1.2M-row join+distinct five times (measured
+    // ~5.5s; checkpointed ~2s). On a multi-node cluster prefer reliable
+    // `checkpoint` with a checkpoint dir.
+    val eRaw = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = (if (assumeDistinct) eRaw else eRaw.distinct())
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(true)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
     var ranks = nodes.select(col("node"), lit(1000000000L).as("pr_n"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
+        .join(state(ranks.withColumnRenamed("node", "src")), Seq("src"))
+        .join(state(outDeg), Seq("src"))
         .select(col("dst").as("node"),
           expr(s"(pr_n * $d100) div (odeg * 100)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(state(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(baseN) + coalesce(col("csum"), lit(0L))).as("pr_n"))
+      // rank lineage otherwise chains all prior rounds into one plan;
+      // node-sized, so the eager materialization is cheap
+      if (i < iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"),
       (col("pr_n").cast("double") / lit(1.0e9)).as("pr"))
