@@ -114,10 +114,14 @@ object TimeSeries {
     val v = col(valueCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(-lookback.toLong, -1L)
+    // all three frame moments in ONE select so CollapseWindow keeps a
+    // single Window operator (a withColumn chain interleaves Projects
+    // that block the merge — three passes over the sorted partition)
     val scored = df
-      .withColumn("n_hist", count(v).over(w))
-      .withColumn("__s", sum(v.cast(dec2)).over(w).cast("double"))
-      .withColumn("__s2", sum((v * v).cast(dec8)).over(w).cast("double"))
+      .select(df.columns.map(col) ++ Seq(
+        count(v).over(w).as("n_hist"),
+        sum(v.cast(dec2)).over(w).cast("double").as("__s"),
+        sum((v * v).cast(dec8)).over(w).cast("double").as("__s2")): _*)
       .where(col("n_hist") >= minPeriods)
     val mean = col("__s") / col("n_hist")
     val variance = greatest(

@@ -37,7 +37,9 @@ object DumpPlans {
     "q_tfidf" -> "TF-IDF top-k: ONE tokenize explode feeding one (doc, token) aggregation; df is a token-keyed window over that output (a join-back would scan the corpus twice — Catalyst de-canonicalizes the copy, defeating exchange reuse), top-k a per-doc WindowGroupLimit.",
     "q_collocations" -> "PMI collocations: unigram and bigram counts each one keyed aggregation; the grand totals never explode (map-only sum of array sizes); the unigram broadcast is built once and Reused for both the x and y attaches; final top-k is TakeOrderedAndProject.",
     "q_repeated_spans" -> "Repeated-span dedup: the md5 anchor table shuffles once — the df guard is a count window over that partitioning and the self-join ReusedExchanges it; islands run per (pair, offset) window; no text beyond the scan stage, no cartesian.",
-    "q_dup_fraction" -> "Duplicated-content fraction: repeatedSpans' shape, then doc-keyed interval windows + two aggregations at span cardinality (far below anchor level); the token-count side is a map-side projection joined back once — the corpus text is never re-exploded.")
+    "q_dup_fraction" -> "Duplicated-content fraction: repeatedSpans' shape, then doc-keyed interval windows + two aggregations at span cardinality (far below anchor level); the token-count side is a map-side projection joined back once — the corpus text is never re-exploded.",
+    "q_rolling_zscore" -> "Rolling z-score: ONE Window operator carries all three frame moments (count, decimal Σx, Σx²) over one key exchange + one sort; scoring is pure per-row projection after that.",
+    "q_pagerank" -> "PageRank final round: rank/degree state joins into the checkpointed edge table as BroadcastHashJoin (state is node-sized; checkpointed RDDs carry no stats, so the op pins the hint) — the edge table never shuffles; the only exchange is the dst-keyed partial+final contribution aggregation.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)

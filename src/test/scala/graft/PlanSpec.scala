@@ -302,4 +302,34 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(j).size >= 2)
     assert(j.contains("get_json_object"))
   }
+
+  test("event/graph analytics keep their scale shapes") {
+    // rolling z-score: ONE Window operator computes all three frame
+    // moments together (count, Σx, Σx²) — a withColumn chain leaves
+    // three stacked Windows (blocked CollapseWindow) = three passes
+    // over every sorted partition; the only exchange is the key
+    // partition and the only sort its window sort
+    val z = plan("q_rolling_zscore")
+    assert(z.linesIterator.count(l =>
+      l.startsWith("(") && l.contains(") Window")) == 1, z)
+    assert(z.linesIterator.count(_.contains("hashpartitioning(")) == 1, z)
+    assert(!z.contains("SortMergeJoin") && !z.contains("CartesianProduct"))
+
+    // cohort retention: everything after the distinct runs at
+    // (entity, bucket) cardinality — no event-sized join, no cartesian
+    val c = plan("q_cohort_retention")
+    assert(!c.contains("CartesianProduct"))
+    // activity distinct, entity-keyed cohort agg(+join), matrix agg,
+    // cohort-size window — all keyed exchanges, bounded count
+    assert(c.linesIterator.count(_.contains("hashpartitioning(")) <= 5, c)
+
+    // PageRank final round: the rank/degree state joins into the edge
+    // table as broadcasts — the edge side must NOT shuffle or sort for
+    // them (checkpointed tables have no stats; the op pins the hint)
+    val p = plan("q_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"edge table is being shuffle-joined against node-sized state:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
