@@ -1054,6 +1054,21 @@ object SparkEntry {
         assumeDistinct = true)
     }),
 
+    // ---- extension: triangle counting ---------------------------------
+    // co-supplier graph (suppliers sharing a high-quantity order),
+    // degree-oriented wedge join — the orientation bounds wedge work by
+    // arboricity, so a hub generates no wedges
+    "q_triangles" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+        .distinct()
+      val pairs = sp.as("x")
+        .join(sp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.s") =!= col("y.s"))
+        .select(col("x.s").as("sa"), col("y.s").as("sb"))
+      graft.ops.Graph.triangleCount(pairs, "sa", "sb")
+    }),
+
     // ---- extension: graph degree table --------------------------------
     // directed supplier->customer edges; out/in/total degree per node
     "q_graph_degrees" -> ((s, dir) =>
@@ -2979,6 +2994,21 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // graph: 5 unrolled iterations in fixed-point BIGINT nano-units —
     // no float inside the loop on either engine (see pageRankSql)
     "q_pagerank" -> PageRankSql,
+
+    // triangle count is a graph INVARIANT — the oracle counts the same
+    // set with the classic ordered 3-way self-join, no need to mirror
+    // the engine's degree-oriented wedge internals
+    "q_triangles" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 45),
+        |und AS (
+        |  SELECT DISTINCT least(x.s, y.s) AS a, greatest(x.s, y.s) AS b
+        |  FROM sp x JOIN sp y ON x.ok = y.ok AND x.s <> y.s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM und e1
+        |JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
 
     // mirrors Graph.degrees on the directed supplier->customer edges
     "q_graph_degrees" ->

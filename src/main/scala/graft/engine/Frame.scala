@@ -342,6 +342,11 @@ final case class Frame(df: DataFrame) {
   def degrees(srcCol: String, dstCol: String): Frame =
     Frame(graft.ops.Graph.degrees(df, srcCol, dstCol))
 
+  /** Triangle enumeration over this frame as an undirected edge table
+    * (ops/Graph passthrough): one row per triangle, corners ascending. */
+  def triangles(srcCol: String, dstCol: String): Frame =
+    Frame(graft.ops.Graph.triangles(df, srcCol, dstCol))
+
   /** Exact one-pass covariance/correlation matrix (ops/Profile
     * passthrough). */
   def covarianceMatrix(cols: Seq[String]): Frame =

@@ -57,6 +57,29 @@ class GraphSpec extends SparkSpec {
     assert(r1("h") > r1("a") && r1("a") == r1("b") && r1("b") == r1("c"))
   }
 
+  test("triangles enumerates each triangle once, corners ascending") {
+    // K4 on a,b,c,d (4 triangles) plus a pendant edge d-e; input is
+    // noisy: both directions, duplicates, a self-loop
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("c", "d"), ("d", "e"),
+      ("e", "e")).toDF("src", "dst")
+    val got = Graph.triangles(e, "src", "dst")
+      .as[(String, String, String)].collect().toSeq
+    assert(got.size == got.distinct.size)
+    assert(got.toSet == Set(("a", "b", "c"), ("a", "b", "d"),
+      ("a", "c", "d"), ("b", "c", "d")))
+    assert(Graph.triangleCount(e, "src", "dst").as[Long].head() == 4L)
+  }
+
+  test("triangles: squares and stars have none; orientation kills hub wedges") {
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(square, "src", "dst").as[Long].head() == 0L)
+    // star hub: 50 leaves, no leaf-leaf edges -> zero wedges survive
+    val hub = (1 to 50).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    assert(Graph.triangleCount(hub, "src", "dst").as[Long].head() == 0L)
+  }
+
   test("pageRank leaves dangling nodes at the base rank") {
     // x -> y, y has no out-edges: y never sends mass, x never receives
     val e = Seq(("x", "y")).toDF("src", "dst")
