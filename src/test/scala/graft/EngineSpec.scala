@@ -219,6 +219,24 @@ class EngineSpec extends SparkSpec {
       d.df.selectExpr("max(abs(psi_contrib))").as[Double].head() == 0.0)
   }
 
+  test("event/graph-analytics facades wire through to the ops layer") {
+    import spark.implicits._
+    val ev = Frame(Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 10L, 3.0))
+      .toDF("user_id", "b", "value"))
+    assert(ev.cohortRetention("user_id", E.col("b")).count() == 2)
+    assert(ev.rollingZscore("user_id", Seq(E.col("b")), "value",
+      lookback = 2, minPeriods = 2).count() == 0) // nobody has 2 history rows
+    val dupStats = Frame(Seq(
+      (1L, "a b c d e f g h"), (2L, "z a b c d e f g h"))
+      .toDF("doc_id", "text")).duplicatedTokenStats(minLen = 8)
+    assert(dupStats.count() == 2)
+    val edges = Frame(Seq(("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("src", "dst"))
+    assert(edges.pageRank("src", "dst", 2).count() == 3)
+    assert(edges.degrees("src", "dst").count() == 3)
+    assert(edges.triangles("src", "dst").count() == 1)
+  }
+
   test("unary operators: not, negate, null checks") {
     val r = people.filter(!(E.col("age") >= E.lit(24)))
     assert(r.count() == 2) // alice(21), dave(18)
