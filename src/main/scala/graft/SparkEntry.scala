@@ -1069,6 +1069,21 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(pairs, "sa", "sb")
     }),
 
+    // ---- extension: link prediction (common neighbors + RA index) -----
+    // distance-2 non-edges of the co-supplier graph, scored by shared-
+    // neighbor count and the fixed-point Resource-Allocation index
+    "q_link_predict" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+        .distinct()
+      val pairs = sp.as("x")
+        .join(sp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.s") =!= col("y.s"))
+        .select(col("x.s").cast("string").as("sa"),
+          col("y.s").cast("string").as("sb"))
+      graft.ops.Graph.linkPredictions(pairs, "sa", "sb")
+    }),
+
     // ---- extension: graph degree table --------------------------------
     // directed supplier->customer edges; out/in/total degree per node
     "q_graph_degrees" -> ((s, dir) =>
@@ -3009,6 +3024,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM und e1
         |JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         |JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+    // mirrors Graph.linkPredictions: string-canonical undirected edges,
+    // center-keyed wedges, fixed-point RA accumulation (1e9 // d), and
+    // the existing-edge anti join
+    "q_link_predict" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity > 45),
+        |und AS (
+        |  SELECT DISTINCT
+        |    least(CAST(x.s AS VARCHAR), CAST(y.s AS VARCHAR)) AS a,
+        |    greatest(CAST(x.s AS VARCHAR), CAST(y.s AS VARCHAR)) AS b
+        |  FROM sp x JOIN sp y ON x.ok = y.ok AND x.s <> y.s),
+        |adj AS (
+        |  SELECT a AS n, b AS nb FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+        |ctr AS (
+        |  SELECT adj.n, adj.nb, deg.d FROM adj JOIN deg ON adj.n = deg.n
+        |  WHERE deg.d <= 100000),
+        |w AS (
+        |  SELECT x.nb AS n1, y.nb AS n2, x.d AS d
+        |  FROM ctr x JOIN ctr y ON x.n = y.n AND x.nb < y.nb),
+        |s AS (
+        |  SELECT n1, n2, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(1000000000 // d) AS BIGINT) AS ra_n
+        |  FROM w GROUP BY n1, n2),
+        |p AS (
+        |  SELECT s.* FROM s LEFT JOIN und
+        |    ON s.n1 = und.a AND s.n2 = und.b
+        |  WHERE und.a IS NULL)
+        |SELECT n1, n2, common_neighbors,
+        |  CAST(ra_n AS DOUBLE) / 1000000000.0 AS ra_score
+        |FROM p""".stripMargin,
 
     // mirrors Graph.degrees on the directed supplier->customer edges
     "q_graph_degrees" ->

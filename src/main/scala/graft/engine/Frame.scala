@@ -347,6 +347,13 @@ final case class Frame(df: DataFrame) {
   def triangles(srcCol: String, dstCol: String): Frame =
     Frame(graft.ops.Graph.triangles(df, srcCol, dstCol))
 
+  /** Link prediction over this frame as an undirected edge table
+    * (ops/Graph passthrough): distance-2 non-edges scored by common
+    * neighbors and the fixed-point Resource-Allocation index. */
+  def linkPredictions(srcCol: String, dstCol: String,
+      maxDegree: Long = 100000): Frame =
+    Frame(graft.ops.Graph.linkPredictions(df, srcCol, dstCol, maxDegree))
+
   /** Exact one-pass covariance/correlation matrix (ops/Profile
     * passthrough). */
   def covarianceMatrix(cols: Seq[String]): Frame =

@@ -80,6 +80,31 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(hub, "src", "dst").as[Long].head() == 0L)
   }
 
+  test("linkPredictions scores distance-2 non-edges, never existing edges") {
+    // square a-b-c-d: the two diagonals, each with 2 shared degree-2
+    // neighbors -> common 2, ra 0.5+0.5; plus a pendant e off a whose
+    // only candidates route through a (degree 3)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e"))
+      .toDF("src", "dst")
+    val got = Graph.linkPredictions(e, "src", "dst")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "c", 2L, 1.0),           // via b(2) and d(2)
+      ("b", "d", 2L, 0.833333333),   // via c(2) + via a(3), truncating
+      ("b", "e", 1L, 0.333333333),   // 1e9 div 3 fixed point, not 1/3
+      ("d", "e", 1L, 0.333333333)))
+    // no existing edge appears as a prediction
+    assert(!got.exists(p => Set(("a","b"),("b","c"),("c","d"),("a","d"),
+      ("a","e")).contains((p._1, p._2))))
+  }
+
+  test("linkPredictions maxDegree drops hub centers") {
+    val hub = (1 to 20).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    assert(Graph.linkPredictions(hub, "src", "dst").count() == 190L)
+    assert(Graph.linkPredictions(hub, "src", "dst", maxDegree = 10)
+      .count() == 0L)
+  }
+
   test("pageRank leaves dangling nodes at the base rank") {
     // x -> y, y has no out-edges: y never sends mass, x never receives
     val e = Seq(("x", "y")).toDF("src", "dst")
