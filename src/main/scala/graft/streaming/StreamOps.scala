@@ -172,6 +172,73 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming rolling z-score — the live-anomaly form of
+    * [[graft.ops.TimeSeries.rollingZscore]]: each event scored against
+    * its user's `lookback` PRECEDING values, with the IDENTICAL
+    * quantized arithmetic (decimal frame moments, 6dp z), so a row gets
+    * the same score whether it flows through the stream or the batch op
+    * — StreamingSpec asserts bit-equality.
+    *
+    * State is a ring of the last `lookback` values per key (≤ 20
+    * doubles, one small array struct — bounded regardless of stream
+    * length); an optional processing-time idle timeout evicts cold keys
+    * the way [[runningUserStats]] does. Rows inside a micro-batch are
+    * re-sorted by (sec, event_id) before scoring; ACROSS micro-batches
+    * the arrival order is the scoring order, so parity with the batch
+    * sort holds when the stream delivers each key's events in time
+    * order (the usual ingestion contract; a late event scores against
+    * the history present at arrival — the honest online answer). */
+  def rollingZscoreStream(events: Dataset[ZEvent], lookback: Int = 20,
+      minPeriods: Int = 10, idleTimeout: Option[String] = None):
+      Dataset[ZScoreRow] = {
+    import events.sparkSession.implicits._
+    require(lookback >= minPeriods && minPeriods >= 2,
+      s"need lookback >= minPeriods >= 2, got $lookback/$minPeriods")
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+               else GroupStateTimeout.NoTimeout()
+    def round(x: Double, s: Int): Double =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZRing, ZScoreRow](OutputMode.Append(), conf) {
+        (userId: Long, rows: Iterator[ZEvent], state: GroupState[ZRing]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.map(_.vals).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[ZScoreRow]
+            // batch sort order within the micro-batch; arrival order
+            // across micro-batches
+            rows.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+              val hist = ring.takeRight(lookback)
+              if (hist.size >= minPeriods) {
+                // the batch op's exact number path: Σx in DECIMAL(18,2),
+                // Σx² in DECIMAL(28,8) (exact, order-free), then the
+                // identical double mean/var/z token sequence
+                val s = hist.map(v => BigDecimal(v)
+                  .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+                  .sum.toDouble
+                val s2 = hist.map(v => BigDecimal(v * v)
+                  .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+                  .sum.toDouble
+                val n = hist.size.toDouble
+                val mean = s / n
+                val varr = math.max(s2 / n - mean * mean, 0.0)
+                val z: Option[Double] =
+                  if (varr > 0.0) Some(round((e.value - mean) / math.sqrt(varr), 6))
+                  else None
+                out += ZScoreRow(userId, e.event_id, e.sec, e.value,
+                  hist.size.toLong, round(mean, 6), z,
+                  z.exists(v => math.abs(v) > 3.0))
+              }
+              ring = (ring :+ e.value).takeRight(lookback)
+            }
+            state.update(ZRing(ring))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 }
 
 /** Typed event row for stateful streaming ops. */
@@ -179,3 +246,10 @@ case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double)
 case class UserState(n: Long, sum: Double)
 case class UserStats(user_id: Long, n: Long, sum: Double, crossed100: Boolean)
+
+/** Typed rows for the streaming rolling z-score. */
+case class ZEvent(user_id: Long, event_id: Long, sec: Long, value: Double)
+case class ZRing(vals: Vector[Double])
+case class ZScoreRow(user_id: Long, event_id: Long, sec: Long, value: Double,
+                     n_hist: Long, mean_hist: Double, z: Option[Double],
+                     is_outlier: Boolean)

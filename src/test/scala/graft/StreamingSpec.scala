@@ -294,4 +294,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(("click", 2L), ("view", 1L), ("click", 1L)).map(identity) ||
       batch == Set(("click", 2L), ("view", 1L), ("click", 1L)))
   }
+
+  test("streaming rolling z-score is bit-equal to the batch op across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.{ZEvent, StreamOps => S}
+    // three users x 12 time-ordered 2-decimal values, split mid-key
+    // across two micro-batches so ring state must carry over
+    val rng = new scala.util.Random(11)
+    val all = for (u <- 1L to 3L; t <- 1 to 12) yield
+      ZEvent(u, u * 100 + t, t.toLong, rng.nextInt(2000) / 100.0)
+    val (b1, b2) = all.partition(_.sec <= 7)
+    val mem = MemoryStream[ZEvent]
+    val q = S.rollingZscoreStream(mem.toDS(), lookback = 6, minPeriods = 4)
+      .writeStream.format("memory").queryName("zs").outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("zs")
+      .as[(Long, Long, Long, Double, Long, Double, Option[Double], Boolean)]
+      .collect().toSet
+    q.stop()
+    val batch = graft.ops.TimeSeries.rollingZscore(
+        all.toDF("user_id", "event_id", "sec", "value"),
+        "user_id", Seq(col("sec"), col("event_id")), "value",
+        lookback = 6, minPeriods = 4)
+      .select(col("user_id"), col("event_id"), col("sec"), col("value"),
+        col("n_hist"), col("mean_hist"), col("z"), col("is_outlier"))
+      .as[(Long, Long, Long, Double, Long, Double, Option[Double], Boolean)]
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
 }
