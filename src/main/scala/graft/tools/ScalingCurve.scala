@@ -13,7 +13,9 @@ object ScalingCurve {
     "q_decontam", "q_vocab", "q_range_join", "q_corpus_shuffle",
     "q_dedup_lines", "q_mixture", "q_tpch_q7",
     "q_tpch_q1", "q_tpch_q21", "q_semantic_dedup",
-    "q_editdist_pairs", "q_resample_ffill", "q_covariance")
+    "q_editdist_pairs", "q_resample_ffill", "q_covariance",
+    "q_repeated_spans", "q_cohort_retention", "q_rolling_zscore",
+    "q_pagerank", "q_triangles", "q_link_predict")
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
 
