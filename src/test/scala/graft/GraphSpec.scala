@@ -105,6 +105,39 @@ class GraphSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("triangles and linkPredictions match brute force on random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 30
+      val edges = (for (_ <- 1 to 80) yield
+        (s"v${rng.nextInt(n)}", s"v${rng.nextInt(n)}"))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val bruteTris = (for {
+        i <- nodes; j <- nodes if i < j && adj(i)(j)
+        k <- nodes if j < k && adj(i)(k) && adj(j)(k)
+      } yield (i, j, k)).toSet
+      val gotTris = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+        .as[(String, String, String)].collect().toSet
+      assert(gotTris == bruteTris, s"seed $seed triangles")
+
+      val deg = adj.map { case (k, v) => k -> v.size }
+      val bruteLp = (for {
+        i <- nodes; j <- nodes if i < j && !adj(i)(j)
+        common = adj(i) intersect adj(j) if common.nonEmpty
+      } yield (i, j, common.size.toLong,
+        common.toSeq.map(c => 1000000000L / deg(c)).sum.toDouble / 1e9))
+        .toSet
+      val gotLp = Graph.linkPredictions(edges.toDF("src", "dst"),
+          "src", "dst")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(gotLp == bruteLp, s"seed $seed link predictions")
+    }
+  }
+
   test("pageRank leaves dangling nodes at the base rank") {
     // x -> y, y has no out-edges: y never sends mass, x never receives
     val e = Seq(("x", "y")).toDF("src", "dst")
