@@ -39,7 +39,9 @@ object DumpPlans {
     "q_repeated_spans" -> "Repeated-span dedup: the md5 anchor table shuffles once — the df guard is a count window over that partitioning and the self-join ReusedExchanges it; islands run per (pair, offset) window; no text beyond the scan stage, no cartesian.",
     "q_dup_fraction" -> "Duplicated-content fraction: repeatedSpans' shape, then doc-keyed interval windows + two aggregations at span cardinality (far below anchor level); the token-count side is a map-side projection joined back once — the corpus text is never re-exploded.",
     "q_rolling_zscore" -> "Rolling z-score: ONE Window operator carries all three frame moments (count, decimal Σx, Σx²) over one key exchange + one sort; scoring is pure per-row projection after that.",
-    "q_pagerank" -> "PageRank final round: rank/degree state joins into the checkpointed edge table as BroadcastHashJoin (state is node-sized; checkpointed RDDs carry no stats, so the op pins the hint) — the edge table never shuffles; the only exchange is the dst-keyed partial+final contribution aggregation.")
+    "q_pagerank" -> "PageRank final round: rank/degree state joins into the checkpointed edge table as BroadcastHashJoin (state is node-sized; checkpointed RDDs carry no stats, so the op pins the hint) — the edge table never shuffles; the only exchange is the dst-keyed partial+final contribution aggregation.",
+    "q_triangles" -> "Triangle count: degree-oriented wedge join — every step a keyed equi-join (canonical dedup, degree attach, src-keyed wedge self-join, (n1,n2)-keyed closure), no CartesianProduct; the orientation bounds wedge volume by arboricity so hubs generate none.",
+    "q_link_predict" -> "Link prediction: center-keyed wedge self-join over the adjacency (maxDegree caps hub centers), one (n1,n2) aggregation accumulating fixed-point RA in BIGINT, and a LeftAnti join removing pairs that are already edges.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
