@@ -1038,16 +1038,18 @@ object SparkEntry {
     // nano-units (truncating integer division per edge, exact integer
     // sums) — bit-identical across engines AND partitionings
     "q_pagerank" -> ((s, dir) => {
-      // dedup BEFORE mirroring (half the distinct width); the mirrored
-      // union is then distinct by construction — the s:/c: prefixes
-      // make the two directions disjoint — so the op can skip its own
-      // parallel-edge collapse
+      // dedup BEFORE mirroring (half the distinct width) and BEFORE
+      // stringification (the distinct shuffles 16-byte int pairs, not
+      // concatenated strings); the mirrored union is then distinct by
+      // construction — the s:/c: prefixes make the two directions
+      // disjoint — so the op can skip its own parallel-edge collapse
       val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s:"), col("l_suppkey")).as("a"),
-          concat(lit("c:"), col("o_custkey")).as("b"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
         .distinct()
+        .select(concat(lit("s:"), col("sk")).as("a"),
+          concat(lit("c:"), col("ck")).as("b"))
       val edges = pairs.unionByName(
         pairs.select(col("b").as("a"), col("a").as("b")))
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5,
