@@ -99,6 +99,11 @@ object TimeSeries {
     * Spark's own stddev over a window streams doubles in frame order
     * and is NOT cross-engine stable.
     *
+    * NULL values occupy frame SLOTS (the frame is row-based) but are
+    * excluded from every moment — `n_hist` counts non-null history, so
+    * the minPeriods gate is about real evidence, not elapsed rows; a
+    * NULL-valued row itself scores z = NULL.
+    *
     * Scale shape: one shuffle on the key, one window pass computing all
     * three frame aggregates together; everything after is per-row
     * projection. A pathologically hot key concentrates its rows in one

@@ -79,6 +79,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!out.exists(r => r._3 < 9L))
   }
 
+  test("rollingZscore: NULL values occupy frame slots but don't count as history") {
+    // 12 rows; row 6's value is NULL. For later rows the NULL sits in
+    // the 5-row frame window, shrinking n_hist below the slot count —
+    // and the NULL row itself scores z = NULL but still appears once
+    // it has enough history.
+    val rows = (1 to 12).map(t =>
+      (1L, t.toLong, if (t == 6) None else Some(t * 1.0 + (t % 3) * 0.5)))
+    val df = rows.toDF("k", "t", "value")
+    val out = TimeSeries.rollingZscore(df, "k", Seq(col("t")), "value",
+        lookback = 5, minPeriods = 4)
+      .select(col("t"), col("n_hist"), col("z"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // t=7..10: frame covers t-5..t-1 which includes the NULL at 6
+    assert(out(7)._1 == 4L && out(8)._1 == 4L && out(10)._1 == 4L)
+    assert(out(12)._1 == 5L)           // NULL aged out of the frame
+    assert(out(6)._2.isEmpty)          // NULL value scores NULL
+    assert(out(6)._1 == 5L)            // but its history was full
+    assert(!out.contains(4L))          // 3 non-null history rows < minPeriods
+    assert(out.contains(5L))           // 4 non-null history rows passes
+  }
+
   test("rollingZscore matches a brute-force reference on random data") {
     val rng = new scala.util.Random(7)
     val rows = for (k <- 1 to 3; t <- 1 to 40)
