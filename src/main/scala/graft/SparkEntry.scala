@@ -83,37 +83,57 @@ object SparkEntry {
     * 473/16k rows off by 1e-8 at sf0.1). Graph CTEs are MATERIALIZED:
     * each stage re-references e/od/nodes, and inlining them per stage
     * would re-run the base join five times. */
-  private def pageRankSql(iterations: Int): String = {
+  private def pageRankSql(iterations: Int, weighted: Boolean): String = {
+    val contrib =
+      if (weighted) "(r.pr_n * 85 * e.w) // (od.wsum * 100)"
+      else "(r.pr_n * 85) // (od.odeg * 100)"
     val stages = (1 to iterations).map { k =>
       s"""r$k AS (
          |  SELECT n.node,
          |    150000000 + coalesce(s.csum, 0) AS pr_n
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node,
-         |      CAST(sum((r.pr_n * 85) // (od.odeg * 100)) AS BIGINT) AS csum
+         |      CAST(sum($contrib) AS BIGINT) AS csum
          |    FROM e JOIN r${k - 1} r ON e.src = r.node
          |    JOIN od ON e.src = od.src
          |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pr_pairs AS MATERIALIZED (
-       |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
-       |    'c:' || CAST(o_custkey AS VARCHAR) AS b
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS MATERIALIZED (
-       |  SELECT a AS src, b AS dst FROM pr_pairs
-       |  UNION SELECT b, a FROM pr_pairs),
+    val graph =
+      if (weighted)
+        s"""pr_pairs AS MATERIALIZED (
+           |  SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+           |    'c:' || CAST(o_custkey AS VARCHAR) AS b,
+           |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |e AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, w FROM pr_pairs
+           |  UNION ALL SELECT b, a, w FROM pr_pairs),
+           |od AS MATERIALIZED (
+           |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e
+           |  GROUP BY src)""".stripMargin
+      else
+        s"""pr_pairs AS MATERIALIZED (
+           |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+           |    'c:' || CAST(o_custkey AS VARCHAR) AS b
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst FROM pr_pairs
+           |  UNION SELECT b, a FROM pr_pairs),
+           |od AS MATERIALIZED (
+           |  SELECT src, count(*) AS odeg FROM e GROUP BY src)""".stripMargin
+    s"""WITH $graph,
        |nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS node FROM e
        |  UNION SELECT DISTINCT dst FROM e),
-       |od AS MATERIALIZED (
-       |  SELECT src, count(*) AS odeg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_n FROM nodes),
        |$stages
        |SELECT node, CAST(pr_n AS DOUBLE) / 1000000000.0 AS pr
        |FROM r$iterations""".stripMargin
   }
 
-  private val PageRankSql: String = pageRankSql(5)
+  private val PageRankSql: String = pageRankSql(5, weighted = false)
+  private val PageRankWeightedSql: String = pageRankSql(5, weighted = true)
 
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
@@ -1054,6 +1074,25 @@ object SparkEntry {
         pairs.select(col("b").as("a"), col("a").as("b")))
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5,
         assumeDistinct = true)
+    }),
+
+    // ---- extension: WEIGHTED PageRank ---------------------------------
+    // same graph, edges weighted by the number of distinct shared
+    // orders; rank splits across out-edges in weight proportion — the
+    // whole loop stays in exact fixed-point integers because the
+    // weights are integral
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+        .select(concat(lit("s:"), col("sk")).as("a"),
+          concat(lit("c:"), col("ck")).as("b"), col("w"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5,
+        assumeDistinct = true, weightCol = Some("w"))
     }),
 
     // ---- extension: triangle counting ---------------------------------
@@ -3011,6 +3050,10 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // graph: 5 unrolled iterations in fixed-point BIGINT nano-units —
     // no float inside the loop on either engine (see pageRankSql)
     "q_pagerank" -> PageRankSql,
+
+    // weighted variant: same unrolled fixed-point stages with
+    // (pr_n * 85 * w) // (wsum * 100) contributions
+    "q_pagerank_weighted" -> PageRankWeightedSql,
 
     // triangle count is a graph INVARIANT — the oracle counts the same
     // set with the classic ordered 3-way self-join, no need to mirror

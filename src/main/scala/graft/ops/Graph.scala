@@ -43,9 +43,10 @@ object Graph {
     * driver; `iterations` is a fixed small constant (5–20), so the
     * lineage stays bounded. For 100 TB-scale edge sets the edge table
     * is the only big operand and it is never materialized more than
-    * once per iteration. Headroom: rank_n * d needs rank ≤ ~1e8 before
-    * the ANSI overflow guard trips — a graph would need ~1e8 nodes
-    * funneling into ONE hub to get there.
+    * once per iteration. Headroom: rank_n * d * w must stay under 2⁶³,
+    * i.e. rank × weight ≤ ~1e8 before the ANSI overflow guard trips
+    * loudly — a graph would need ~1e8 nodes funneling into ONE hub (or
+    * correspondingly massive integer weights) to get there.
     *
     * `broadcastState` (default true) broadcasts the rank/degree tables
     * into the edge join each round, so the EDGE table never shuffles —
@@ -65,7 +66,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
       broadcastState: Boolean = true,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val d100 = math.round(damping * 100).toInt
@@ -79,16 +81,41 @@ object Graph {
     // sf0.1 that re-ran a 1.2M-row join+distinct five times (measured
     // ~5.5s; checkpointed ~2s). On a multi-node cluster prefer reliable
     // `checkpoint` with a checkpoint dir.
-    val eRaw = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (assumeDistinct) eRaw else eRaw.distinct())
+    //
+    // WEIGHTED form (`weightCol`): rank splits across out-edges in
+    // proportion to POSITIVE INTEGER weights — integers keep the
+    // contribution `(pr_n * d * w) div (wsum * 100)` inside exact
+    // fixed-point arithmetic (a fractional weight would reintroduce the
+    // float seam the nano-unit loop exists to remove; pre-scale
+    // fractional weights to integers at the caller). Parallel edges SUM
+    // their weights in the normalize pass (unweighted edges dedup).
+    // Non-positive weights fail the job rather than silently biasing
+    // the stationary distribution (the weightedSample convention).
+    val eRaw = weightCol match {
+      case None =>
+        edges.select(col(srcCol).cast("string").as("src"),
+          col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+      case Some(wc) =>
+        edges.select(col(srcCol).cast("string").as("src"),
+          col(dstCol).cast("string").as("dst"),
+          when(col(wc).cast("long") > 0, col(wc).cast("long"))
+            .otherwise(expr(
+              "raise_error('pageRank: edge weight must be a positive " +
+                "integer')")).as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+    }
+    val e = (if (assumeDistinct) eRaw
+             else if (weightCol.isEmpty)
+               eRaw.select(col("src"), col("dst")).distinct()
+                 .withColumn("w", lit(1L))
+             else eRaw.groupBy(col("src"), col("dst"))
+               .agg(sum(col("w")).as("w")))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
       .localCheckpoint(true)
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
@@ -98,7 +125,7 @@ object Graph {
         .join(state(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .join(state(outDeg), Seq("src"))
         .select(col("dst").as("node"),
-          expr(s"(pr_n * $d100) div (odeg * 100)").as("c"))
+          expr(s"(pr_n * $d100 * w) div (wsum * 100)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
       ranks = nodes.join(state(contribs), Seq("node"), "left")
         .select(col("node"),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import graft.ops.Graph
 
 class GraphSpec extends SparkSpec {
@@ -145,5 +146,40 @@ class GraphSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(got("x") == 0.15)          // 1.0 - 0.85, rounded to 9dp
     assert(got("y") > got("x"))       // receives x's full damped rank
+  }
+
+  test("weighted pageRank splits rank in weight proportion, sums parallel edges") {
+    // a sends to b with weight 3 and c with weight 1 (the c edge split
+    // across two parallel rows that must sum): after one iteration
+    //   b = 0.15 + (1e9*85*3) div (4*100) / 1e9 = 0.7875
+    //   c = 0.15 + (1e9*85*1) div (4*100) / 1e9 = 0.3625
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", 1, weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.15, "b" -> 0.7875, "c" -> 0.3625))
+    val split = Seq(("a", "b", 3L), ("a", "c", 1L), ("a", "c", 0L))
+    // parallel edges sum their weights (and the zero weight must fail,
+    // so test summing with a positive split instead)
+    val got2 = Graph.pageRank(
+        Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L))
+          .toDF("src", "dst", "w"),
+        "src", "dst", 1, weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(got2 == got)
+    // non-positive weight fails loudly rather than biasing the ranks
+    val bad = intercept[Exception] {
+      Graph.pageRank(split.toDF("src", "dst", "w"),
+        "src", "dst", 1, weightCol = Some("w")).collect()
+    }
+    assert(bad.getMessage != null)
+    // unit weights reproduce the unweighted op exactly
+    val star5 = star
+    val unw = Graph.pageRank(star5, "src", "dst", 5)
+      .as[(String, Double)].collect().toMap
+    val w1 = Graph.pageRank(star5.withColumn("w", lit(1L)),
+        "src", "dst", 5, weightCol = Some("w"))
+      .as[(String, Double)].collect().toMap
+    assert(unw == w1)
   }
 }
