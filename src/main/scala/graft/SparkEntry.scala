@@ -135,6 +135,53 @@ object SparkEntry {
   private val PageRankSql: String = pageRankSql(5, weighted = false)
   private val PageRankWeightedSql: String = pageRankSql(5, weighted = true)
 
+  /** Personalized (TrustRank) variant: the unrolled stages re-base each
+    * node at its OWN `base_n` — `(seedShare * 15) // 100` on seeds, 0
+    * elsewhere — instead of the uniform 0.15; `r0` starts as the seed
+    * indicator vector scaled to `1e9 // |S|`. Same fixed-point BIGINT
+    * discipline as [[pageRankSql]]. */
+  private def personalizedPageRankSql(iterations: Int): String = {
+    val stages = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node, n.base_n + coalesce(s.csum, 0) AS pr_n
+         |  FROM nodesb n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((r.pr_n * 85) // (od.odeg * 100)) AS BIGINT) AS csum
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr_pairs AS MATERIALIZED (
+       |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+       |    'c:' || CAST(o_custkey AS VARCHAR) AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pr_pairs
+       |  UNION SELECT b, a FROM pr_pairs),
+       |od AS MATERIALIZED (
+       |  SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node
+       |  FROM supplier WHERE s_nationkey < 5),
+       |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+       |nodesb AS MATERIALIZED (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN CAST(0 AS BIGINT)
+       |         ELSE ((1000000000 // sn.ns) * 15) // 100 END AS base_n,
+       |    CASE WHEN s.node IS NULL THEN CAST(0 AS BIGINT)
+       |         ELSE 1000000000 // sn.ns END AS pr_n
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN sn),
+       |r0 AS (SELECT node, pr_n FROM nodesb),
+       |$stages
+       |SELECT node, CAST(pr_n AS DOUBLE) / 1000000000.0 AS pr
+       |FROM r$iterations""".stripMargin
+  }
+
+  private val PageRankPersonalizedSql: String = personalizedPageRankSql(5)
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -1093,6 +1140,26 @@ object SparkEntry {
         pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 5,
         assumeDistinct = true, weightCol = Some("w"))
+    }),
+
+    // ---- extension: personalized PageRank (TrustRank) -----------------
+    // teleport mass lands only on trusted seed suppliers (nations 0-4);
+    // rank then measures proximity-to-trust — the corpus-curation prior
+    // for separating reputable sources from spam farms
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+        .select(concat(lit("s:"), col("sk")).as("a"),
+          concat(lit("c:"), col("ck")).as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = t(s, dir, "supplier").where(col("s_nationkey") < 5)
+        .select(concat(lit("s:"), col("s_suppkey")).as("node"))
+      graft.ops.Graph.personalizedPageRank(edges, "a", "b",
+        seeds, "node", iterations = 5, assumeDistinct = true)
     }),
 
     // ---- extension: triangle counting ---------------------------------
@@ -3054,6 +3121,10 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // weighted variant: same unrolled fixed-point stages with
     // (pr_n * 85 * w) // (wsum * 100) contributions
     "q_pagerank_weighted" -> PageRankWeightedSql,
+
+    // personalized variant: per-node base_n (seed share vs 0) and a
+    // seed-indicator r0 replace the uniform constants
+    "q_pagerank_personalized" -> PageRankPersonalizedSql,
 
     // triangle count is a graph INVARIANT — the oracle counts the same
     // set with the classic ordered 3-way self-join, no need to mirror

@@ -68,29 +68,95 @@ object Graph {
       broadcastState: Boolean = true,
       assumeDistinct: Boolean = false,
       weightCol: Option[String] = None): DataFrame = {
+    val d100 = dampingTo100(iterations, damping)
+    val baseN = 1000000000L - d100 * 10000000L // (1 - damping) in nanos
+    val (e, nodes, outDeg) =
+      normalizedGraph(edges, srcCol, dstCol, assumeDistinct, weightCol)
+    val nodesB = nodes.withColumn("base_n", lit(baseN))
+    val r0 = nodes.select(col("node"), lit(1000000000L).as("pr_n"))
+    rankLoop(e, nodesB, r0, outDeg, iterations, d100, broadcastState)
+  }
+
+  /** Personalized PageRank (TrustRank): teleport mass lands ONLY on the
+    * `seeds` node set, split evenly, so rank measures proximity to the
+    * seeds rather than global centrality. The corpus-curation use: seed
+    * with allowlisted/trusted nodes (curated domains in a hyperlink
+    * graph, vetted suppliers in a transaction graph) and rank every
+    * node by how much trust flows to it — the Gyöngyi/Garcia-Molina
+    * TrustRank recipe for separating reputable pages from spam farms,
+    * which at training-data scale becomes a document-source quality
+    * prior.
+    *
+    * Same exact fixed-point BIGINT loop as [[pageRank]] (nano-unit
+    * ranks, truncating `div`, no float until the final divide); the
+    * only changes are the initial vector (`1e9 div |S|` on seeds, 0
+    * elsewhere) and the per-node re-base (`(seedShare * (100 - d))
+    * div 100` on seeds, 0 elsewhere). The seed count enters the plan
+    * as a broadcast 1-row aggregate — never a driver constant — so the
+    * whole op stays one declarative plan. Seeds that never appear in
+    * the edge set simply forfeit their teleport share (documented
+    * TrustRank behavior); an EMPTY seed set fails loudly with ANSI
+    * divide-by-zero rather than returning all-zero ranks. Scale shape,
+    * `broadcastState`, `assumeDistinct`, and `weightCol` behave exactly
+    * as in [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int, damping: Double = 0.85,
+      broadcastState: Boolean = true,
+      assumeDistinct: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
+    val d100 = dampingTo100(iterations, damping)
+    val (e, nodes, outDeg) =
+      normalizedGraph(edges, srcCol, dstCol, assumeDistinct, weightCol)
+    val sd = seeds.select(col(seedCol).cast("string").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("is_seed", lit(1)).localCheckpoint(true)
+    val sn = sd.agg(count(lit(1)).cast("long").as("ns"))
+    val nodesB = nodes
+      .join(if (broadcastState) broadcast(sd) else sd, Seq("node"), "left")
+      .crossJoin(broadcast(sn))
+      .select(col("node"),
+        when(col("is_seed").isNotNull,
+          expr(s"((1000000000L div ns) * ${100 - d100}) div 100"))
+          .otherwise(lit(0L)).as("base_n"),
+        when(col("is_seed").isNotNull, expr("1000000000L div ns"))
+          .otherwise(lit(0L)).as("pr_n"))
+      .localCheckpoint(true)
+    rankLoop(e, nodesB.select(col("node"), col("base_n")),
+      nodesB.select(col("node"), col("pr_n")),
+      outDeg, iterations, d100, broadcastState)
+  }
+
+  private def dampingTo100(iterations: Int, damping: Double): Int = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val d100 = math.round(damping * 100).toInt
     require(math.abs(d100 / 100.0 - damping) < 1e-12,
       s"damping must have at most 2 decimals (got $damping) — it becomes " +
         "the exact integer ratio d/100 inside the fixed-point iteration")
-    val baseN = 1000000000L - d100 * 10000000L // (1 - damping) in nanos
-    // localCheckpoint the loop invariants ONCE (the nearDupClusters
-    // convention): without truncation every iteration's plan re-derives
-    // the deduped edge set and degree table from the raw input — at
-    // sf0.1 that re-ran a 1.2M-row join+distinct five times (measured
-    // ~5.5s; checkpointed ~2s). On a multi-node cluster prefer reliable
-    // `checkpoint` with a checkpoint dir.
-    //
-    // WEIGHTED form (`weightCol`): rank splits across out-edges in
-    // proportion to POSITIVE INTEGER weights — integers keep the
-    // contribution `(pr_n * d * w) div (wsum * 100)` inside exact
-    // fixed-point arithmetic (a fractional weight would reintroduce the
-    // float seam the nano-unit loop exists to remove; pre-scale
-    // fractional weights to integers at the caller). Parallel edges SUM
-    // their weights in the normalize pass (unweighted edges dedup).
-    // Non-positive weights fail the job rather than silently biasing
-    // the stationary distribution (the weightedSample convention).
+    d100
+  }
+
+  /** Normalize edges to `(src, dst, w)` and derive the rank-loop
+    * invariants `(edges, nodes, out-weight)`, each localCheckpointed
+    * ONCE (the nearDupClusters convention): without truncation every
+    * iteration's plan re-derives the deduped edge set and degree table
+    * from the raw input — at sf0.1 that re-ran a 1.2M-row join+distinct
+    * five times (measured ~5.5s; checkpointed ~2s). On a multi-node
+    * cluster prefer reliable `checkpoint` with a checkpoint dir.
+    *
+    * WEIGHTED form (`weightCol`): rank splits across out-edges in
+    * proportion to POSITIVE INTEGER weights — integers keep the
+    * contribution `(pr_n * d * w) div (wsum * 100)` inside exact
+    * fixed-point arithmetic (a fractional weight would reintroduce the
+    * float seam the nano-unit loop exists to remove; pre-scale
+    * fractional weights to integers at the caller). Parallel edges SUM
+    * their weights in the normalize pass (unweighted edges dedup).
+    * Non-positive weights fail the job rather than silently biasing
+    * the stationary distribution (the weightedSample convention). */
+  private def normalizedGraph(edges: DataFrame, srcCol: String,
+      dstCol: String, assumeDistinct: Boolean,
+      weightCol: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     val eRaw = weightCol match {
       case None =>
         edges.select(col(srcCol).cast("string").as("src"),
@@ -117,9 +183,20 @@ object Graph {
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
       .localCheckpoint(true)
+    (e, nodes, outDeg)
+  }
+
+  /** The shared fixed-point iteration: each round sends
+    * `(pr_n * d * w) div (wsum * 100)` along every edge, sums exactly
+    * in BIGINT, and re-bases every node at its `base_n` (uniform
+    * `(1-d)` nanos for classic PageRank, seed-only shares for the
+    * personalized form). */
+  private def rankLoop(e: DataFrame, nodesB: DataFrame, r0: DataFrame,
+      outDeg: DataFrame, iterations: Int, d100: Int,
+      broadcastState: Boolean): DataFrame = {
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
-    var ranks = nodes.select(col("node"), lit(1000000000L).as("pr_n"))
+    var ranks = r0
     for (i <- 1 to iterations) {
       val contribs = e
         .join(state(ranks.withColumnRenamed("node", "src")), Seq("src"))
@@ -127,9 +204,9 @@ object Graph {
         .select(col("dst").as("node"),
           expr(s"(pr_n * $d100 * w) div (wsum * 100)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
-      ranks = nodes.join(state(contribs), Seq("node"), "left")
+      ranks = nodesB.join(state(contribs), Seq("node"), "left")
         .select(col("node"),
-          (lit(baseN) + coalesce(col("csum"), lit(0L))).as("pr_n"))
+          (col("base_n") + coalesce(col("csum"), lit(0L))).as("pr_n"))
       // rank lineage otherwise chains all prior rounds into one plan;
       // node-sized, so the eager materialization is cheap
       if (i < iterations) ranks = ranks.localCheckpoint(true)

@@ -182,4 +182,46 @@ class GraphSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(unw == w1)
   }
+
+  test("personalized pageRank teleports only to the seed set") {
+    // single seed a, edge a->b, one iteration:
+    //   seed share = 1e9; a = (1e9*15)//100 = 0.15
+    //   b = 0 + (1e9*85*1) div (1*100) = 0.85
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(e, "src", "dst",
+        Seq("a").toDF("node"), "node", 1)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.15, "b" -> 0.85))
+    // two seeds split the teleport mass: share = 5e8 each;
+    // c receives both damped shares: 2 * (5e8*85)//100 = 0.85
+    val e2 = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got2 = Graph.personalizedPageRank(e2, "src", "dst",
+        Seq("a", "b").toDF("node"), "node", 1)
+      .as[(String, Double)].collect().toMap
+    assert(got2 == Map("a" -> 0.075, "b" -> 0.075, "c" -> 0.85))
+    // a seed absent from the graph forfeits its share (TrustRank
+    // semantics): same graph, phantom seed z halves a's and b's share
+    val got3 = Graph.personalizedPageRank(e2, "src", "dst",
+        Seq("a", "b", "z", "z").toDF("node"), "node", 1)
+      .as[(String, Double)].collect().toMap
+    val share = 1000000000L / 3
+    val base = share * 15 / 100 / 1.0e9
+    val c3 = 2 * (share * 85 / 100) / 1.0e9
+    assert(got3 == Map("a" -> base, "b" -> base, "c" -> c3))
+    assert(!got3.contains("z"))
+  }
+
+  test("personalized pageRank concentrates rank near the seeds") {
+    // two disjoint stars; seeding only h1's component leaves the other
+    // component at exactly zero everywhere
+    val twoStars = star.unionByName(
+      Seq(("h2", "x"), ("h2", "y"), ("x", "h2"), ("y", "h2"))
+        .toDF("src", "dst"))
+    val got = Graph.personalizedPageRank(twoStars, "src", "dst",
+        Seq("h").toDF("node"), "node", 5)
+      .as[(String, Double)].collect().toMap
+    assert(got("h") > got("a"))
+    assert(Set("h2", "x", "y").forall(got(_) == 0.0))
+    assert(got.keySet == Set("h", "a", "b", "c", "h2", "x", "y"))
+  }
 }
