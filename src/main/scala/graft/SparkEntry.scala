@@ -182,6 +182,43 @@ object SparkEntry {
 
   private val PageRankPersonalizedSql: String = personalizedPageRankSql(5)
 
+  /** Unrolled synchronous label propagation: stage k picks each node's
+    * (count DESC, label ASC) argmax over in-neighbor labels from stage
+    * k-1, keeping the old label when no messages arrive. Stages are
+    * MATERIALIZED — each is referenced twice by its successor (message
+    * source and fallback), so inlining would double the work per
+    * round. No arithmetic anywhere: cross-engine exactness is the
+    * total order alone. */
+  private def labelPropagationSql(iterations: Int): String = {
+    val stages = (1 to iterations).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT p.node, coalesce(w.lab, p.lab) AS lab
+         |  FROM l${k - 1} p LEFT JOIN (
+         |    SELECT dst AS node, lab FROM (
+         |      SELECT dst, lab, row_number() OVER (PARTITION BY dst
+         |          ORDER BY c DESC, lab ASC) AS rn
+         |      FROM (SELECT e.dst, r.lab, count(*) AS c
+         |        FROM e JOIN l${k - 1} r ON e.src = r.node
+         |        GROUP BY e.dst, r.lab) g) t
+         |    WHERE rn = 1) w ON p.node = w.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sup
+       |  FROM lineitem WHERE l_quantity > 45),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(x.sup AS VARCHAR) AS src,
+       |    CAST(y.sup AS VARCHAR) AS dst
+       |  FROM sp x JOIN sp y ON x.ok = y.ok AND x.sup <> y.sup),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |$stages
+       |SELECT node, lab FROM l$iterations""".stripMargin
+  }
+
+  private val CommunitiesSql: String = labelPropagationSql(5)
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -1160,6 +1197,21 @@ object SparkEntry {
         .select(concat(lit("s:"), col("s_suppkey")).as("node"))
       graft.ops.Graph.personalizedPageRank(edges, "a", "b",
         seeds, "node", iterations = 5, assumeDistinct = true)
+    }),
+
+    // ---- extension: communities (label propagation) -------------------
+    // synchronous LPA with the (count DESC, label ASC) deterministic
+    // tie-break over the co-supplier graph — which suppliers cluster
+    // into the same dense co-occurrence neighborhood
+    "q_communities" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = sp.as("x")
+        .join(sp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sup") =!= col("y.sup"))
+        .select(col("x.sup").as("sa"), col("y.sup").as("sb"))
+      graft.ops.Graph.labelPropagation(pairs, "sa", "sb", iterations = 5)
     }),
 
     // ---- extension: triangle counting ---------------------------------
@@ -3125,6 +3177,10 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // personalized variant: per-node base_n (seed share vs 0) and a
     // seed-indicator r0 replace the uniform constants
     "q_pagerank_personalized" -> PageRankPersonalizedSql,
+
+    // synchronous LPA unrolled; determinism rests on the total-order
+    // tie-break, not on any arithmetic convention
+    "q_communities" -> CommunitiesSql,
 
     // triangle count is a graph INVARIANT — the oracle counts the same
     // set with the classic ordered 3-way self-join, no need to mirror

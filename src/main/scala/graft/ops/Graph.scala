@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames — the entity-graph
@@ -125,6 +126,63 @@ object Graph {
     rankLoop(e, nodesB.select(col("node"), col("base_n")),
       nodesB.select(col("node"), col("pr_n")),
       outDeg, iterations, d100, broadcastState)
+  }
+
+  /** Community detection by synchronous label propagation (LPA,
+    * Raghavan et al. 2007): every node starts labeled with itself; each
+    * iteration every node adopts the most frequent label among its
+    * in-neighbors, keeping its current label when it has none. After a
+    * few rounds, labels pool inside densely connected regions — the
+    * clustering pass behind source/domain grouping in a corpus (which
+    * documents cite/link into the same neighborhood) without choosing k
+    * in advance.
+    *
+    * Determinism is the whole design: classic LPA breaks frequency ties
+    * randomly, which is useless under a cross-engine hash compare.
+    * Here the winner is the TOTAL ORDER (count DESC, label ASC) —
+    * binary string order, identical in every engine — and updates are
+    * synchronous (all nodes step from the same snapshot), so engine,
+    * partitioning, and retries can never change the result. Synchronous
+    * LPA can oscillate with period 2 on bipartite-ish regions (the
+    * known tradeoff vs the undeterministic asynchronous variant);
+    * `iterations` is a fixed small constant, and the FIXED point of the
+    * comparison is the labeling at that iteration count, oscillating or
+    * not.
+    *
+    * Scale shape per iteration: one src-keyed equi-join attaching the
+    * node-sized label table to edges (broadcast under
+    * `broadcastState`, so the edge table never shuffles), one
+    * (dst, label) partial+final count whose width is bounded by the
+    * edge count, and one node-partitioned window to pick each node's
+    * argmax — the window input is at most one row per distinct
+    * (node, neighbor-label), itself bounded by degree. Nothing touches
+    * the driver; lineage is truncated per round like [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, broadcastState: Boolean = true,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    val (e, nodes, _) =
+      normalizedGraph(edges, srcCol, dstCol, assumeDistinct, None)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (i <- 1 to iterations) {
+      val counts = e
+        .join(state(labels.select(col("node").as("src"), col("lab"))),
+          Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      val winners = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("lab").asc)))
+        .where(col("rn") === 1)
+        .select(col("dst").as("node"), col("lab").as("newlab"))
+      labels = labels.join(state(winners), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("newlab"), col("lab")).as("lab"))
+      if (i < iterations) labels = labels.localCheckpoint(true)
+    }
+    labels
   }
 
   private def dampingTo100(iterations: Int, damping: Double): Int = {

@@ -211,6 +211,40 @@ class GraphSpec extends SparkSpec {
     assert(!got3.contains("z"))
   }
 
+  test("labelPropagation pools labels inside dense regions") {
+    // two triangles bridged by one edge c-x: hand-walking the
+    // synchronous (count DESC, label ASC) updates converges by round 4
+    // to community 'a' on {a,b,c} and 'c' on {x,y,z} — the bridge is
+    // outvoted on both sides
+    val tri = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x"))
+    val und = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val got = Graph.labelPropagation(und, "src", "dst", 5)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"), s"got $got")
+    // deterministic: re-run is identical
+    val again = Graph.labelPropagation(und, "src", "dst", 5)
+      .as[(String, String)].collect().toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: disconnected components never share a label") {
+    val e = Seq(("a", "b"), ("b", "a"), ("p", "q"), ("q", "p"),
+      ("q", "r"), ("r", "q"))
+    val got = Graph.labelPropagation(e.toDF("src", "dst"), "src", "dst", 4)
+      .as[(String, String)].collect().toMap
+    val left = Set("a", "b").map(got)
+    val right = Set("p", "q", "r").map(got)
+    assert(left.intersect(right).isEmpty)
+    assert(left.subsetOf(Set("a", "b")) && right.subsetOf(Set("p", "q", "r")))
+    // a node with no in-neighbors keeps its own label
+    val dangle = Graph.labelPropagation(
+        Seq(("s", "t")).toDF("src", "dst"), "src", "dst", 3)
+      .as[(String, String)].collect().toMap
+    assert(dangle("s") == "s" && dangle("t") == "s")
+  }
+
   test("personalized pageRank concentrates rank near the seeds") {
     // two disjoint stars; seeding only h1's component leaves the other
     // component at exactly zero everywhere
