@@ -302,6 +302,176 @@ object Multimodal {
       }(enc)
   }
 
+  // --------------------------------------------------------------------
+  // REAL audio codec path, the WAV sibling of the PPM image path above:
+  // RIFF/WAVE PCM16 is a zero-dependency container — walk the chunk
+  // list, read the fmt block, stream the interleaved s16le samples.
+  // Compressed codecs (mp3/aac/opus) still take the stub path; a JNI
+  // decoder for them slots into the same per-partition pass.
+  // --------------------------------------------------------------------
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** Minimal pure-JVM RIFF/WAVE PCM16 parser: accepts any chunk order,
+    * skips unknown chunks (LIST, INFO, cue — with RIFF's odd-size pad
+    * byte), requires `fmt ` audio format 1 (integer PCM) at 16 bits,
+    * and streams the `data` chunk once. Returns
+    * (sampleRate, channels, nSamples, peak, sumSq) where nSamples
+    * counts INTERLEAVED samples, peak is the max absolute sample and
+    * sumSq the exact integer sum of squares (s16² ≤ 2³⁰ — BIGINT holds
+    * ~2³³ samples before overflow, far past any single payload), or
+    * None for anything malformed: wrong magic, truncated chunk,
+    * missing fmt/data, compressed format, odd data size. */
+  private[ops] def parseWav(bytes: Array[Byte]):
+      Option[(Int, Int, Long, Int, Long)] = {
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+        bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' ||
+        bytes(10) != 'V' || bytes(11) != 'E') return None
+    var pos = 12
+    var rate = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1L
+    while (pos + 8 <= bytes.length) {
+      val size = u32le(bytes, pos + 4)
+      val body = pos + 8
+      if (size < 0 || body + size > bytes.length) return None
+      if (bytes(pos) == 'f' && bytes(pos + 1) == 'm' &&
+          bytes(pos + 2) == 't' && bytes(pos + 3) == ' ') {
+        if (size < 16) return None
+        val fmt = u16le(bytes, body)
+        val bits = u16le(bytes, body + 14)
+        if (fmt != 1 || bits != 16) return None // PCM16 only — no codec
+        channels = u16le(bytes, body + 2)
+        val r = u32le(bytes, body + 4)
+        if (channels < 1 || r < 1 || r > Int.MaxValue) return None
+        rate = r.toInt
+      } else if (bytes(pos) == 'd' && bytes(pos + 1) == 'a' &&
+          bytes(pos + 2) == 't' && bytes(pos + 3) == 'a') {
+        if (size % 2 != 0) return None
+        dataOff = body; dataLen = size
+      }
+      pos = body + size.toInt + (size.toInt & 1) // RIFF pads to even
+    }
+    if (rate < 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    var i = dataOff
+    val end = dataOff + dataLen.toInt
+    var peak = 0; var sumSq = 0L
+    while (i < end) {
+      val v = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      i += 2
+    }
+    Some((rate, channels, n, peak, sumSq))
+  }
+
+  /** Serialize interleaved s16le samples as a canonical 44-byte-header
+    * WAV payload — the inverse of [[parseWav]] and the encode half of
+    * the audio path (what a transform writes back to a binary sink). */
+  def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "bad wav params")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putTag(i: Int, s: String): Unit = {
+      var k = 0; while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    def put32(i: Int, v: Long): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16L)
+    put16(20, 1); put16(22, channels); put32(24, sampleRate.toLong)
+    put32(28, sampleRate.toLong * channels * 2) // byte rate
+    put16(32, channels * 2); put16(34, 16)      // block align, bits
+    putTag(36, "data"); put32(40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + i * 2, samples(i).toInt); i += 1
+    }
+    out
+  }
+
+  /** Decode an audio payload column for real where the container allows
+    * it: RIFF/WAVE PCM16 payloads yield actual sample rate, channel
+    * count, frame count, duration, peak and RMS from the sample data;
+    * anything else degrades to nulls (the honest "codec missing"
+    * signal). The RMS is the only float — one per-row
+    * `sqrt(sumSq / n)` over exact integer sums, bit-exact across
+    * engines because IEEE sqrt and division are correctly rounded.
+    * Same per-partition streaming shape as [[decodeImages]]: constant
+    * memory, payloads never leave their partitions. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(2)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](2)
+          parseWav(bytes) match {
+            case Some((rate, ch, n, peak, sumSq)) =>
+              val frames = n / ch
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+              Row(r.getLong(0), r.getString(1), bytes.length,
+                rate, ch, frames, frames * 1000L / rate, peak, rms)
+            case None =>
+              Row(r.getLong(0), r.getString(1), bytes.length,
+                null, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic planted PCM16 payloads for the audio-decode oracle:
+    * one mono/stereo clip per id at 8 kHz — channels `1 + id%2`,
+    * `50 + id%20` frames, interleaved sample i carrying
+    * `(id*31 + i*17) % 4001 - 2000` — a closed form BOTH engines can
+    * state, so the DuckDB oracle recomputes peak/RMS/duration without
+    * ever seeing the bytes while Spark derives them by actually
+    * decoding the payload (see the [[plantedPpm]] convention). */
+  def plantedWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ch = 1 + math.floorMod(id, 2).toInt
+          val frames = 50 + math.floorMod(id, 20).toInt
+          val px = new Array[Short](frames * ch)
+          var i = 0
+          while (i < px.length) {
+            px(i) = (math.floorMod(id * 31 + i * 17L, 4001L) - 2000L).toShort
+            i += 1
+          }
+          Row(id, "audio", wavBytes(8000, ch, px))
+        }
+      }(enc)
+  }
+
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */

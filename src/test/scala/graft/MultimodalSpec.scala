@@ -132,6 +132,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV decode: real sample math over a hand-built PCM16 payload") {
+    // stereo, 3 frames at 8kHz: samples (100,-100, 200,-200, 300,-32768)
+    val samples = Array[Short](100, -100, 200, -200, 300, -32768)
+    val wav = Multimodal.wavBytes(8000, 2, samples)
+    assert(wav.length == 44 + 12)
+    val media = Seq((7L, "audio", wav)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeAudio(media).collect().head
+    assert(r.getInt(3) == 8000 && r.getInt(4) == 2)
+    assert(r.getLong(5) == 3L)                  // frames per channel
+    assert(r.getLong(6) == 3L * 1000 / 8000)    // 0 ms — sub-ms clip
+    assert(r.getInt(7) == 32768)                // |−32768| kept exactly
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(r.getDouble(8) == math.sqrt(sumSq.toDouble / 6))
+  }
+
+  test("WAV decode: unknown chunks skip, malformed payloads yield nulls") {
+    val base = Multimodal.wavBytes(44100, 1, Array[Short](5, -5))
+    // splice a LIST chunk (odd size 3 → padded to 4) between fmt and data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val spliced = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    val truncated = base.slice(0, base.length - 1)
+    val eightBit = base.clone(); eightBit(34) = 8 // bits-per-sample
+    val media = Seq(
+      (1L, "audio", spliced),
+      (2L, "audio", truncated),
+      (3L, "audio", eightBit),
+      (4L, "audio", "not audio".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.decodeAudio(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(3) == 44100 && rows(1L).getLong(5) == 2L)
+    assert(rows(1L).getInt(7) == 5)
+    assert(Seq(2L, 3L, 4L).forall(id => rows(id).isNullAt(3)))
+  }
+
+  test("planted WAV payloads decode to the closed-form sample stats") {
+    val planted = Multimodal.plantedWav(docs)
+    val decoded = Multimodal.decodeAudio(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 2L)) {
+      val ch = 1 + (id % 2).toInt
+      val frames = 50 + (id % 20).toInt
+      val vs = (0 until frames * ch).map(i => (id * 31 + i * 17) % 4001 - 2000)
+      val r = decoded(id)
+      assert(r.getInt(3) == 8000 && r.getInt(4) == ch)
+      assert(r.getLong(5) == frames.toLong)
+      assert(r.getLong(6) == frames * 1000L / 8000)
+      assert(r.getInt(7) == vs.map(math.abs).max)
+      val sumSq = vs.map(v => v * v).sum
+      assert(r.getDouble(8) == math.sqrt(sumSq.toDouble / (frames * ch)))
+      assert(r.getInt(2) == 44 + frames * ch * 2)
+    }
+  }
+
   test("featurize stub emits deterministic fixed-width float vectors that feed the ANN ops") {
     val m = Multimodal.featurizeStub(Multimodal.mediaFromDocs(docs), dim = 8)
     val vs = m.select("media_id", "embedding")
