@@ -1984,6 +1984,17 @@ object SparkEntry {
       TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
+    // ---- LLM: blocklist policy filter ---------------------------------
+    // banned-phrase annotation: the term table broadcasts as one sorted
+    // array and matching is a per-row codegen'd array filter — no
+    // shuffle, linear in corpus size
+    "q_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow scan", "big table", "hash merge",
+        "stream batch", "forbidden phrase").toDF("term")
+      TextOps.blocklist(t(s, dir, "documents"), terms)
+    }),
+
     // ---- LLM: vocabulary extraction (token -> tf / doc frequency) -----
     // top slice by (tf desc, token) for a deterministic result set
     "q_vocab" -> ((s, dir) =>
@@ -2321,6 +2332,17 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("n_bytes").cast("long").as("n_bytes"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
+
+    // ---- LLM: REAL audio decode (RIFF/WAVE PCM16 chunk walk) ----------
+    // the WAV sibling of q_multimodal_ppm: planted PCM16 clips are
+    // actually parsed — chunk walk, fmt block, sample streaming — while
+    // the oracle recomputes peak/RMS/duration from the plant's closed
+    // form without ever seeing a byte
+    "q_multimodal_wav" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.plantedWav(t(s, dir, "documents")))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), col("peak"), col("rms"),
+          col("n_bytes").cast("long").as("n_bytes"))),
 
     // ---- LLM: REAL image resize (decode -> subsample -> re-encode) ----
     // the resized payload is a VALID PPM decoded again by the same
@@ -3961,6 +3983,20 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // mirrors TextOps.wordShingles exactly: docs of <= n-1 words
     // contribute their whole text as one shingle; DuckDB's 1-based
     // INCLUSIVE slice ws[i:i+7] is Spark's slice(ws, i, 8)
+    // left join on containment, '|'-joined sorted matches as the
+    // sortable scalar
+    "q_blocklist" ->
+      """WITH terms(term) AS (VALUES ('slow scan'), ('big table'),
+        |  ('hash merge'), ('stream batch'), ('forbidden phrase'))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(t.term, '|' ORDER BY t.term), '')
+        |    AS matched_terms,
+        |  CAST(count(t.term) AS INT) AS n_matched,
+        |  count(t.term) > 0 AS blocked
+        |FROM documents d LEFT JOIN terms t
+        |  ON contains(lower(d.text), t.term)
+        |GROUP BY d.doc_id""".stripMargin,
+
     "q_decontam" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -4339,6 +4375,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(sum(v) FILTER (ch = 2) AS DOUBLE)
         |    / (any_value(w) * any_value(h)) AS mean_b
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // planted PCM16 stats in closed form: the oracle never sees a byte;
+    // the one float (RMS) is a per-row sqrt over exact integer sums, so
+    // IEEE correct rounding makes it bit-exact cross-engine
+    "q_multimodal_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 20 AS nf
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, ch, nf,
+        |    (doc_id * 31 + i * 17) % 4001 - 2000 AS v
+        |  FROM d, unnest(generate_series(0, nf * ch - 1)) AS t(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(any_value(ch) AS INT) AS channels,
+        |  CAST(any_value(nf) AS BIGINT) AS n_frames,
+        |  CAST(any_value(nf) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  sqrt(CAST(sum(v * v) AS DOUBLE)
+        |    / (any_value(nf) * any_value(ch))) AS rms,
+        |  CAST(44 + any_value(nf) * any_value(ch) * 2 AS BIGINT) AS n_bytes
+        |FROM sm GROUP BY doc_id""".stripMargin,
 
     // nearest-neighbor downsample of the planted closed form: output
     // pixel (x, y, ch) carries source index ((2y)*w + 2x)*3 + ch

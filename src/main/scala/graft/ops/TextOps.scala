@@ -177,6 +177,37 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // Blocklist filtering: annotate every document with the banned terms
+  // it contains — the policy-filter step of corpus curation (banned
+  // phrases, unsafe-source markers, boilerplate sentinels). The term
+  // table aggregates to ONE sorted-array row and broadcasts into the
+  // scan (the lmScore convention), so matching is a per-row codegen'd
+  // array filter over the text — no shuffle, no UDF, linear in corpus
+  // size. An Aho-Corasick automaton would collapse the per-term scans
+  // to one text pass; at typical blocklist sizes (10²–10⁴ phrases) the
+  // broadcast-array filter stays within a small constant of it while
+  // keeping whole-stage codegen.
+  // --------------------------------------------------------------------
+
+  /** One row per document: `matched_terms` ('|'-joined, sorted — a
+    * SORTABLE SCALAR rather than an array, the comparator convention
+    * from the bpeEncode fix), `n_matched`, and the `blocked` verdict.
+    * Matching is case-insensitive substring containment per term. */
+  def blocklist(docs: DataFrame, terms: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      termCol: String = "term"): DataFrame = {
+    val tarr = terms
+      .agg(sort_array(collect_set(lower(col(termCol)))).as("bl"))
+    docs.crossJoin(broadcast(tarr))
+      .select(col(idCol),
+        filter(col("bl"), t => contains(lower(col(textCol)), t)).as("m"))
+      .select(col(idCol),
+        array_join(col("m"), "|").as("matched_terms"),
+        size(col("m")).as("n_matched"),
+        (size(col("m")) > 0).as("blocked"))
+  }
+
+  // --------------------------------------------------------------------
   // Vocabulary extraction: token -> (term frequency, document frequency)
   // — the "build the tokenizer corpus stats" step. One shuffle keyed on
   // token; partial+final hash aggregation means only one (token, counts)

@@ -503,4 +503,27 @@ class TextOpsSpec extends SparkSpec {
       .exists(l => l.contains("bpe_encode") && l.contains("*(")),
       "the bpe_encode projection must sit inside a codegen stage")
   }
+
+  test("blocklist annotates matched terms sorted, case-insensitively, shuffle-free") {
+    val docs = Seq(
+      (1L, "the BIG Table was slow"),
+      (2L, "a big tablecloth"),          // substring still matches
+      (3L, "clean document"),
+      (4L, "big table and slow scan")).toDF("doc_id", "text")
+    val terms = Seq("Big Table", "slow scan").toDF("term")
+    val got = TextOps.blocklist(docs, terms)
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "big table", 1, true),
+      (2L, "big table", 1, true),
+      (3L, "", 0, false),
+      (4L, "big table|slow scan", 2, true)))
+    // scale shape: no shuffle on the document side — the only exchange
+    // in the plan is the 1-row term-array broadcast
+    val plan = TextOps.blocklist(docs, terms).queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"document side must not shuffle:\n$plan")
+  }
 }
