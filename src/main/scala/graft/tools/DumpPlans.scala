@@ -41,7 +41,9 @@ object DumpPlans {
     "q_rolling_zscore" -> "Rolling z-score: ONE Window operator carries all three frame moments (count, decimal Σx, Σx²) over one key exchange + one sort; scoring is pure per-row projection after that.",
     "q_pagerank" -> "PageRank final round: rank/degree state joins into the checkpointed edge table as BroadcastHashJoin (state is node-sized; checkpointed RDDs carry no stats, so the op pins the hint) — the edge table never shuffles; the only exchange is the dst-keyed partial+final contribution aggregation.",
     "q_triangles" -> "Triangle count: degree-oriented wedge join — every step a keyed equi-join (canonical dedup, degree attach, src-keyed wedge self-join, (n1,n2)-keyed closure), no CartesianProduct; the orientation bounds wedge volume by arboricity so hubs generate none.",
-    "q_link_predict" -> "Link prediction: center-keyed wedge self-join over the adjacency (maxDegree caps hub centers), one (n1,n2) aggregation accumulating fixed-point RA in BIGINT, and a LeftAnti join removing pairs that are already edges.")
+    "q_link_predict" -> "Link prediction: center-keyed wedge self-join over the adjacency (maxDegree caps hub centers), one (n1,n2) aggregation accumulating fixed-point RA in BIGINT, and a LeftAnti join removing pairs that are already edges.",
+    "q_communities" -> "Label propagation final round: the node-sized label table broadcasts into the checkpointed edge table (edges never shuffle); one (dst, label) partial+final count and one node-keyed window argmax whose input is degree-bounded, not edge-bounded.",
+    "q_blocklist" -> "Blocklist policy filter: the term table collapses to a 1-row sorted-array broadcast; matching is a codegen'd array filter inside the document scan stage — zero exchanges on the corpus side.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
