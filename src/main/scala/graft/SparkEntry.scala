@@ -219,6 +219,39 @@ object SparkEntry {
 
   private val CommunitiesSql: String = labelPropagationSql(5)
 
+  /** Unrolled k-core peeling: stage j keeps nodes whose degree in the
+    * stage-(j-1) survivor subgraph is ≥ k. The k-core is a unique
+    * fixpoint (peel order can't change it), so the oracle just needs
+    * ENOUGH stages to stabilize — the deepest cascade measured on the
+    * fixture co-supplier graph is 8 rounds (k=18 empties sf0.1); 10
+    * stages leave slack, and a too-shallow unroll would surface as a
+    * hash mismatch, not a silent pass. */
+  private def kCoreSql(k: Int, stages: Int): String = {
+    val rounds = (1 to stages).map { j =>
+      s"""c$j AS MATERIALIZED (
+         |  SELECT src AS node FROM e
+         |  WHERE src IN (SELECT node FROM c${j - 1})
+         |    AND dst IN (SELECT node FROM c${j - 1})
+         |  GROUP BY src HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sup
+       |  FROM lineitem WHERE l_quantity > 45),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(x.sup AS VARCHAR) AS src,
+       |    CAST(y.sup AS VARCHAR) AS dst
+       |  FROM sp x JOIN sp y ON x.ok = y.ok AND x.sup <> y.sup),
+       |c0 AS (SELECT DISTINCT src AS node FROM e),
+       |$rounds
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e
+       |WHERE src IN (SELECT node FROM c$stages)
+       |  AND dst IN (SELECT node FROM c$stages)
+       |GROUP BY src""".stripMargin
+  }
+
+  private val KCoreSql: String = kCoreSql(15, 10)
+
   /** Exact decimal-accumulated sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
@@ -1212,6 +1245,36 @@ object SparkEntry {
           col("x.ok") === col("y.ok") && col("x.sup") =!= col("y.sup"))
         .select(col("x.sup").as("sa"), col("y.sup").as("sb"))
       graft.ops.Graph.labelPropagation(pairs, "sa", "sb", iterations = 5)
+    }),
+
+    // ---- extension: connected components (generic graph) --------------
+    // min-label propagation with convergence probe over the co-supplier
+    // graph — which suppliers are transitively connected at all (the
+    // coarse partition label propagation refines into communities)
+    "q_graph_components" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = sp.as("x")
+        .join(sp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sup") =!= col("y.sup"))
+        .select(col("x.sup").as("sa"), col("y.sup").as("sb"))
+      graft.ops.Graph.connectedComponents(pairs, "sa", "sb")
+    }),
+
+    // ---- extension: k-core decomposition ------------------------------
+    // peel-to-stability on the co-supplier graph at k=15: the dense
+    // co-occurrence core (82/100 suppliers at sf0.01, 952/1000 at
+    // sf0.1) that pendant edges can't fake their way into
+    "q_kcore" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = sp.as("x")
+        .join(sp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sup") =!= col("y.sup"))
+        .select(col("x.sup").as("sa"), col("y.sup").as("sb"))
+      graft.ops.Graph.kCore(pairs, "sa", "sb", k = 15)
     }),
 
     // ---- extension: triangle counting ---------------------------------
@@ -3203,6 +3266,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // synchronous LPA unrolled; determinism rests on the total-order
     // tie-break, not on any arithmetic convention
     "q_communities" -> CommunitiesSql,
+
+    // the k-core is a unique fixpoint: 10 unrolled peel stages (≥ the
+    // deepest measured cascade) reach it without mirroring the engine's
+    // adaptive round count
+    "q_kcore" -> KCoreSql,
+
+    // components are a graph INVARIANT: the oracle takes the true
+    // reachability fixpoint via a recursive CTE — no need to mirror the
+    // engine's round count
+    "q_graph_components" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sup
+        |  FROM lineitem WHERE l_quantity > 45),
+        |e AS (
+        |  SELECT DISTINCT CAST(x.sup AS VARCHAR) AS src,
+        |    CAST(y.sup AS VARCHAR) AS dst
+        |  FROM sp x JOIN sp y ON x.ok = y.ok AND x.sup <> y.sup),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node""".stripMargin,
 
     // triangle count is a graph INVARIANT — the oracle counts the same
     // set with the classic ordered 3-way self-join, no need to mirror

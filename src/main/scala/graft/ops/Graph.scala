@@ -185,6 +185,116 @@ object Graph {
     labels
   }
 
+  /** Weakly connected components over a generic string-keyed edge set:
+    * each node's `component` is the MINIMUM node id (binary string
+    * order) reachable through the undirected closure — min-label
+    * propagation with a per-round convergence probe, the generic-graph
+    * sibling of [[Dedup.nearDupClusters]] (which owns the long-id
+    * near-dup-pair form and its lineage-truncation rationale). Edge
+    * direction is ignored: edges mirror internally before the loop.
+    *
+    * Cross-engine exactness is structural (a min over strings — no
+    * arithmetic); the iteration count adapts to the graph (longest
+    * min-label path) and the driver sees only a changed-count scalar
+    * per round. Scale shape per round: one dst-keyed join attaching the
+    * node-sized label table to the symmetric edge set (broadcast under
+    * `broadcastState`), one src-keyed min aggregation, one node-sized
+    * label merge. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20,
+      broadcastState: Boolean = true): DataFrame = {
+    val eRaw = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val sym = eRaw
+      .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    // mirrored ⇒ every node appears as a src; no separate node union
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = sym
+        .join(state(labels.select(col("node").as("dst"),
+          col("component").as("nc"))), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("nc")).as("nmin"))
+      val next = labels.join(state(viaNeighbor), Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — a " +
+        "component has a longer min-label path; raise maxIters")
+    labels
+  }
+
+  /** K-core decomposition: iteratively peel nodes whose UNDIRECTED
+    * degree in the surviving subgraph falls below `k`, until stable.
+    * The survivors are the k-core — the maximal subgraph where every
+    * node keeps ≥ k neighbors — with each node's within-core degree.
+    * The k-core is ORDER-INDEPENDENT (a unique fixpoint regardless of
+    * peel order), so cross-engine agreement needs no arithmetic
+    * convention and no matched round count: any engine that peels to
+    * stability lands on the same node set. The curation reading: the
+    * dense citation/link core a spam ring can't fake with pendant
+    * edges — each round the probe sees only a survivor-count scalar.
+    *
+    * Scale shape per round: the symmetric edge set (checkpointed once)
+    * semi-joins against the node-sized survivor table on BOTH
+    * endpoints — broadcast under `broadcastState`, so the edges never
+    * shuffle — then one src-keyed partial+final count. Rounds are
+    * data-dependent but bounded by the peeling depth (`maxIters` guard
+    * throws rather than returning a half-peeled non-core). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 30, broadcastState: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    val eRaw = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = eRaw
+      .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    def coreDegrees(alive: DataFrame): DataFrame = sym
+      .join(state(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(state(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+    var alive = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var nAlive = alive.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = coreDegrees(alive)
+        .where(col("core_degree") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nAlive
+      alive = next
+      nAlive = nNext
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not stabilize in $maxIters rounds — a deeper peeling " +
+        "cascade than expected; raise maxIters")
+    coreDegrees(alive)
+  }
+
   private def dampingTo100(iterations: Int, damping: Double): Int = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")

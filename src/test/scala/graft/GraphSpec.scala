@@ -245,6 +245,42 @@ class GraphSpec extends SparkSpec {
     assert(dangle("s") == "s" && dangle("t") == "s")
   }
 
+  test("connectedComponents labels every node with its reachability min, ignoring direction") {
+    // path a->b->c plus a back-edge-only pair (y->x): direction must
+    // not matter, so c joins a's component and x joins y's under 'x'
+    val e = Seq(("a", "b"), ("b", "c"), ("y", "x"))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(e, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // determinism + a longer chain that needs several rounds
+    val chain = (0 to 9).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+      .toDF("src", "dst")
+    val cc = Graph.connectedComponents(chain, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(cc.values.toSet == Set("n00") && cc.size == 11)
+  }
+
+  test("kCore peels below-k nodes until the stable core remains") {
+    // K4 {a,b,c,d} with a pendant p off a: the 3-core is exactly the
+    // K4 (within-core degree 3 each); p and its edge peel away
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "p"))
+    val got = Graph.kCore(k4.toDF("src", "dst"), "src", "dst", k = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // cascading peel: a 5-path has no 2-core — endpoints fall first,
+    // then the exposed next-in-line, until nothing is left
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2)
+      .count() == 0L)
+    // the 1-core of the same path is the whole path (degrees 1/2)
+    val one = Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
+  }
+
   test("personalized pageRank concentrates rank near the seeds") {
     // two disjoint stars; seeding only h1's component leaves the other
     // component at exactly zero everywhere
