@@ -271,19 +271,33 @@ object SparkEntry {
   private def dsum8r(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(DecimalType(28, 8))), scale).cast("double")
 
-  /** events with ts normalized: parquet TIMESTAMP(NANOS) arrives as a long
-    * (spark.sql.legacy.parquet.nanosAsLong) — expose both an epoch-seconds
-    * long and a microsecond timestamp. Integer `div` keeps full precision
-    * (a double division would lose bits above 2^53). */
+  /** Epoch-microseconds LONG for the events `ts` column under EITHER
+    * fixture representation the driver has shipped: parquet
+    * TIMESTAMP(NANOS) read as a nanos LONG (spark.sql.legacy.parquet
+    * .nanosAsLong — rounds <= 6), or TIMESTAMP(MICROS) read as a
+    * timestamp (round-7 regeneration; NTZ when the file is not
+    * UTC-adjusted). Integer `div` keeps full precision (a double
+    * division would lose bits above 2^53); the NTZ->LTZ cast is an
+    * identity wall-clock mapping under the UTC session timezone, so
+    * unix_micros here equals DuckDB's epoch_us(ts) on the same file. */
+  private def tsUsLong(df: DataFrame): Column =
+    graft.ops.TimeSeries.epochMicros(df, "ts")
+
+  /** events with ts normalized — expose both an epoch-seconds long and a
+    * microsecond timestamp, whatever physical form `ts` arrived in. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_sec", expr("ts div 1000000000"))
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    t(s, dir, "events").withColumn("__ts_us", tsUsLong(t(s, dir, "events")))
+      .withColumn("ts_sec", expr("__ts_us div 1000000"))
+      .withColumn("ts_us", timestamp_micros(col("__ts_us")))
+      .drop("__ts_us")
 
   /** events with ts_us as a PLAIN LONG of epoch-micros (not a timestamp)
     * — the form the as-of join and funnel order by; one definition so no
     * query silently shadows the timestamp column with a long. */
-  private def eventsUsLong(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  private def eventsUsLong(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts_us", tsUsLong(raw))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
     * curation pipeline exercises the engine end-to-end: quality scoring

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Epoch-microseconds LONG from a time column, whatever physical form
+    * it arrived in: an epoch-nanos LONG (parquet TIMESTAMP(NANOS) read
+    * under spark.sql.legacy.parquet.nanosAsLong — driver fixtures of
+    * rounds <= 6), or TIMESTAMP / TIMESTAMP_NTZ (the round-7 fixture
+    * regeneration ships TIMESTAMP(MICROS)). Integer `div` keeps full
+    * precision (a double division would lose bits above 2^53); the
+    * NTZ->LTZ cast is an identity wall-clock mapping under the UTC
+    * session timezone, so the result equals DuckDB's epoch_us(ts) on
+    * the same file. */
+  def epochMicros(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"$tsCol div 1000")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+
   /** Per-key fixed-step grid from each key's first to last bucket, with
     * the supplied per-bucket aggregates, and the `fillCols` columns
     * forward-filled: a row (gap row OR data-point row whose aggregate

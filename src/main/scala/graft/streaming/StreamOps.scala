@@ -20,15 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Normalize an event-time column to TimestampType: the driver fixtures
-    * arrive with ts as a LONG of epoch-nanos (parquet TIMESTAMP(NANOS)
-    * read under spark.sql.legacy.parquet.nanosAsLong) which
-    * watermark/window reject. Pass frames through here first when the
-    * time column may be a nanos long. */
+  /** Normalize an event-time column to TimestampType: driver fixtures
+    * have shipped ts as a LONG of epoch-nanos (parquet TIMESTAMP(NANOS)
+    * read under spark.sql.legacy.parquet.nanosAsLong, rounds <= 6) and as
+    * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ (round-7 regeneration).
+    * Watermark/window reject the long; NTZ is normalized to LTZ (an
+    * identity wall-clock mapping under the UTC session timezone) so both
+    * fixture eras produce the identical column. Pass frames through here
+    * first when the time column's physical form may vary. */
   def withEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
       case _ => df
     }
 

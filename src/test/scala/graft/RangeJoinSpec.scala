@@ -16,7 +16,7 @@ class RangeJoinSpec extends SparkSpec {
 
   test("equals the brute-force theta join on the events fixture") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(df => df.withColumn("ts_us", graft.ops.TimeSeries.epochMicros(df)))
     val day = 86400000000L
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
@@ -82,7 +82,7 @@ class RangeJoinSpec extends SparkSpec {
 
   test("interval overlap equals the brute-force theta join on the events fixture") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(df => df.withColumn("ts_us", graft.ops.TimeSeries.epochMicros(df)))
     val day = 86400000000L
     def w(id: String, k: String, s: String, e: String) =
       ev.where(col("event_type") === "purchase")
@@ -121,7 +121,7 @@ class RangeJoinSpec extends SparkSpec {
 
   test("candidate generation is an equi-join on (key, bin), not a cartesian") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+      .transform(df => df.withColumn("ts_us", graft.ops.TimeSeries.epochMicros(df)))
     val day = 86400000000L
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),

@@ -90,10 +90,11 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
   }
 
-  test("withEventTime normalizes nanos-long ts to a timestamp") {
+  test("withEventTime normalizes the fixture ts to a timestamp") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    assert(raw.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType) // nanosAsLong fixture shape
+    // the driver fixture has shipped ts as nanos-LONG (rounds <= 6,
+    // nanosAsLong) and as TIMESTAMP(MICROS)/NTZ (round-7 regeneration);
+    // withEventTime must land on TimestampType from either
     val fixed = graft.streaming.StreamOps.withEventTime(raw)
     assert(fixed.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
