@@ -2126,6 +2126,19 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
 
+    // ---- LLM: BM25 keyword retrieval (top-10 docs per query) ----------
+    // three fixed keyword queries over the documents corpus; idf
+    // quantized to 1e-6, per-term contributions quantized to integer
+    // micros and BIGINT-summed (exact), ties break on doc_id — the
+    // score is bit-identical on any engine (ops/Retrieval.bm25TopK)
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "vector hash join"), (2L, "slow scan filter"),
+        (3L, "customer order stream")).toDF("query_id", "qtext")
+      graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+    }),
+
     // ---- quality: PSI drift report (distribution-shift monitor) -------
     // per-bin Population Stability Index of the purchase slice vs all
     // other event types over value in [0, 500), 20 bins; quantized ln
@@ -4232,6 +4245,50 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
         |  FROM s)
         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    // mirrors Retrieval.bm25TopK token-for-token: Lucene-form idf
+    // quantized to 1e-6, one fixed-shape double expression per matched
+    // term quantized to integer micros, exact BIGINT sum, ties on doc_id
+    "q_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'vector hash join'),
+        |    (CAST(2 AS BIGINT), 'slow scan filter'),
+        |    (CAST(3 AS BIGINT), 'customer order stream')),
+        |tok AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfw AS (
+        |  SELECT *, count(*) OVER (PARTITION BY term) AS df_docs FROM tf),
+        |stats AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS total_tokens
+        |  FROM dfw),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+        |  FROM q),
+        |s AS (
+        |  SELECT qt.query_id, dfw.doc_id,
+        |    sum(CAST(round(
+        |      round(ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE)
+        |          + 0.5) / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0), 6)
+        |      * (CAST(tf AS DOUBLE) * 2.2
+        |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |            * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE)
+        |               / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0, 0) AS BIGINT)) AS score_micros
+        |  FROM dfw CROSS JOIN stats JOIN qt USING (term)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_micros DESC, doc_id)
+        |    AS rank FROM s)
+        |SELECT query_id, doc_id,
+        |  CAST(score_micros AS DOUBLE) / 1000000.0 AS score, rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // mirrors Profile.driftReport token-for-token: same clamped-bin
     // expression as q_histogram, window-total shares, quantized ln

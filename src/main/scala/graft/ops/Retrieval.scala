@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval: score every document against a (small) query
+  * table and keep the top-k matches per query — the lexical-search
+  * primitive a corpus pipeline uses for eval-set sourcing, targeted
+  * decontamination sweeps, and quality-probe retrieval ("find the docs
+  * that answer this question").
+  *
+  * (Extension surface — the reference engine has no text functions at
+  * all; same corpus fixtures as the tf-idf / vocabulary family.)
+  *
+  * Okapi BM25 with the standard parameters:
+  *
+  *   score(q, d) = sum over distinct query terms t of
+  *     idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*((1-b) + b*dl(d)/avgdl))
+  *   idf(t) = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form,
+  *            always positive)
+  *
+  * N counts documents with at least one token; dl is the document's
+  * token count; avgdl = total_tokens / N.
+  *
+  * Determinism contract (the lmScore/tfidf rule): idf is quantized to
+  * 1e-6; each term's contribution is one fixed-shape IEEE double
+  * expression over exact integers and that quantized idf, itself
+  * quantized to integer MICROS — so the per-(query, doc) score is an
+  * exact BIGINT sum no engine, partitioning, or retry can perturb
+  * (the pageRank fixed-point rule). Ranking ties break on doc id
+  * ascending. The emitted score is score_micros / 1e6 — one IEEE
+  * division of an exact integer.
+  *
+  * Scale shape: the corpus is tokenized and shuffled ONCE into the
+  * (doc, term) tf table — dl rides along from the pre-explode map side,
+  * costing no extra pass; df comes from a term-keyed window over that
+  * table (the tfidf lesson: a join back would duplicate the tokenize
+  * subtree). The (N, avgdl) scalars are a 1-row broadcast attach. The
+  * query table is broadcast into the term join — queries are human-sized
+  * while the corpus is 100 TB, so the corpus side never reshuffles for
+  * the match; the score aggregation shuffles only matched (query, doc)
+  * partials, and the final top-k is a per-query window, never a global
+  * sort. */
+object Retrieval {
+
+  /** Top-k BM25 matches per query.
+    *
+    * @param queries small table of (qidCol, qtextCol) — broadcast, must
+    *                fit the broadcast threshold (human-written queries do)
+    * @return (qidCol, idCol, score DOUBLE, rank INT), rank 1..k per query
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "qtext",
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    // BM25 constants, spelled as the exact double literals both engines
+    // must use (k1 = 1.2, b = 0.75 => k1+1 = 2.2, 1-b = 0.25): deriving
+    // 2.2 as 1.2+1.0 at plan-build time would be fine in Spark but easy
+    // to mismatch in hand-written oracle SQL, so both sides write the
+    // finished literals.
+    val tf = docs
+      .select(col(idCol),
+        size(TextOps.words(lower(col(textCol)))).as("dl"),
+        explode(TextOps.words(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfw = tf.withColumn("df_docs",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // corpus scalars from the tf table (docs with >= 1 token), 1 row
+    val stats = dfw.agg(
+      count_distinct(col(idCol)).as("n_docs"),
+      sum(col("tf")).as("total_tokens"))
+    val qterms = queries
+      .select(col(qidCol),
+        explode(array_distinct(TextOps.words(lower(col(qtextCol)))))
+          .as("term"))
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df_docs").cast("double") + 0.5)
+        / (col("df_docs").cast("double") + 0.5) + 1.0), 6)
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val contribMicros = round(
+      idf * (col("tf").cast("double") * lit(2.2) / denom) * lit(1000000.0), 0)
+      .cast("long")
+    val scored = dfw
+      .crossJoin(broadcast(stats)) // 1-row scalar attach
+      .join(broadcast(qterms), "term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(contribMicros).as("score_micros"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score_micros").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol),
+        (col("score_micros").cast("double") / 1000000.0).as("score"),
+        col("rank"))
+  }
+}

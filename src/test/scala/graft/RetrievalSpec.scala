@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // plain-Scala BM25 with the exact quantization contract of
+  // Retrieval.bm25TopK (1e-6 idf, micros-integer contributions)
+  private def bruteBm25(docs: Seq[(Long, String)], query: String,
+      k: Int): Seq[(Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = toks.count(_._2.nonEmpty)
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val qterms = query.trim.toLowerCase.split("\\s+").distinct
+    val df = qterms.map(t =>
+      t -> toks.values.count(_.contains(t))).toMap
+    val scores = docs.collect { case (id, _)
+        if qterms.exists(toks(id).contains) =>
+      val tc = toks(id)
+      val micros = qterms.filter(tc.contains).map { t =>
+        val idf = BigDecimal(math.log(
+          (n - df(t) + 0.5) / (df(t) + 0.5) + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val tf = tc.count(_ == t).toDouble
+        val c = idf * (tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * (tc.size.toDouble / avgdl))))
+        BigDecimal(c * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      id -> micros
+    }
+    scores.sortBy { case (id, m) => (-m, id) }.take(k)
+  }
+
+  test("bm25 equals a brute-force reference, micros-exact") {
+    val docs = Seq(
+      (0L, "fast join fast scan"),
+      (1L, "join the table scan table"),
+      (2L, "slow merge sort window"),
+      (3L, "fast fast fast join join"),
+      (4L, "scan"),
+      (5L, "completely unrelated words here"))
+    val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        Seq((7L, "fast join")).toDF("query_id", "qtext"), k = 4)
+      .select(col("doc_id"), (col("score") * 1000000.0).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val want = bruteBm25(docs, "fast join", 4)
+    assert(got.sortBy(_._1) == want.sortBy(_._1),
+      s"got $got want $want")
+    // rank order: doc 3 (tf-heavy on both terms) must be rank 1
+    val ranked = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        Seq((7L, "fast join")).toDF("query_id", "qtext"), k = 4)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(ranked.head == 3L)
+  }
+
+  test("multi-query scoring is independent per query; k bounds each") {
+    val docs = (0L to 19L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta" else "gamma delta")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha"), (2L, "gamma")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(docs, qs, k = 3)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(r.count(_._1 == 1L) == 3 && r.count(_._1 == 2L) == 3)
+    assert(r.filter(_._1 == 1L).forall(_._2 % 2 == 0))
+    assert(r.filter(_._1 == 2L).forall(_._2 % 2 == 1))
+  }
+
+  test("query side broadcasts; corpus never cartesian-joins") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq((1L, "fast table scan")).toDF("query_id", "qtext")
+    val plan = Retrieval.bm25TopK(docs, qs, k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-term join must be broadcast")
+    // the only nested-loop allowed is the 1-row stats scalar attach
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
