@@ -1558,6 +1558,44 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("bkt"))
     }),
 
+    // ---- scale mechanics: row-level CDC MERGE (upsert + delete) -------
+    // the events stream read as a change log on user profiles: base =
+    // the pre-cutoff state (latest early change per user, deletes
+    // dropped), then the post-cutoff log MERGEs in — latest-wins per
+    // user on the (ts_us, event_id) total order, 'error' rows delete.
+    // One key-keyed shuffle of the log + one anti join on the base
+    // (ops/Cdc.applyChanges); no floating-point arithmetic anywhere
+    "q_cdc_apply" -> ((s, dir) => {
+      val cutoff = 1704672000000000L // 2024-01-08 in epoch micros
+      val ch = eventsUsLong(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      val base = graft.ops.Cdc
+        .latestPerKey(ch.where(col("ts_us") < cutoff),
+          Seq("user_id"), Seq("ts_us", "event_id"))
+        .where(col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("value"))
+      graft.ops.Cdc.applyChanges(base,
+        ch.where(col("ts_us") >= cutoff),
+        Seq("user_id"), Seq("ts_us", "event_id"))
+    }),
+
+    // ---- scale mechanics: SCD-type-2 validity history ------------------
+    // the same change log folded into interval form: one row per change
+    // with [valid_from, valid_to) on the (ts_us, event_id) order, the
+    // open interval flagged is_current, 'error' (delete) rows closing
+    // their predecessor without opening an interval (ops/Cdc.scd2)
+    "q_scd2" -> ((s, dir) => {
+      val ch = eventsUsLong(s, dir).where(col("user_id") < 50)
+        .select(col("user_id"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      graft.ops.Cdc.scd2(ch, Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("value"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    }),
+
     // ---- scale mechanics: z-ordered write -> 2-D stat-pruned scan -----
     // lineitem rewritten z-ordered on (l_orderkey, l_partkey): each file
     // covers a small rectangle of the key plane, so a predicate on BOTH
@@ -3530,6 +3568,52 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |       ELSE o_totalprice END AS o_totalprice,
         |  CAST(o_orderkey % 5 AS INTEGER) AS bkt
         |FROM orders""".stripMargin,
+
+    // mirrors Cdc.applyChanges over the event change log: latest-wins
+    // per user on (ts_us, event_id) DESC, 'error' => delete; base =
+    // pre-cutoff fold, then the post-cutoff log merges in
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us < 1704672000000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us >= 1704672000000000)
+        |  WHERE rn = 1)
+        |SELECT b.user_id, b.event_type, b.value FROM base b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+        |UNION ALL
+        |SELECT user_id, event_type, value FROM latest
+        |WHERE op <> 'D'""".stripMargin,
+
+    // mirrors Cdc.scd2: per-key lead() on (ts_us, event_id) gives the
+    // exclusive valid_to; delete rows close their predecessor but emit
+    // no interval of their own
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE user_id < 50),
+        |h AS (
+        |  SELECT *, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM h WHERE op <> 'D'""".stripMargin,
 
     "q_layout_scan" ->
       """SELECT l_returnflag, count(*) AS n,
