@@ -2164,6 +2164,26 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
 
+    // ---- LLM: bigram LM score with stupid backoff (CCNet-style --------
+    // perplexity filter): position 1 scores ln(c(w1)/T), later positions
+    // ln(cb/c1) for seen bigrams else ln(0.4*c(w)/T); every log-prob
+    // quantized to integer micros and BIGINT-summed (TextOps.bigramLmScore)
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_logp"))),
+
+    // ---- LLM: bigram LM scored against a SEPARATE model corpus --------
+    // (the real CCNet shape: train on the reference slice, score
+    // everything) — model = the src0 slice only, so unseen bigrams take
+    // the 0.4-weighted unigram backoff and model-OOV words the count
+    // floor of 1; quantization contract identical to q_bigram_lm
+    "q_bigram_lm_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bigramLmScore(docs,
+          model = docs.where(col("source") === "src0"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_logp"))
+    }),
+
     // ---- LLM: BM25 keyword retrieval (top-10 docs per query) ----------
     // three fixed keyword queries over the documents corpus; idf
     // quantized to 1e-6, per-term contributions quantized to integer
@@ -4329,6 +4349,99 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
         |  FROM s)
         |SELECT doc_id, token, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
+    // mirrors TextOps.bigramLmScore: map-side slice+zip bigrams, micros
+    // quantization per position, exact integer sum, backoff 0.4
+    "q_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cu) AS t FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS p
+        |    FROM base WHERE len(ws) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |first AS (
+        |  SELECT doc_id, CAST(round(ln(CAST(cu AS DOUBLE)
+        |      / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS m
+        |  FROM (SELECT doc_id, ws[1] AS w FROM base WHERE len(ws) >= 1)
+        |  JOIN uni USING (w) CROSS JOIN tot),
+        |rest AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.cb IS NOT NULL THEN
+        |      CAST(round(ln(CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |        * 1000000.0, 0) AS BIGINT)
+        |    ELSE
+        |      CAST(round(ln(0.4 * (CAST(u2.cu AS DOUBLE)
+        |        / CAST(t AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |    END AS m
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  JOIN uni u1 ON p.w1 = u1.w
+        |  JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot),
+        |s AS (SELECT * FROM first UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  (CAST(sum(m) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
+        |    AS mean_logp
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // mirrors TextOps.bigramLmScore with model = the src0 slice: left
+    // joins against the model counts, count floor greatest(coalesce(c,0),1)
+    // for model-OOV words, 0.4 backoff for unseen bigrams
+    "q_bigram_lm_oov" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |mbase AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE source = 'src0'),
+        |uni AS (
+        |  SELECT w, count(*) AS cu FROM (SELECT unnest(ws) AS w FROM mbase)
+        |  GROUP BY w),
+        |tot AS (SELECT sum(cu) AS t FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT p[1] AS w1, p[2] AS w2 FROM (
+        |      SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS p
+        |      FROM mbase WHERE len(ws) >= 2))
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS p
+        |    FROM base WHERE len(ws) >= 2)),
+        |first AS (
+        |  SELECT doc_id, CAST(round(ln(
+        |      CAST(greatest(coalesce(cu, 0), 1) AS DOUBLE)
+        |      / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS m
+        |  FROM (SELECT doc_id, ws[1] AS w FROM base WHERE len(ws) >= 1)
+        |  LEFT JOIN uni USING (w) CROSS JOIN tot),
+        |rest AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.cb IS NOT NULL THEN
+        |      CAST(round(ln(CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |        * 1000000.0, 0) AS BIGINT)
+        |    ELSE
+        |      CAST(round(ln(0.4 * (CAST(greatest(coalesce(u2.cu, 0), 1)
+        |        AS DOUBLE) / CAST(t AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |    END AS m
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  LEFT JOIN uni u1 ON p.w1 = u1.w
+        |  LEFT JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot),
+        |s AS (SELECT * FROM first UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  (CAST(sum(m) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
+        |    AS mean_logp
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // mirrors Retrieval.bm25TopK token-for-token: Lucene-form idf
     // quantized to 1e-6, one fixed-shape double expression per matched

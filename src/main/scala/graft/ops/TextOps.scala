@@ -286,6 +286,84 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------
+  // Bigram LM score with stupid backoff (Brants et al. 2007) — the
+  // CCNet-style perplexity filter, one modeling step past lmScore's
+  // unigram: position 1 scores ln(c(w1)/T); position i>1 scores
+  // ln(c(w_{i-1} w_i) / c(w_{i-1})) when the model saw the bigram, else
+  // the backoff ln(0.4 * c(w_i)/T). Counts come from `model` (the
+  // reference corpus — CCNet trains on Wikipedia, scores CommonCrawl);
+  // it defaults to the scored corpus itself (self-trained, never OOV).
+  // A token the model never saw takes a count floor of 1 (so the log
+  // stays finite) — the lowest possible probability, as OOV should be.
+  //
+  // Determinism contract: every per-position log-prob quantizes to
+  // integer MICROS (round(ln(x)*1e6)) and the per-doc total is an exact
+  // BIGINT sum (the pageRank fixed-point rule — no multi-row double
+  // accumulation anywhere); the emitted mean is two IEEE ops on exact
+  // operands. Cross-engine bit-identical.
+  //
+  // Scale shape: bigram pairs are built MAP-SIDE from the token array
+  // (slice+zip — no per-doc window, no doc-keyed pre-shuffle), so the
+  // scored corpus shuffles only for the final per-doc sum, and the
+  // model corpus only for its two count aggregations (token-keyed,
+  // bigram-keyed). Count tables attach by broadcast — language-model
+  // vocabularies are words-of-the-language sized, not corpus-sized;
+  // swap for token-keyed shuffle joins if a vocabulary ever outgrows
+  // the broadcast threshold. T is a 1-row broadcast attach.
+  // --------------------------------------------------------------------
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", model: DataFrame = null): DataFrame = {
+    val mbase = Option(model).getOrElse(docs)
+      .select(words(lower(col(textCol))).as("ws"))
+    def bigrams(df: DataFrame, extra: Seq[String]): DataFrame =
+      df.where(size(col("ws")) >= 2)
+        .select(extra.map(col) :+
+          explode(arrays_zip(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"): _*)
+        .select(extra.map(col) :+ col("p.0").as("w1") :+
+          col("p.1").as("w2"): _*)
+    val uni = mbase.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("t"))
+    val big = bigrams(mbase, Nil)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val qmicros = (x: Column) =>
+      round(log(x) * lit(1000000.0), 0).cast("long")
+    // OOV floor: a word the model never saw counts as 1
+    def floored(c: Column): Column =
+      greatest(coalesce(c, lit(0L)), lit(1L)).cast("double")
+    val base = docs.select(col(idCol), words(lower(col(textCol))).as("ws"))
+    // position 1: unigram probability of the first token
+    val first = base.where(size(col("ws")) >= 1)
+      .select(col(idCol), col("ws").getItem(0).as("w"))
+      .join(broadcast(uni), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        qmicros(floored(col("cu")) / col("t").cast("double")).as("m"))
+    // positions 2..n: model-seen bigram, else stupid backoff to unigram
+    val rest = bigrams(base, Seq(idCol))
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        when(col("cb").isNotNull,
+          qmicros(col("cb").cast("double") / col("c1").cast("double")))
+          .otherwise(qmicros(lit(0.4) *
+            (floored(col("c2")) / col("t").cast("double"))))
+          .as("m"))
+    first.unionByName(rest)
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("sum_m"), count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        ((col("sum_m").cast("double") / lit(1000000.0)) /
+          col("n_tokens").cast("double")).as("mean_logp"))
+  }
+
+  // --------------------------------------------------------------------
   // TF-IDF keyword extraction: top-k terms per document by tf·idf — the
   // classic "what is this document about" signal (topical tagging,
   // domain-mixture diagnostics, keyword-based filtering).

@@ -204,6 +204,71 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(0L)._2 && got(0L)._2 > got(2L)._2)
   }
 
+  test("bigram LM equals the brute-force model; backoff and fluency order hold") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat"),      // every bigram seen (shared with doc 0)
+      (2L, "mat the cat"),      // "mat the" unseen -> backoff path
+      (3L, "zqx"))              // single token: unigram position only
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramLmScore(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // brute-force with the op's exact quantization contract
+    val toks = Map(
+      0L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      1L -> Seq("the", "cat", "sat"),
+      2L -> Seq("mat", "the", "cat"),
+      3L -> Seq("zqx"))
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val t = toks.values.map(_.size).sum.toDouble
+    val big = toks.values.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def micros(x: Double) = BigDecimal(math.log(x) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = toks.view.mapValues { ws =>
+      val first = micros(uni(ws.head) / t)
+      val rest = ws.zip(ws.drop(1)).map { case (a, b) =>
+        big.get((a, b)) match {
+          case Some(cb) => micros(cb.toDouble / uni(a))
+          case None => micros(0.4 * (uni(b) / t))
+        }
+      }
+      val sum = (first +: rest).sum
+      (ws.size.toLong, (sum.toDouble / 1000000.0) / ws.size)
+    }.toMap
+    assert(got == expect) // bit-exact micros contract
+    // fluent repeated phrasing beats the doc that needed a backoff
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("bigram LM vs a separate model: backoff and OOV floor fire") {
+    val model = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"),   // all bigrams model-seen
+      (2L, "cat the sat"),   // same words, unseen ORDER -> backoff
+      (3L, "zqx wvu"))       // fully OOV -> floor count 1 everywhere
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramLmScore(docs, model = model)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    def micros(x: Double) = BigDecimal(math.log(x) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val t = 6.0 // model tokens
+    // doc 1: ln(2/6) + ln(1/2) + ln(1/1)
+    assert(got(1L) ==
+      ((micros(2 / t) + micros(1.0 / 2) + micros(1.0)).toDouble / 1e6) / 3)
+    // doc 2: ln(1/6) + backoff ln(.4*2/6) + backoff ln(.4*1/6)
+    assert(got(2L) ==
+      ((micros(1 / t) + micros(0.4 * (2 / t)) + micros(0.4 * (1 / t)))
+        .toDouble / 1e6) / 3)
+    // doc 3: OOV floor: ln(1/6) + backoff ln(.4*1/6)
+    assert(got(3L) ==
+      ((micros(1 / t) + micros(0.4 * (1 / t))).toDouble / 1e6) / 2)
+    // seen phrasing > reordered > gibberish
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+  }
+
   test("tfidf top terms equal the brute-force model; k and ties respected") {
     val docs = Seq(
       (0L, "apple banana apple cherry"),
