@@ -2184,6 +2184,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_logp"))
     }),
 
+    // ---- LLM: DSIR importance resampling (Xie et al. 2023) ------------
+    // hashed unigram+bigram bucket distributions (1024 md5 buckets,
+    // add-one smoothing): target = the English slice, raw = the whole
+    // corpus; every raw doc scored by its exact-integer-summed log
+    // importance ratio, top-100 kept (Sampling.importanceResample)
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.importanceResample(docs,
+        docs.where(col("lang") === "en"), nBuckets = 1024, k = 100)
+    }),
+
     // ---- LLM: BM25 keyword retrieval (top-10 docs per query) ----------
     // three fixed keyword queries over the documents corpus; idf
     // quantized to 1e-6, per-term contributions quantized to integer
@@ -4442,6 +4453,41 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  (CAST(sum(m) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
         |    AS mean_logp
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // mirrors Sampling.importanceWeights: md5 feature buckets, add-one
+    // smoothing over 1024 buckets, per-bucket micros-quantized log
+    // difference, exact BIGINT per-doc sum, top-100 on (logw, doc_id)
+    "q_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, unnest(list_concat(ws,
+        |    list_transform(list_zip(ws[1:len(ws)-1], ws[2:]),
+        |      p -> p[1] || ' ' || p[2]))) AS f
+        |  FROM base),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM f),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en'
+        |        GROUP BY 1),
+        |rawc AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+        |tts AS (SELECT sum(ct) AS tt FROM tgt),
+        |trs AS (SELECT sum(cr) AS tr FROM rawc),
+        |m AS (
+        |  SELECT fb.doc_id,
+        |    CAST(round(ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+        |      / CAST(tt + 1024 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |  - CAST(round(ln((CAST(cr AS DOUBLE) + 1.0)
+        |      / CAST(tr + 1024 AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS m
+        |  FROM fb LEFT JOIN tgt USING (bucket) JOIN rawc USING (bucket)
+        |  CROSS JOIN tts CROSS JOIN trs),
+        |d AS (SELECT doc_id, sum(m) AS sm FROM m GROUP BY 1)
+        |SELECT doc_id, CAST(sm AS DOUBLE) / 1000000.0 AS logw
+        |FROM d ORDER BY sm DESC, doc_id LIMIT 100""".stripMargin,
 
     // mirrors Retrieval.bm25TopK token-for-token: Lucene-form idf
     // quantized to 1e-6, one fixed-shape double expression per matched

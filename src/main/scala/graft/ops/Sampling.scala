@@ -188,4 +188,80 @@ object Sampling {
       .where(col("pick") <= k)
       .drop("pick")
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate hashed
+    * n-gram (unigram + bigram) bucket distributions over a TARGET
+    * corpus (what the data should look like — the paper uses Wikipedia
+    * + books) and over the RAW corpus, then score every raw document by
+    * its log importance ratio
+    *
+    *   logw(d) = sum over d's feature occurrences f of
+    *               ln p_target(b(f)) - ln p_raw(b(f))
+    *
+    * with add-one smoothing over the `nBuckets` hash buckets. High
+    * logw = "looks like the target distribution".
+    *
+    * Determinism contract: each bucket's two logs quantize to integer
+    * MICROS independently; the per-doc total is an exact BIGINT sum of
+    * their differences (order-independent); the emitted logw is one
+    * IEEE division. The md5 bucket hash is the cross-engine idiom every
+    * sampler here uses.
+    *
+    * Scale shape: both corpora explode features ONCE (unigram + bigram
+    * arrays built map-side with slice+zip); the bucket-count tables are
+    * at most `nBuckets` rows and attach by broadcast, so the raw corpus
+    * shuffles only for its per-doc sum. The selection in
+    * [[importanceResample]] is a TakeOrdered top-k, never a global
+    * sort. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def feats(df: DataFrame, extra: Seq[String]): DataFrame = {
+      val ws = split(trim(lower(col(textCol))), "\\s+")
+      val bi = zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      df.select(extra.map(col) :+
+        explode(concat(ws, bi)).as("f"): _*)
+    }
+    val bucket = conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+    val tgt = feats(target, Nil).groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val rawCounts = feats(raw, Nil).groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cr"))
+    val tt = tgt.agg(sum(col("ct")).as("tt"))
+    val tr = rawCounts.agg(sum(col("cr")).as("tr"))
+    def microsLn(x: Column): Column =
+      round(log(x) * lit(1000000.0), 0).cast("long")
+    val docFeats = feats(raw, Seq(idCol))
+      .select(col(idCol), bucket.as("bucket"))
+    docFeats
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .join(broadcast(rawCounts), Seq("bucket")) // raw features always hit
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col(idCol),
+        (microsLn((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("tt") + lit(nBuckets.toLong)).cast("double")) -
+          microsLn((col("cr").cast("double") + lit(1.0)) /
+            (col("tr") + lit(nBuckets.toLong)).cast("double"))).as("m"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("logw_micros"))
+      .select(col(idCol),
+        (col("logw_micros").cast("double") / lit(1000000.0)).as("logw"))
+  }
+
+  /** Top-k raw documents by [[importanceWeights]] — the selection step
+    * of DSIR (deterministic greedy form: highest log importance ratio
+    * wins, doc id breaks ties). Returns (id, logw). */
+  def importanceResample(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 1024, k: Int = 100): DataFrame = {
+    require(k > 0, "k must be positive")
+    importanceWeights(raw, target, idCol, textCol, nBuckets)
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -221,6 +221,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DSIR importance weights rank target-like docs above off-target") {
+    import graft.ops.Sampling
+    // target distribution: "alpha beta" phrasing; off-target: "zq xv"
+    val target = (0L to 9L).map(i => (i, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "alpha beta alpha beta"), // exactly target-like
+      (101L, "alpha beta zq xv"),      // half
+      (102L, "zq xv zq xv"))           // off-target
+      .toDF("doc_id", "text")
+    val w = Sampling.importanceWeights(raw, target, nBuckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w(100L) > w(101L) && w(101L) > w(102L), s"weights: $w")
+    // resample selects in weight order with the id tie-break
+    val top = Sampling.importanceResample(raw, target, nBuckets = 64, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(100L, 101L))
+    // determinism: a repartitioned input gives bit-identical weights
+    val w2 = Sampling.importanceWeights(raw.repartition(7), target,
+      nBuckets = 64).as[(Long, Double)].collect().toMap
+    assert(w2 == w)
+  }
+
+  test("DSIR weights equal the brute-force model on a tiny fixture") {
+    import graft.ops.Sampling
+    val target = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val nB = 16
+    def feats(t: String): Seq[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (x, y) => s"$x $y" }
+    }
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % nB
+    }
+    val tc = feats("a b c").map(bucket).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val rawDocs = Seq(1L -> "a b", 2L -> "c d")
+    val rc = rawDocs.flatMap(d => feats(d._2)).map(bucket)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (tc.values.sum, rc.values.sum)
+    def micros(x: Double) = BigDecimal(math.log(x) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = rawDocs.map { case (id, t) =>
+      id -> feats(t).map { f =>
+        val b = bucket(f)
+        micros((tc.getOrElse(b, 0L) + 1.0) / (tt + nB)) -
+          micros((rc(b) + 1.0) / (tr + nB))
+      }.sum.toDouble / 1e6
+    }.toMap
+    val got = Sampling.importanceWeights(raw, target, nBuckets = nB)
+      .as[(Long, Double)].collect().toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("weighted sampling rejects non-positive weights at runtime") {
     import graft.ops.Sampling
     val df = Seq((1L, "a", 1.0), (2L, "b", 0.0), (3L, "c", 2.0))
