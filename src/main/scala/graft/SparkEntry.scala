@@ -2184,6 +2184,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_logp"))
     }),
 
+    // ---- LLM: trained linear quality classifier (fastText-style) ------
+    // full-batch GD inside the engine: 5 rounds of one corpus-wide
+    // aggregate each (gradients sum in exact micros), rational sigmoid
+    // (no libm), then a pure per-row scoring pass; label = lang == 'en',
+    // features = capped length, capped token count, stopword ratio
+    // (ops/Classifier.train/score — oracle replays all 5 rounds)
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val feats = Seq(
+        least(col("n_chars"), lit(2000L)).cast("double") / lit(2000.0),
+        least(size(ws), lit(400)).cast("double") / lit(400.0),
+        size(filter(ws, w => w.isin("the", "a", "and", "of", "to")))
+          .cast("double") / greatest(size(ws), lit(1)).cast("double"))
+      val y = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+      val model = graft.ops.Classifier.train(docs, feats, y,
+        iterations = 5, lr = 1.0)
+      graft.ops.Classifier.score(docs, feats, model)
+        .select(col("doc_id"), col("score"), col("pred"))
+    }),
+
     // ---- LLM: DSIR importance resampling (Xie et al. 2023) ------------
     // hashed unigram+bigram bucket distributions (1024 md5 buckets,
     // add-one smoothing): target = the English slice, raw = the whole
@@ -2658,6 +2679,54 @@ v${k + 1} AS MATERIALIZED (
       chr(31) || (SELECT l FROM r${k + 1}) || (SELECT r FROM r${k + 1}) || chr(31)) AS s,
     cnt
   FROM v$k)"""
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.ops.Classifier]] training: `iters`
+    * unrolled gradient-descent rounds (one CTE pair per round — micros
+    * gradient sums, then the re-quantized weight row), followed by the
+    * per-row scoring select. Mirrors the Scala expression trees
+    * token-for-token: rational sigmoid, left-associated margin, 1e-6
+    * quantization points. */
+  private def qualityClassifierSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH f AS (
+  SELECT doc_id,
+    CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0 AS x1,
+    CAST(least(len(ws), 400) AS DOUBLE) / 400.0 AS x2,
+    CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to')))
+      AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE) AS x3,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT doc_id, lang, n_chars,
+        string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents)),
+c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+g$k AS (
+  SELECT
+    sum(CAST(round((sig - y) * 1.0 * 1000000.0, 0) AS BIGINT)) AS gb,
+    sum(CAST(round((sig - y) * x1 * 1000000.0, 0) AS BIGINT)) AS ga,
+    sum(CAST(round((sig - y) * x2 * 1000000.0, 0) AS BIGINT)) AS gc,
+    sum(CAST(round((sig - y) * x3 * 1000000.0, 0) AS BIGINT)) AS gd
+  FROM (
+    SELECT y, x1, x2, x3, 0.5 + 0.5 * (z / (1.0 + abs(z))) AS sig
+    FROM (SELECT f.*, ((b + w1 * x1) + w2 * x2) + w3 * x3 AS z
+          FROM f CROSS JOIN w${k - 1}) zt) st),
+w$k AS (
+  SELECT
+    round(b - 1.0 * ((CAST(gb AS DOUBLE) / 1000000.0) / n), 6) AS b,
+    round(w1 - 1.0 * ((CAST(ga AS DOUBLE) / 1000000.0) / n), 6) AS w1,
+    round(w2 - 1.0 * ((CAST(gc AS DOUBLE) / 1000000.0) / n), 6) AS w2,
+    round(w3 - 1.0 * ((CAST(gd AS DOUBLE) / 1000000.0) / n), 6) AS w3
+  FROM w${k - 1} CROSS JOIN g$k CROSS JOIN c)"""
+    }
+    sb ++= s"""
+SELECT doc_id, round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) AS score,
+  (round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) >= 0.5) AS pred
+FROM (SELECT doc_id, ((b + w1 * x1) + w2 * x2) + w3 * x3 AS z
+      FROM f CROSS JOIN w$iters) zt"""
     sb.toString
   }
 
@@ -4453,6 +4522,10 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  (CAST(sum(m) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
         |    AS mean_logp
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // replays Classifier.train's 5 GD rounds + the scoring pass (see
+    // qualityClassifierSql)
+    "q_quality_classifier" -> qualityClassifierSql(5),
 
     // mirrors Sampling.importanceWeights: md5 feature buckets, add-one
     // smoothing over 1024 buckets, per-bucket micros-quantized log
