@@ -44,7 +44,11 @@ object Bench {
     "q_pq_adc", "q_skew_report",
     // late round 7: corpus analysis — TF-IDF keywords, PMI collocations —
     // and the suffix-array-style repeated-span dedup (anchor self-join)
-    "q_tfidf", "q_collocations", "q_repeated_spans")
+    "q_tfidf", "q_collocations", "q_repeated_spans",
+    // round 7 continuation: DSIR importance weighting (two feature
+    // explosions + per-doc sum), 5-round in-engine GD training, bigram
+    // LM scoring (three count aggs + per-doc sum), BM25 retrieval
+    "q_dsir", "q_quality_classifier", "q_bigram_lm", "q_bm25")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
