@@ -2184,6 +2184,43 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_logp"))
     }),
 
+    // ---- LLM: hard-negative mining (contrastive training data) --------
+    // per anchor (ids 0..4), the 3 most-similar corpus vectors BELOW
+    // the 0.95 near-dup ceiling: the planted exact copies (+100000, 2x
+    // scaled — cosine 1.0) and the anchor itself are excluded by the
+    // ceiling alone, so the winners are the top NATURAL neighbors —
+    // informative negatives, not disguised positives
+    "q_hard_negatives" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      val anchors = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("avec"))
+      Similarity.hardNegatives(emb.unionByName(planted), "vec_id",
+        "embedding", anchors, "anchor_id", "avec", k = 3, dupCeiling = 0.95)
+    }),
+
+    // ---- LLM: CCNet perplexity buckets (head / middle / tail) ----------
+    // per-language ntile(3) over the bigram-LM score (q_bigram_lm's
+    // exact construction): head = most-fluent third under the corpus's
+    // own LM — the CCNet bucketing that decides what gets kept,
+    // LM-filtered, or dropped; ordering is total (mean_logp, doc_id)
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextOps.bigramLmScore(docs)
+        .select(col("doc_id"), col("mean_logp"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_logp").desc, col("doc_id"))
+      docs.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id"))
+        .withColumn("nt", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
     // ---- LLM: trained linear quality classifier (fastText-style) ------
     // full-batch GD inside the engine: 5 rounds of one corpus-wide
     // aggregate each (gradients sum in exact micros), rational sigmoid
@@ -4526,6 +4563,83 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // replays Classifier.train's 5 GD rounds + the scoring pass (see
     // qualityClassifierSql)
     "q_quality_classifier" -> qualityClassifierSql(5),
+
+    // mirrors Similarity.hardNegatives over the planted corpus: brute
+    // cosine per (anchor, vector), ceiling filter, per-anchor top-3
+    "q_hard_negatives" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id < 50),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT * FROM planted),
+        |a AS (
+        |  SELECT vec_id AS anchor_id, embedding AS avec
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT a.anchor_id, c.vec_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(a.avec AS DOUBLE[])) AS cos_raw
+        |  FROM corpus c CROSS JOIN a),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM s WHERE cos_raw < 0.95)
+        |SELECT anchor_id, vec_id, round(cos_raw, 4) AS cosine, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q_bigram_lm's exact scoring construction + per-language ntile(3)
+    // on the (mean_logp DESC, doc_id) total order
+    "q_ccnet_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cu) AS t FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS p
+        |    FROM base WHERE len(ws) >= 2)),
+        |big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |first AS (
+        |  SELECT doc_id, CAST(round(ln(CAST(cu AS DOUBLE)
+        |      / CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS m
+        |  FROM (SELECT doc_id, ws[1] AS w FROM base WHERE len(ws) >= 1)
+        |  JOIN uni USING (w) CROSS JOIN tot),
+        |rest AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.cb IS NOT NULL THEN
+        |      CAST(round(ln(CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE))
+        |        * 1000000.0, 0) AS BIGINT)
+        |    ELSE
+        |      CAST(round(ln(0.4 * (CAST(u2.cu AS DOUBLE)
+        |        / CAST(t AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+        |    END AS m
+        |  FROM pairs p
+        |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  JOIN uni u1 ON p.w1 = u1.w
+        |  JOIN uni u2 ON p.w2 = u2.w
+        |  CROSS JOIN tot),
+        |sm AS (SELECT * FROM first UNION ALL SELECT * FROM rest),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (CAST(sum(m) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
+        |      AS mean_logp
+        |  FROM sm GROUP BY doc_id),
+        |nt AS (
+        |  SELECT d.doc_id, d.lang,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.mean_logp DESC, d.doc_id) AS nt
+        |  FROM documents d JOIN scored s USING (doc_id))
+        |SELECT doc_id, lang,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket
+        |FROM nt""".stripMargin,
 
     // mirrors Sampling.importanceWeights: md5 feature buckets, add-one
     // smoothing over 1024 buckets, per-bucket micros-quantized log

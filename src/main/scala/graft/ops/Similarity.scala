@@ -318,4 +318,38 @@ object Similarity {
         (col("lsh_hits").cast("double") / col("n_exact")).as("lsh_recall"),
         (col("ivf_hits").cast("double") / col("n_exact")).as("ivf_recall"))
   }
+
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * per anchor, the k MOST similar corpus vectors strictly BELOW the
+    * near-duplicate ceiling — similar enough to be informative
+    * negatives, not so similar they are actually positives (the anchor
+    * itself and its copies sit at cosine 1.0 and are excluded by the
+    * ceiling, no special-casing).
+    *
+    * Scale shape: the anchor table is training-batch sized and
+    * BROADCASTS — the corpus side scans once, scores per-row (codegen'd
+    * cosine), and only the per-anchor window shuffles candidate rows.
+    * If the anchor set outgrows broadcast, band both sides with the
+    * sign-LSH keys ([[cosineNearDups]]'s candidate generator) and score
+    * in-bucket — same contract, candidates instead of the full scan.
+    * Ranking ties break on the corpus id. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: DataFrame, aidCol: String, avecCol: String,
+      k: Int, dupCeiling: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(dupCeiling > 0.0 && dupCeiling <= 1.0,
+      "dupCeiling must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(aidCol))
+      .orderBy(col("cos_raw").desc, col(idCol))
+    emb.where(col(vecCol).isNotNull)
+      .crossJoin(broadcast(anchors))
+      .select(col(aidCol), col(idCol),
+        VectorExprs.cosineSim(col(vecCol), col(avecCol)).as("cos_raw"))
+      .where(col("cos_raw") < dupCeiling)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(aidCol), col(idCol),
+        round(col("cos_raw"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -163,6 +163,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(_.length == 3))
   }
 
+  test("hard negatives exclude self and near-dups via the ceiling alone") {
+    // corpus: v0, its exact copy (cosine 1), its light perturbation
+    // (cosine ~0.999+), and 37 random vectors
+    val anchors = Seq((0L, v0)).toDF("anchor_id", "avec")
+    val r = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        anchors, "anchor_id", "avec", k = 3, dupCeiling = 0.95)
+      .select("vec_id", "cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // ids 0 (self), 1 (copy), 2 (perturbed) all sit >= 0.95: excluded
+    assert(!r.map(_._1).exists(Set(0L, 1L, 2L)), s"positives leaked: $r")
+    assert(r.length == 3 && r.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(r.forall(_._2 < 0.95))
+    // rank 1 is the true best sub-ceiling neighbor by brute force
+    val brute = vecs.filter(v => !Set(0L, 1L, 2L).contains(v._1))
+      .map { case (id, v) =>
+        val dot = v.zip(v0).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(v0.map(x => x.toDouble * x).sum)
+        (id, dot / (na * nb))
+      }.sortBy { case (id, c) => (-c, id) }
+    assert(r.head._1 == brute.head._1)
+    // scores descend
+    assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-(_: Double)).toSeq)
+  }
+
   test("NULL embeddings are skipped, not fatal; dim is inferred; mismatch raises") {
     val withNull = vecs.map { case (i, v) => (i, Option(v)) } :+ (99L -> None)
     val df = withNull.toDF("vec_id", "embedding")
