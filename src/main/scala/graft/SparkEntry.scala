@@ -2099,6 +2099,27 @@ object SparkEntry {
       TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
+    // ---- LLM: leakage-free train/eval split (composed pipeline) -------
+    // stable content-keyed 90/10 split, then 8-gram decontamination of
+    // the train side against the held-out eval side: a train doc
+    // sharing any 8-gram with eval is QUARANTINED, not shipped — the
+    // split you actually run before a training job. Composition of
+    // Sampling.stableSplit + TextOps.contaminatedIds, one disposition
+    // row per document
+    "q_train_eval_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tagged = graft.ops.Sampling.stableSplit(docs, "text", 90)
+      val contaminated = TextOps.contaminatedIds(
+          tagged.where(col("split") === "train"),
+          tagged.where(col("split") === "test"), "doc_id", "text", 8)
+        .select(col("doc_id"), lit(true).as("contam"))
+      tagged.join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("split") === "test", "eval")
+            .when(col("contam").isNotNull, "quarantined")
+            .otherwise("train").as("disposition"))
+    }),
+
     // ---- LLM: blocklist policy filter ---------------------------------
     // banned-phrase annotation: the term table broadcasts as one sorted
     // array and matching is a per-row codegen'd array filter — no
@@ -4563,6 +4584,35 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // replays Classifier.train's 5 GD rounds + the scoring pass (see
     // qualityClassifierSql)
     "q_quality_classifier" -> qualityClassifierSql(5),
+
+    // mirrors q_train_eval_split: the md5 bucket split (stableSplit) +
+    // the q_decontam 8-gram construction, dispositions per doc
+    "q_train_eval_split" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+        |        % 100 < 90 THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, split,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM tagged),
+        |g AS (
+        |  SELECT doc_id, split, unnest(
+        |    CASE WHEN len(ws) - 7 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 7)] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM g WHERE split = 'test'),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE split = 'train' AND g IN (SELECT g FROM ev))
+        |SELECT doc_id,
+        |  CASE WHEN split = 'test' THEN 'eval'
+        |       WHEN doc_id IN (SELECT doc_id FROM contam)
+        |         THEN 'quarantined'
+        |       ELSE 'train' END AS disposition
+        |FROM tagged""".stripMargin,
 
     // mirrors Similarity.hardNegatives over the planted corpus: brute
     // cosine per (anchor, vector), ceiling filter, per-anchor top-3
