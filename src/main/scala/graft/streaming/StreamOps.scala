@@ -169,6 +169,63 @@ object StreamOps {
         graft.ops.Layout.upsertPartitions(batch, path, partCols)
       }
 
+  /** Streaming row-level CDC MERGE: fold each micro-batch of change
+    * rows into a parquet snapshot table with
+    * [[graft.ops.Cdc.applyChanges]] semantics (latest-wins per key on
+    * `seqCols`, op 'D' deletes) — the streaming half of the lakehouse
+    * maintenance pair, [[upsertSink]]'s row-level sibling.
+    *
+    * The snapshot rewrites atomically per batch (write to `<path>.next`,
+    * swap) — a MERGE changes arbitrary rows, so unlike the
+    * partition-level sink there is no untouched-file preservation to
+    * exploit; at warehouse scale this sink is the compaction point and
+    * runs at the cadence the table can afford (Delta/Iceberg make the
+    * swap transactional per file group — same idea, finer grain).
+    * Checkpointed offsets + the whole-snapshot swap give effectively-
+    * once table contents under restart: a replayed batch re-merges onto
+    * the same base and lands the identical snapshot (applyChanges is
+    * idempotent for a fixed batch).
+    *
+    * The snapshot schema is the change schema minus `opCol`/`seqCols`
+    * (the payload); an empty or missing `path` starts from an empty
+    * base. */
+  def cdcSink(changes: DataFrame, path: String, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val payloadCols = changes.columns
+      .filterNot(c => c == opCol || seqCols.contains(c)).toSeq
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new java.io.File(path)
+        val base =
+          if (fs.exists() && fs.list() != null && fs.list().nonEmpty)
+            spark.read.parquet(path)
+          else batch.select(payloadCols.map(col).toIndexedSeq: _*).limit(0)
+        val merged = graft.ops.Cdc.applyChanges(base, batch,
+          keyCols, seqCols, opCol)
+        val next = path + ".next"
+        merged.write.mode("overwrite").parquet(next)
+        // swap: the reader sees the old snapshot or the new, never a mix
+        val dir = new java.io.File(path)
+        val tmp = new java.io.File(path + ".old")
+        if (tmp.exists()) delete(tmp)
+        if (dir.exists() && !dir.renameTo(tmp))
+          throw new java.io.IOException(s"cdcSink: cannot stage $path")
+        if (!new java.io.File(next).renameTo(dir))
+          throw new java.io.IOException(s"cdcSink: cannot swap $next")
+        delete(tmp)
+      }
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delete)
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"cdcSink: cannot delete $f")
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -332,4 +332,39 @@ class PlanSpec extends SparkSpec {
       s"edge table is being shuffle-joined against node-sized state:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("retrieval/selection/CDC families keep their scale shapes") {
+    // bigram LM: pairs build MAP-SIDE (slice+zip) — no per-doc Window
+    // before the count aggregations; model tables broadcast; the only
+    // wide operators are the keyed aggregations
+    val b = plan("q_bigram_lm")
+    assert(!b.contains(") Window"),
+      s"bigram pairs must not pre-shuffle through a window:\n$b")
+    assert(b.contains("BroadcastHashJoin"), b)
+    assert(!b.contains("SortMergeJoin") && !b.contains("CartesianProduct"))
+
+    // DSIR: bucket count tables broadcast; no corpus-vs-corpus join;
+    // the selection is TakeOrdered, never a global Sort
+    val d = plan("q_dsir")
+    assert(d.contains("TakeOrderedAndProject"), d)
+    assert(!d.contains("SortMergeJoin") && !d.contains("CartesianProduct"))
+
+    // classifier scoring: per-row projection over one scan — no joins,
+    // no exchange at all in the scoring pass
+    val c = plan("q_quality_classifier")
+    assert(!c.contains("Join"), s"scoring must be join-free:\n$c")
+    assert(!c.contains("Exchange"), s"scoring must be exchange-free:\n$c")
+
+    // CDC merge: base passes through ONE left-anti join, never a sort;
+    // the only Sort belongs to the change log's latest-wins window
+    val m = plan("q_cdc_apply")
+    assert(m.contains("LeftAnti"), m)
+    assert(!m.contains("CartesianProduct"))
+
+    // BM25: the per-term match is a broadcast join (query side), and
+    // the final top-k is a per-query window, not a global sort of docs
+    val r = plan("q_bm25")
+    assert(r.contains("BroadcastHashJoin"), r)
+    assert(!r.contains("CartesianProduct"))
+  }
 }

@@ -169,6 +169,40 @@ class StreamingSpec extends SparkSpec {
       (50L until 80L).map((_, 2))).toSet)
   }
 
+  test("cdc sink merges each micro-batch; restart re-merge is a no-op") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    val table = Files.createTempDirectory("graft-cdc-tbl")
+      .resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val schema = "k BIGINT, v STRING, op STRING, seq BIGINT"
+    def start() = StreamOps.cdcSink(
+      spark.readStream.schema(schema).parquet(src),
+      table, Seq("k"), Seq("seq"), "op", ckpt).start()
+    // batch 1: three inserts
+    Seq((1L, "a1", "U", 1L), (2L, "b1", "U", 2L), (3L, "c1", "U", 3L))
+      .toDF("k", "v", "op", "seq")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(table).select("k", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1"), (3L, "c1")))
+    // batch 2 lands while the stream is down: update 1, delete 2,
+    // insert 4 (with an in-batch stale row for k=1 losing on seq)
+    Seq((1L, "a2", "U", 10L), (1L, "stale", "U", 5L),
+      (2L, "x", "D", 11L), (4L, "d1", "I", 12L))
+      .toDF("k", "v", "op", "seq")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val after = spark.read.parquet(table).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a2"), (3L, "c1"), (4L, "d1")))
+    // restart with nothing new: the snapshot must be unchanged
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(table).select("k", "v")
+      .as[(Long, String)].collect().toSet == after)
+  }
+
   test("per-row cleaning (normalizeText) is stream/batch identical") {
     Graft.init(spark)
     implicit val sql = spark.sqlContext
