@@ -1596,6 +1596,81 @@ object SparkEntry {
           col("valid_to"), col("is_current"))
     }),
 
+    // ---- scale mechanics: point-in-time join against an SCD2 dim ------
+    // purchase facts look up the profile version valid AT the purchase
+    // time in the q_scd2 history: key equi-join with the interval
+    // containment as a hash-join residual — never a time-axis product
+    // (ops/Cdc.pointInTime). A purchase matches its own change's
+    // version (valid_from inclusive); 'error' deletes leave a gap, so
+    // purchases inside a deleted span keep NULL dim columns (LEFT join)
+    "q_scd2_join" -> ((s, dir) => {
+      val ch = eventsUsLong(s, dir).where(col("user_id") < 50)
+        .select(col("user_id"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      val dim = graft.ops.Cdc.scd2(ch, Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("value").as("dim_value"),
+          col("valid_from"), col("valid_to"))
+      val facts = eventsUsLong(s, dir)
+        .where(col("user_id") < 50 && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.ops.Cdc.pointInTime(facts, dim, Seq("user_id"), "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("dim_value"), col("valid_from"))
+    }),
+
+    // ---- scale mechanics: snapshot diff (what did the load do) --------
+    // the pre-cutoff profile state vs the state after the full log
+    // merges in: one FULL OUTER key-keyed join classifies every user as
+    // added / removed / changed / unchanged (ops/Cdc.snapshotDiff) —
+    // null-safe payload compare, the new side DERIVED from the old one
+    // (the self-join lineage case the op renames its way out of)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cutoff = 1704672000000000L // 2024-01-08 in epoch micros
+      val ch = eventsUsLong(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      val before = graft.ops.Cdc
+        .latestPerKey(ch.where(col("ts_us") < cutoff),
+          Seq("user_id"), Seq("ts_us", "event_id"))
+        .where(col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val after = graft.ops.Cdc.applyChanges(before,
+        ch.where(col("ts_us") >= cutoff),
+        Seq("user_id"), Seq("ts_us", "event_id"))
+      graft.ops.Cdc.snapshotDiff(before, after, Seq("user_id"))
+    }),
+
+    // ---- scale mechanics: incremental aggregate maintenance (IVM) -----
+    // a materialized per-event-type (count, exact-decimal sum) aggregate
+    // of the pre-cutoff state is maintained under the post-cutoff log
+    // WITHOUT re-aggregating the base: old rows of changed keys leave
+    // their groups, surviving latest rows enter theirs, and the delta
+    // merges into the materialized table (ops/Cdc.incrementalAgg). The
+    // oracle recomputes from scratch on the merged snapshot — the
+    // maintained table must match it bit-for-bit
+    "q_incr_agg" -> ((s, dir) => {
+      val cutoff = 1704672000000000L
+      val ch = eventsUsLong(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      val before = graft.ops.Cdc
+        .latestPerKey(ch.where(col("ts_us") < cutoff),
+          Seq("user_id"), Seq("ts_us", "event_id"))
+        .where(col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val baseAgg = before.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("total"))
+      graft.ops.Cdc.incrementalAgg(before, baseAgg,
+          ch.where(col("ts_us") >= cutoff),
+          Seq("user_id"), "event_type", "value", Seq("ts_us", "event_id"))
+        .select(col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+    }),
+
     // ---- scale mechanics: z-ordered write -> 2-D stat-pruned scan -----
     // lineitem rewritten z-ordered on (l_orderkey, l_partkey): each file
     // covers a small rectangle of the key plane, so a predicate on BOTH
@@ -3772,6 +3847,98 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT user_id, value, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM h WHERE op <> 'D'""".stripMargin,
+
+    // mirrors Cdc.pointInTime over the q_scd2 history: LEFT join on the
+    // key with interval containment (valid_from inclusive, valid_to
+    // exclusive, NULL = open); purchases inside a delete gap keep NULLs
+    "q_scd2_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE user_id < 50),
+        |h AS (
+        |  SELECT *, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS valid_to
+        |  FROM ch),
+        |dim AS (
+        |  SELECT user_id, value AS dim_value, valid_from, valid_to
+        |  FROM h WHERE op <> 'D'),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id < 50 AND event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, d.dim_value, d.valid_from
+        |FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+        |  AND f.ts_us >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)""".stripMargin,
+
+    // mirrors Cdc.snapshotDiff of the q_cdc_apply before/after states:
+    // FULL OUTER key join, per-column null-safe payload compare
+    "q_snapshot_diff" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |bef AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us < 1704672000000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us >= 1704672000000000)
+        |  WHERE rn = 1),
+        |aft AS (
+        |  SELECT b.user_id, b.event_type, b.value FROM bef b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value FROM latest
+        |  WHERE op <> 'D')
+        |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+        |        AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM bef o FULL OUTER JOIN aft n ON o.user_id = n.user_id""".stripMargin,
+
+    // full recompute the maintained aggregate must equal bit-for-bit:
+    // merge the log into the snapshot (q_cdc_apply construction), then
+    // aggregate from scratch with the same DECIMAL(18,6) per-row cast
+    "q_incr_agg" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |bef AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us < 1704672000000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us >= 1704672000000000)
+        |  WHERE rn = 1),
+        |aft AS (
+        |  SELECT b.user_id, b.event_type, b.value FROM bef b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value FROM latest
+        |  WHERE op <> 'D')
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM aft GROUP BY event_type""".stripMargin,
 
     "q_layout_scan" ->
       """SELECT l_returnflag, count(*) AS n,

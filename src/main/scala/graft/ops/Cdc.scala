@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,5 +78,143 @@ object Cdc {
       .orderBy(seqCols.map(col(_).desc).toIndexedSeq: _*)
     changes.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Point-in-time (temporal) join: attach to each fact row the dim
+    * version whose `[validFromCol, validToCol)` interval contains the
+    * fact's `timeCol` — the lookup every event pipeline does against an
+    * SCD2 dimension ("which profile was current when this click
+    * happened"). An open interval (`validToCol` IS NULL) matches
+    * everything from its `validFromCol` on.
+    *
+    * Facts before a key's first version, or on keys the dim has never
+    * seen, keep their row with NULL dim columns (LEFT join — dropping
+    * facts because a dimension is late is how pipelines silently lose
+    * data). Intervals per key are assumed disjoint (what `scd2`
+    * produces), so at most one version matches and the output has
+    * exactly one row per fact.
+    *
+    * Scale shape: this is an EQUI join on the key with the interval
+    * containment as a residual filter — one key-keyed shuffle of each
+    * side (or none for the facts when the dim broadcasts; dims are
+    * usually dim-sized). Never a range/theta join: the interval math
+    * rides the hash join's residual, so 100 TB of facts meet only their
+    * own key's handful of versions, not a time-axis product. */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      timeCol: String, validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "pointInTime needs key columns")
+    // the dim side is renamed wholesale before the join: facts and dim
+    // routinely share lineage (an SCD2 dim built from the same event
+    // stream as the facts), and qualified df(col) refs on a self-join
+    // of derived frames is exactly where Spark's ambiguous-self-join
+    // analysis bites
+    val pfx = "__dim_"
+    val dimR = dim.columns.foldLeft(dim)((d, c) => d.withColumnRenamed(c, pfx + c))
+    val cond = keyCols.map(k => col(k) === col(pfx + k)).reduce(_ && _) &&
+      col(timeCol) >= col(pfx + validFromCol) &&
+      (col(pfx + validToCol).isNull || col(timeCol) < col(pfx + validToCol))
+    val restored = dim.columns.filterNot(keyCols.contains)
+    restored.foldLeft(facts.join(dimR, cond, "left")) {
+      (d, c) => d.withColumnRenamed(pfx + c, c)
+    }.drop(keyCols.map(pfx + _).toIndexedSeq: _*)
+  }
+
+  /** Row-level diff of two snapshots of the same table: one row per key
+    * present in either side, classified `added` / `removed` / `changed`
+    * / `unchanged` — the audit primitive behind "what did yesterday's
+    * load actually do" and the input to incremental downstream refresh.
+    *
+    * Payload equality is per-column null-safe (`<=>`): a NULL payload
+    * equals NULL and differs from any value. Both sides must share the
+    * key columns and the compared payload columns (`payloadCols`
+    * defaults to every shared non-key column). Keys are assumed unique
+    * per side (snapshots, not logs).
+    *
+    * Scale shape: one FULL OUTER hash join keyed on the key columns —
+    * each side shuffles once; with both snapshots bucket-written on the
+    * key (Catalog.addBucketedTable) the exchanges vanish entirely. The
+    * payload travels only to its own key's reducer, never broadcast,
+    * never driver-side. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], payloadCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs key columns")
+    val payload =
+      if (payloadCols.nonEmpty) payloadCols
+      else oldDf.columns.filterNot(keyCols.contains)
+        .filter(newDf.columns.contains).toSeq
+    require(payload.nonEmpty, "snapshotDiff needs payload columns")
+    // both sides renamed before the join (see pointInTime): the new
+    // snapshot is usually DERIVED from the old one, the self-join case
+    // qualified refs can't survive
+    val cols = (keyCols ++ payload).distinct
+    def side(df: DataFrame, pfx: String) =
+      cols.foldLeft(df.select(cols.map(col).toIndexedSeq: _*)) {
+        (d, c) => d.withColumnRenamed(c, pfx + c)
+      }
+    val o = side(oldDf, "__o_")
+    val n = side(newDf, "__n_")
+    val cond = keyCols.map(k => col("__o_" + k) === col("__n_" + k))
+      .reduce(_ && _)
+    val same = payload.map(c => col("__o_" + c) <=> col("__n_" + c))
+      .reduce(_ && _)
+    val status = when(col("__o_" + keyCols.head).isNull, "added")
+      .when(col("__n_" + keyCols.head).isNull, "removed")
+      .when(same, "unchanged")
+      .otherwise("changed")
+    val keys = keyCols.map(k =>
+      coalesce(col("__n_" + k), col("__o_" + k)).as(k))
+    o.join(n, cond, "full_outer")
+      .select(keys :+ status.as("status"): _*)
+  }
+
+  /** Incremental view maintenance for a grouped COUNT + SUM: fold a
+    * change log into a MATERIALIZED aggregate without recomputing it
+    * from the base table. Given the base snapshot, its pre-computed
+    * per-`groupCol` aggregate (`baseAgg` with columns `groupCol`, `n`,
+    * `total`), and a change log, returns the aggregate of
+    * `applyChanges(base, changes)` — touching the base only to look up
+    * the OLD rows of changed keys.
+    *
+    * Exactness contract: per-row values are cast to DECIMAL(18,6)
+    * before any sum, so removal is exact subtraction and the maintained
+    * total is bit-identical to a full recompute on any engine — the
+    * reason a double sum can't be maintained incrementally is exactly
+    * the rounding this cast removes. Groups whose count reaches zero
+    * disappear (as a recompute would drop them); a group changed rows
+    * move INTO appears even if absent from `baseAgg`.
+    *
+    * Scale shape: the log shuffles once for latest-wins; the base is
+    * touched by ONE key-keyed semi-style inner join against the
+    * (day-sized, AQE-broadcastable) changed-key set to extract old
+    * contributions — at 100 TB the win is exactly that the full base
+    * never re-aggregates. Delta and merge aggregates are
+    * changed-key-sized. Output: (`groupCol`, `n` BIGINT, `total`
+    * DECIMAL(18,6)). */
+  def incrementalAgg(base: DataFrame, baseAgg: DataFrame,
+      changes: DataFrame, keyCols: Seq[String], groupCol: String,
+      valueCol: String, seqCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty,
+      "incrementalAgg needs key and sequence columns")
+    val dec = (c: Column) => c.cast("decimal(18,6)")
+    val latest = latestPerKey(changes, keyCols, seqCols)
+    val changedKeys = latest.select(keyCols.map(col).toIndexedSeq: _*)
+    // old contributions of changed keys leave their groups...
+    val removed = base.join(changedKeys, keyCols)
+      .select(col(groupCol), lit(-1L).as("dn"),
+        (dec(col(valueCol)) * -1).as("dtotal"))
+    // ...and surviving latest rows enter theirs
+    val arrived = latest.where(col(opCol) =!= "D")
+      .select(col(groupCol), lit(1L).as("dn"), dec(col(valueCol)).as("dtotal"))
+    val delta = removed.unionByName(arrived)
+      .groupBy(col(groupCol))
+      .agg(sum(col("dn")).as("dn"), sum(col("dtotal")).as("dtotal"))
+    baseAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        dec(coalesce(dec(col("total")), dec(lit(0)))
+          + coalesce(col("dtotal"), dec(lit(0)))).as("total"))
+      .where(col("n") > 0)
   }
 }

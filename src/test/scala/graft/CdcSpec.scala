@@ -62,6 +62,115 @@ class CdcSpec extends SparkSpec {
     assert(merged.toSeq == current.toSeq)
   }
 
+  test("pointInTime: boundary semantics, delete gap, pre-history fact") {
+    val changes = ch(
+      (1L, "v1", "U", 10L, 1L), (1L, "v2", "U", 20L, 2L),
+      (1L, "x", "D", 30L, 3L), (1L, "v3", "U", 40L, 4L))
+    val dim = Cdc.scd2(changes, Seq("k"), "ts", Seq("cid"))
+      .select(col("k"), col("v").as("dim_v"),
+        col("valid_from"), col("valid_to"))
+    val facts = Seq(
+      (100L, 1L, 5L),   // before the first version -> NULL
+      (101L, 1L, 10L),  // valid_from is inclusive -> v1
+      (102L, 1L, 19L),  // inside [10,20) -> v1
+      (103L, 1L, 20L),  // valid_to is exclusive -> v2
+      (104L, 1L, 35L),  // inside the delete gap [30,40) -> NULL
+      (105L, 1L, 99L),  // open interval -> v3
+      (106L, 7L, 10L))  // key the dim never saw -> NULL
+      .toDF("fid", "k", "t")
+    val r = Cdc.pointInTime(facts, dim, Seq("k"), "t")
+      .select("fid", "dim_v").as[(Long, Option[String])]
+      .collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (100L, None), (101L, Some("v1")), (102L, Some("v1")),
+      (103L, Some("v2")), (104L, None), (105L, Some("v3")),
+      (106L, None)))
+  }
+
+  test("pointInTime: exactly one output row per fact (disjoint intervals)") {
+    val changes = ch((1L, "a", "U", 10L, 1L), (1L, "b", "U", 10L, 2L),
+      (1L, "c", "U", 20L, 3L))
+    val dim = Cdc.scd2(changes, Seq("k"), "ts", Seq("cid"))
+      .select(col("k"), col("v").as("dim_v"),
+        col("valid_from"), col("valid_to"))
+    val facts = Seq((100L, 1L, 10L), (101L, 1L, 15L), (102L, 1L, 25L))
+      .toDF("fid", "k", "t")
+    val r = Cdc.pointInTime(facts, dim, Seq("k"), "t")
+      .select("fid", "dim_v").as[(Long, String)].collect().sortBy(_._1)
+    // the ts tie at 10 gives 'a' an empty [10,10) interval: facts at 10
+    // match only 'b', and every fact yields exactly one row
+    assert(r.toSeq == Seq((100L, "b"), (101L, "b"), (102L, "c")))
+  }
+
+  test("snapshotDiff: all four dispositions, null-safe payload compare") {
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d")), (5L, None)).toDF("k", "v")
+    val newS = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (6L, Some("f")), (5L, Some("e"))).toDF("k", "v")
+    val r = Cdc.snapshotDiff(oldS, newS, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, "unchanged"), (2L, "changed"),
+      (3L, "unchanged"),               // NULL <=> NULL
+      (4L, "removed"), (5L, "changed"), // NULL -> value
+      (6L, "added")))
+  }
+
+  test("snapshotDiff: survives the derived-snapshot self-join lineage") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val derived = Cdc.applyChanges(base,
+      ch((2L, "B", "U", 1L, 1L), (3L, "x", "D", 1L, 2L),
+        (4L, "d", "I", 1L, 3L)),
+      Seq("k"), Seq("ts", "cid"))
+    val r = Cdc.snapshotDiff(base, derived, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
+  // change rows with a group and a numeric payload:
+  // (key, group, value, op, ts, cid)
+  private def gch(rows: (Long, String, Double, String, Long, Long)*) =
+    rows.toDF("k", "g", "v", "op", "ts", "cid")
+
+  test("incrementalAgg equals a full recompute (delete/insert/group move)") {
+    val base = Seq(
+      (1L, "x", 10.5), (2L, "x", 20.25), (3L, "y", 30.125),
+      (4L, "y", 5.0), (5L, "z", 7.75)).toDF("k", "g", "v")
+    val changes = gch(
+      (1L, "x", 11.0, "U", 10L, 1L),   // in-group update
+      (2L, "y", 20.25, "U", 10L, 2L),  // moves x -> y
+      (3L, "y", 0.0, "D", 10L, 3L),    // delete
+      (5L, "z", 1.0, "U", 10L, 4L), (5L, "z", 2.0, "U", 20L, 5L), // latest wins
+      (6L, "w", 9.5, "I", 10L, 6L))    // insert into a NEW group
+    val baseAgg = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("total"))
+    val inc = Cdc.incrementalAgg(base, baseAgg, changes,
+        Seq("k"), "g", "v", Seq("ts", "cid"))
+      .select(col("g"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val full = Cdc.applyChanges(base, changes, Seq("k"), Seq("ts", "cid"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double").as("total"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(inc.toSeq == full.toSeq)
+    assert(inc.exists(_._1 == "w"), "new group must appear")
+  }
+
+  test("incrementalAgg: a group emptied by deletes disappears") {
+    val base = Seq((1L, "solo", 4.5)).toDF("k", "g", "v")
+    val baseAgg = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("total"))
+    val r = Cdc.incrementalAgg(base, baseAgg,
+      gch((1L, "solo", 0.0, "D", 1L, 1L)),
+      Seq("k"), "g", "v", Seq("ts", "cid"))
+    assert(r.count() == 0L)
+  }
+
   test("plan: unchanged base rows move through one anti join, no sort") {
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
