@@ -2362,6 +2362,20 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- LLM: boolean AND retrieval (exact conjunctive match set) -----
+    // the docs containing EVERY term of each query: corpus explodes to
+    // distinct (doc, term), broadcast query-term join kills non-query
+    // terms map-side, conjunction = matched-count == distinct-term
+    // count (ops/Retrieval.booleanSearch). The 4-term query and the
+    // query with a term the corpus lacks pin both pruning directions
+    "q_bool_search" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "vector hash join"), (2L, "merge stream window filter"),
+        (3L, "customer zzz-absent-term")).toDF("query_id", "qtext")
+      graft.ops.Retrieval.booleanSearch(t(s, dir, "documents"), qs)
+    }),
+
     // ---- quality: PSI drift report (distribution-shift monitor) -------
     // per-bin Population Stability Index of the purchase slice vs all
     // other event types over value in [0, 500), 20 bins; quantized ln
@@ -4936,6 +4950,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT query_id, doc_id,
         |  CAST(score_micros AS DOUBLE) / 1000000.0 AS score, rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // mirrors Retrieval.booleanSearch: distinct doc terms join the
+    // distinct query terms, docs whose matched-term count equals the
+    // query's term count qualify
+    "q_bool_search" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'vector hash join'),
+        |    (CAST(2 AS BIGINT), 'merge stream window filter'),
+        |    (CAST(3 AS BIGINT), 'customer zzz-absent-term')),
+        |dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+        |  FROM q),
+        |n AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1)
+        |SELECT m.query_id, m.doc_id
+        |FROM (
+        |  SELECT qt.query_id, dt.doc_id, count(*) AS matched
+        |  FROM dt JOIN qt USING (term) GROUP BY 1, 2) m
+        |JOIN n USING (query_id)
+        |WHERE m.matched = n.n_terms""".stripMargin,
 
     // mirrors Profile.driftReport token-for-token: same clamped-bin
     // expression as q_histogram, window-total shares, quantized ln

@@ -99,4 +99,35 @@ object Retrieval {
         (col("score_micros").cast("double") / 1000000.0).as("score"),
         col("rank"))
   }
+
+  /** Boolean AND retrieval: the documents containing EVERY distinct
+    * term of each query (same lowercase whitespace tokenization as
+    * bm25TopK) — the candidate-set primitive under faceted corpus
+    * probes and targeted decontamination sweeps, where BM25's ranking
+    * is noise and the conjunction is the point.
+    *
+    * Scale shape: the corpus explodes to DISTINCT (doc, term) pairs and
+    * immediately inner-joins the BROADCAST query-term table — every
+    * non-query term dies map-side, so the only shuffle carries (query,
+    * doc) pairs that matched at least one term. The conjunction is a
+    * count: a doc qualifies when its matched-term count equals the
+    * query's distinct-term count (attached from a broadcast per-query
+    * scalar). No score, no window — output is the exact match set. */
+  def booleanSearch(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
+    val docTerms = docs.select(col(idCol),
+      explode(array_distinct(TextOps.words(lower(col(textCol))))).as("term"))
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(TextOps.words(lower(col(qtextCol)))))
+        .as("term"))
+    val nTerms = qterms.groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_terms"))
+    docTerms.join(broadcast(qterms), "term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("matched"))
+      .join(broadcast(nTerms), qidCol)
+      .where(col("matched") === col("n_terms"))
+      .select(col(qidCol), col(idCol))
+  }
 }

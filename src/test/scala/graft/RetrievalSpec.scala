@@ -80,4 +80,45 @@ class RetrievalSpec extends SparkSpec {
     assert(bnlj <= 1, s"unexpected joins in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("booleanSearch equals brute-force conjunction; duplicates count once") {
+    val docs = Seq(
+      (0L, "fast join fast scan"),       // fast+join, dup 'fast' once
+      (1L, "join the table scan table"),
+      (2L, "fast merge"),
+      (3L, "join fast"),                 // order irrelevant
+      (4L, "Fast JOIN"),                 // case-insensitive
+      (5L, "unrelated words"))
+    val qs = Seq((1L, "fast join"), (2L, "table"), (3L, "fast join ghost"))
+      .toDF("query_id", "qtext")
+    val got = Retrieval.booleanSearch(docs.toDF("doc_id", "text"), qs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val brute = for {
+      (qid, qt) <- Seq((1L, "fast join"), (2L, "table"), (3L, "fast join ghost"))
+      terms = qt.toLowerCase.split("\\s+").distinct
+      (id, t) <- docs
+      toks = t.trim.toLowerCase.split("\\s+").toSet
+      if terms.forall(toks.contains)
+    } yield (qid, id)
+    assert(got == brute.sorted)
+    assert(!got.exists(_._1 == 3L), "a query term absent everywhere matches nothing")
+  }
+
+  test("booleanSearch: repeated query terms collapse to one requirement") {
+    val docs = Seq((0L, "alpha beta"), (1L, "alpha")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha alpha beta")).toDF("query_id", "qtext")
+    val got = Retrieval.booleanSearch(docs, qs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L)))
+  }
+
+  test("booleanSearch plan: query terms broadcast, corpus side one shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq((1L, "fast table scan")).toDF("query_id", "qtext")
+    val plan = Retrieval.booleanSearch(docs, qs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
