@@ -299,6 +299,18 @@ object SparkEntry {
     raw.withColumn("ts_us", tsUsLong(raw))
   }
 
+  /** Customers as deterministic integer micro-degree points for the geo
+    * family: md5-derived uniform (x, y), the cross-engine bucketOf
+    * convention widened to 12 hex digits (48 bits, exact in BIGINT). */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame = {
+    def axis(tag: String, mod: Long) =
+      conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(":" + tag)).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % mod
+    t(s, dir, "customer").select(col("c_custkey").as("pid"),
+      axis("x", 360000000L).as("x"), axis("y", 180000000L).as("y"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
     * curation pipeline exercises the engine end-to-end: quality scoring
     * (expression layer) -> exact similarity join (codegen'd shingles,
@@ -2362,6 +2374,25 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: planar radius self-join (spatial blocking) --------
+    // all customer-point pairs within 2e6 micro-degrees: home-cell vs
+    // exploded 3x3 neighborhood equi-join, exact BIGINT squared metric
+    // (ops/Geo.radiusPairs — never a cross join). Points are md5-derived
+    // micro-degree coordinates, reproduced coordinate-for-coordinate by
+    // the oracle's brute-force quadratic
+    "q_geo_radius" -> ((s, dir) => {
+      graft.ops.Geo.radiusPairs(geoPoints(s, dir), "pid", "x", "y",
+        2000000L)
+    }),
+
+    // ---- extension: nearest-neighbor-within-radius (closest store) ----
+    // rank-1 neighbor per anchor over the radius pairs, both
+    // orientations ranked, ties on (dist2, neighbor id)
+    "q_geo_nearest" -> ((s, dir) => {
+      graft.ops.Geo.nearestWithin(geoPoints(s, dir), "pid", "x", "y",
+        5000000L)
+    }),
+
     // ---- LLM: boolean AND retrieval (exact conjunctive match set) -----
     // the docs containing EVERY term of each query: corpus explodes to
     // distinct (doc, term), broadcast query-term join kills non-query
@@ -3967,6 +3998,45 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // brute-force quadratic over the same md5-derived points — the
+    // cell-bucketed join must reproduce it pair-for-pair; the squared
+    // metric is exact BIGINT on both engines
+    "q_geo_radius" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS pid,
+        |    CAST(('0x' || substring(md5(c_custkey::VARCHAR || ':x'), 1, 12))
+        |      AS BIGINT) % 360000000 AS x,
+        |    CAST(('0x' || substring(md5(c_custkey::VARCHAR || ':y'), 1, 12))
+        |      AS BIGINT) % 180000000 AS y
+        |  FROM customer)
+        |SELECT a.pid AS a_id, b.pid AS b_id,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.pid < b.pid
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 4000000000000""".stripMargin,
+
+    "q_geo_nearest" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS pid,
+        |    CAST(('0x' || substring(md5(c_custkey::VARCHAR || ':x'), 1, 12))
+        |      AS BIGINT) % 360000000 AS x,
+        |    CAST(('0x' || substring(md5(c_custkey::VARCHAR || ':y'), 1, 12))
+        |      AS BIGINT) % 180000000 AS y
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.pid AS a_id, b.pid AS b_id,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM p a JOIN p b ON a.pid < b.pid
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 25000000000000),
+        |two_way AS (
+        |  SELECT a_id AS id, b_id AS nn_id, dist2 FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS id, a_id AS nn_id, dist2 FROM pairs)
+        |SELECT id, nn_id, dist2 FROM two_way
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH w AS (
