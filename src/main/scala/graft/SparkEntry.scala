@@ -2374,6 +2374,30 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: data-quality expectations report ------------------
+    // five named rules over lineitem in three passes TOTAL: all row
+    // rules (null / range / domain) fold into ONE full-scan aggregate,
+    // the uniqueness rule is one keyed agg (and FIRES on this data —
+    // (l_orderkey, l_linenumber) is not unique in the fixture), the
+    // FK rule is one anti join (ops/Dq.report)
+    "q_dq_checks" -> ((s, dir) => {
+      graft.ops.Dq.report(t(s, dir, "lineitem"),
+        rowRules = Seq(
+          "not_null:l_orderkey" -> col("l_orderkey").isNull,
+          "range:l_quantity:1-45" ->
+            (col("l_quantity") < 1.0 || col("l_quantity") > 45.0),
+          "range:l_discount:0-0.08" ->
+            (col("l_discount") < 0.0 || col("l_discount") > 0.08),
+          "domain:l_returnflag" ->
+            !col("l_returnflag").isin("A", "N", "R")),
+        uniqueRules = Seq(graft.ops.Dq.UniqueRule(
+          "unique:l_orderkey+l_linenumber",
+          Seq("l_orderkey", "l_linenumber"))),
+        refRules = Seq(graft.ops.Dq.RefRule(
+          "ref:l_orderkey->orders", Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey"))))
+    }),
+
     // ---- extension: planar radius self-join (spatial blocking) --------
     // all customer-point pairs within 2e6 micro-degrees: home-cell vs
     // exploded 3x3 neighborhood equi-join, exact BIGINT squared metric
@@ -3998,6 +4022,37 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Dq.report rule for rule: conditional sums for the row
+    // rules, sum(cnt-1) for uniqueness, NOT EXISTS on non-NULL keys
+    // for referential integrity
+    "q_dq_checks" ->
+      """SELECT 'not_null:l_orderkey' AS rule,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'range:l_quantity:1-45',
+        |  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 45.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'range:l_discount:0-0.08',
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'domain:l_returnflag',
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique:l_orderkey+l_linenumber',
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber))
+        |UNION ALL
+        |SELECT 'ref:l_orderkey->orders',
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |     SELECT 1 FROM orders o
+        |     WHERE o.o_orderkey = l.l_orderkey))""".stripMargin,
 
     // brute-force quadratic over the same md5-derived points — the
     // cell-bucketed join must reproduce it pair-for-pair; the squared

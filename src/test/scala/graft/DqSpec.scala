@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dq
+
+class DqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long)].collect().toMap
+
+  test("row rules: null / range / domain counted in one aggregate") {
+    val df = Seq(
+      (Some(1L), 10.0, "A"), (None, 60.0, "X"),
+      (Some(3L), -5.0, "N"), (Some(4L), 20.0, "R"))
+      .toDF("k", "q", "flag")
+    val r = asMap(Dq.report(df, rowRules = Seq(
+      "not_null:k" -> col("k").isNull,
+      "range:q:0-50" -> (col("q") < 0.0 || col("q") > 50.0),
+      "domain:flag" -> !col("flag").isin("A", "N", "R"))))
+    assert(r == Map("not_null:k" -> 1L, "range:q:0-50" -> 2L,
+      "domain:flag" -> 1L))
+  }
+
+  test("row rules: a NULL predicate result is not a violation") {
+    val df = Seq(Some(5.0), None).toDF("q")
+    val r = asMap(Dq.report(df,
+      rowRules = Seq("range:q" -> (col("q") > 10.0))))
+    // NULL > 10.0 is NULL, not true: the null row needs its own
+    // not-null rule, it must not leak into the range count
+    assert(r == Map("range:q" -> 0L))
+  }
+
+  test("unique rule: k occurrences count k-1; NULL keys group") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("k", "sub").union(
+        Seq((Option.empty[Long], "n"), (Option.empty[Long], "n"))
+          .toDF("k", "sub"))
+    val r = asMap(Dq.report(df, rowRules = Nil,
+      uniqueRules = Seq(Dq.UniqueRule("unique:k", Seq("k")))))
+    assert(r == Map("unique:k" -> 3L)) // (3-1) + (2-1)
+  }
+
+  test("unique rule on a clean empty table reports zero") {
+    val df = Seq.empty[(Long, String)].toDF("k", "v")
+    val r = asMap(Dq.report(df, rowRules = Nil,
+      uniqueRules = Seq(Dq.UniqueRule("unique:k", Seq("k")))))
+    assert(r == Map("unique:k" -> 0L))
+  }
+
+  test("ref rule: orphans count once each, NULL FKs excluded") {
+    val facts = Seq(Some(1L), Some(1L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val r = asMap(Dq.report(facts, rowRules = Nil,
+      refRules = Seq(Dq.RefRule("ref:fk->dim", Seq("fk"), dim, Seq("pk")))))
+    assert(r == Map("ref:fk->dim" -> 2L))
+  }
+
+  test("all three families union into one report") {
+    val facts = Seq((1L, 5.0), (1L, 99.0), (7L, 1.0)).toDF("k", "q")
+    val dim = Seq(1L).toDF("pk")
+    val r = asMap(Dq.report(facts,
+      rowRules = Seq("range:q:0-50" -> (col("q") > 50.0)),
+      uniqueRules = Seq(Dq.UniqueRule("unique:k", Seq("k"))),
+      refRules = Seq(Dq.RefRule("ref:k->dim", Seq("k"), dim, Seq("pk")))))
+    assert(r == Map("range:q:0-50" -> 1L, "unique:k" -> 1L,
+      "ref:k->dim" -> 1L))
+  }
+
+  test("plan: row rules share ONE scan regardless of rule count") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plan = Dq.report(df, rowRules = Seq(
+        "a" -> col("l_quantity").isNull,
+        "b" -> (col("l_discount") > 0.05),
+        "c" -> (col("l_tax") > 0.05),
+        "d" -> !col("l_returnflag").isin("A", "N", "R")))
+      .queryExecution.executedPlan.toString()
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan for 4 row rules, got $scans:\n$plan")
+  }
+}
