@@ -48,7 +48,11 @@ object Bench {
     // round 7 continuation: DSIR importance weighting (two feature
     // explosions + per-doc sum), 5-round in-engine GD training, bigram
     // LM scoring (three count aggs + per-doc sum), BM25 retrieval
-    "q_dsir", "q_quality_classifier", "q_bigram_lm", "q_bm25")
+    "q_dsir", "q_quality_classifier", "q_bigram_lm", "q_bm25",
+    // round 7, second continuation: cell-bucketed spatial radius join
+    // (15k points at sf0.1) and incremental aggregate maintenance
+    // (latest-wins window + changed-key delta merge)
+    "q_geo_radius", "q_incr_agg")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

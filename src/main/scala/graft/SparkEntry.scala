@@ -1219,6 +1219,26 @@ object SparkEntry {
         assumeDistinct = true)
     }),
 
+    // ---- extension: multi-source BFS (blast radius) -------------------
+    // min hop count from the nation-0 suppliers over the mirrored
+    // supplier<->customer graph, capped at 3 hops: frontier expansion
+    // with broadcast state, edges never shuffle (ops/Graph.bfsHops).
+    // Pure set membership + integer levels — nothing to round
+    "q_bfs_hops" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+        .select(concat(lit("s:"), col("sk")).as("a"),
+          concat(lit("c:"), col("ck")).as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+      graft.ops.Graph.bfsHops(edges, "a", "b", seeds, "seed", maxHops = 3)
+    }),
+
     // ---- extension: WEIGHTED PageRank ---------------------------------
     // same graph, edges weighted by the number of distinct shared
     // orders; rank splits across out-edges in weight proportion — the
@@ -3621,6 +3641,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // graph: 5 unrolled iterations in fixed-point BIGINT nano-units —
     // no float inside the loop on either engine (see pageRankSql)
     "q_pagerank" -> PageRankSql,
+
+    // mirrors Graph.bfsHops as a bounded recursive CTE: UNION-dedup'd
+    // (node, hops) pairs expand until the 3-hop cap, min(hops) per node
+    // is exactly the frontier BFS's first-touch level
+    "q_bfs_hops" ->
+      """WITH RECURSIVE pr_pairs AS MATERIALIZED (
+        |  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+        |    'c:' || CAST(o_custkey AS VARCHAR) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM pr_pairs
+        |  UNION SELECT b, a FROM pr_pairs),
+        |seeds AS (
+        |  SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier WHERE s_nationkey = 0),
+        |d AS (
+        |  SELECT node, 0 AS hops FROM seeds
+        |  UNION
+        |  SELECT e.dst, d.hops + 1 FROM d JOIN e ON e.src = d.node
+        |  WHERE d.hops < 3)
+        |SELECT node, CAST(min(hops) AS INT) AS hops
+        |FROM d GROUP BY node""".stripMargin,
 
     // weighted variant: same unrolled fixed-point stages with
     // (pr_n * 85 * w) // (wsum * 100) contributions

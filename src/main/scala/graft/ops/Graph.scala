@@ -512,4 +512,56 @@ object Graph {
         (coalesce(col("out_degree"), lit(0L)) +
           coalesce(col("in_degree"), lit(0L))).as("degree"))
   }
+
+  /** Multi-source BFS: the minimum hop count from any seed to every
+    * node reachable within `maxHops` edges — blast-radius analysis
+    * ("everything within 3 hops of these compromised accounts"), crawl
+    * frontier depth, trust-distance features. Directed; mirror the
+    * edge set for undirected graphs (the [[pageRank]] fixture shape).
+    *
+    * Output: (node, hops INT), hop 0 = the seeds themselves (isolated
+    * seeds included — distance 0 to yourself needs no edge). A node
+    * first reached at hop h is never revisited, which IS the min-hop
+    * distance — integer levels and set membership only, so any engine
+    * agrees with no arithmetic convention needed.
+    *
+    * Scale shape per level: the checkpointed edge set equi-joins the
+    * frontier on src — broadcast under `broadcastState`, so edges
+    * never shuffle — then the new neighbor set anti-joins the settled
+    * table (node-sized both sides). Levels run at most `maxHops`
+    * times, with a limit(1) emptiness probe (one scalar to the driver)
+    * stopping early when the frontier dries up. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      broadcastState: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    var dist = seeds.select(col(seedCol).cast("string").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = dist.select("node")
+    var h = 0
+    var dry = frontier.limit(1).count() == 0
+    while (h < maxHops && !dry) {
+      val nbrs = e
+        .join(state(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = nbrs
+        .join(state(dist.select("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h + 1)).localCheckpoint(true)
+      dry = fresh.limit(1).count() == 0
+      if (!dry) {
+        dist = dist.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh.select("node")
+      }
+      h += 1
+    }
+    dist
+  }
 }

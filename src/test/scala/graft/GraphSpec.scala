@@ -281,6 +281,37 @@ class GraphSpec extends SparkSpec {
     assert(one == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
   }
 
+  test("bfsHops: min hop per node, cap honored, isolated seed kept") {
+    // chain a->b->c->d->e plus a shortcut a->c; seed {a, z} (z is not
+    // in the graph at all)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("node")
+    val got = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "z" -> 0, "b" -> 1,
+      "c" -> 1,   // the shortcut wins over a->b->c
+      "d" -> 2))  // e is at hop 3, beyond the cap
+  }
+
+  test("bfsHops: multi-seed minimum and early frontier dry-up") {
+    val e = Seq(("a", "b"), ("c", "b"), ("b", "d")).toDF("src", "dst")
+    val got = Graph.bfsHops(e, "src", "dst",
+        Seq("a", "c").toDF("node"), "node", maxHops = 10)
+      .as[(String, Int)].collect().toMap
+    // frontier dries at hop 2 long before the cap; b reached from both
+    // seeds at hop 1 appears once
+    assert(got == Map("a" -> 0, "c" -> 0, "b" -> 1, "d" -> 2))
+  }
+
+  test("bfsHops is directed: edges never traverse backwards") {
+    val e = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val got = Graph.bfsHops(e, "src", "dst",
+        Seq("a").toDF("node"), "node", maxHops = 5)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1)) // c unreachable via b<-c
+  }
+
   test("personalized pageRank concentrates rank near the seeds") {
     // two disjoint stars; seeding only h1's component leaves the other
     // component at exactly zero everywhere
