@@ -2394,6 +2394,30 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: per-row DQ annotation (the gate form) -------------
+    // every event annotated with the rules it fails, '|'-joined in
+    // declaration order, '' = clean (ops/Dq.annotate — the same
+    // expression the streaming dqGate runs per micro-batch; pure
+    // per-row codegen, pipelines in the scan)
+    "q_dq_annotate" -> ((s, dir) => {
+      graft.ops.Dq.annotate(eventsUsLong(s, dir),
+          Seq(
+            "value_range" -> (col("value") < 0.0 || col("value") > 400.0),
+            "type_domain" -> !col("event_type").isin(
+              "click", "view", "purchase", "signup"),
+            "user_known" -> (col("user_id") >= 100)))
+        .select(col("event_id"), col("violations"))
+    }),
+
+    // ---- extension: equi-depth (quantile) histogram -------------------
+    // 20 ~equal-population buckets over l_extendedprice WITHOUT
+    // quantile interpolation: bins from an exact integer CDF over the
+    // distinct cent-value domain (ops/Profile.histogramEqDepth) — every
+    // output column integer-derived, nothing for engines to round
+    "q_histogram_eqdepth" -> ((s, dir) =>
+      graft.ops.Profile.histogramEqDepth(
+        t(s, dir, "lineitem"), "l_extendedprice", nBins = 20)),
+
     // ---- extension: data-quality expectations report ------------------
     // five named rules over lineitem in three passes TOTAL: all row
     // rules (null / range / domain) fold into ONE full-scan aggregate,
@@ -4064,6 +4088,38 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Dq.annotate: concat_ws skips the NULL marks of passing
+    // rules on both engines, so the joined string is the violation
+    // list in declaration order
+    "q_dq_annotate" ->
+      """SELECT event_id, concat_ws('|',
+        |  CASE WHEN value < 0.0 OR value > 400.0 THEN 'value_range' END,
+        |  CASE WHEN event_type NOT IN ('click', 'view', 'purchase',
+        |    'signup') THEN 'type_domain' END,
+        |  CASE WHEN user_id >= 100 THEN 'user_known' END) AS violations
+        |FROM events""".stripMargin,
+
+    // mirrors Profile.histogramEqDepth: exact integer CDF over distinct
+    // cent values, floor-div bin assignment (all-positive, so DuckDB's
+    // flooring // equals Spark's truncating div)
+    "q_histogram_eqdepth" ->
+      """WITH c AS (
+        |  SELECT CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0)
+        |    AS BIGINT) AS u, count(*) AS n_v
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT u, n_v,
+        |    coalesce(sum(n_v) OVER (ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER () AS n_total
+        |  FROM c)
+        |SELECT CAST(least(19, cum_before * 20 // n_total) AS BIGINT) AS bin,
+        |  CAST(sum(n_v) AS BIGINT) AS n,
+        |  min(u) AS lo_unit, max(u) AS hi_unit,
+        |  CAST(sum(u * n_v) AS BIGINT) AS sum_unit
+        |FROM b GROUP BY 1""".stripMargin,
 
     // mirrors Dq.report rule for rule: conditional sums for the row
     // rules, sum(cnt-1) for uniqueness, NOT EXISTS on non-NULL keys

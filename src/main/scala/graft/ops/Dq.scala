@@ -86,4 +86,22 @@ object Dq {
     }
     parts.result().reduce(_ unionByName _)
   }
+
+  /** Per-row rule annotation — the gate form of the row rules: every
+    * row gains a `violations` column naming the rules it fails,
+    * '|'-joined in declaration order ('' = clean). Pure per-row
+    * expressions, so it pipelines inside the scan stage, works
+    * unchanged on a streaming DataFrame (StreamOps.dqGate), and a NULL
+    * predicate result is not a violation (the report() rule). The
+    * string form (not an array) is deliberate: it is the sortable
+    * scalar the cross-engine comparator convention requires, and the
+    * split downstream is one `where(violations === "")`. */
+  def annotate(df: DataFrame, rowRules: Seq[(String, Column)]): DataFrame = {
+    require(rowRules.nonEmpty, "annotate needs at least one rule")
+    require(!df.columns.contains("violations"),
+      "annotate reserves the column name violations")
+    val marks = rowRules.map { case (n, pred) =>
+      when(coalesce(pred, lit(false)), lit(n)) }
+    df.withColumn("violations", concat_ws("|", marks.toIndexedSeq: _*))
+  }
 }

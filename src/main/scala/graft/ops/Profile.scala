@@ -148,6 +148,54 @@ object Profile {
     * the drift-monitoring use case. NULLs and NaNs are excluded (a NaN
     * would otherwise clamp into bin 0 and fake a bottom-of-range
     * spike). */
+  /** Equi-depth (quantile) histogram: `nBins` buckets each holding
+    * ~rows/nBins rows, bounds taken from the data — the form that
+    * resolves skewed distributions an equi-width histogram collapses
+    * into one hot bin. Built WITHOUT quantile interpolation: every
+    * engine's continuous-percentile does float interpolation whose
+    * last-ulp behavior is its own (the q_covariance lesson), so bin
+    * boundaries here come from an exact integer CDF instead —
+    *
+    *   bin(v) = min(nBins-1, rows_strictly_below(v) * nBins div n)
+    *
+    * over values quantized to `scale` decimal digits (exact BIGINT
+    * units). All copies of a value share a bin (standard value-based
+    * equi-depth: a value is never split), so with heavy ties bins are
+    * approximately even — exactly even is impossible without splitting
+    * a value. Output per bin: row count, inclusive lo/hi bounds, and
+    * the exact unit sum, every column integer-derived.
+    *
+    * Scale shape: one value-keyed aggregation collapses the table to
+    * its distinct-value domain (bounded by the unit domain, the vocab
+    * rule — NOT row count), then one cumulative window over that
+    * domain-sized table and a re-aggregation to nBins rows. The raw
+    * rows are touched exactly once and never rejoin. */
+  def histogramEqDepth(df: DataFrame, colName: String, nBins: Int,
+      scale: Int = 2): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val cnts = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .groupBy(unit.as("u"))
+      .agg(count(lit(1)).as("n_v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wn = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val binned = cnts
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(w), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(wn))
+      .withColumn("bin", least(lit((nBins - 1).toLong),
+        expr(s"cum_before * $nBins div n_total")))
+    binned.groupBy(col("bin"))
+      .agg(sum(col("n_v")).as("n"),
+        min(col("u")).as("lo_unit"), max(col("u")).as("hi_unit"),
+        sum(col("u") * col("n_v")).as("sum_unit"))
+  }
+
   def histogram(df: DataFrame, colName: String, nBins: Int,
       lo: Double, hi: Double): DataFrame = {
     require(nBins > 0, "nBins must be positive")

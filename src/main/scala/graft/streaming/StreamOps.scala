@@ -121,6 +121,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Streaming data-quality gate: annotate every arriving row with the
+    * rules it fails ([[graft.ops.Dq.annotate]] — pure per-row
+    * expressions, so the transform is identical in batch and
+    * streaming and needs no watermark or state), keeping the full row
+    * either way. Callers split the stream with
+    * `where(violations === "")` for the promote path and its negation
+    * for the quarantine sink — both sides of the split share one
+    * source scan per micro-batch.
+    *
+    * Scale/state contract: stateless — a malformed-input flood costs
+    * CPU in the scan stage, never memory; the per-rule counts a
+    * monitoring sink aggregates from `violations` are the streaming
+    * form of [[graft.ops.Dq.report]]'s row rules. */
+  def dqGate(stream: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.ops.Dq.annotate(stream, rowRules)
+
   /** Stream-stream interval join: attribute each click to every purchase
     * by the same user within `window` after the purchase — the streaming
     * form of [[graft.ops.RangeJoin.pointInInterval]]. Both inputs use the

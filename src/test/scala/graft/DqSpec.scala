@@ -68,6 +68,29 @@ class DqSpec extends SparkSpec {
       "ref:k->dim" -> 1L))
   }
 
+  test("annotate: declaration-order '|' list, '' for clean, NULL-safe") {
+    val df = Seq(
+      (1L, Some(5.0)),    // clean
+      (2L, Some(99.0)),   // range only
+      (3L, None),         // null predicate -> only the null rule fires
+      (4L, Some(-99.0)))  // both
+      .toDF("k", "q")
+    val r = Dq.annotate(df, Seq(
+        "q_null" -> col("q").isNull,
+        "range" -> (col("q") > 50.0 || col("q") < 0.0),
+        "neg" -> (col("q") < 0.0)))
+      .select("k", "violations").as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "", 2L -> "range", 3L -> "q_null",
+      4L -> "range|neg"))
+  }
+
+  test("annotate refuses to shadow an existing violations column") {
+    val df = Seq((1L, "x")).toDF("k", "violations")
+    intercept[IllegalArgumentException] {
+      Dq.annotate(df, Seq("r" -> col("k").isNull))
+    }
+  }
+
   test("plan: row rules share ONE scan regardless of rule count") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val plan = Dq.report(df, rowRules = Seq(

@@ -99,4 +99,41 @@ class ProfileSpec extends SparkSpec {
     // the clamped empty bins dominate, as PSI is designed to flag
     assert(got(2)._4 > 1.0 && got(3)._4 > 1.0)
   }
+
+  test("equi-depth histogram: even populations on distinct values") {
+    import spark.implicits._
+    // 100 distinct values 0.01..1.00, 4 bins -> exactly 25 rows each
+    val df = (1 to 100).map(i => i / 100.0).toDF("x")
+    val got = Profile.histogramEqDepth(df, "x", nBins = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(got.map(r => (r._3, r._4)).toSeq ==
+      Seq((1L, 25L), (26L, 50L), (51L, 75L), (76L, 100L)))
+    // sum_unit of bin 0 = 1+2+...+25
+    assert(got(0)._5 == (1 to 25).sum.toLong)
+  }
+
+  test("equi-depth histogram: a heavy value stays in one bin") {
+    import spark.implicits._
+    // 90 copies of 5.00 plus ten tail values: the tie mass lands in
+    // bin 0 whole, tail rows spread by their exact CDF position
+    val df = (Seq.fill(90)(5.0) ++ (1 to 10).map(i => 10.0 + i))
+      .toDF("x")
+    val got = Profile.histogramEqDepth(df, "x", nBins = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val byBin = got.map(r => r._1 -> r._2).toMap
+    assert(byBin(0L) == 90L, s"tied value split across bins: ${got.toSeq}")
+    assert(byBin.values.sum == 100L)
+    // all tail values have cum_before >= 90 -> 90*4 div 100 = 3
+    assert(byBin(3L) == 10L && !byBin.contains(1L) && !byBin.contains(2L))
+  }
+
+  test("equi-depth histogram excludes NULL and NaN rows") {
+    import spark.implicits._
+    val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
+      .toDF("x")
+    val got = Profile.histogramEqDepth(df, "x", nBins = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).sum == 2L)
+  }
 }

@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:45:00", "click", 1L)))
   }
 
+  test("dq gate annotates streaming rows identically to batch") {
+    implicit val sql = spark.sqlContext
+    val rules = Seq(
+      "value_range" -> (col("value") > 3.0),
+      "user_known" -> (col("user_id") >= 2L))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dqGate(mem.toDF(), rules)
+      .select(col("event_id"), col("violations"))
+      .writeStream.format("memory").queryName("dq").outputMode("append")
+      .start()
+    val rows = evs :+ Ev(5, ts(55), 9, "view", 99.0) // fails both rules
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)  // second micro-batch, stateless gate
+    q.processAllAvailable()
+    val streamed = spark.table("dq").as[(Long, String)].collect().toSet
+    q.stop()
+    val batch = graft.ops.Dq.annotate(rows.toDF(), rules)
+      .select(col("event_id"), col("violations"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._2 == ""), "some rows must pass the gate")
+    assert(streamed.exists(_._2.contains("|")),
+      "some rows must fail multiple rules")
+  }
+
   test("session windows close after the inactivity gap") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
