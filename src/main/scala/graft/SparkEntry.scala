@@ -2394,6 +2394,14 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: exact per-group percentiles (no interpolation) ----
+    // p25/p50/p75/p90 of value per event type as LOWER order statistics
+    // at rank ceil(n*p/100) over the integer CDF — actual data values,
+    // no float seam on either engine (ops/Profile.exactPercentiles)
+    "q_group_percentiles" -> ((s, dir) =>
+      graft.ops.Profile.exactPercentiles(t(s, dir, "events"),
+        "event_type", "value", Seq(25, 50, 75, 90))),
+
     // ---- extension: per-row DQ annotation (the gate form) -------------
     // every event annotated with the rules it fails, '|'-joined in
     // declaration order, '' = clean (ops/Dq.annotate — the same
@@ -4088,6 +4096,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Profile.exactPercentiles: per-group integer CDF, lower
+    // order statistic at rank ceil(n*p/100) = (n*p + 99) // 100
+    "q_group_percentiles" ->
+      """WITH c AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS u, count(*) AS n_v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER (PARTITION BY g) AS n_total
+        |  FROM c),
+        |e AS (
+        |  SELECT b.*, p FROM b
+        |  CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS p))
+        |SELECT g AS event_type, CAST(p AS INT) AS p, u AS value_unit,
+        |  CAST(n_total AS BIGINT) AS n_total
+        |FROM e
+        |WHERE cum_before < (n_total * p + 99) // 100
+        |  AND (n_total * p + 99) // 100 <= cum_before + n_v""".stripMargin,
 
     // mirrors Dq.annotate: concat_ws skips the NULL marks of passing
     // rules on both engines, so the joined string is the violation

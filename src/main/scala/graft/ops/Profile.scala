@@ -196,6 +196,48 @@ object Profile {
         sum(col("u") * col("n_v")).as("sum_unit"))
   }
 
+  /** Exact per-group percentiles without interpolation: for each group
+    * and each requested percentile p, the LOWER ORDER STATISTIC at rank
+    * ceil(n*p/100) — an actual data value (quantized to `scale`
+    * digits), picked by the same integer-CDF construction as
+    * [[histogramEqDepth]], so every engine lands on the same row with
+    * no float seam. The continuous-interpolation form (`percentile`,
+    * `quantile_cont`) differs across engines in the last ulp; the
+    * discrete form differs across engines in its OWN ways (lower vs
+    * nearest rank conventions) — pinning the rank formula in integer
+    * arithmetic removes both.
+    *
+    * Scale shape: one value-keyed aggregation to the (group, unit)
+    * domain, one PER-GROUP cumulative window (partitioned — no global
+    * sort), and a 4-way explode of the percentile list over the
+    * domain-sized table. Output: (group, p, value_unit, n_total), one
+    * row per (group, p) for every non-empty group. */
+  def exactPercentiles(df: DataFrame, groupCol: String, colName: String,
+      ps: Seq[Int], scale: Int = 2): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val cnts = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .groupBy(col(groupCol).as("g"), unit.as("u"))
+      .agg(count(lit(1)).as("n_v"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    cnts
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(wCum), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(wTot))
+      .withColumn("p", explode(array(ps.map(p => lit(p)).toIndexedSeq: _*)))
+      .withColumn("rank", expr("(n_total * p + 99) div 100"))
+      .where(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("n_v"))
+      .select(col("g").as(groupCol), col("p"),
+        col("u").as("value_unit"), col("n_total"))
+  }
+
   def histogram(df: DataFrame, colName: String, nBins: Int,
       lo: Double, hi: Double): DataFrame = {
     require(nBins > 0, "nBins must be positive")

@@ -367,4 +367,49 @@ class PlanSpec extends SparkSpec {
     assert(r.contains("BroadcastHashJoin"), r)
     assert(!r.contains("CartesianProduct"))
   }
+
+  test("temporal/diff/geo/search families keep their scale shapes") {
+    // point-in-time join: the interval containment must ride a HASH
+    // join's residual on the key equality — a nested-loop fallback
+    // would be a time-axis product at 100 TB
+    val pit = plan("q_scd2_join")
+    assert(!pit.contains("BroadcastNestedLoopJoin") &&
+      !pit.contains("CartesianProduct"),
+      s"interval residual fell off the hash join:\n$pit")
+
+    // snapshot diff: ONE full-outer key join, payload never broadcast
+    val sd = plan("q_snapshot_diff")
+    assert(sd.contains("FullOuter"), sd)
+    assert(!sd.contains("CartesianProduct"))
+
+    // incremental agg: the base table is scanned for old-row lookup
+    // only — no re-aggregation of the base (its only aggregates are
+    // the day-sized delta and the final merge); events parquet feeds
+    // the plan at most thrice (base snapshot, baseAgg input, log)
+    val ia = plan("q_incr_agg")
+    assert(!ia.contains("CartesianProduct"))
+
+    // geo radius: candidates come from the (cx, cy) equi-join — any
+    // nested-loop shape means the cell bucketing broke
+    val g = plan("q_geo_radius")
+    assert(!g.contains("BroadcastNestedLoopJoin") &&
+      !g.contains("CartesianProduct"), s"cell join degraded:\n$g")
+
+    // boolean search: query terms broadcast; the corpus-side explode
+    // never meets a shuffle before the term join kills non-query terms
+    val bs = plan("q_bool_search")
+    assert(bs.contains("BroadcastHashJoin"), bs)
+    assert(!bs.contains("CartesianProduct"))
+
+    // equi-depth histogram: raw rows are touched by exactly one scan;
+    // the window runs over the distinct-value domain, not the rows
+    val h = plan("q_histogram_eqdepth")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(h).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$h")
+
+    // DQ annotate: pure per-row projection — no join, no exchange
+    val ann = plan("q_dq_annotate")
+    assert(!ann.contains("Join"), s"annotate must be join-free:\n$ann")
+    assert(!ann.contains("Exchange"), s"annotate must be exchange-free:\n$ann")
+  }
 }

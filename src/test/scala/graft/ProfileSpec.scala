@@ -128,6 +128,30 @@ class ProfileSpec extends SparkSpec {
     assert(byBin(3L) == 10L && !byBin.contains(1L) && !byBin.contains(2L))
   }
 
+  test("exactPercentiles: lower order statistic per group, ties honored") {
+    import spark.implicits._
+    // group a: 1..10 (p50 -> rank 5 -> value 5); group b: heavy tie
+    val rows = (1 to 10).map(i => ("a", i.toDouble)) ++
+      (Seq.fill(7)(("b", 2.0)) ++ Seq(("b", 9.0), ("b", 9.0), ("b", 9.0)))
+    val got = Profile.exactPercentiles(rows.toDF("g", "x"), "g", "x",
+        Seq(50, 90))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 50, 500L, 10L),  // rank ceil(10*50/100)=5 -> 5.00
+      ("a", 90, 900L, 10L),  // rank 9 -> 9.00
+      ("b", 50, 200L, 10L),  // rank 5 falls inside the 7-copy tie
+      ("b", 90, 900L, 10L))) // rank 9 -> first 9.0 copy
+  }
+
+  test("exactPercentiles: p100 is the maximum, one row per (group, p)") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 7.0))
+    val got = Profile.exactPercentiles(rows.toDF("g", "x"), "g", "x",
+        Seq(100))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(("a", 100, 300L, 3L), ("c", 100, 700L, 1L)))
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
