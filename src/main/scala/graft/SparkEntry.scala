@@ -2394,6 +2394,15 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: diversity-balanced embedding sample ---------------
+    // at most 4 vectors per sign-orthant of the first 6 embedding dims
+    // (axis-aligned LSH — sign tests on stored values, zero float
+    // arithmetic, so the whole selection replays in SQL), md5(id:seed)
+    // priority within a bucket (ops/Sampling.diverseSample)
+    "q_diverse_sample" -> ((s, dir) =>
+      graft.ops.Sampling.diverseSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", signDims = 6, perBucket = 4)),
+
     // ---- extension: exact per-group percentiles (no interpolation) ----
     // p25/p50/p75/p90 of value per event type as LOWER order statistics
     // at rank ceil(n*p/100) over the integer CDF — actual data values,
@@ -4096,6 +4105,25 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Sampling.diverseSample: same sign-orthant key from the
+    // stored floats (1-indexed arrays in DuckDB), same md5 priority
+    "q_diverse_sample" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+        |       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+        |      AS BIGINT) AS bucket,
+        |    md5(vec_id::VARCHAR || ':42') AS pri
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) >= 6)
+        |SELECT vec_id, bucket FROM b
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY bucket ORDER BY pri, vec_id) <= 4""".stripMargin,
 
     // mirrors Profile.exactPercentiles: per-group integer CDF, lower
     // order statistic at rank ceil(n*p/100) = (n*p + 99) // 100

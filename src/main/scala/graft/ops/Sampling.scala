@@ -264,4 +264,40 @@ object Sampling {
       .orderBy(col("logw").desc, col(idCol))
       .limit(k)
   }
+
+  /** Diversity-balanced embedding sample: at most `perBucket` vectors
+    * from each sign-orthant of the first `signDims` embedding
+    * dimensions — the cheap, exactly-reproducible stand-in for
+    * k-center / coreset selection ("don't let the sample collapse into
+    * one dense region"). The bucket key is built from the SIGNS of
+    * stored coordinates (axis-aligned LSH): no hyperplanes, no dot
+    * products, no float arithmetic at all — a sign test on a stored
+    * value is bit-portable to any engine, which is what makes this
+    * variant oracle-checkable end-to-end where the Gaussian-hyperplane
+    * sampler ([[graft.ops.Similarity]]) needs planted fixtures.
+    * Within a bucket, selection priority is the md5(id:seed) total
+    * order — the [[shuffleDeterministic]] rule.
+    *
+    * Scale shape: one shuffle on the bucket key (2^signDims buckets —
+    * size signDims for the data's spread, ~10-16 at corpus scale) and
+    * a per-bucket window top-k; vectors whose length is below
+    * `signDims`, or NULL, are excluded. Output: (id, bucket). */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+      signDims: Int, perBucket: Int, seed: Long = 42L): DataFrame = {
+    require(signDims >= 1 && signDims <= 30, "signDims must be in 1..30")
+    require(perBucket > 0, "perBucket must be positive")
+    val bucket = (0 until signDims).map(j =>
+        when(element_at(col(vecCol), j + 1) > 0f, lit(1L << j))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__pri"), col(idCol))
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) >= signDims)
+      .withColumn("bucket", bucket)
+      .withColumn("__pri",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perBucket)
+      .select(col(idCol), col("bucket"))
+  }
 }

@@ -293,4 +293,30 @@ class PropertySpec extends SparkSpec {
         col("w"), 1).collect() }
     assert(e2.getMessage.contains("strictly positive"))
   }
+
+  test("diverse sample: per-orthant cap, determinism, short-vector drop") {
+    import graft.ops.Sampling
+    // 3 sign dims -> orthant = bits of (x>0, y>0, z>0); 10 vectors in
+    // orthant 7, two in orthant 0, one too short to bucket
+    val rows =
+      (1L to 10L).map(i => (i, Array(1f, 2f, 3f))) ++
+      Seq((20L, Array(-1f, -1f, -0.5f)), (21L, Array(0f, -2f, -3f)),
+        (30L, Array(1f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def run() = Sampling.diverseSample(df, "vec_id", "embedding",
+        signDims = 3, perBucket = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val got = run()
+    assert(got == run(), "selection must be deterministic")
+    val byBucket = got.groupBy(_._2)
+    assert(byBucket(7L).size == 2, "dense orthant capped at perBucket")
+    assert(byBucket(0L).map(_._1).toSet == Set(20L, 21L),
+      "sparse orthant keeps everything (zero coord counts as non-positive)")
+    assert(!got.exists(_._1 == 30L), "short vector cannot bucket")
+    // cap binds on the md5 priority order, not on vec_id order
+    val md5Order = (1L to 10L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(byBucket(7L).map(_._1).toSet == md5Order.take(2).toSet)
+  }
 }
