@@ -2394,6 +2394,14 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- extension: robust outliers via median/MAD --------------------
+    // per-event-type count of values with |x - median| * 10 > 30 * MAD:
+    // two integer-CDF median picks + one exact BIGINT inequality, no
+    // float anywhere (ops/Profile.madOutliers)
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.Profile.madOutliers(t(s, dir, "events"),
+        "event_type", "value", kTenths = 30)),
+
     // ---- extension: diversity-balanced embedding sample ---------------
     // at most 4 vectors per sign-orthant of the first 6 embedding dims
     // (axis-aligned LSH — sign tests on stored values, zero float
@@ -4105,6 +4113,46 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Profile.madOutliers: the same two integer-CDF lower-median
+    // picks and the tenths-scaled BIGINT outlier inequality
+    "q_mad_outliers" ->
+      """WITH gu AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS u
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |c1 AS (SELECT g, u, count(*) AS n_v FROM gu GROUP BY 1, 2),
+        |b1 AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER (PARTITION BY g) AS n_total
+        |  FROM c1),
+        |med AS (
+        |  SELECT g, u AS m FROM b1
+        |  WHERE cum_before < (n_total + 1) // 2
+        |    AND (n_total + 1) // 2 <= cum_before + n_v),
+        |dev AS (
+        |  SELECT gu.g, abs(gu.u - med.m) AS du, med.m
+        |  FROM gu JOIN med USING (g)),
+        |c2 AS (SELECT g, du, count(*) AS n_v FROM dev GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (PARTITION BY g ORDER BY du
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER (PARTITION BY g) AS n_total
+        |  FROM c2),
+        |mad AS (
+        |  SELECT g, du AS mad FROM b2
+        |  WHERE cum_before < (n_total + 1) // 2
+        |    AND (n_total + 1) // 2 <= cum_before + n_v)
+        |SELECT dev.g AS event_type, count(*) AS n,
+        |  CAST(min(dev.m) AS BIGINT) AS median_unit,
+        |  CAST(min(mad.mad) AS BIGINT) AS mad_unit,
+        |  CAST(sum(CASE WHEN dev.du * 10 > mad.mad * 30 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g) GROUP BY 1""".stripMargin,
 
     // mirrors Sampling.diverseSample: same sign-orthant key from the
     // stored floats (1-indexed arrays in DuckDB), same md5 priority

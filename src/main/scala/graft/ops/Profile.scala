@@ -238,6 +238,70 @@ object Profile {
         col("u").as("value_unit"), col("n_total"))
   }
 
+  /** The lower-median (rank ceil(n/2)) of an INTEGER column per group,
+    * by the integer-CDF pick — shared by [[exactPercentiles]]'s p=50
+    * case and [[madOutliers]]'s two median passes. Input arrives as
+    * (g, u) rows; output one (g, m, n_total) row per group. */
+  private def lowerMedian(gu: DataFrame): DataFrame = {
+    val cnts = gu.groupBy(col("g"), col("u")).agg(count(lit(1)).as("n_v"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    cnts
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(wCum), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(wTot))
+      .where(col("cum_before") < expr("(n_total + 1) div 2") &&
+        expr("(n_total + 1) div 2") <= col("cum_before") + col("n_v"))
+      .select(col("g"), col("u").as("m"), col("n_total"))
+  }
+
+  /** Robust per-group outlier report via median/MAD — the
+    * distribution-free form of the z-score family ([[graft.ops
+    * .TimeSeries.rollingZscore]] is its windowed cousin): a value is an
+    * outlier when |x - median| * 10 > kTenths * MAD, with MAD = the
+    * median absolute deviation. Mean/stddev outlier tests move with
+    * the outliers they hunt; the median pair doesn't.
+    *
+    * Entirely integer arithmetic after quantization to `scale` digits
+    * (two integer-CDF median picks, an exact BIGINT inequality — the
+    * multiplier arrives in tenths, not as a float), so the report is
+    * engine-reproducible with no ulp seam. The classic MAD pitfall is
+    * explicit: a group where >50% of rows share one value has MAD 0
+    * and every other value flags as an outlier.
+    *
+    * Scale shape: two value-keyed aggregations to the distinct
+    * (group, unit) domain with per-group windows (the
+    * [[histogramEqDepth]] rule), and two broadcast-sized joins of
+    * group-level scalars back onto the domain — raw rows aggregate
+    * once, medians never see row cardinality. Output per group:
+    * (group, n, median_unit, mad_unit, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, colName: String,
+      kTenths: Int = 30, scale: Int = 2): DataFrame = {
+    require(kTenths > 0, "kTenths must be positive")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val gu = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .select(col(groupCol).as("g"), unit.as("u"))
+    val med = lowerMedian(gu).select(col("g"), col("m"))
+    val dev = gu.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("u") - col("m")).as("u"),
+        col("u").as("x"), col("m"))
+    val mad = lowerMedian(dev.select(col("g"), col("u")))
+      .select(col("g"), col("m").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("m")).as("median_unit"),
+        min(col("mad")).as("mad_unit"),
+        sum(when(col("u") * 10 > col("mad") * lit(kTenths.toLong), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as(groupCol), col("n"), col("median_unit"),
+        col("mad_unit"), col("n_outliers"))
+  }
+
   def histogram(df: DataFrame, colName: String, nBins: Int,
       lo: Double, hi: Double): DataFrame = {
     require(nBins > 0, "nBins must be positive")

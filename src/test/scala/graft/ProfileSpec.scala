@@ -152,6 +152,25 @@ class ProfileSpec extends SparkSpec {
     assert(got == Set(("a", 100, 300L, 3L), ("c", 100, 700L, 1L)))
   }
 
+  test("madOutliers: hand-computed median/MAD flags only true outliers") {
+    import spark.implicits._
+    // group a: 1..9 plus a wild 100 -> median 5.50? no: lower median of
+    // 10 values (rank 5) = 5.0; deviations {4,3,2,1,0,.5,1.5,2.5,3.5,95}
+    // in units: med=500, devs {400,300,200,100,0,50,150,250,350,9500},
+    // MAD = rank-5 of sorted devs {0,50,100,150,200,250,300,350,400,9500}
+    // = 200; outlier iff dev*10 > 200*30=6000 i.e. dev > 600 -> only 9500
+    val rows = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0)) ++
+      Seq(("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 9.0))
+    val got = Profile.madOutliers(rows.toDF("g", "x"), "g", "x",
+        kTenths = 30)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 10L, 500L, 200L, 1L))
+    // group b: >50% share 7.0 -> MAD 0, the off value flags (the
+    // documented MAD-zero pitfall)
+    assert(got("b") == ("b", 4L, 700L, 0L, 1L))
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
