@@ -43,7 +43,13 @@ object DumpPlans {
     "q_triangles" -> "Triangle count: degree-oriented wedge join — every step a keyed equi-join (canonical dedup, degree attach, src-keyed wedge self-join, (n1,n2)-keyed closure), no CartesianProduct; the orientation bounds wedge volume by arboricity so hubs generate none.",
     "q_link_predict" -> "Link prediction: center-keyed wedge self-join over the adjacency (maxDegree caps hub centers), one (n1,n2) aggregation accumulating fixed-point RA in BIGINT, and a LeftAnti join removing pairs that are already edges.",
     "q_communities" -> "Label propagation final round: the node-sized label table broadcasts into the checkpointed edge table (edges never shuffle); one (dst, label) partial+final count and one node-keyed window argmax whose input is degree-bounded, not edge-bounded.",
-    "q_blocklist" -> "Blocklist policy filter: the term table collapses to a 1-row sorted-array broadcast; matching is a codegen'd array filter inside the document scan stage — zero exchanges on the corpus side.")
+    "q_blocklist" -> "Blocklist policy filter: the term table collapses to a 1-row sorted-array broadcast; matching is a codegen'd array filter inside the document scan stage — zero exchanges on the corpus side.",
+    "q_scd2_join" -> "Point-in-time SCD2 join: the interval containment rides the user-keyed HASH join as a residual condition — no BroadcastNestedLoopJoin, no time-axis product; the dim history is window-built from the same scan and broadcasts at this scale.",
+    "q_incr_agg" -> "Incremental aggregate maintenance: the change log's latest-wins window is the only sort; the base feeds ONE key join against the changed-key set for old-row lookup, and the delta/merge aggregates run at changed-key cardinality — the base is never re-aggregated.",
+    "q_geo_radius" -> "Planar radius join: candidates from the (cx, cy) cell equi-join (home cell vs exploded 3x3 neighborhood), exact-BIGINT distance confirm as the join residual — no CartesianProduct, no dedup pass (exactly-once by construction).",
+    "q_bfs_hops" -> "Multi-source BFS final level: the frontier broadcasts into the checkpointed edge table (edges never shuffle); new nodes leave through a node-sized LeftAnti against the settled set.",
+    "q_dq_checks" -> "DQ expectations report: all four row rules share ONE parquet scan feeding a single partial+final aggregate; the uniqueness rule is one keyed count aggregation; the FK rule one LeftAnti join — three passes for six rules.",
+    "q_histogram_eqdepth" -> "Equi-depth histogram: one scan collapses rows to the distinct cent-value domain; the cumulative window and the re-aggregation both run at domain cardinality — raw rows are touched exactly once.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
