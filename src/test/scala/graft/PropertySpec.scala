@@ -294,6 +294,111 @@ class PropertySpec extends SparkSpec {
     assert(e2.getMessage.contains("strictly positive"))
   }
 
+  test("incrementalAgg equals full recompute on random change logs") {
+    import graft.ops.Cdc
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val groups = Vector("x", "y", "z", "w")
+      val base = (1L to 40L).map(k =>
+        (k, groups(rnd.nextInt(3)), (rnd.nextInt(4000) - 1000) / 16.0))
+      // random log: updates (possibly group-moving), deletes, inserts,
+      // multiple changes per key with a total (ts, cid) order
+      val changes = (1 to 60).map { i =>
+        val k = rnd.nextInt(55).toLong + 1 // keys 41..55 are inserts
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, groups(rnd.nextInt(4)), (rnd.nextInt(4000) - 1000) / 16.0,
+          op, rnd.nextInt(10).toLong, i.toLong)
+      }
+      val baseDf = base.toDF("k", "g", "v")
+      val chDf = changes.toDF("k", "g", "v", "op", "ts", "cid")
+      val baseAgg = baseDf.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,6)")).as("total"))
+      val inc = Cdc.incrementalAgg(baseDf, baseAgg, chDf,
+          Seq("k"), "g", "v", Seq("ts", "cid"))
+        .select(col("g"), col("n"), col("total").cast("double"))
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      val full = Cdc.applyChanges(baseDf, chDf, Seq("k"), Seq("ts", "cid"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+            .cast("double").as("total"))
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(inc.toSeq == full.toSeq, s"trial $trial diverged")
+    }
+  }
+
+  test("geo radius pairs equal brute force on random point clouds") {
+    import graft.ops.Geo
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val pts = (1L to 120L).map(i =>
+        (i, (rnd.nextInt(2001) - 1000).toLong,
+          (rnd.nextInt(2001) - 1000).toLong))
+      val r = 60L + rnd.nextInt(200)
+      val got = Geo.radiusPairs(pts.toDF("pid", "x", "y"),
+          "pid", "x", "y", r)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val brute = (for {
+        (ai, ax, ay) <- pts; (bi, bx, by) <- pts
+        if ai < bi
+        d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+        if d2 <= r * r
+      } yield (ai, bi, d2)).sorted
+      assert(got == brute, s"trial $trial (r=$r) diverged")
+      assert(got == got.distinct, s"trial $trial duplicated a pair")
+    }
+  }
+
+  test("bfsHops equals a local BFS on random directed graphs") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 2) {
+      val n = 40
+      val edges = (1 to 150).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
+      val seeds = Seq("n0", "n1", s"n${rnd.nextInt(n)}").distinct
+      val cap = 4
+      val got = Graph.bfsHops(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("node"), "node", maxHops = cap)
+        .as[(String, Int)].collect().toMap
+      // local frontier BFS
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      var h = 0
+      while (h < cap && frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> (h + 1))
+        frontier = next; h += 1
+      }
+      assert(got == dist, s"trial $trial diverged")
+    }
+  }
+
+  test("snapshotDiff statuses equal brute force on random snapshots") {
+    import graft.ops.Cdc
+    val rnd = new scala.util.Random(321)
+    val oldS = (1L to 50L).map(k => (k,
+      if (rnd.nextInt(5) == 0) None else Some(s"v${rnd.nextInt(4)}")))
+    val newS = (11L to 60L).map(k => (k,
+      if (rnd.nextInt(5) == 0) None else Some(s"v${rnd.nextInt(4)}")))
+    val got = Cdc.snapshotDiff(oldS.toDF("k", "v"), newS.toDF("k", "v"),
+        Seq("k"))
+      .as[(Long, String)].collect().toMap
+    val om = oldS.toMap; val nm = newS.toMap
+    val want = (om.keySet ++ nm.keySet).map { k =>
+      k -> ((om.get(k), nm.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    assert(got == want)
+  }
+
   test("diverse sample: per-orthant cap, determinism, short-vector drop") {
     import graft.ops.Sampling
     // 3 sign dims -> orthant = bits of (x>0, y>0, z>0); 10 vectors in
