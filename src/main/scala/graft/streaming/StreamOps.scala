@@ -166,6 +166,37 @@ object StreamOps {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER form of [[attributedClicks]]: every purchase emits —
+    * matched purchases as soon as their click arrives, UNMATCHED ones
+    * only once the click watermark has passed the end of their
+    * attribution window (the engine can then prove no match is
+    * coming; a NULL click_id earlier would be a lie a late click
+    * could contradict). This is the report form ("conversion rate
+    * including non-converters") where the inner join is the
+    * attribution form.
+    *
+    * Same state contract as the inner join: co-partitioned on the
+    * user key, state bounded by watermark + window — the outer side
+    * holds a purchase only until its window closes. On a batch frame
+    * the watermarks are no-ops and this is a plain LEFT OUTER hash
+    * join, which is the oracle StreamingSpec pins the streaming
+    * results against. */
+  def attributedClicksOuter(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 day", watermark: String = "2 days"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"))
+  }
+
   /** Stream-to-table landing with idempotent partition replacement:
     * every micro-batch lands via [[graft.ops.Layout.upsertPartitions]],
     * replacing only the partitions that batch touches. Combined with the

@@ -349,6 +349,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("outer attribution emits unmatched purchases only after watermark close") {
+    implicit val sql = spark.sqlContext
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamOps.attributedClicksOuter(purchases.toDF(), clicks.toDF(),
+        window = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attro").outputMode("append")
+      .start()
+    purchases.addData(
+      Ev(100, at("10:00"), 1, "purchase", 1.0),  // will match
+      Ev(101, at("10:05"), 2, "purchase", 1.0))  // never matches
+    clicks.addData(Ev(200, at("10:10"), 1, "click", 0.0))
+    q.processAllAvailable()
+    val early = spark.table("attro")
+      .select("user_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    // the unmatched purchase must NOT have emitted a NULL row yet — a
+    // late click could still contradict it
+    assert(!early.contains((2L, 101L)),
+      s"unmatched purchase emitted before its window provably closed: $early")
+    // advance BOTH watermarks far past 10:35 (window end of p101)
+    purchases.addData(Ev(300, at("18:00"), 9, "purchase", 1.0))
+    clicks.addData(Ev(400, at("18:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    // one more nudge: outer results release on the NEXT state cleanup
+    purchases.addData(Ev(301, at("19:00"), 9, "purchase", 1.0))
+    clicks.addData(Ev(401, at("19:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("attro")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(streamed.contains((1L, 100L, Some(200L))), s"match lost: $streamed")
+    assert(streamed.contains((2L, 101L, None)),
+      s"unmatched purchase never emitted after close: $streamed")
+    // the batch run is the oracle for every CLOSED purchase
+    val batch = StreamOps.attributedClicksOuter(
+        Seq(Ev(100, at("10:00"), 1, "purchase", 1.0),
+          Ev(101, at("10:05"), 2, "purchase", 1.0)).toDF(),
+        Seq(Ev(200, at("10:10"), 1, "click", 0.0)).toDF(),
+        window = "30 minutes")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(batch.subsetOf(streamed), s"batch $batch vs streamed $streamed")
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
