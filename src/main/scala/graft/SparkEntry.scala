@@ -2394,6 +2394,30 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"), qs, k = 10)
     }),
 
+    // ---- scale mechanics: IVM for NON-invertible aggregates -----------
+    // maintained per-type (count, min, max) under the same change log:
+    // deletes can't be subtracted from a min, so affected groups
+    // recompute from the merged snapshot while untouched groups pass
+    // through from the materialized aggregate (ops/Cdc.incrementalMinMax)
+    "q_incr_minmax" -> ((s, dir) => {
+      val cutoff = 1704672000000000L
+      val ch = eventsUsLong(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("ts_us"), col("event_id"))
+      val before = graft.ops.Cdc
+        .latestPerKey(ch.where(col("ts_us") < cutoff),
+          Seq("user_id"), Seq("ts_us", "event_id"))
+        .where(col("op") =!= "D")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val baseAgg = before.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+      graft.ops.Cdc.incrementalMinMax(before, baseAgg,
+        ch.where(col("ts_us") >= cutoff),
+        Seq("user_id"), "event_type", "value", Seq("ts_us", "event_id"))
+    }),
+
     // ---- extension: robust outliers via median/MAD --------------------
     // per-event-type count of values with |x - median| * 10 > 30 * MAD:
     // two integer-CDF median picks + one exact BIGINT inequality, no
@@ -4098,6 +4122,37 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  WHERE op <> 'D')
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM aft GROUP BY event_type""".stripMargin,
+
+    // full recompute oracle for the non-invertible IVM: grouped
+    // (count, min, max) of the merged snapshot
+    "q_incr_minmax" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |bef AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us < 1704672000000000)
+        |  WHERE rn = 1 AND op <> 'D'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM ch WHERE ts_us >= 1704672000000000)
+        |  WHERE rn = 1),
+        |aft AS (
+        |  SELECT b.user_id, b.event_type, b.value FROM bef b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+        |  UNION ALL
+        |  SELECT user_id, event_type, value FROM latest
+        |  WHERE op <> 'D')
+        |SELECT event_type, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
         |FROM aft GROUP BY event_type""".stripMargin,
 
     "q_layout_scan" ->

@@ -217,4 +217,49 @@ object Cdc {
           + coalesce(col("dtotal"), dec(lit(0)))).as("total"))
       .where(col("n") > 0)
   }
+
+  /** Incremental maintenance for NON-invertible aggregates (MIN/MAX —
+    * a delete can't be subtracted from a min), by the other classic
+    * IVM strategy: recompute ONLY the affected groups. A group is
+    * affected when any changed key's old row lived in it or any
+    * surviving change lands in it; affected groups re-aggregate from
+    * the merged snapshot restricted to those groups, every other group
+    * passes through from `baseAgg` untouched.
+    *
+    * `baseAgg` must carry (`groupCol`, `n`, `lo`, `hi`) = grouped
+    * (count, min, max) of `valueCol` over the base. Output has the
+    * same shape for the merged state. No arithmetic beyond count —
+    * min/max of stored values are engine-portable by construction.
+    *
+    * Scale shape: the log shuffles once for latest-wins; the base is
+    * touched by one key join (old-group lookup) and one semi join on
+    * the (day-sized, broadcastable) affected-group set — at 100 TB
+    * the recompute reads only the affected groups' rows, and the
+    * untouched majority of `baseAgg` never moves at all. */
+  def incrementalMinMax(base: DataFrame, baseAgg: DataFrame,
+      changes: DataFrame, keyCols: Seq[String], groupCol: String,
+      valueCol: String, seqCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty,
+      "incrementalMinMax needs key and sequence columns")
+    val latest = latestPerKey(changes, keyCols, seqCols)
+    val changedKeys = latest.select(keyCols.map(col).toIndexedSeq: _*)
+    val upserts = latest.where(col(opCol) =!= "D")
+    val affected = base.join(changedKeys, keyCols)
+      .select(col(groupCol))
+      .unionByName(upserts.select(col(groupCol)))
+      .distinct()
+    val baseCols: Seq[String] = (keyCols ++ Seq(groupCol, valueCol)).distinct
+    val logCols: Seq[String] = (baseCols ++ Seq(opCol) ++ seqCols).distinct
+    val merged = applyChanges(
+      base.select(baseCols.map(col).toIndexedSeq: _*),
+      latest.select(logCols.map(col).toIndexedSeq: _*),
+      keyCols, seqCols, opCol)
+    val recomputed = merged.join(affected, Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+    baseAgg.join(affected, Seq(groupCol), "left_anti")
+      .unionByName(recomputed)
+  }
 }

@@ -160,6 +160,33 @@ class CdcSpec extends SparkSpec {
     assert(inc.exists(_._1 == "w"), "new group must appear")
   }
 
+  test("incrementalMinMax equals full recompute; untouched groups pass through") {
+    val base = Seq(
+      (1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0),
+      (4L, "y", 5.0), (5L, "z", 7.0), (6L, "q", 1.0)).toDF("k", "g", "v")
+    val changes = gch(
+      (2L, "x", 99.0, "D", 10L, 1L),   // delete the max of x -> min/max must RECEDE
+      (3L, "y", 2.0, "U", 10L, 2L),    // new min for y
+      (7L, "w", 50.0, "I", 10L, 3L))   // new group
+    val baseAgg = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val inc = Cdc.incrementalMinMax(base, baseAgg, changes,
+        Seq("k"), "g", "v", Seq("ts", "cid"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    val full = Cdc.applyChanges(base, changes, Seq("k"), Seq("ts", "cid"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(inc.toSeq == full.toSeq)
+    // the receding-max case is what invertible deltas get wrong
+    assert(inc.find(_._1 == "x").get == ("x", 1L, 10.0, 10.0))
+    assert(inc.find(_._1 == "q").get == ("q", 1L, 1.0, 1.0),
+      "untouched group must survive via passthrough")
+    assert(inc.exists(_._1 == "w"))
+  }
+
   test("incrementalAgg: a group emptied by deletes disappears") {
     val base = Seq((1L, "solo", 4.5)).toDF("k", "g", "v")
     val baseAgg = base.groupBy(col("g"))
