@@ -1720,6 +1720,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- extension: per-key interval coalescing (gaps-and-islands) ----
+    // each user's 1-day purchase-attribution windows flattened into
+    // maximal disjoint coverage spans (ops/TimeSeries.mergeIntervals) —
+    // touching windows merge under half-open semantics; one key-keyed
+    // shuffle feeds both windows and the closing aggregation
+    "q_interval_merge" -> ((s, dir) => {
+      val day = 86400000000L
+      val iv = eventsUsLong(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("s_us"),
+          (col("ts_us") + day).as("e_us"))
+      graft.ops.TimeSeries.mergeIntervals(iv, "user_id", "s_us", "e_us")
+    }),
+
     // ---- extension: interval-overlap join (both sides are ranges) -----
     // pairs of purchase attribution windows by the same user that overlap
     // in time: both interval sets bin-shard and each overlapping pair
@@ -4352,6 +4366,33 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors TimeSeries.mergeIntervals: running-max island detection,
+    // tie-order-insensitive under duplicate intervals
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 86400000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |o AS (
+        |  SELECT *, max(e_us) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max
+        |  FROM iv),
+        |fl AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM o),
+        |isl AS (
+        |  SELECT *, sum(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island
+        |  FROM fl)
+        |SELECT user_id, min(s_us) AS start, max(e_us) AS "end",
+        |  count(*) AS n_merged
+        |FROM isl GROUP BY user_id, island""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH w AS (

@@ -157,4 +157,43 @@ object TimeSeries {
       .withColumn("is_outlier", coalesce(abs(col("z")) > 3.0, lit(false)))
       .drop("__s", "__s2")
   }
+
+  /** Coalesce overlapping-or-touching `[startCol, endCol)` intervals
+    * per key into maximal disjoint spans (gaps-and-islands) — uptime /
+    * coverage windows from session spans, attribution-window flattening
+    * before a containment join, de-overlapping validity history. An
+    * interval starting exactly where another ends TOUCHES it and
+    * merges (half-open semantics: there is no gap between them).
+    *
+    * Island detection is the classic running-max form: a new island
+    * starts when an interval's start exceeds the max end seen so far
+    * in its key's start order. With duplicate (start, end) rows the
+    * running max is tie-order-insensitive (equal rows contribute equal
+    * prefixes), so the islands — and therefore the output — are
+    * deterministic with no tie-break column needed.
+    *
+    * Scale shape: ONE key-keyed shuffle feeds both windows (running
+    * max and island numbering share the same partitioning+sort) and
+    * the closing (key, island) aggregation — intervals per key stream
+    * through a single sort, nothing global. Output: (keyCol, start,
+    * end, n_merged). */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df
+      .withColumn("__prev_max", max(col(endCol)).over(wPrev))
+      .withColumn("__new_island",
+        when(col("__prev_max").isNull ||
+          col(startCol) > col("__prev_max"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(wRun))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

@@ -129,4 +129,29 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(checked == 3 * (40 - 5))
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, dups collapse") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> one span [0,20)
+      (1L, 20L, 30L),                 // touches 20 -> still the span
+      (1L, 40L, 50L),                 // gap -> new island
+      (2L, 0L, 5L), (2L, 0L, 5L),     // duplicate rows collapse (n=2)
+      (3L, 7L, 9L))                   // singleton
+      .toDF("k", "s", "e")
+    val got = graft.ops.TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 30L, 3L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 5L, 2L), (3L, 7L, 9L, 1L)))
+  }
+
+  test("mergeIntervals: contained interval never extends its island") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 150L, 160L))
+      .toDF("k", "s", "e")
+    val got = graft.ops.TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 100L, 2L), (1L, 150L, 160L, 1L)))
+  }
 }
