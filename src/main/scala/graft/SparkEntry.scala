@@ -1720,6 +1720,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- extension: per-key time-weighted average (gauge metric) ------
+    // each user's value as a step function over their event timeline:
+    // exact BIGINT cents x floored-seconds weighting, two final IEEE
+    // divisions (ops/TimeSeries.timeWeightedAvg); (ts_us, event_id)
+    // is the total order the zero-length-slot rule needs
+    "q_time_weighted_avg" -> ((s, dir) => {
+      graft.ops.TimeSeries.timeWeightedAvg(eventsUsLong(s, dir),
+        "user_id", "ts_us", "value", tieCols = Seq("event_id"))
+    }),
+
     // ---- extension: per-key interval coalescing (gaps-and-islands) ----
     // each user's 1-day purchase-attribution windows flattened into
     // maximal disjoint coverage spans (ops/TimeSeries.mergeIntervals) —
@@ -4366,6 +4376,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors TimeSeries.timeWeightedAvg: same cents/seconds fixed
+    // point, same (ts_us, event_id) total order, same division order
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |stepped AS (
+        |  SELECT user_id, value,
+        |    (lead(ts_us) OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id) - ts_us) // 1000000 AS dur_s
+        |  FROM e),
+        |q AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS v_cents, dur_s
+        |  FROM stepped WHERE dur_s IS NOT NULL)
+        |SELECT user_id, count(*) AS n_steps,
+        |  CAST(sum(dur_s) AS BIGINT) AS sum_dur_s,
+        |  CAST(sum(v_cents * dur_s) AS DOUBLE)
+        |    / CAST(sum(dur_s) AS DOUBLE) / 100.0 AS twa
+        |FROM q GROUP BY user_id
+        |HAVING sum(dur_s) > 0""".stripMargin,
 
     // mirrors TimeSeries.mergeIntervals: running-max island detection,
     // tie-order-insensitive under duplicate intervals

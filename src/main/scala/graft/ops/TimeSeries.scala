@@ -177,6 +177,49 @@ object TimeSeries {
     * the closing (key, island) aggregation — intervals per key stream
     * through a single sort, nothing global. Output: (keyCol, start,
     * end, n_merged). */
+  /** Per-key time-weighted average of a step function: each event's
+    * value holds from its own timestamp until the key's next event
+    * (the monitoring-metric form — a gauge sampled at irregular times,
+    * where the plain AVG over-weights chatty periods). The key's last
+    * event opens no interval and contributes nothing; keys with a
+    * single event produce no row.
+    *
+    * Determinism contract: `tieCols` must complete (`tsUsCol` ++
+    * tieCols) into a total order per key — with timestamp ties left
+    * ambiguous, WHICH value carries the zero-length slot would be
+    * partitioning-dependent. The weighted sum runs in exact BIGINT
+    * fixed point: values quantized to cents (1e2), durations floored
+    * to whole seconds (documented quantization; cents × a month of
+    * seconds × thousands of events stays far under 2^63), and the
+    * single final `(Σ v·d) / (Σ d) / 100` is two IEEE divisions of
+    * exact integers — bit-reproducible on any engine.
+    *
+    * Scale shape: one key-keyed shuffle for the lead() window, then
+    * the same partitioning feeds the per-key aggregation. Output:
+    * (keyCol, n_steps, sum_dur_s, twa). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsUsCol) +: tieCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df
+      .withColumn("__next_us", lead(col(tsUsCol), 1).over(w))
+      .where(col("__next_us").isNotNull)
+      .withColumn("__dur_s",
+        expr(s"(__next_us - $tsUsCol) div 1000000"))
+      .withColumn("__v_cents",
+        round(col(valueCol).cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100, 0)
+          .cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("__dur_s")).as("sum_dur_s"),
+        sum(col("__v_cents") * col("__dur_s")).as("__sum_vd"))
+      .where(col("sum_dur_s") > 0)
+      .select(col(keyCol), col("n_steps"), col("sum_dur_s"),
+        (col("__sum_vd").cast("double") / col("sum_dur_s").cast("double")
+          / lit(100.0)).as("twa"))
+  }
+
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
       endCol: String): DataFrame = {
     val wPrev = Window.partitionBy(col(keyCol))

@@ -130,6 +130,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == 3 * (40 - 5))
   }
 
+  test("timeWeightedAvg: hand-computed step weights; last event opens nothing") {
+    import spark.implicits._
+    val us = 1000000L
+    val rows = Seq(
+      // key 1: v=10 for 4s, v=20 for 6s -> twa = (40+120)/10 = 16.0
+      (1L, 0L * us, 1L, 10.0), (1L, 4L * us, 2L, 20.0),
+      (1L, 10L * us, 3L, 99.0),             // last event: no interval
+      (2L, 0L * us, 4L, 7.5))               // single event -> no row
+      .toDF("k", "ts_us", "eid", "v")
+    val got = graft.ops.TimeSeries.timeWeightedAvg(rows, "k", "ts_us", "v",
+        tieCols = Seq("eid"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10L, 16.0)))
+  }
+
+  test("timeWeightedAvg: timestamp ties resolve on the tie column") {
+    import spark.implicits._
+    val us = 1000000L
+    // two events at t=0: eid order makes v=2 carry the 10s slot and
+    // v=1 the zero-length one
+    val rows = Seq((1L, 0L, 1L, 1.0), (1L, 0L, 2L, 2.0),
+      (1L, 10L * us, 3L, 9.0)).toDF("k", "ts_us", "eid", "v")
+    val got = graft.ops.TimeSeries.timeWeightedAvg(rows, "k", "ts_us", "v",
+        tieCols = Seq("eid"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10L, 2.0)))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, dups collapse") {
     import spark.implicits._
     val iv = Seq(
