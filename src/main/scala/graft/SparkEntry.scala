@@ -1720,6 +1720,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- extension: event-flow transition matrix ----------------------
+    // adjacent (from, to) event-type counts over each user's timeline
+    // (ops/TimeSeries.transitions) — the Markov flow matrix behind
+    // funnel diagrams; (ts_us, event_id) total order
+    "q_event_transitions" -> ((s, dir) => {
+      graft.ops.TimeSeries.transitions(eventsUsLong(s, dir),
+        "user_id", "ts_us", "event_type", tieCols = Seq("event_id"))
+    }),
+
+    // ---- extension: pre-conversion paths ------------------------------
+    // the 3-step event paths immediately preceding each purchase,
+    // counted corpus-wide (ops/TimeSeries.pathsBefore) — '>'-joined
+    // sortable strings per the comparator convention
+    "q_conversion_paths" -> ((s, dir) => {
+      graft.ops.TimeSeries.pathsBefore(eventsUsLong(s, dir),
+        "user_id", "ts_us", "event_type", target = "purchase",
+        depth = 3, tieCols = Seq("event_id"))
+    }),
+
     // ---- extension: per-key time-weighted average (gauge metric) ------
     // each user's value as a step function over their event timeline:
     // exact BIGINT cents x floored-seconds weighting, two final IEEE
@@ -4376,6 +4395,33 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors TimeSeries.transitions: lead() adjacency on the same
+    // total order
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_state
+        |  FROM events)
+        |SELECT event_type AS from_state, to_state, count(*) AS n
+        |FROM e WHERE to_state IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors TimeSeries.pathsBefore: the 3-lag chain, concat_ws
+    // dropping the NULLs of short histories on both engines
+    "q_conversion_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    concat_ws('>',
+        |      lag(event_type, 3) OVER w, lag(event_type, 2) OVER w,
+        |      lag(event_type, 1) OVER w) AS path
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id))
+        |SELECT path, count(*) AS n
+        |FROM e WHERE event_type = 'purchase' AND path <> ''
+        |GROUP BY 1""".stripMargin,
 
     // mirrors TimeSeries.timeWeightedAvg: same cents/seconds fixed
     // point, same (ts_us, event_id) total order, same division order

@@ -177,6 +177,49 @@ object TimeSeries {
     * the closing (key, island) aggregation — intervals per key stream
     * through a single sort, nothing global. Output: (keyCol, start,
     * end, n_merged). */
+  /** Markov transition counts over per-key event sequences: one row
+    * per (from_state, to_state) with the number of adjacent
+    * occurrences across all keys — the flow matrix behind funnel
+    * diagrams and next-action models. `tieCols` complete the per-key
+    * total order (the [[timeWeightedAvg]] rule: an ambiguous order
+    * would make the adjacency partitioning-dependent).
+    *
+    * Scale shape: one key-keyed shuffle for the lead() window, then a
+    * states²-bounded (tiny) count aggregation. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .where(col("__to").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The `depth`-step paths leading into a target state, counted
+    * corpus-wide: for every event whose state equals `target`, the
+    * '>'-joined sequence of the `depth` states immediately before it
+    * on the same key's timeline (shorter if history runs out) — "what
+    * do users do right before they buy". Paths come back as sortable
+    * strings (the comparator convention) with their frequencies.
+    *
+    * Scale shape: one key-keyed shuffle for the lag() chain window;
+    * the path aggregation is path-cardinality-bounded. */
+  def pathsBefore(df: DataFrame, keyCol: String, tsCol: String,
+      stateCol: String, target: String, depth: Int = 3,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth must be in 1..8")
+    val order = (col(tsCol) +: tieCols.map(col)).toIndexedSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val lags = (depth to 1 by -1).map(d => lag(col(stateCol), d).over(w))
+    df
+      .withColumn("__path", concat_ws(">", lags.toIndexedSeq: _*))
+      .where(col(stateCol) === target && col("__path") =!= "")
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-key time-weighted average of a step function: each event's
     * value holds from its own timestamp until the key's next event
     * (the monitoring-metric form — a gauge sampled at irregular times,

@@ -130,6 +130,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == 3 * (40 - 5))
   }
 
+  test("transitions: adjacency per key, none across keys, tie order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 30L, 4L, "c"),   // tie at 30: a precedes c by eid
+      (2L, 5L, 5L, "b"))    // lone event: no transition
+      .toDF("k", "t", "eid", "s")
+    val got = graft.ops.TimeSeries.transitions(rows, "k", "t", "s",
+        tieCols = Seq("eid"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L)))
+  }
+
+  test("pathsBefore: depth window, short histories shrink, target only") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "cart"),
+      (1L, 4L, 4L, "buy"),                       // path view>click>cart
+      (2L, 1L, 5L, "click"), (2L, 2L, 6L, "buy"), // short: just click
+      (3L, 1L, 7L, "buy"))                        // no history: excluded
+      .toDF("k", "t", "eid", "s")
+    val got = graft.ops.TimeSeries.pathsBefore(rows, "k", "t", "s",
+        target = "buy", depth = 3, tieCols = Seq("eid"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("view>click>cart", 1L), ("click", 1L)))
+  }
+
   test("timeWeightedAvg: hand-computed step weights; last event opens nothing") {
     import spark.implicits._
     val us = 1000000L
