@@ -2553,6 +2553,20 @@ object SparkEntry {
         5000000L)
     }),
 
+    // ---- LLM: exact phrase search (quoted-query primitive) ------------
+    // docs containing each phrase as CONSECUTIVE tokens: map-side
+    // bigram candidates against the broadcast phrase bigrams, then an
+    // exact substring confirm over candidate docs only (ops/Retrieval
+    // .phraseSearch). The oracle skips the pruning and states the
+    // final semantics directly — proving the index loses nothing
+    "q_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val ps = Seq(
+        (1L, "hash join"), (2L, "slow scan"),
+        (3L, "customer order stream")).toDF("query_id", "phrase")
+      graft.ops.Retrieval.phraseSearch(t(s, dir, "documents"), ps)
+    }),
+
     // ---- LLM: boolean AND retrieval (exact conjunctive match set) -----
     // the docs containing EVERY term of each query: corpus explodes to
     // distinct (doc, term), broadcast query-term join kills non-query
@@ -5455,6 +5469,21 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT query_id, doc_id,
         |  CAST(score_micros AS DOUBLE) / 1000000.0 AS score, rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // states phraseSearch's FINAL semantics directly (consecutive-token
+    // containment over the normalized token stream) with no bigram
+    // pruning — a candidate the index missed would fail this oracle
+    "q_phrase_search" ->
+      """WITH q(query_id, phrase) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join'),
+        |    (CAST(2 AS BIGINT), 'slow scan'),
+        |    (CAST(3 AS BIGINT), 'customer order stream'))
+        |SELECT q.query_id, d.doc_id
+        |FROM documents d CROSS JOIN q
+        |WHERE contains(
+        |  ' ' || array_to_string(
+        |    string_split_regex(trim(lower(d.text)), '\s+'), ' ') || ' ',
+        |  ' ' || trim(lower(q.phrase)) || ' ')""".stripMargin,
 
     // mirrors Retrieval.booleanSearch: distinct doc terms join the
     // distinct query terms, docs whose matched-term count equals the

@@ -130,4 +130,48 @@ object Retrieval {
       .where(col("matched") === col("n_terms"))
       .select(col(qidCol), col(idCol))
   }
+
+  /** Exact phrase search: the documents containing each query phrase
+    * as CONSECUTIVE tokens (same tokenization as [[bm25TopK]]) — the
+    * quoted-query primitive. Phrases must have >= 2 tokens (route
+    * single terms through [[booleanSearch]]).
+    *
+    * Two-stage shape, the standard index-then-verify discipline:
+    * candidates come from the bigram conjunction (doc bigrams are
+    * built MAP-SIDE with the slice+zip construction — no window — and
+    * immediately meet the broadcast phrase-bigram table, so non-query
+    * bigrams die in the scan stage), which is a SUPERSET of true
+    * matches (bigrams can all appear without being adjacent as one
+    * run); the exact confirm then substring-checks the normalized
+    * token stream of candidate docs only. The corpus text is never
+    * shuffled — candidates re-attach to it by an id semi-join-shaped
+    * inner join, candidate-sized. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", phraseCol: String = "phrase"): DataFrame = {
+    val toks = (c: Column) => TextOps.words(lower(c))
+    val bigrams = (c: Column) => zip_with(
+      slice(toks(c), lit(1), greatest(size(toks(c)) - 1, lit(0))),
+      slice(toks(c), lit(2), greatest(size(toks(c)) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val docBg = docs.select(col(idCol),
+      explode(array_distinct(bigrams(col(textCol)))).as("bg"))
+    val qBg = phrases.select(col(qidCol),
+      explode(array_distinct(bigrams(col(phraseCol)))).as("bg"))
+    val nBg = qBg.groupBy(col(qidCol)).agg(count(lit(1)).as("n_bg"))
+    val cand = docBg.join(broadcast(qBg), "bg")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("matched"))
+      .join(broadcast(nBg), qidCol)
+      .where(col("matched") === col("n_bg"))
+      .select(col(qidCol), col(idCol))
+    val norm = (c: Column) =>
+      concat(lit(" "), concat_ws(" ", toks(c)), lit(" "))
+    cand
+      .join(docs.select(col(idCol), norm(col(textCol)).as("__stream")), idCol)
+      .join(broadcast(phrases.select(col(qidCol),
+        norm(col(phraseCol)).as("__needle"))), qidCol)
+      .where(col("__stream").contains(col("__needle")))
+      .select(col(qidCol), col(idCol))
+  }
 }

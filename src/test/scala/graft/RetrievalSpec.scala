@@ -112,6 +112,33 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1L, 0L)))
   }
 
+  test("phraseSearch: adjacency required — scattered bigrams don't match") {
+    val docs = Seq(
+      (0L, "fast hash join scan"),       // contains "hash join"
+      (1L, "hash table join hash join"), // contains it late
+      (2L, "hash table join scan"),      // both words, never adjacent
+      (3L, "join hash"),                 // reversed
+      (4L, "a hash join b hash join c"), // twice -> still one row
+      (5L, "HASH Join upper"),           // case-insensitive
+      (6L, "hash joins"))                // token boundary: no match
+      .toDF("doc_id", "text")
+    val ps = Seq((1L, "hash join")).toDF("query_id", "phrase")
+    val got = Retrieval.phraseSearch(docs, ps)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 0L), (1L, 1L), (1L, 4L), (1L, 5L)))
+  }
+
+  test("phraseSearch: bigram candidates that aren't one run are rejected") {
+    // doc has "a b" and "b c" but never "a b c" as one run — the
+    // bigram conjunction admits it, the exact confirm must kill it
+    val docs = Seq(
+      (0L, "a b x b c"), (1L, "a b c")).toDF("doc_id", "text")
+    val ps = Seq((1L, "a b c")).toDF("query_id", "phrase")
+    val got = Retrieval.phraseSearch(docs, ps)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L)))
+  }
+
   test("booleanSearch plan: query terms broadcast, corpus side one shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val qs = Seq((1L, "fast table scan")).toDF("query_id", "qtext")
