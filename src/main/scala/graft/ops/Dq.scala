@@ -104,4 +104,24 @@ object Dq {
       when(coalesce(pred, lit(false)), lit(n)) }
     df.withColumn("violations", concat_ws("|", marks.toIndexedSeq: _*))
   }
+
+  /** Piggyback the row-rule violation counts onto whatever job already
+    * runs, via `Dataset.observe`: the returned frame computes exactly
+    * what the input did, and every action over it ALSO delivers one
+    * named metric row (`n_rows` plus one violation count per rule) to
+    * the session's QueryExecutionListener / streaming progress — the
+    * production-monitoring form of [[report]], costing zero extra
+    * passes because the observation rides the existing scan. Rule
+    * names become metric names; they must be unique and non-empty.
+    *
+    * Works on batch and streaming frames alike (on streams the
+    * metrics surface per micro-batch in StreamingQueryProgress
+    * .observedMetrics under `name`). */
+  def observed(df: DataFrame, name: String,
+      rowRules: Seq[(String, Column)]): DataFrame = {
+    require(rowRules.nonEmpty, "observed needs at least one rule")
+    val counts = rowRules.map { case (n, pred) =>
+      sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(n) }
+    df.observe(name, count(lit(1)).as("n_rows"), counts: _*)
+  }
 }

@@ -91,6 +91,36 @@ class DqSpec extends SparkSpec {
     }
   }
 
+  test("observed: metrics ride the existing action, counts match report") {
+    val df = Seq((1L, 5.0), (2L, 99.0), (3L, -1.0), (4L, 7.0))
+      .toDF("k", "q")
+    val rules = Seq(
+      "range_high" -> (col("q") > 50.0),
+      "range_low" -> (col("q") < 0.0))
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("dq").foreach(r => seen = Some(r))
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val observed = Dq.observed(df, "dq", rules)
+      assert(observed.count() == 4L, "observation must not change results")
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = seen.getOrElse(fail("observed metrics never arrived"))
+      assert(m.getAs[Long]("n_rows") == 4L)
+      assert(m.getAs[Long]("range_high") == 1L)
+      assert(m.getAs[Long]("range_low") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("plan: row rules share ONE scan regardless of rule count") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val plan = Dq.report(df, rowRules = Seq(
