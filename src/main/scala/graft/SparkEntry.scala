@@ -2461,6 +2461,14 @@ object SparkEntry {
         Seq("user_id"), "event_type", "value", Seq("ts_us", "event_id"))
     }),
 
+    // ---- extension: weighted exact percentiles ------------------------
+    // price percentiles weighted by units shipped, per return flag —
+    // the pre-aggregated-data form of the integer-CDF order statistic
+    // (ops/Profile.exactPercentilesWeighted); l_quantity is integral
+    "q_weighted_percentiles" -> ((s, dir) =>
+      graft.ops.Profile.exactPercentilesWeighted(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity", Seq(50, 95))),
+
     // ---- extension: robust outliers via median/MAD --------------------
     // per-event-type count of values with |x - median| * 10 > 30 * MAD:
     // two integer-CDF median picks + one exact BIGINT inequality, no
@@ -4225,6 +4233,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY l_returnflag""".stripMargin,
+
+    // mirrors Profile.exactPercentilesWeighted: cumulative WEIGHTS in
+    // the CDF, weighted rank ceil(W*p/100)
+    "q_weighted_percentiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0)
+        |      AS BIGINT) AS u,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n_v
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER (PARTITION BY g) AS n_total
+        |  FROM c),
+        |e AS (
+        |  SELECT b.*, p FROM b
+        |  CROSS JOIN (SELECT unnest([50, 95]) AS p))
+        |SELECT g AS l_returnflag, CAST(p AS INT) AS p, u AS value_unit,
+        |  CAST(n_total AS BIGINT) AS total_weight
+        |FROM e
+        |WHERE cum_before < (n_total * p + 99) // 100
+        |  AND (n_total * p + 99) // 100 <= cum_before + n_v""".stripMargin,
 
     // mirrors Profile.madOutliers: the same two integer-CDF lower-median
     // picks and the tenths-scaled BIGINT outlier inequality

@@ -238,6 +238,45 @@ object Profile {
         col("u").as("value_unit"), col("n_total"))
   }
 
+  /** Weighted form of [[exactPercentiles]]: each row counts
+    * `weightCol` times — the pre-aggregated-data form (latency
+    * percentiles from histogram rows, price percentiles weighted by
+    * units). The lower order statistic at weighted rank
+    * ceil(W*p/100) over the integer CDF of cumulative weights; weights
+    * must be positive integers (non-positive fails the query loudly —
+    * a zero or negative weight silently skews every rank after it).
+    * Same scale shape as the unweighted form. */
+  def exactPercentilesWeighted(df: DataFrame, groupCol: String,
+      colName: String, weightCol: String, ps: Seq[Int],
+      scale: Int = 2): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val w = when(col(weightCol).cast("long") > 0,
+      col(weightCol).cast("long")).otherwise(raise_error(concat(
+        lit(s"exactPercentilesWeighted: non-positive weight in $weightCol: "),
+        col(weightCol).cast("string"))))
+    val cnts = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .groupBy(col(groupCol).as("g"), unit.as("u"))
+      .agg(sum(w).as("n_v"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    cnts
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(wCum), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(wTot))
+      .withColumn("p", explode(array(ps.map(p => lit(p)).toIndexedSeq: _*)))
+      .withColumn("rank", expr("(n_total * p + 99) div 100"))
+      .where(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("n_v"))
+      .select(col("g").as(groupCol), col("p"),
+        col("u").as("value_unit"), col("n_total").as("total_weight"))
+  }
+
   /** The lower-median (rank ceil(n/2)) of an INTEGER column per group,
     * by the integer-CDF pick — shared by [[exactPercentiles]]'s p=50
     * case and [[madOutliers]]'s two median passes. Input arrives as

@@ -171,6 +171,30 @@ class ProfileSpec extends SparkSpec {
     assert(got("b") == ("b", 4L, 700L, 0L, 1L))
   }
 
+  test("weighted percentiles: weights count as copies; bad weight fails") {
+    import spark.implicits._
+    // (1.0 x3, 2.0 x1, 3.0 x6): W=10, p50 -> weighted rank 5 -> 3.0
+    // (cum_before=4 < 5 <= 10); p30 -> rank 3 -> 1.0
+    val rows = Seq(("a", 1.0, 3L), ("a", 2.0, 1L), ("a", 3.0, 6L))
+    val got = Profile.exactPercentilesWeighted(rows.toDF("g", "x", "w"),
+        "g", "x", "w", Seq(30, 50))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(("a", 30, 100L, 10L), ("a", 50, 300L, 10L)))
+    // equal to the unweighted form on the expanded multiset
+    val expanded = rows.flatMap { case (g, x, w) =>
+      Seq.fill(w.toInt)((g, x)) }
+    val unweighted = Profile.exactPercentiles(expanded.toDF("g", "x"),
+        "g", "x", Seq(30, 50))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == unweighted)
+    val bad = Seq(("a", 1.0, 0L)).toDF("g", "x", "w")
+    val e = intercept[Exception] {
+      Profile.exactPercentilesWeighted(bad, "g", "x", "w", Seq(50)).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
