@@ -1239,6 +1239,27 @@ object SparkEntry {
       graft.ops.Graph.bfsHops(edges, "a", "b", seeds, "seed", maxHops = 3)
     }),
 
+    // ---- extension: bounded weighted shortest paths -------------------
+    // cheapest ≤2-hop route from the nation-0 suppliers over the
+    // weighted supplier<->customer graph (weight = distinct shared
+    // orders): fixed-round Bellman-Ford relaxation, exact BIGINT sums
+    // (ops/Graph.shortestPaths)
+    "q_shortest_paths" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+        .select(concat(lit("s:"), col("sk")).as("a"),
+          concat(lit("c:"), col("ck")).as("b"), col("w"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+        .select(concat(lit("s:"), col("s_suppkey")).as("seed"))
+      graft.ops.Graph.shortestPaths(edges, "a", "b", "w", seeds, "seed",
+        maxHops = 2)
+    }),
+
     // ---- extension: WEIGHTED PageRank ---------------------------------
     // same graph, edges weighted by the number of distinct shared
     // orders; rank splits across out-edges in weight proportion — the
@@ -3779,6 +3800,32 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // graph: 5 unrolled iterations in fixed-point BIGINT nano-units —
     // no float inside the loop on either engine (see pageRankSql)
     "q_pagerank" -> PageRankSql,
+
+    // mirrors Graph.shortestPaths: depth-capped recursive relaxation,
+    // min(dist) per node over the enumerated path sums — parallel
+    // edges pre-collapsed to their lightest, as in the op
+    "q_shortest_paths" ->
+      """WITH RECURSIVE sp_pairs AS MATERIALIZED (
+        |  SELECT 's:' || CAST(l_suppkey AS VARCHAR) AS a,
+        |    'c:' || CAST(o_custkey AS VARCHAR) AS b,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT a AS src, b AS dst, w FROM sp_pairs
+        |  UNION ALL SELECT b, a, w FROM sp_pairs),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst, min(w) AS w FROM e0 GROUP BY 1, 2),
+        |seeds AS (
+        |  SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier WHERE s_nationkey = 0),
+        |d AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS depth FROM seeds
+        |  UNION
+        |  SELECT e.dst, d.dist + e.w, d.depth + 1
+        |  FROM d JOIN e ON e.src = d.node
+        |  WHERE d.depth < 2)
+        |SELECT node, min(dist) AS dist FROM d GROUP BY node""".stripMargin,
 
     // mirrors Graph.bfsHops as a bounded recursive CTE: UNION-dedup'd
     // (node, hops) pairs expand until the 3-hop cap, min(hops) per node

@@ -531,6 +531,55 @@ object Graph {
     * table (node-sized both sides). Levels run at most `maxHops`
     * times, with a limit(1) emptiness probe (one scalar to the driver)
     * stopping early when the frontier dries up. */
+  /** Bounded weighted shortest paths (multi-source Bellman-Ford): the
+    * minimum total edge weight from any seed to each node over paths
+    * of at most `maxHops` edges — trust distance over weighted links,
+    * cheapest-route features, [[bfsHops]] with costs. Weights must be
+    * positive integers (exact BIGINT sums — nothing to round); the
+    * hop bound makes the iteration count fixed, so negative-cycle
+    * pathologies can't occur and any engine running the same `maxHops`
+    * relaxations lands on identical distances.
+    *
+    * Scale shape per relaxation: the checkpointed edge set joins the
+    * node-sized distance table (broadcast under `broadcastState` —
+    * edges never shuffle), then one dst-keyed min-aggregate merges
+    * candidate distances with the standing table. Output: (node,
+    * dist), seeds at 0. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int, broadcastState: Boolean = true): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        when(col(weightCol).cast("long") > 0, col(weightCol).cast("long"))
+          .otherwise(raise_error(lit(
+            "shortestPaths: edge weights must be positive integers")))
+          .as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      // parallel edges: only the lightest can ever win a relaxation
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    def state(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    var dist = seeds.select(col(seedCol).cast("string").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var h = 0
+    while (h < maxHops) {
+      val relaxed = e
+        .join(state(dist.select(col("node").as("src"),
+          col("dist").as("sd"))), Seq("src"))
+        .select(col("dst").as("node"), (col("sd") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      dist = next
+      h += 1
+    }
+    dist
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int,
       broadcastState: Boolean = true): DataFrame = {

@@ -281,6 +281,41 @@ class GraphSpec extends SparkSpec {
     assert(one == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
   }
 
+  test("shortestPaths: cheaper long route wins within the hop cap") {
+    // a->b cost 10 direct, or a->x->b cost 2+3=5; a->c only via b
+    val e = Seq(("a", "b", 10L), ("a", "x", 2L), ("x", "b", 3L),
+      ("b", "c", 1L)).toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "x" -> 2L, "b" -> 5L, "c" -> 6L))
+    // with only 2 hops the cheap 3-hop route to c is invisible: the
+    // best <=2-hop path is a->b->c = 11
+    val capped = Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(capped == Map("a" -> 0L, "x" -> 2L, "b" -> 5L, "c" -> 11L))
+  }
+
+  test("shortestPaths: parallel edges collapse to lightest; multi-seed min") {
+    val e = Seq(("a", "b", 7L), ("a", "b", 4L), ("z", "b", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a", "z").toDF("node"), "node", maxHops = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "z" -> 0L, "b" -> 1L))
+  }
+
+  test("shortestPaths rejects non-positive weights") {
+    val e = Seq(("a", "b", 0L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", maxHops = 1).collect()
+    }
+    assert(ex.getMessage.contains("positive"),
+      s"unexpected: ${ex.getMessage}")
+  }
+
   test("bfsHops: min hop per node, cap honored, isolated seed kept") {
     // chain a->b->c->d->e plus a shortcut a->c; seed {a, z} (z is not
     // in the graph at all)
