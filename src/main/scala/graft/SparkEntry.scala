@@ -638,6 +638,21 @@ object SparkEntry {
         .except(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
     }),
 
+    // ---- extension: bag-semantics set ops (EXCEPT/INTERSECT ALL) ------
+    // multiset difference/intersection of per-nation rows: occurrence
+    // counts matter (min(m,n) / max(m-n,0)), which Spark plans as one
+    // count-compare aggregate, never a join explosion
+    "q_except_all" -> ((s, dir) => {
+      Frame(t(s, dir, "customer")).project(E.col("c_nationkey").as("nationkey"))
+        .exceptAll(Frame(t(s, dir, "supplier"))
+          .project(E.col("s_nationkey").as("nationkey"))).df
+    }),
+    "q_intersect_all" -> ((s, dir) => {
+      Frame(t(s, dir, "customer")).project(E.col("c_nationkey").as("nationkey"))
+        .intersectAll(Frame(t(s, dir, "supplier"))
+          .project(E.col("s_nationkey").as("nationkey"))).df
+    }),
+
     // ---- extension: CASE WHEN / NULLIF / COALESCE ---------------------
     "q_case_null" -> ((s, dir) =>
       t(s, dir, "lineitem").where(col("l_orderkey") <= 500)
@@ -1722,6 +1737,29 @@ object SparkEntry {
           Seq("user_id"), "event_type", "value", Seq("ts_us", "event_id"))
         .select(col("event_type"), col("n"),
           col("total").cast("double").as("total"))
+    }),
+
+    // ---- scale mechanics: schema-evolution read (mergeSchema) ---------
+    // two parquet generations of the same table — the later one gained
+    // o_custkey — read as ONE table with per-file schema merging; the
+    // legacy generation surfaces NULL for the new column, and the
+    // aggregate proves no row was dropped or duplicated across the
+    // schema seam. The real-world shape of a 100 TB table whose
+    // producer added a column mid-history
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-evol")
+        .resolve("orders_evol").toString
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("o_custkey").isNull.as("legacy_rows"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
     }),
 
     // ---- scale mechanics: z-ordered write -> 2-D stat-pruned scan -----
@@ -3412,6 +3450,16 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
+    "q_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
     "q_case_null" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity > 40 THEN 'high'
@@ -4273,6 +4321,14 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM lineitem
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
         |GROUP BY l_returnflag""".stripMargin,
+
+    // the evolution split recomputed from the source: even keys are the
+    // legacy (no-custkey) generation
+    "q_schema_evolution" ->
+      """SELECT (o_orderkey % 2 = 0) AS legacy_rows, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n,

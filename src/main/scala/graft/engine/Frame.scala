@@ -117,6 +117,13 @@ final case class Frame(df: DataFrame) {
   def intersect(other: Frame): Frame = Frame(df.intersect(other.df))
   def except(other: Frame): Frame = Frame(df.except(other.df))
 
+  /** Bag (multiset) forms — SQL INTERSECT ALL / EXCEPT ALL: a row
+    * occurring m times on the left and n on the right appears
+    * min(m, n) / max(m - n, 0) times. Spark plans both as one
+    * count-compare aggregate + generate, never a join explosion. */
+  def intersectAll(other: Frame): Frame = Frame(df.intersectAll(other.df))
+  def exceptAll(other: Frame): Frame = Frame(df.exceptAll(other.df))
+
   /** ROLLUP aggregation (subtotal + grand-total groups). */
   def rollup(groupExprs: Seq[Expr], aggExprs: Seq[Expr]): Frame = {
     require(aggExprs.nonEmpty, "rollup requires at least one aggregate expression")

@@ -388,4 +388,17 @@ class EngineSpec extends SparkSpec {
       .collect().map(x => if (x.isNullAt(0)) None else Some(x.getBoolean(0)))
     assert(plain.toSeq == Seq(Some(true), Some(false), None, None))
   }
+
+  test("exceptAll / intersectAll keep multiset occurrence counts") {
+    import spark.implicits._
+    val l = Frame(Seq(1, 1, 1, 2, 3).toDF("x")) // 1x3, 2x1, 3x1
+    val r = Frame(Seq(1, 2, 2).toDF("x"))       // 1x1, 2x2
+    val ex = l.exceptAll(r).df.as[Int].collect().sorted.toSeq
+    assert(ex == Seq(1, 1, 3))                  // max(m-n,0): 1x2, 3x1
+    val in = l.intersectAll(r).df.as[Int].collect().sorted.toSeq
+    assert(in == Seq(1, 2))                     // min(m,n): 1x1, 2x1
+    // distinct forms collapse counts — the two semantics must differ
+    assert(l.except(r).df.as[Int].collect().sorted.toSeq == Seq(3))
+    assert(l.intersect(r).df.as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
 }
