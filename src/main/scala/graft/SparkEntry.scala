@@ -638,6 +638,23 @@ object SparkEntry {
         .except(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
     }),
 
+    // ---- extension: deterministic per-group MODE ----------------------
+    // most frequent l_quantity per return flag — built-in mode() is
+    // tie-arbitrary on BOTH engines, so this is the tie-safe form:
+    // count per (group, value), rank on (count DESC, value ASC)
+    "q_group_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
+    }),
+
     // ---- extension: bag-semantics set ops (EXCEPT/INTERSECT ALL) ------
     // multiset difference/intersection of per-nation rows: occurrence
     // counts matter (min(m,n) / max(m-n,0)), which Spark plans as one
@@ -3449,6 +3466,14 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_group_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
 
     "q_except_all" ->
       """SELECT c_nationkey AS nationkey FROM customer
