@@ -274,6 +274,68 @@ object StreamOps {
       throw new java.io.IOException(s"cdcSink: cannot delete $f")
   }
 
+  /** Streaming materialized rollup with EXACTLY-ONCE batch folding:
+    * maintains a per-`groupCol` (n, total) parquet aggregate under an
+    * append-only row stream. Each micro-batch's delta aggregate merges
+    * into the snapshot — never a rescan of history — and the snapshot
+    * carries the id of the last folded batch as its replay fence:
+    * foreachBatch is at-least-once under retry, and unlike cdcSink's
+    * MERGE (idempotent by keys), ADDING a delta twice double-counts,
+    * so a re-delivered batch id is skipped outright. The fence file
+    * travels inside the snapshot directory, so the atomic swap commits
+    * data and fence together; totals accumulate in DECIMAL(18,6)
+    * ([[graft.ops.Cdc.incrementalAgg]]'s exactness rule).
+    * Caller starts/stops the returned writer. */
+  def rollupSink(rows: DataFrame, path: String, groupCol: String,
+      valueCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRollupBatch(path, batch, batchId, groupCol, valueCol)
+        ()
+      }
+
+  /** One exactly-once fold of [[rollupSink]] — exposed so the replay
+    * guard is directly testable. Returns true when the batch was
+    * folded, false when its id was already in the snapshot fence. */
+  def applyRollupBatch(path: String, batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String): Boolean = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(path)
+    val fence = new java.io.File(dir, "_last_batch_id")
+    val lastApplied =
+      if (fence.exists())
+        java.nio.file.Files.readString(fence.toPath).trim.toLong
+      else -1L
+    if (batchId <= lastApplied) return false
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val delta = batch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast(dec)).as("total"))
+    val current =
+      if (fence.exists()) spark.read.parquet(path)
+      else delta.limit(0)
+    val merged = current.unionByName(delta)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total").cast(dec)).cast(dec).as("total"))
+    val next = new java.io.File(path + ".next")
+    if (next.exists()) delete(next)
+    merged.write.mode("overwrite").parquet(next.getPath)
+    // the fence rides inside the staged directory: one rename commits
+    // data + fence atomically
+    java.nio.file.Files.writeString(
+      new java.io.File(next, "_last_batch_id").toPath, batchId.toString)
+    val tmp = new java.io.File(path + ".old")
+    if (tmp.exists()) delete(tmp)
+    if (dir.exists() && !dir.renameTo(tmp))
+      throw new java.io.IOException(s"rollupSink: cannot stage $path")
+    if (!next.renameTo(dir))
+      throw new java.io.IOException(s"rollupSink: cannot swap $next")
+    delete(tmp)
+    true
+  }
+
   /** Session windows per user keyed by inactivity gap. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

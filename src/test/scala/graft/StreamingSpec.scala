@@ -395,6 +395,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(streamed), s"batch $batch vs streamed $streamed")
   }
 
+  test("rollup sink folds each batch once; replayed ids are fenced out") {
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-rollup")
+    val path = root.resolve("agg").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.rollupSink(mem.toDF(), path, "event_type", "value",
+      root.resolve("ckpt").toString).start()
+    mem.addData(evs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = spark.read.parquet(path)
+      .select(col("event_type"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val batchOracle = evs.toDF()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(snapshot() == batchOracle)
+    // a re-delivered batch id must NOT double-count (adding a delta
+    // twice is not idempotent, unlike the cdc MERGE)
+    val before = snapshot()
+    val replayed = StreamOps.applyRollupBatch(path,
+      evs.take(2).toDF(), batchId = 0L, "event_type", "value")
+    assert(!replayed, "replayed batch id must be fenced out")
+    assert(snapshot() == before)
+    // a NEW batch id still folds
+    assert(StreamOps.applyRollupBatch(path,
+      Seq(Ev(9, ts(59), 9, "click", 10.0)).toDF(), 99L,
+      "event_type", "value"))
+    assert(snapshot() != before)
+  }
+
   test("streaming transforms work identically on batch frames") {
     val batch = StreamOps.windowedCounts(evs.toDF(), "15 minutes", "1 hour")
       .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
