@@ -638,6 +638,15 @@ object SparkEntry {
         .except(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
     }),
 
+    // ---- extension: per-group closed-form OLS trend -------------------
+    // price regressed on quantity per return flag: five decimal moment
+    // sums on one group-keyed shuffle, fixed IEEE closed form over the
+    // exact sums (ops/Profile.groupRegression — the covarianceMatrix
+    // exactness rule, group-wise)
+    "q_group_regression" -> ((s, dir) =>
+      graft.ops.Profile.groupRegression(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
     // ---- extension: deterministic per-group MODE ----------------------
     // most frequent l_quantity per return flag — built-in mode() is
     // tie-arbitrary on BOTH engines, so this is the tie-safe form:
@@ -3466,6 +3475,39 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    // mirrors Profile.groupRegression: identical decimal moment sums
+    // and the identical closed-form expression tree over them
+    "q_group_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    sxx - sx * sx / CAST(n AS DOUBLE) AS ssx,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS ssy,
+        |    sxy - sx * sy / CAST(n AS DOUBLE) AS sxy_c,
+        |    sx, sy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN ssx > 0.0 THEN round(sxy_c / ssx, 9) END AS slope,
+        |  CASE WHEN ssx > 0.0 THEN
+        |    round((sy - (sxy_c / ssx) * sx) / CAST(n AS DOUBLE), 9)
+        |  END AS intercept,
+        |  CASE WHEN ssx > 0.0 AND ssy > 0.0 THEN
+        |    round(sxy_c * sxy_c / (ssx * ssy), 9) END AS r2
+        |FROM f""".stripMargin,
 
     "q_group_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (

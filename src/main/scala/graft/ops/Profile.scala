@@ -98,6 +98,49 @@ object Profile {
     one.select(explode(entries).as("p")).select("p.*")
   }
 
+  /** Per-group simple linear regression (closed-form OLS of y on x):
+    * slope, intercept, and r² per group from exact DECIMAL(38,8)
+    * moment sums — the trend-per-segment primitive ("is latency
+    * drifting up per service", "price vs quantity per flag").
+    * [[covarianceMatrix]]'s exactness rule applied group-wise: every
+    * multi-row sum is decimal (engines can't disagree on accumulation
+    * order), the final slope/intercept/r² arithmetic is a fixed
+    * per-group IEEE expression over those exact sums, rounded for the
+    * cross-engine hash. Groups with zero x-variance emit NULL slope /
+    * intercept / r² (a vertical line has no OLS fit — and engines
+    * disagree on IEEE edge signs, the rollingZscore rule).
+    *
+    * Scale shape: ONE partial+final aggregation keyed on the group —
+    * five moment sums ride one shuffle; the closed form needs no
+    * second pass and nothing data-sized ever leaves the executors. */
+  def groupRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 8)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val agged = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        !isnan(x) && !isnan(y))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("__sx"), dsum(y).as("__sy"),
+        dsum(x * x).as("__sxx"), dsum(y * y).as("__syy"),
+        dsum(x * y).as("__sxy"))
+    val n = col("n").cast("double")
+    val ssx = col("__sxx") - col("__sx") * col("__sx") / n
+    val ssy = col("__syy") - col("__sy") * col("__sy") / n
+    val sxy = col("__sxy") - col("__sx") * col("__sy") / n
+    val slope = sxy / ssx
+    agged
+      .withColumn("slope", when(ssx > 0.0, round(slope, 9)))
+      .withColumn("intercept", when(ssx > 0.0,
+        round((col("__sy") - slope * col("__sx")) / n, 9)))
+      .withColumn("r2", when(ssx > 0.0 && ssy > 0.0,
+        round(sxy * sxy / (ssx * ssy), 9)))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+  }
+
   /** Join/grouping-key skew diagnostics: one row per candidate key
     * column with the numbers that decide a partitioning strategy BEFORE
     * a 100 TB shuffle is paid — total rows, distinct keys, the heaviest

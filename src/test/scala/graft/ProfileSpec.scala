@@ -195,6 +195,34 @@ class ProfileSpec extends SparkSpec {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("groupRegression: exact fit on linear data, NULLs on zero variance") {
+    import spark.implicits._
+    // group a: y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    // group b: constant x -> vertical line, no OLS fit
+    val rows = (1 to 20).map(i => ("a", i.toDouble, 3.0 * i + 2.0)) ++
+      (1 to 5).map(i => ("b", 7.0, i.toDouble))
+    val got = Profile.groupRegression(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 == 20L && a._3.contains(3.0) && a._4.contains(2.0) &&
+      a._5.contains(1.0), s"bad fit: $a")
+    val b = got("b")
+    assert(b._2 == 5L && b._3.isEmpty && b._4.isEmpty && b._5.isEmpty,
+      s"zero x-variance must yield NULLs: $b")
+  }
+
+  test("groupRegression: slope sign tracks the relationship") {
+    import spark.implicits._
+    val rows = (1 to 30).map(i =>
+      ("down", i.toDouble, 100.0 - 2.0 * i + (i % 3) * 0.25))
+    val got = Profile.groupRegression(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._3.exists(_ < 0), "negative trend must yield negative slope")
+    assert(got._5.exists(r => r > 0.99 && r <= 1.0), s"near-linear r2: $got")
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
