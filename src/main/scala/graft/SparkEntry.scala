@@ -638,6 +638,28 @@ object SparkEntry {
         .except(Frame(t(s, dir, "supplier")).project(E.col("s_nationkey").as("nationkey"))).df
     }),
 
+    // ---- extension: stable k-fold cross-validation assignment ---------
+    // md5(doc_id:seed) mod 5 folds over documents, reported as per-fold
+    // counts + char sums (ops/Sampling.kFold — the stableSplit
+    // convention widened to k buckets; folds survive any engine/retry)
+    "q_kfold" -> ((s, dir) => {
+      graft.ops.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // ---- extension: A/B comparison report (Welch's t) -----------------
+    // click vs purchase value per user segment: exact decimal moment
+    // sums on one (group, variant) aggregation, fixed IEEE t statistic
+    // (ops/Profile.abCompare)
+    "q_ab_test" -> ((s, dir) => {
+      graft.ops.Profile.abCompare(
+        t(s, dir, "events").withColumn("segment",
+          (col("user_id") % 5).cast("int")),
+        "segment", "event_type", "value", "click", "purchase")
+    }),
+
     // ---- extension: per-group closed-form OLS trend -------------------
     // price regressed on quantity per return flag: five decimal moment
     // sums on one group-keyed shuffle, fixed IEEE closed form over the
@@ -3475,6 +3497,57 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    // mirrors Sampling.kFold's md5 bucket construction
+    "q_kfold" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || ':42'),
+        |      1, 12)) AS BIGINT) % 5 AS INT) AS fold
+        |  FROM documents)
+        |SELECT fold, count(*) AS n, CAST(sum(n_chars) AS BIGINT)
+        |  AS sum_chars
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // mirrors Profile.abCompare: identical decimal moment sums and the
+    // identical Welch expression tree
+    "q_ab_test" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 5 AS INT) AS segment, event_type, value
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |a AS (
+        |  SELECT segment,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_b,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value
+        |      ELSE 0.0 END AS DECIMAL(38,8))) AS DOUBLE) AS sa,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END AS DECIMAL(38,8))) AS DOUBLE) AS sb,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'click'
+        |      THEN value * value ELSE 0.0 END AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS ssa,
+        |    CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+        |      THEN value * value ELSE 0.0 END AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS ssb
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM a WHERE n_a > 1 AND n_b > 1),
+        |g AS (
+        |  SELECT segment, n_a, n_b, sa / na AS ma, sb / nb AS mb,
+        |    (ssa - sa * sa / na) / (na - 1.0) / na
+        |      + (ssb - sb * sb / nb) / (nb - 1.0) / nb AS se2,
+        |    na, nb
+        |  FROM f)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(mb - ma, 6) AS diff,
+        |  CASE WHEN se2 > 0.0 THEN round((mb - ma) / sqrt(se2), 6) END
+        |    AS t
+        |FROM g""".stripMargin,
 
     // mirrors Profile.groupRegression: identical decimal moment sums
     // and the identical closed-form expression tree over them

@@ -141,6 +141,52 @@ object Profile {
         col("r2"))
   }
 
+  /** Two-sample comparison report (Welch's t): for each group in
+    * `groupCol`, compare `valueCol` between the rows matching
+    * `variantA` and `variantB` of `variantCol` — the A/B-readout
+    * primitive. Means/variances come from exact DECIMAL(38,8) moment
+    * sums (one aggregation keyed on (group, variant)); the t statistic
+    * and its ingredients are one fixed IEEE expression over those
+    * exact sums, rounded to 6dp for the cross-engine hash. Groups
+    * missing either variant, or with zero pooled spread, emit NULL t.
+    * Significance calls (p-values) need a t CDF — out of scope by
+    * design; |t| > 1.96-ish eyeballing is what a pipeline gate does
+    * with this row anyway. */
+  def abCompare(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String, variantA: String, variantB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 8)
+    val v = col(valueCol).cast("double")
+    val agged = df
+      .where(col(variantCol).isin(variantA, variantB) &&
+        col(valueCol).isNotNull && !isnan(v))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col(variantCol) === variantA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(variantCol) === variantA, v).otherwise(0.0).cast(dec))
+          .cast("double").as("__sa"),
+        sum(when(col(variantCol) === variantB, v).otherwise(0.0).cast(dec))
+          .cast("double").as("__sb"),
+        sum(when(col(variantCol) === variantA, v * v).otherwise(0.0)
+          .cast(dec)).cast("double").as("__ssa"),
+        sum(when(col(variantCol) === variantB, v * v).otherwise(0.0)
+          .cast(dec)).cast("double").as("__ssb"))
+      .where(col("n_a") > 1 && col("n_b") > 1)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("__sa") / na; val mb = col("__sb") / nb
+    // unbiased sample variances from the exact sums
+    val va = (col("__ssa") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__ssb") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val se2 = va / na + vb / nb
+    agged
+      .withColumn("mean_a", round(ma, 6))
+      .withColumn("mean_b", round(mb, 6))
+      .withColumn("diff", round(mb - ma, 6))
+      .withColumn("t", when(se2 > 0.0, round((mb - ma) / sqrt(se2), 6)))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("diff"), col("t"))
+  }
+
   /** Join/grouping-key skew diagnostics: one row per candidate key
     * column with the numbers that decide a partitioning strategy BEFORE
     * a 100 TB shuffle is paid — total rows, distinct keys, the heaviest

@@ -265,6 +265,21 @@ object Sampling {
       .limit(k)
   }
 
+  /** Stable k-fold assignment for cross-validation: fold =
+    * md5(key:seed) mod k — the [[stableSplit]] convention widened to k
+    * buckets, so folds are reproducible from the key alone (any
+    * engine, any retry, any partitioning recomputes the same folds,
+    * and new rows join folds without disturbing old ones). Adds a
+    * `fold` column in 0..k-1. */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 2 && k <= 1000, "k must be in 2..1000")
+    df.withColumn("fold",
+      (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":" + seed)).cast("binary")), 1, 12), 16, 10)
+        .cast("long") % k).cast("int"))
+  }
+
   /** Diversity-balanced embedding sample: at most `perBucket` vectors
     * from each sign-orthant of the first `signDims` embedding
     * dimensions — the cheap, exactly-reproducible stand-in for

@@ -223,6 +223,33 @@ class ProfileSpec extends SparkSpec {
     assert(got._5.exists(r => r > 0.99 && r <= 1.0), s"near-linear r2: $got")
   }
 
+  test("abCompare: shifted variants score a confident t; equal ones near 0") {
+    import spark.implicits._
+    val rows =
+      (1 to 40).map(i => ("seg1", "a", 10.0 + (i % 5))) ++
+      (1 to 40).map(i => ("seg1", "b", 14.0 + (i % 5))) ++ // +4 shift
+      (1 to 40).map(i => ("seg2", "a", 10.0 + (i % 5))) ++
+      (1 to 40).map(i => ("seg2", "b", 10.0 + ((i + 2) % 5))) // same dist
+    val got = Profile.abCompare(rows.toDF("g", "v", "x"), "g", "v", "x",
+        "a", "b")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val s1 = got("seg1")
+    assert(s1._2 == 40L && s1._3 == 40L && s1._6 == 4.0)
+    assert(s1._7.exists(_ > 5.0), s"shift must be significant: $s1")
+    val s2 = got("seg2")
+    assert(s2._6 == 0.0 && s2._7.exists(t => math.abs(t) < 1e-6), s"$s2")
+  }
+
+  test("abCompare: a group missing one variant or undersized is absent") {
+    import spark.implicits._
+    val rows = Seq(("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0),
+      ("g2", "a", 1.0), ("g2", "a", 2.0))
+    val got = Profile.abCompare(rows.toDF("g", "v", "x"), "g", "v", "x",
+      "a", "b")
+    assert(got.count() == 0L) // g1 has n_b=1, g2 has no b at all
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
