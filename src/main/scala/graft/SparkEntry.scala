@@ -1827,6 +1827,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- extension: growth accounting (DAU decomposition) -------------
+    // per activity day: active users decomposed into new / retained /
+    // resurrected, churn balanced against the preceding day
+    // (ops/TimeSeries.growthAccounting); day = epoch-micros div 1 day
+    "q_growth_accounting" -> ((s, dir) => {
+      graft.ops.TimeSeries.growthAccounting(
+        eventsUsLong(s, dir)
+          .withColumn("day", expr("ts_us div 86400000000")),
+        "user_id", "day")
+    }),
+
     // ---- extension: event-flow transition matrix ----------------------
     // adjacent (from, to) event-type counts over each user's timeline
     // (ops/TimeSeries.transitions) — the Markov flow matrix behind
@@ -4684,6 +4695,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors TimeSeries.growthAccounting: distinct (user, day), lag
+    // per user, bucket-level self-join for the churn balance
+    "q_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS e, epoch_us(ts) // 86400000000 AS b
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, lag(b) OVER (PARTITION BY e ORDER BY b) AS prev
+        |  FROM act),
+        |per AS (
+        |  SELECT b, count(*) AS n_active,
+        |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN prev = b - 1 THEN 1 ELSE 0 END) AS n_retained,
+        |    sum(CASE WHEN prev IS NOT NULL AND prev < b - 1
+        |      THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM fl GROUP BY 1)
+        |SELECT p.b AS bucket, CAST(p.n_active AS BIGINT) AS n_active,
+        |  CAST(p.n_new AS BIGINT) AS n_new,
+        |  CAST(p.n_retained AS BIGINT) AS n_retained,
+        |  CAST(p.n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(q.n_active, 0) - p.n_retained AS BIGINT)
+        |    AS n_churned
+        |FROM per p LEFT JOIN per q ON q.b = p.b - 1""".stripMargin,
 
     // mirrors TimeSeries.transitions: lead() adjacency on the same
     // total order

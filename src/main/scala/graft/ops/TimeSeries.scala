@@ -177,6 +177,52 @@ object TimeSeries {
     * the closing (key, island) aggregation — intervals per key stream
     * through a single sort, nothing global. Output: (keyCol, start,
     * end, n_merged). */
+  /** Growth accounting over integer activity buckets: per bucket, how
+    * many entities were active, and of those how many were NEW (first
+    * bucket ever), RETAINED (active in the immediately preceding
+    * bucket) or RESURRECTED (returning after a gap); plus CHURNED —
+    * entities active in the preceding bucket who did not return. The
+    * classic DAU/MAU decomposition (new + retained + resurrected =
+    * active; churned balances the previous bucket). Buckets are plain
+    * integers (day numbers, month indexes) — calendar semantics are
+    * the caller's bucketing choice.
+    *
+    * Exact set arithmetic on integers — nothing to round. Churn needs
+    * the PRECEDING bucket's active count, attached by a bucket-level
+    * self-join on (bucket - 1) — correct even when a bucket has zero
+    * activity rows (its successor then reports churned = 0 because no
+    * preceding row exists, matching "nobody was there to churn").
+    *
+    * Scale shape: activity collapses to distinct (entity, bucket)
+    * FIRST (the cohortRetention rule), one per-entity window orders
+    * its buckets, and everything after runs at bucket cardinality. */
+  def growthAccounting(df: DataFrame, entityCol: String,
+      bucketCol: String): DataFrame = {
+    val act = df.select(col(entityCol).as("e"),
+        col(bucketCol).cast("long").as("b"))
+      .where(col("e").isNotNull && col("b").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("e")).orderBy(col("b"))
+    val per = act
+      .withColumn("prev", lag(col("b"), 1).over(w))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("b") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("b") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // bucket-level self-join (renamed — derived-frame lineage) attaches
+    // the preceding bucket's active count for the churn balance
+    val prevActive = per.select((col("b") + 1).as("b"),
+      col("n_active").as("__prev_active"))
+    per.join(prevActive, Seq("b"), "left")
+      .select(col("b").as("bucket"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("__prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
   /** Markov transition counts over per-key event sequences: one row
     * per (from_state, to_state) with the number of adjacent
     * occurrences across all keys — the flow matrix behind funnel

@@ -130,6 +130,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == 3 * (40 - 5))
   }
 
+  test("growthAccounting: new/retained/resurrected partition active; churn balances") {
+    import spark.implicits._
+    // u1: days 1,2,4 (new, retained, resurrected)
+    // u2: days 1,2,3 ; u3: day 2 only ; u4: day 4 only
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 4L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (3L, 2L), (4L, 4L),
+      (1L, 2L)) // duplicate activity row collapses
+      .toDF("u", "d")
+    val got = graft.ops.TimeSeries.growthAccounting(rows, "u", "d")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // day 1: active{1,2} both new
+    assert(got(1L) == (1L, 2L, 2L, 0L, 0L, 0L))
+    // day 2: active{1,2,3}; 1,2 retained; 3 new; churn 2-2=0
+    assert(got(2L) == (2L, 3L, 1L, 2L, 0L, 0L))
+    // day 3: active{2} retained; churned = 3 - 1 = 2 (users 1 and 3)
+    assert(got(3L) == (3L, 1L, 0L, 1L, 0L, 2L))
+    // day 4: active{1,4}; 1 resurrected, 4 new; churned = 1 - 0 = 1
+    assert(got(4L) == (4L, 2L, 1L, 0L, 1L, 1L))
+    // invariant: new + retained + resurrected == active, every bucket
+    got.values.foreach { r =>
+      assert(r._3 + r._4 + r._5 == r._2, s"decomposition broke: $r") }
+  }
+
   test("transitions: adjacency per key, none across keys, tie order") {
     import spark.implicits._
     val rows = Seq(
