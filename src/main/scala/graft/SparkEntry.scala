@@ -1827,6 +1827,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- LLM: kNN classification eval (embedding quality harness) -----
+    // the first 200 vectors classified by the majority label of their
+    // 10 nearest corpus neighbors, reported as a confusion matrix
+    // (ops/Similarity.knnClassify — broadcast eval, one corpus scan,
+    // micros-quantized rank order shared with the oracle)
+    "q_knn_confusion" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.knnClassify(emb,
+        emb.where(col("vec_id") < 200), "vec_id", "embedding", "label",
+        k = 10)
+    }),
+
     // ---- extension: growth accounting (DAU decomposition) -------------
     // per activity day: active users decomposed into new / retained /
     // resurrected, churn balanced against the preceding day
@@ -4695,6 +4708,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors Similarity.knnClassify: same micros-quantized rank order,
+    // same (count DESC, label ASC) vote tie-break
+    "q_knn_confusion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 200),
+        |s AS (
+        |  SELECT q.qid, q.ql, e.vec_id AS nid, e.label AS nl,
+        |    CAST(round(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+        |      * 1000000.0, 0) AS BIGINT) AS cos_micros
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+        |top AS (
+        |  SELECT * FROM s QUALIFY row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_micros DESC, nid) <= 10),
+        |votes AS (
+        |  SELECT qid, ql, nl, count(*) AS v FROM top GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT * FROM votes QUALIFY row_number() OVER (
+        |    PARTITION BY qid ORDER BY v DESC, nl) = 1)
+        |SELECT ql AS label_actual, nl AS label_predicted, count(*) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
 
     // mirrors TimeSeries.growthAccounting: distinct (user, day), lag
     // per user, bucket-level self-join for the churn balance

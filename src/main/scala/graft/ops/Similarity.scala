@@ -27,6 +27,54 @@ import graft.functions.VectorExprs
   */
 object Similarity {
 
+  /** kNN classification eval: predict each eval row's label by the
+    * majority label of its k nearest corpus neighbors (cosine,
+    * self-matches excluded) and report the confusion matrix — the
+    * in-engine "are these embeddings any good" harness, the
+    * label-space sibling of [[annRecall]].
+    *
+    * Determinism contract: neighbors rank on (cosine MICROS desc,
+    * neighbor id), votes break ties on (count desc, label asc) — total
+    * orders end to end, so the matrix is engine-reproducible (the
+    * per-row cosine is one fixed double expression; quantizing to 1e-6
+    * before ranking removes any last-ulp seam from the ORDER).
+    *
+    * Scale shape: the eval set broadcasts ([[hardNegatives]]' rule —
+    * eval sets are human-sized while the corpus is not), the corpus
+    * scans ONCE with a per-row codegen'd cosine against every eval
+    * vector, and the only shuffles carry (eval, neighbor) candidate
+    * rows for the two windows. Swap the broadcast product for the
+    * banded-LSH candidates when the eval set outgrows a broadcast. */
+  def knnClassify(corpus: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col(labelCol).as("nlabel"))
+    val q = broadcast(eval.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel")))
+    val scored = c.join(q, col("qid") =!= col("nid"))
+      .withColumn("cos_micros",
+        round(graft.functions.VectorExprs.cosineSim(col("nvec"), col("qvec"))
+          * lit(1000000.0), 0).cast("long"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos_micros").desc, col("nid"))
+    val votes = scored.withColumn("r", row_number().over(wR))
+      .where(col("r") <= k)
+      .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("v"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("v").desc, col("nlabel"))
+    votes.withColumn("pr", row_number().over(wV))
+      .where(col("pr") === 1)
+      .groupBy(col("qlabel").as("label_actual"),
+        col("nlabel").as("label_predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Driver-side cosine over float arrays (IVF seeding + probe selection
     * — k×dim scalar work, never data-sized). */
   private[ops] def cosD(a: Array[Float], b: Array[Float], dim: Int): Double = {

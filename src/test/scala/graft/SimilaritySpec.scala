@@ -205,4 +205,26 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("knnClassify: clustered labels classify; a mislabel is outvoted") {
+    // two tight clusters on orthogonal axes; vector 5 sits in cluster A
+    // but carries cluster B's label — with k=3 its neighbors (all true
+    // A) outvote it, so it lands in the (actual=1, predicted=0) cell
+    def jitter(base: Array[Float], i: Int) =
+      base.zipWithIndex.map { case (v, j) =>
+        v + (if (j == i % 4) 0.01f * (i + 1) else 0f) }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val rows =
+      (0 to 4).map(i => (i.toLong, jitter(a, i), 0)) :+
+      (5L, jitter(a, 5), 1) :+ // the mislabel, geometrically in A
+      (6L, jitter(b, 6), 1) :+ (7L, jitter(b, 7), 1) :+
+      (8L, jitter(b, 8), 1) :+ (9L, jitter(b, 9), 1)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, df, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Int, Int, Long)].collect().toSet
+    // actual 0 rows all predict 0; actual 1: the four true-B rows
+    // predict 1, the planted mislabel predicts 0
+    assert(got == Set((0, 0, 5L), (1, 1, 4L), (1, 0, 1L)), s"got $got")
+  }
 }
