@@ -1840,6 +1840,50 @@ object SparkEntry {
         k = 10)
     }),
 
+    // ---- extension: next-bucket trend forecast ------------------------
+    // per event type: regress the daily value total on the day index
+    // (ops/Profile.groupRegression) and extrapolate one bucket past
+    // the last observed day. The daily totals enter the regression as
+    // exact MICROS LONGs: a 6-decimal double total would hit the
+    // double->DECIMAL cast seam inside the moment sums (Spark rounds
+    // the shortest repr, DuckDB the binary value — caught live at
+    // sf0.1), while integer y keeps every moment product exactly
+    // representable; one final divide returns to value units
+    "q_trend_forecast" -> ((s, dir) => {
+      val daily = eventsUsLong(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value").cast(DecimalType(18, 6))) * 1000, 0)
+          .cast("long").as("total_milli"))
+      // ALL-INTEGER moment regression: x (day) and y (milli total) are
+      // BIGINTs, so every moment sum and the closed-form numerators
+      // stay exact — the float form diverged cross-engine because
+      // DuckDB float-divides its decimal int128 on the way to double
+      // (1 ulp), and the sxy - sx*sy/n cancellation amplified that
+      // ulp ~1e4x (caught live at sf0.01). BIGINT->double casts are
+      // correctly rounded on every engine, so the final divides agree
+      // bitwise. slope = (n*sxy - sx*sy) / (n*sxx - sx^2);
+      // intercept = (sy*den - sx*nums) / (n*den)
+      val agged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("total_milli")).as("sy"),
+          sum(col("day") * col("day")).as("sxx"),
+          sum(col("day") * col("total_milli")).as("sxy"),
+          max(col("day")).as("last_day"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val nums = col("n") * col("sxy") - col("sx") * col("sy")
+      val numi = col("sy") * den - col("sx") * nums
+      val slopeD = nums.cast("double") / den.cast("double")
+      val interceptD = numi.cast("double") / (col("n") * den).cast("double")
+      agged.where(den > 0)
+        .select(col("event_type"), col("n"),
+          round(slopeD / 1000.0, 6).as("slope"),
+          round(interceptD / 1000.0, 6).as("intercept"),
+          col("last_day"),
+          round((slopeD * (col("last_day") + 1).cast("double")
+            + interceptD) / 1000.0, 6).as("forecast"))
+    }),
+
     // ---- extension: growth accounting (DAU decomposition) -------------
     // per activity day: active users decomposed into new / retained /
     // resurrected, churn balanced against the preceding day
@@ -4708,6 +4752,43 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT id, nn_id, dist2 FROM two_way
         |QUALIFY row_number() OVER (
         |  PARTITION BY id ORDER BY dist2, nn_id) = 1""".stripMargin,
+
+    // mirrors q_trend_forecast: the q_group_regression moment tree over
+    // exact MICROS-integer daily totals (every product exactly
+    // representable — no double->DECIMAL cast seam), then the same
+    // extrapolation + unit-restoring divides
+    "q_trend_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 1000, 0)
+        |      AS BIGINT) AS total_milli
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(day) AS BIGINT) AS sx,
+        |    CAST(sum(total_milli) AS BIGINT) AS sy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx,
+        |    CAST(sum(day * total_milli) AS BIGINT) AS sxy,
+        |    max(day) AS last_day
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, last_day,
+        |    n * sxx - sx * sx AS den,
+        |    n * sxy - sx * sy AS nums, sx, sy
+        |  FROM a),
+        |g AS (
+        |  SELECT event_type, n, last_day,
+        |    CAST(nums AS DOUBLE) / CAST(den AS DOUBLE) AS slope_m,
+        |    CAST(sy * den - sx * nums AS DOUBLE)
+        |      / CAST(n * den AS DOUBLE) AS intercept_m
+        |  FROM f WHERE den > 0)
+        |SELECT event_type, n,
+        |  round(slope_m / 1000.0, 6) AS slope,
+        |  round(intercept_m / 1000.0, 6) AS intercept,
+        |  last_day,
+        |  round((slope_m * CAST(last_day + 1 AS DOUBLE) + intercept_m)
+        |    / 1000.0, 6) AS forecast
+        |FROM g""".stripMargin,
 
     // mirrors Similarity.knnClassify: same micros-quantized rank order,
     // same (count DESC, label ASC) vote tie-break

@@ -112,7 +112,17 @@ object Profile {
     *
     * Scale shape: ONE partial+final aggregation keyed on the group —
     * five moment sums ride one shuffle; the closed form needs no
-    * second pass and nothing data-sized ever leaves the executors. */
+    * second pass and nothing data-sized ever leaves the executors.
+    *
+    * Cross-engine caveat (measured, q_trend_forecast): when BOTH
+    * columns are integers, prefer the all-integer closed form
+    * (n·sxy − sx·sy over n·sxx − sx², exact BIGINTs, one final
+    * correctly-rounded division) — the decimal moment path is exact in
+    * VALUE but DuckDB's decimal→double conversion float-divides its
+    * int128 (1 ulp), and the sxy − sx·sy/n cancellation can amplify
+    * that ulp by 1e4× when x barely varies (epoch-day indexes). The
+    * double form here is safe for genuinely fractional inputs at
+    * moderate magnitudes, which its oracle pins. */
   def groupRegression(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 8)
