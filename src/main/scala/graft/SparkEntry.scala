@@ -1827,6 +1827,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- LLM: embedding-space health report ---------------------------
+    // per label: cluster size and mean cosine of members to their own
+    // centroid, in fully quantized integer arithmetic (ops/Similarity
+    // .labelCentroidReport — micros elements, exact BIGINT dots/norms,
+    // one IEEE chain per vector)
+    "q_label_centroids" -> ((s, dir) =>
+      graft.ops.Similarity.labelCentroidReport(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dim = 64)),
+
     // ---- LLM: kNN classification eval (embedding quality harness) -----
     // the first 200 vectors classified by the majority label of their
     // 10 nearest corpus neighbors, reported as a confusion matrix
@@ -4789,6 +4798,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  round((slope_m * CAST(last_day + 1 AS DOUBLE) + intercept_m)
         |    / 1000.0, 6) AS forecast
         |FROM g""".stripMargin,
+
+    // mirrors Similarity.labelCentroidReport: same micros quantization,
+    // exact integer dots/norms, same IEEE cosine chain and final mean
+    "q_label_centroids" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+        |      FOR x IN embedding] AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |comp AS (
+        |  SELECT label, d, CAST(sum(v[d]) AS BIGINT) AS sx
+        |  FROM base, unnest(generate_series(1, 64)) AS t(d)
+        |  GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list(sx ORDER BY d) AS cs FROM comp GROUP BY 1),
+        |j AS (
+        |  SELECT b.vec_id, b.label,
+        |    CAST(list_sum([b.v[i] * c.cs[i]
+        |      FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+        |    CAST(list_sum([b.v[i] * b.v[i]
+        |      FOR i IN generate_series(1, 64)]) AS BIGINT) AS nv,
+        |    CAST(list_sum([c.cs[i] * c.cs[i]
+        |      FOR i IN generate_series(1, 64)]) AS BIGINT) AS nc
+        |  FROM base b JOIN cent c USING (label)),
+        |cm AS (
+        |  SELECT label, CAST(round(CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(nv AS DOUBLE) * CAST(nc AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS cos_micros
+        |  FROM j)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(cos_micros) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000.0 AS mean_cos_to_centroid
+        |FROM cm GROUP BY 1""".stripMargin,
 
     // mirrors Similarity.knnClassify: same micros-quantized rank order,
     // same (count DESC, label ASC) vote tie-break

@@ -27,6 +27,64 @@ import graft.functions.VectorExprs
   */
 object Similarity {
 
+  /** Embedding-space health report: per label, how tightly its vectors
+    * cluster around their own centroid (mean cosine to centroid) and
+    * the size of the cluster — the "are the classes separable at all"
+    * readout that pairs with [[knnClassify]]'s confusion matrix.
+    *
+    * Determinism contract: vector elements quantize to 1e-6 LONGs
+    * first (one float→double→round chain, identical everywhere), so
+    * centroid component sums, dot products, and norms are EXACT
+    * BIGINTs — the float→DECIMAL cast seam and every accumulation-
+    * order question disappear. Each per-vector cosine is then a fixed
+    * IEEE expression over exact integers (correctly-rounded
+    * BIGINT→double casts), quantized to micros before the final mean,
+    * which is an exact integer sum divided once.
+    *
+    * Scale shape: one explode of the corpus to (label, dim) partial
+    * sums (dim-bounded shuffle), centroids broadcast back (labels ×
+    * dim rows — tiny), and the per-vector cosine is a map-side
+    * zip-fold; the final per-label mean is one keyed aggregation.
+    * Output: (label, n, mean_cos_to_centroid). */
+  def labelCentroidReport(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val qvec = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
+    val base = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        qvec.as("v"))
+    val sums = base
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("d"), col("sx")))).as("cs"))
+      .select(col("label"),
+        transform(col("cs"), s => s.getField("sx")).as("centroid_sums"))
+    // dot(v, centroid_sums) and both norms as exact BIGINT folds;
+    // cosine = one IEEE chain over their correctly-rounded doubles
+    // (the shared n factor of the centroid cancels in the quotient)
+    val joined = base.join(broadcast(sums), Seq("label"))
+    val dot = aggregate(zip_with(col("v"), col("centroid_sums"),
+      (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val nv = aggregate(transform(col("v"), a => a * a), lit(0L),
+      (acc, x) => acc + x)
+    val nc = aggregate(transform(col("centroid_sums"), a => a * a),
+      lit(0L), (acc, x) => acc + x)
+    joined
+      .withColumn("cos_micros",
+        round(dot.cast("double")
+          / sqrt(nv.cast("double") * nc.cast("double"))
+          * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_micros")).as("sum_cm"))
+      .select(col("label"), col("n"),
+        (col("sum_cm").cast("double") / col("n").cast("double")
+          / lit(1000000.0)).as("mean_cos_to_centroid"))
+  }
+
   /** kNN classification eval: predict each eval row's label by the
     * majority label of its k nearest corpus neighbors (cosine,
     * self-matches excluded) and report the confusion matrix — the

@@ -206,6 +206,33 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("labelCentroidReport: tight cluster ~1, antipodal pair ~0 mean") {
+    // label 0: three near-identical vectors -> mean cosine to centroid
+    // near 1; label 1: two exactly opposite vectors -> centroid is the
+    // jitter residual, symmetric members land at +/- the same cosine
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0.01f, 0f), 0),
+      (1L, Array(1f, 0.01f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0f, 0f, 0.01f), 0),
+      (3L, Array(1f, 1f, 0f, 0.02f), 1),
+      (4L, Array(-1f, -1f, 0f, 0f), 1))
+    val got = Similarity.labelCentroidReport(
+        rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", dim = 4)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0)._2 == 3L && got(0)._3 > 0.99, s"${got(0)}")
+    assert(got(1)._2 == 2L && math.abs(got(1)._3) < 0.1, s"${got(1)}")
+  }
+
+  test("labelCentroidReport drops wrong-dimension vectors") {
+    val rows = Seq((0L, Array(1f, 0f), 0), (1L, Array(1f, 0f, 0f), 0))
+    val got = Similarity.labelCentroidReport(
+        rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", dim = 2)
+      .as[(Int, Long, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 1L)
+  }
+
   test("knnClassify: clustered labels classify; a mislabel is outvoted") {
     // two tight clusters on orthogonal axes; vector 5 sits in cluster A
     // but carries cluster B's label — with k=3 its neighbors (all true
