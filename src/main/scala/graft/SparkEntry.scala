@@ -2653,6 +2653,14 @@ object SparkEntry {
       graft.ops.Profile.exactPercentilesWeighted(t(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice", "l_quantity", Seq(50, 95))),
 
+    // ---- extension: winsorized robust mean ----------------------------
+    // per-event-type mean of value clamped into its exact-CDF p5/p95
+    // band — integer end to end, two final IEEE divides
+    // (ops/Profile.winsorizedMean)
+    "q_winsorized_mean" -> ((s, dir) =>
+      graft.ops.Profile.winsorizedMean(t(s, dir, "events"),
+        "event_type", "value")),
+
     // ---- extension: robust outliers via median/MAD --------------------
     // per-event-type count of values with |x - median| * 10 > 30 * MAD:
     // two integer-CDF median picks + one exact BIGINT inequality, no
@@ -4577,6 +4585,41 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM e
         |WHERE cum_before < (n_total * p + 99) // 100
         |  AND (n_total * p + 99) // 100 <= cum_before + n_v""".stripMargin,
+
+    // mirrors Profile.winsorizedMean: the q_group_percentiles CDF pick
+    // at p5/p95, clamp, exact integer mean
+    "q_winsorized_mean" ->
+      """WITH c AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS u, count(*) AS n_v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER (PARTITION BY g) AS n_total
+        |  FROM c),
+        |e AS (
+        |  SELECT b.*, p FROM b CROSS JOIN (SELECT unnest([5, 95]) AS p)),
+        |pk AS (
+        |  SELECT g, p, u FROM e
+        |  WHERE cum_before < (n_total * p + 99) // 100
+        |    AND (n_total * p + 99) // 100 <= cum_before + n_v),
+        |bounds AS (
+        |  SELECT g, min(CASE WHEN p = 5 THEN u END) AS lo_unit,
+        |    min(CASE WHEN p = 95 THEN u END) AS hi_unit
+        |  FROM pk GROUP BY 1),
+        |rows_u AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS u
+        |  FROM events)
+        |SELECT r.g AS event_type, count(*) AS n,
+        |  min(lo_unit) AS lo_unit, min(hi_unit) AS hi_unit,
+        |  CAST(sum(least(greatest(r.u, lo_unit), hi_unit)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 100.0 AS winsorized_mean
+        |FROM rows_u r JOIN bounds USING (g) GROUP BY 1""".stripMargin,
 
     // mirrors Profile.madOutliers: the same two integer-CDF lower-median
     // picks and the tenths-scaled BIGINT outlier inequality

@@ -376,6 +376,38 @@ object Profile {
         col("u").as("value_unit"), col("n_total").as("total_weight"))
   }
 
+  /** Winsorized mean per group: clamp values into the [pLo, pHi]
+    * exact-percentile band ([[exactPercentiles]] — actual data values,
+    * no interpolation) and average the clamped units — the robust mean
+    * that keeps heavy tails from dragging the estimate ([[madOutliers]]
+    * flags outliers; this neutralizes them). Entirely integer until
+    * two final IEEE divides of exact sums, so cross-engine
+    * reproducible by construction. Output per group:
+    * (group, n, lo_unit, hi_unit, winsorized_mean). */
+  def winsorizedMean(df: DataFrame, groupCol: String, colName: String,
+      pLo: Int = 5, pHi: Int = 95, scale: Int = 2): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi, "need 1 <= pLo < pHi <= 100")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val bounds = exactPercentiles(df, groupCol, colName, Seq(pLo, pHi),
+        scale)
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p") === pLo, col("value_unit"))).as("lo_unit"),
+        min(when(col("p") === pHi, col("value_unit"))).as("hi_unit"))
+    df.where(col(colName).isNotNull && !isnan(col(colName).cast("double")))
+      .select(col(groupCol), unit.as("u"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("cu", least(greatest(col("u"), col("lo_unit")),
+        col("hi_unit")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), min(col("lo_unit")).as("lo_unit"),
+        min(col("hi_unit")).as("hi_unit"), sum(col("cu")).as("__s"))
+      .select(col(groupCol), col("n"), col("lo_unit"), col("hi_unit"),
+        (col("__s").cast("double") / col("n").cast("double")
+          / math.pow(10, scale)).as("winsorized_mean"))
+  }
+
   /** The lower-median (rank ceil(n/2)) of an INTEGER column per group,
     * by the integer-CDF pick — shared by [[exactPercentiles]]'s p=50
     * case and [[madOutliers]]'s two median passes. Input arrives as

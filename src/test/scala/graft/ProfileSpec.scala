@@ -250,6 +250,22 @@ class ProfileSpec extends SparkSpec {
     assert(got.count() == 0L) // g1 has n_b=1, g2 has no b at all
   }
 
+  test("winsorizedMean: tails clamp to the exact-CDF band") {
+    import spark.implicits._
+    // 20 values 1..20 plus an outlier 1000; p5 rank=ceil(21*5/100)=2
+    // -> lo=2; p95 rank=ceil(21*95/100)=20 -> hi=20: the outlier
+    // clamps to 20, value 1 clamps up to 2
+    val rows = ((1 to 20).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+    val got = Profile.winsorizedMean(rows.toDF("g", "x"), "g", "x")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    val expect = ((2 + (2 to 20).sum + 20).toDouble / 21.0)
+    assert(got._1 == "a" && got._2 == 21L &&
+      got._3 == 200L && got._4 == 2000L)
+    assert(math.abs(got._5 - expect) < 1e-9, s"got $got want $expect")
+    // the plain mean is dragged far above by the outlier
+    assert(got._5 < 60.0)
+  }
+
   test("equi-depth histogram excludes NULL and NaN rows") {
     import spark.implicits._
     val df = (Seq(Some(1.0), Some(2.0), None, Some(Double.NaN)))
