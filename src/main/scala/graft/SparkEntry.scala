@@ -3088,6 +3088,24 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // ---- extension: exact heavy hitters via a Misra-Gries sketch ------
+    // candidates from ONE bounded-summary pass (a mergeable MG typed
+    // Aggregator — per-partition buffers of <= k counters, union-merged),
+    // then an exact count confirm over candidates only: nothing
+    // distinct-value-sized ever crosses the wire, unlike the q_vocab
+    // full GROUP BY. The oracle states the exact final semantics with NO
+    // sketch — a candidate-set miss would fail the hash compare, so the
+    // MG guarantee itself is under oracle test. Frequency floor is the
+    // exact rational 2/1000 of all tokens (BIGINT threshold arithmetic
+    // on both engines — a float phi would diverge at ulp scale).
+    // (ops/Freq.heavyHitters)
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Freq.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextOps.words(lower(col("text")))).as("token")),
+        "token", num = 2, den = 1000)
+        .orderBy(col("cnt").desc, col("token"))),
+
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
     // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
@@ -6327,6 +6345,17 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
 
     // the md5-derived stub embedding, reproduced value-for-value; sums
     // are written left-associative to match the engine's reduce order
+    // exact heavy-hitter semantics, sketch-free: the HAVING floor is the
+    // same integer threshold the Spark side computes from the sketch's n
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
     "q_multimodal_embed" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequency estimation at corpus scale: distributed heavy hitters via a
+  * Misra–Gries summary (Misra & Gries 1982, "Finding repeated elements")
+  * run as a typed Spark [[Aggregator]] — the mergeable-sketch shape — with
+  * an EXACT confirmation pass over the sketch's candidates.
+  *
+  * Why not `GROUP BY value ORDER BY count DESC LIMIT k`? That shuffles one
+  * row per DISTINCT value — at 100 TB a token/URL/user-agent column has
+  * billions of distinct values and the exchange is data-sized. The sketch
+  * path shuffles two things only: (a) one bounded summary per partition
+  * (≤ k counters each, merged map-side like any aggregate), and (b) the
+  * candidates' own rows in the confirm pass (a broadcast semi-join keeps
+  * the scan pipelined; partial aggregation collapses each partition to
+  * ≤ |candidates| rows before the exchange). Everything that crosses the
+  * wire is sketch-sized or answer-sized, never distinct-value-sized.
+  *
+  * Exactness contract: the final output is EXACT — candidate generation
+  * can only lose items the MG guarantee proves infrequent. A per-buffer
+  * summary of k counters undercounts any item by at most n_i/(k+1)
+  * tokens of its partition; an item absent from EVERY partial therefore
+  * has true frequency ≤ n/(k+1). With k chosen so k+1 > den/num, every
+  * item at or above the reported threshold ceil(n·num/den) survives into
+  * the candidate set, and the confirm pass counts candidates exactly.
+  * The guarantee needs merges to be unions (counts added, nothing
+  * trimmed): merged buffers are bounded by (#partitions · k) entries —
+  * sketch-sized, not data-sized.
+  *
+  * The frequency floor is the RATIONAL num/den, not a double: a float phi
+  * would make the threshold `ceil(phi·n)` diverge between engines when
+  * phi·n lands within an ulp of an integer (0.002·600000 is already above
+  * 1200 in binary). All threshold arithmetic stays in BIGINT.
+  */
+object Freq {
+
+  /** Misra–Gries summary over strings: at most k counters, plus the
+    * total item count (so one pass yields candidates AND n). Immutable
+    * Map buffer — the decrement-all step costs O(k) but fires at most
+    * once per k insertions (the classic amortization), and the buffer
+    * serializes through the product encoder on the single final
+    * exchange. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, (Map[String, Long], Long), (Map[String, Long], Long)] {
+    require(k > 0, "MisraGries: k must be positive")
+
+    def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+
+    def reduce(b: (Map[String, Long], Long), x: String): (Map[String, Long], Long) = {
+      val (m, n) = b
+      m.get(x) match {
+        case Some(c) => (m.updated(x, c + 1), n + 1)
+        case None if m.size < k => (m.updated(x, 1L), n + 1)
+        case None =>
+          // decrement every counter; drop the ones that reach zero
+          (m.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None },
+            n + 1)
+      }
+    }
+
+    /** Union merge — counts add, nothing is trimmed. Trimming here (the
+      * subtract-(k+1)th-largest trick) would keep the buffer at k entries
+      * but is pure loss: the untrimmed union is (#partials · k)-bounded
+      * anyway, and keeping it preserves the per-partition undercount
+      * bound the candidate guarantee is proved from. */
+    def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) = {
+      val (small, big) = if (a._1.size < b._1.size) (a._1, b._1) else (b._1, a._1)
+      (small.foldLeft(big) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c) }, a._2 + b._2)
+    }
+
+    def finish(b: (Map[String, Long], Long)): (Map[String, Long], Long) = b
+
+    def bufferEncoder: Encoder[(Map[String, Long], Long)] = Encoders.product
+    def outputEncoder: Encoder[(Map[String, Long], Long)] = Encoders.product
+  }
+
+  /** Exact heavy hitters: every distinct value of `valueCol` whose count
+    * is ≥ ceil(n · num / den) (n = total non-null rows), with its exact
+    * count — two passes, neither shuffling anything distinct-value-sized.
+    * Returns (`valueCol`, cnt). NULLs are excluded from both the total
+    * and the candidates (SQL COUNT(col) semantics). */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"heavyHitters: frequency floor must satisfy 0 < num/den <= 1 (got $num/$den)")
+    val spark = df.sparkSession
+    // k+1 > den/num with 2x slack: fewer spurious candidates per buffer
+    val k = ((2 * den + num - 1) / num).toInt
+    val values = df.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+    import spark.implicits._
+    val sketch = udaf(new MisraGries(k))
+    // pass 1: one bounded summary per partition, merged like any agg —
+    // a single (candidates, n) row reaches the driver
+    val (cands, n) = values.select(sketch(col("v")).as("s"))
+      .select(col("s._1"), col("s._2"))
+      .as[(Map[String, Long], Long)].head()
+    val threshold = (num * n + den - 1) / den
+    val candDf = cands.keys.toSeq.toDF("v")
+    // pass 2: exact confirm — broadcast semi-join keeps the scan
+    // pipelined; partial aggregation bounds the exchange at
+    // (#partitions x #candidates) rows
+    values.join(broadcast(candDf), Seq("v"), "left_semi")
+      .groupBy(col("v").as(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .select(col(valueCol), col("cnt"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Freq
+
+/** Heavy hitters via the Misra-Gries sketch + exact confirm
+  * (ops/Freq.scala). The oracle here is brute force: a plain
+  * GROUP BY / HAVING over the same data — the sketch path must be
+  * EXACTLY equal, not approximately. */
+class FreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (value, count) pairs expanded to rows, shuffled deterministically
+    * so frequent items interleave with noise across partitions. */
+  private def corpus(pairs: Seq[(String, Int)], parts: Int) = {
+    val rows = pairs.flatMap { case (v, c) => Seq.fill(c)(v) }
+    // md5-order interleave: deterministic, but adversarial to any
+    // "frequent items arrive contiguously" assumption inside a buffer
+    rows.zipWithIndex
+      .sortBy { case (v, i) => (v + ":" + i).hashCode }
+      .map(_._1).toDF("v").repartition(parts)
+  }
+
+  private def brute(pairs: Seq[(String, Int)], num: Long, den: Long) = {
+    val n = pairs.map(_._2.toLong).sum
+    val threshold = (num * n + den - 1) / den
+    pairs.filter(_._2 >= threshold).map { case (v, c) => (v, c.toLong) }.toSet
+  }
+
+  test("heavy hitters == brute-force GROUP BY / HAVING on a zipf-ish mix") {
+    // 3 clear heavy hitters, 2 borderline, a long tail of uniques
+    val pairs = Seq("alpha" -> 400, "beta" -> 250, "gamma" -> 120,
+      "edge" -> 20, "below" -> 19) ++ (1 to 1000).map(i => s"t$i" -> 1)
+    val df = corpus(pairs, parts = 7)
+    // floor 1/100 of 1809 rows -> threshold ceil(18.09) = 19
+    val got = Freq.heavyHitters(df, "v", num = 1, den = 100)
+      .as[(String, Long)].collect().toSet
+    assert(got == brute(pairs, 1, 100))
+    assert(got.contains(("edge", 20L)) && got.contains(("below", 19L)))
+  }
+
+  test("adversarial: many items just above threshold all survive") {
+    // 50 items at exactly the threshold count, heavy tail pressure on
+    // the per-partition buffers (k is small relative to distinct count)
+    val pairs = (1 to 50).map(i => f"hot$i%02d" -> 40) ++
+      (1 to 3000).map(i => s"cold$i" -> 1)
+    val df = corpus(pairs, parts = 11)
+    val n = pairs.map(_._2).sum // 5000
+    val got = Freq.heavyHitters(df, "v", num = 8, den = 1000) // floor = 40
+      .as[(String, Long)].collect().toSet
+    assert(got == brute(pairs, 8, 1000))
+    assert(got.size == 50 && got.forall(_._2 == 40L))
+    assert(n == 5000)
+  }
+
+  test("NULLs excluded from candidates and from the total n") {
+    val df = (Seq.fill(30)(Some("x")) ++ Seq.fill(70)(Option.empty[String]))
+      .toDF("v").repartition(3)
+    // 30 of 30 non-null rows: x is 100% frequent; NULLs neither count
+    // toward n (else threshold would be 50 and x would still pass — so
+    // pin it the sharp way: floor just above 30/30 fails only if NULLs
+    // inflate n)
+    val got = Freq.heavyHitters(df, "v", num = 1, den = 1).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 30L)))
+  }
+
+  test("deterministic across partitionings") {
+    val pairs = Seq("a" -> 100, "b" -> 60, "c" -> 30) ++
+      (1 to 500).map(i => s"z$i" -> 1)
+    val a = Freq.heavyHitters(corpus(pairs, 2), "v", 2, 100)
+      .as[(String, Long)].collect().toSet
+    val b = Freq.heavyHitters(corpus(pairs, 13), "v", 2, 100)
+      .as[(String, Long)].collect().toSet
+    assert(a == b && a == brute(pairs, 2, 100))
+  }
+
+  test("MisraGries buffer stays bounded and undercounts within n/(k+1)") {
+    val mg = new Freq.MisraGries(5)
+    val stream = Seq.fill(60)("hot") ++ (1 to 240).map(i => s"u$i")
+    // interleave hot with uniques so decrements hit it repeatedly
+    val interleaved = stream.zipWithIndex
+      .sortBy { case (v, i) => (i * 7919) % 300 }.map(_._1)
+    val (m, n) = interleaved.foldLeft(mg.zero)(mg.reduce)
+    assert(n == 300L && m.size <= 5)
+    // undercount bound: est >= freq - n/(k+1) = 60 - 50 = 10
+    assert(m.getOrElse("hot", 0L) >= 10L)
+    // union merge adds counts and totals
+    val (m2, n2) = mg.merge((m, n), (Map("hot" -> 7L, "other" -> 2L), 9L))
+    assert(n2 == 309L && m2("hot") == m("hot") + 7L && m2("other") == 2L)
+  }
+
+  test("illegal frequency floors fail loudly") {
+    val df = Seq("a").toDF("v")
+    intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 0, 10))
+    intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 3, 2))
+    intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 1, -1))
+  }
+}
