@@ -3106,6 +3106,29 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- LLM: URL canonicalization (pre-content web dedup key) --------
+    // The fixture has no URL column, so the query plants one per doc with
+    // deliberate variance the canonicalizer must collapse: scheme/host
+    // case flips and an explicit :443 by doc parity, per-doc utm/gclid
+    // tracking params and fragments. Pure per-row regexp chain (RE2-safe
+    // subset), no UDF — the oracle replays the identical chain in DuckDB
+    // (ops/Urls.canonicalize)
+    "q_url_canonical" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), plantedUrl.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.Urls.canonicalize(col("url")).as("canonical_url"))),
+
+    // ---- LLM: URL-level dedup (cheapest web dedup pass) ---------------
+    // group by canonical form, keep-min id + duplicate count: the 500
+    // planted URLs (x2 case/port/tracking variants by construction)
+    // collapse to the (source, cat, page) key space
+    // (ops/Urls.urlDedup)
+    "q_url_dedup" -> ((s, dir) =>
+      graft.ops.Urls.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), plantedUrl.as("url")),
+        "url", "doc_id")),
+
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
     // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
@@ -3121,6 +3144,21 @@ object SparkEntry {
       m.select(col("media_id"), col("kind"),
         round(sumv / (sqrt(sumsq) * lit(math.sqrt(8.0))), 4).as("probe_cos"))
     }))
+
+  /** Planted per-doc URL for the q_url_* queries: scheme/host case and an
+    * explicit :443 flip by doc parity (so two raw FORMS of every logical
+    * URL exist), per-doc tracking params and fragment (so stripping is
+    * observable). Mirrored verbatim in the DuckDB oracles. */
+  private def plantedUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+    upper(col("source")), lit(".Example.COM"),
+    when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+    lit("/cat"), (col("doc_id") % 3).cast("string"),
+    lit("/page"), (col("doc_id") % 5).cast("string"),
+    lit("/?utm_source=feed&utm_campaign=c"), (col("doc_id") % 4).cast("string"),
+    lit("&id="), (col("doc_id") % 5).cast("string"),
+    lit("&gclid=g"), (col("doc_id") % 2).cast("string"),
+    lit("#sec"), (col("doc_id") % 6).cast("string"))
 
   /** Driver-side fetch of the probe vector (vec_id=0) — a 1-row lookup,
     * the documented pattern for parameterizing an ANN probe. */
@@ -6355,6 +6393,55 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Urls.canonicalize: same plant, same RE2-safe regexp chain
+    // (DuckDB regexp_replace needs the explicit 'g' flag where Spark's
+    // replaces all matches by default; \1 vs $1 is replacement syntax,
+    // same semantics)
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || upper(source) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |    || '/cat' || (doc_id % 3) || '/page' || (doc_id % 5)
+        |    || '/?utm_source=feed&utm_campaign=c' || (doc_id % 4)
+        |    || '&id=' || (doc_id % 5) || '&gclid=g' || (doc_id % 2)
+        |    || '#sec' || (doc_id % 6) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, url, scheme,
+        |  regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+        |    ':(80|443)$', '') AS host,
+        |  regexp_replace(rest, '^[^/?#]*', '') AS pathq0 FROM s2),
+        |s4 AS (SELECT doc_id, url, scheme, host,
+        |  regexp_replace(pathq0,
+        |    '[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*', '', 'g') AS p1
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, url, scheme, host,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(p1, '^([^?&#]*)&', '\1?'),
+        |    '[?&]+$', ''), '/$', '') AS pathq FROM s4)
+        |SELECT doc_id, url, scheme || '://' || host || pathq AS canonical_url
+        |FROM s5""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH c AS (
+        |  -- independent CLOSED FORM of the canonical key (no regex
+        |  -- replay); the slash before '?' is the planted path's own
+        |  SELECT doc_id,
+        |    'https://' || lower(source) || '.example.com'
+        |    || '/cat' || (doc_id % 3) || '/page' || (doc_id % 5)
+        |    || '/?id=' || (doc_id % 5) AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM c GROUP BY canonical_url""".stripMargin,
 
     "q_multimodal_embed" ->
       """WITH m AS (

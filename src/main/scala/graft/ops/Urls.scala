@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-level dedup — the cheapest dedup pass a
+  * web-scale corpus gets (RefinedWeb/CCNet run it before any content
+  * hashing): two crawls of the same page differ only in tracking params,
+  * fragment, host case, or a default port, and collapsing those up front
+  * removes whole-document work downstream.
+  *
+  * The canonical form is computed by a pure per-row regexp chain —
+  * codegen'd string expressions, no UDF, no shuffle; the only exchange in
+  * [[urlDedup]] is the canonical-key aggregation, which moves one
+  * (canonical, id) pair per row and one row per canonical key out. The
+  * regex subset is deliberately RE2-safe (no lookaround, no backrefs in
+  * patterns) so the identical semantics replay in engines that use RE2.
+  *
+  * Normalizations applied (absolute http(s)-style URLs):
+  *   - fragment dropped (`#...`)
+  *   - scheme and host:port lowercased; explicit `:80`/`:443` dropped
+  *   - tracking params removed (`utm_*`, `gclid`, `fbclid`), the
+  *     separator of the first surviving param repaired back to `?`
+  *   - empty query tails (`?`/`&`) and one trailing `/` dropped
+  * Deliberately NOT done (documented limits): query-param reordering,
+  * percent-decoding, userinfo/IDN handling — those need a real URL
+  * parser, and a canonicalizer that is wrong on exotic URLs is worse
+  * than one that is conservative. A URL with no `scheme://` gets the
+  * fragment/tracking/tail steps only (nothing to lowercase safely). */
+object Urls {
+
+  private val TrackingParam = "[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&#]*"
+
+  /** Shared tail of the chain: tracking-param strip, separator repair,
+    * empty-tail and trailing-slash strip. */
+  private def stripTail(u: Column): Column = {
+    val noTrack = regexp_replace(u, TrackingParam, "")
+    // a surviving first param may now lead with '&' (its '?' was removed
+    // with a tracking param): repair exactly that '&' back to '?'
+    val fixedSep = regexp_replace(noTrack, "^([^?&#]*)&", "$1?")
+    regexp_replace(regexp_replace(fixedSep, "[?&]+$", ""), "/$", "")
+  }
+
+  /** Canonical form of `url` as a Column expression (see object doc). */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?#]*)", 1)), ":(80|443)$", "")
+    val pathq = stripTail(regexp_replace(rest, "^[^/?#]*", ""))
+    when(scheme === "", stripTail(noFrag))
+      .otherwise(concat(lower(scheme), lit("://"), host, pathq))
+  }
+
+  /** URL-level dedup: one row per canonical URL with the kept (minimum)
+    * id and the duplicate count. Keep-min is deterministic across runs,
+    * retries, and engines; the full row for the keeper re-attaches with
+    * one semi-join on `idCol` if needed — this op moves ids only. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalize(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}
