@@ -3106,6 +3106,18 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- LLM: temperature-based language rebalancing ------------------
+    // the XLM-R multilingual sampling rule: keep language l with
+    // p ∝ c_l^0.5 / c_l toward a 50% overall target, flattening the en-
+    // heavy fixture (en 218 of 500) so low-resource langs keep share.
+    // alpha fixed at the exactly-reproducible sqrt point; W folded in
+    // sorted-group order; md5-bucket keep — the oracle recomputes the
+    // identical probabilities and selection (ops/Sampling.temperatureSample)
+    "q_temperature_sample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(t(s, dir, "documents"),
+        "lang", "doc_id", alphaHalves = 1, targetNum = 1, targetDen = 2)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- LLM: URL canonicalization (pre-content web dedup key) --------
     // The fixture has no URL column, so the query plants one per doc with
     // deliberate variance the canonicalizer must collapse: scheme/host
@@ -6393,6 +6405,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Sampling.temperatureSample: same sorted-order W fold
+    // (list_reduce = left-assoc IEEE adds), same probability arithmetic
+    // sequence, same md5 bucket selection
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang AS g, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |bigw AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sqrt(CAST(c AS DOUBLE)) ORDER BY g)),
+        |    (acc, x) -> acc + x) AS w FROM c),
+        |p AS (
+        |  SELECT g, least(CAST(1.0 AS DOUBLE),
+        |    CAST((SELECT n * 1 // 2 FROM tot) AS DOUBLE)
+        |      * sqrt(CAST(c AS DOUBLE)) / (SELECT w FROM bigw)
+        |      / CAST(c AS DOUBLE)) AS p
+        |  FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN p ON d.lang = p.g
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+        |    || ':temp'), 1, 8) AS BIGINT) % 10000 < p.p * 10000""".stripMargin,
 
     // mirrors Urls.canonicalize: same plant, same RE2-safe regexp chain
     // (DuckDB regexp_replace needs the explicit 'g' flag where Spark's

@@ -315,4 +315,61 @@ object Sampling {
       .where(col("__rn") <= perBucket)
       .select(col(idCol), col("bucket"))
   }
+
+  /** Temperature-based group rebalancing (the multilingual sampling rule
+    * of XLM-R / mBERT: sample language l with probability ∝ c_l^alpha,
+    * alpha < 1 flattening the head so low-resource groups aren't
+    * drowned). Down-samples each group to its temperature share of an
+    * overall target of `n * targetNum / targetDen` rows: with weight
+    * w_l = c_l^alpha, each group keeps
+    *
+    *   p_l = min(1, targetN * w_l / W / c_l)        (W = Σ w_l)
+    *
+    * of its rows via the stable md5 bucket — deterministic per document
+    * across runs, partitionings, and engines.
+    *
+    * `alpha` is restricted to the three exactly-reproducible points
+    * {0, 0.5, 1}: w = 1 (equal shares), sqrt(c) (the standard
+    * temperature 1/2; IEEE sqrt is correctly rounded on every engine),
+    * and c (proportional — a plain `targetN/n` thin). A general c^alpha
+    * goes through `pow`, whose last-ulp behavior differs between libms —
+    * the one seam that would make the same corpus sample differently on
+    * two engines. W is folded in SORTED group order (left-assoc IEEE
+    * adds), so any engine reproduces it bit-exactly; groups are
+    * human-count-sized, so the fold is scalar work.
+    *
+    * Scale shape: one count aggregation collecting #groups scalars, then
+    * a pure per-row keep predicate — no join, no second shuffle, and the
+    * predicate pushes into the scan. NULL groups are dropped (no
+    * temperature share to assign). */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+      alphaHalves: Int, targetNum: Long, targetDen: Long,
+      granularity: Int = 10000): DataFrame = {
+    require(Set(0, 1, 2).contains(alphaHalves),
+      "alphaHalves must be 0, 1, or 2 (alpha in {0, 0.5, 1})")
+    require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
+      s"target fraction must satisfy 0 < num/den <= 1 (got $targetNum/$targetDen)")
+    require(granularity > 0, "granularity must be positive")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val targetN = n * targetNum / targetDen
+    def weight(c: Long): Double = alphaHalves match {
+      case 0 => 1.0
+      case 1 => math.sqrt(c.toDouble)
+      case 2 => c.toDouble
+    }
+    // sorted-order left fold — the oracle's list_reduce mirror
+    val bigW = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + weight(c) }
+    val pExpr = counts.foldLeft(lit(-1.0)) { case (acc, (g, c)) =>
+      val p = math.min(1.0, targetN.toDouble * weight(c) / bigW / c.toDouble)
+      when(col(groupCol).cast("string") === g, lit(p)).otherwise(acc)
+    }
+    val bucket = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":temp")).cast("binary")), 1, 8), 16, 10).cast("long") % granularity
+    df.where(col(groupCol).isNotNull)
+      .where(bucket < pExpr * granularity)
+  }
 }

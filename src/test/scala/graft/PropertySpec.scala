@@ -424,4 +424,36 @@ class PropertySpec extends SparkSpec {
         .digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString)
     assert(byBucket(7L).map(_._1).toSet == md5Order.take(2).toSet)
   }
+
+  test("temperature sample flattens a skewed group mix deterministically") {
+    val rows = (1L to 800L).map(i => (i, "big")) ++
+      (801L to 850L).map(i => (i, "small"))
+    val df = rows.toDF("id", "g")
+    def run() = graft.ops.Sampling.temperatureSample(df, "g", "id",
+        alphaHalves = 1, targetNum = 1, targetDen = 2)
+      .as[(Long, String)].collect().toSeq.sorted
+    val got = run()
+    assert(got == run(), "selection must be deterministic")
+    val kept = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // alpha=0.5 on counts (800, 50): W = sqrt(800)+sqrt(50) ~ 35.4;
+    // target 425 rows split ~ (28.3, 7.07)/35.4 -> (340, 85). The small
+    // group's share (20%) far exceeds its raw share (5.9%), and its
+    // 85-row target exceeds the 50 on hand -> p clamps to 1, keep all
+    assert(kept("small") == 50, "small group keeps everything (p clamps at 1)")
+    // big group keeps ~340 of 800 (md5 bucket noise ~ +-3%)
+    assert(kept("big") > 300 && kept("big") < 380, s"got ${kept("big")}")
+    // alpha=1 degenerates to a uniform thin: every group keeps ~half
+    val prop = graft.ops.Sampling.temperatureSample(df, "g", "id", 2, 1, 2)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(prop("big") > 360 && prop("big") < 440)
+    assert(prop("small") > 15 && prop("small") < 35)
+    // alpha=0: equal ABSOLUTE shares per group, small clamps to all
+    val eq = graft.ops.Sampling.temperatureSample(df, "g", "id", 0, 1, 2)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(eq("small") == 50)
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.temperatureSample(df, "g", "id", 3, 1, 2))
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.temperatureSample(df, "g", "id", 1, 3, 2))
+  }
 }
