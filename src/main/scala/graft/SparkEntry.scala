@@ -3106,6 +3106,19 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- LLM: HTML -> training-text extraction ------------------------
+    // the crawl-to-corpus step (C4/CCNet): drop script/style whole, strip
+    // tags, decode the high-volume entities, collapse whitespace — all
+    // per-row codegen'd string expressions in the RE2-safe subset. The
+    // fixture is plain text, so the query wraps each doc in a deterministic
+    // HTML shell (title, tracker script, style block, anchors varying by
+    // doc, entity-bearing footer) and the oracle replays the identical
+    // chain on the identical plant (ops/Html.extract)
+    "q_html_extract" -> ((s, dir) =>
+      graft.ops.Html.extract(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("html")),
+        "doc_id", "html")),
+
     // ---- LLM: temperature-based language rebalancing ------------------
     // the XLM-R multilingual sampling rule: keep language l with
     // p ∝ c_l^0.5 / c_l toward a 50% overall target, flattening the en-
@@ -3171,6 +3184,22 @@ object SparkEntry {
     lit("&id="), (col("doc_id") % 5).cast("string"),
     lit("&gclid=g"), (col("doc_id") % 2).cast("string"),
     lit("#sec"), (col("doc_id") % 6).cast("string"))
+
+  /** Planted per-doc HTML shell for q_html_extract: title, a tracker
+    * script and style block (must vanish whole), 1-2 anchors varying by
+    * doc, an entity-bearing footer. Mirrored verbatim in the oracle. */
+  private def plantedHtml: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><script type=\"text/javascript\">var t = "),
+    (col("doc_id") % 97).cast("string"),
+    lit(";</script><style>.c{color:red}</style></head><body><h1>Doc "),
+    col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+    lit("</p><a href=\"/next/"), (col("doc_id") % 10).cast("string"),
+    lit("\">next page</a>"),
+    when(col("doc_id") % 3 === 0, "<a href=\"/rel\">related</a>")
+      .otherwise(""),
+    lit("<div class=\"footer\">&copy; 2026 &amp; co &#39;ok&#39;" +
+      "</div></body></html>"))
 
   /** Driver-side fetch of the probe vector (vec_id=0) — a 1-row lookup,
     * the documented pattern for parameterizing an ANN probe. */
@@ -6405,6 +6434,44 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Html.extract on the identical plant: same RE2-safe regex
+    // chain ('g' flags — Spark replaces all matches by default), same
+    // entity order (&amp; last), same whitespace collapse
+    "q_html_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id
+        |    || '</title><script type="text/javascript">var t = '
+        |    || (doc_id % 97)
+        |    || ';</script><style>.c{color:red}</style></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || text
+        |    || '</p><a href="/next/' || (doc_id % 10) || '">next page</a>'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="/rel">related</a>' ELSE '' END)
+        |    || '<div class="footer">&copy; 2026 &amp; co &#39;ok&#39;'
+        |    || '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+        |    regexp_replace(html, '<head[ >][\s\S]*?</head>', ' ', 'g'),
+        |    '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+        |    '<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS nos FROM u),
+        |s2 AS (SELECT doc_id, html,
+        |    regexp_replace(nos, '<[^>]*>', ' ', 'g') AS notags FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(notags,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS dec FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS text_clean
+        |  FROM s3)
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  (length(html) - length(replace(html, '<a href', ''))) // 7
+        |    AS n_links,
+        |  text_clean,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM s4""".stripMargin,
 
     // mirrors Sampling.temperatureSample: same sorted-order W fold
     // (list_reduce = left-assoc IEEE adds), same probability arithmetic
