@@ -3106,6 +3106,15 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- extension: market-basket co-occurrence lift ------------------
+    // bought-together parts per order with exact fixed-point lift; the
+    // per-basket self-join is bounded by the basket-size cap (oversized
+    // baskets drop whole — at sf0.01 that's real: orders run up to 13
+    // distinct parts vs the cap of 5) (ops/Baskets.liftPairs)
+    "q_basket_lift" -> ((s, dir) =>
+      graft.ops.Baskets.liftPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 5, minPairCount = 2)),
+
     // ---- LLM: HTML -> training-text extraction ------------------------
     // the crawl-to-corpus step (C4/CCNet): drop script/style whole, strip
     // tags, decode the high-volume entities, collapse whitespace — all
@@ -6434,6 +6443,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Baskets.liftPairs: same capped universe for pairs, support
+    // counts, and the basket total; same truncating fixed-point lift
+    "q_basket_lift" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b, count(*) AS n FROM it GROUP BY b),
+        |ok AS (SELECT it.b, it.i FROM it JOIN sz USING (b) WHERE sz.n <= 5),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM ok),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM ok GROUP BY i),
+        |pr AS (
+        |  SELECT x.i AS item_a, y.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM ok x JOIN ok y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.item_a, pr.item_b, pr.pair_cnt,
+        |  sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+        |  (1000000 * nb.n_baskets * pr.pair_cnt) // (sa.cnt * sb.cnt)
+        |    AS lift_micros
+        |FROM pr
+        |JOIN sup sa ON pr.item_a = sa.i
+        |JOIN sup sb ON pr.item_b = sb.i
+        |CROSS JOIN nb""".stripMargin,
 
     // mirrors Html.extract on the identical plant: same RE2-safe regex
     // chain ('g' flags — Spark replaces all matches by default), same
