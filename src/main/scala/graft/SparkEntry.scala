@@ -3106,6 +3106,48 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- LLM: hybrid retrieval via reciprocal rank fusion -------------
+    // BM25 top-20 (lexical) fused with cosine-to-probe top-20 (dense,
+    // embeddings keyed 1:1 with doc ids in the fixture) by RRF — ranks
+    // only, exact integer micros, so the fusion stage has zero float.
+    // The semantic rank orders by the 4dp-rounded cosine with an id
+    // tie-break (the q_ann_cosine determinism contract)
+    // (ops/Retrieval.rrfFuse)
+    "q_rrf_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      Graft.init(s)
+      val qs = Seq((0L, "vector hash join")).toDF("query_id", "qtext")
+      val lexical = graft.ops.Retrieval
+        .bm25TopK(t(s, dir, "documents"), qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val probe = queryVec(emb)
+      val wsem = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val semantic = emb
+        .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"),
+          round(graft.functions.VectorExprs.cosineSim(col("embedding"),
+            typedLit(probe)), 4).as("cosine"))
+        .withColumn("rank", row_number().over(wsem))
+        .where(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lexical, semantic),
+        "query_id", "doc_id", "rank", k0 = 60, topK = 10)
+    }),
+
+    // ---- extension: ordered string aggregation (LISTAGG parity) -------
+    // collect_list is ORDER-NONDETERMINISTIC under partitioning; the
+    // deterministic form sorts inside the aggregate (array_sort) before
+    // joining — the engine-portable equivalent of LISTAGG ... WITHIN
+    // GROUP (ORDER BY) / string_agg(ORDER BY)
+    "q_listagg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), "|")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))),
+
     // ---- extension: market-basket co-occurrence lift ------------------
     // bought-together parts per order with exact fixed-point lift; the
     // per-basket self-join is bounded by the basket-size cap (oversized
@@ -6443,6 +6485,68 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors the q_rrf_hybrid composition: the q_bm25 oracle CTEs at
+    // k=20 for the single query, the q_ann_cosine rounding contract for
+    // the dense rank, then pure-integer RRF
+    "q_rrf_hybrid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfw AS (
+        |  SELECT *, count(*) OVER (PARTITION BY term) AS df_docs FROM tf),
+        |stats AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS total_tokens
+        |  FROM dfw),
+        |qt AS (
+        |  SELECT DISTINCT unnest(['vector', 'hash', 'join']) AS term),
+        |s AS (
+        |  SELECT dfw.doc_id,
+        |    sum(CAST(round(
+        |      round(ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE)
+        |          + 0.5) / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0), 6)
+        |      * (CAST(tf AS DOUBLE) * 2.2
+        |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |            * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE)
+        |               / CAST(n_docs AS DOUBLE))))))
+        |      * 1000000.0, 0) AS BIGINT)) AS score_micros
+        |  FROM dfw CROSS JOIN stats JOIN qt USING (term)
+        |  GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY score_micros DESC, doc_id) AS rank FROM s)
+        |  WHERE rank <= 20),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |sem AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT e.vec_id AS doc_id, row_number() OVER (
+        |      ORDER BY round(list_cosine_similarity(
+        |        CAST(e.embedding AS DOUBLE[]),
+        |        CAST(qv.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rank
+        |    FROM embeddings e, qv)
+        |  WHERE rank <= 20),
+        |fused AS (
+        |  SELECT doc_id,
+        |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micros,
+        |    count(*) AS n_lists
+        |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+        |  GROUP BY doc_id)
+        |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rrf_micros, n_lists,
+        |  rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY rrf_micros DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     // mirrors Baskets.liftPairs: same capped universe for pairs, support
     // counts, and the basket total; same truncating fixed-point lift

@@ -174,4 +174,39 @@ object Retrieval {
       .where(col("__stream").contains(col("__needle")))
       .select(col(qidCol), col(idCol))
   }
+
+  /** Reciprocal rank fusion (Cormack et al. 2009): combine N ranked
+    * lists for the same queries into one ranking by
+    *
+    *   rrf(q, d) = sum over lists containing d of 1 / (k0 + rank)
+    *
+    * — the standard hybrid-retrieval merge (BM25 + dense ANN), robust
+    * because it uses only RANKS, never the incomparable raw scores.
+    * Emitted in exact integer micros (`1000000 div (k0 + rank)` per
+    * list, BIGINT sum): rank fusion is the one retrieval stage with no
+    * float in it at all, so no engine can disagree. A document missing
+    * from a list contributes nothing (the standard convention); ties
+    * break on the id, a total order.
+    *
+    * Scale shape: inputs are already top-k-per-query (answer-sized, not
+    * corpus-sized); the union shuffles once on (query, doc) with
+    * map-side partial sums, then one per-query window top-k. Output:
+    * (qid, id, rrf_micros, n_lists, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+      rankCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1 && topK >= 1, "k0 and topK must be positive")
+    val unioned = rankings
+      .map(_.select(col(qidCol), col(idCol),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val scored = unioned
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(expr(s"1000000L div (${k0}L + __r)")).as("rrf_micros"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_micros").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
 }

@@ -148,4 +148,38 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("rrfFuse: hand-computed fusion, missing-doc convention, tie-break") {
+    // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 is the
+    // consensus pick: 1M/(60+2)+1M/(60+1) = 16129+16393 = 32522
+    val a = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 2L, 1), (7L, 1L, 2), (7L, 9L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "query_id", "doc_id", "rank",
+        k0 = 60, topK = 10)
+      .select("doc_id", "rrf_micros", "n_lists", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    // docs 1 and 2 score identically by symmetry (ranks {1,2} across the
+    // two lists) -> the tie resolves by ascending id, 1 before 2
+    assert(got == Seq(
+      (1L, 1000000L / 61 + 1000000L / 62, 2L, 1),
+      (2L, 1000000L / 61 + 1000000L / 62, 2L, 2),
+      (3L, 1000000L / 63, 1L, 3),
+      (9L, 1000000L / 63, 1L, 4)))
+  }
+
+  test("rrfFuse: queries fuse independently; topK bounds each") {
+    val a = (1 to 30).flatMap(r => Seq((1L, r.toLong, r), (2L, 100L + r, r)))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a), "query_id", "doc_id", "rank",
+      k0 = 60, topK = 5)
+    val by = out.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(by == Map(1L -> 5L, 2L -> 5L))
+    // ranks within a query are 1..5 by ascending source rank
+    val q2 = out.where(col("query_id") === 2).orderBy("rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(q2 == Seq(101L, 102L, 103L, 104L, 105L))
+  }
 }
