@@ -3106,6 +3106,16 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- LLM: site link graph from HTML -------------------------------
+    // href extraction (regexp_extract_all) + target-keyed in-degree
+    // aggregation over the same planted HTML shell as q_html_extract:
+    // /next/0..9 each referenced by its doc_id%10 class, /rel by the
+    // doc_id%3=0 class (ops/Html.linkGraph)
+    "q_link_graph" -> ((s, dir) =>
+      graft.ops.Html.linkGraph(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("html")),
+        "doc_id", "html")),
+
     // ---- LLM: hybrid retrieval via reciprocal rank fusion -------------
     // BM25 top-20 (lexical) fused with cosine-to-probe top-20 (dense,
     // embeddings keyed 1:1 with doc ids in the fixture) by RRF — ranks
@@ -6485,6 +6495,22 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Html.linkGraph on the q_html_extract plant
+    "q_link_graph" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    '</p><a href="/next/' || (doc_id % 10) || '">next page</a>'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="/rel">related</a>' ELSE '' END) AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(html,
+        |    '<a href="([^"]*)"', 1)) AS target
+        |  FROM u)
+        |SELECT target, count(*) AS n_refs,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM l GROUP BY target""".stripMargin,
 
     // mirrors the q_rrf_hybrid composition: the q_bm25 oracle CTEs at
     // k=20 for the single query, the q_ann_cosine rounding contract for

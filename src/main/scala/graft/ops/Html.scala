@@ -47,6 +47,23 @@ object Html {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Outbound link targets: every `<a href="...">` value, in document
+    * order. */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+
+  /** Site link graph: one row per distinct link target with its total
+    * reference count and distinct referring documents — the in-degree
+    * table a crawl frontier / PageRank-style prior is seeded from.
+    * Explode + one target-keyed aggregation; link lists are per-page
+    * bounded, so the exploded stream is a small multiple of the page
+    * count. */
+  def linkGraph(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), explode(links(col(htmlCol))).as("target"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Per-document extraction: (idCol, title, n_links, text_clean,
     * n_chars_clean). */
   def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =

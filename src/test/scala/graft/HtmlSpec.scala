@@ -47,6 +47,17 @@ class HtmlSpec extends SparkSpec {
     assert(t2 == "" && x2 == "no markup at all")
   }
 
+  test("linkGraph: in-degree over extracted hrefs") {
+    val df = Seq(
+      (1L, "<a href=\"/a\">x</a><a href=\"/b\">y</a><a href=\"/a\">z</a>"),
+      (2L, "<a href=\"/a\">w</a>"),
+      (3L, "no links")).toDF("id", "html")
+    val got = Html.linkGraph(df, "id", "html").orderBy("target")
+      .as[(String, Long, Long)].collect().toSeq
+    // /a: 3 refs from 2 docs (doc 1 links it twice); /b: 1 ref
+    assert(got == Seq(("/a", 3L, 2L), ("/b", 1L, 1L)))
+  }
+
   test("extraction plan is map-only: no exchange, no join, no UDF") {
     val df = Seq((1L, "<p>x</p>")).toDF("id", "html")
     val plan = Html.extract(df, "id", "html")
