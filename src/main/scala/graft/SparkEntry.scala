@@ -3106,6 +3106,16 @@ object SparkEntry {
         "token", num = 2, den = 1000)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // ---- extension: row-level quantile binning (featurization) --------
+    // every event's value bucketized into its exact equi-depth decile
+    // under the integer-CDF rule shared with q_histogram_eqdepth — the
+    // no-interpolation bucketize-by-quantile feature transform
+    // (ops/Profile.binByQuantile)
+    "q_quantile_bins" -> ((s, dir) =>
+      graft.ops.Profile.binByQuantile(
+        t(s, dir, "events").where(col("event_id") < 3000),
+        "event_id", "value", nBins = 10)),
+
     // ---- LLM: site link graph from HTML -------------------------------
     // href extraction (regexp_extract_all) + target-keyed in-degree
     // aggregation over the same planted HTML shell as q_html_extract:
@@ -6495,6 +6505,26 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, count(*) AS cnt
         |FROM tok GROUP BY token
         |HAVING count(*) >= (SELECT (2 * n + 999) // 1000 FROM n)""".stripMargin,
+
+    // mirrors Profile.binByQuantile: same quantized unit, same integer
+    // CDF, same bin rule
+    "q_quantile_bins" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS value_unit
+        |  FROM events
+        |  WHERE event_id < 3000 AND value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT value_unit AS u, count(*) AS n_v FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT u, coalesce(sum(n_v) OVER (ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER () AS n_total
+        |  FROM c),
+        |m AS (SELECT u, least(9, cum_before * 10 // n_total) AS bin FROM b)
+        |SELECT e.event_id, e.value_unit, m.bin
+        |FROM e JOIN m ON e.value_unit = m.u""".stripMargin,
 
     // mirrors Html.linkGraph on the q_html_extract plant
     "q_link_graph" ->

@@ -295,6 +295,45 @@ object Profile {
         sum(col("u") * col("n_v")).as("sum_unit"))
   }
 
+  /** Row-level quantile binning — the featurization form of
+    * [[histogramEqDepth]]: every row gets the equi-depth bin of its
+    * (quantized) value under the SAME integer-CDF rule
+    * (`cum_before * nBins div n_total`, capped at nBins-1), so the
+    * transform any engine computes is identical bit for bit — the
+    * GBDT-style "bucketize by quantile" feature with no interpolation
+    * seam. Heavy ties behave as in the histogram: one value = one bin.
+    *
+    * Scale shape: one aggregation to the distinct-(quantized-)value
+    * domain, one cumulative window over that domain (domain-sized, not
+    * row-sized), then one equi-join re-attaching rows to their value's
+    * bin. NULL/NaN rows are dropped (they have no quantile). Output:
+    * (idCol, value_unit, bin). */
+  def binByQuantile(df: DataFrame, idCol: String, colName: String,
+      nBins: Int, scale: Int = 2): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val rows = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .select(col(idCol), unit.as("value_unit"))
+    val cnts = rows.groupBy(col("value_unit").as("u"))
+      .agg(count(lit(1)).as("n_v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("u"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wn = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val mapping = cnts
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(w), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(wn))
+      .select(col("u").as("value_unit"),
+        least(lit((nBins - 1).toLong),
+          expr(s"cum_before * $nBins div n_total")).as("bin"))
+    rows.join(mapping, Seq("value_unit"))
+      .select(col(idCol), col("value_unit"), col("bin"))
+  }
+
   /** Exact per-group percentiles without interpolation: for each group
     * and each requested percentile p, the LOWER ORDER STATISTIC at rank
     * ceil(n*p/100) — an actual data value (quantized to `scale`

@@ -274,4 +274,30 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.map(_._2).sum == 2L)
   }
+
+  test("binByQuantile: even quartiles, tie cohesion, histogram agreement") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val bins = Profile.binByQuantile(df, "id", "x", nBins = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(bins.length == 100)
+    // value i (unit 100*i) -> bin (i-1)/25: exact 25-row quartiles
+    assert(bins.forall { case (id, u, b) =>
+      u == id * 100 && b == (id - 1) / 25 })
+    // heavy tie: one value can only occupy one bin
+    val ties = (1 to 10).map(i => (i.toLong, 5.0)) ++
+      Seq((11L, 1.0), (12L, 9.0))
+    val tb = Profile.binByQuantile(ties.toDF("id", "x"), "id", "x", 4)
+      .as[(Long, Long, Long)].collect()
+    assert(tb.filter(_._2 == 500L).map(_._3).distinct.length == 1)
+    // bin sizes agree with histogramEqDepth on the same data
+    val hist = Profile.histogramEqDepth(df, "x", nBins = 4)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    val sizes = Profile.binByQuantile(df, "id", "x", 4)
+      .groupBy("bin").count().as[(Long, Long)].collect().toMap
+    assert(sizes == hist)
+    // NULL/NaN rows vanish
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0)))
+      .toDF("id", "x")
+    assert(Profile.binByQuantile(withNull, "id", "x", 2).count() == 2)
+  }
 }
