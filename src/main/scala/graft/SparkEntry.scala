@@ -614,6 +614,34 @@ object SparkEntry {
         .select(col("w.start").cast("string").as("win_start"),
           col("event_type"), col("n"))),
 
+    // ---- extension: period-over-period share shift --------------------
+    // which event type drove the mix change between the first and second
+    // half of the time range (split at the integer midpoint of
+    // min/max epoch secs — engine-portable); shares in exact micros
+    // (ops/Profile.shareShift)
+    "q_share_shift" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("ts_sec"))
+      val bounds = e.agg(min(col("ts_sec")).as("lo"), max(col("ts_sec")).as("hi"))
+      val tagged = e.crossJoin(broadcast(bounds)) // 1-row scalar attach
+      graft.ops.Profile.shareShift(tagged, "event_type",
+        tagged("ts_sec") * 2 >= tagged("lo") + tagged("hi"))
+    }),
+
+    // ---- extension: sliding-window EXACT distinct users ---------------
+    // trailing 3h distinct-user counts per hourly slide — the rolling
+    // "active users" gauge. window() replicates each event into its 3
+    // covering windows (cost = span/slide, here 3x) and countDistinct is
+    // exact per window; at wider spans the approximate swap is
+    // approx_count_distinct under the same grouping (q_approx_sketches
+    // pins that path's error bounds)
+    "q_sliding_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts_us"), "3 hours", "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("string").as("win_start"),
+          col("n_users"), col("n_events"))),
+
     // ---- extension: sessionization via window fns (lag + running sum) -
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
@@ -3695,6 +3723,46 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Profile.shareShift on the same midpoint split
+    "q_share_shift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |b AS (SELECT min(sec) AS lo, max(sec) AS hi FROM e),
+        |t AS (SELECT event_type, (sec * 2 >= lo + hi) AS is_b
+        |      FROM e CROSS JOIN b),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM t GROUP BY 1),
+        |w AS (
+        |  SELECT *, sum(cnt_a) OVER () AS tot_a, sum(cnt_b) OVER () AS tot_b
+        |  FROM g)
+        |SELECT event_type, cnt_a, cnt_b,
+        |  CASE WHEN tot_a = 0 THEN NULL
+        |       ELSE 1000000 * cnt_a // tot_a END AS share_a_micros,
+        |  CASE WHEN tot_b = 0 THEN NULL
+        |       ELSE 1000000 * cnt_b // tot_b END AS share_b_micros,
+        |  (CASE WHEN tot_b = 0 THEN NULL
+        |        ELSE 1000000 * cnt_b // tot_b END)
+        |  - (CASE WHEN tot_a = 0 THEN NULL
+        |          ELSE 1000000 * cnt_a // tot_a END) AS delta_micros
+        |FROM w""".stripMargin,
+
+    // sliding-window replication stated directly: an event in hour b is
+    // inside the 3h windows starting b, b-1h, b-2h
+    "q_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, unnest([b, b - 3600, b - 7200]) AS ws FROM e)
+        |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

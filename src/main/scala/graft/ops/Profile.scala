@@ -334,6 +334,35 @@ object Profile {
       .select(col(idCol), col("value_unit"), col("bin"))
   }
 
+  /** Period-over-period share shift — the contribution-analysis report
+    * behind "which segment drove the change": per group, the row counts
+    * in period A (`isB` false) and period B (`isB` true), each group's
+    * share of its period total in exact integer MICROS (truncating
+    * BIGINT divide — no float seam), and the share delta. An empty
+    * period yields NULL shares (and NULL deltas) rather than a division
+    * blow-up.
+    *
+    * Scale shape: one group-keyed aggregation with map-side combine;
+    * the totals window runs over the GROUP DOMAIN (human-count-sized),
+    * not the rows, so the unpartitioned window is scalar work. */
+  def shareShift(df: DataFrame, groupCol: String, isB: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(sum(when(isB, 0L).otherwise(1L)).as("cnt_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("cnt_b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    g.withColumn("tot_a", sum(col("cnt_a")).over(wAll))
+      .withColumn("tot_b", sum(col("cnt_b")).over(wAll))
+      .select(col(groupCol), col("cnt_a"), col("cnt_b"),
+        expr("CASE WHEN tot_a = 0 THEN NULL" +
+          " ELSE 1000000L * cnt_a div tot_a END").as("share_a_micros"),
+        expr("CASE WHEN tot_b = 0 THEN NULL" +
+          " ELSE 1000000L * cnt_b div tot_b END").as("share_b_micros"))
+      .withColumn("delta_micros",
+        col("share_b_micros") - col("share_a_micros"))
+  }
+
   /** Exact per-group percentiles without interpolation: for each group
     * and each requested percentile p, the LOWER ORDER STATISTIC at rank
     * ceil(n*p/100) — an actual data value (quantized to `scale`

@@ -300,4 +300,24 @@ class ProfileSpec extends SparkSpec {
       .toDF("id", "x")
     assert(Profile.binByQuantile(withNull, "id", "x", 2).count() == 2)
   }
+
+  test("shareShift: exact micro shares, truncating; empty period -> NULLs") {
+    val df = Seq(("x", false), ("x", false), ("y", false),
+      ("x", true), ("y", true), ("y", true)).toDF("g", "b")
+    val got = Profile.shareShift(df, "g", col("b"))
+      .orderBy("g")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("x", 2L, 1L, Some(666666L), Some(333333L), Some(-333333L)),
+      ("y", 1L, 2L, Some(333333L), Some(666666L), Some(333333L))))
+    // all rows in period A: B shares and deltas are NULL, not a crash
+    val onlyA = Profile.shareShift(
+        Seq(("x", false), ("y", false)).toDF("g", "b"), "g", col("b"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(onlyA == Seq(
+      ("x", 1L, 0L, Some(500000L), None, None),
+      ("y", 1L, 0L, Some(500000L), None, None)))
+  }
 }
