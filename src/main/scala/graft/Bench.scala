@@ -52,7 +52,11 @@ object Bench {
     // round 7, second continuation: cell-bucketed spatial radius join
     // (15k points at sf0.1) and incremental aggregate maintenance
     // (latest-wins window + changed-key delta merge)
-    "q_geo_radius", "q_incr_agg")
+    "q_geo_radius", "q_incr_agg",
+    // round 7, third continuation: sketch-based heavy hitters (the
+    // bounded-summary alternative to q_vocab's full token GROUP BY),
+    // hybrid BM25+dense RRF fusion, sliding-window exact distinct
+    "q_heavy_hitters", "q_rrf_hybrid", "q_sliding_distinct")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
