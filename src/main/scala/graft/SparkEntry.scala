@@ -614,6 +614,37 @@ object SparkEntry {
         .select(col("w.start").cast("string").as("win_start"),
           col("event_type"), col("n"))),
 
+    // ---- extension: row-level z-score standardization -----------------
+    // every event's value scaled against its type's own exact integer
+    // moments, cancellation-free form — the distance-model featurization
+    // transform (ops/Profile.standardize)
+    "q_standardize" -> ((s, dir) =>
+      graft.ops.Profile.standardize(t(s, dir, "events"),
+        "event_id", "event_type", "value")),
+
+    // ---- extension: join preflight (exact output-cardinality report) --
+    // would lineitem JOIN orders explode? state the inner-join output
+    // size EXACTLY from the two key-count tables before shipping the
+    // join; the hottest key and its product say whether to salt
+    // (ops/Profile.joinPreflight)
+    "q_join_preflight" -> ((s, dir) =>
+      graft.ops.Profile.joinPreflight(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")),
+
+    // ---- extension: per-key dyadic EWMA (exact smoothing gauge) -------
+    // alpha=1/2 EWMA over each event type's trailing 16 values with
+    // normalized power-of-two weights — all BIGINT (quantized cents,
+    // shifts, one truncating micros divide), so the smoothed series is
+    // bit-identical on any engine (ops/TimeSeries.ewmaDyadic)
+    "q_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaDyadic(
+        events(s, dir).where(col("event_id") < 5000),
+        "event_type", Seq(col("ts_sec"), col("event_id")),
+        "value", lookback = 16)
+        .select(col("event_type"), col("event_id"),
+          col("value_unit"), col("ewma_unit_micros"))),
+
     // ---- extension: period-over-period share shift --------------------
     // which event type drove the mix change between the first and second
     // half of the time range (split at the integer midpoint of
@@ -3723,6 +3754,71 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Profile.standardize: same exact integer moments, same
+    // cancellation-free z chain (one divide, one sqrt per row)
+    "q_standardize" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS value_unit
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(value_unit) AS BIGINT) AS s1,
+        |    CAST(sum(value_unit * value_unit) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_id, r.event_type, r.value_unit,
+        |  CASE WHEN n * s2 - s1 * s1 = 0 THEN NULL
+        |       ELSE CAST(r.value_unit * n - s1 AS DOUBLE)
+        |            / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END AS z
+        |FROM r JOIN m USING (event_type)""".stripMargin,
+
+    // mirrors Profile.joinPreflight: same non-null-key universes, same
+    // (product, string-key) tie order for the hot key
+    "q_join_preflight" ->
+      """WITH cl AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cl
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |cr AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cr
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(cl.k, cr.k) AS k, cl.cl, cr.cr, cl.cl * cr.cr AS prod
+        |  FROM cl FULL OUTER JOIN cr ON cl.k = cr.k)
+        |SELECT
+        |  CAST(sum(coalesce(cl, 0)) AS BIGINT) AS n_left,
+        |  CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_right,
+        |  count(cl) AS left_keys, count(cr) AS right_keys,
+        |  count(prod) AS matched_keys,
+        |  CAST(coalesce(sum(prod), 0) AS BIGINT) AS est_rows,
+        |  max(prod) AS max_key_product,
+        |  (SELECT k FROM j WHERE prod IS NOT NULL
+        |   ORDER BY prod DESC, k DESC LIMIT 1) AS hot_key
+        |FROM j""".stripMargin,
+
+    // mirrors TimeSeries.ewmaDyadic: same trailing-16 frame list, same
+    // dyadic weights (1-based list -> 1 << (i-1); Spark's 0-based
+    // transform index -> 1 << i), same truncating micros divide
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS value_unit
+        |  FROM events
+        |  WHERE event_id < 5000 AND value IS NOT NULL AND NOT isnan(value)),
+        |w AS (
+        |  SELECT event_type, event_id, value_unit,
+        |    list(value_unit) OVER (PARTITION BY event_type
+        |      ORDER BY sec, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e)
+        |SELECT event_type, event_id, value_unit,
+        |  (1000000 * list_sum(
+        |     [l[i] * (1 << (i - 1)) FOR i IN generate_series(1, len(l))]))
+        |    // ((1 << len(l)) - 1) AS ewma_unit_micros
+        |FROM w""".stripMargin,
 
     // mirrors Profile.shareShift on the same midpoint split
     "q_share_shift" ->

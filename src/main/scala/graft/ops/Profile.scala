@@ -334,6 +334,83 @@ object Profile {
       .select(col(idCol), col("value_unit"), col("bin"))
   }
 
+  /** Row-level z-score standardization against the group's own
+    * population moments — the scaling transform in front of any
+    * distance-based model. All moments are EXACT BIGINT sums over the
+    * quantized value (n, Σu, Σu²), and the per-row score is stated in
+    * the cancellation-free integer form
+    *
+    *   z = (u·n − Σu) / sqrt(n·Σu² − (Σu)²)
+    *
+    * — two IEEE ops per row (one divide, one sqrt) over exact integers,
+    * so any engine reproduces every z bit for bit; the textbook
+    * (x−mean)/std chain loses to catastrophic cancellation at ulp scale
+    * (the q_trend_forecast lesson recorded in groupRegression's docs).
+    * Zero-variance groups emit NULL. Integer headroom: |Σu| up to ~1e9
+    * per group at unit scale 100 keeps (Σu)² inside BIGINT; past that
+    * ANSI mode fails loudly rather than silently wrapping.
+    *
+    * Scale shape: one group-keyed aggregation to a human-sized moment
+    * table, broadcast back onto the rows — the transform itself is
+    * map-only. Output: (idCol, groupCol, value_unit, z). */
+  def standardize(df: DataFrame, idCol: String, groupCol: String,
+      colName: String, scale: Int = 2): DataFrame = {
+    val unit = round(col(colName).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val rows = df.where(col(colName).isNotNull &&
+        !isnan(col(colName).cast("double")))
+      .select(col(idCol), col(groupCol), unit.as("value_unit"))
+    val moments = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("value_unit")).as("s1"),
+        sum(col("value_unit") * col("value_unit")).as("s2"))
+    rows.join(broadcast(moments), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("value_unit"),
+        expr("CASE WHEN n * s2 - s1 * s1 = 0 THEN NULL" +
+          " ELSE CAST(value_unit * n - s1 AS DOUBLE)" +
+          " / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END").as("z"))
+  }
+
+  /** Join preflight — the cardinality report to run BEFORE a 100 TB
+    * join ships: per-side row and key counts, matched-key count, the
+    * EXACT output cardinality of the inner equi-join
+    * (Σ over matched keys of cnt_l·cnt_r — not an estimate: the count
+    * tables make it cheap to state exactly), the worst single key's
+    * product, and that hottest key itself. One look at `est_rows` vs
+    * the input sizes tells you whether the join explodes; one look at
+    * `max_key_product` vs a task's capacity tells you whether to salt
+    * ([[graft.ops.Skew]]) before running it.
+    *
+    * NULL keys never match in SQL, so they are excluded from both
+    * sides' counts here (`n_left`/`n_right` count non-null-key rows).
+    * The hottest key breaks product ties by the key's string form —
+    * a total order both engines share.
+    *
+    * Scale shape: two key-keyed count aggregations (map-side combined),
+    * one full-outer join of the two KEY-DOMAIN-sized count tables, one
+    * global fold to a single row. Nothing row-sized crosses the wire. */
+  def joinPreflight(left: DataFrame, lKey: String,
+      right: DataFrame, rKey: String): DataFrame = {
+    val cl = left.where(col(lKey).isNotNull)
+      .groupBy(col(lKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val cr = right.where(col(rKey).isNotNull)
+      .groupBy(col(rKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("cr"))
+    cl.join(cr, Seq("k"), "full_outer")
+      .withColumn("prod", col("cl") * col("cr"))
+      .agg(
+        sum(coalesce(col("cl"), lit(0L))).as("n_left"),
+        sum(coalesce(col("cr"), lit(0L))).as("n_right"),
+        count(col("cl")).as("left_keys"),
+        count(col("cr")).as("right_keys"),
+        count(col("prod")).as("matched_keys"),
+        coalesce(sum(col("prod")), lit(0L)).as("est_rows"),
+        max(col("prod")).as("max_key_product"),
+        max(when(col("prod").isNotNull,
+          struct(col("prod"), col("k")))).getField("k").as("hot_key"))
+  }
+
   /** Period-over-period share shift — the contribution-analysis report
     * behind "which segment drove the change": per group, the row counts
     * in period A (`isB` false) and period B (`isB` true), each group's

@@ -328,4 +328,46 @@ object TimeSeries {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** Per-key EWMA with EXACT dyadic weights — the smoothing gauge
+    * (latency trend, spend trend) stated so no engine can disagree:
+    * over each row's trailing window of up to `lookback` values
+    * (ordered by (`orderCols`), a total order), the weights are the
+    * normalized powers of two
+    *
+    *   w_j = 2^(j-1) / (2^m - 1),   j = 1 (oldest) .. m (newest)
+    *
+    * — i.e. alpha = 1/2 smoothing with the tail mass folded into the
+    * normalization instead of an infinite history. Everything is BIGINT
+    * (value quantized to `scale` decimals, shifts, one truncating
+    * micros divide): classic float EWMA accumulates 1-ulp drift per
+    * step and diverges across engines/orders; this form cannot.
+    *
+    * Scale shape: one key shuffle, one window pass building the bounded
+    * trailing list, then per-row fold over ≤ lookback elements —
+    * codegen'd higher-order functions, no UDF. `lookback` ≤ 32 keeps
+    * every shift and sum in comfortable BIGINT range (weights ≤ 2^31).
+    * Output: input keys/order plus `value_unit` and `ewma_unit_micros`
+    * (the smoothed value in quantized units, micro precision). */
+  def ewmaDyadic(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, lookback: Int, scale: Int = 2): DataFrame = {
+    require(lookback >= 1 && lookback <= 32, "lookback must be in 1..32")
+    val unit = round(col(valueCol).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(lookback - 1), 0)
+    // NULL/NaN rows are excluded BEFORE windowing (they'd silently
+    // shrink lists via collect_list's null-skipping while other engines
+    // keep them — the one place the two conventions diverge)
+    df.where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .withColumn("value_unit", unit)
+      .withColumn("__l", collect_list(col("value_unit")).over(w))
+      .withColumn("ewma_unit_micros",
+        expr("(1000000L * aggregate(" +
+          "transform(__l, (v, i) -> v * shiftleft(1L, i)), 0L," +
+          " (a, x) -> a + x)) div (shiftleft(1L, size(__l)) - 1L)"))
+      .drop("__l")
+  }
 }

@@ -320,4 +320,31 @@ class ProfileSpec extends SparkSpec {
       ("x", 1L, 0L, Some(500000L), None, None),
       ("y", 1L, 0L, Some(500000L), None, None)))
   }
+
+  test("joinPreflight: exact inner-join cardinality, hot key, null keys out") {
+    val left = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("lk")
+    val right = Seq(1L, 2L, 2L, 5L).toDF("rk")
+    val r = Profile.joinPreflight(left, "lk", right, "rk").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)       // non-null rows
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)       // key counts
+    assert(r.getLong(4) == 2L)                             // matched keys
+    assert(r.getLong(5) == 4L)                             // 2*1 + 1*2 exact
+    assert(r.getLong(6) == 2L)                             // worst product
+    assert(r.getString(7) == "2")  // product tie 2 vs 2 -> max string key
+    // the exact claim: est_rows equals the actual inner join's count
+    assert(left.join(right, left("lk") === right("rk")).count() == 4L)
+  }
+
+  test("standardize: bit-stated z against closed form; zero variance NULL") {
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "z", 5.0), (5L, "z", 5.0)).toDF("id", "t", "v")
+    val got = Profile.standardize(df, "id", "t", "v")
+      .select("id", "z").as[(Long, Option[Double])].collect().toMap
+    val expect = -300.0 / math.sqrt(60000.0) // (u*n - s1)/sqrt(n*s2 - s1^2)
+    assert(got(1L).get == expect && got(3L).get == -expect)
+    assert(got(2L).get == 0.0)
+    assert(got(4L).isEmpty && got(5L).isEmpty) // zero-variance group
+    // closed-form sanity: equals (x - mean)/sigma_pop within float noise
+    assert(math.abs(got(1L).get - (1.0 - 2.0) / math.sqrt(2.0 / 3.0)) < 1e-12)
+  }
 }

@@ -233,4 +233,29 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 0L, 100L, 2L), (1L, 150L, 160L, 1L)))
   }
+
+  test("ewmaDyadic: hand-computed dyadic weights, lookback bound, NULL drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "a", Some(100.0)), (2L, 20L, "a", Some(200.0)),
+      (3L, 25L, "a", Option.empty[Double]), // dropped before windowing
+      (4L, 30L, "a", Some(400.0)), (5L, 10L, "b", Some(50.0)))
+      .toDF("id", "sec", "k", "v")
+    def run(lb: Int) = TimeSeries.ewmaDyadic(df, "k",
+        Seq(col("sec"), col("id")), "v", lookback = lb)
+      .select("id", "value_unit", "ewma_unit_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // lookback 4: weights 1,2,4,... oldest->newest over the trailing list
+    assert(run(4) == Seq(
+      (1L, 10000L, 10000L * 1000000L),                    // [100]
+      (2L, 20000L, 1000000L * 50000L / 3L),               // 1*100+2*200 / 3
+      (4L, 40000L, 1000000L * 210000L / 7L),              // +4*400 / 7
+      (5L, 5000L, 5000L * 1000000L)))
+    // lookback 2 forgets the oldest value at row 3
+    assert(run(2).find(_._1 == 4L).get._3 == 1000000L * 100000L / 3L)
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaDyadic(df, "k", Seq(col("sec")), "v", 0))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaDyadic(df, "k", Seq(col("sec")), "v", 33))
+  }
 }
