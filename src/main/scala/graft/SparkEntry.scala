@@ -1281,6 +1281,27 @@ object SparkEntry {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_signup")))
     }),
 
+    // ---- extension: funnel latency percentiles ------------------------
+    // how long does view -> signup take? per-user first-signup-after-
+    // first-view deltas in whole seconds, then exact p50/p90 over the
+    // converting users via the integer-CDF order statistic — the funnel
+    // counting query's time-dimension companion, composed from the same
+    // stage chain + Profile.exactPercentiles (no interpolation seam)
+    "q_funnel_latency" -> ((s, dir) => {
+      val ev = eventsUsLong(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t0"))
+      val sg = ev.where(col("event_type") === "signup")
+        .join(v, Seq("user_id")).where(col("ts_us") > col("t0"))
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val lat = sg.join(v, Seq("user_id"))
+        .select(expr("(t1 - t0) div 1000000").as("delta_sec"),
+          lit("all").as("cohort"))
+      graft.ops.Profile.exactPercentiles(lat, "cohort", "delta_sec",
+        Seq(50, 90), scale = 0)
+    }),
+
     // ---- extension: time-series resample + forward-fill ---------------
     // per-user hourly grid from first to last active hour; gap hours
     // carry the latest earlier hourly sum (decimal-exact), event counts
@@ -4326,6 +4347,33 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM sg) AS n_signup_after_view,
         |       (SELECT count(*) FROM p) AS n_purchase_after_signup""".stripMargin,
+
+    // mirrors the q_funnel stage chain + the exactPercentiles CDF pick
+    // over the per-user conversion deltas (integer seconds, scale 0)
+    "q_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |sg AS (
+        |  SELECT e.user_id, min(ts_us) AS t1 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'signup' AND ts_us > t0 GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT (t1 - t0) // 1000000 AS u FROM sg JOIN v USING (user_id)),
+        |c AS (SELECT u, count(*) AS n_v FROM lat GROUP BY u),
+        |b AS (
+        |  SELECT *, coalesce(sum(n_v) OVER (ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER () AS n_total
+        |  FROM c),
+        |x AS (SELECT b.*, p FROM b CROSS JOIN (SELECT unnest([50, 90]) AS p))
+        |SELECT 'all' AS cohort, CAST(p AS INT) AS p, u AS value_unit,
+        |  CAST(n_total AS BIGINT) AS n_total
+        |FROM x
+        |WHERE cum_before < (n_total * p + 99) // 100
+        |  AND (n_total * p + 99) // 100 <= cum_before + n_v""".stripMargin,
 
     "q_resample_ffill" ->
       """WITH hr AS (
