@@ -614,6 +614,29 @@ object SparkEntry {
         .select(col("w.start").cast("string").as("win_start"),
           col("event_type"), col("n"))),
 
+    // ---- extension: decile lift / calibration table -------------------
+    // the model-eval companion of the quality-score family: docs bucketed
+    // into exact score deciles (binByQuantile over the integer-micros
+    // stopword-ratio score), then per decile the en-label positive rate
+    // in exact micros — the lift/calibration table that says whether a
+    // filter score actually orders the label
+    "q_decile_lift" -> ((s, dir) => {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val scored = t(s, dir, "documents")
+        .withColumn("__ns", size(filter(ws,
+          w => w.isin("the", "a", "and", "of", "to"))).cast("long"))
+        .withColumn("__nt", greatest(size(ws), lit(1)).cast("long"))
+        .withColumn("score_micros", expr("(1000000L * __ns) div __nt"))
+        .select(col("doc_id"), col("score_micros"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val bins = graft.ops.Profile.binByQuantile(scored, "doc_id",
+        "score_micros", nBins = 10, scale = 0)
+      bins.join(scored, Seq("doc_id"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .withColumn("pos_rate_micros", expr("(1000000L * n_pos) div n"))
+    }),
+
     // ---- extension: row-level z-score standardization -----------------
     // every event's value scaled against its type's own exact integer
     // moments, cancellation-free form — the distance-model featurization
@@ -3775,6 +3798,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // mirrors q_decile_lift: same integer score, same CDF bin rule
+    "q_decile_lift" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (1000000 * len(list_filter(
+        |       string_split_regex(trim(lower(text)), '\s+'),
+        |       x -> x IN ('the', 'a', 'and', 'of', 'to'))))
+        |    // greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+        |      AS score_micros,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |c AS (SELECT score_micros AS u, count(*) AS n_v FROM s GROUP BY 1),
+        |b AS (
+        |  SELECT u, coalesce(sum(n_v) OVER (ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(n_v) OVER () AS n_total
+        |  FROM c),
+        |m AS (SELECT u, least(9, cum_before * 10 // n_total) AS bin FROM b)
+        |SELECT m.bin, count(*) AS n, CAST(sum(s.y) AS BIGINT) AS n_pos,
+        |  (1000000 * CAST(sum(s.y) AS BIGINT)) // count(*) AS pos_rate_micros
+        |FROM s JOIN m ON s.score_micros = m.u
+        |GROUP BY m.bin""".stripMargin,
 
     // mirrors Profile.standardize: same exact integer moments, same
     // cancellation-free z chain (one divide, one sqrt per row)
