@@ -2884,6 +2884,22 @@ object SparkEntry {
       graft.ops.Retrieval.booleanSearch(t(s, dir, "documents"), qs)
     }),
 
+    // ---- LLM: persisted inverted index -> bucket-pruned search --------
+    // build the bucketed postings index (parquet partitionBy on
+    // crc32(term) % 64), then run conjunctive search THROUGH the index:
+    // only the query terms' partition directories are read (pruning
+    // pinned in RetrievalSpec). The oracle states boolean-search
+    // semantics with NO index — an index that loses a posting fails the
+    // hash (ops/Retrieval.buildIndex/searchIndex)
+    "q_index_search" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-invidx-q").toString
+      graft.ops.Retrieval.buildIndex(t(s, dir, "documents"), tmp)
+      graft.ops.Retrieval.searchIndex(s, tmp, Map(
+        1L -> "vector hash join", 2L -> "merge stream window filter",
+        3L -> "customer zzz-absent-term"))
+    }),
+
     // ---- quality: PSI drift report (distribution-shift monitor) -------
     // per-bin Population Stability Index of the purchase slice vs all
     // other event types over value in [0, 500), 20 bins; quantized ln
@@ -6429,6 +6445,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // distinct query terms, docs whose matched-term count equals the
     // query's term count qualify
     "q_bool_search" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'vector hash join'),
+        |    (CAST(2 AS BIGINT), 'merge stream window filter'),
+        |    (CAST(3 AS BIGINT), 'customer zzz-absent-term')),
+        |dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+        |  FROM q),
+        |n AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1)
+        |SELECT m.query_id, m.doc_id
+        |FROM (
+        |  SELECT qt.query_id, dt.doc_id, count(*) AS matched
+        |  FROM dt JOIN qt USING (term) GROUP BY 1, 2) m
+        |JOIN n USING (query_id)
+        |WHERE m.matched = n.n_terms""".stripMargin,
+
+    // index-free statement of q_index_search's final semantics: same
+    // query set as q_bool_search — a bucket-pruned read that lost a
+    // posting would fail this hash
+    "q_index_search" ->
       """WITH q(query_id, qtext) AS (VALUES
         |    (CAST(1 AS BIGINT), 'vector hash join'),
         |    (CAST(2 AS BIGINT), 'merge stream window filter'),

@@ -175,6 +175,68 @@ object Retrieval {
       .select(col(qidCol), col(idCol))
   }
 
+  /** Build a PERSISTED inverted index: (term, doc_id, tf) postings,
+    * hash-bucketed on the term into `nBuckets` partition directories —
+    * the parquet-native secondary index. A query term's bucket is
+    * computable without touching data, so [[searchIndex]] reads only
+    * |query terms| directories out of `nBuckets` (partition pruning)
+    * and pushes the term equality into those files' row groups
+    * (predicate pushdown + dictionary/bloom skipping). At 100 TB the
+    * postings table is itself huge, but a k-term query now scans
+    * ~k/nBuckets of it instead of the corpus.
+    *
+    * The bucket function is crc32(term) % nBuckets — chosen because it
+    * is cheap, stable across engines/versions, and PHYSICAL-LAYOUT-ONLY:
+    * no query RESULT depends on it, so rebuilding with a different
+    * nBuckets changes nothing but pruning granularity. Same lowercase
+    * whitespace tokenization as every text op here. */
+  def buildIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    docs
+      .select(col(idCol), explode(TextOps.words(lower(col(textCol))))
+        .as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
+  /** Conjunctive (boolean AND) search against a [[buildIndex]] index:
+    * docs containing EVERY distinct term of each query. Reads prune to
+    * the query terms' buckets before any row is touched — the plan
+    * shows PartitionFilters on `bucket` and PushedFilters on `term`.
+    * Queries are a driver-side map (human-sized, like every query
+    * surface here). Output: (query_id, doc_id). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Map[Long, String], nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qterms: Seq[(Long, String)] = queries.toSeq.flatMap { case (qid, q) =>
+      q.toLowerCase.trim.split("\\s+").toSeq.distinct.map(qid -> _) }
+    // driver-side mirror of Spark's crc32 (same polynomial, UTF-8 bytes)
+    def bucketOf(t: String): Long = {
+      val crc = new java.util.zip.CRC32
+      crc.update(t.getBytes("UTF-8"))
+      crc.getValue % nBuckets
+    }
+    val buckets = qterms.map(t => bucketOf(t._2)).distinct
+    val terms = qterms.map(_._2).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val qdf = qterms.toDF("query_id", "term")
+    val need = queries.toSeq.map { case (qid, q) =>
+      qid -> q.toLowerCase.trim.split("\\s+").toSeq.distinct.size.toLong }
+      .toDF("query_id", "n_need")
+    postings.join(broadcast(qdf), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("matched"))
+      .join(broadcast(need), Seq("query_id"))
+      .where(col("matched") === col("n_need"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
   /** Reciprocal rank fusion (Cormack et al. 2009): combine N ranked
     * lists for the same queries into one ranking by
     *

@@ -149,6 +149,33 @@ class RetrievalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("persisted index: search equals direct booleanSearch; reads prune") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha delta"), (3L, "beta gamma"),
+      (4L, "alpha beta unrelated words here")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+    Retrieval.buildIndex(docs, tmp, nBuckets = 16)
+    val queries = Map(1L -> "alpha beta", 2L -> "gamma", 3L -> "absent")
+    val viaIndex = Retrieval.searchIndex(spark, tmp, queries, nBuckets = 16)
+      .as[(Long, Long)].collect().toSet
+    val qdf = queries.toSeq.map { case (k, v) => (k, v) }
+      .toDF("query_id", "qtext")
+    val direct = Retrieval.booleanSearch(docs, qdf)
+      .as[(Long, Long)].collect().toSet
+    assert(viaIndex == direct)
+    assert(viaIndex == Set((1L, 1L), (1L, 4L), (2L, 1L), (2L, 3L)))
+    // the scan prunes to the query terms' bucket directories
+    val plan = Retrieval.searchIndex(spark, tmp, Map(1L -> "alpha"),
+        nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    // a rebuilt index with different bucketing answers identically
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-invidx2").toString
+    Retrieval.buildIndex(docs, tmp2, nBuckets = 3)
+    assert(Retrieval.searchIndex(spark, tmp2, queries, nBuckets = 3)
+      .as[(Long, Long)].collect().toSet == direct)
+  }
+
   test("rrfFuse: hand-computed fusion, missing-doc convention, tie-break") {
     // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 is the
     // consensus pick: 1M/(60+2)+1M/(60+1) = 16129+16393 = 32522
