@@ -2884,6 +2884,16 @@ object SparkEntry {
       graft.ops.Retrieval.booleanSearch(t(s, dir, "documents"), qs)
     }),
 
+    // ---- LLM: distinctive vocabulary between corpus slices ------------
+    // Fightin'-Words log-odds z with add-one prior: which terms mark the
+    // en slice against the rest — quantized lns, exact BIGINT counts,
+    // top-40 by (z desc, term) (ops/TextOps.distinctiveTerms)
+    "q_distinctive_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.distinctiveTerms(docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"), k = 40)
+    }),
+
     // ---- LLM: persisted inverted index -> bucket-pruned search --------
     // build the bucketed postings index (parquet partitionBy on
     // crc32(term) % 64), then run conjunctive search THROUGH the index:
@@ -6464,6 +6474,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM dt JOIN qt USING (term) GROUP BY 1, 2) m
         |JOIN n USING (query_id)
         |WHERE m.matched = n.n_terms""".stripMargin,
+
+    // mirrors TextOps.distinctiveTerms: same add-one log-odds, same
+    // 1e-6 ln quantization, same (z desc, term) total order
+    "q_distinctive_terms" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |tot AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM j),
+        |z AS (
+        |  SELECT term, cnt_a, cnt_b,
+        |    round((round(ln(CAST(cnt_a + 1 AS DOUBLE)
+        |        / CAST(tot_a + v - cnt_a - 1 AS DOUBLE)), 6)
+        |      - round(ln(CAST(cnt_b + 1 AS DOUBLE)
+        |        / CAST(tot_b + v - cnt_b - 1 AS DOUBLE)), 6))
+        |      / sqrt(1.0 / CAST(cnt_a + 1 AS DOUBLE)
+        |        + 1.0 / CAST(cnt_b + 1 AS DOUBLE)), 6) AS z_score
+        |  FROM j CROSS JOIN tot
+        |  WHERE cnt_a + cnt_b >= 5)
+        |SELECT term, cnt_a, cnt_b, z_score FROM z
+        |ORDER BY z_score DESC, term LIMIT 40""".stripMargin,
 
     // index-free statement of q_index_search's final semantics: same
     // query set as q_bool_search — a bucket-pruned read that lost a

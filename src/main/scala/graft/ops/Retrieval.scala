@@ -204,6 +204,28 @@ object Retrieval {
       .parquet(s"$path/postings")
   }
 
+  /** Incremental index maintenance: append a NEW batch's postings into
+    * the existing bucket directories — the daily-crawl path. Existing
+    * files are never rewritten (same contract as the IVF index's
+    * addToIndex); a doc present in both the base index and the batch
+    * would surface twice, so feed this the [[graft.ops.Dedup]]-deduped
+    * increment. Rebuild when bucket skew or small-file count degrades
+    * ([[graft.ops.Layout.compact]] handles the latter in place-free
+    * fashion). */
+  def appendToIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    docs
+      .select(col(idCol), explode(TextOps.words(lower(col(textCol))))
+        .as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
   /** Conjunctive (boolean AND) search against a [[buildIndex]] index:
     * docs containing EVERY distinct term of each query. Reads prune to
     * the query terms' buckets before any row is touched — the plan

@@ -776,4 +776,51 @@ object TextOps {
       .collect()
       .sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  // --------------------------------------------------------------------
+  // Distinctive terms between two corpus slices: the "Fightin' Words"
+  // log-odds ratio with an add-one (uninformative Dirichlet) prior
+  // (Monroe, Colaresi & Quinn 2008) — what vocabulary separates slice A
+  // from slice B (a lang from the rest, one source from another, this
+  // month's crawl from last month's). Per term w with counts a, b and
+  // slice token totals A, B over the joint vocabulary of size V:
+  //
+  //   delta_w = ln((a+1)/(A+V-a-1)) - ln((b+1)/(B+V-b-1))
+  //   z_w     = delta_w / sqrt(1/(a+1) + 1/(b+1))
+  //
+  // Determinism: each ln is quantized to 1e-6 (the lmScore/collocations
+  // rule — absorbs libm last-ulp differences); everything else is a
+  // fixed IEEE sequence over exact BIGINT counts, and the output z is
+  // re-quantized so the (z desc, term) order is total on any engine.
+  //
+  // Scale shape: two token-keyed count aggregations, one full-outer
+  // join on the term domain, ONE 1-row totals aggregate broadcast back
+  // (never a window over the domain), then per-row arithmetic and a
+  // TakeOrdered top-k.
+  // --------------------------------------------------------------------
+  def distinctiveTerms(docsA: DataFrame, docsB: DataFrame, k: Int,
+      minCount: Long = 5L, textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(words(lower(col(textCol)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val joined = counts(docsA, "cnt_a")
+      .join(counts(docsB, "cnt_b"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals)) // 1-row scalar attach
+      .where(col("cnt_a") + col("cnt_b") >= minCount)
+      .withColumn("la", round(log((col("cnt_a") + 1).cast("double") /
+        (col("tot_a") + col("v") - col("cnt_a") - 1).cast("double")), 6))
+      .withColumn("lb", round(log((col("cnt_b") + 1).cast("double") /
+        (col("tot_b") + col("v") - col("cnt_b") - 1).cast("double")), 6))
+      .withColumn("z_score", round((col("la") - col("lb")) /
+        sqrt(lit(1.0) / (col("cnt_a") + 1).cast("double") +
+          lit(1.0) / (col("cnt_b") + 1).cast("double")), 6))
+      .orderBy(col("z_score").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("z_score"))
+  }
 }

@@ -176,6 +176,36 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == direct)
   }
 
+  test("appendToIndex: increment lands without rewriting base files") {
+    val base = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-app").toString
+    Retrieval.buildIndex(base, tmp, nBuckets = 4)
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    val baseFiles = try {
+      import scala.jdk.CollectionConverters._
+      before.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files
+          .getLastModifiedTime(p)).toMap
+    } finally before.close()
+    Retrieval.appendToIndex(Seq((9L, "alpha gamma")).toDF("doc_id", "text"),
+      tmp, nBuckets = 4)
+    // old docs and the appended one both answer
+    val got = Retrieval.searchIndex(spark, tmp, Map(1L -> "alpha"),
+      nBuckets = 4).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (1L, 2L), (1L, 9L)))
+    // base files untouched (same path, same mtime)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try {
+      import scala.jdk.CollectionConverters._
+      val now = after.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+      assert(baseFiles.forall { case (p, t) => now.get(p).contains(t) })
+      assert(now.size > baseFiles.size, "append must add files")
+    } finally after.close()
+  }
+
   test("rrfFuse: hand-computed fusion, missing-doc convention, tie-break") {
     // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 is the
     // consensus pick: 1M/(60+2)+1M/(60+1) = 16129+16393 = 32522

@@ -591,4 +591,28 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(shuffles.size <= 1, s"document side must not shuffle:\n$plan")
   }
+
+  test("distinctiveTerms: planted slice markers surface with the right sign") {
+    import spark.implicits._
+    // 'spam' saturates slice A, 'ham' saturates slice B; 'shared' is
+    // common to both and must not dominate either direction
+    val a = (1 to 20).map(i => (i.toLong, "spam spam shared filler" + i))
+      .toDF("doc_id", "text")
+    val b = (1 to 20).map(i => (100L + i, "ham ham shared filler" + i))
+      .toDF("doc_id", "text")
+    val top = TextOps.distinctiveTerms(a, b, k = 3, minCount = 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(top.head._1 == "spam" && top.head._2 == 40L && top.head._3 == 0L)
+    assert(top.head._4 > 0, "A-distinctive terms carry positive z")
+    // the B marker sits at the NEGATIVE extreme, below 'shared'
+    val all = TextOps.distinctiveTerms(a, b, k = 100, minCount = 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(all.last._1 == "ham" && all.last._4 < 0)
+    val shared = all.find(_._1 == "shared").get
+    assert(math.abs(shared._4) < all.head._4.abs)
+    // symmetry: swapping slices negates the planted markers' ordering
+    val sw = TextOps.distinctiveTerms(b, a, k = 3, minCount = 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(sw.head._1 == "ham")
+  }
 }
