@@ -2884,6 +2884,13 @@ object SparkEntry {
       graft.ops.Retrieval.booleanSearch(t(s, dir, "documents"), qs)
     }),
 
+    // ---- LLM: source vocabulary overlap matrix ------------------------
+    // pairwise distinct-term Jaccard between the 20 fixture sources —
+    // term-keyed pair join bounded by |vocab| x C(20,2), exact micros
+    // (ops/TextOps.sourceOverlap)
+    "q_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(t(s, dir, "documents"), "source")),
+
     // ---- LLM: distinctive vocabulary between corpus slices ------------
     // Fightin'-Words log-odds z with add-one prior: which terms mark the
     // en slice against the rest — quantized lns, exact BIGINT counts,
@@ -6474,6 +6481,26 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM dt JOIN qt USING (term) GROUP BY 1, 2) m
         |JOIN n USING (query_id)
         |WHERE m.matched = n.n_terms""".stripMargin,
+
+    // mirrors TextOps.sourceOverlap: same distinct (source, term)
+    // universe, same truncating micros Jaccard
+    "q_source_overlap" ->
+      """WITH gt AS (
+        |  SELECT DISTINCT source AS g,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE source IS NOT NULL),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gt GROUP BY 1),
+        |pr AS (
+        |  SELECT x.g AS src_a, y.g AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM gt x JOIN gt y ON x.term = y.term AND x.g < y.g
+        |  GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b, sa.n AS n_a, sb.n AS n_b, pr.n_both,
+        |  (1000000 * pr.n_both) // (sa.n + sb.n - pr.n_both)
+        |    AS jaccard_micros
+        |FROM pr
+        |JOIN sz sa ON pr.src_a = sa.g
+        |JOIN sz sb ON pr.src_b = sb.g""".stripMargin,
 
     // mirrors TextOps.distinctiveTerms: same add-one log-odds, same
     // 1e-6 ln quantization, same (z desc, term) total order

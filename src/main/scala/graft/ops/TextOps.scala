@@ -798,6 +798,40 @@ object TextOps {
   // (never a window over the domain), then per-row arithmetic and a
   // TakeOrdered top-k.
   // --------------------------------------------------------------------
+  /** Pairwise vocabulary overlap between corpus slices — the source
+    * overlap matrix ("how much does crawl X duplicate wiki Y's
+    * vocabulary") behind mixture design and provenance audits. For each
+    * unordered slice pair: distinct-term counts, the intersection
+    * count, and exact Jaccard in truncating micros.
+    *
+    * Scale shape: the (group, term) table is DISTINCT first, the
+    * pair-generating self-join is TERM-keyed — a term contributes at
+    * most (#groups choose 2) pairs regardless of corpus size, so the
+    * join output is bounded by |vocab| · C(#groups, 2); with
+    * human-count-sized groups (sources, languages, crawls) that is
+    * vocabulary-scale, never corpus-scale. Pairs with zero overlap are
+    * absent (they never meet in the join). */
+  def sourceOverlap(docs: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val gt = docs.where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        explode(words(lower(col(textCol)))).as("term"))
+      .distinct()
+    val sizes = gt.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    gt.as("x").join(gt.as("y"),
+        col("x.term") === col("y.term") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("src_a"), col("y.g").as("src_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("g").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("g").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("(1000000L * n_both) div (n_a + n_b - n_both)")
+          .as("jaccard_micros"))
+  }
+
   def distinctiveTerms(docsA: DataFrame, docsB: DataFrame, k: Int,
       minCount: Long = 5L, textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
