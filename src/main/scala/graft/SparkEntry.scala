@@ -614,6 +614,22 @@ object SparkEntry {
         .select(col("w.start").cast("string").as("win_start"),
           col("event_type"), col("n"))),
 
+    // ---- extension: exact ROC AUC (Mann-Whitney, tie-corrected) -------
+    // does the stopword-ratio score separate en from non-en? the decile
+    // lift's single-number companion: all-integer doubled tie-averaged
+    // ranks, one truncating micros divide (ops/Profile.aucExact)
+    "q_auc" -> ((s, dir) => {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val scored = t(s, dir, "documents")
+        .withColumn("__ns", size(filter(ws,
+          w => w.isin("the", "a", "and", "of", "to"))).cast("long"))
+        .withColumn("__nt", greatest(size(ws), lit(1)).cast("long"))
+        .withColumn("score_micros", expr("(1000000L * __ns) div __nt"))
+        .select(col("score_micros"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      graft.ops.Profile.aucExact(scored, "score_micros", "y")
+    }),
+
     // ---- extension: decile lift / calibration table -------------------
     // the model-eval companion of the quality-score family: docs bucketed
     // into exact score deciles (binByQuantile over the integer-micros
@@ -3831,6 +3847,37 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT CAST(make_timestamp(ws * 1000000) AS VARCHAR) AS win_start,
         |  event_type, count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Profile.aucExact: same integer score, same doubled
+    // tie-averaged rank construction
+    "q_auc" ->
+      """WITH s AS (
+        |  SELECT (1000000 * len(list_filter(
+        |       string_split_regex(trim(lower(text)), '\s+'),
+        |       x -> x IN ('the', 'a', 'and', 'of', 'to'))))
+        |    // greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+        |      AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT sc, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(y) AS BIGINT) AS m_pos
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT *, coalesce(sum(m) OVER (ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM g),
+        |f AS (
+        |  SELECT CAST(sum(m_pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(m) - sum(m_pos) AS BIGINT) AS n_neg,
+        |    CAST(sum(m_pos * (2 * cum_before + m + 1)) AS BIGINT) AS r2
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE (1000000 * (r2 - n_pos * (n_pos + 1)))
+        |            // (2 * n_pos * n_neg) END AS auc_micros
+        |FROM f""".stripMargin,
 
     // mirrors q_decile_lift: same integer score, same CDF bin rule
     "q_decile_lift" ->

@@ -371,6 +371,43 @@ object Profile {
           " / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END").as("z"))
   }
 
+  /** Exact ROC AUC — the Mann–Whitney U statistic with tie-averaged
+    * ranks, computed ENTIRELY in integers: with doubled tie-averaged
+    * ranks (a tied group spanning ranks [c+1, c+m] has doubled average
+    * rank 2c+m+1, an integer), the rank-sum over positives R2 gives
+    *
+    *   AUC = (R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+    *
+    * emitted as a truncating micros divide — the one ML-eval number
+    * everyone compares across systems, stated so no two systems can
+    * disagree. NULL scores/labels are excluded; a degenerate input
+    * (no positives or no negatives) yields a NULL AUC.
+    *
+    * Scale shape: one aggregation to the distinct-score domain with
+    * per-score positive/total counts, one cumulative window over that
+    * domain (domain-sized, not row-sized), one scalar fold. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val rows = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol).cast("long") > 0, 1L).otherwise(0L).as("y"))
+    val byScore = rows.groupBy(col("s"))
+      .agg(count(lit(1)).as("m"), sum(col("y")).as("m_pos"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_before", coalesce(sum(col("m")).over(wCum), lit(0L)))
+      // doubled tie-averaged rank of this score group, times its positives
+      .withColumn("r2_contrib",
+        col("m_pos") * (lit(2L) * col("cum_before") + col("m") + 1L))
+      .agg(sum(col("m_pos")).as("n_pos"),
+        (sum(col("m")) - sum(col("m_pos"))).as("n_neg"),
+        sum(col("r2_contrib")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL" +
+          " ELSE (1000000L * (r2 - n_pos * (n_pos + 1L)))" +
+          " div (2L * n_pos * n_neg) END").as("auc_micros"))
+  }
+
   /** Join preflight — the cardinality report to run BEFORE a 100 TB
     * join ships: per-side row and key counts, matched-key count, the
     * EXACT output cardinality of the inner equi-join

@@ -321,6 +321,23 @@ class ProfileSpec extends SparkSpec {
       ("y", 1L, 0L, Some(500000L), None, None)))
   }
 
+  test("aucExact: perfect, random, tie-corrected, degenerate cases") {
+    def auc(rows: Seq[(Long, Long)]): Option[Long] =
+      Profile.aucExact(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Option[Long])].collect().head._3
+    // perfect separation
+    assert(auc(Seq((10L, 1L), (20L, 1L), (1L, 0L), (2L, 0L)))
+      == Some(1000000L))
+    // one pos between two negs: wins one pair, loses one -> 0.5
+    assert(auc(Seq((3L, 1L), (1L, 0L), (5L, 0L))) == Some(500000L))
+    // full tie: tie-averaged ranks give exactly 0.5
+    assert(auc(Seq((2L, 1L), (2L, 1L), (2L, 0L))) == Some(500000L))
+    // inverted scores
+    assert(auc(Seq((1L, 1L), (9L, 0L))) == Some(0L))
+    // degenerate: single class -> NULL
+    assert(auc(Seq((1L, 1L), (2L, 1L))).isEmpty)
+  }
+
   test("joinPreflight: exact inner-join cardinality, hot key, null keys out") {
     val left = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("lk")
     val right = Seq(1L, 2L, 2L, 5L).toDF("rk")
