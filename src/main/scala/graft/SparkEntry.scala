@@ -2378,6 +2378,27 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: incremental NEAR-dup vs a persisted signature index -----
+    // the daily-crawl pattern at 100 TB: the standing corpus's MinHash
+    // buckets + shingle sets persist once (saveSignatureIndex); a new
+    // batch joins the bucket table and confirms exact Jaccard against
+    // the saved sets — corpus text never re-read. Planted exact copies
+    // (docs 0..24 at id+500000) with threshold 1.0 give the same
+    // planted-truth closed form as q_minhash_lsh
+    // (ops/Dedup.incrementalNearDups)
+    "q_dedup_incr_near" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sigidx-q").toString
+      Dedup.saveSignatureIndex(docs, tmp, "doc_id", "text")
+      val batch = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      Dedup.incrementalNearDups(batch, tmp, "doc_id", "text",
+        threshold = 1.0)
+    }),
+
     // ---- LLM: SimHash near-dup (exact for hamming<=k by pigeonhole) ---
     // Incremental-batch framing with a planted-truth oracle: a "new batch"
     // of exact copies (docs 0..24, id+100000) is deduped against the
@@ -5890,6 +5911,13 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
 
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+        |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // planted-truth closed form (the q_minhash_lsh argument): exact
+    // copies share every band; threshold 1.0 confirms only them
+    "q_dedup_incr_near" ->
+      """SELECT doc_id + 500000 AS batch_id, doc_id AS corpus_id,
+        |  1.0 AS jaccard
         |FROM documents WHERE doc_id < 25""".stripMargin,
 
     "q_text_stats" ->

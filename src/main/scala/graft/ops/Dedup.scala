@@ -486,6 +486,55 @@ object Dedup {
   /** Shared exact-Jaccard confirm pass: re-attach shingle sets to candidate
     * id-pairs (two id-keyed joins — cheap, hits only candidates) and keep
     * pairs at or above the threshold. */
+  /** Persist a MinHash signature index for the standing corpus: the
+    * band-bucket table (what a new batch joins against) AND the shingle
+    * sets (what the exact-Jaccard confirm re-attaches) — together they
+    * make near-dup checks against a 100 TB corpus possible WITHOUT ever
+    * rescanning its text. The md5 exact-fingerprint analogue is
+    * [[newUnseen]]; this is its near-duplicate counterpart. */
+  def saveSignatureIndex(docs: DataFrame, path: String, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): Unit = {
+    import graft.functions.ShingleExprs._
+    val sets = docs.select(longId(docs, idCol).as("id"),
+      shingleHash64(col(textCol), shingleN).as("sh"))
+    sets.write.mode("overwrite").parquet(s"$path/sets")
+    sets.select(col("id"), explode(bandKeys(minhashSig64(col("sh"),
+        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Near-dups of a NEW batch against a [[saveSignatureIndex]] corpus:
+    * batch signatures join the saved bucket table band-wise (the only
+    * corpus-sized side is the bucket index, keyed on the band bucket),
+    * then candidates confirm with the exact Jaccard over the saved
+    * shingle sets — same recall guarantee as [[minhashNearDups]], with
+    * the standing corpus's TEXT never read. Signature parameters must
+    * match the ones the index was built with (a mismatch simply finds
+    * nothing — bucket strings embed the band structure). Batch ids must
+    * be disjoint from corpus ids (the confirm re-attaches sets BY id; a
+    * collision would cross-wire them). Output:
+    * (batch_id, corpus_id, jaccard). */
+  def incrementalNearDups(batch: DataFrame, path: String, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.ShingleExprs._
+    val spark = batch.sparkSession
+    val bSets = batch.select(longId(batch, idCol).as("id"),
+      shingleHash64(col(textCol), shingleN).as("sh"))
+    val bBuckets = bSets.select(col("id"),
+      explode(bandKeys(minhashSig64(col("sh"), bands * rowsPerBand),
+        bands, rowsPerBand)).as("bucket"))
+    val saved = spark.read.parquet(s"$path/buckets")
+    val cand = bBuckets.as("b").join(saved.as("c"), Seq("bucket"))
+      .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    val allSets = bSets.unionByName(spark.read.parquet(s"$path/sets"))
+    confirmJaccard(cand, allSets, threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        col("jaccard"))
+  }
+
   private def confirmJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cand

@@ -364,4 +364,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.representatives(docs, pairs, "doc_id").columns.toSeq ==
       Seq("doc_id", "text"))
   }
+
+  test("incremental near-dups vs a persisted index == one-shot minhash") {
+    Graft.init(spark)
+    val mk = (i: Long, t: String) => (i, t)
+    val corpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(2L, "completely different content about spark physical planning"),
+      mk(3L, "a third document with its own unique words and phrasing here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-copy of doc 1 (one word changed)
+      mk(101L, "the quick brown fox jumps over the lazy cat again and again"),
+      mk(102L, "entirely novel text that matches nothing in the index"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text")
+    val inc = Dedup.incrementalNearDups(batch, tmp, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // oracle: the one-shot op over the union, restricted to cross pairs
+    val oneShot = Dedup.minhashNearDups(corpus.unionByName(batch),
+        "doc_id", "text", threshold = 0.5)
+      .where(col("id_a") <= 3L && col("id_b") >= 101L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (c, b, j) => (b, c, j) }.toSet
+    assert(inc == oneShot)
+    assert(inc.map(p => (p._1, p._2)) == Set((101L, 1L)))
+    // the novel batch doc matches nothing; index files were not rewritten
+    assert(!inc.exists(_._1 == 102L))
+  }
 }
