@@ -2378,6 +2378,27 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- scale mechanics: atomic multi-table snapshot commit ----------
+    // manifest-published versioned writes: v1 lands a stale slice, v2
+    // the full aggregate, then a FAILED v3 (data directory written,
+    // manifest never renamed). The read resolves through the manifest
+    // and must see exactly v2 — the oracle states v2's content, so a
+    // torn read of v1 or v3 fails the hash
+    // (ops/Layout.commitSnapshot/readSnapshot)
+    "q_snapshot_commit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-snap-q").toString
+      val li = t(s, dir, "lineitem")
+      graft.ops.Layout.commitSnapshot(Map(
+        "rf" -> li.where(col("l_orderkey") <= 100)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))), tmp)
+      graft.ops.Layout.commitSnapshot(Map(
+        "rf" -> li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))), tmp)
+      li.limit(1).write.parquet(s"$tmp/rf/v3") // torn write, no manifest
+      graft.ops.Layout.readSnapshot(s, tmp, "rf")
+    }),
+
     // ---- LLM: incremental NEAR-dup vs a persisted signature index -----
     // the daily-crawl pattern at 100 TB: the standing corpus's MinHash
     // buckets + shingle sets persist once (saveSignatureIndex); a new
@@ -5912,6 +5933,12 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // the committed (v2) snapshot's content, stated directly: a reader
+    // that saw the v1 slice or the torn v3 directory would hash-fail
+    "q_snapshot_commit" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // planted-truth closed form (the q_minhash_lsh argument): exact
     // copies share every band; threshold 1.0 confirms only them

@@ -174,4 +174,66 @@ object Layout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*).parquet(path)
   }
+
+  /** Atomic MULTI-TABLE snapshot commit — the manifest pattern under
+    * every table format (Iceberg/Delta reduce to it): each table writes
+    * to a fresh versioned directory, and only after EVERY write
+    * succeeds does one atomic rename publish a manifest naming the new
+    * directories. Readers resolve through the manifest, so a crash
+    * after any subset of table writes leaves them on the previous
+    * consistent snapshot — no torn reads across tables, no cleanup
+    * required before retrying (orphan version directories are inert
+    * garbage, collectable any time). Version ids are monotonically
+    * increasing; the manifest is tiny (one line per table).
+    *
+    * This is the cross-TABLE atomicity complement to
+    * [[upsertPartitions]] (within-table idempotent re-lands) and the
+    * streaming rollup sink's batch-id fence (exactly-once deltas). */
+  def commitSnapshot(tables: Map[String, DataFrame], path: String): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(tables.nonEmpty, "commitSnapshot needs at least one table")
+    require(tables.keys.forall(n => n.nonEmpty && !n.contains('/')
+        && !n.contains('\t') && !n.contains('\n') && n != ".."),
+      "table names must be plain directory names")
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val version = currentVersion(path) + 1
+    // 1. write every table's data under its new version directory
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$name/v$version")
+    }
+    // 2. publish: write the manifest aside, then ATOMIC_MOVE into place
+    val lines = tables.keys.toSeq.sorted.map(n => s"$n\tv$version")
+    val tmp = root.resolve(s".manifest.v$version.tmp")
+    Files.write(tmp, (s"version\t$version\n" + lines.mkString("\n"))
+      .getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("manifest"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** The committed snapshot's version (0 when nothing is published). */
+  def currentVersion(path: String): Long = {
+    val m = java.nio.file.Paths.get(path, "manifest")
+    if (!java.nio.file.Files.exists(m)) 0L
+    else new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      .linesIterator.next().split('\t')(1).toLong
+  }
+
+  /** Read one table of the CURRENT committed snapshot. Writers landing
+    * a new version concurrently are invisible until their manifest
+    * rename. */
+  def readSnapshot(spark: SparkSession, path: String,
+      table: String): DataFrame = {
+    val m = java.nio.file.Paths.get(path, "manifest")
+    require(java.nio.file.Files.exists(m),
+      s"no committed snapshot at $path")
+    val dirs = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      .linesIterator.drop(1)
+      .map(_.split('\t')).map(a => a(0) -> a(1)).toMap
+    val v = dirs.getOrElse(table, throw new NoSuchElementException(
+      s"table '$table' not in snapshot at $path (has ${dirs.keys.toSeq.sorted})"))
+    spark.read.parquet(s"$path/$table/$v")
+  }
 }

@@ -219,4 +219,34 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet == out1)
     assert(files("part=b") == bBefore && files("part=c") == cBefore)
   }
+
+  test("snapshot commit: cross-table atomicity, torn writes invisible") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val a1 = Seq((1, "x")).toDF("id", "v")
+    val b1 = Seq((1, 10L)).toDF("id", "n")
+    assert(Layout.commitSnapshot(Map("a" -> a1, "b" -> b1), root) == 1L)
+    assert(Layout.currentVersion(root) == 1L)
+    // v2 changes BOTH tables in one commit
+    val a2 = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b2 = Seq((2, 20L)).toDF("id", "n")
+    assert(Layout.commitSnapshot(Map("a" -> a2, "b" -> b2), root) == 2L)
+    assert(Layout.readSnapshot(spark, root, "a")
+      .as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y")))
+    assert(Layout.readSnapshot(spark, root, "b")
+      .as[(Int, Long)].collect().toSet == Set((2, 20L)))
+    // a torn v3 (one table's data lands, manifest never renames):
+    // readers of BOTH tables stay on v2 — no cross-table mix
+    Seq((99, "torn")).toDF("id", "v").write.parquet(s"$root/a/v3")
+    assert(Layout.currentVersion(root) == 2L)
+    assert(Layout.readSnapshot(spark, root, "a")
+      .as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y")))
+    // a retry after the torn write commits v3 cleanly ON TOP
+    assert(Layout.commitSnapshot(Map("a" -> a1, "b" -> b1), root) == 3L)
+    assert(Layout.readSnapshot(spark, root, "a")
+      .as[(Int, String)].collect().toSet == Set((1, "x")))
+    // unknown table fails loudly; illegal names rejected
+    intercept[NoSuchElementException](Layout.readSnapshot(spark, root, "zz"))
+    intercept[IllegalArgumentException](
+      Layout.commitSnapshot(Map("../evil" -> a1), root))
+  }
 }
