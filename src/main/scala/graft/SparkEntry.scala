@@ -2378,6 +2378,47 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: corpus data card (per-source release manifest) ----------
+    // the summary table a corpus release ships with: per source, doc and
+    // token counts, char volume, dominant language (deterministic
+    // (count, lang) argmax), and corpus share in exact micros — one
+    // grouped aggregation plus a 1-row totals attach
+    "q_data_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__nt", TextOps.nTokens(col("text")))
+      val per = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      val perLang = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val topLang = perLang
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("c").desc, col("lang"))))
+        .where(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      per.join(topLang, Seq("source"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("__tot"))))
+        .withColumn("share_micros", expr("(1000000L * n_docs) div __tot"))
+        .drop("__tot")
+    }),
+
+    // ---- LLM: ingestion rate limiting (max N docs per source-hour) ----
+    // deterministic throttle: within each (source, hour) cell keep the
+    // first N docs by (doc_id) total order — the crawler backpressure
+    // rule stated as a window, reproducible on any engine. Fixture docs
+    // have no timestamps, so the hour derives from doc_id (stated in
+    // the oracle identically); caps bind naturally at sf0.01
+    "q_rate_limit" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("hour", (col("doc_id") % 7).cast("long"))
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("source"), col("hour"))
+          .orderBy(col("doc_id"))))
+        .where(col("__rn") <= 2)
+        .select(col("source"), col("hour"), col("doc_id"))),
+
     // ---- scale mechanics: atomic multi-table snapshot commit ----------
     // manifest-published versioned writes: v1 lands a stale slice, v2
     // the full aggregate, then a FAILED v3 (data directory written,
@@ -5933,6 +5974,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // mirrors q_data_card: nTokens' empty-doc-is-zero convention, the
+    // (count desc, lang) dominant-language total order, micros share
+    "q_data_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY 1),
+        |pl AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang) AS rn FROM pl)
+        |  WHERE rn = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d)
+        |SELECT per.source, per.n_docs, per.n_tokens, per.n_chars,
+        |  tl.top_lang, (1000000 * per.n_docs) // tot.t AS share_micros
+        |FROM per JOIN tl USING (source) CROSS JOIN tot""".stripMargin,
+
+    // mirrors q_rate_limit's window cap on the same derived hour
+    "q_rate_limit" ->
+      """SELECT source, hour, doc_id FROM (
+        |  SELECT source, doc_id % 7 AS hour, doc_id,
+        |    row_number() OVER (PARTITION BY source, doc_id % 7
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 2""".stripMargin,
 
     // the committed (v2) snapshot's content, stated directly: a reader
     // that saw the v1 slice or the torn v3 directory would hash-fail
