@@ -371,6 +371,58 @@ object Profile {
           " / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END").as("z"))
   }
 
+  /** Physical-plan shape report — the numbers a reviewer greps
+    * `.explain` for, as data: exchange/broadcast/scan/codegen-span
+    * counts and the two scale-killer flags (cartesian product,
+    * broadcast nested loop). Pure plan inspection: nothing executes.
+    * Pair with [[requirePlan]] to turn a plan audit into a CI gate. */
+  final case class PlanReport(nExchanges: Int, nBroadcastExchanges: Int,
+      nScans: Int, nCodegenSpans: Int, hasCartesian: Boolean,
+      hasBroadcastNestedLoop: Boolean)
+
+  def planReport(df: DataFrame): PlanReport = {
+    import org.apache.spark.sql.execution._
+    // under AQE the root is an AdaptiveSparkPlanExec whose children are
+    // materialized lazily — count over the CURRENT inner physical plan
+    val root = df.queryExecution.executedPlan match {
+      case a: adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = root.collect { case p => p }
+    PlanReport(
+      nExchanges = nodes.count(
+        _.isInstanceOf[exchange.ShuffleExchangeExec]),
+      nBroadcastExchanges = nodes.count(
+        _.isInstanceOf[exchange.BroadcastExchangeExec]),
+      nScans = nodes.count(n =>
+        n.isInstanceOf[FileSourceScanExec] || n.nodeName.contains("Scan")),
+      nCodegenSpans = nodes.count(
+        _.isInstanceOf[WholeStageCodegenExec]),
+      hasCartesian = nodes.exists(
+        _.isInstanceOf[joins.CartesianProductExec]),
+      hasBroadcastNestedLoop = nodes.exists(
+        _.isInstanceOf[joins.BroadcastNestedLoopJoinExec]))
+  }
+
+  /** Plan guardrail: fail BEFORE running a query whose physical plan
+    * broke its scale contract — the regression usually arrives silently
+    * (a lost broadcast hint, a join key type change degrading to
+    * nested-loop) and is cheaper to catch at plan time than at hour
+    * three of a 100 TB run. `allowNestedLoop` exists because a 1-row
+    * scalar attach legitimately plans as a broadcast nested loop. */
+  def requirePlan(df: DataFrame, maxExchanges: Int = Int.MaxValue,
+      forbidCartesian: Boolean = true,
+      allowNestedLoop: Boolean = false): DataFrame = {
+    val r = planReport(df)
+    require(r.nExchanges <= maxExchanges,
+      s"plan has ${r.nExchanges} shuffle exchanges (max $maxExchanges)")
+    require(!forbidCartesian || !r.hasCartesian,
+      "plan contains a CartesianProduct")
+    require(allowNestedLoop || !r.hasBroadcastNestedLoop,
+      "plan contains a BroadcastNestedLoopJoin")
+    df
+  }
+
   /** Exact ROC AUC — the Mann–Whitney U statistic with tie-averaged
     * ranks, computed ENTIRELY in integers: with doubled tie-averaged
     * ranks (a tied group spanning ranks [c+1, c+m] has doubled average

@@ -321,6 +321,24 @@ class ProfileSpec extends SparkSpec {
       ("y", 1L, 0L, Some(500000L), None, None)))
   }
 
+  test("planReport counts shapes; requirePlan gates scale-killers") {
+    val a = (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
+    val b = (1 to 10).map(i => (i, s"v$i")).toDF("k", "v")
+    val joined = a.join(b, "k").groupBy("v").count()
+    val r = Profile.planReport(joined)
+    assert(r.nExchanges >= 1 && !r.hasCartesian)
+    // a true cross join trips the guard
+    val cross = a.crossJoin(b)
+    val rc = Profile.planReport(cross)
+    assert(rc.hasCartesian || rc.hasBroadcastNestedLoop)
+    intercept[IllegalArgumentException](
+      Profile.requirePlan(cross, forbidCartesian = true))
+    // the guard passes compliant plans through unchanged
+    assert(Profile.requirePlan(joined, maxExchanges = 10) eq joined)
+    intercept[IllegalArgumentException](
+      Profile.requirePlan(joined, maxExchanges = 0))
+  }
+
   test("aucExact: perfect, random, tie-corrected, degenerate cases") {
     def auc(rows: Seq[(Long, Long)]): Option[Long] =
       Profile.aucExact(rows.toDF("s", "y"), "s", "y")
