@@ -559,6 +559,14 @@ object SparkEntry {
       Catalog.forTestdata(s, dir)
       s.sql(oracleSql("q_sql_tpch_q12"))
     }),
+    "q_sql_tpch_q10" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q10"))
+    }),
+    "q_sql_tpch_q18" -> ((s, dir) => {
+      Catalog.forTestdata(s, dir)
+      s.sql(oracleSql("q_sql_tpch_q18"))
+    }),
 
     // ---- extension: sort + limit (top-k) ------------------------------
     "q_sort_limit" -> ((s, dir) => {
@@ -3518,6 +3526,31 @@ object SparkEntry {
     * this very string through spark.sql, and the driver runs it in
     * DuckDB as the oracle for both — one query text, three routes, one
     * answer. */
+  /** Q10/Q18 in the shared ANSI subset (same one-text-three-routes
+    * contract as TpchQ3Sql). */
+  private val TpchQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  private val TpchQ18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, o_orderkey, sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN big ON o_orderkey = l_orderkey
+      |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
   private val TpchQ3Sql: String =
     """SELECT l_orderkey,
       |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
@@ -4277,28 +4310,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // the SQL-frontend route: Spark parses and runs the IDENTICAL text
     "q_sql_tpch_q3" -> TpchQ3Sql,
 
-    "q_tpch_q10" ->
-      """SELECT c_custkey, c_name, n_name,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q10" -> TpchQ10Sql,
+    "q_sql_tpch_q10" -> TpchQ10Sql,
 
-    "q_tpch_q18" ->
-      """WITH big AS (
-        |  SELECT l_orderkey,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
-        |SELECT c_name, o_orderkey, sum_qty
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN big ON o_orderkey = l_orderkey
-        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_tpch_q18" -> TpchQ18Sql,
+    "q_sql_tpch_q18" -> TpchQ18Sql,
 
     "q_tpch_q7" ->
       """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
