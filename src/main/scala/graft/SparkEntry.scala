@@ -679,6 +679,14 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_orderkey",
         t(s, dir, "orders"), "o_orderkey")),
 
+    // ---- extension: per-key lag-k autocorrelation ---------------------
+    // is the value series self-similar one step back? exact BIGINT
+    // moments over (u, lag(u)) pairs on the (sec, event_id) total order,
+    // fixed IEEE Pearson chain (ops/TimeSeries.autocorr)
+    "q_autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.autocorr(events(s, dir), "event_type",
+        Seq(col("ts_sec"), col("event_id")), "value", lagK = 1)),
+
     // ---- extension: per-key dyadic EWMA (exact smoothing gauge) -------
     // alpha=1/2 EWMA over each event type's trailing 16 values with
     // normalized power-of-two weights — all BIGINT (quantized cents,
@@ -4060,6 +4068,36 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  (SELECT k FROM j WHERE prod IS NOT NULL
         |   ORDER BY prod DESC, k DESC LIMIT 1) AS hot_key
         |FROM j""".stripMargin,
+
+    // mirrors TimeSeries.autocorr: same lag pairing on the same total
+    // order, same exact moments, same IEEE Pearson token sequence
+    "q_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        |      AS u
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |p AS (
+        |  SELECT event_type, u,
+        |    lag(u, 1) OVER (PARTITION BY event_type
+        |      ORDER BY sec, event_id) AS v
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(u * v) AS BIGINT) AS suv,
+        |    CAST(sum(u * u) AS BIGINT) AS su2,
+        |    CAST(sum(v * v) AS BIGINT) AS sv2
+        |  FROM p WHERE v IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN n_pairs * su2 - su * su = 0
+        |         OR n_pairs * sv2 - sv * sv = 0 THEN NULL
+        |       ELSE CAST(n_pairs * suv - su * sv AS DOUBLE)
+        |            / (sqrt(CAST(n_pairs * su2 - su * su AS DOUBLE))
+        |               * sqrt(CAST(n_pairs * sv2 - sv * sv AS DOUBLE)))
+        |  END AS autocorr
+        |FROM m""".stripMargin,
 
     // mirrors TimeSeries.ewmaDyadic: same trailing-16 frame list, same
     // dyadic weights (1-based list -> 1 << (i-1); Spark's 0-based

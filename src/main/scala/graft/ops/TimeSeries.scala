@@ -329,6 +329,47 @@ object TimeSeries {
       .drop("__island")
   }
 
+  /** Per-key lag-k autocorrelation — the seasonality/momentum detector
+    * (is this metric self-similar hour over hour?). Pairs each value
+    * with its k-back neighbor on a TOTAL order, then computes Pearson
+    * correlation over the pairs from EXACT BIGINT moment sums
+    * (n, Σu, Σv, Σuv, Σu², Σv² on quantized units) with one fixed IEEE
+    * final chain — the cancellation-free [[graft.ops.Profile]] moment
+    * rule, so any engine lands on the identical double. Groups with
+    * fewer than k+2 points, or zero variance on either side, emit NULL.
+    *
+    * Scale shape: one key shuffle feeds the lag window and the moment
+    * aggregation; output is one row per key. NULL/NaN values are
+    * excluded before pairing (a NULL would silently break the k-back
+    * distance). */
+  def autocorr(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: String, lagK: Int, scale: Int = 2): DataFrame = {
+    require(lagK >= 1, "lagK must be positive")
+    val unit = round(col(valueCol).cast(
+        org.apache.spark.sql.types.DecimalType(18, scale))
+        * math.pow(10, scale).toLong, 0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.where(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .withColumn("__u", unit)
+      .withColumn("__v", lag(col("__u"), lagK).over(w))
+      .where(col("__v").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__u")).as("su"), sum(col("__v")).as("sv"),
+        sum(col("__u") * col("__v")).as("suv"),
+        sum(col("__u") * col("__u")).as("su2"),
+        sum(col("__v") * col("__v")).as("sv2"))
+      .select(col(keyCol), col("n_pairs"),
+        expr("CASE WHEN n_pairs * su2 - su * su = 0" +
+          " OR n_pairs * sv2 - sv * sv = 0 THEN NULL" +
+          " ELSE CAST(n_pairs * suv - su * sv AS DOUBLE)" +
+          " / (sqrt(CAST(n_pairs * su2 - su * su AS DOUBLE))" +
+          " * sqrt(CAST(n_pairs * sv2 - sv * sv AS DOUBLE))) END")
+          .as("autocorr"))
+  }
+
   /** Per-key EWMA with EXACT dyadic weights — the smoothing gauge
     * (latency trend, spend trend) stated so no engine can disagree:
     * over each row's trailing window of up to `lookback` values

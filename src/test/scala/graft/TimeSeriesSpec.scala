@@ -234,6 +234,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 100L, 2L), (1L, 150L, 160L, 1L)))
   }
 
+  test("autocorr: perfect persistence, alternating series, degenerate NULL") {
+    import spark.implicits._
+    // strictly increasing by a constant step: lag-1 pairs are perfectly
+    // linearly related -> autocorr 1.0 exactly (integer moments)
+    val inc = (1 to 20).map(i => ("inc", i.toLong, i * 2.0))
+    // alternating +1/-1: lag-1 correlation is ~-1
+    val alt = (1 to 20).map(i => ("alt", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    // constant: zero variance -> NULL
+    val const = (1 to 10).map(i => ("const", i.toLong, 5.0))
+    val df = (inc ++ alt ++ const).toDF("k", "sec", "v")
+    val got = graft.ops.TimeSeries.autocorr(df, "k",
+        Seq(col("sec")), "v", lagK = 1)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("inc")._1 == 19L && math.abs(got("inc")._2.get - 1.0) < 1e-12)
+    assert(got("alt")._2.get < -0.99)
+    assert(got("const")._2.isEmpty)
+    // lag beyond history: no pairs -> group absent entirely
+    val far = graft.ops.TimeSeries.autocorr(df.where(col("k") === "const"),
+      "k", Seq(col("sec")), "v", lagK = 50)
+    assert(far.count() == 0)
+  }
+
   test("ewmaDyadic: hand-computed dyadic weights, lookback bound, NULL drop") {
     import spark.implicits._
     val df = Seq(
