@@ -2456,6 +2456,22 @@ object SparkEntry {
       graft.ops.Layout.readSnapshot(s, tmp, "rf")
     }),
 
+    // ---- LLM: MinHash recall harness (self-evaluating) ----------------
+    // ground truth = exact prefix-filtered Jaccard, candidates = banded
+    // MinHash, both at threshold 1.0 over the corpus + 25 planted exact
+    // copies: identical signatures make recall provably 1.0, so the
+    // closed form pins the whole measurement chain
+    // (ops/Dedup.minhashRecall)
+    "q_lsh_recall" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 25)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashRecall(docs.unionByName(planted), "doc_id", "text",
+        threshold = 1.0)
+    }),
+
     // ---- LLM: incremental NEAR-dup vs a persisted signature index -----
     // the daily-crawl pattern at 100 TB: the standing corpus's MinHash
     // buckets + shingle sets persist once (saveSignatureIndex); a new
@@ -6068,6 +6084,13 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_snapshot_commit" ->
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // planted-truth closed form: 25 exact-copy pairs are the only
+    // Jaccard-1.0 pairs, and identical signatures guarantee the banded
+    // path finds all of them
+    "q_lsh_recall" ->
+      """SELECT CAST(25 AS BIGINT) AS n_exact, CAST(25 AS BIGINT) AS n_found,
+        |  CAST(1000000 AS BIGINT) AS recall_micros""".stripMargin,
 
     // planted-truth closed form (the q_minhash_lsh argument): exact
     // copies share every band; threshold 1.0 confirms only them

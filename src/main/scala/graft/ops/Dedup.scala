@@ -486,6 +486,30 @@ object Dedup {
   /** Shared exact-Jaccard confirm pass: re-attach shingle sets to candidate
     * id-pairs (two id-keyed joins — cheap, hits only candidates) and keep
     * pairs at or above the threshold. */
+  /** Self-evaluating MinHash recall — the near-dup counterpart of
+    * [[graft.ops.Similarity.annRecall]]: ground truth from the EXACT
+    * prefix-filtered Jaccard join, probabilistic candidates from the
+    * banded MinHash path, one row out (n_exact, n_found, recall in
+    * micros). Run on a SAMPLE at scale (exact all-pairs ground truth is
+    * the expensive side); the number says whether the current
+    * bands×rowsPerBand setting is losing real duplicates, BEFORE a
+    * 100 TB dedup ships with it. Pair counts compare as unordered
+    * (id_a < id_b on both sides already). */
+  def minhashRecall(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairs(docs, idCol, textCol, shingleN, threshold)
+      .select(col("id_a"), col("id_b"))
+    val lsh = minhashNearDups(docs, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold).select(col("id_a"), col("id_b"))
+    val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_exact"), col("n_found"),
+        expr("CASE WHEN n_exact = 0 THEN NULL" +
+          " ELSE (1000000L * n_found) div n_exact END").as("recall_micros"))
+  }
+
   /** Persist a MinHash signature index for the standing corpus: the
     * band-bucket table (what a new batch joins against) AND the shingle
     * sets (what the exact-Jaccard confirm re-attaches) — together they
