@@ -103,6 +103,27 @@ object StreamOps {
     deduped.drop("_fp")
   }
 
+  /** Streaming URL-level dedup: canonicalize each record's URL
+    * ([[graft.ops.Urls.canonicalize]] — per-row, stateless, pipelines in
+    * the source stage) and keep the FIRST record per canonical form
+    * within the watermark window. The cheapest dedup a live crawl
+    * ingest runs, upstream of any content hashing; state is one
+    * canonical string per kept URL, watermark-evicted. Works on a batch
+    * frame identically (plain dropDuplicates), so the batch run is the
+    * streaming oracle — parity pinned in StreamingSpec. The canonical
+    * form is RETAINED as `canonical_url` (downstream joins key on it). */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    require(!df.columns.contains("canonical_url"),
+      "dedupByCanonicalUrl reserves the column name canonical_url")
+    val canon = df.withColumn("canonical_url",
+      graft.ops.Urls.canonicalize(org.apache.spark.sql.functions.col(urlCol)))
+    if (df.isStreaming)
+      canon.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("canonical_url")
+    else canon.dropDuplicates("canonical_url")
+  }
+
   /** Streaming corpus ingestion: the composed pipeline a training-data
     * ingest job runs CONTINUOUSLY — quality gate (per-row, pipelines in
     * the source stage) → watermark-bounded fingerprint dedup → per-source

@@ -89,6 +89,16 @@ class FreqSpec extends SparkSpec {
     assert(n2 == 309L && m2("hot") == m("hot") + 7L && m2("other") == 2L)
   }
 
+  test("confirm pass plan: broadcast semi-join, no value-domain-wide sort") {
+    val pairs = Seq("a" -> 50) ++ (1 to 200).map(i => s"t$i" -> 1)
+    val plan = Freq.heavyHitters(corpus(pairs, 4), "v", 1, 10)
+      .queryExecution.executedPlan.toString
+    // candidates broadcast into the confirm scan (semi-join, pipelined)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"confirm must broadcast-semi-join the candidate set:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
   test("illegal frequency floors fail loudly") {
     val df = Seq("a").toDF("v")
     intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 0, 10))

@@ -149,6 +149,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 4L))
   }
 
+  test("streaming URL dedup: raw variants collapse to one canonical keep") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = mem.toDF().toDF("id", "ts", "url")
+    val q = StreamOps.dedupByCanonicalUrl(src, "url", "ts", "1 hour")
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("append").start()
+    val t0 = ts(10)
+    mem.addData((1L, t0, "HTTPS://A.com:443/x?utm_s=1"),
+      (2L, t0, "https://b.com/y"))
+    q.processAllAvailable()
+    // batch 2: a raw VARIANT of url 1 (different case/params, same
+    // canonical) and a fragment variant of url 2 — both must drop
+    mem.addData((3L, t0, "https://a.com/x/"),
+      (4L, t0, "https://b.com/y#top"), (5L, t0, "https://c.com/z"))
+    q.processAllAvailable()
+    val kept = spark.table("urldedup").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(1L, 2L, 5L))
+    // batch call is the parity oracle: same canonical-first semantics
+    val batch = StreamOps.dedupByCanonicalUrl(
+        Seq((1L, t0, "HTTPS://A.com:443/x?utm_s=1"), (2L, t0, "https://b.com/y"),
+          (3L, t0, "https://a.com/x/"), (4L, t0, "https://b.com/y#top"),
+          (5L, t0, "https://c.com/z")).toDF("id", "ts", "url"),
+        "url", "ts")
+      .select("canonical_url").as[String].collect().toSet
+    assert(batch == Set("https://a.com/x", "https://b.com/y", "https://c.com/z"))
+  }
+
   test("file-sink stream resumes from its checkpoint exactly once") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft-ckpt-src").toString
