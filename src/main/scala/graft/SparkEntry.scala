@@ -499,6 +499,18 @@ object SparkEntry {
         .df
     }),
 
+    // line-oriented text source: one row per line, zero parsing — the
+    // rawest corpus ingest format (WET extracts, one-doc-per-line
+    // dumps); downstream expressions do the splitting, as they should
+    // at 100 TB (Catalog.addTextTable)
+    "q_text_source" -> ((s, _) => {
+      val c = new Catalog(s)
+        .addTextTable("corpus_raw", "/root/repo/src/test/resources/data/corpus.txt")
+      c.table("corpus_raw").df
+        .select(col("value"), length(col("value")).cast("long").as("n_chars"),
+          TextOps.nTokens(col("value")).cast("long").as("n_tokens"))
+    }),
+
     // dirty-ingestion contract: enforced schema + DROPMALFORMED skips
     // the three broken lines in the fixture, keeps the five clean rows
     "q_json_malformed" -> ((s, _) =>
@@ -3932,6 +3944,19 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
       """SELECT name, score
         |FROM read_csv_auto('/root/repo/src/test/resources/data/people.csv')
         |WHERE age >= 24""".stripMargin,
+
+    // raw line reader via read_text + newline split (read_csv would
+    // try to PARSE the quotes/tabs the format promises not to touch);
+    // the trailing-newline artifact is the one empty element filtered
+    "q_text_source" ->
+      """WITH l AS (
+        |  SELECT unnest(string_split(content, chr(10))) AS value
+        |  FROM read_text('/root/repo/src/test/resources/data/corpus.txt'))
+        |SELECT value, CAST(length(value) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN trim(value) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(value), '\s+')) END
+        |    AS BIGINT) AS n_tokens
+        |FROM l WHERE value <> ''""".stripMargin,
 
     // DuckDB's ignore_errors nulls unparseable lines instead of
     // dropping them — filter to mirror Spark's DROPMALFORMED

@@ -54,6 +54,16 @@ final class Catalog(val spark: SparkSession) {
     register(name, spark.read.orc(path))
   }
 
+  /** Register a line-oriented TEXT table (one row per line, single
+    * `value` column) — the rawest corpus ingest format (WET extracts,
+    * log shipping, one-doc-per-line dumps). No parsing, no inference:
+    * splitting/typing is the query's job downstream, which is exactly
+    * right for 100 TB of lines you haven't profiled yet. */
+  def addTextTable(name: String, path: String): Catalog = {
+    sources.put(name, Seq("text", path))
+    register(name, spark.read.text(path))
+  }
+
   /** Register a JSON-lines table with an ENFORCED schema and an explicit
     * malformed-record policy — the shape real crawl ingestion needs
     * (inference on dirty data at 100 TB is both a full extra pass and a
@@ -227,6 +237,7 @@ object Catalog {
         case Seq(n, "parquet", p) => c.addParquetTable(n, p)
         case Seq(n, "json", p) => c.addJsonTable(n, p)
         case Seq(n, "orc", p) => c.addOrcTable(n, p)
+        case Seq(n, "text", p) => c.addTextTable(n, p)
         case Seq(n, "json-strict", p, ddl, mode) =>
           c.addJsonTableStrict(n, p, ddl, mode)
         case other => throw new IllegalArgumentException(
