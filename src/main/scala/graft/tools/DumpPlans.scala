@@ -49,7 +49,11 @@ object DumpPlans {
     "q_geo_radius" -> "Planar radius join: candidates from the (cx, cy) cell equi-join (home cell vs exploded 3x3 neighborhood), exact-BIGINT distance confirm as the join residual — no CartesianProduct, no dedup pass (exactly-once by construction).",
     "q_bfs_hops" -> "Multi-source BFS final level: the frontier broadcasts into the checkpointed edge table (edges never shuffle); new nodes leave through a node-sized LeftAnti against the settled set.",
     "q_dq_checks" -> "DQ expectations report: all four row rules share ONE parquet scan feeding a single partial+final aggregate; the uniqueness rule is one keyed count aggregation; the FK rule one LeftAnti join — three passes for six rules.",
-    "q_histogram_eqdepth" -> "Equi-depth histogram: one scan collapses rows to the distinct cent-value domain; the cumulative window and the re-aggregation both run at domain cardinality — raw rows are touched exactly once.")
+    "q_histogram_eqdepth" -> "Equi-depth histogram: one scan collapses rows to the distinct cent-value domain; the cumulative window and the re-aggregation both run at domain cardinality — raw rows are touched exactly once.",
+    "q_heavy_hitters" -> "Misra-Gries heavy hitters, confirm pass: the candidate set broadcasts into a LeftSemi over the token stream (the scan stays pipelined) and partial aggregation bounds the exchange at candidate cardinality — nothing distinct-value-sized shuffles, which is the whole point vs q_vocab's full GROUP BY.",
+    "q_rrf_hybrid" -> "Hybrid RRF fusion: the BM25 side's one corpus tokenize + term-window; the dense side a pure codegen cosine projection + per-query window; fusion itself is an answer-sized (query, doc) aggregation with integer rank arithmetic — no float after the two input rankings.",
+    "q_sliding_distinct" -> "Sliding exact distinct: window() explodes each event into its 3 covering windows map-side (span/slide = 3x), then one partial+final distinct aggregation per window — swap countDistinct for approx_count_distinct at wider spans under the same plan shape.",
+    "q_index_search" -> "Bucket-pruned index search: the postings scan lists ONLY the query terms' bucket directories (PartitionFilters on bucket) with the term equality pushed into row groups (PushedFilters); the query table broadcasts, and only matched (query, doc) partials shuffle for the conjunction count.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
