@@ -213,6 +213,47 @@ object Layout {
     version
   }
 
+  /** Garbage-collect snapshot history: delete version directories older
+    * than the newest `keepLast` PUBLISHED versions (torn/orphaned
+    * directories above the published version are also removed — they
+    * are inert leftovers of failed commits). The current manifest's
+    * version always survives regardless of `keepLast`. Readers pinned
+    * to vacuumed versions lose time travel, not correctness — the
+    * manifest never references a vacuumed directory. */
+  def vacuumSnapshots(path: String, keepLast: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    require(keepLast >= 1, "keepLast must retain at least the current version")
+    val current = currentVersion(path)
+    val cutoff = current - keepLast + 1
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return
+    // every directory stream is drained to a List and closed before use
+    // (the r6 Files.walk handle-leak lesson)
+    def listDirs(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toList
+      finally s.close()
+    }
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList.foreach(Files.delete)
+      finally s.close()
+    }
+    listDirs(root).foreach { tableDir =>
+      listDirs(tableDir)
+        .filter { v =>
+          val n = v.getFileName.toString
+          n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) && {
+            val ver = n.drop(1).toLong
+            ver < cutoff || ver > current // old history OR torn orphan
+          }
+        }
+        .foreach(deleteTree)
+    }
+  }
+
   /** The committed snapshot's version (0 when nothing is published). */
   def currentVersion(path: String): Long = {
     val m = java.nio.file.Paths.get(path, "manifest")

@@ -226,6 +226,34 @@ object Retrieval {
       .parquet(s"$path/postings")
   }
 
+  /** Compact an index that has accumulated small files from many
+    * [[appendToIndex]] increments: rewrite the postings to a fresh
+    * directory with one file per bucket partition, then swap
+    * directories. Never compacts in place — a crash mid-rewrite leaves
+    * the live index untouched (the [[graft.ops.Layout.compact]] rule).
+    * Answers are layout-invariant; only file counts change. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(s"$path/postings")
+    val fresh = Paths.get(s"$path/postings.compact")
+    spark.read.parquet(live.toString)
+      .repartition(col("bucket")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(fresh.toString)
+    val retired = Paths.get(s"$path/postings.old")
+    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(fresh, live, StandardCopyOption.ATOMIC_MOVE)
+    // retired files delete only after the swap completes (stream closed
+    // — the r6 Files.walk handle-leak lesson)
+    val s = Files.walk(retired)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.toList.foreach(Files.delete)
+    } finally s.close()
+  }
+
   /** Conjunctive (boolean AND) search against a [[buildIndex]] index:
     * docs containing EVERY distinct term of each query. Reads prune to
     * the query terms' buckets before any row is touched — the plan

@@ -249,4 +249,24 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.commitSnapshot(Map("../evil" -> a1), root))
   }
+
+  test("vacuumSnapshots: old history and torn orphans go, current survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-gc").toString
+    val t = Seq((1, "x")).toDF("id", "v")
+    (1 to 4).foreach(_ => Layout.commitSnapshot(Map("a" -> t), root))
+    // a torn orphan ABOVE the published version
+    Seq((9, "torn")).toDF("id", "v").write.parquet(s"$root/a/v9")
+    Layout.vacuumSnapshots(root, keepLast = 2)
+    def dirs = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/a"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(dirs == Set("v3", "v4"), s"got $dirs")
+    // the published snapshot still reads
+    assert(Layout.readSnapshot(spark, root, "a").count() == 1L)
+    assert(Layout.currentVersion(root) == 4L)
+    intercept[IllegalArgumentException](Layout.vacuumSnapshots(root, 0))
+  }
 }

@@ -206,6 +206,29 @@ class RetrievalSpec extends SparkSpec {
     } finally after.close()
   }
 
+  test("compactIndex: append-fragmented index answers identically, fewer files") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-cmp").toString
+    Retrieval.buildIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      tmp, nBuckets = 2)
+    (2 to 9).foreach(i => Retrieval.appendToIndex(
+      Seq((i.toLong, "alpha beta")).toDF("doc_id", "text"), tmp, nBuckets = 2))
+    def parquetFiles() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val queries = Map(1L -> "alpha beta")
+    val before = Retrieval.searchIndex(spark, tmp, queries, nBuckets = 2)
+      .as[(Long, Long)].collect().toSet
+    val filesBefore = parquetFiles()
+    Retrieval.compactIndex(spark, tmp)
+    assert(parquetFiles() < filesBefore, "compaction must reduce file count")
+    assert(Retrieval.searchIndex(spark, tmp, queries, nBuckets = 2)
+      .as[(Long, Long)].collect().toSet == before)
+    assert(before.map(_._2) == (1L to 9L).toSet)
+  }
+
   test("rrfFuse: hand-computed fusion, missing-doc convention, tie-break") {
     // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 is the
     // consensus pick: 1M/(60+2)+1M/(60+1) = 16129+16393 = 32522
