@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+/** The WARC parser's contract: Content-Length framing (not delimiter
+  * splitting), byte-exact bodies, longest-well-formed-prefix recovery on
+  * truncated files, and multibyte length accounting. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def build(recs: (String, String)*): Array[Byte] =
+    recs.map { case (id, body) =>
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Target-URI: https://x/$id\r\n" +
+        s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}\r\n" +
+        s"\r\n$body\r\n\r\n"
+    }.mkString.getBytes(StandardCharsets.UTF_8)
+
+  test("roundtrip: records written declaratively parse back bit-exact") {
+    val docs = Seq((1L, "hello world"), (2L, "second doc")).toDF("id", "body")
+    val blob = docs
+      .select(Warc.record(lit("response"), concat(lit("r"), $"id"),
+        concat(lit("u"), $"id"), $"body").as("rec"), $"id")
+      .orderBy("id")
+      .agg(concat_ws("", collect_list($"rec")).as("blob"))
+      .select(lit(0L).as("fid"), $"blob".cast("binary").as("payload"))
+    val parsed = Warc.parse(blob, "fid", "payload")
+      .orderBy("record_id").collect()
+    assert(parsed.map(_.getString(3)).toSeq == Seq("u1", "u2"))
+    assert(parsed.map(_.getString(5)).toSeq == Seq("hello world", "second doc"))
+    assert(parsed.map(_.getLong(4)).toSeq == Seq(11L, 10L))
+  }
+
+  test("length framing: a body containing the record terminator survives") {
+    val tricky = "part one\r\n\r\nWARC/1.0\r\npart two"
+    val blob = build(("a", tricky), ("b", "after"))
+    val out = Warc.parseFile(0L, blob).toSeq
+    assert(out.map(_.body) == Seq(tricky, "after"),
+      "delimiter-split parsing would have broken record 'a' apart")
+  }
+
+  test("multibyte bodies: Content-Length counts BYTES, not characters") {
+    val body = "naïve café — ☕"
+    val blob = build(("m", body))
+    val out = Warc.parseFile(0L, blob).toSeq
+    assert(out.map(_.body) == Seq(body))
+    assert(out.head.content_length ==
+      body.getBytes(StandardCharsets.UTF_8).length)
+    assert(out.head.content_length > body.length)
+  }
+
+  test("truncated tail: longest well-formed prefix parses, tail dropped") {
+    val good = build(("a", "one"), ("b", "two"))
+    val truncated = good ++ "WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, truncated).map(_.record_id).toSeq ==
+      Seq("a", "b"))
+  }
+
+  test("overrunning Content-Length stops the file without a crash") {
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <x>\r\nContent-Length: 9999\r\n\r\nshort")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, build(("a", "ok")) ++ lying)
+      .map(_.record_id).toSeq == Seq("a"))
+  }
+
+  test("missing Content-Length or bad magic ends the walk") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, noLen).isEmpty)
+    val badMagic = "HARC/1.0\r\n".getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, badMagic).isEmpty)
+  }
+
+  test("non-response record types pass through with their label") {
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Record-ID: <i>\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    val out = Warc.parseFile(7L, info).toSeq
+    assert(out.map(r => (r.file_id, r.rec_type, r.body)) ==
+      Seq((7L, "warcinfo", "info")))
+  }
+
+  test("q_warc_ingest recovers every sf0.001 document bit-exact") {
+    val out = SparkEntry.queries("q_warc_ingest")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", md5($"text".cast("binary")).as("want_md5"),
+        octet_length($"text").cast("long").as("want_len"))
+    val joined = out.join(docs, "doc_id")
+    assert(joined.count() == docs.count(), "a document was lost in transit")
+    assert(joined.where($"body_md5" =!= $"want_md5" ||
+      $"content_length" =!= $"want_len").count() == 0)
+  }
+}
