@@ -3151,6 +3151,18 @@ object SparkEntry {
         round(scale, 6).as("scale"), round(err, 6).as("max_err"))
     }),
 
+    // ---- LLM: JL random projection (embedding storage reduction) ------
+    // 64 floats -> 16 exact BIGINT components via the md5-derived ±1
+    // sign matrix (Similarity.randomProject); the oracle rebuilds the
+    // matrix from the same md5 formula and replays the integer algebra,
+    // so the row is bit-exact by construction. Joined to a sortable
+    // scalar for the comparator (the dedupLines pattern).
+    "q_random_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          array_join(col("proj"), "|").as("proj_joined"))),
+
     // ---- LLM: tokenization against a top-1000 vocabulary --------------
     // tokens outside the top-1000 (by tf, token-tiebroken) map to -1
     // (OOV); output is scalar columns only (ids as a joined string — the
@@ -7011,6 +7023,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(count(*) FILTER (tid = -1) AS BIGINT) AS n_oov,
         |  array_to_string(list(tid ORDER BY i), ' ') AS ids_str
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // rebuilds the ±1 sign matrix from the identical md5 formula and
+    // replays the micros-quantized integer projection — exact BIGINTs,
+    // no float seam anywhere
+    "q_random_project" ->
+      """WITH s AS (
+        |  SELECT j.j, i.i,
+        |    CASE WHEN ('0x' || substring(md5('rp:' || j.j || ':' || i.i), 1, 8))
+        |              ::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)),
+        |e AS (
+        |  SELECT vec_id, i.i,
+        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS x
+        |  FROM embeddings, generate_series(0, 63) i(i)
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |p AS (
+        |  SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
+        |  FROM e JOIN s USING (i) GROUP BY vec_id, j)
+        |SELECT vec_id,
+        |  string_agg(CAST(pj AS VARCHAR), '|' ORDER BY j) AS proj_joined
+        |FROM p GROUP BY vec_id""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (

@@ -215,6 +215,50 @@ object Similarity {
     transform(quant.getField("q"),
       i => (i.cast("double") * quant.getField("scale")).cast("float"))
 
+  /** The ±1 Johnson–Lindenstrauss sign matrix for [[randomProject]],
+    * derived from md5("rp:j:i") so ANY engine can rebuild it from the
+    * formula alone (the DuckDB oracle does — no RNG state to ship, no
+    * seed drift between retries). Achlioptas (2001) shows ±1 entries
+    * satisfy the JL lemma with the same distortion bound as Gaussian
+    * ones; outDim×inDim fits on the driver for any real dimension
+    * (16×64 here — a kilobyte). */
+  def signMatrix(outDim: Int, inDim: Int): Array[Array[Long]] = {
+    require(outDim > 0 && inDim > 0, "dimensions must be positive")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: inDim floats → outDim
+    * EXACT BIGINT components (micros-quantized elements times the ±1
+    * [[signMatrix]], summed as integers — bit-identical on every
+    * engine, partitioning, and retry). The storage path for a 100 TB
+    * embedding corpus: 64→16 dims is 4× fewer bytes BEFORE
+    * [[quantizeInt8]] multiplies that by another 4×, and JL preserves
+    * pairwise angles within the lemma's distortion bound, so the banded
+    * ANN ops keep working in the projected space (SimilaritySpec pins
+    * the cosine-preservation property). Per-row, shuffle-free,
+    * whole-stage-codegen: the matrix rides along as array literals.
+    * Vectors that are NULL or of the wrong dimension are dropped —
+    * same contract as the other vector ops. */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    val signs = signMatrix(outDim, inDim)
+    val qvec = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
+    val comps = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(col("_vq"), typedLit(signs(j).toSeq), (x, s) => x * s),
+        lit(0L), (a, x) => a + x)
+    }
+    emb.where(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
+      .withColumn("_vq", qvec)
+      .select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Exact brute-force cosine top-k against a single query vector.
     * Deterministic tie-break on id. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,

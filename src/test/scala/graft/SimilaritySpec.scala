@@ -254,4 +254,52 @@ class SimilaritySpec extends SparkSpec {
     // predict 1, the planted mislabel predicts 0
     assert(got == Set((0, 0, 5L), (1, 1, 4L), (1, 0, 1L)), s"got $got")
   }
+
+  test("randomProject: deterministic sign matrix, exact integer components") {
+    val m1 = Similarity.signMatrix(4, 8)
+    val m2 = Similarity.signMatrix(4, 8)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(s => s == 1L || s == -1L))
+    // hand-check one projected component: micros-quantized elements
+    // times the matrix row, summed
+    val vec = Array(0.5f, -0.25f, 1f, 0f, 0.1f, 0.2f, -0.3f, 0.75f)
+    val got = Similarity.randomProject(
+        Seq((1L, vec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inDim = 8, outDim = 4)
+      .as[(Long, Seq[Long])].collect().head
+    val q = vec.map(x => math.round(x.toDouble * 1e6))
+    val want = m1.map(row => row.zip(q).map { case (s, x) => s * x }.sum).toSeq
+    assert(got._2 == want)
+  }
+
+  test("randomProject preserves pairwise cosine within JL distortion") {
+    // three directions: two nearly identical, one orthogonal — after a
+    // 64->16 projection the near-pair must stay near and the orthogonal
+    // pair must stay far (coarse JL sanity, not a tight bound)
+    def unit(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1f else 0f)
+    val near = Array.tabulate(64)(i =>
+      (if (i == 0) 1f else 0f) + (if (i == 1) 0.05f else 0f))
+    val rows = Seq((0L, unit(0)), (1L, near), (2L, unit(32)))
+    val proj = Similarity.randomProject(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 64, 16)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(proj(0), proj(1)) > 0.8,
+      s"near pair drifted apart: ${cos(proj(0), proj(1))}")
+    assert(math.abs(cos(proj(0), proj(2))) < 0.6,
+      s"orthogonal pair collapsed together: ${cos(proj(0), proj(2))}")
+  }
+
+  test("randomProject drops NULL and wrong-dimension vectors") {
+    val rows = Seq(
+      (0L, Array(1f, 2f)), (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1f, 2f, 3f)))
+    val got = Similarity.randomProject(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", 2, 2)
+      .as[(Long, Seq[Long])].collect()
+    assert(got.map(_._1).toSeq == Seq(0L))
+  }
 }
