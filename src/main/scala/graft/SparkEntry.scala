@@ -2418,6 +2418,23 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: FUZZY decontamination (MinHash LSH vs the eval set) -----
+    // catches paraphrased/edited benchmark leakage that q_decontam's
+    // exact 8-gram pass misses. Constructive oracle at threshold 1.0
+    // (planted exact copies of the eval docs — every band matches BY
+    // CONSTRUCTION, the same convention as q_minhash_lsh); the fuzzy
+    // sub-1.0 path is pinned on hand-made near-copies in TextOpsSpec
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20).unionByName(
+        evalSet.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      TextOps.fuzzyContaminatedIds(corpus, evalSet, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 1.0)
+    }),
+
     // ---- LLM: corpus data card (per-source release manifest) ----------
     // the summary table a corpus release ships with: per source, doc and
     // token counts, char volume, dominant language (deterministic
@@ -6117,6 +6134,13 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // the planted exact copies are the contaminated set: identical
+    // shingle sets → every band matches and Jaccard is exactly 1
+    "q_decontam_fuzzy" ->
+      """SELECT doc_id + 100000 AS doc_id, doc_id AS matched_eval_id,
+        |  CAST(1000000 AS BIGINT) AS jaccard_micros
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     // mirrors q_data_card: nTokens' empty-doc-is-zero convention, the
     // (count desc, lang) dominant-language total order, micros share

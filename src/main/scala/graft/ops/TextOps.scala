@@ -176,6 +176,68 @@ object TextOps {
       .select(col(idCol)).distinct()
   }
 
+  /** FUZZY benchmark decontamination: flag corpus documents whose word-
+    * shingle set is near-duplicate (exact Jaccard >= threshold) of ANY
+    * eval document — the paraphrased/partially-edited leakage that
+    * [[contaminatedIds]]' exact-n-gram pass misses (an edited benchmark
+    * answer shares almost all 3-shingles but possibly no verbatim
+    * 8-gram).
+    *
+    * Candidate generation is MinHash LSH banding on BOTH sides, joined
+    * on the band key — the eval side is benchmark-sized by contract, so
+    * its banded signature table broadcasts and the corpus never
+    * shuffles; candidates are ids-only, and the exact-Jaccard confirm
+    * re-attaches shingle sets by id. Same no-all-pairs shape as
+    * Dedup.minhashNearDups, pointed across two tables.
+    *
+    * Output: one row per contaminated corpus doc — (idCol,
+    * `matched_eval_id`, `jaccard_micros`) for its BEST eval match
+    * (highest exact Jaccard, smallest eval id on ties — a total
+    * order). `jaccard_micros` = 1000000·|∩| div |∪| is an exact
+    * integer: no float seam for an oracle to trip on.
+    *
+    * LSH miss note: a pair at exactly the threshold band-matches with
+    * probability 1-(1-t^r)^b (t=0.8, r=4, b=16 → 99.98%); pairs the
+    * bands miss are not confirmed. That is the documented LSH
+    * trade-off — raise bands (or lower rowsPerBand) for recall. */
+  def fuzzyContaminatedIds(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(shingleN >= 1 && bands >= 1 && rowsPerBand >= 1,
+      "shingleN/bands/rowsPerBand must be positive")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import graft.functions.ShingleExprs._
+    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
+      shingleHash64(col(textCol), shingleN).as("sh"))
+    def buckets(df: DataFrame) = sets(df)
+      .select(col("id"), explode(Dedup.bandKeys(minhashSig64(col("sh"),
+        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+    val cand = buckets(corpus).as("c")
+      .join(broadcast(buckets(evalSet).as("e")), Seq("bucket"))
+      .select(col("c.id").as("cid"), col("e.id").as("eid"))
+      .distinct()
+    cand
+      .join(sets(corpus).select(col("id").as("cid"), col("sh").as("sh_c")),
+        Seq("cid"))
+      .join(broadcast(sets(evalSet)
+        .select(col("id").as("eid"), col("sh").as("sh_e"))), Seq("eid"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_c"), col("sh_e"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_c")) + size(col("sh_e")) - col("inter"))
+      .withColumn("jaccard_micros",
+        when(col("uni") > 0, expr("(1000000L * inter) div uni"))
+          .otherwise(lit(0L)))
+      .where(col("jaccard_micros") >= (threshold * 1000000).round)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+          .orderBy(col("jaccard_micros").desc, col("eid"))))
+      .where(col("rn") === 1)
+      .select(col("cid").as(idCol), col("eid").as("matched_eval_id"),
+        col("jaccard_micros"))
+  }
+
   // --------------------------------------------------------------------
   // Blocklist filtering: annotate every document with the banned terms
   // it contains — the policy-filter step of corpus curation (banned

@@ -67,7 +67,7 @@ class PlanSpec extends SparkSpec {
 
   test("similarity joins never plan a cartesian product") {
     for (q <- Seq("q_jaccard_pairs", "q_minhash_lsh", "q_simhash_pairs",
-        "q_cosine_neardups", "q_semantic_dedup")) {
+        "q_cosine_neardups", "q_semantic_dedup", "q_decontam_fuzzy")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must not contain a cartesian product")

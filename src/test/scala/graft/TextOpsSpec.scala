@@ -137,6 +137,50 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Seq(10L))
   }
 
+  test("fuzzy decontamination flags a paraphrased near-copy the exact " +
+    "8-gram pass misses") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val eval = Seq((0L, evalText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // words 3/11/19 edited — at least one edit inside EVERY verbatim
+      // 8-gram window (20 words, starts 0..12), so the exact pass is
+      // blind; the 3-shingle sets still share 11 of 25
+      (10L, evalText.replace("delta", "D2").replace("mu", "M2")
+        .replace("upsilon", "U2")),
+      (11L, "completely unrelated text about distributed query engines " +
+        "running broadcast joins over partitioned parquet at scale " +
+        "with adaptive execution and shuffle reuse everywhere today"))
+      .toDF("doc_id", "text")
+    // the exact-8-gram pass misses the edit...
+    assert(graft.ops.TextOps.contaminatedIds(
+      corpus, eval, "doc_id", "text", 8).count() == 0)
+    // ...the fuzzy pass catches it (and ONLY it), with an exact
+    // integer jaccard: 18 shingles/side, the 7 shingles covering an
+    // edited word differ -> 11 shared, union 25, 11/25 = 0.44
+    val r = graft.ops.TextOps.fuzzyContaminatedIds(corpus, eval,
+        "doc_id", "text", shingleN = 3, bands = 64, rowsPerBand = 1,
+        threshold = 0.4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((10L, 0L, 440000L)), s"got $r")
+  }
+
+  test("fuzzy decontamination is deterministic across runs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    val eval = docs.where($"doc_id" < 10)
+    val corpus = docs.where($"doc_id" >= 10).unionByName(
+      eval.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    def run() = graft.ops.TextOps.fuzzyContaminatedIds(
+        corpus, eval, "doc_id", "text", threshold = 1.0)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.map(_._1) == (0 until 10).map(_ + 100000L),
+      "every planted exact copy must be flagged, nothing else")
+    assert(a.forall(_._3 == 1000000L))
+  }
+
   test("vocabulary counts term and document frequency per token") {
     val df = Seq((0L, "the cat sat"), (1L, "the THE dog"), (2L, "cat"))
       .toDF("doc_id", "text")
