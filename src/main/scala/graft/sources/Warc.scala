@@ -66,7 +66,10 @@ object Warc {
       body, lit("\r\n\r\n"))
 
   /** Parse a dataframe of `(fileIdCol: LONG, blobCol: BINARY)` WARC
-    * files into one row per well-formed record. Malformed trailing
+    * files into one row per well-formed record. STATELESS per-file, so
+    * the same call runs unchanged on a Structured Streaming frame (the
+    * continuous-crawl ingest path — StreamingSpec pins batch parity
+    * across micro-batches). Malformed trailing
     * garbage (a truncated tail record, a bad magic, an unparseable or
     * overrunning Content-Length) ends that FILE's walk — everything
     * already parsed is kept, which is the recovery semantics a crawler

@@ -63,6 +63,45 @@ class StreamingSpec extends SparkSpec {
       "some rows must fail multiple rules")
   }
 
+  test("WARC parse runs unchanged on a stream: arriving crawl files " +
+    "explode to records, batch result is the oracle") {
+    implicit val sql = spark.sqlContext
+    import java.nio.charset.StandardCharsets
+    def blob(recs: (String, String)*): Array[Byte] =
+      recs.map { case (id, body) =>
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+          s"WARC-Target-URI: https://x/$id\r\n" +
+          s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}" +
+          s"\r\n\r\n$body\r\n\r\n"
+      }.mkString.getBytes(StandardCharsets.UTF_8)
+    val files = Seq(
+      (0L, blob(("a", "doc one"), ("b", "doc two"))),
+      (1L, blob(("c", "doc three"))),
+      // truncated tail in the second micro-batch's file
+      (2L, blob(("d", "doc four")) ++
+        "WARC/1.0\r\nContent-Le".getBytes(StandardCharsets.US_ASCII)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.sources.Warc.parse(
+        mem.toDF().toDF("file_id", "payload"), "file_id", "payload")
+      .writeStream.format("memory").queryName("warc").outputMode("append")
+      .start()
+    mem.addData(files.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(files.drop(2): _*) // stateless parse, second micro-batch
+    q.processAllAvailable()
+    val streamed = spark.table("warc")
+      .select(col("file_id"), col("record_id"), col("body"))
+      .as[(Long, String, String)].collect().toSet
+    q.stop()
+    val batch = graft.sources.Warc.parse(
+        files.toDF("file_id", "payload"), "file_id", "payload")
+      .select(col("file_id"), col("record_id"), col("body"))
+      .as[(Long, String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Set("a", "b", "c", "d"),
+      "the truncated tail must be dropped in both modes")
+  }
+
   test("session windows close after the inactivity gap") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
