@@ -2418,6 +2418,31 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: robots.txt crawl admission (frontier gate) --------------
+    // per-host robots.txt (planted: an evilbot group that must be
+    // ignored, a * group disallowing /cat1/ with a longer Allow carving
+    // /cat1/page3 back out, an empty Disallow that must drop out, and
+    // ONE host with no robots at all -> crawl-by-default). Group
+    // scoping, longest-prefix precedence, and allow-beats-disallow ties
+    // are additionally pinned in RobotsSpec; the oracle replays the
+    // expected verdicts from the plant's construction
+    "q_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("doc_id"),
+        concat(lower(col("source")), lit(".example.com")).as("host"),
+        concat(lit("/cat"), (col("doc_id") % 3).cast("string"),
+          lit("/page"), (col("doc_id") % 5).cast("string")).as("path"))
+      val robots = docs.select(lower(col("source")).as("src")).distinct()
+        .where(col("src") =!= "src4")
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          lit("# crawl policy\nUser-agent: evilbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /cat1/\nAllow: /cat1/page3\n" +
+            "Disallow:\nDisallow: /private\n").as("txt"))
+      val rules = graft.ops.Robots.parseRobots(robots, "host", "txt")
+      graft.ops.Robots.filterAllowed(urls, rules, "host", "path", "doc_id")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+    }),
+
     // ---- LLM: FUZZY decontamination (MinHash LSH vs the eval set) -----
     // catches paraphrased/edited benchmark leakage that q_decontam's
     // exact 8-gram pass misses. Constructive oracle at threshold 1.0
@@ -6134,6 +6159,18 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // the plant's verdict table: src4 has no robots (crawl-by-default
+    // true); on every other host only /cat1/* paths are gated, with
+    // the longer Allow carving /cat1/page3 back out
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  lower(source) || '.example.com' AS host,
+        |  '/cat' || (doc_id % 3) || '/page' || (doc_id % 5) AS path,
+        |  CASE WHEN lower(source) = 'src4' THEN true
+        |       WHEN doc_id % 3 = 1 THEN doc_id % 5 = 3
+        |       ELSE true END AS allowed
+        |FROM documents""".stripMargin,
 
     // the planted exact copies are the contaminated set: identical
     // shingle sets → every band matches and Jaccard is exactly 1

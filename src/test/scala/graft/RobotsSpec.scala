@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Robots
+
+/** REP (RFC 9309) admission semantics: group scoping, longest-prefix
+  * precedence, allow-beats-disallow ties, empty Disallow, and
+  * crawl-by-default for hosts without robots. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txt =
+    """# policy
+      |User-agent: evilbot
+      |Disallow: /
+      |
+      |User-agent: googlebot
+      |User-agent: *
+      |Disallow: /private/
+      |Disallow: /tmp
+      |Allow: /private/ok
+      |Disallow:
+      |""".stripMargin
+
+  private def rules = Robots.parseRobots(
+    Seq(("h1.example", txt)).toDF("host", "txt"), "host", "txt")
+
+  test("parse: only the matching group's rules survive, empty Disallow drops") {
+    val r = rules.as[(String, String, Boolean)].collect().toSet
+    assert(r == Set(
+      ("h1.example", "/private/", false),
+      ("h1.example", "/tmp", false),
+      ("h1.example", "/private/ok", true)),
+      s"got $r — the evilbot group must not leak into *")
+  }
+
+  test("parse: consecutive User-agent lines share one group") {
+    val r = Robots.parseRobots(
+      Seq(("h1.example", txt)).toDF("host", "txt"), "host", "txt",
+      agent = "googlebot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(r.map(_._2) == Set("/private/", "/tmp", "/private/ok"),
+      "googlebot shares the * group's rules via the stacked UA lines")
+  }
+
+  test("admission: longest prefix wins; allow beats disallow on ties") {
+    val urls = Seq(
+      (1L, "h1.example", "/private/ok/page"), // Allow /private/ok (longer)
+      (2L, "h1.example", "/private/secret"),  // Disallow /private/
+      (3L, "h1.example", "/tmpfile"),         // Disallow /tmp is a PREFIX
+      (4L, "h1.example", "/public/page"),     // no rule matches
+      (5L, "h2.example", "/private/secret"))  // host without robots
+      .toDF("id", "host", "path")
+    val got = Robots.filterAllowed(urls, rules, "host", "path", "id")
+      .select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true), s"got $got")
+  }
+
+  test("admission: equal-length allow and disallow -> allow wins") {
+    val r = Seq(
+      ("h.e", "/a", false), ("h.e", "/b", true), ("h.e", "/b", false))
+      .toDF("host", "prefix", "allow")
+    val got = Robots.filterAllowed(
+        Seq((1L, "h.e", "/b/page")).toDF("id", "host", "path"),
+        r, "host", "path", "id")
+      .select($"allowed").as[Boolean].collect().toSeq
+    assert(got == Seq(true))
+  }
+
+  test("q_robots_filter matches the plant's verdicts at sf0.001") {
+    val got = SparkEntry.queries("q_robots_filter")(spark, sfDir)
+    val bad = got.where(
+      ($"host" === "src4.example.com" && !$"allowed") ||
+      ($"host" =!= "src4.example.com" &&
+        $"allowed" =!= (($"doc_id" % 3 =!= 1) || ($"doc_id" % 5 === 3))))
+    assert(bad.count() == 0)
+    assert(got.where(!$"allowed").count() > 0, "some URLs must be gated")
+  }
+}
