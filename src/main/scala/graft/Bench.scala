@@ -56,7 +56,10 @@ object Bench {
     // round 7, third continuation: sketch-based heavy hitters (the
     // bounded-summary alternative to q_vocab's full token GROUP BY),
     // hybrid BM25+dense RRF fusion, sliding-window exact distinct
-    "q_heavy_hitters", "q_rrf_hybrid", "q_sliding_distinct")
+    "q_heavy_hitters", "q_rrf_hybrid", "q_sliding_distinct",
+    // round 7, fourth continuation: WARC build+byte-parse roundtrip
+    // (string-heavy ingest) and two-table MinHash fuzzy decontamination
+    "q_warc_ingest", "q_decontam_fuzzy")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

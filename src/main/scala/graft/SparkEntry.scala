@@ -2443,6 +2443,39 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("path"), col("allowed"))
     }),
 
+    // ---- LLM: crawl frontier (sitemap discovery → robots admission → --
+    // politeness). The composed fetch-schedule table: per-host sitemap
+    // <loc> extraction (entity unescape + whitespace trim exercised),
+    // robots path gating, and Crawl-delay politeness (the evilbot
+    // group's delay 99 must be ignored; the robots-less host falls to
+    // the caller default). One row per discovered URL.
+    "q_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hosts = docs.select(lower(col("source")).as("src")).distinct()
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          col("src"))
+      val robots = hosts.where(col("src") =!= "src4")
+        .select(col("host"),
+          lit("User-agent: evilbot\nDisallow: /\nCrawl-delay: 99\n\n" +
+            "User-agent: *\nDisallow: /cat1/\nAllow: /cat1/page3\n" +
+            "Crawl-delay: 2\n").as("txt"))
+      val sitemap = hosts.select(col("host"), concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+        col("host"), lit("/cat0/page0</loc></url><url><loc> https://"),
+        col("host"), lit("/cat1/page1 </loc></url><url><loc>https://"),
+        col("host"), lit("/cat1/page3</loc></url><url><loc>https://"),
+        col("host"), lit("/q?a=1&amp;b=2</loc></url></urlset>"))
+        .as("xml"))
+      val urls = graft.ops.Robots.sitemapUrls(sitemap, "host", "xml")
+        .withColumn("path", regexp_replace(col("url"), "^https://[^/]+", ""))
+      val rules = graft.ops.Robots.parseRobots(robots, "host", "txt")
+      val delays = graft.ops.Robots.crawlDelays(robots, "host", "txt")
+      graft.ops.Robots.filterAllowed(urls, rules, "host", "path", "url")
+        .join(delays, Seq("host"), "left")
+        .select(col("host"), col("path"), col("allowed"),
+          coalesce(col("crawl_delay_s"), lit(1L)).as("crawl_delay_s"))
+    }),
+
     // ---- LLM: FUZZY decontamination (MinHash LSH vs the eval set) -----
     // catches paraphrased/edited benchmark leakage that q_decontam's
     // exact 8-gram pass misses. Constructive oracle at threshold 1.0
@@ -6171,6 +6204,22 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |       WHEN doc_id % 3 = 1 THEN doc_id % 5 = 3
         |       ELSE true END AS allowed
         |FROM documents""".stripMargin,
+
+    // the plant's expected frontier: 4 sitemap URLs per host (the
+    // entity-escaped one unescapes to '&'), /cat1/page1 gated
+    // everywhere robots exist, delay 2 from the * group (never the
+    // evilbot 99), default 1 on the robots-less host
+    "q_crawl_frontier" ->
+      """WITH h AS (SELECT DISTINCT lower(source) AS src FROM documents),
+        |p AS (SELECT * FROM (VALUES
+        |  ('/cat0/page0', true), ('/cat1/page1', false),
+        |  ('/cat1/page3', true), ('/q?a=1&b=2', true))
+        |  AS t(path, allowed_rule))
+        |SELECT src || '.example.com' AS host, path,
+        |  CASE WHEN src = 'src4' THEN true ELSE allowed_rule END AS allowed,
+        |  CAST(CASE WHEN src = 'src4' THEN 1 ELSE 2 END AS BIGINT)
+        |    AS crawl_delay_s
+        |FROM h CROSS JOIN p""".stripMargin,
 
     // the planted exact copies are the contaminated set: identical
     // shingle sets → every band matches and Jaccard is exactly 1

@@ -38,8 +38,23 @@ object Robots {
     * Output: one row per rule — (host, prefix, allow: boolean). */
   def parseRobots(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String = "*"): DataFrame = {
+    val grouped = groupedLines(robots, hostCol, txtCol)
+    grouped
+      .where(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .join(matchingGroups(grouped, agent), Seq("host", "gid"), "left_semi")
+      .select(col("host"), col("value").as("prefix"),
+        (col("key") === "allow").as("allow"))
+      .distinct()
+  }
+
+  /** Shared robots.txt line grammar: strip comments/blanks, split
+    * `key: value`, and assign REP group ids — a User-agent line starts
+    * a NEW group only if the previous kv line was not also a
+    * User-agent line (consecutive UA lines share one group). */
+  private def groupedLines(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
     val byLine = Window.partitionBy(col("host")).orderBy(col("line_no"))
-    val lines = robots
+    robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
@@ -48,26 +63,19 @@ object Robots {
       .withColumn("value",
         trim(expr("substring(line, instr(line, ':') + 1)")))
       .withColumn("is_ua", col("key") === "user-agent")
-    val grouped = lines
-      // a User-agent line starts a NEW group only if the previous
-      // non-blank line was not also a User-agent line (consecutive UA
-      // lines share one group, per the REP grammar)
       .withColumn("new_group",
         (col("is_ua") &&
           !coalesce(lag(col("is_ua"), 1).over(byLine), lit(false)))
           .cast("int"))
       .withColumn("gid", sum(col("new_group")).over(byLine))
-    val matchingGroups = grouped
+  }
+
+  /** (host, gid) pairs of groups whose agent set matches `agent`. */
+  private def matchingGroups(grouped: DataFrame, agent: String): DataFrame =
+    grouped
       .where(col("is_ua") &&
         (col("value") === agent || col("value") === "*"))
       .select(col("host"), col("gid")).distinct()
-    grouped
-      .where(col("key").isin("allow", "disallow") && col("value") =!= "")
-      .join(matchingGroups, Seq("host", "gid"), "left_semi")
-      .select(col("host"), col("value").as("prefix"),
-        (col("key") === "allow").as("allow"))
-      .distinct()
-  }
 
   /** Admission verdict per URL under [[parseRobots]] rules, with the
     * REP precedence: among rules whose prefix matches the URL's path,
@@ -101,5 +109,45 @@ object Robots {
       // rules existed for the host but none prefix-matched: the where
       // dropped every joined row -> no match row; crawl-by-default
       .withColumn("allowed", coalesce(col("allowed"), lit(true)))
+  }
+
+  /** Per-host politeness: the `Crawl-delay` (seconds) each host's
+    * matching group declares for `agent`, as (host, crawl_delay_s).
+    * Multiple matching declarations take the MAX (the conservative
+    * reading); hosts that declare none are absent — join `left` and
+    * coalesce to your default. Unparseable values are ignored. Feeds
+    * the per-host rate-limit window (the q_rate_limit shape) to turn
+    * policy into a fetch schedule. */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val grouped = groupedLines(robots, hostCol, txtCol)
+    grouped
+      .where(col("key") === "crawl-delay")
+      .join(matchingGroups(grouped, agent), Seq("host", "gid"), "left_semi")
+      .withColumn("delay", expr("try_cast(value AS LONG)"))
+      .where(col("delay").isNotNull && col("delay") >= 0)
+      .groupBy(col("host"))
+      .agg(max(col("delay")).as("crawl_delay_s"))
+  }
+
+  /** Sitemap URL discovery: extract every `<loc>` entry from sitemap
+    * XML payloads — the OTHER half of the frontier (robots gates,
+    * sitemaps feed). One row per (host, url); regexp-based on purpose
+    * (sitemap <loc> is flat by spec — no nesting, entity-escaped
+    * URLs), per-row inside the scan, dedup'd host-wide. The four
+    * XML-mandated entities in URLs (&amp; &apos; &quot; &lt;/&gt;)
+    * are unescaped. */
+  def sitemapUrls(sitemaps: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame = {
+    val locs = regexp_extract_all(col(xmlCol),
+      lit("(?s)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
+    sitemaps
+      .select(col(hostCol).as("host"), explode(locs).as("url_raw"))
+      .select(col("host"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(col("url_raw"), "&lt;", "<"), "&gt;", ">"),
+          "&quot;", "\""), "&apos;", "'"), "&amp;", "&").as("url"))
+      .where(col("url") =!= "")
+      .distinct()
   }
 }

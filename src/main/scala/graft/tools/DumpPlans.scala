@@ -53,7 +53,10 @@ object DumpPlans {
     "q_heavy_hitters" -> "Misra-Gries heavy hitters, confirm pass: the candidate set broadcasts into a LeftSemi over the token stream (the scan stays pipelined) and partial aggregation bounds the exchange at candidate cardinality — nothing distinct-value-sized shuffles, which is the whole point vs q_vocab's full GROUP BY.",
     "q_rrf_hybrid" -> "Hybrid RRF fusion: the BM25 side's one corpus tokenize + term-window; the dense side a pure codegen cosine projection + per-query window; fusion itself is an answer-sized (query, doc) aggregation with integer rank arithmetic — no float after the two input rankings.",
     "q_sliding_distinct" -> "Sliding exact distinct: window() explodes each event into its 3 covering windows map-side (span/slide = 3x), then one partial+final distinct aggregation per window — swap countDistinct for approx_count_distinct at wider spans under the same plan shape.",
-    "q_index_search" -> "Bucket-pruned index search: the postings scan lists ONLY the query terms' bucket directories (PartitionFilters on bucket) with the term equality pushed into row groups (PushedFilters); the query table broadcasts, and only matched (query, doc) partials shuffle for the conjunction count.")
+    "q_index_search" -> "Bucket-pruned index search: the postings scan lists ONLY the query terms' bucket directories (PartitionFilters on bucket) with the term equality pushed into row groups (PushedFilters); the query table broadcasts, and only matched (query, doc) partials shuffle for the conjunction count.",
+    "q_warc_ingest" -> "WARC roundtrip: record build is a codegen'd concat projection; file assembly one file-id-keyed aggregation; the byte parser is a stateless per-file flatMap (DeserializeToObject/MapPartitions span) — records explode executor-side, nothing driver-sized anywhere.",
+    "q_decontam_fuzzy" -> "Fuzzy decontamination: the benchmark-sized eval side broadcasts both its banded signatures and its shingle sets (two BroadcastHashJoins); corpus candidates shuffle ids only; the longest stage is the corpus's own shingle+minhash projection inside its scan — no cartesian, no all-pairs.",
+    "q_robots_filter" -> "robots.txt admission: the hosts-x-rules table broadcasts into the frontier's host-keyed join; the longest-prefix argmax is one window keyed by the URL row — the frontier shuffles only on its own keys.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)

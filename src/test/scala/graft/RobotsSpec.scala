@@ -69,6 +69,36 @@ class RobotsSpec extends SparkSpec {
     assert(got == Seq(true))
   }
 
+  test("crawl delays: matching group's value, max of duplicates, junk ignored") {
+    val t2 =
+      """User-agent: evilbot
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Crawl-delay: 3
+        |Crawl-delay: 7
+        |Crawl-delay: soon
+        |""".stripMargin
+    val got = Robots.crawlDelays(
+        Seq(("h1", t2), ("h2", "User-agent: *\nDisallow: /x\n"))
+          .toDF("host", "txt"), "host", "txt")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h1" -> 7L), s"got $got — h2 declares no delay, " +
+      "evilbot's 99 must not leak, 'soon' must not parse")
+  }
+
+  test("sitemap: loc extraction trims, unescapes entities, dedups") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://h/a </loc></url>
+      |<url><loc>https://h/q?x=1&amp;y=2</loc></url>
+      |<url><loc>https://h/a</loc></url>
+      |</urlset>""".stripMargin
+    val got = Robots.sitemapUrls(
+        Seq(("h", xml)).toDF("host", "xml"), "host", "xml")
+      .as[(String, String)].collect().map(_._2).sorted.toSeq
+    assert(got == Seq("https://h/a", "https://h/q?x=1&y=2"))
+  }
+
   test("q_robots_filter matches the plant's verdicts at sf0.001") {
     val got = SparkEntry.queries("q_robots_filter")(spark, sfDir)
     val bad = got.where(
