@@ -3437,6 +3437,31 @@ object SparkEntry {
     // slot; the oracle recomputes the channel means from the closed form
     // without ever constructing the bytes. This is the decode path made
     // real (r6 verdict residual #1), not a stub comparison.
+    // ---- LLM: content-type sniffing over a mixed crawl dump -----------
+    // four payload families planted by doc_id%4 (real PPM bytes, real
+    // RIFF/WAVE bytes, HTML markup, plain text), then classified from
+    // magic bytes alone — the routing step before the codec paths. The
+    // oracle replays the plant rule; byte-level edge cases (truncated
+    // magics, WAVE tag at the wrong offset, NULL) are pinned in
+    // MultimodalSpec
+    "q_multimodal_sniff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ppm = Multimodal.plantedPpm(docs.where(col("doc_id") % 4 === 0))
+        .select(col("media_id"), col("payload"))
+      val wav = Multimodal.plantedWav(docs.where(col("doc_id") % 4 === 1))
+        .select(col("media_id"), col("payload"))
+      val html = docs.where(col("doc_id") % 4 === 2)
+        .select(col("doc_id").cast("long").as("media_id"),
+          concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+            .cast("binary").as("payload"))
+      val txt = docs.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      ppm.unionByName(wav).unionByName(html).unionByName(txt)
+        .select(col("media_id"),
+          Multimodal.sniffKind(col("payload")).as("sniffed"))
+    }),
+
     "q_multimodal_ppm" -> ((s, dir) =>
       Multimodal.decodeImages(Multimodal.plantedPpm(t(s, dir, "documents")))
         .select(col("media_id"), col("width"), col("height"),
@@ -7237,6 +7262,20 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM documents""".stripMargin,
 
     // the planted-PPM closed form: pixel i of image id carries
+    // replays the plant rule (the %4 family assignment) without seeing
+    // a byte; the LIKE guard keeps the rare text that itself starts
+    // with '<' honest on both sides
+    "q_multimodal_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'image/ppm'
+        |    WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'text/html'
+        |    ELSE CASE WHEN text LIKE '<%' THEN 'text/html'
+        |              ELSE 'application/octet-stream' END
+        |  END AS sniffed
+        |FROM documents""".stripMargin,
+
     // (id*7 + i*13) % 256, channels interleave RGB, so each channel mean
     // is an integer sum over generate_series divided by w*h — the oracle
     // never builds the binary, while Spark decodes the real bytes

@@ -46,6 +46,26 @@ object Multimodal {
     * JVM). A real pipeline decodes `payload` with a codec here; the stub
     * emits deterministic byte-level features so the batch shape, schema
     * and partitioning are exercised for real. */
+  /** Content-type sniffing from leading bytes (magic numbers) — the
+    * inventory step a mixed crawl dump runs BEFORE routing payloads to
+    * codecs: declared types lie, bytes don't. Pure codegen when-chain
+    * over binary prefixes (no UDF, pipelines inside the scan):
+    * P6→image/ppm, RIFF..WAVE→audio/wav, YUV4MPEG2→video/y4m,
+    * leading '<'→text/html, else application/octet-stream. NULL
+    * payloads sniff to NULL. Extend with one `.when` per new magic. */
+  def sniffKind(payload: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    def ascii(from: Int, s: String) =
+      substring(payload, from, s.length) ===
+        lit(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    when(payload.isNull, lit(null).cast("string"))
+      .when(ascii(1, "P6"), "image/ppm")
+      .when(ascii(1, "RIFF") && ascii(9, "WAVE"), "audio/wav")
+      .when(ascii(1, "YUV4MPEG2"), "video/y4m")
+      .when(ascii(1, "<"), "text/html")
+      .otherwise("application/octet-stream")
+  }
+
   def decodeStub(media: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

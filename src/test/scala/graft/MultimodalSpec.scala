@@ -204,4 +204,31 @@ class MultimodalSpec extends SparkSpec {
       "vec_id", "embedding", q, 2).collect()
     assert(topk.length == 2 && topk.head.getLong(0) == vs.head._1)
   }
+
+  test("sniffKind classifies by magic bytes, not declared type") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val wav = Multimodal.plantedWav(Seq(1L).toDF("doc_id"))
+      .select("payload").as[Array[Byte]].head()
+    val ppm = Multimodal.plantedPpm(Seq(2L).toDF("doc_id"))
+      .select("payload").as[Array[Byte]].head()
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, ppm),
+      (2L, wav),
+      (3L, "<html><p>x</p></html>".getBytes(US_ASCII)),
+      (4L, "plain words".getBytes(US_ASCII)),
+      (5L, "P6".getBytes(US_ASCII)),          // bare magic still sniffs
+      (6L, "P".getBytes(US_ASCII)),           // truncated magic: not ppm
+      (7L, "RIFFxxxxAVI ".getBytes(US_ASCII)),// RIFF but not WAVE
+      (8L, "YUV4MPEG2 W2 H2".getBytes(US_ASCII)),
+      (9L, null))
+    val got = rows.toDF("id", "payload")
+      .select($"id", Multimodal.sniffKind($"payload").as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "image/ppm", 2L -> "audio/wav", 3L -> "text/html",
+      4L -> "application/octet-stream", 5L -> "image/ppm",
+      6L -> "application/octet-stream",
+      7L -> "application/octet-stream", 8L -> "video/y4m",
+      9L -> null), s"got $got")
+  }
 }
