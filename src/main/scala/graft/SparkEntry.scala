@@ -3628,6 +3628,23 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), plantedUrl.as("url")),
         "url", "doc_id")),
 
+    // ---- LLM: cross-host mirror detection -----------------------------
+    // every doc serves from its own source host; every doc_id%4==0 doc
+    // ALSO serves from mirror.example.org — those (plus any natural
+    // exact-text dups that happen to span hosts, replayed identically
+    // by the oracle) are the mirrored set; payload never shuffles,
+    // only 16-byte fingerprints (ops/Urls.mirrorReport)
+    "q_mirror_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val own = docs.select(
+        concat(lower(col("source")), lit(".example.com")).as("host"),
+        col("text"))
+      val mirrored = docs.where(col("doc_id") % 4 === 0)
+        .select(lit("mirror.example.org").as("host"), col("text"))
+      graft.ops.Urls.mirrorReport(own.unionByName(mirrored),
+        "host", "text")
+    }),
+
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
     // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
@@ -7606,6 +7623,20 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents)
         |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM c GROUP BY canonical_url""".stripMargin,
+
+    // replays the plant AND any natural cross-host exact-text dups:
+    // distinct (host, md5) first, then the >=2-host groups
+    "q_mirror_report" ->
+      """WITH pages AS (
+        |  SELECT lower(source) || '.example.com' AS host, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror.example.org' AS host, text
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (SELECT DISTINCT host, md5(text) AS content_fp FROM pages)
+        |SELECT content_fp, CAST(count(*) AS BIGINT) AS n_hosts,
+        |  string_agg(host, '|' ORDER BY host) AS hosts
+        |FROM fp GROUP BY content_fp HAVING count(*) >= 2""".stripMargin,
 
     "q_multimodal_embed" ->
       """WITH m AS (

@@ -61,4 +61,27 @@ object Urls {
     df.select(canonicalize(col(urlCol)).as("canonical_url"), col(idCol))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Cross-host mirror detection: content served BYTE-IDENTICAL from
+    * two or more hosts (mirrors, CDNs, scraper re-hosts) — the
+    * between-site counterpart of [[urlDedup]]'s within-site collapse.
+    * Crawl dedup needs both: a mirror burns budget on every host that
+    * serves it.
+    *
+    * One row per mirrored content fingerprint: (content_fp, n_hosts,
+    * hosts) with `hosts` '|'-joined sorted (a SORTABLE SCALAR, the
+    * comparator convention). Pages collapse to distinct (host, fp)
+    * FIRST, so the grouped aggregation runs at host×content
+    * cardinality and only 16-byte fingerprints ever shuffle — payload
+    * never leaves the scan stage. */
+  def mirrorReport(pages: DataFrame, hostCol: String,
+      contentCol: String): DataFrame =
+    pages
+      .select(col(hostCol).as("host"),
+        md5(col(contentCol).cast("binary")).as("content_fp"))
+      .distinct()
+      .groupBy(col("content_fp"))
+      .agg(count(lit(1)).as("n_hosts"),
+        array_join(array_sort(collect_set(col("host"))), "|").as("hosts"))
+      .where(col("n_hosts") >= 2)
 }

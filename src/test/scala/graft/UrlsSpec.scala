@@ -62,6 +62,19 @@ class UrlsSpec extends SparkSpec {
     assert(got == Seq(("https://a.com/x", 1L, 3L), ("https://b.com/y", 9L, 1L)))
   }
 
+  test("mirrorReport finds cross-host byte-identical content only") {
+    val pages = Seq(
+      ("a.com", "same content"), ("b.com", "same content"),
+      ("c.com", "same content"),
+      ("a.com", "same content"),     // same host twice: not a mirror fact
+      ("a.com", "only here"),
+      ("b.com", "also only here")).toDF("host", "text")
+    val got = Urls.mirrorReport(pages, "host", "text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got.length == 1)
+    assert(got.head._2 == 3L && got.head._3 == "a.com|b.com|c.com")
+  }
+
   test("canonicalization plan is join-free and exchange-free") {
     val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
     val plan = df.select(Urls.canonicalize(col("url")))
