@@ -3645,6 +3645,25 @@ object SparkEntry {
         "host", "text")
     }),
 
+    // ---- LLM: recrawl scheduling from observed change rates -----------
+    // planted fetch history: 6 fetches per URL whose content version
+    // advances every p = 1 + doc_id%4 fetches, so n_changes =
+    // floor(5/p) in closed form — Spark counts TRANSITIONS through the
+    // lag window over real fingerprints while the oracle never builds
+    // one (ops/Urls.recrawlPriorities)
+    "q_recrawl_priority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = docs
+        .select(col("doc_id").as("url_id"), col("text"),
+          explode(sequence(lit(0), lit(5))).as("fetch_no"))
+        .select(col("url_id"), col("fetch_no"),
+          md5(concat(col("text"), lit(":v"),
+            expr("fetch_no div (1 + url_id % 4)").cast("string"))
+            .cast("binary")).as("content_fp"))
+      graft.ops.Urls.recrawlPriorities(history,
+        "url_id", "fetch_no", "content_fp")
+    }),
+
     // ---- LLM: multimodal featurize -> similarity score, oracle-checked -
     // The md5-derived stub embedding is reproducible in SQL, so the whole
     // payload -> feature vector -> cosine-vs-probe path gets a DuckDB
@@ -7623,6 +7642,15 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents)
         |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM c GROUP BY canonical_url""".stripMargin,
+
+    // closed form of the plant: version advances every p fetches, so
+    // over fetches 1..5 there are floor(5/p) transitions; the rate is
+    // the same exact integer division both engines
+    "q_recrawl_priority" ->
+      """SELECT doc_id AS url_id, CAST(6 AS BIGINT) AS n_fetches,
+        |  CAST(5 // (1 + doc_id % 4) AS BIGINT) AS n_changes,
+        |  (1000000 * (5 // (1 + doc_id % 4))) // 5 AS change_rate_micros
+        |FROM documents""".stripMargin,
 
     // replays the plant AND any natural cross-host exact-text dups:
     // distinct (host, md5) first, then the >=2-host groups

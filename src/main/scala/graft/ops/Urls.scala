@@ -74,6 +74,35 @@ object Urls {
     * FIRST, so the grouped aggregation runs at host×content
     * cardinality and only 16-byte fingerprints ever shuffle — payload
     * never leaves the scan stage. */
+  /** Recrawl scheduling from observed change rates: given a fetch
+    * history (url key, fetch order, content fingerprint), estimate how
+    * often each URL's content actually changes — the freshness signal
+    * a crawler uses to spend budget where pages move and skip where
+    * they don't. A change is a TRANSITION (fp differs from the
+    * previous fetch's, A→B→A counts twice), not distinct-count, so
+    * oscillating pages rank as hot as steadily-moving ones.
+    *
+    * Output per URL: n_fetches, n_changes, and
+    * `change_rate_micros` = 1e6·changes div (fetches-1) — exact
+    * integers end to end. Single-fetch URLs rate 0 (no evidence).
+    * One key-keyed shuffle feeds both the lag window and the closing
+    * aggregation (same partitioning, no re-exchange); only (key,
+    * fetch_no, 16-byte fp) rows move, never page content. */
+  def recrawlPriorities(history: DataFrame, urlCol: String,
+      fetchNoCol: String, fpCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(fetchNoCol))
+    history
+      .withColumn("_chg",
+        (col(fpCol) =!= lag(col(fpCol), 1).over(w)).cast("long"))
+      .groupBy(col(urlCol))
+      .agg(count(lit(1)).as("n_fetches"),
+        coalesce(sum(col("_chg")), lit(0L)).as("n_changes"))
+      .withColumn("change_rate_micros",
+        expr("CASE WHEN n_fetches > 1 " +
+          "THEN (1000000 * n_changes) div (n_fetches - 1) ELSE 0 END"))
+  }
+
   def mirrorReport(pages: DataFrame, hostCol: String,
       contentCol: String): DataFrame =
     pages

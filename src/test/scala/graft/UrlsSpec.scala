@@ -75,6 +75,24 @@ class UrlsSpec extends SparkSpec {
     assert(got.head._2 == 3L && got.head._3 == "a.com|b.com|c.com")
   }
 
+  test("recrawlPriorities counts transitions, not distinct versions") {
+    val history = Seq(
+      // oscillating page: A->B->A = 2 changes over 3 fetches
+      (1L, 0, "A"), (1L, 1, "B"), (1L, 2, "A"),
+      // static page: 0 changes
+      (2L, 0, "X"), (2L, 1, "X"), (2L, 2, "X"),
+      // single observation: no evidence, rate 0
+      (3L, 0, "Y")).toDF("url_id", "fetch_no", "content_fp")
+    val got = Urls.recrawlPriorities(history,
+        "url_id", "fetch_no", "content_fp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 1000000L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((1L, 0L, 0L))), s"got $got")
+  }
+
   test("canonicalization plan is join-free and exchange-free") {
     val df = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
     val plan = df.select(Urls.canonicalize(col("url")))
