@@ -86,6 +86,26 @@ class WarcSpec extends SparkSpec {
       Seq((7L, "warcinfo", "info")))
   }
 
+  test("the documented 100 TB path works: .warc files on disk land via " +
+    "binaryFile and parse to records") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-files")
+    java.nio.file.Files.write(dir.resolve("crawl-00000.warc"),
+      build(("a", "doc one"), ("b", "doc two")))
+    java.nio.file.Files.write(dir.resolve("crawl-00001.warc"),
+      build(("c", "doc three")))
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(dir.toString)
+      // binaryFile gives (path, modificationTime, length, content);
+      // derive a numeric file id from the path tail
+      .select(regexp_extract(col("path"), "crawl-(\\d+)\\.warc", 1)
+        .cast("long").as("file_id"), col("content"))
+    val got = Warc.parse(files, "file_id", "content")
+      .select($"file_id", $"record_id", $"body")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((0L, "a", "doc one"), (0L, "b", "doc two"),
+      (1L, "c", "doc three")))
+  }
+
   test("q_warc_ingest recovers every sf0.001 document bit-exact") {
     val out = SparkEntry.queries("q_warc_ingest")(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
