@@ -456,4 +456,55 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.Sampling.temperatureSample(df, "g", "id", 1, 3, 2))
   }
+
+  test("WARC roundtrip holds for ANY body bytes (property)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // bodies drawn to be hostile: CRLFs, the record terminator, the
+    // magic itself, unicode, empties
+    val hostile = Gen.oneOf("", "\r\n\r\n", "WARC/1.0\r\n", "naïve ☕",
+      "Content-Length: 9\r\n", "a\r\nb\r\n\r\nc")
+    val bodyGen: Gen[String] = Gen.oneOf(
+      hostile, Gen.listOfN(12, Gen.asciiPrintableChar).map(_.mkString),
+      Gen.zip(hostile, hostile).map { case (a, b) => a + b })
+    val docsGen = Gen.listOfN(8, bodyGen)
+    for ((bodies, i) <- samples(docsGen, 20).zipWithIndex) {
+      val blob = bodies.zipWithIndex.map { case (body, j) =>
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <r$j>\r\n" +
+          s"WARC-Target-URI: u\r\nContent-Length: " +
+          s"${body.getBytes(UTF_8).length}\r\n\r\n$body\r\n\r\n"
+      }.mkString.getBytes(UTF_8)
+      val parsed = graft.sources.Warc.parseFile(0L, blob).toSeq
+      assert(parsed.map(_.body) == bodies, s"seed case $i")
+      assert(parsed.map(_.record_id) == bodies.indices.map(j => s"r$j"),
+        s"seed case $i")
+    }
+  }
+
+  test("robots admission equals the brute-force REP reference (property)") {
+    import spark.implicits._
+    val prefixGen = Gen.oneOf("/a", "/a/", "/a/b", "/ab", "/b", "/b/c", "/")
+    val ruleGen = Gen.zip(prefixGen, Gen.oneOf(true, false))
+    val rulesGen = Gen.listOfN(6, ruleGen).map(_.distinct)
+    val pathGen = Gen.oneOf("/a", "/a/", "/a/b", "/a/bc", "/ab", "/abc",
+      "/b", "/b/c", "/c", "/")
+    val caseGen = Gen.zip(rulesGen, Gen.listOfN(10, pathGen))
+    def reference(rules: Seq[(String, Boolean)], path: String): Boolean = {
+      val matches = rules.filter { case (p, _) => path.startsWith(p) }
+      if (matches.isEmpty) true
+      else matches.maxBy { case (p, allow) => (p.length, allow) }._2
+    }
+    for (((rules, paths), i) <- samples(caseGen, 8).zipWithIndex) {
+      val rulesDf = rules.map { case (p, a) => ("h", p, a) }
+        .toDF("host", "prefix", "allow")
+      val urls = paths.zipWithIndex
+        .map { case (p, j) => (j.toLong, "h", p) }
+        .toDF("id", "host", "path")
+      val got = graft.ops.Robots
+        .filterAllowed(urls, rulesDf, "host", "path", "id")
+        .select($"id", $"allowed").as[(Long, Boolean)].collect().toMap
+      val want = paths.zipWithIndex
+        .map { case (p, j) => j.toLong -> reference(rules, p) }.toMap
+      assert(got == want, s"seed case $i: rules=$rules paths=$paths")
+    }
+  }
 }
