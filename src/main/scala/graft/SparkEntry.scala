@@ -548,6 +548,36 @@ object SparkEntry {
           md5(col("body").cast("binary")).as("body_md5"))
     }),
 
+    // the .warc.gz sibling of q_warc_ingest — the format crawls
+    // actually ship (Common Crawl): each record its own gzip member,
+    // members concatenated per file; a garbage compressed tail is
+    // planted on file 0 and must not cost the good members. Oracle
+    // identical to q_warc_ingest's: every document recovered with
+    // exact byte length and md5-identical body
+    "q_warc_gzip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val uri = concat(lit("https://"), lower(col("source")),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val recs = docs.select((col("doc_id") % 20).as("file_id"),
+        col("doc_id"),
+        graft.sources.Warc.record(lit("response"),
+          concat(lit("urn:graft:doc:"), col("doc_id").cast("string")),
+          uri, col("text")).as("rec"))
+      val files = graft.sources.Warc
+        .gzipFiles(recs, "file_id", "rec", "doc_id")
+        .withColumn("payload", when(col("file_id") === 0,
+          concat(col("payload"),
+            lit("not a gzip member".getBytes("US-ASCII"))))
+          .otherwise(col("payload")))
+      graft.sources.Warc.parseGzip(files, "file_id", "payload")
+        .where(col("rec_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("content_length"),
+          md5(col("body").cast("binary")).as("body_md5"))
+    }),
+
     // dirty-ingestion contract: enforced schema + DROPMALFORMED skips
     // the three broken lines in the fixture, keeps the five clean rows
     "q_json_malformed" -> ((s, _) =>
@@ -4134,6 +4164,16 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // a bit-exact body (md5 over the same UTF-8 bytes both engines);
     // the truncated tail plant appears in no row on either side
     "q_warc_ingest" ->
+      """SELECT doc_id,
+        |  'https://' || lower(source) || '.example.com/doc/' || doc_id
+        |    AS target_uri,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin,
+
+    // the compressed roundtrip recovers the identical set (the garbage
+    // member tail must cost nothing)
+    "q_warc_gzip" ->
       """SELECT doc_id,
         |  'https://' || lower(source) || '.example.com/doc/' || doc_id
         |    AS target_uri,

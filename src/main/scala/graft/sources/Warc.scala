@@ -158,4 +158,76 @@ object Warc {
     }
     -1
   }
+
+  // --------------------------------------------------------------------
+  // .warc.gz — the format crawls actually ship (Common Crawl): each
+  // record is its OWN gzip member and the members are concatenated, so
+  // a reader can seek to any member without decompressing the file.
+  // java.util.zip reads multi-member streams natively; nothing beyond
+  // the JDK is needed.
+  // --------------------------------------------------------------------
+
+  /** Gzip each record string into its own member (the .warc.gz member-
+    * per-record convention). Imperative by necessity — compression is a
+    * codec, the same justified-`flatMap` category as the parser. Input
+    * rows are (groupIdCol, recordCol: STRING, orderCol); output one
+    * blob per group id with members in `orderCol` order — the write
+    * side of a sharded .warc.gz export. */
+  def gzipFiles(records: DataFrame, groupIdCol: String, recordCol: String,
+      orderCol: String): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .groupBy(col(groupIdCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(orderCol).as("o"),
+          col(recordCol).as("r")))), x => x.getField("r")).as("recs"))
+      .select(col(groupIdCol).cast("long"), col("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (id, recs) =>
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { rec =>
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(rec.getBytes(StandardCharsets.UTF_8))
+          gz.finish()
+        }
+        (id, out.toByteArray)
+      }
+      .toDF(groupIdCol, "payload")
+  }
+
+  /** Parse a `.warc.gz` file column: inflate the multi-member stream
+    * (each record its own gzip member, per the Common Crawl layout —
+    * but any member split works, java.util.zip reads them all), then
+    * byte-walk the records exactly as [[parse]]. Truncated or corrupt
+    * COMPRESSED tails end that file's walk with everything already
+    * inflated kept — the same longest-well-formed-prefix recovery as
+    * the plain parser, one layer down. */
+  def parseGzip(files: DataFrame, fileIdCol: String,
+      blobCol: String): DataFrame = {
+    val spark = files.sparkSession
+    implicit val enc = Encoders.product[WarcRecord]
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    files
+      .select(col(fileIdCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, gz) => parseFile(id, inflateAll(gz)) }
+      .toDF()
+  }
+
+  /** Inflate a (possibly multi-member) gzip blob; a corrupt or
+    * truncated tail yields the bytes inflated so far. */
+  private[graft] def inflateAll(gz: Array[Byte]): Array[Byte] = {
+    if (gz == null || gz.length == 0) return Array.emptyByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () } // keep the good prefix
+    out.toByteArray
+  }
 }

@@ -106,6 +106,42 @@ class WarcSpec extends SparkSpec {
       (1L, "c", "doc three")))
   }
 
+  test(".warc.gz: member-per-record gzip roundtrips; corrupt tail costs nothing") {
+    import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+    val recs = Seq(
+      (0L, 1L, "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <a>\r\n" +
+        "Content-Length: 5\r\n\r\nfirst\r\n\r\n"),
+      (0L, 2L, "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <b>\r\n" +
+        "Content-Length: 6\r\n\r\nsecond\r\n\r\n"))
+      .toDF("file_id", "ord", "rec")
+    val files = Warc.gzipFiles(recs, "file_id", "rec", "ord")
+    val payload = files.select("payload").as[Array[Byte]].head()
+    // really two gzip members: the magic appears twice
+    assert(payload.sliding(2).count(w =>
+      (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b) >= 2)
+    val clean = Warc.parseGzip(files, "file_id", "payload")
+      .select($"record_id", $"body").as[(String, String)].collect().toSet
+    assert(clean == Set(("a", "first"), ("b", "second")))
+    // garbage appended after the members must not cost the good ones
+    val dirty = files.select($"file_id",
+      concat($"payload", lit("junk tail".getBytes(US_ASCII))).as("payload"))
+    val got = Warc.parseGzip(dirty, "file_id", "payload")
+      .select($"record_id").as[String].collect().toSet
+    assert(got == Set("a", "b"))
+    // and a single-member whole-blob gzip inflates to the same records
+    val whole = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      recs.orderBy("ord").select("rec").as[String].collect()
+        .foreach(r => gz.write(r.getBytes(UTF_8)))
+      gz.finish()
+      out.toByteArray
+    }
+    val one = Warc.parseGzip(Seq((0L, whole)).toDF("file_id", "payload"),
+      "file_id", "payload").select($"record_id").as[String].collect().toSet
+    assert(one == Set("a", "b"))
+  }
+
   test("q_warc_ingest recovers every sf0.001 document bit-exact") {
     val out = SparkEntry.queries("q_warc_ingest")(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
