@@ -58,8 +58,10 @@ object Bench {
     // hybrid BM25+dense RRF fusion, sliding-window exact distinct
     "q_heavy_hitters", "q_rrf_hybrid", "q_sliding_distinct",
     // round 7, fourth continuation: WARC build+byte-parse roundtrip
-    // (string-heavy ingest) and two-table MinHash fuzzy decontamination
-    "q_warc_ingest", "q_decontam_fuzzy")
+    // (string-heavy ingest), two-table MinHash fuzzy decontamination,
+    // and the Common-Crawl-shaped end-to-end (gzip members -> parse ->
+    // sniff -> extract)
+    "q_warc_ingest", "q_decontam_fuzzy", "q_cc_pipeline")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

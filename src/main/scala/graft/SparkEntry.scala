@@ -2448,6 +2448,36 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: the Common-Crawl-shaped pipeline, end to end ------------
+    // html pages → WARC records → per-record gzip members → parse →
+    // magic-byte sniff (must say text/html) → boilerplate-stripping
+    // extraction → per-doc stats. The compressed container transport in
+    // the middle must not perturb extraction by one byte: the oracle
+    // replays build+extract directly and never sees a container
+    "q_cc_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val recs = docs.select((col("doc_id") % 20).as("file_id"),
+        col("doc_id"),
+        graft.sources.Warc.record(lit("response"),
+          concat(lit("urn:graft:doc:"), col("doc_id").cast("string")),
+          concat(lit("https://"), lower(col("source")),
+            lit(".example.com/doc/"), col("doc_id").cast("string")),
+          plantedHtml).as("rec"))
+      val files = graft.sources.Warc
+        .gzipFiles(recs, "file_id", "rec", "doc_id")
+      val parsed = graft.sources.Warc
+        .parseGzip(files, "file_id", "payload")
+        .where(col("rec_type") === "response")
+        .withColumn("sniffed",
+          Multimodal.sniffKind(col("body").cast("binary")))
+        .where(col("sniffed") === "text/html")
+        .withColumn("doc_id",
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long"))
+      graft.ops.Html.extract(parsed, "doc_id", "body")
+        .select(col("doc_id"), col("n_links"), col("n_chars_clean"))
+    }),
+
     // ---- LLM: robots.txt crawl admission (frontier gate) --------------
     // per-host robots.txt (planted: an evilbot group that must be
     // ignored, a * group disallowing /cat1/ with a longer Allow carving
@@ -4048,6 +4078,38 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // the q_sql_tpch_* portability rows share the q_tpch_* oracle text
     // verbatim (one text, two engines — see sqlTpchPortability)
     (1 to 22).map(n => s"q_sql_tpch_q$n" -> oracleSqlBase(s"q_tpch_q$n"))
+
+  /** Shared DuckDB replay of plantedHtml + Html.extract (the u and
+    * s1..s4 CTEs) — used by the q_html_extract oracle and the
+    * q_cc_pipeline composition oracle. Ends with s4(doc_id, html,
+    * text_clean). */
+  private val HtmlReplayCtes: String =
+    """WITH u AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id
+        |    || '</title><script type="text/javascript">var t = '
+        |    || (doc_id % 97)
+        |    || ';</script><style>.c{color:red}</style></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || text
+        |    || '</p><a href="/next/' || (doc_id % 10) || '">next page</a>'
+        |    || (CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="/rel">related</a>' ELSE '' END)
+        |    || '<div class="footer">&copy; 2026 &amp; co &#39;ok&#39;'
+        |    || '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+        |    regexp_replace(html, '<head[ >][\s\S]*?</head>', ' ', 'g'),
+        |    '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+        |    '<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS nos FROM u),
+        |s2 AS (SELECT doc_id, html,
+        |    regexp_replace(nos, '<[^>]*>', ' ', 'g') AS notags FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(notags,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS dec FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS text_clean
+        |  FROM s3)""".stripMargin + "\n"
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_scan" -> "SELECT r_regionkey, r_name FROM region",
@@ -7576,39 +7638,24 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // chain ('g' flags — Spark replaces all matches by default), same
     // entity order (&amp; last), same whitespace collapse
     "q_html_extract" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id
-        |    || '</title><script type="text/javascript">var t = '
-        |    || (doc_id % 97)
-        |    || ';</script><style>.c{color:red}</style></head><body><h1>Doc '
-        |    || doc_id || '</h1><p>' || text
-        |    || '</p><a href="/next/' || (doc_id % 10) || '">next page</a>'
-        |    || (CASE WHEN doc_id % 3 = 0
-        |         THEN '<a href="/rel">related</a>' ELSE '' END)
-        |    || '<div class="footer">&copy; 2026 &amp; co &#39;ok&#39;'
-        |    || '</div></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
-        |    regexp_replace(html, '<head[ >][\s\S]*?</head>', ' ', 'g'),
-        |    '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
-        |    '<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS nos FROM u),
-        |s2 AS (SELECT doc_id, html,
-        |    regexp_replace(nos, '<[^>]*>', ' ', 'g') AS notags FROM s1),
-        |s3 AS (SELECT doc_id, html,
-        |    replace(replace(replace(replace(replace(replace(notags,
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |      '&nbsp;', ' '), '&amp;', '&') AS dec FROM s2),
-        |s4 AS (SELECT doc_id, html,
-        |    trim(regexp_replace(dec, '\s+', ' ', 'g')) AS text_clean
-        |  FROM s3)
-        |SELECT doc_id,
-        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-        |  (length(html) - length(replace(html, '<a href', ''))) // 7
-        |    AS n_links,
-        |  text_clean,
-        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
-        |FROM s4""".stripMargin,
+      (HtmlReplayCtes +
+        """SELECT doc_id,
+          |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+          |  (length(html) - length(replace(html, '<a href', ''))) // 7
+          |    AS n_links,
+          |  text_clean,
+          |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+          |FROM s4""".stripMargin),
+
+    // the WARC/gzip transport in the middle must not perturb
+    // extraction: same replay CTEs, stats-only projection
+    "q_cc_pipeline" ->
+      (HtmlReplayCtes +
+        """SELECT doc_id,
+          |  (length(html) - length(replace(html, '<a href', ''))) // 7
+          |    AS n_links,
+          |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+          |FROM s4""".stripMargin),
 
     // mirrors Sampling.temperatureSample: same sorted-order W fold
     // (list_reduce = left-assoc IEEE adds), same probability arithmetic

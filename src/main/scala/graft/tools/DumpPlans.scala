@@ -56,7 +56,8 @@ object DumpPlans {
     "q_index_search" -> "Bucket-pruned index search: the postings scan lists ONLY the query terms' bucket directories (PartitionFilters on bucket) with the term equality pushed into row groups (PushedFilters); the query table broadcasts, and only matched (query, doc) partials shuffle for the conjunction count.",
     "q_warc_ingest" -> "WARC roundtrip: record build is a codegen'd concat projection; file assembly one file-id-keyed aggregation; the byte parser is a stateless per-file flatMap (DeserializeToObject/MapPartitions span) — records explode executor-side, nothing driver-sized anywhere.",
     "q_decontam_fuzzy" -> "Fuzzy decontamination: the benchmark-sized eval side broadcasts both its banded signatures and its shingle sets (two BroadcastHashJoins); corpus candidates shuffle ids only; the longest stage is the corpus's own shingle+minhash projection inside its scan — no cartesian, no all-pairs.",
-    "q_robots_filter" -> "robots.txt admission: the hosts-x-rules table broadcasts into the frontier's host-keyed join; the longest-prefix argmax is one window keyed by the URL row — the frontier shuffles only on its own keys.")
+    "q_robots_filter" -> "robots.txt admission: the hosts-x-rules table broadcasts into the frontier's host-keyed join; the longest-prefix argmax is one window keyed by the URL row — the frontier shuffles only on its own keys.",
+    "q_cc_pipeline" -> "Common-Crawl-shaped end-to-end: record build + gzip members in one file-id-keyed aggregation+map, inflate+parse as a stateless flatMap, then sniff/extract as pure per-record regex projections — one keyed exchange in the whole pipeline; everything else pipelines in the scan or the flatMap stage.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
