@@ -2448,6 +2448,24 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: late-interaction (ColBERT-style) MaxSim retrieval -------
+    // token-level matching: score = Σ over query tokens of max over doc
+    // tokens of cos(v(qt), v(dt)); probe = the first 4 tokens of doc 0.
+    // Vectors are the md5-derived stub (featurizeStub convention — a
+    // real encoder slots into the same column); the interaction
+    // algebra (broadcast query tokens, micros-quantized cosines, exact
+    // BIGINT max/Σ, windowed top-k) is the real contract and the
+    // oracle replays ALL of it
+    "q_maxsim" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probe = docs.where(col("doc_id") === 0)
+        .select(explode(slice(split(trim(lower(col("text"))), "\\s+"),
+          1, 4)).as("qtok"))
+        .select(lit(1L).as("query_id"), col("qtok"))
+      graft.ops.Retrieval.maxSimTopK(docs, probe, "doc_id", "text",
+        "query_id", "qtok", dim = 8, k = 10)
+    }),
+
     // ---- LLM: the Common-Crawl-shaped pipeline, end to end ------------
     // html pages → WARC records → per-record gzip members → parse →
     // magic-byte sniff (must say text/html) → boilerplate-stripping
@@ -6355,6 +6373,45 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // full replay of the late-interaction pipeline: same md5 stub
+    // vectors, same left-assoc 8-component IEEE chains, same micros
+    // quantization, exact integer max/sum, same (score desc, doc_id)
+    // top-k order
+    "q_maxsim" ->
+      """WITH qt AS (
+        |  SELECT DISTINCT CAST(1 AS BIGINT) AS query_id, t AS qtok FROM (
+        |    SELECT unnest(list_slice(
+        |      string_split_regex(trim(lower(text)), '\s+'), 1, 4)) AS t
+        |    FROM documents WHERE doc_id = 0) s),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, dtok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS dtok
+        |    FROM documents) s WHERE dtok <> ''),
+        |vq AS (SELECT query_id, qtok,
+        |  [ ((('0x' || substring(md5(qtok || ':' || CAST(i AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 1000)) / 999.0 FOR i IN range(0, 8)] AS v
+        |  FROM qt),
+        |vd AS (SELECT doc_id, dtok,
+        |  [ ((('0x' || substring(md5(dtok || ':' || CAST(i AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 1000)) / 999.0 FOR i IN range(0, 8)] AS v
+        |  FROM dt),
+        |pc AS (
+        |  SELECT vq.query_id, vq.qtok, vd.doc_id,
+        |    CAST(round((vq.v[1]*vd.v[1] + vq.v[2]*vd.v[2] + vq.v[3]*vd.v[3] + vq.v[4]*vd.v[4] + vq.v[5]*vd.v[5] + vq.v[6]*vd.v[6] + vq.v[7]*vd.v[7] + vq.v[8]*vd.v[8]) /
+        |      (sqrt(vq.v[1]*vq.v[1] + vq.v[2]*vq.v[2] + vq.v[3]*vq.v[3] + vq.v[4]*vq.v[4] + vq.v[5]*vq.v[5] + vq.v[6]*vq.v[6] + vq.v[7]*vq.v[7] + vq.v[8]*vq.v[8]) * sqrt(vd.v[1]*vd.v[1] + vd.v[2]*vd.v[2] + vd.v[3]*vd.v[3] + vd.v[4]*vd.v[4] + vd.v[5]*vd.v[5] + vd.v[6]*vd.v[6] + vd.v[7]*vd.v[7] + vd.v[8]*vd.v[8])) * 1000000.0, 0) AS BIGINT) AS cm
+        |  FROM vd CROSS JOIN vq
+        |  WHERE (vq.v[1]*vq.v[1] + vq.v[2]*vq.v[2] + vq.v[3]*vq.v[3] + vq.v[4]*vq.v[4] + vq.v[5]*vq.v[5] + vq.v[6]*vq.v[6] + vq.v[7]*vq.v[7] + vq.v[8]*vq.v[8]) > 0 AND (vd.v[1]*vd.v[1] + vd.v[2]*vd.v[2] + vd.v[3]*vd.v[3] + vd.v[4]*vd.v[4] + vd.v[5]*vd.v[5] + vd.v[6]*vd.v[6] + vd.v[7]*vd.v[7] + vd.v[8]*vd.v[8]) > 0),
+        |ms AS (SELECT query_id, qtok, doc_id, max(cm) AS maxsim
+        |       FROM pc GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(maxsim) AS BIGINT)
+        |         AS score_micros
+        |       FROM ms GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_micros, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micros DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10""".stripMargin,
 
     // the plant's verdict table: src4 has no robots (crawl-by-default
     // true); on every other host only /cat1/* paths are gated, with

@@ -304,6 +304,66 @@ object Retrieval {
     * corpus-sized); the union shuffles once on (query, doc) with
     * map-side partial sums, then one per-query window top-k. Output:
     * (qid, id, rrf_micros, n_lists, rank). */
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: score(q, d) =
+    * Σ over query tokens of max over doc tokens of cos(v(qt), v(dt)) —
+    * token-level matching instead of one pooled vector per document,
+    * so a document scores high if EVERY query token finds a close doc
+    * token, not merely if the document's average direction is close.
+    * The token encoder here is the md5-derived stub (the
+    * featurizeStub convention — real encoders slot into the same
+    * per-token vector column); the interaction algebra is the real
+    * contract.
+    *
+    * Determinism: each per-token-pair cosine is one fixed-shape IEEE
+    * chain (explicit left-assoc 8-component sums) quantized to
+    * integer micros; MAX and the final Σ then run on exact BIGINTs,
+    * so neither partitioning nor engine can perturb a score. Pairs
+    * with a zero-norm side (essentially impossible with the stub) are
+    * excluded deterministically on both engines.
+    *
+    * Scale shape: doc tokens collapse to DISTINCT (doc, token) first;
+    * the query-token table is query-sized and broadcasts into that
+    * scan (one row per (doc token, query token) — bounded by
+    * |q| × distinct doc tokens, never doc-pairs); then one
+    * (query, token, doc) max-aggregation, one (query, doc) sum, and a
+    * per-query window top-k. At 100 TB the per-token vectors would be
+    * PRECOMPUTED columns (the IVF/PQ storage path); the interaction
+    * join shape is unchanged. */
+  def maxSimTopK(docs: DataFrame, queries: DataFrame, docIdCol: String,
+      textCol: String, qidCol: String, qTokenCol: String, dim: Int = 8,
+      k: Int = 10): DataFrame = {
+    require(dim >= 1 && k >= 1, "dim and k must be positive")
+    def comp(tok: Column, i: Int): Column =
+      (conv(substring(md5(concat(tok, lit(":"), lit(i.toString))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 1000L) / lit(999.0)
+    def comps(tok: Column) = (0 until dim).map(comp(tok, _))
+    val dtoks = docs
+      .select(col(docIdCol), explode(split(trim(lower(col(textCol))),
+        "\\s+")).as("dtok"))
+      .where(col("dtok") =!= "").distinct()
+    val qtoks = queries
+      .select(col(qidCol), lower(col(qTokenCol)).as("qtok")).distinct()
+    val dv = comps(col("dtok"))
+    val qv = comps(col("qtok"))
+    val dot = dv.zip(qv).map { case (a, b) => a * b }.reduce(_ + _)
+    val nd = dv.map(a => a * a).reduce(_ + _)
+    val nq = qv.map(b => b * b).reduce(_ + _)
+    val pairs = dtoks.crossJoin(broadcast(qtoks))
+      .where(nd > 0d && nq > 0d)
+      .select(col(qidCol), col("qtok"), col(docIdCol),
+        round(dot / (sqrt(nd) * sqrt(nq)) * lit(1000000.0), 0)
+          .cast("long").as("cos_micros"))
+    val scores = pairs
+      .groupBy(col(qidCol), col("qtok"), col(docIdCol))
+      .agg(max(col("cos_micros")).as("maxsim"))
+      .groupBy(col(qidCol), col(docIdCol))
+      .agg(sum(col("maxsim")).as("score_micros"))
+    scores
+      .withColumn("rank", row_number().over(Window.partitionBy(col(qidCol))
+        .orderBy(col("score_micros").desc, col(docIdCol))))
+      .where(col("rank") <= k)
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
       rankCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

@@ -262,4 +262,31 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(q2 == Seq(101L, 102L, 103L, 104L, 105L))
   }
+
+  test("maxSim: every-token coverage beats a pooled-average-style match") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),        // covers all three query tokens
+      (2L, "alpha alpha alpha beta"),  // misses gamma — late interaction
+                                       // caps its third term below 1.0
+      (3L, "delta epsilon zeta"))      // unrelated
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"))
+      .toDF("query_id", "qtok")
+    val got = Retrieval.maxSimTopK(docs, q, "doc_id", "text",
+        "query_id", "qtok", dim = 8, k = 3)
+      .orderBy("rank")
+      .select("doc_id", "score_micros").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    // exact-cover doc scores exactly 3 * 1e6 (each token maxsim = 1.0)
+    assert(got.head._2 == 3000000L)
+    assert(got(1)._2 < 3000000L && got(1)._2 > 2000000L,
+      "two exact token matches + one sub-1.0 for the missing token")
+    // duplicate doc tokens add nothing: MAX, not sum, over doc tokens
+    val dupDoc = Seq((9L, "alpha alpha alpha alpha alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val s9 = Retrieval.maxSimTopK(dupDoc, q, "doc_id", "text",
+        "query_id", "qtok", dim = 8, k = 1)
+      .select("score_micros").as[Long].head()
+    assert(s9 == 3000000L)
+  }
 }
