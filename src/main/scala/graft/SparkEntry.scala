@@ -2448,6 +2448,30 @@ object SparkEntry {
         .where(col("id_a") < 100000L && col("id_b") >= 100000L)
     }),
 
+    // ---- LLM: tokenizer fertility report (chars per token by source) --
+    // the metric a tokenizer release ships with: how many characters
+    // one token buys, per corpus source — high fertility on a source
+    // means the vocabulary serves it poorly (more tokens per text,
+    // higher training cost). Encode with the 8-merge BPE, aggregate
+    // exact integers, one integer division per source; the oracle
+    // replays training AND encoding in SQL and aggregates identically
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, numMerges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.Graft.init(s)
+      TextOps.bpeEncodeFast(docs, merges)
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .withColumn("chars_per_token_micros",
+          expr("(1000000 * sum_chars) div sum_tokens"))
+    }),
+
     // ---- LLM: late-interaction (ColBERT-style) MaxSim retrieval -------
     // token-level matching: score = Σ over query tokens of max over doc
     // tokens of cos(v(qt), v(dt)); probe = the first 4 tokens of doc 0.
@@ -4018,6 +4042,35 @@ FROM (SELECT doc_id, ((b + w1 * x1) + w2 * x2) + w3 * x3 AS z
   /** Training + encoding: replay the n learned rules over every word of
     * every document with the same framed-replace trick, then flatten to
     * the per-document token sequence. */
+  /** Per-source fertility over the same replayed encoder as
+    * [[bpeEncodeSql]]: exact integer char/token totals, one integer
+    * division per source. */
+  private def bpeFertilitySql(n: Int): String = {
+    val replay = (1 to n).foldLeft(
+      "chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31)) || chr(31)") {
+      (e, k) =>
+        s"replace($e, chr(31) || u.l$k || chr(31) || chr(31) || u.q$k || chr(31), " +
+          s"chr(31) || u.l$k || u.q$k || chr(31))"
+    }
+    val ruleCols = (1 to n).map(k =>
+      s"(SELECT l FROM r$k) AS l$k, (SELECT r FROM r$k) AS q$k").mkString(", ")
+    "WITH " + bpeTrainCtes(n) + s""",
+u AS MATERIALIZED (SELECT $ruleCols),
+d AS (
+  SELECT doc_id, source, n_chars,
+    string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+e AS (
+  SELECT d.doc_id, d.source, d.n_chars, flatten(list_transform(d.ws, w ->
+    string_split(trim($replay, chr(31)), chr(31) || chr(31)))) AS toks
+  FROM d, u)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+  (1000000 * CAST(sum(n_chars) AS BIGINT))
+    // CAST(sum(len(toks)) AS BIGINT) AS chars_per_token_micros
+FROM e GROUP BY source"""
+  }
+
   private def bpeEncodeSql(n: Int): String = {
     val replay = (1 to n).foldLeft(
       "chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31)) || chr(31)") {
@@ -6758,6 +6811,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // corpus: the two queries the r6 verdict flagged as oracle-less
     "q_bpe_merges" -> bpeMergesSql(8),
     "q_bpe_encode" -> bpeEncodeSql(8),
+    "q_bpe_fertility" -> bpeFertilitySql(8),
 
     "q_vocab" ->
       """WITH t AS (
