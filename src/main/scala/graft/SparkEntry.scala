@@ -2472,6 +2472,17 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- extension: exact two-sample KS drift statistic ---------------
+    // the binning-free companion of q_drift_psi: D = max |CDF_a - CDF_b|
+    // over the merged n_chars domain, all-integer (cum*n cross products
+    // over the common denominator), single-digit sources vs the rest
+    "q_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.ksStatistic(
+        docs.where(length(col("source")) === 4),
+        docs.where(length(col("source")) > 4), "n_chars")
+    }),
+
     // ---- LLM: late-interaction (ColBERT-style) MaxSim retrieval -------
     // token-level matching: score = Σ over query tokens of max over doc
     // tokens of cos(v(qt), v(dt)); probe = the first 4 tokens of doc 0.
@@ -6426,6 +6437,32 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // identical integer algebra: per-value counts, one cumulative
+    // window, cross-product diffs, min-value argmax tie-break
+    "q_ks_drift" ->
+      """WITH c AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN length(source) > 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars),
+        |cum AS (
+        |  SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM c WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT v, na, nb,
+        |        abs(cuma * nb - cumb * na) AS dd FROM cum),
+        |m AS (SELECT max(dd) AS dmax FROM d)
+        |SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+        |  CAST(any_value(nb) AS BIGINT) AS n_b,
+        |  (1000000 * CAST(any_value(dmax) AS BIGINT))
+        |    // (CAST(any_value(na) AS BIGINT)
+        |        * CAST(any_value(nb) AS BIGINT)) AS ks_micros,
+        |  CAST(min(v) AS BIGINT) AS ks_at
+        |FROM d, m WHERE d.dd = m.dmax""".stripMargin,
 
     // full replay of the late-interaction pipeline: same md5 stub
     // vectors, same left-assoc 8-component IEEE chains, same micros

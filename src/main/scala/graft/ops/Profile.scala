@@ -758,4 +758,46 @@ object Profile {
       .select(col("bin"), col("bin_lo"), col("n_ref"), col("n_cur"),
         round((cs - rs) * round(log(cs / rs), 6), 6).as("psi_contrib"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the binning-free
+    * companion of [[driftReport]]: D = max over the merged value
+    * domain of |CDF_a − CDF_b|, computed entirely in integers
+    * (|cum_a·n_b − cum_b·n_a| over the common denominator n_a·n_b), so
+    * the answer is exact on any engine — no bin-edge choice, no float
+    * CDF accumulation. One row: (n_a, n_b, ks_micros, ks_at — the
+    * SMALLEST domain value attaining the max, a total order).
+    *
+    * Scale shape: rows collapse to per-value counts FIRST (the vocab
+    * rule — everything after runs at distinct-value cardinality); the
+    * cumulative window and both 1-row reductions run on that domain.
+    * Magnitudes: cum ≤ n ≤ ~2^31 rows per side keeps cum·n and the
+    * 1e6 scaling inside BIGINT. */
+  def ksStatistic(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = a.select(col(colName).as("v"), lit(1L).as("ca"),
+        lit(0L).as("cb"))
+      .unionByName(b.select(col(colName).as("v"), lit(0L).as("ca"),
+        lit(1L).as("cb")))
+      .where(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val cum = counts
+      .withColumn("cuma", sum(col("ca")).over(byV))
+      .withColumn("cumb", sum(col("cb")).over(byV))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("d", abs(col("cuma") * col("nb") -
+        col("cumb") * col("na")))
+    cum
+      .withColumn("dmax", max(col("d")).over(tot))
+      .where(col("d") === col("dmax"))
+      .groupBy()
+      .agg(any_value(col("na")).as("n_a"), any_value(col("nb")).as("n_b"),
+        any_value(col("dmax")).as("dmax"), min(col("v")).as("ks_at"))
+      .withColumn("ks_micros", expr("(1000000 * dmax) div (n_a * n_b)"))
+      .select(col("n_a"), col("n_b"), col("ks_micros"), col("ks_at"))
+  }
 }

@@ -382,4 +382,19 @@ class ProfileSpec extends SparkSpec {
     // closed-form sanity: equals (x - mean)/sigma_pop within float noise
     assert(math.abs(got(1L).get - (1.0 - 2.0) / math.sqrt(2.0 / 3.0)) < 1e-12)
   }
+
+  test("ksStatistic: identical samples D=0; disjoint D=1; hand mid case") {
+    import graft.ops.Profile
+    def ks(a: Seq[Long], b: Seq[Long]) = Profile.ksStatistic(
+        a.toDF("x"), b.toDF("x"), "x")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))._3 == 0L)
+    // disjoint: full separation, max first reached at value 2
+    val d = ks(Seq(1L, 1L, 2L), Seq(3L, 3L, 4L))
+    assert(d == ((3L, 3L, 1000000L, 2L)), s"got $d")
+    // a=[1,2], b=[2,3]: at v=1 |1*2-0*2|=2, v=2 |2*2-1*2|=2, v=3 0
+    // -> dmax 2 over denominator 4 = 0.5, argmax tie-break min v = 1
+    val m = ks(Seq(1L, 2L), Seq(2L, 3L))
+    assert(m == ((2L, 2L, 500000L, 1L)), s"got $m")
+  }
 }
