@@ -2911,6 +2911,17 @@ object SparkEntry {
       TextOps.blocklist(t(s, dir, "documents"), terms)
     }),
 
+    // the same policy filter through the Aho-Corasick automaton — the
+    // documented scale path when the blocklist outgrows the per-term
+    // contains scan; same output columns, same oracle, one text pass
+    // per document regardless of term count
+    "q_blocklist_ac" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow scan", "big table", "hash merge",
+        "stream batch", "forbidden phrase").toDF("term")
+      TextOps.blocklistAC(t(s, dir, "documents"), terms)
+    }),
+
     // ---- LLM: vocabulary extraction (token -> tf / doc frequency) -----
     // top slice by (tf desc, token) for a deterministic result set
     "q_vocab" -> ((s, dir) =>
@@ -6760,6 +6771,19 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // left join on containment, '|'-joined sorted matches as the
     // sortable scalar
     "q_blocklist" ->
+      """WITH terms(term) AS (VALUES ('slow scan'), ('big table'),
+        |  ('hash merge'), ('stream batch'), ('forbidden phrase'))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(t.term, '|' ORDER BY t.term), '')
+        |    AS matched_terms,
+        |  CAST(count(t.term) AS INT) AS n_matched,
+        |  count(t.term) > 0 AS blocked
+        |FROM documents d LEFT JOIN terms t
+        |  ON contains(lower(d.text), t.term)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // identical semantics, automaton-matched on the Spark side
+    "q_blocklist_ac" ->
       """WITH terms(term) AS (VALUES ('slow scan'), ('big table'),
         |  ('hash merge'), ('stream batch'), ('forbidden phrase'))
         |SELECT d.doc_id,

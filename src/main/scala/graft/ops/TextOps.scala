@@ -269,6 +269,96 @@ object TextOps {
         (size(col("m")) > 0).as("blocked"))
   }
 
+  /** Aho–Corasick multi-pattern matcher: one pass over the text finds
+    * every occurrence of every term, independent of the term count —
+    * the scale path [[blocklist]]'s scaladoc promises for blocklists
+    * that outgrow the per-term `contains` scan (10⁴+ phrases: the
+    * broadcast-array filter is O(terms × text), the automaton O(text)).
+    * Built once per partition from the broadcast sorted term array;
+    * matching collects the distinct matched term INDICES, which are in
+    * term-string order by construction. */
+  private[graft] final class AhoCorasick(terms: Array[String])
+      extends Serializable {
+    private val goto_ = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    private val outs = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    // trie
+    terms.zipWithIndex.foreach { case (t, ti) =>
+      var s = 0
+      t.foreach { ch =>
+        s = goto_(s).getOrElseUpdate(ch, {
+          goto_ += scala.collection.mutable.Map.empty[Char, Int]
+          outs += Nil
+          goto_.size - 1
+        })
+      }
+      outs(s) = ti :: outs(s)
+    }
+    // fail links by BFS, outputs propagated through them
+    private val fail = Array.fill(goto_.size)(0)
+    locally {
+      val q = scala.collection.mutable.Queue.empty[Int]
+      goto_(0).values.foreach(q.enqueue(_))
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        goto_(u).foreach { case (ch, v) =>
+          q.enqueue(v)
+          var f = fail(u)
+          while (f != 0 && !goto_(f).contains(ch)) f = fail(f)
+          fail(v) = if (f != u) goto_(f).getOrElse(ch, 0) else 0
+          outs(v) = outs(v) ++ outs(fail(v))
+        }
+      }
+    }
+    /** Distinct matched terms, sorted (indices are in term order). */
+    def matchedTerms(text: String): Array[String] = {
+      val hit = new java.util.BitSet(terms.length)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        while (s != 0 && !goto_(s).contains(ch)) s = fail(s)
+        s = goto_(s).getOrElse(ch, 0)
+        outs(s).foreach(hit.set)
+        i += 1
+      }
+      val b = Array.newBuilder[String]
+      var ti = hit.nextSetBit(0)
+      while (ti >= 0) { b += terms(ti); ti = hit.nextSetBit(ti + 1) }
+      b.result()
+    }
+  }
+
+  /** [[blocklist]] semantics through an [[AhoCorasick]] automaton:
+    * identical output columns, one text pass per document regardless of
+    * blocklist size. The term table is policy-sized by contract (the
+    * vocab-broadcast convention) — it collects to a sorted array on the
+    * driver, broadcasts, and the automaton builds ONCE PER PARTITION
+    * (never per row) inside the mapPartitions closure. Matching is
+    * case-insensitive via a lowercase pass, as in [[blocklist]].
+    * TextOpsSpec pins AC-vs-contains equality including overlapping
+    * and nested terms. */
+  def blocklistAC(docs: DataFrame, terms: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      termCol: String = "term"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termArr = terms.select(lower(col(termCol)).as("t"))
+      .distinct().as[String].collect().sorted
+    val bc = spark.sparkContext.broadcast(termArr)
+    docs
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new AhoCorasick(bc.value)
+        it.map { case (id, txt) =>
+          val m = ac.matchedTerms(if (txt == null) "" else txt)
+          (id, m.mkString("|"), m.length, m.nonEmpty)
+        }
+      }
+      .toDF(idCol, "matched_terms", "n_matched", "blocked")
+  }
+
   // --------------------------------------------------------------------
   // Vocabulary extraction: token -> (term frequency, document frequency)
   // — the "build the tokenizer corpus stats" step. One shuffle keyed on

@@ -181,6 +181,39 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall(_._3 == 1000000L))
   }
 
+  test("Aho-Corasick blocklist equals the contains-filter on nested and " +
+    "overlapping terms") {
+    // classic AC stress set: "he" inside "she" and "hers"; overlapping
+    // occurrences; a term that is a prefix of another
+    val terms = Seq("he", "she", "hers", "his", "ab", "abab")
+      .toDF("term")
+    val docs = Seq(
+      (1L, "ushers"),          // matches he, she, hers
+      (2L, "His HERS"),        // case-insensitive: his, he, hers
+      (3L, "ababab"),          // overlapping: ab, abab
+      (4L, "nothing relevant"),
+      (5L, "")).toDF("doc_id", "text")
+    val viaAc = graft.ops.TextOps.blocklistAC(docs, terms)
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val viaContains = graft.ops.TextOps.blocklist(docs, terms)
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(viaAc == viaContains, s"ac=$viaAc contains=$viaContains")
+    assert(viaAc.head._2 == "he|hers|she")
+    assert(viaAc(2)._2 == "ab|abab")
+  }
+
+  test("Aho-Corasick blocklist matches contains-filter on the fixture corpus") {
+    val terms = Seq("the", "and then", "spark", "join", "xyzzy-absent")
+      .toDF("term")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = graft.ops.TextOps.blocklistAC(docs, terms)
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val c = graft.ops.TextOps.blocklist(docs, terms)
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == c)
+  }
+
   test("vocabulary counts term and document frequency per token") {
     val df = Seq((0L, "the cat sat"), (1L, "the THE dog"), (2L, "cat"))
       .toDF("doc_id", "text")
