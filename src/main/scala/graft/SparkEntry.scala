@@ -2472,6 +2472,26 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: encoding-damage repair (UTF-8-as-Latin-1 mojibake) ------
+    // the classic web-corpus cleaning pass: re-encode/decode reverses
+    // the damage exactly, guarded so it only fires when provably right
+    // (Latin-1 range + marker + valid-UTF-8 roundtrip that shortens).
+    // Planted cases cover repair, pass-through, invalid-marker, and
+    // out-of-range texts; the oracle lists the expected outputs from
+    // the construction (TextOps.fixMojibake)
+    "q_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val cases = Seq(
+        (1L, "caf\u00c3\u00a9 corner"),            // cafAY -> cafe
+        (2L, "plain ascii text"),                   // untouched
+        (3L, "a\u00e2\u0080\u0099s quote"),        // a's curly quote
+        (4L, "x \u00c3"),                           // invalid UTF-8: untouched
+        (5L, "\u65e5\u672c \u00c3\u00a9"))         // CJK present: untouched
+        .toDF("case_id", "text")
+      cases.select(col("case_id"),
+        TextOps.fixMojibake(col("text")).as("fixed"))
+    }),
+
     // ---- extension: exact two-sample KS drift statistic ---------------
     // the binning-free companion of q_drift_psi: D = max |CDF_a - CDF_b|
     // over the merged n_chars domain, all-integer (cum*n cross products
@@ -6448,6 +6468,17 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // expected outputs from the plant's construction: chr() codepoints
+    // keep the oracle ASCII-clean
+    "q_mojibake" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'caf' || chr(233) || ' corner'),
+        |  (2, 'plain ascii text'),
+        |  (3, 'a' || chr(8217) || 's quote'),
+        |  (4, 'x ' || chr(195)),
+        |  (5, chr(26085) || chr(26412) || ' ' || chr(195) || chr(169))
+        |) AS t(case_id, fixed)""".stripMargin,
 
     // identical integer algebra: per-value counts, one cumulative
     // window, cross-product diffs, min-value argmax tie-break

@@ -269,6 +269,46 @@ object TextOps {
         (size(col("m")) > 0).as("blocked"))
   }
 
+  /** Repair UTF-8-as-Latin-1 mojibake ("café" shipped as "cafÃ©") —
+    * the most common encoding damage in web corpora: a page's UTF-8
+    * bytes were decoded as ISO-8859-1 somewhere upstream, turning each
+    * multibyte sequence into 2–4 junk chars. The inverse is exact:
+    * re-encode as ISO-8859-1 and decode as UTF-8, both codegen'd
+    * builtins — no UDF, no table, pipelines in the scan.
+    *
+    * Repair fires only when it is PROVABLY the right move:
+    *  - the text is entirely in the Latin-1 char range (true for any
+    *    text that actually took this damage; a string with real CJK
+    *    cannot be re-encoded and is left alone),
+    *  - a mojibake marker is present (Ã, Â, â€ — the lead bytes of
+    *    UTF-8 sequences misread as Latin-1),
+    *  - the roundtrip introduces no U+FFFD (the bytes really were
+    *    valid UTF-8) and strictly shortens the string (a real repair
+    *    always collapses 2–4 chars into 1).
+    * Anything else passes through untouched, so the fix is idempotent
+    * and safe to run corpus-wide. */
+  /** The UTF-8 byte grammar, expressed over Latin-1-decoded CHARS
+    * (each char = one original byte): text matching this is exactly a
+    * valid UTF-8 byte sequence misread as Latin-1, so the repair
+    * decode below cannot throw (Spark 4 ANSI decode raises on
+    * malformed input — the guard must run FIRST). Chars above U+00FF
+    * match no alternative, so CJK-bearing text fails the guard too. */
+  private val ValidUtf8AsLatin1: String =
+    "^(?:[\\x00-\\x7f]|[\\xc2-\\xdf][\\x80-\\xbf]|" +
+    "\\xe0[\\xa0-\\xbf][\\x80-\\xbf]|[\\xe1-\\xec][\\x80-\\xbf]{2}|" +
+    "\\xed[\\x80-\\x9f][\\x80-\\xbf]|[\\xee-\\xef][\\x80-\\xbf]{2}|" +
+    "\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}|[\\xf1-\\xf3][\\x80-\\xbf]{3}|" +
+    "\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*$"
+
+  def fixMojibake(text: Column): Column = {
+    val repaired = decode(encode(text, "ISO-8859-1"), "UTF-8")
+    when(text.isNotNull &&
+      text.rlike(ValidUtf8AsLatin1) &&      // provably reversible, AND
+      text.rlike("[^\\x00-\\x7f]"),       // actually damaged
+      repaired)
+      .otherwise(text)
+  }
+
   /** Aho–Corasick multi-pattern matcher: one pass over the text finds
     * every occurrence of every term, independent of the term count —
     * the scale path [[blocklist]]'s scaladoc promises for blocklists

@@ -181,6 +181,32 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall(_._3 == 1000000L))
   }
 
+  test("fixMojibake repairs exactly the provably-reversible cases, " +
+    "idempotently") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      (1L, "cafÃ©"),                   // -> café
+      (2L, "already café"),                 // real é: é alone is not
+                                                 // a valid UTF-8 sequence
+      (3L, "Ã©Ã¨"),          // -> éè (two repairs)
+      (4L, "x Ã"),                          // truncated: untouched
+      (5L, "ascii only"),
+      (6L, null.asInstanceOf[String])).toDF("id", "text")
+    val once = rows.select($"id", TextOps.fixMojibake($"text").as("f"))
+    val got = once.as[(Long, String)].collect().toMap
+    assert(got(1L) == "café", s"got ${got(1L)}")
+    assert(got(2L) == "already café")
+    assert(got(3L) == "éè")
+    assert(got(4L) == "x Ã")
+    assert(got(5L) == "ascii only")
+    assert(got(6L) == null)
+    // idempotent: a second pass changes nothing (café's é is no longer
+    // a valid lone UTF-8 sequence)
+    val twice = once.select($"id", TextOps.fixMojibake($"f").as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == got)
+  }
+
   test("Aho-Corasick blocklist equals the contains-filter on nested and " +
     "overlapping terms") {
     // classic AC stress set: "he" inside "she" and "hers"; overlapping
