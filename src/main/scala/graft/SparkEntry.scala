@@ -2472,6 +2472,18 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: trainer-facing sharded export with verifiable manifest --
+    // the "pack and ship" step: md5-bucket shard assignment plus an
+    // order-free exact digest per shard that any engine can recompute
+    // to prove it holds the same rows — no reliance on parquet bytes
+    // (never byte-stable). The oracle recomputes the whole manifest
+    "q_export_shards" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-export-q").toString
+      graft.ops.Layout.exportShards(
+        t(s, dir, "documents"), tmp, "doc_id", nShards = 8)
+    }),
+
     // ---- LLM: encoding-damage repair (UTF-8-as-Latin-1 mojibake) ------
     // the classic web-corpus cleaning pass: re-encode/decode reverses
     // the damage exactly, guarded so it only fires when provably right
@@ -6468,6 +6480,17 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // recomputes shard assignment and the order-free digest sum from
+    // the same md5 prefixes — parquet bytes never enter the contract
+    "q_export_shards" ->
+      """WITH d AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |    1, 12))::BIGINT AS BIGINT) AS dg
+        |  FROM documents)
+        |SELECT dg % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(dg) AS DECIMAL(38,0)) AS rows_digest
+        |FROM d GROUP BY 1""".stripMargin,
 
     // expected outputs from the plant's construction: chr() codepoints
     // keep the oracle ASCII-clean

@@ -277,4 +277,50 @@ object Layout {
       s"table '$table' not in snapshot at $path (has ${dirs.keys.toSeq.sorted})"))
     spark.read.parquet(s"$path/$table/$v")
   }
+
+  /** Trainer-facing sharded export: write `df` into `nShards`
+    * hive-partitioned shard directories with a content MANIFEST the
+    * consumer can verify shard-by-shard — (shard, n_rows, rows_digest),
+    * where the digest is an ORDER-FREE exact BIGINT sum of per-row md5
+    * prefixes on the row key. Shard assignment is the md5 bucket of the
+    * same key: deterministic across runs, retries, partitionings, and
+    * engines (a downstream reader can recompute both columns in any
+    * system and prove it holds the same rows — no reliance on parquet
+    * file bytes, which are never byte-stable).
+    *
+    * Scale shape: one repartition on the shard column co-locates each
+    * shard's rows into one file write; the manifest is an nShards-row
+    * aggregate of 8-byte digests. Returns the manifest (also written
+    * as `_manifest.tsv` next to the shards — underscore-prefixed so
+    * parquet readers of the directory skip it, like _SUCCESS). */
+  def exportShards(df: DataFrame, path: String, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val digest = expr(
+      s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+    val sharded = df
+      .withColumn("shard", pmod(digest, lit(nShards.toLong)))
+      .withColumn("_row_digest", digest)
+    sharded
+      .repartition(col("shard"))
+      .drop("_row_digest")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // DECIMAL(38,0) accumulator: 48-bit row digests summed as BIGINT
+    // would overflow around 2^15 worst-case rows per shard (ANSI would
+    // at least raise, but the export must WORK at 100 TB) — decimal is
+    // exact to ~10^23 rows per shard
+    val manifest = sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_row_digest")
+          .cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 0))).as("rows_digest"))
+      .orderBy(col("shard"))
+    val lines = "shard\tn_rows\trows_digest\n" +
+      manifest.collect().map(r =>
+        s"${r.getLong(0)}\t${r.getLong(1)}\t${r.get(2)}").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_manifest.tsv"), lines)
+    manifest
+  }
 }

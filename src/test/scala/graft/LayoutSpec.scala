@@ -269,4 +269,30 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.currentVersion(root) == 4L)
     intercept[IllegalArgumentException](Layout.vacuumSnapshots(root, 0))
   }
+
+  test("exportShards: consumer re-derives the manifest from the shards") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-export-spec").toString
+    val df = spark.range(0, 500).toDF("id")
+    val manifest = Layout.exportShards(df, out, "id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).toBigInteger))).toMap
+    assert(manifest.keySet == Set(0L, 1L, 2L, 3L))
+    assert(manifest.values.map(_._1).sum == 500L, "no row lost")
+    // a consumer reads the shard DIRECTORIES back and recomputes both
+    // manifest columns from row content alone
+    // hive-partition inference types the shard directory as INT;
+    // normalize for the comparison
+    val redo = spark.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12)" +
+          ", 16, 10) AS BIGINT)").cast("decimal(38,0)")).as("dg"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).toBigInteger))).toMap
+    assert(redo == manifest, "shard content must prove the manifest")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_manifest.tsv")))
+  }
 }
