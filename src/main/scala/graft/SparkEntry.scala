@@ -2472,6 +2472,27 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: sentence segmentation (RAG/chunking pre-step) -----------
+    // protect-split-restore (no lookbehind — RE2, the oracle's regex
+    // subset, has none): abbreviation periods are shielded, the text
+    // splits on terminator runs, placeholders restore. Planted cases
+    // exercise abbreviations, terminator runs, and the no-terminator
+    // doc; the whole corpus rides along (TextOps.sentences)
+    "q_sentence_split" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "Dr. Smith went home. Then he slept! Did he? Yes."),
+        (1000002L, "One sentence with no terminator"),
+        (1000003L, "e.g. this stays whole. But this is new."),
+        (1000004L, "Multiple!!! Terminators?? One. Two."))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val sents = TextOps.sentences(col("text"))
+      docs.select(col("doc_id"), size(sents).as("n_sentences"),
+        array_join(sents, "|").as("sentences_joined"))
+    }),
+
     // ---- LLM: trainer-facing sharded export with verifiable manifest --
     // the "pack and ship" step: md5-bucket shard assignment plus an
     // order-free exact digest per shard that any engine can recompute
@@ -6480,6 +6501,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // same protect-split-restore chain in RE2: group shield via \1 ||
+    // chr(1), terminator-run split, placeholder restore, empty filter
+    "q_sentence_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(1000001 AS BIGINT),
+        |     'Dr. Smith went home. Then he slept! Did he? Yes.'),
+        |    (1000002, 'One sentence with no terminator'),
+        |    (1000003, 'e.g. this stays whole. But this is new.'),
+        |    (1000004, 'Multiple!!! Terminators?? One. Two.'))
+        |    AS t(doc_id, text)),
+        |p AS (SELECT doc_id, regexp_replace(text,
+        |  '(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|e\.g|i\.e|No)\.',
+        |  '\1' || chr(1), 'g') AS pt FROM d),
+        |sp AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(pt, '[.!?]+(\s+|$)'),
+        |    s -> trim(replace(s, chr(1), '.'))), s -> s <> '') AS sents
+        |  FROM p)
+        |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+        |  array_to_string(sents, '|') AS sentences_joined
+        |FROM sp""".stripMargin,
 
     // recomputes shard assignment and the order-free digest sum from
     // the same md5 prefixes — parquet bytes never enter the contract

@@ -269,6 +269,28 @@ object TextOps {
         (size(col("m")) > 0).as("blocked"))
   }
 
+  /** Abbreviations whose trailing period must NOT end a sentence —
+    * protected before the split and restored after (the classic
+    * protect-split-restore segmentation, chosen over lookbehind
+    * because RE2 — the regex subset the DuckDB oracle shares — has no
+    * lookaround). Extend the list freely; it is part of the
+    * deterministic contract, not a heuristic. */
+  val SentenceAbbrevRe: String = "(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|e\\.g|i\\.e|No)\\."
+
+  /** Sentence segmentation: split on runs of `.!?` followed by
+    * whitespace (or end), with [[SentenceAbbrevRe]] periods protected.
+    * Returns the trimmed sentence texts WITHOUT their terminal
+    * punctuation (consumed by the split — documented contract). Text
+    * with no terminator is one sentence. Pure per-row regexp chain,
+    * RE2-safe, pipelines in the scan. */
+  def sentences(text: Column): Column = {
+    val protectedTxt = regexp_replace(text, SentenceAbbrevRe, "$1\u0001")
+    filter(
+      transform(split(protectedTxt, "[.!?]+(\\s+|$)"),
+        s => trim(regexp_replace(s, "\u0001", "."))),
+      s => s =!= "")
+  }
+
   /** Repair UTF-8-as-Latin-1 mojibake ("café" shipped as "cafÃ©") —
     * the most common encoding damage in web corpora: a page's UTF-8
     * bytes were decoded as ISO-8859-1 somewhere upstream, turning each

@@ -181,6 +181,22 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall(_._3 == 1000000L))
   }
 
+  test("sentences: abbreviation shield, terminator runs, restore") {
+    import graft.ops.TextOps
+    def seg(t: String): Seq[String] = Seq((1L, t)).toDF("id", "text")
+      .select(TextOps.sentences($"text").as("s"))
+      .as[Seq[String]].head()
+    assert(seg("Dr. Smith left. Mrs. Jones stayed.") ==
+      Seq("Dr. Smith left", "Mrs. Jones stayed"))
+    assert(seg("Really?! Yes... Fine.") == Seq("Really", "Yes", "Fine"))
+    assert(seg("no terminator here") == Seq("no terminator here"))
+    assert(seg("e.g. one thing. i.e. another.") ==
+      Seq("e.g. one thing", "i.e. another"))
+    // a non-abbreviation word that merely starts like one still splits
+    assert(seg("Stop. Go.") == Seq("Stop", "Go"))
+    assert(seg("") == Seq.empty)
+  }
+
   test("fixMojibake repairs exactly the provably-reversible cases, " +
     "idempotently") {
     import graft.ops.TextOps
