@@ -2472,6 +2472,26 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: sentence-aware chunking (the RAG chunker proper) --------
+    // greedy-fill sentences into <=24-token chunks, never splitting a
+    // sentence; planted multi-sentence docs exercise the boundary math
+    // while the whole corpus rides along. The oracle replays sentence
+    // split AND the greedy fold (struct-accumulator list_reduce with
+    // the list_prepend seed trick) — TextOps.chunkBySentences
+    "q_chunk_sentences" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "S1 a b c. S2 d e f. S3 g h. S4 i."),
+        (1000002L, "Tiny. Also tiny."),
+        (1000003L, "One very long single sentence that cannot be split " +
+          "even though it blows straight through the token budget " +
+          "because sentence integrity outranks the cap. Short tail."))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      TextOps.chunkBySentences(docs, "doc_id", "text", maxTokens = 24)
+    }),
+
     // ---- LLM: sentence segmentation (RAG/chunking pre-step) -----------
     // protect-split-restore (no lookbehind — RE2, the oracle's regex
     // subset, has none): abbreviation periods are shielded, the text
@@ -6501,6 +6521,48 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // sentence split replay + the same greedy fold as a RECURSIVE CTE
+    // over the sentence index (one assignment row per sentence — a
+    // struct-with-list accumulator through list_reduce silently drops
+    // the list in DuckDB 1.0, so the fold is unrolled relationally);
+    // per-chunk assembly is a grouped string_agg in sentence order
+    "q_chunk_sentences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(1000001 AS BIGINT), 'S1 a b c. S2 d e f. S3 g h. S4 i.'),
+        |    (1000002, 'Tiny. Also tiny.'),
+        |    (1000003, 'One very long single sentence that cannot be split even though it blows straight through the token budget because sentence integrity outranks the cap. Short tail.'))
+        |    AS t(doc_id, text)),
+        |p AS (SELECT doc_id, regexp_replace(text,
+        |  '(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|e\.g|i\.e|No)\.',
+        |  '\1' || chr(1), 'g') AS pt FROM d),
+        |sp AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(pt, '[.!?]+(\s+|$)'),
+        |    s -> trim(replace(s, chr(1), '.'))), s -> s <> '') AS sents
+        |  FROM p),
+        |tc AS (SELECT doc_id, sents, list_transform(sents,
+        |    s -> CASE WHEN trim(s) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(s), '\s+')) END)
+        |    AS counts
+        |  FROM sp WHERE len(sents) > 0),
+        |r AS (
+        |  SELECT doc_id, 1 AS i, 0 AS idx, counts[1] AS used FROM tc
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |    CASE WHEN r.used + tc.counts[r.i + 1] > 24 AND r.used > 0
+        |         THEN r.idx + 1 ELSE r.idx END,
+        |    CASE WHEN r.used + tc.counts[r.i + 1] > 24 AND r.used > 0
+        |         THEN tc.counts[r.i + 1]
+        |         ELSE r.used + tc.counts[r.i + 1] END
+        |  FROM r JOIN tc USING (doc_id) WHERE r.i < len(tc.counts))
+        |SELECT r.doc_id, CAST(r.idx AS INT) AS chunk_id,
+        |  CAST(count(*) AS INT) AS n_sentences,
+        |  CAST(sum(tc.counts[r.i]) AS INT) AS n_tokens,
+        |  string_agg(tc.sents[r.i], '|' ORDER BY r.i) AS chunk_joined
+        |FROM r JOIN tc USING (doc_id)
+        |GROUP BY r.doc_id, r.idx""".stripMargin,
 
     // same protect-split-restore chain in RE2: group shield via \1 ||
     // chr(1), terminator-run split, placeholder restore, empty filter

@@ -291,6 +291,53 @@ object TextOps {
       s => s =!= "")
   }
 
+  /** Sentence-aware chunking — the RAG chunker proper: greedy-fill
+    * [[sentences]] into chunks of at most `maxTokens` whitespace
+    * tokens, never splitting inside a sentence (a chunk boundary
+    * mid-sentence is what makes retrieval quotes incoherent). A single
+    * sentence longer than the budget keeps its own chunk whole —
+    * sentence integrity outranks the cap, documented contract.
+    *
+    * The greedy fill is a per-row `aggregate` fold over the sentence
+    * token counts (struct accumulator: current chunk index, tokens
+    * used, per-sentence assignments) — sequential by nature, but
+    * sequential WITHIN a row only: across the corpus it is pure
+    * per-row codegen with zero shuffle. Output: one row per chunk —
+    * (idCol, chunk_id, n_sentences, n_tokens, chunk_joined with '|').
+    * Empty documents produce no chunks. */
+  def chunkBySentences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val sents = sentences(col(textCol))
+    val counts = transform(sents, s => nTokens(s))
+    val acc0 = struct(lit(0).as("idx"), lit(0).as("used"),
+      array().cast("array<int>").as("ids"))
+    val ids = aggregate(counts, acc0, (acc, t) => {
+      val nc = acc.getField("used") + t > lit(maxTokens) &&
+        acc.getField("used") > lit(0)
+      val idx = when(nc, acc.getField("idx") + 1)
+        .otherwise(acc.getField("idx"))
+      struct(idx.as("idx"),
+        when(nc, t).otherwise(acc.getField("used") + t).as("used"),
+        concat(acc.getField("ids"), array(idx)).as("ids"))
+    }, acc => acc.getField("ids"))
+    val zipped = zip_with(sents, ids,
+      (s, c) => struct(s.as("s"), c.as("c")))
+    docs
+      .withColumn("_z", zipped)
+      .where(size(col("_z")) > 0)
+      .withColumn("chunk_id", explode(
+        array_distinct(transform(col("_z"), p => p.getField("c")))))
+      .withColumn("_in",
+        filter(col("_z"), p => p.getField("c") === col("chunk_id")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_in")).as("n_sentences"),
+        aggregate(transform(col("_in"), p => nTokens(p.getField("s"))),
+          lit(0), (a, x) => a + x).as("n_tokens"),
+        array_join(transform(col("_in"), p => p.getField("s")), "|")
+          .as("chunk_joined"))
+  }
+
   /** Repair UTF-8-as-Latin-1 mojibake ("café" shipped as "cafÃ©") —
     * the most common encoding damage in web corpora: a page's UTF-8
     * bytes were decoded as ISO-8859-1 somewhere upstream, turning each

@@ -197,6 +197,25 @@ class TextOpsSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("chunkBySentences: greedy fill, sentence integrity outranks cap") {
+    import graft.ops.TextOps
+    def chunks(t: String, max: Int) = TextOps.chunkBySentences(
+        Seq((1L, t)).toDF("doc_id", "text"), maxTokens = max)
+      .orderBy("chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+      .map(r => (r._2, r._3, r._4, r._5))
+    // 4+4 fits an 8-budget, then 3+2
+    assert(chunks("a b c d. e f g h. i j k. l m.", 8) == Seq(
+      (0, 2, 8, "a b c d|e f g h"), (1, 2, 5, "i j k|l m")))
+    // an oversized single sentence keeps its own chunk whole
+    assert(chunks("one two three four five six. tail.", 4) == Seq(
+      (0, 1, 6, "one two three four five six"), (1, 1, 1, "tail")))
+    // the boundary itself: exactly max fits
+    assert(chunks("a b. c d.", 4).map(_._2) == Seq(2))
+    // empty doc: no chunks
+    assert(chunks("", 4).isEmpty)
+  }
+
   test("fixMojibake repairs exactly the provably-reversible cases, " +
     "idempotently") {
     import graft.ops.TextOps
