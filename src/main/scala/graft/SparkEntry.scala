@@ -2472,6 +2472,21 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: dedup provenance (license/source mixing report) ---------
+    // keep-min dedup must not DISCARD the other sources a kept doc
+    // arrived under (their obligations travel with it); planted
+    // mirror-source copies of docs < 30 plus any natural cross-source
+    // exact dups, replayed identically (Dedup.provenance)
+    "q_dedup_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit("mirror-src").as("source"))
+      Dedup.provenance(docs.unionByName(mirrored),
+        "text", "doc_id", "source")
+    }),
+
     // ---- LLM: sentence-aware chunking (the RAG chunker proper) --------
     // greedy-fill sentences into <=24-token chunks, never splitting a
     // sentence; planted multi-sentence docs exercise the boundary math
@@ -6521,6 +6536,21 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // same grouped aggregation over md5(text) with the planted
+    // mirror-source copies; attrs as the sorted-distinct joined scalar
+    "q_dedup_provenance" ->
+      """WITH pages AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'mirror-src'
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT source) AS INT) AS n_attrs,
+        |  array_to_string(list_sort(list_distinct(list(source))), '|')
+        |    AS attrs
+        |FROM pages GROUP BY md5(text)""".stripMargin,
 
     // sentence split replay + the same greedy fold as a RECURSIVE CTE
     // over the sentence index (one assignment row per sentence — a

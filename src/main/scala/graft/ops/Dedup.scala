@@ -67,6 +67,21 @@ object Dedup {
     df.groupBy(md5(col(keyCol).cast("binary")).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Dedup PROVENANCE: for each kept (min-id) representative of an
+    * exact-dup group, the sorted distinct set of an attribute across
+    * the WHOLE group — the compliance readout dedup must not discard
+    * (a kept doc that also arrived under other sources/licenses
+    * carries every one of those obligations; keep-min alone silently
+    * loses that). `attrs` is '|'-joined sorted (sortable-scalar
+    * convention). Same one-aggregation shape as [[exactByFingerprint]]
+    * — text never shuffles, only fingerprint + id + attribute. */
+  def provenance(df: DataFrame, keyCol: String, idCol: String,
+      attrCol: String): DataFrame =
+    df.groupBy(md5(col(keyCol).cast("binary")).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"),
+        size(collect_set(col(attrCol))).as("n_attrs"),
+        array_join(array_sort(collect_set(col(attrCol))), "|").as("attrs"))
+
   /** Incremental exact dedup — the daily-crawl shape: which NEW documents
     * are not already in the corpus? `seen` is the standing fingerprint
     * table (maintain it with [[fingerprintOf]] over the corpus — 16-byte

@@ -394,4 +394,16 @@ class DedupSpec extends SparkSpec {
     // the novel batch doc matches nothing; index files were not rewritten
     assert(!inc.exists(_._1 == 102L))
   }
+  test("provenance keeps every source an exact-dup group arrived under") {
+    import graft.ops.Dedup
+    val rows = Seq(
+      (1L, "same text", "srcA"), (2L, "same text", "srcB"),
+      (3L, "same text", "srcA"),        // duplicate source: counted once
+      (9L, "unique text", "srcC")).toDF("doc_id", "text", "source")
+    val got = Dedup.provenance(rows, "text", "doc_id", "source")
+      .select("doc_id", "n_copies", "n_attrs", "attrs")
+      .as[(Long, Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 2, "srcA|srcB"), (9L, 1L, 1, "srcC")),
+      s"got $got")
+  }
 }
