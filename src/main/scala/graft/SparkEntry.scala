@@ -2472,6 +2472,16 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: T5-style span corruption (denoising preprocessing) ------
+    // deterministic position masking (md5 draw per (doc, position)),
+    // adjacent masks merge to spans, exact T5 serialization:
+    // input replaces spans with <extra_id_K>, target lists each
+    // sentinel plus its hidden tokens (TextOps.spanCorrupt); the
+    // oracle replays the definition with order-free prefix counts
+    "q_span_corrupt" -> ((s, dir) =>
+      TextOps.spanCorrupt(t(s, dir, "documents"),
+        "doc_id", "text", maskPermille = 150)),
+
     // ---- LLM: dedup provenance (license/source mixing report) ---------
     // keep-min dedup must not DISCARD the other sources a kept doc
     // arrived under (their obligations travel with it); planted
@@ -6536,6 +6546,44 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // same masking definition, span ids via prefix run-start counts
+    // (order-free — no fold needed relationally)
+    "q_span_corrupt" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, tk, len(tk) AS n,
+        |  [ (('0x' || substring(md5(doc_id || ':' || CAST(i - 1 AS VARCHAR)),
+        |      1, 8))::BIGINT % 1000) < 150
+        |    FOR i IN generate_series(1, len(tk)) ] AS mk
+        |  FROM tk),
+        |ids AS (SELECT doc_id, tk, n, mk,
+        |  [ CASE WHEN mk[i]
+        |      THEN len(list_filter(generate_series(1, i),
+        |             j -> mk[j] AND (j = 1 OR NOT mk[j - 1]))) - 1
+        |      ELSE -1 END
+        |    FOR i IN generate_series(1, n) ] AS ids
+        |  FROM m),
+        |fin AS (SELECT doc_id, tk, n, ids,
+        |    coalesce(list_max(ids) + 1, 0) AS ns FROM ids)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(len(list_filter(ids, c -> c >= 0)) AS INT) AS n_masked,
+        |  CAST(greatest(ns, 0) AS INT) AS n_spans,
+        |  array_to_string(list_filter(
+        |    [ CASE WHEN ids[i] >= 0 AND (i = 1 OR ids[i - 1] <> ids[i])
+        |        THEN '<extra_id_' || ids[i] || '>'
+        |        WHEN ids[i] < 0 THEN tk[i] END
+        |      FOR i IN generate_series(1, n) ], s -> s IS NOT NULL), ' ')
+        |    AS input_joined,
+        |  CASE WHEN ns <= 0 THEN '' ELSE array_to_string(
+        |    [ '<extra_id_' || k || '> ' || array_to_string(
+        |        [ tk[i] FOR i IN generate_series(1, n) IF ids[i] = k ], ' ')
+        |      FOR k IN generate_series(0, ns - 1) ], ' ') END
+        |    AS target_joined
+        |FROM fin""".stripMargin,
 
     // same grouped aggregation over md5(text) with the planted
     // mirror-source copies; attrs as the sorted-distinct joined scalar

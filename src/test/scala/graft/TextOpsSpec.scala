@@ -197,6 +197,39 @@ class TextOpsSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("spanCorrupt: input+target reconstruct the original exactly") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val rows = TextOps.spanCorrupt(docs, maskPermille = 300)
+      .join(docs, "doc_id")
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_joined", "target_joined", "text")
+      .as[(Long, Int, Int, Int, String, String, String)].collect()
+    assert(rows.nonEmpty && rows.exists(_._4 > 0), "some spans must occur")
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { case (id, n, nMasked, nSpans, in, tgt, text) =>
+      // parse target into span-id -> tokens
+      val spans = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(spans == (0 until nSpans), s"doc $id: target sentinels $spans")
+      val parts = sentinel.split(tgt).map(_.trim).toSeq // head is ""
+      val spanToks = spans.zip(parts.drop(1)).toMap
+      // replace sentinels in the input with their hidden tokens
+      val rebuilt = sentinel.replaceAllIn(in,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spanToks(m.group(1).toInt)))
+      val orig = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == orig, s"doc $id failed to reconstruct")
+      assert(spanToks.values.map(_.split(" ").length).sum == nMasked)
+      assert(n == (if (text.trim.isEmpty) 0
+        else text.trim.split("\\s+").length))
+    }
+    // deterministic across runs
+    val again = TextOps.spanCorrupt(docs, maskPermille = 300)
+      .select("doc_id", "input_joined").as[(Long, String)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._5))
+  }
+
   test("chunkBySentences: greedy fill, sentence integrity outranks cap") {
     import graft.ops.TextOps
     def chunks(t: String, max: Int) = TextOps.chunkBySentences(
