@@ -2472,6 +2472,15 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: BERT-style MLM masking (80/10/10) -----------------------
+    // the masked-LM sibling of q_span_corrupt: select 15% of positions,
+    // 80% -> [MASK], 10% -> random top-1000 vocab token, 10% unchanged;
+    // labels carry the originals. Three independent md5 draws keyed on
+    // (doc, position, role) make every choice replayable
+    "q_mlm_mask" -> ((s, dir) =>
+      TextOps.mlmMask(t(s, dir, "documents"), "doc_id", "text",
+        selectPermille = 150, vocabSize = 1000)),
+
     // ---- LLM: T5-style span corruption (denoising preprocessing) ------
     // deterministic position masking (md5 draw per (doc, position)),
     // adjacent masks merge to spans, exact T5 serialization:
@@ -6547,6 +6556,47 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
 
+    // vocabulary replay (top-1000 by (tf desc, token), then lexsorted
+    // array) + the same three per-position draws
+    "q_mlm_mask" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |top AS (SELECT token FROM (
+        |    SELECT token, count(*) AS tf FROM tok GROUP BY token)
+        |  ORDER BY tf DESC, token LIMIT 1000),
+        |va AS (SELECT list_sort(list(token)) AS va FROM top),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+        |  FROM documents),
+        |x AS (SELECT doc_id, tk, len(tk) AS n, va FROM tk CROSS JOIN va),
+        |y AS (SELECT doc_id, tk, n, va,
+        |  [ (('0x' || substring(md5(doc_id || ':' || CAST(i - 1 AS VARCHAR)
+        |      || ':m'), 1, 8))::BIGINT % 1000) < 150
+        |    FOR i IN generate_series(1, n) ] AS sel
+        |  FROM x)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(len(list_filter(sel, v -> v)) AS INT) AS n_selected,
+        |  coalesce(array_to_string(
+        |    [ CASE WHEN NOT sel[i] THEN tk[i]
+        |        WHEN (('0x' || substring(md5(doc_id || ':'
+        |            || CAST(i - 1 AS VARCHAR) || ':r'), 1, 8))::BIGINT % 10)
+        |          <= 7 THEN '[MASK]'
+        |        WHEN (('0x' || substring(md5(doc_id || ':'
+        |            || CAST(i - 1 AS VARCHAR) || ':r'), 1, 8))::BIGINT % 10)
+        |          = 8 THEN va[CAST((('0x' || substring(md5(doc_id || ':'
+        |            || CAST(i - 1 AS VARCHAR) || ':v'), 1, 8))::BIGINT
+        |            % len(va)) AS INT) + 1]
+        |        ELSE tk[i] END
+        |      FOR i IN generate_series(1, n) ], ' '), '') AS masked_joined,
+        |  coalesce(array_to_string(
+        |    [ tk[i] FOR i IN generate_series(1, n) IF sel[i] ], ' '), '')
+        |    AS labels_joined
+        |FROM y""".stripMargin,
+
     // same masking definition, span ids via prefix run-start counts
     // (order-free — no fold needed relationally)
     "q_span_corrupt" ->
@@ -6572,12 +6622,12 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
         |  CAST(len(list_filter(ids, c -> c >= 0)) AS INT) AS n_masked,
         |  CAST(greatest(ns, 0) AS INT) AS n_spans,
-        |  array_to_string(list_filter(
+        |  coalesce(array_to_string(list_filter(
         |    [ CASE WHEN ids[i] >= 0 AND (i = 1 OR ids[i - 1] <> ids[i])
         |        THEN '<extra_id_' || ids[i] || '>'
         |        WHEN ids[i] < 0 THEN tk[i] END
-        |      FOR i IN generate_series(1, n) ], s -> s IS NOT NULL), ' ')
-        |    AS input_joined,
+        |      FOR i IN generate_series(1, n) ], s -> s IS NOT NULL), ' '),
+        |    '') AS input_joined,
         |  CASE WHEN ns <= 0 THEN '' ELSE array_to_string(
         |    [ '<extra_id_' || k || '> ' || array_to_string(
         |        [ tk[i] FOR i IN generate_series(1, n) IF ids[i] = k ], ' ')
@@ -6662,7 +6712,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    s -> trim(replace(s, chr(1), '.'))), s -> s <> '') AS sents
         |  FROM p)
         |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
-        |  array_to_string(sents, '|') AS sentences_joined
+        |  coalesce(array_to_string(sents, '|'), '') AS sentences_joined
         |FROM sp""".stripMargin,
 
     // recomputes shard assignment and the order-free digest sum from

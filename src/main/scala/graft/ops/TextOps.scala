@@ -355,6 +355,60 @@ object TextOps {
           )), " ").as("target_joined"))
   }
 
+  /** BERT-style MLM masking with the 80/10/10 rule — the masked-LM
+    * sibling of [[spanCorrupt]]: select ~`selectPermille`/1000 of
+    * (lower-cased) token positions from a deterministic md5 draw; of
+    * the selected, 80% become `[MASK]`, 10% a random vocabulary token
+    * (a second md5 draw indexes the broadcast top-`vocabSize` array,
+    * sorted lexicographically for a deterministic layout), 10% stay
+    * unchanged — the classic trick that stops the model from treating
+    * `[MASK]` as the only prediction site. Labels are the original
+    * tokens at the selected positions, in position order.
+    *
+    * All three draws key on (doc id, position, role), so the transform
+    * is bit-reproducible across runs, engines, partitionings, and
+    * retries. The vocabulary aggregates to ONE sorted-array row and
+    * broadcasts (the blocklist convention); everything else is per-row
+    * codegen in the scan. */
+  def mlmMask(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", selectPermille: Int = 150,
+      vocabSize: Int = 1000): DataFrame = {
+    require(selectPermille >= 0 && selectPermille <= 1000,
+      "selectPermille must be in [0, 1000]")
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val top = vocabulary(docs, idCol, textCol)
+      .orderBy(col("tf").desc, col("token")).limit(vocabSize)
+      .agg(sort_array(collect_list(col("token"))).as("_va"))
+    val tk = when(trim(coalesce(col(textCol), lit(""))) === "",
+      array().cast("array<string>")).otherwise(words(lower(col(textCol))))
+    def draw(i: Column, role: String): Column =
+      md5Hash32(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"), lit(":"), lit(role)))
+    docs.crossJoin(broadcast(top))
+      .withColumn("_tk", tk).withColumn("_n", size(col("_tk")))
+      .withColumn("_pos", when(col("_n") === 0,
+        array().cast("array<int>"))
+        .otherwise(sequence(lit(0), col("_n") - 1)))
+      .withColumn("_sel", transform(col("_pos"),
+        i => (draw(i, "m") % 1000) < lit(selectPermille)))
+      .select(col(idCol), col("_n").as("n_tokens"),
+        size(filter(col("_sel"), x => x)).as("n_selected"),
+        array_join(zip_with(col("_pos"), col("_sel"), (i, sel) => {
+          val action = draw(i, "r") % 10
+          val repl = element_at(col("_va"),
+            (draw(i, "v") % size(col("_va"))).cast("int") + 1)
+          when(!sel, element_at(col("_tk"), i + 1))
+            .when(action <= 7, lit("[MASK]"))
+            .when(action === 8, repl)
+            .otherwise(element_at(col("_tk"), i + 1))
+        }), " ").as("masked_joined"),
+        array_join(transform(filter(
+          zip_with(col("_tk"), col("_sel"),
+            (t, sel) => struct(t.as("t"), sel.as("s"))),
+          p => p.getField("s")), p => p.getField("t")), " ")
+          .as("labels_joined"))
+  }
+
   /** Sentence-aware chunking — the RAG chunker proper: greedy-fill
     * [[sentences]] into chunks of at most `maxTokens` whitespace
     * tokens, never splitting inside a sentence (a chunk boundary

@@ -197,6 +197,34 @@ class TextOpsSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("mlmMask: position counts line up, 80/10/10 in coarse proportion") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+    val rows = TextOps.mlmMask(docs, selectPermille = 300)
+      .join(docs, "doc_id")
+      .as[(Long, Int, Int, String, String, String)].collect()
+    var masks = 0; var selected = 0
+    rows.foreach { case (id, n, nSel, masked, labels, text) =>
+      val orig = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val out = masked.split(" ").filter(_.nonEmpty)
+      assert(out.length == n && n == orig.length, s"doc $id length drift")
+      assert(labels.split(" ").count(_.nonEmpty) == nSel)
+      // every non-selected position is untouched; count [MASK]s
+      masks += out.count(_ == "[MASK]"); selected += nSel
+      out.zip(orig).foreach { case (o, g) =>
+        if (o != g) assert(o == "[MASK]" || o.nonEmpty) }
+    }
+    assert(selected > 50, "enough positions selected to test proportions")
+    // ~80% of selected become [MASK]; allow wide slack for 10% unchanged
+    // masquerading as matches
+    val frac = masks.toDouble / selected
+    assert(frac > 0.6 && frac < 0.95, s"mask fraction $frac")
+    val again = TextOps.mlmMask(docs, selectPermille = 300)
+      .select("doc_id", "masked_joined").as[(Long, String)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._4))
+  }
+
   test("spanCorrupt: input+target reconstruct the original exactly") {
     import graft.ops.TextOps
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
