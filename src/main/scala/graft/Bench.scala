@@ -61,7 +61,10 @@ object Bench {
     // (string-heavy ingest), two-table MinHash fuzzy decontamination,
     // and the Common-Crawl-shaped end-to-end (gzip members -> parse ->
     // sniff -> extract)
-    "q_warc_ingest", "q_decontam_fuzzy", "q_cc_pipeline")
+    "q_warc_ingest", "q_decontam_fuzzy", "q_cc_pipeline",
+    // round 7, fifth continuation: training-objective preprocessing
+    // (deterministic T5 span corruption — per-row fold + transforms)
+    "q_span_corrupt")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
