@@ -2472,6 +2472,13 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: FIM transform (fill-in-the-middle, PSM order) -----------
+    // the code-model preprocessing: deterministic cut points from two
+    // md5 draws, <PRE> prefix <SUF> suffix <MID> middle serialization;
+    // docs under 3 tokens pass through (TextOps.fimTransform)
+    "q_fim_transform" -> ((s, dir) =>
+      TextOps.fimTransform(t(s, dir, "documents"))),
+
     // ---- LLM: BERT-style MLM masking (80/10/10) -----------------------
     // the masked-LM sibling of q_span_corrupt: select 15% of positions,
     // 80% -> [MASK], 10% -> random top-1000 vocab token, 10% unchanged;
@@ -6555,6 +6562,32 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // same two draws, order-normalized; inclusive list slices with the
+    // empty-slice coalesce (DuckDB NULL-on-empty join seam)
+    "q_fim_transform" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |x AS (SELECT doc_id, tk, len(tk) AS n,
+        |  CAST((('0x' || substring(md5(doc_id || ':fim1'), 1, 8))::BIGINT
+        |    % (len(tk) + 1)) AS INT) AS a,
+        |  CAST((('0x' || substring(md5(doc_id || ':fim2'), 1, 8))::BIGINT
+        |    % (len(tk) + 1)) AS INT) AS b
+        |  FROM tk),
+        |y AS (SELECT doc_id, tk, n,
+        |    least(a, b) AS c1, greatest(a, b) AS c2 FROM x)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  n >= 3 AS fim_applied,
+        |  CASE WHEN n < 3 THEN coalesce(array_to_string(tk, ' '), '')
+        |  ELSE concat_ws(' ', '<PRE>',
+        |    coalesce(array_to_string(tk[1:c1], ' '), ''),
+        |    '<SUF>', coalesce(array_to_string(tk[c2+1:n], ' '), ''),
+        |    '<MID>', coalesce(array_to_string(tk[c1+1:c2], ' '), ''))
+        |  END AS fim_joined
+        |FROM y""".stripMargin,
 
     // vocabulary replay (top-1000 by (tf desc, token), then lexsorted
     // array) + the same three per-position draws

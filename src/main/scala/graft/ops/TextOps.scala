@@ -409,6 +409,42 @@ object TextOps {
           .as("labels_joined"))
   }
 
+  /** FIM (fill-in-the-middle) transform — the code-model preprocessing
+    * (Bavarian et al. 2022): pick two deterministic cut points from
+    * md5 draws keyed on the doc id, split tokens into
+    * prefix|middle|suffix, and emit the PSM serialization
+    * `<PRE> prefix <SUF> suffix <MID> middle` — training on which
+    * teaches infilling while autoregressive decoding stays intact.
+    * Cut points are uniform over 0..n via two draws (order-normalized
+    * so cut1 <= cut2); docs shorter than 3 tokens pass through
+    * unchanged with fim_applied = false (nothing to infill). Pure
+    * per-row array slices, no shuffle. */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = when(trim(coalesce(col(textCol), lit(""))) === "",
+      array().cast("array<string>")).otherwise(words(col(textCol)))
+    def draw(role: String): Column =
+      md5Hash32(concat(col(idCol).cast("string"), lit(":"), lit(role)))
+    docs.withColumn("_tk", tk).withColumn("_n", size(col("_tk")))
+      .withColumn("_a", (draw("fim1") % (col("_n") + 1)).cast("int"))
+      .withColumn("_b", (draw("fim2") % (col("_n") + 1)).cast("int"))
+      .withColumn("_c1", least(col("_a"), col("_b")))
+      .withColumn("_c2", greatest(col("_a"), col("_b")))
+      .select(col(idCol), col("_n").as("n_tokens"),
+        (col("_n") >= 3).as("fim_applied"),
+        when(col("_n") < 3, array_join(col("_tk"), " "))
+          .otherwise(concat_ws(" ",
+            lit("<PRE>"),
+            array_join(slice(col("_tk"), lit(1), col("_c1")), " "),
+            lit("<SUF>"),
+            array_join(slice(col("_tk"), col("_c2") + 1,
+              col("_n") - col("_c2")), " "),
+            lit("<MID>"),
+            array_join(slice(col("_tk"), col("_c1") + 1,
+              col("_c2") - col("_c1")), " ")))
+          .as("fim_joined"))
+  }
+
   /** Sentence-aware chunking — the RAG chunker proper: greedy-fill
     * [[sentences]] into chunks of at most `maxTokens` whitespace
     * tokens, never splitting inside a sentence (a chunk boundary

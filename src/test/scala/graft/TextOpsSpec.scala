@@ -197,6 +197,31 @@ class TextOpsSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("fimTransform: PSM pieces reassemble the original; short docs pass") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+      .unionByName(Seq((999991L, "a b"), (999992L, ""))
+        .toDF("doc_id", "text"))
+    val rows = TextOps.fimTransform(docs).join(docs, "doc_id")
+      .as[(Long, Int, Boolean, String, String)].collect()
+    val psm = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+    rows.foreach { case (id, n, applied, fim, text) =>
+      val orig = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (!applied) assert(fim == orig && n < 3, s"doc $id")
+      else fim match {
+        case psm(pre, suf, mid) =>
+          // prefix ++ middle ++ suffix == original token stream
+          val rebuilt = Seq(pre, mid, suf).map(_.trim)
+            .filter(_.nonEmpty).mkString(" ")
+          assert(rebuilt == orig, s"doc $id failed to reassemble")
+        case _ => fail(s"doc $id: not PSM shaped: $fim")
+      }
+    }
+    assert(rows.count(_._3) > 30, "most fixture docs must apply FIM")
+    assert(rows.exists(r => !r._3), "short docs pass through")
+  }
+
   test("mlmMask: position counts line up, 80/10/10 in coarse proportion") {
     import graft.ops.TextOps
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
