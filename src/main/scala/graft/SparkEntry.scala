@@ -2703,6 +2703,21 @@ object SparkEntry {
           coalesce(col("crawl_delay_s"), lit(1L)).as("crawl_delay_s"))
     }),
 
+    // ---- LLM: politeness-scheduled fetch plan -------------------------
+    // the frontier composition's last step: allowed URLs line up per
+    // host (URL total order) and each gets a fetch offset of
+    // slot * crawl_delay_s — policy turned into a schedule. One
+    // host-keyed window over the admitted frontier
+    "q_fetch_schedule" -> ((s, dir) => {
+      val frontier = queries("q_crawl_frontier")(s, dir)
+        .where(col("allowed"))
+      frontier.withColumn("slot",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("path"))) - 1)
+        .select(col("host"), col("path"),
+          (col("slot") * col("crawl_delay_s")).as("fetch_offset_s"))
+    }),
+
     // ---- LLM: FUZZY decontamination (MinHash LSH vs the eval set) -----
     // catches paraphrased/edited benchmark leakage that q_decontam's
     // exact 8-gram pass misses. Constructive oracle at threshold 1.0
@@ -6846,6 +6861,26 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |       WHEN doc_id % 3 = 1 THEN doc_id % 5 = 3
         |       ELSE true END AS allowed
         |FROM documents""".stripMargin,
+
+    // replays the frontier verdicts, then the per-host slot arithmetic
+    // on the same (host, path) total order
+    "q_fetch_schedule" ->
+      """WITH h AS (SELECT DISTINCT lower(source) AS src FROM documents),
+        |p AS (SELECT * FROM (VALUES
+        |  ('/cat0/page0', true), ('/cat1/page1', false),
+        |  ('/cat1/page3', true), ('/q?a=1&b=2', true))
+        |  AS t(path, allowed_rule)),
+        |f AS (
+        |  SELECT src || '.example.com' AS host, path,
+        |    CASE WHEN src = 'src4' THEN true ELSE allowed_rule END
+        |      AS allowed,
+        |    CAST(CASE WHEN src = 'src4' THEN 1 ELSE 2 END AS BIGINT)
+        |      AS crawl_delay_s
+        |  FROM h CROSS JOIN p)
+        |SELECT host, path,
+        |  (row_number() OVER (PARTITION BY host ORDER BY path) - 1)
+        |    * crawl_delay_s AS fetch_offset_s
+        |FROM f WHERE allowed""".stripMargin,
 
     // the plant's expected frontier: 4 sitemap URLs per host (the
     // entity-escaped one unescapes to '&'), /cat1/page1 gated
