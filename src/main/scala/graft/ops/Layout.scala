@@ -290,7 +290,11 @@ object Layout {
     *
     * Scale shape: one repartition on the shard column co-locates each
     * shard's rows into one file write; the manifest is an nShards-row
-    * aggregate of 8-byte digests. Returns the manifest (also written
+    * aggregate of 8-byte digests. The input is computed twice (once
+    * for the write, once for the manifest) — at 100 TB prefer a
+    * stable source over recompute-sensitive upstream randomness, or
+    * checkpoint first; the digest algebra itself is retry-stable by
+    * construction. Returns the manifest (also written
     * as `_manifest.tsv` next to the shards — underscore-prefixed so
     * parquet readers of the directory skip it, like _SUCCESS). */
   def exportShards(df: DataFrame, path: String, keyCol: String,

@@ -224,6 +224,10 @@ object Similarity {
     * (16×64 here — a kilobyte). */
   def signMatrix(outDim: Int, inDim: Int): Array[Array[Long]] = {
     require(outDim > 0 && inDim > 0, "dimensions must be positive")
+    require(outDim.toLong * inDim <= (1L << 20),
+      s"sign matrix $outDim x $inDim would embed ${outDim.toLong * inDim} " +
+        "literals in the plan; precompute and join a projection table " +
+        "instead at that scale")
     Array.tabulate(outDim, inDim) { (j, i) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))

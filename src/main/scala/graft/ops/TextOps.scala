@@ -608,6 +608,9 @@ object TextOps {
     import spark.implicits._
     val termArr = terms.select(lower(col(termCol)).as("t"))
       .distinct().as[String].collect().sorted
+    require(termArr.length <= 1000000,
+      s"blocklistAC: ${termArr.length} terms exceeds the policy-sized " +
+        "contract (1M) — this is a data table, not a blocklist; join it")
     val bc = spark.sparkContext.broadcast(termArr)
     docs
       .select(col(idCol).cast("long"), lower(col(textCol)))

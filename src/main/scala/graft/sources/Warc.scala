@@ -216,9 +216,18 @@ object Warc {
       .toDF()
   }
 
+  /** Decompression cap for [[inflateAll]]: a crawl container is at
+    * most ~1 GB compressed by convention, so 4 GiB of inflated output
+    * is far past any legitimate file — beyond it we are being zip-
+    * bombed (a few KB of crafted gzip can claim petabytes) and the
+    * walk stops with the prefix, exactly like a truncated file. */
+  private val MaxInflatedBytes: Long = 4L << 30
+
   /** Inflate a (possibly multi-member) gzip blob; a corrupt or
-    * truncated tail yields the bytes inflated so far. */
-  private[graft] def inflateAll(gz: Array[Byte]): Array[Byte] = {
+    * truncated tail — or output beyond [[MaxInflatedBytes]] (gzip
+    * bomb) — yields the bytes inflated so far. */
+  private[graft] def inflateAll(gz: Array[Byte],
+      maxBytes: Long = MaxInflatedBytes): Array[Byte] = {
     if (gz == null || gz.length == 0) return Array.emptyByteArray
     val out = new java.io.ByteArrayOutputStream()
     try {
@@ -226,7 +235,9 @@ object Warc {
         new java.io.ByteArrayInputStream(gz))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() + n <= maxBytes) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
     } catch { case _: java.io.IOException => () } // keep the good prefix
     out.toByteArray
   }

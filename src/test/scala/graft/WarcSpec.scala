@@ -142,6 +142,23 @@ class WarcSpec extends SparkSpec {
     assert(one == Set("a", "b"))
   }
 
+  test("gzip bomb: inflation stops at the cap, prefix records survive") {
+    import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+    // one good member, then a member inflating to ~10 MB of zeros;
+    // with a 1 MB test cap the walk keeps the good record and stops
+    val out = new java.io.ByteArrayOutputStream()
+    val g1 = new java.util.zip.GZIPOutputStream(out)
+    g1.write(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <a>\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8))
+    g1.finish()
+    val g2 = new java.util.zip.GZIPOutputStream(out)
+    g2.write(new Array[Byte](10 << 20)) // compresses to ~10 KB
+    g2.finish()
+    val inflated = Warc.inflateAll(out.toByteArray, maxBytes = 1 << 20)
+    assert(inflated.length <= (1 << 20) + 8192, "cap must hold")
+    assert(Warc.parseFile(0L, inflated).map(_.record_id).toSeq == Seq("a"))
+  }
+
   test("q_warc_ingest recovers every sf0.001 document bit-exact") {
     val out = SparkEntry.queries("q_warc_ingest")(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
