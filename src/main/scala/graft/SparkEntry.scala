@@ -2472,6 +2472,22 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: NSP pair construction (BERT preprocessing, with MLM) ----
+    // positives = adjacent in-doc sentence pairs (per-row, no join);
+    // negatives = last sentence vs the id+1 doc's first sentence — a
+    // deterministic KEYED cross-document pick (a "random doc" would
+    // need a single-partition global index or RNG state; refused).
+    // Planted multi-sentence docs guarantee positives exist
+    "q_nsp_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "First things first. Then the middle part. Finally the end."),
+        (1000002L, "Lead sentence here. Trailing sentence there."))
+        .toDF("doc_id", "text")
+      TextOps.nspPairs(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).unionByName(planted))
+    }),
+
     // ---- LLM: FIM transform (fill-in-the-middle, PSM order) -----------
     // the code-model preprocessing: deterministic cut points from two
     // md5 draws, <PRE> prefix <SUF> suffix <MID> middle serialization;
@@ -6577,6 +6593,34 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // sentence replay + the same adjacent/neighbor constructions
+    "q_nsp_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(1000001 AS BIGINT),
+        |     'First things first. Then the middle part. Finally the end.'),
+        |    (1000002, 'Lead sentence here. Trailing sentence there.'))
+        |    AS t(doc_id, text)),
+        |p AS (SELECT doc_id, regexp_replace(text,
+        |  '(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|e\.g|i\.e|No)\.',
+        |  '\1' || chr(1), 'g') AS pt FROM d),
+        |sp AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(pt, '[.!?]+(\s+|$)'),
+        |    s -> trim(replace(s, chr(1), '.'))), s -> s <> '') AS sents
+        |  FROM p),
+        |nz AS (SELECT doc_id, sents FROM sp WHERE len(sents) > 0),
+        |pos AS (SELECT doc_id, unnest(
+        |    [{'pid': i - 1, 'a': sents[i], 'b': sents[i + 1]}
+        |     FOR i IN generate_series(1, len(sents) - 1)]) AS u
+        |  FROM nz WHERE len(sents) >= 2)
+        |SELECT doc_id, CAST(u.pid AS INT) AS pair_id, u.a AS sent_a,
+        |  u.b AS sent_b, true AS is_next FROM pos
+        |UNION ALL
+        |SELECT a.doc_id, CAST(-1 AS INT), a.sents[len(a.sents)],
+        |  b.sents[1], false
+        |FROM nz a JOIN nz b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
     // same two draws, order-normalized; inclusive list slices with the
     // empty-slice coalesce (DuckDB NULL-on-empty join seam)

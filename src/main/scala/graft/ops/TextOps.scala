@@ -445,6 +445,41 @@ object TextOps {
           .as("fim_joined"))
   }
 
+  /** Next-sentence-prediction pairs — the NSP half of BERT
+    * preprocessing ([[mlmMask]] is the other): POSITIVE pairs are
+    * adjacent sentences within a document (built per-row from the
+    * sentence array — no join, no shuffle); NEGATIVE pairs take a
+    * document's LAST sentence against the FIRST sentence of the
+    * doc with id+1 — a cross-document sentence with a deterministic,
+    * KEYED construction (an equi-join on id+1; the textbook "random
+    * document" would need either a global index — a single-partition
+    * window — or RNG state, both of which this engine refuses).
+    * Documents whose id+1 neighbor is absent, or with no sentences,
+    * simply contribute no negative. Output: (idCol, pair_id within
+    * doc, sent_a, sent_b, is_next). */
+  def nspPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sents = sentences(col(textCol))
+    val base = docs.select(col(idCol), sents.as("_s"))
+      .where(size(col("_s")) > 0)
+    val positives = base
+      .where(size(col("_s")) >= 2)
+      .select(col(idCol), posexplode(zip_with(
+        slice(col("_s"), lit(1), size(col("_s")) - 1),
+        slice(col("_s"), lit(2), size(col("_s")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("pair_id", "p")))
+      .select(col(idCol), col("pair_id"),
+        col("p.a").as("sent_a"), col("p.b").as("sent_b"),
+        lit(true).as("is_next"))
+    val negatives = base
+      .select(col(idCol), element_at(col("_s"), -1).as("sent_a"))
+      .join(base.select((col(idCol) - 1).as(idCol),
+        element_at(col("_s"), 1).as("sent_b")), Seq(idCol))
+      .select(col(idCol), lit(-1).as("pair_id"), col("sent_a"),
+        col("sent_b"), lit(false).as("is_next"))
+    positives.unionByName(negatives)
+  }
+
   /** Sentence-aware chunking — the RAG chunker proper: greedy-fill
     * [[sentences]] into chunks of at most `maxTokens` whitespace
     * tokens, never splitting inside a sentence (a chunk boundary

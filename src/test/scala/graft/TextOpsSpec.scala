@@ -197,6 +197,23 @@ class TextOpsSpec extends SparkSpec {
     assert(seg("") == Seq.empty)
   }
 
+  test("nspPairs: adjacent positives in order, keyed cross-doc negatives") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (10L, "Alpha one. Beta two. Gamma three."),
+      (11L, "Delta four. Epsilon five."),
+      (13L, "Lone sentence no neighbor."),  // id 12 absent: no negative TO it
+      (14L, "")).toDF("doc_id", "text")    // empty: contributes nothing
+    val got = TextOps.nspPairs(docs)
+      .as[(Long, Int, String, String, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (10L, -1, "Gamma three", "Delta four", false),
+      (10L, 0, "Alpha one", "Beta two", true),
+      (10L, 1, "Beta two", "Gamma three", true),
+      (11L, 0, "Delta four", "Epsilon five", true)), s"got $got")
+  }
+
   test("fimTransform: PSM pieces reassemble the original; short docs pass") {
     import graft.ops.TextOps
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
