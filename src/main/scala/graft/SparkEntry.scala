@@ -2472,6 +2472,23 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: preference-pair bootstrap (DPO data from heuristics) ----
+    // within each source, pair the i-th most stopword-fluent doc with
+    // the i-th least (exact integer score: 1e6 * |stopwords ∩ distinct
+    // words| div |distinct words|), halves never overlapping, zero-gap
+    // pairs dropped (Sampling.preferencePairs)
+    "q_preference_pairs" -> ((s, dir) => {
+      val allStop = lit(TextOps.stopwords.values.flatten.toArray.distinct)
+      val dw = array_distinct(TextOps.words(col("text")))
+      val score = expr("1000000 * nInter div nDw")
+      val scored = t(s, dir, "documents")
+        .withColumn("nInter", size(array_intersect(dw, allStop)).cast("long"))
+        .withColumn("nDw", greatest(size(dw), lit(1)).cast("long"))
+        .select(col("source"), col("doc_id"), score.as("score_micros"))
+      graft.ops.Sampling.preferencePairs(scored, "source", "doc_id",
+        "score_micros", k = 3)
+    }),
+
     // ---- LLM: NSP pair construction (BERT preprocessing, with MLM) ----
     // positives = adjacent in-doc sentence pairs (per-row, no join);
     // negatives = last sentence vs the id+1 doc's first sentence — a
@@ -6593,6 +6610,32 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // same integer score and windows; halves capped at n div 2, equal
+    // scores dropped
+    "q_preference_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS dw
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  1000000 * CAST(len(list_intersect(dw, ['the','of','and','to','in','is','it','you','that','was','for','on','are','with','as','at','this','der','die','das','und','ist','ich','nicht','mit','ein','eine','zu','den','von','sie','auch','le','la','les','de','et','un','une','est','pour','que','dans','qui','pas','sur','avec','el','los','las','y','una','es','por','en','no','se','del','con','的','是','不','了','在','人','有','我','他','这'])) AS BIGINT)
+        |    // CAST(greatest(len(dw), 1) AS BIGINT) AS score_micros
+        |  FROM w),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY score_micros DESC, doc_id) AS rb,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY score_micros ASC, doc_id DESC) AS rw,
+        |  count(*) OVER (PARTITION BY source) // 2 AS half
+        |  FROM s)
+        |SELECT b.source, CAST(b.rb AS INT) AS pair_rank,
+        |  b.doc_id AS chosen_id, b.score_micros AS chosen_score,
+        |  q.doc_id AS rejected_id, q.score_micros AS rejected_score
+        |FROM (SELECT * FROM r WHERE rb <= 3 AND rb <= half) b
+        |JOIN (SELECT * FROM r WHERE rw <= 3 AND rw <= half) q
+        |  ON b.source = q.source AND b.rb = q.rw
+        |WHERE b.score_micros > q.score_micros""".stripMargin,
 
     // sentence replay + the same adjacent/neighbor constructions
     "q_nsp_pairs" ->

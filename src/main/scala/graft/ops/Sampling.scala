@@ -372,4 +372,36 @@ object Sampling {
     df.where(col(groupCol).isNotNull)
       .where(bucket < pExpr * granularity)
   }
+  /** Preference-pair construction from a heuristic score — the
+    * bootstrap for preference/DPO data when no human labels exist yet:
+    * within each group, pair the i-th BEST row (score desc, id asc)
+    * with the i-th WORST (score asc, id desc), up to k pairs, never
+    * letting the two halves overlap (both ranks capped at
+    * floor(n/2)); pairs with NO score gap are dropped (an equal-score
+    * "preference" teaches nothing). Two windows on one group-keyed
+    * exchange + a (group, rank)-keyed self-join of k-sized slices —
+    * nothing corpus-sized moves twice. All orderings are total, so
+    * the pairing is engine/retry-deterministic. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wWorst = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val ranked = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .withColumn("_rb", row_number().over(wBest))
+      .withColumn("_rw", row_number().over(wWorst))
+      .withColumn("_half", expr(
+        s"count(1) OVER (PARTITION BY $groupCol) div 2"))
+    val best = ranked.where(col("_rb") <= k && col("_rb") <= col("_half"))
+      .select(col(groupCol), col("_rb").as("pair_rank"),
+        col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
+    val worst = ranked.where(col("_rw") <= k && col("_rw") <= col("_half"))
+      .select(col(groupCol), col("_rw").as("pair_rank"),
+        col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
+    best.join(worst, Seq(groupCol, "pair_rank"))
+      .where(col("chosen_score") > col("rejected_score"))
+  }
 }

@@ -406,4 +406,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 2, "srcA|srcB"), (9L, 1L, 1, "srcC")),
       s"got $got")
   }
+  test("preferencePairs: disjoint halves, rank pairing, zero-gap drop") {
+    import graft.ops.Sampling
+    val rows = Seq(
+      // group g1: scores 50,40,30,20,10 -> half=2: pairs (50,10),(40,20)
+      ("g1", 1L, 50L), ("g1", 2L, 40L), ("g1", 3L, 30L),
+      ("g1", 4L, 20L), ("g1", 5L, 10L),
+      // group g2: all equal -> every pair zero-gap -> dropped
+      ("g2", 6L, 7L), ("g2", 7L, 7L), ("g2", 8L, 7L), ("g2", 9L, 7L),
+      // group g3: single row -> half=0 -> nothing
+      ("g3", 10L, 99L)).toDF("g", "id", "score")
+    val got = Sampling.preferencePairs(rows, "g", "id", "score", k = 3)
+      .select("g", "pair_rank", "chosen_id", "rejected_id")
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("g1", 1, 1L, 5L), ("g1", 2, 2L, 4L)),
+      s"got ${got.toSeq}")
+  }
 }
