@@ -507,4 +507,49 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed case $i: rules=$rules paths=$paths")
     }
   }
+  test("chunkBySentences partitions the sentences for ANY doc (property)") {
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val sentence = Gen.chooseNum(1, 7).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ") + "."))
+    val docGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, sentence).map(_.mkString(" ")))
+    for ((text, i) <- samples(docGen, 20).zipWithIndex; max <- Seq(3, 8)) {
+      val chunks = graft.ops.TextOps.chunkBySentences(
+          Seq((1L, text)).toDF("doc_id", "text"), maxTokens = max)
+        .orderBy("chunk_id")
+        .as[(Long, Int, Int, Int, String)].collect().toSeq
+      val sents = graft.ops.TextOps.sentences(col("text"))
+      val expected = Seq((1L, text)).toDF("doc_id", "text")
+        .select(sents).as[Seq[String]].head()
+      // chunk ids are 0..n-1 dense; concatenating chunks restores the
+      // sentence list exactly (a partition, in order)
+      assert(chunks.map(_._2) == chunks.indices, s"case $i/$max ids")
+      assert(chunks.flatMap(_._5.split('|').filter(_.nonEmpty)) == expected,
+        s"case $i/$max lost or reordered sentences")
+      // every chunk over budget is a single oversized sentence
+      chunks.foreach { c =>
+        assert(c._4 <= max || c._3 == 1, s"case $i/$max budget") }
+    }
+  }
+
+  test("preferencePairs halves never overlap for ANY scores (property)") {
+    import spark.implicits._
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2"), Gen.chooseNum(0L, 100L))
+    val dataGen = Gen.listOfN(14, rowGen)
+    for ((rows, i) <- samples(dataGen, 10).zipWithIndex) {
+      val df = rows.zipWithIndex
+        .map { case ((g, sc), id) => (g, id.toLong, sc) }
+        .toDF("g", "id", "score")
+      val got = graft.ops.Sampling.preferencePairs(df, "g", "id",
+          "score", k = 5)
+        .select("chosen_id", "rejected_id", "chosen_score",
+          "rejected_score")
+        .as[(Long, Long, Long, Long)].collect()
+      val chosen = got.map(_._1).toSet
+      val rejected = got.map(_._2).toSet
+      assert(chosen.intersect(rejected).isEmpty, s"case $i overlap")
+      assert(got.forall(r => r._3 > r._4), s"case $i zero-gap leaked")
+    }
+  }
 }
