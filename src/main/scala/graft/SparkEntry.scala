@@ -2472,6 +2472,26 @@ object SparkEntry {
           expr("(1000000 * sum_chars) div sum_tokens"))
     }),
 
+    // ---- LLM: dedup savings ranking (where dedup effort pays) ---------
+    // per exact-dup group: copies and bytes reclaimed by keeping one;
+    // top-20 by (bytes_saved desc, fp) — the triage list an engineer
+    // reads before spending cluster time on near-dup passes. Planted
+    // mirror copies of docs < 30 guarantee non-trivial groups
+    "q_dedup_savings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      docs.unionByName(dup)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          ((count(lit(1)) - 1) * first(octet_length(col("text"))))
+            .as("bytes_saved"))
+        .where(col("n_copies") >= 2)
+        .orderBy(col("bytes_saved").desc, col("fp"))
+        .limit(20)
+    }),
+
     // ---- LLM: preference-pair bootstrap (DPO data from heuristics) ----
     // within each source, pair the i-th most stopword-fluent doc with
     // the i-th least (exact integer score: 1e6 * |stopwords ∩ distinct
@@ -6610,6 +6630,22 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
+
+    // identical grouping; first(octet_length) is constant within an
+    // exact-dup group so any_value replays it
+    "q_dedup_savings" ->
+      """WITH pages AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30),
+        |g AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST((count(*) - 1) * any_value(octet_length(CAST(text AS BLOB)))
+        |      AS BIGINT) AS bytes_saved
+        |  FROM pages GROUP BY md5(text))
+        |SELECT * FROM g WHERE n_copies >= 2
+        |ORDER BY bytes_saved DESC, fp LIMIT 20""".stripMargin,
 
     // same integer score and windows; halves capped at n div 2, equal
     // scores dropped
