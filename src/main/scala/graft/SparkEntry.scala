@@ -3797,6 +3797,30 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // ---- LLM: REAL video decode (YUV4MPEG2 container walk) ------------
+    // the y4m sibling of q_multimodal_ppm/_wav completing the
+    // image/audio/video real-codec trio: planted mono clips are actually
+    // parsed — stream header, FRAME-delimited planes, per-frame luma
+    // streaming — while the oracle recomputes dimension/fps/luma stats
+    // from the plant's closed form without ever seeing a byte
+    "q_multimodal_y4m" -> ((s, dir) =>
+      Multimodal.decodeVideo(Multimodal.plantedY4m(t(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"),
+          col("duration_ms"), col("luma_peak"), col("luma_mean"),
+          col("n_bytes").cast("long").as("n_bytes"))),
+
+    // ---- LLM: REAL keyframe extraction (every-Nth-frame sampling) -----
+    // the decoded-frames replacement for the q_multimodal_frames byte
+    // stub: one row per sampled frame with that frame's luma stats —
+    // flatMap streams frames off the payload, so a long clip never
+    // materializes more than one frame's stats at a time
+    "q_multimodal_keyframes" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+          Multimodal.plantedY4m(t(s, dir, "documents")), 2)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("luma_sum"), col("luma_peak"))),
+
     // ---- extension: exact heavy hitters via a Misra-Gries sketch ------
     // candidates from ONE bounded-summary pass (a mergeable MG typed
     // Aggregator — per-partition buffers of <= k counters, union-merged),
@@ -8141,6 +8165,60 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(sum(v) FILTER (ch = 2) AS DOUBLE)
         |    / (any_value(nw) * any_value(nh)) AS mean_b
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // the planted-y4m closed form: frame f's luma byte i of clip id
+    // carries (id*7 + f*11 + i*13) % 256 over a (2+id%3)×(2+id%2) mono
+    // plane and 3+id%4 frames at 25 fps; n_bytes counts the textual
+    // stream header plus per-frame "FRAME\n" + w*h luma bytes — the
+    // oracle restates the plant, Spark parses the real container
+    "q_multimodal_y4m" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (doc_id * 7 + f * 11 + i * 13) % 256 AS v
+        |  FROM d,
+        |    unnest(generate_series(0, nf - 1)) AS tf(f),
+        |    unnest(generate_series(0, w * h - 1)) AS ti(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(any_value(w) AS INT) AS width,
+        |  CAST(any_value(h) AS INT) AS height,
+        |  CAST(25 AS INT) AS fps_num,
+        |  CAST(1 AS INT) AS fps_den,
+        |  CAST(any_value(nf) AS BIGINT) AS n_frames,
+        |  CAST(any_value(nf) * 40 AS BIGINT) AS duration_ms,
+        |  CAST(max(v) AS INT) AS luma_peak,
+        |  CAST(sum(v) AS DOUBLE)
+        |    / (any_value(nf) * any_value(w) * any_value(h)) AS luma_mean,
+        |  CAST(length('YUV4MPEG2 W' || any_value(w) || ' H' || any_value(h)
+        |    || ' F25:1 Ip A1:1 Cmono') + 1
+        |    + any_value(nf) * (6 + any_value(w) * any_value(h))
+        |    AS BIGINT) AS n_bytes
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    // every-2nd-frame keyframe sampling over the same plant: one row per
+    // kept frame with exact integer luma sum/peak
+    "q_multimodal_keyframes" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, f,
+        |    (doc_id * 7 + f * 11 + i * 13) % 256 AS v
+        |  FROM d,
+        |    unnest(generate_series(0, nf - 1)) AS tf(f),
+        |    unnest(generate_series(0, w * h - 1)) AS ti(i)
+        |  WHERE f % 2 = 0)
+        |SELECT doc_id AS media_id,
+        |  CAST(f AS INT) AS frame_idx,
+        |  CAST(any_value(w) AS INT) AS width,
+        |  CAST(any_value(h) AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS luma_sum,
+        |  CAST(max(v) AS INT) AS luma_peak
+        |FROM px GROUP BY doc_id, f""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

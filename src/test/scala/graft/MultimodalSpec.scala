@@ -205,6 +205,94 @@ class MultimodalSpec extends SparkSpec {
     assert(topk.length == 2 && topk.head.getLong(0) == vs.head._1)
   }
 
+  test("y4m decode: real luma math over a hand-built mono payload") {
+    // 2x2 mono, 2 frames: frame 0 luma (10,20,30,40), frame 1 (0,0,0,200)
+    val clip = Multimodal.y4mBytes(2, 2, 25, 1, Array(
+      Array(10, 20, 30, 40).map(_.toByte),
+      Array(0, 0, 0, 200.toByte).map(_.toByte)))
+    val media = Seq((7L, "video", clip)).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeVideo(media).collect().head
+    assert(r.getInt(3) == 2 && r.getInt(4) == 2)         // width, height
+    assert(r.getInt(5) == 25 && r.getInt(6) == 1)        // fps
+    assert(r.getLong(7) == 2L)                           // frames
+    assert(r.getLong(8) == 2L * 1000 * 1 / 25)           // 80 ms
+    assert(r.getInt(9) == 200)                           // peak
+    assert(r.getDouble(10) == (10 + 20 + 30 + 40 + 200) / 8.0)
+  }
+
+  test("y4m decode: 420 chroma skips; malformed payloads yield nulls") {
+    // hand-built C420 2x2: luma 4 bytes + U 1 + V 1 per frame; the
+    // chroma bytes carry 255 and must NOT contaminate the luma stats
+    val c420 = "YUV4MPEG2 W2 H2 F30:1 C420\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4) ++ Array(255, 255).map(_.toByte)
+    val truncated = {
+      val full = Multimodal.y4mBytes(2, 2, 25, 1,
+        Array(Array[Byte](1, 2, 3, 4)))
+      full.slice(0, full.length - 1)
+    }
+    val oddDim420 = "YUV4MPEG2 W3 H2 F25:1 C420\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(9)(1.toByte)
+    val noFps = "YUV4MPEG2 W2 H2\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill(6)(1.toByte)
+    val media = Seq(
+      (1L, "video", c420),
+      (2L, "video", truncated),
+      (3L, "video", oddDim420),
+      (4L, "video", noFps),
+      (5L, "video", "not a y4m".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.decodeVideo(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(3) == 2 && rows(1L).getInt(5) == 30)
+    assert(rows(1L).getInt(9) == 4)                      // chroma skipped
+    assert(rows(1L).getDouble(10) == (1 + 2 + 3 + 4) / 4.0)
+    assert(Seq(2L, 3L, 4L, 5L).forall(id => rows(id).isNullAt(3)))
+  }
+
+  test("planted y4m payloads decode to the closed-form frame stats") {
+    val planted = Multimodal.plantedY4m(docs)
+    val decoded = Multimodal.decodeVideo(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 2L)) {
+      val w = 2 + (id % 3).toInt; val h = 2 + (id % 2).toInt
+      val nf = 3 + (id % 4).toInt
+      val vs = for (f <- 0 until nf; i <- 0 until w * h)
+        yield (id * 7 + f * 11 + i * 13) % 256
+      val r = decoded(id)
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      assert(r.getInt(5) == 25 && r.getInt(6) == 1)
+      assert(r.getLong(7) == nf.toLong)
+      assert(r.getLong(8) == nf * 1000L / 25)
+      assert(r.getInt(9) == vs.max)
+      assert(r.getDouble(10) == vs.sum.toDouble / (nf * w * h))
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".length
+      assert(r.getInt(2) == header + nf * (6 + w * h))
+    }
+  }
+
+  test("sampleVideoFrames emits every Nth frame with per-frame luma stats") {
+    // 1x2 mono, 5 frames; frame f carries luma (f, 10f)
+    val clip = Multimodal.y4mBytes(1, 2, 25, 1, Array.tabulate(5)(f =>
+      Array(f, 10 * f).map(_.toByte)))
+    val media = Seq(
+      (1L, "video", clip),
+      (2L, "video", "not a y4m".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val fr = Multimodal.sampleVideoFrames(media, 2)
+      .select("media_id", "frame_idx", "luma_sum", "luma_peak")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._2)
+    assert(fr.toSeq == Seq(                // frames 0, 2, 4; id 2 silent
+      (1L, 0, 0L, 0), (1L, 2, 22L, 20), (1L, 4, 44L, 40)))
+    // everyN = 1 keeps all frames, consistent with the whole-clip decode
+    val all = Multimodal.sampleVideoFrames(media, 1).collect()
+    assert(all.length == 5)
+    val whole = Multimodal.decodeVideo(media.where(col("media_id") === 1))
+      .collect().head
+    assert(all.map(_.getLong(4)).sum ==
+      math.round(whole.getDouble(10) * whole.getLong(7) * 1 * 2))
+  }
+
   test("sniffKind classifies by magic bytes, not declared type") {
     import java.nio.charset.StandardCharsets.US_ASCII
     val wav = Multimodal.plantedWav(Seq(1L).toDF("doc_id"))
