@@ -3019,6 +3019,39 @@ object SparkEntry {
     // plants deterministic PII per doc (email + ip + account number
     // derived from doc_id — reproducible in SQL on both engines), then
     // redacts: the oracle checks real substitutions, not a no-op.
+    // ---- LLM: privacy / governance audits (ops/Privacy.scala) ---------
+    // k-anonymity over (nation, segment) quasi-identifiers: one
+    // hash-agg, one row per equivalence class, violation = class < k
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymityAudit(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), 10)
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("violating"))),
+
+    // l-diversity with account-balance band as the sensitive attribute:
+    // catches the homogeneity attack k-anonymity misses
+    "q_l_diversity" -> ((s, dir) =>
+      graft.ops.Privacy.lDiversityAudit(
+          t(s, dir, "customer").withColumn("bal_band",
+            floor(col("c_acctbal") / 2000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", 3)
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("n_sensitive"), col("violating"))),
+
+    // cell suppression to the k target: quasi columns nulled in small
+    // classes, every row survives — unordered window, one shuffle
+    "q_k_suppress" -> ((s, dir) =>
+      graft.ops.Privacy.suppressToKAnonymity(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+          Seq("c_nationkey", "c_mktsegment"), 10)),
+
+    // differentially-private count release: discrete-Laplace noise from
+    // md5-seeded geometric pairs — deterministic per (group, seed), so
+    // retries republish identical values and the oracle can restate it
+    "q_dp_counts" -> ((s, dir) =>
+      graft.ops.Privacy.dpNoisyCounts(t(s, dir, "orders"),
+        "o_orderpriority", 0.5, "graft-r7")),
+
     "q_pii_redact" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), concat(col("text"),
@@ -7236,6 +7269,51 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  list_min(list_transform(grams,
         |    g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS fp_winnow
         |FROM g""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 10 AS violating
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT bal_band) AS n_sensitive,
+        |  count(DISTINCT bal_band) < 3 AS violating
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_k_suppress" ->
+      """WITH sized AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cn
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN cn < 10 THEN NULL ELSE c_nationkey END AS c_nationkey,
+        |  CASE WHEN cn < 10 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |FROM sized""".stripMargin,
+
+    // the discrete-Laplace release restated: u = (md5-head32 + 0.5)/2^32,
+    // geometric = floor(ln(u) / -epsilon), noise = g1 - g2; ln(p) is
+    // written -0.5 directly (p = e^-0.5) so neither engine computes an
+    // exp/ln roundtrip
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS exact_n
+        |  FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT o_orderpriority, exact_n,
+        |    (CAST(('0x' || substring(md5(o_orderpriority || 'graft-r7:g1'),
+        |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
+        |    (CAST(('0x' || substring(md5(o_orderpriority || 'graft-r7:g2'),
+        |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u2
+        |  FROM g)
+        |SELECT o_orderpriority, exact_n,
+        |  exact_n + CAST(floor(ln(u1) / -0.5) AS BIGINT)
+        |          - CAST(floor(ln(u2) / -0.5) AS BIGINT) AS noisy_n
+        |FROM u""".stripMargin,
 
     "q_pii_redact" ->
       """WITH d AS (

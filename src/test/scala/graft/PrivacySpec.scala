@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 classes: (US, A) x4 rows, (US, B) x2, (DE, A) x1
+  private def people = Seq(
+    (1L, "US", "A", 100), (2L, "US", "A", 100), (3L, "US", "A", 200),
+    (4L, "US", "A", 300), (5L, "US", "B", 100), (6L, "US", "B", 100),
+    (7L, "DE", "A", 400))
+    .toDF("id", "country", "segment", "salary")
+
+  test("kAnonymityAudit flags classes smaller than k") {
+    val audit = Privacy.kAnonymityAudit(people, Seq("country", "segment"), 3)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(audit == Map(
+      ("US", "A") -> (4L, false),
+      ("US", "B") -> (2L, true),
+      ("DE", "A") -> (1L, true)))
+  }
+
+  test("lDiversityAudit flags homogeneous classes even when k-anonymous") {
+    // (US, A) has 4 rows but only 3 distinct salaries; (US, B) is
+    // homogeneous (both rows salary 100) — the homogeneity attack case
+    val audit = Privacy.lDiversityAudit(people, Seq("country", "segment"),
+        "salary", 2)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(audit(("US", "A")) == (4L, 3L, false))
+    assert(audit(("US", "B")) == (2L, 1L, true))   // size-2 but 1 value
+    assert(audit(("DE", "A")) == (1L, 1L, true))
+  }
+
+  test("suppressToKAnonymity nulls quasi-identifiers of small classes only") {
+    val out = Privacy.suppressToKAnonymity(people, Seq("country", "segment"), 3)
+      .select("id", "country", "segment", "salary")
+      .as[(Long, Option[String], Option[String], Int)].collect().sortBy(_._1)
+    assert(out.length == 7)                        // every row survives
+    assert(out.filter(_._1 <= 4).forall(r =>       // big class untouched
+      r._2.contains("US") && r._3.contains("A")))
+    assert(out.filter(_._1 >= 5).forall(r =>       // small classes nulled
+      r._2.isEmpty && r._3.isEmpty))
+    assert(out.map(_._4).sum == 1300)              // non-quasi cols intact
+  }
+
+  test("dpNoisyCounts: deterministic given seed, noise matches closed form") {
+    val run1 = Privacy.dpNoisyCounts(people, "country", 0.5, "s")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val run2 = Privacy.dpNoisyCounts(people, "country", 0.5, "s")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(run1.toSeq == run2.toSeq)               // retry-stable release
+    assert(run1.map(r => r._1 -> r._2).toMap == Map("US" -> 6L, "DE" -> 1L))
+    // replay the mechanism driver-side: md5-uniform -> geometric pair
+    def u(key: String, salt: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((key + salt).getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    def geom(uu: Double, eps: Double): Long =
+      math.floor(math.log(uu) / -eps).toLong
+    for ((k, exact, noisy) <- run1) {
+      val expect = exact + geom(u(k, "s:g1"), 0.5) - geom(u(k, "s:g2"), 0.5)
+      assert(noisy == expect, s"group $k")
+    }
+    // epsilon sweep: tighter epsilon (more noise) must not change the
+    // exact counts, and a huge epsilon gives (almost surely) zero noise
+    val tight = Privacy.dpNoisyCounts(people, "country", 20.0, "s")
+      .as[(String, Long, Long)].collect()
+    assert(tight.forall(r => r._2 == r._3))        // p = e^-20: noise 0
+  }
+}
