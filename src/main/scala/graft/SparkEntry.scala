@@ -1352,6 +1352,48 @@ object SparkEntry {
         .limit(20).df
     }),
 
+    // ---- extension: mergeable HLL sketch infrastructure (ops/Hll) -----
+    // unlike approx_count_distinct (one query, opaque), these sketches
+    // are m-row register TABLES: persist to parquet, merge any union of
+    // partitions by register-max, estimate without rescanning — the
+    // sketch-once/merge-many pattern incremental distinct counting
+    // needs at 100 TB. md5-hashed and integer-exact, so the estimate is
+    // the same double on every engine (the oracle restates all of it)
+    "q_hll_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.ops.Hll.distinctEstimate(o, "o_custkey", 6)
+        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_n")))
+    }),
+
+    // merge-invariance under measurement: sketch two disjoint halves,
+    // register-max them, and the estimate must equal the whole-table
+    // sketch bit-for-bit
+    "q_hll_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val even = graft.ops.Hll.sketch(
+        o.where(col("o_orderkey") % 2 === 0), "o_custkey", 6)
+      val odd = graft.ops.Hll.sketch(
+        o.where(col("o_orderkey") % 2 === 1), "o_custkey", 6)
+      val merged = graft.ops.Hll.estimate(graft.ops.Hll.merge(even, odd), 6)
+        .select(col("est_n").as("est_merged"))
+      val whole = graft.ops.Hll.estimate(
+          graft.ops.Hll.sketch(o, "o_custkey", 6), 6)
+        .select(col("est_n").as("est_whole"))
+      merged.crossJoin(whole)
+        .withColumn("agree", col("est_merged") === col("est_whole"))
+    }),
+
+    // per-group sketches: distinct customers per order priority — the
+    // grouped rollup shape (distinct users per source per day)
+    "q_hll_by_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.ops.Hll.estimateBy(graft.ops.Hll.sketchBy(
+          o, "o_orderpriority", "o_custkey", 6), "o_orderpriority", 6)
+        .join(o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_n")),
+          Seq("o_orderpriority"))
+    }),
+
     // ---- extension: approximate sketches within pinned tolerance ------
     // HLL++ distinct and quantile-sketch median, each checked against its
     // exact counterpart IN the query; the oracle pins the exact values
@@ -5247,6 +5289,103 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // the HLL construction restated end to end: 60-bit md5 hash, bucket
+    // = h mod 64, rho = 55 - bitlength(h div 64) via bin(), registers =
+    // per-bucket max, harmonic sum as an EXACT bigint scaled by 2^55.
+    // Float parity: the alpha factor goes through CAST(0.709 AS DOUBLE)
+    // before any multiply (DuckDB's bare 0.709 is DECIMAL — multiplying
+    // in decimal then converting would land one ulp off Spark's
+    // double-from-the-start chain); every multiplier after it (64, 64,
+    // 2^55) is a power-of-two-times-exact value, so the numerator is
+    // exact in both engines and the one division is correctly rounded
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+        |    || ':hll'), 1, 15)) AS BIGINT) AS hv
+        |  FROM orders),
+        |rho AS (
+        |  SELECT CAST(hv % 64 AS INT) AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(hv // 64)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket),
+        |agg AS (
+        |  SELECT sum(1::BIGINT << (55 - reg)) AS s_scaled,
+        |    count(*) AS n_present
+        |  FROM reg)
+        |SELECT
+        |  CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |         / (s_scaled + (64 - n_present) * (1::BIGINT << 55)) <= 160.0
+        |       AND 64 - n_present > 0
+        |    THEN 64.0 * ln(64.0 / (64 - n_present))
+        |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |         / (s_scaled + (64 - n_present) * (1::BIGINT << 55))
+        |  END AS est_n,
+        |  CAST(n_present AS INT) AS n_buckets,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_n
+        |FROM agg""".stripMargin,
+
+    // merging disjoint halves IS the whole-table sketch (same rows, max
+    // is associative), so one estimate serves both columns
+    "q_hll_merge" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+        |    || ':hll'), 1, 15)) AS BIGINT) AS hv
+        |  FROM orders),
+        |rho AS (
+        |  SELECT CAST(hv % 64 AS INT) AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(hv // 64)) END AS rho
+        |  FROM h),
+        |reg AS (SELECT bucket, max(rho) AS reg FROM rho GROUP BY bucket),
+        |agg AS (
+        |  SELECT sum(1::BIGINT << (55 - reg)) AS s_scaled,
+        |    count(*) AS n_present
+        |  FROM reg),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |           / (s_scaled + (64 - n_present) * (1::BIGINT << 55)) <= 160.0
+        |         AND 64 - n_present > 0
+        |      THEN 64.0 * ln(64.0 / (64 - n_present))
+        |      ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |           / (s_scaled + (64 - n_present) * (1::BIGINT << 55))
+        |    END AS e
+        |  FROM agg)
+        |SELECT e AS est_merged, e AS est_whole, true AS agree FROM est""".stripMargin,
+
+    "q_hll_by_priority" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority,
+        |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+        |      || ':hll'), 1, 15)) AS BIGINT) AS hv
+        |  FROM orders),
+        |rho AS (
+        |  SELECT o_orderpriority, CAST(hv % 64 AS INT) AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(hv // 64)) END AS rho
+        |  FROM h),
+        |reg AS (
+        |  SELECT o_orderpriority, bucket, max(rho) AS reg
+        |  FROM rho GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT o_orderpriority, sum(1::BIGINT << (55 - reg)) AS s_scaled,
+        |    count(*) AS n_present
+        |  FROM reg GROUP BY 1),
+        |ex AS (
+        |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_n
+        |  FROM orders GROUP BY 1)
+        |SELECT agg.o_orderpriority,
+        |  CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |         / (s_scaled + (64 - n_present) * (1::BIGINT << 55)) <= 160.0
+        |       AND 64 - n_present > 0
+        |    THEN 64.0 * ln(64.0 / (64 - n_present))
+        |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0
+        |         / (s_scaled + (64 - n_present) * (1::BIGINT << 55))
+        |  END AS est_n,
+        |  ex.exact_n
+        |FROM agg JOIN ex USING (o_orderpriority)""".stripMargin,
 
     "q_approx_sketches" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,

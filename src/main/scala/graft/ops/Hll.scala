@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable HyperLogLog sketches as plain DataFrames (Flajolet 2007).
+  *
+  * Spark's `approx_count_distinct` answers one query; what a 100 TB
+  * pipeline needs is the SKETCH as a first-class, persistable object:
+  * sketch each day's partition once (a full scan), save the m-row
+  * register table to parquet, then answer "distinct over any union of
+  * days" by merging register tables — max per bucket — without ever
+  * rescanning the data. That mirrors the Misra-Gries heavy-hitter
+  * design in [[graft.ops.Freq]]: the sketch is rows, merge is an
+  * aggregate, no opaque binary blobs, no driver state.
+  *
+  * Determinism contract: the hash is md5-derived (60 bits — 15 hex
+  * digits, so the ANSI long cast can't overflow), register math is
+  * pure integers (rho via `length(bin(w))`, harmonic sum scaled by
+  * 2^(width+1) so it's an exact BIGINT), and the one float division
+  * happens once at estimate time — the same estimate on every engine,
+  * every run, every retry. The DuckDB oracle restates the whole
+  * construction in SQL.
+  *
+  * Scale shape: sketch = one hash-aggregate producing ≤ m rows
+  * (partial max map-side — the full m-register table never shuffles
+  * more than once); merge = union + the same aggregate; estimate =
+  * a single-row aggregate over ≤ m rows. Error ~ 1.04/sqrt(m).
+  */
+object Hll {
+
+  /** 60-bit deterministic hash: first 15 md5 hex digits. */
+  private def hash60(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":hll"))), 1, 15),
+      16, 10).cast("long")
+
+  /** rho = leading-zero count within the (60-p)-bit suffix, plus one:
+    * computed as width+1 - bitlength(w), with bitlength via the
+    * binary-string length (exact integers end to end — no log2, whose
+    * non-correctly-rounded libm would misplace powers of two). */
+  private def rhoOf(w: Column, p: Int): Column = {
+    val width = 60 - p
+    when(w === 0, lit(width + 1))
+      .otherwise(lit(width + 1) - length(bin(w)))
+  }
+
+  /** Sketch a key column: ≤ 2^p register rows (bucket, reg). */
+  def sketch(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+    // 60-bit hash doesn't fit a double's 53-bit mantissa
+    df.select(hash60(col(keyCol)).as("h"))
+      .select((col("h") % m).cast("int").as("bucket"),
+        rhoOf(expr(s"h div ${m}L"), p).cast("int").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+  }
+
+  /** Per-group sketches: (group, bucket, reg) — the shape for "distinct
+    * users per source over any date range" style rollups. */
+  def sketchBy(df: DataFrame, groupCol: String, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    df.select(col(groupCol), hash60(col(keyCol)).as("h"))
+      .select(col(groupCol), (col("h") % m).cast("int").as("bucket"),
+        rhoOf(expr(s"h div ${m}L"), p).cast("int").as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("reg"))
+  }
+
+  /** Merge sketches built with the same p: register-wise max. Works on
+    * global sketches (bucket, reg) and grouped ones (group, bucket,
+    * reg) alike — pass the key columns the sketches carry. */
+  def merge(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String] = Seq("bucket")): DataFrame =
+    a.unionByName(b).groupBy(keyCols.map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
+  /** The HLL estimate over one register set, as a Column pair builder:
+    * scaled harmonic sum (exact BIGINT) and present-bucket count feed
+    * one closed-form double expression. */
+  private def estimateExpr(m: Int, p: Int,
+      scaledSum: Column, nPresent: Column): Column = {
+    val width = 60 - p
+    val scale = width + 1                    // empty register ⇒ 2^scale
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val v = lit(m) - nPresent                // empty buckets
+    val s = scaledSum + v.cast("long") * lit(1L << scale)
+    val raw = lit(alpha) * m * m * lit(math.pow(2, scale)) / s
+    // small-range (linear counting) correction; the large-range 32-bit
+    // correction is unnecessary at a 60-bit hash
+    when(raw <= 2.5 * m && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v)).otherwise(raw)
+  }
+
+  /** Estimate distinct count from a global sketch: one row,
+    * (est_n double, n_buckets int). */
+  def estimate(sk: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val scale = 60 - p + 1
+    sk.agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")).as("s_scaled"),
+        count(lit(1)).cast("int").as("n_present"))
+      .select(estimateExpr(m, p, col("s_scaled"), col("n_present"))
+          .as("est_n"),
+        col("n_present").as("n_buckets"))
+  }
+
+  /** Estimate per group from a grouped sketch: (group, est_n). */
+  def estimateBy(sk: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val scale = 60 - p + 1
+    sk.groupBy(col(groupCol))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")).as("s_scaled"),
+        count(lit(1)).cast("int").as("n_present"))
+      .select(col(groupCol),
+        estimateExpr(m, p, col("s_scaled"), col("n_present")).as("est_n"))
+  }
+
+  /** One-shot convenience: sketch + estimate. */
+  def distinctEstimate(df: DataFrame, keyCol: String, p: Int): DataFrame =
+    estimate(sketch(df, keyCol, p), p)
+}
