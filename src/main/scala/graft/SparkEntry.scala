@@ -3185,6 +3185,16 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))
         .orderBy(col("tf").desc, col("token")).limit(100)),
 
+    // ---- LLM: Zipf's-law fit (corpus-health power-law exponent) -------
+    // OLS of ln(tf) on ln(rank) over the top-1000 tokens: natural text
+    // sits near slope -1, templated corpora flatten. Quantized logs +
+    // DECIMAL moment sums make the fitted doubles engine-exact
+    "q_zipf_fit" -> ((s, dir) =>
+      graft.ops.Freq.zipfFit(
+        TextOps.vocabulary(t(s, dir, "documents"))
+          .select(col("token"), col("tf")),
+        "token", "tf", 1000)),
+
     // ---- LLM: BPE tokenizer training (iterative pair merges) ----------
     // the first learned merge rule is SQL-expressible (one weighted
     // adjacent-character-pair count over the word-frequency table +
@@ -7601,6 +7611,40 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // the Zipf fit restated: same tokenizer as q_vocab, rank ties break
+    // on the token, ln quantized to 9 decimals, moments summed in
+    // DECIMAL(38,9) (exact for 9-decimal values), and the closed-form
+    // OLS written with the same association order as the Spark side
+    "q_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+        |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 1000),
+        |rk AS (
+        |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank
+        |  FROM top),
+        |q AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(tf AS DOUBLE)), 9) AS y
+        |  FROM rk),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+        |  FROM q),
+        |f AS (
+        |  SELECT n, n * sxy - sx * sy AS a, n * sxx - sx * sx AS b,
+        |    n * syy - sy * sy AS c, sx, sy
+        |  FROM s)
+        |SELECT n, a / b AS slope,
+        |  (sy - a / b * sx) / n AS intercept,
+        |  a * a / (b * c) AS r2
+        |FROM f""".stripMargin,
 
     // mirrors TextOps.lmScore exactly: quantized per-token ln, ordered
     // list fold (list_prepend seed trick, as in q_fingerprint_md5)

@@ -110,4 +110,51 @@ object Freq {
       .where(col("cnt") >= threshold)
       .select(col(valueCol), col("cnt"))
   }
+
+  /** Zipf's-law fit over a rank–frequency curve: OLS slope of
+    * ln(freq) on ln(rank) for the topN most frequent values — the
+    * standard natural-corpus health check (clean text sits near
+    * slope -1; templated/spammy corpora flatten, over-deduped ones
+    * steepen). Takes any (value, count) table, e.g.
+    * `TextOps.vocabulary` output.
+    *
+    * Scale shape: top-N selection is TakeOrderedAndProject (bounded,
+    * no global sort materialization); the single-partition
+    * rank-assignment window then sees only topN rows. The upstream
+    * counts aggregation is the only data-sized work.
+    *
+    * Determinism contract (the lmScore convention): rank ties break on
+    * the value itself; every per-row log quantizes to 9 decimals and
+    * the moment sums accumulate in DECIMAL(38,9) — exact for 9-decimal
+    * values — so the fitted slope/intercept/r² are the same doubles on
+    * every engine and the DuckDB oracle can restate the whole fit. */
+  def zipfFit(counts: DataFrame, valueCol: String, countCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 3, "zipfFit: need at least 3 points")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val top = counts.orderBy(col(countCol).desc, col(valueCol)).limit(topN)
+    val ranked = top.withColumn("rank", row_number().over(
+      Window.orderBy(col(countCol).desc, col(valueCol))))
+    val q = ranked.select(
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col(countCol).cast("double")), 9).as("y"))
+    def dsum9(c: Column): Column =
+      sum(c.cast(DecimalType(38, 9))).cast("double")
+    q.agg(count(lit(1)).as("n"),
+        dsum9(col("x")).as("sx"), dsum9(col("y")).as("sy"),
+        dsum9(round(col("x") * col("x"), 9)).as("sxx"),
+        dsum9(round(col("x") * col("y"), 9)).as("sxy"),
+        dsum9(round(col("y") * col("y"), 9)).as("syy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("c"),
+        col("sx"), col("sy"))
+      .select(col("n"),
+        (col("a") / col("b")).as("slope"),
+        ((col("sy") - col("a") / col("b") * col("sx")) / col("n"))
+          .as("intercept"),
+        (col("a") * col("a") / (col("b") * col("c"))).as("r2"))
+  }
 }

@@ -105,4 +105,33 @@ class FreqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 3, 2))
     intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 1, -1))
   }
+
+  test("zipfFit recovers the exponent of a planted power law") {
+    // exact Zipf with s = 1: count(rank) = round(100000 / rank)
+    val planted = (1 to 500)
+      .map(r => (f"w$r%04d_${100000 / r}%06d", (100000.0 / r).round))
+      .toDF("token", "tf")
+    val fit = Freq.zipfFit(planted, "token", "tf", 500).collect().head
+    val (n, slope, r2) = (fit.getLong(0), fit.getDouble(1), fit.getDouble(3))
+    assert(n == 500)
+    assert(math.abs(slope - (-1.0)) < 0.02, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+    // steeper law, steeper slope
+    val steep = (1 to 500)
+      .map(r => (f"w$r%04d", math.max(1L, (1e7 / (r.toDouble * r)).round)))
+      .toDF("token", "tf")
+    val s2 = Freq.zipfFit(steep, "token", "tf", 500).collect().head.getDouble(1)
+    assert(s2 < -1.8, s"slope $s2")
+  }
+
+  test("zipfFit: deterministic under count ties and repeated runs") {
+    // many tied counts: rank order must break on the token, not on
+    // partitioning luck
+    val tied = (1 to 300).map(i => (s"t$i", (i % 7 + 1).toLong))
+      .toDF("token", "tf").repartition(13)
+    val a = Freq.zipfFit(tied, "token", "tf", 100).collect().head
+    val b = Freq.zipfFit(tied, "token", "tf", 100).collect().head
+    assert(a == b)
+    assert(a.getLong(0) == 100)
+  }
 }
