@@ -3185,6 +3185,25 @@ object SparkEntry {
       TextOps.vocabulary(t(s, dir, "documents"))
         .orderBy(col("tf").desc, col("token")).limit(100)),
 
+    // ---- LLM: count-min sketch point frequencies ----------------------
+    // the sketch-infrastructure trio's third leg (HLL distinct, MG
+    // top-k, CMS any-key frequency): token counts estimated from a
+    // 4x1024 cell table, probed for the exact top-20 — one-sided
+    // guarantee est >= exact pinned in the output. All-BIGINT on md5
+    // cells, so the oracle restates it without float concerns
+    "q_cms_freq" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(TextOps.words(lower(col("text")))).as("token"))
+      val sk = graft.ops.Freq.cmsSketch(toks, "token", 1024, 4)
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+      graft.ops.Freq.cmsEstimate(sk, top.select(col("token")),
+          "token", 1024, 4)
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_n"), col("est").as("est_n"),
+          (col("est") >= col("exact_n")).as("bounded"))
+    }),
+
     // ---- LLM: Zipf's-law fit (corpus-health power-law exponent) -------
     // OLS of ln(tf) on ln(rank) over the top-1000 tokens: natural text
     // sits near slope -1, templated corpora flatten. Quantized logs +
@@ -7611,6 +7630,33 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // the CMS construction restated: cell = md5(token ':cms' i) mod
+    // 1024 per hash row i, sketch = per-cell counts, estimate = min
+    // over the probe's cells with empty cells as 0
+    "q_cms_freq" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |cells AS (
+        |  SELECT i, CAST(CAST(('0x' || substring(md5(token || ':cms' || i),
+        |    1, 15)) AS BIGINT) % 1024 AS INT) AS c
+        |  FROM tok, unnest(generate_series(0, 3)) AS t(i)),
+        |sk AS (SELECT i AS r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT token, count(*) AS exact_n FROM tok GROUP BY 1
+        |  ORDER BY exact_n DESC, token LIMIT 20),
+        |pe AS (
+        |  SELECT ex.token, ex.exact_n, i,
+        |    CAST(CAST(('0x' || substring(md5(ex.token || ':cms' || i),
+        |      1, 15)) AS BIGINT) % 1024 AS INT) AS c
+        |  FROM ex, unnest(generate_series(0, 3)) AS t(i)),
+        |est AS (
+        |  SELECT pe.token, pe.exact_n, min(coalesce(sk.cnt, 0)) AS est_n
+        |  FROM pe LEFT JOIN sk ON sk.r = pe.i AND sk.c = pe.c
+        |  GROUP BY 1, 2)
+        |SELECT token, exact_n, est_n, est_n >= exact_n AS bounded
+        |FROM est""".stripMargin,
 
     // the Zipf fit restated: same tokenizer as q_vocab, rank ties break
     // on the token, ln quantized to 9 decimals, moments summed in

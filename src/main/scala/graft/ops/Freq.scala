@@ -111,6 +111,57 @@ object Freq {
       .select(col(valueCol), col("cnt"))
   }
 
+  // --------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005) as a (row, col,
+  // cnt) DataFrame — the point-frequency sibling of the Misra-Gries
+  // top-k above and the HLL register tables in [[Hll]]: persist to
+  // parquet, merge any union of partition sketches by cell-wise SUM,
+  // answer "how often did key X appear" without rescanning, with the
+  // one-sided guarantee estimate >= truth (overestimate <= n*e/w at
+  // probability 1 - e^-d). All arithmetic is BIGINT on md5-derived
+  // cells — deterministic across engines, retries, row order.
+  // --------------------------------------------------------------------
+
+  /** One md5-derived cell per (key, hash-row): first 15 hex digits of
+    * md5(key ":cms" i), column = hash mod width. */
+  private def cmsCell(key: Column, i: Int, width: Int): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(s":cms$i"))),
+      1, 15), 16, 10).cast("long") % width).cast("int")
+
+  /** Sketch a key column: ≤ depth·width cells (r, c, cnt). One
+    * explode (depth d per input row) + one hash-aggregate; the
+    * exchange carries at most d·w rows after partial aggregation. */
+  def cmsSketch(df: DataFrame, keyCol: String,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(width >= 2 && depth >= 1 && depth <= 8,
+      "cmsSketch: need width >= 2, depth in [1, 8]")
+    val cells = (0 until depth).map(i => struct(lit(i).as("r"),
+      cmsCell(col(keyCol), i, width).as("c")))
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(cells: _*)).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with the same (width, depth): cell-wise sum. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for a probe set: min over the probe's
+    * depth cells, 0 when a cell is empty. The sketch is answer-sized
+    * (≤ d·w rows) and broadcasts; probes never shuffle data-sized. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    val cells = (0 until depth).map(i => struct(lit(i).as("r"),
+      cmsCell(col(keyCol), i, width).as("c")))
+    probes.select(col(keyCol), explode(array(cells: _*)).as("p"))
+      .select(col(keyCol), col("p.r").as("r"), col("p.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Zipf's-law fit over a rank–frequency curve: OLS slope of
     * ln(freq) on ln(rank) for the topN most frequent values — the
     * standard natural-corpus health check (clean text sits near

@@ -106,6 +106,44 @@ class FreqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Freq.heavyHitters(df, "v", 1, -1))
   }
 
+  test("count-min sketch: one-sided guarantee, mass conservation, merge = whole") {
+    val data = ((1 to 60).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")))
+      .toDF("v").repartition(7)
+    val sk = Freq.cmsSketch(data, "v", width = 1024, depth = 4)
+    // every hash row holds the full mass
+    val n = data.count()
+    val perRow = sk.groupBy("r").sum("cnt").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow == (0 until 4).map(_ -> n).toMap)
+    // estimates: >= truth for present keys, exact here (1024 cells, 60 keys)
+    val exact = data.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = (exact.keys.toSeq :+ "never-seen").toDF("v")
+    val est = Freq.cmsEstimate(sk, probes, "v", 1024, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, c) => est(k) >= c })
+    assert(est("never-seen") == 0L)
+    // merge of disjoint halves equals the whole-table sketch cell-wise
+    val even = data.where(length(col("v")) === 2)   // k1..k9
+    val odd = data.where(length(col("v")) =!= 2)
+    val merged = Freq.cmsMerge(Freq.cmsSketch(even, "v", 1024, 4),
+      Freq.cmsSketch(odd, "v", 1024, 4)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("count-min sketch: collisions overestimate but never underestimate") {
+    // tiny width forces collisions: the guarantee direction must hold
+    val data = (1 to 200).map(i => s"t${i % 50}").toDF("v")
+    val sk = Freq.cmsSketch(data, "v", width = 8, depth = 2)
+    val est = Freq.cmsEstimate(sk, (0 until 50).map(i => s"t$i").toDF("v"),
+      "v", 8, 2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.values.forall(_ >= 4L))   // every t* appears 4x
+    assert(est.values.exists(_ > 4L))    // 50 keys in 8 columns: must collide
+  }
+
   test("zipfFit recovers the exponent of a planted power law") {
     // exact Zipf with s = 1: count(rank) = round(100000 / rank)
     val planted = (1 to 500)
