@@ -3214,6 +3214,12 @@ object SparkEntry {
           .select(col("token"), col("tf")),
         "token", "tf", 1000)),
 
+    // ---- LLM: Heaps'-law fit (vocabulary growth exponent) -------------
+    // V(n) ~ K n^beta over the corpus in doc order: one exact-integer
+    // point per document, same quantized OLS as the Zipf fit
+    "q_heaps_fit" -> ((s, dir) =>
+      graft.ops.Freq.heapsFit(t(s, dir, "documents"))),
+
     // ---- LLM: BPE tokenizer training (iterative pair merges) ----------
     // the first learned merge rule is SQL-expressible (one weighted
     // adjacent-character-pair count over the word-frequency table +
@@ -7675,6 +7681,44 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
         |    round(ln(CAST(tf AS DOUBLE)), 9) AS y
         |  FROM rk),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+        |  FROM q),
+        |f AS (
+        |  SELECT n, n * sxy - sx * sy AS a, n * sxx - sx * sx AS b,
+        |    n * syy - sy * sy AS c, sx, sy
+        |  FROM s)
+        |SELECT n, a / b AS slope,
+        |  (sy - a / b * sx) / n AS intercept,
+        |  a * a / (b * c) AS r2
+        |FROM f""".stripMargin,
+
+    // the Heaps fit restated: cumulative tokens and cumulative
+    // first-occurrence counts per doc (both exact integers), then the
+    // same quantized OLS as q_zipf_fit
+    "q_heaps_fit" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |per_doc AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY 1),
+        |newv AS (
+        |  SELECT d AS doc_id, count(*) AS vnew
+        |  FROM (SELECT min(doc_id) AS d FROM tok GROUP BY token)
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT sum(p.ntok) OVER (ORDER BY p.doc_id) AS xn,
+        |    sum(coalesce(v.vnew, 0)) OVER (ORDER BY p.doc_id) AS yv
+        |  FROM per_doc p LEFT JOIN newv v USING (doc_id)),
+        |q AS (
+        |  SELECT round(ln(CAST(xn AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(yv AS DOUBLE)), 9) AS y
+        |  FROM pts),
         |s AS (
         |  SELECT count(*) AS n,
         |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,

@@ -183,13 +183,22 @@ object Freq {
       topN: Int): DataFrame = {
     require(topN >= 3, "zipfFit: need at least 3 points")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val top = counts.orderBy(col(countCol).desc, col(valueCol)).limit(topN)
     val ranked = top.withColumn("rank", row_number().over(
       Window.orderBy(col(countCol).desc, col(valueCol))))
-    val q = ranked.select(
-      round(log(col("rank").cast("double")), 9).as("x"),
-      round(log(col(countCol).cast("double")), 9).as("y"))
+    powerLawFit(ranked, "rank", countCol)
+  }
+
+  /** Quantized log–log OLS over positive (x, y) points: slope,
+    * intercept and r² of ln(y) on ln(x), with the determinism recipe
+    * zipfFit documents (9-decimal per-row logs, DECIMAL(38,9) moment
+    * sums, fixed association order). Shared by [[zipfFit]] and
+    * [[heapsFit]]. */
+  def powerLawFit(points: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = points.select(
+      round(log(col(xCol).cast("double")), 9).as("x"),
+      round(log(col(yCol).cast("double")), 9).as("y"))
     def dsum9(c: Column): Column =
       sum(c.cast(DecimalType(38, 9))).cast("double")
     q.agg(count(lit(1)).as("n"),
@@ -203,9 +212,48 @@ object Freq {
         (col("n") * col("syy") - col("sy") * col("sy")).as("c"),
         col("sx"), col("sy"))
       .select(col("n"),
-        (col("a") / col("b")).as("slope"),
-        ((col("sy") - col("a") / col("b") * col("sx")) / col("n"))
-          .as("intercept"),
-        (col("a") * col("a") / (col("b") * col("c"))).as("r2"))
+        // degenerate fits (zero x- or y-variance, e.g. a constant
+        // vocabulary) yield NaN, not an ANSI divide-by-zero error; the
+        // guards are inactive on any non-degenerate corpus so the
+        // oracle side needs no equivalent
+        when(col("b") =!= 0.0, col("a") / col("b"))
+          .otherwise(lit(Double.NaN)).as("slope"),
+        when(col("b") =!= 0.0,
+            (col("sy") - col("a") / col("b") * col("sx")) / col("n"))
+          .otherwise(lit(Double.NaN)).as("intercept"),
+        when(col("b") * col("c") =!= 0.0,
+            col("a") * col("a") / (col("b") * col("c")))
+          .otherwise(lit(Double.NaN)).as("r2"))
+  }
+
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over a corpus read
+    * in document order — the companion diagnostic to [[zipfFit]]
+    * (natural text: β ≈ 0.4–0.6; near-duplicate-heavy corpora sag
+    * toward 0, synthetic-ID-heavy ones push toward 1). One point per
+    * document: (cumulative tokens, cumulative distinct tokens), both
+    * exact integers — "new at doc d" = tokens whose MINIMUM doc id is
+    * d, so the cumulative distinct count needs no per-prefix rescans.
+    *
+    * Scale shape: two token-keyed aggregates (per-doc counts, per-token
+    * first doc) are the data-sized work; the cumulative window then
+    * runs over DOC-count-sized rows. The single-partition window is
+    * deliberate and bounded — one row per document, the same size class
+    * as zipfFit's topN window. */
+  def heapsFit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("d"),
+      explode(TextOps.words(lower(col(textCol)))).as("token"))
+    val perDoc = toks.groupBy(col("d")).agg(count(lit(1)).as("ntok"))
+    val newv = toks.groupBy(col("token")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("vnew"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(newv, Seq("d"), "left")
+      .select(col("d"), col("ntok"),
+        coalesce(col("vnew"), lit(0L)).as("vnew"))
+      .select(sum(col("ntok")).over(w).as("n_tokens"),
+        sum(col("vnew")).over(w).as("n_vocab"))
+    powerLawFit(pts, "n_tokens", "n_vocab")
   }
 }

@@ -162,6 +162,23 @@ class FreqSpec extends SparkSpec {
     assert(s2 < -1.8, s"slope $s2")
   }
 
+  test("heapsFit: slope 1 for all-unique tokens, 0 for a constant vocabulary") {
+    // every token globally unique: V(n) = n exactly -> beta = 1, r2 = 1
+    val unique = (1 to 40)
+      .map(d => (d.toLong, (1 to 5).map(j => s"w${d}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f1 = Freq.heapsFit(unique).collect().head
+    assert(f1.getLong(0) == 40)
+    assert(math.abs(f1.getDouble(1) - 1.0) < 1e-6, s"slope ${f1.getDouble(1)}")
+    assert(f1.getDouble(3) > 0.999999)
+    // one token forever: V constant -> slope 0, r2 degenerate (NaN)
+    val const = (1 to 40).map(d => (d.toLong, "same same same"))
+      .toDF("doc_id", "text")
+    val f0 = Freq.heapsFit(const).collect().head
+    assert(f0.getDouble(1) == 0.0)
+    assert(f0.getDouble(3).isNaN)
+  }
+
   test("zipfFit: deterministic under count ties and repeated runs") {
     // many tied counts: rank order must break on the token, not on
     // partitioning luck
