@@ -125,4 +125,56 @@ object Hll {
   /** One-shot convenience: sketch + estimate. */
   def distinctEstimate(df: DataFrame, keyCol: String, p: Int): DataFrame =
     estimate(sketch(df, keyCol, p), p)
+
+  // --------------------------------------------------------------------
+  // JVM-side mirror of the expression pipeline above, for stateful
+  // STREAMING use (graft.streaming.StreamOps.hllDistinct keeps one
+  // register array per key in mapGroupsWithState). Bit-compatible with
+  // the SQL path by construction: same md5-derived 60-bit hash, same
+  // rho, same association order in the estimate — the streaming parity
+  // spec asserts exact double equality against estimateBy.
+  // --------------------------------------------------------------------
+
+  /** (bucket, rho) for one key — the JVM twin of the sketch columns. */
+  private[graft] def bucketRho(key: String, p: Int): (Int, Int) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((key + ":hll").getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"${b & 0xFF}%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val m = 1 << p
+    val w = h / m
+    val width = 60 - p
+    val rho =
+      if (w == 0) width + 1
+      else width + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    ((h % m).toInt, rho)
+  }
+
+  /** Estimate from a full register array (0 = never observed) — the
+    * JVM twin of [[estimate]], same arithmetic in the same order. */
+  private[graft] def estimateJvm(regs: Array[Int], p: Int): Double = {
+    val m = 1 << p
+    require(regs.length == m, s"expected $m registers")
+    val scale = 60 - p + 1
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    var sScaled = 0L; var nPresent = 0
+    var i = 0
+    while (i < m) {
+      if (regs(i) > 0) { nPresent += 1; sScaled += 1L << (scale - regs(i)) }
+      i += 1
+    }
+    val v = m - nPresent
+    val s = sScaled + v.toLong * (1L << scale)
+    val raw = alpha * m * m * math.pow(2, scale) / s
+    // StrictMath, not math.log: Spark's Log expression evaluates via
+    // StrictMath, and the hardware-intrinsic Math.log differs by 1 ulp
+    // on some inputs — enough to break exact stream/batch parity
+    if (raw <= 2.5 * m && v > 0) m.toDouble * StrictMath.log(m.toDouble / v)
+    else raw
+  }
 }

@@ -432,6 +432,43 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming distinct-count per group via a HyperLogLog register
+    * array held in keyed state — what windowless "distinct users per
+    * source, ever" needs on an unbounded stream. Plain streaming
+    * `countDistinct` is unsupported, and the batch sketch
+    * ([[graft.ops.Hll.sketchBy]]) is a two-level aggregation the
+    * micro-batch planner also rejects; one register array per group in
+    * mapGroupsWithState sidesteps both, with state BOUNDED at exactly
+    * 2^p ints per group no matter how many distinct keys flow past —
+    * the whole point of sketching an unbounded stream.
+    *
+    * Emits one update row per group per micro-batch with the current
+    * estimate. The estimate is bit-identical to the batch
+    * `Hll.estimateBy` over the same rows (same md5 hash, same register
+    * math — pinned by the parity spec), so a stream can be spot-checked
+    * against a batch recompute at any point. On a batch frame this
+    * degrades to ordinary mapGroups (state starts empty), keeping
+    * batch/stream parity by construction. */
+  def hllDistinct(rows: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 6): Dataset[HllEstimate] = {
+    import rows.sparkSession.implicits._
+    val typed = rows
+      .select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[HllRegs, HllEstimate](GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, String)], state: GroupState[HllRegs]) =>
+          val regs = state.getOption.map(_.regs.clone())
+            .getOrElse(new Array[Int](1 << p))
+          it.foreach { case (_, k) =>
+            val (b, r) = graft.ops.Hll.bucketRho(k, p)
+            if (r > regs(b)) regs(b) = r
+          }
+          state.update(HllRegs(regs))
+          HllEstimate(g, graft.ops.Hll.estimateJvm(regs, p))
+      }
+  }
 }
 
 /** Typed event row for stateful streaming ops. */
@@ -439,6 +476,10 @@ case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double)
 case class UserState(n: Long, sum: Double)
 case class UserStats(user_id: Long, n: Long, sum: Double, crossed100: Boolean)
+
+/** HLL register state / output for the streaming distinct estimator. */
+case class HllRegs(regs: Array[Int])
+case class HllEstimate(group: String, est_n: Double)
 
 /** Typed rows for the streaming rolling z-score. */
 case class ZEvent(user_id: Long, event_id: Long, sec: Long, value: Double)

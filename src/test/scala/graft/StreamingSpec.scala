@@ -534,4 +534,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
   }
+
+  test("streaming HLL distinct: registers persist across batches, parity with batch sketch") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.hllDistinct(mem.toDF()
+        .select(col("_1").as("src"), col("_2").as("uid")), "src", "uid", 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    val batch1 = (1 to 300).map(i => ("a", s"u$i")) ++
+      (1 to 40).map(i => ("b", s"v$i"))
+    val batch2 = (200 to 500).map(i => ("a", s"u$i"))   // overlaps batch 1
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    // latest update row per group reflects ALL rows seen so far;
+    // registers are monotone so the latest estimate is the max
+    val streamed = spark.table("hll_stream")
+      .groupBy(col("group")).agg(max(col("est_n")).as("est_n"))
+    val streamMap = streamed.as[(String, Double)].collect().toMap
+    q.stop()
+    // batch recompute over the union must agree bit-for-bit
+    val union = (batch1 ++ batch2).toDF("src", "uid")
+    val batchMap = graft.ops.Hll.estimateBy(
+        graft.ops.Hll.sketchBy(union, "src", "uid", 6), "src", 6)
+      .as[(String, Double)].collect().toMap
+    assert(streamMap == batchMap,
+      s"stream $streamMap vs batch $batchMap")
+    // and the estimates are sane (500 / 40 true distincts)
+    assert(math.abs(streamMap("a") - 500) / 500.0 < 0.35)
+    assert(math.abs(streamMap("b") - 40) / 40.0 < 0.5)
+  }
 }
