@@ -817,6 +817,15 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
 
+    // ---- extension: bootstrap CI for a mean (Poissonized resampling) --
+    // 200 deterministic replicates in one pass (explode by B, exact
+    // integer sums per replicate, order-statistic quantiles over the
+    // B replicate means); md5-seeded Poisson(1) weights from literal
+    // CDF constants so both engines draw identically
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Profile.bootstrapMeanCi(t(s, dir, "documents"),
+        "doc_id", "n_chars", 200, "boot")),
+
     // ---- extension: A/B comparison report (Welch's t) -----------------
     // click vs purchase value per user segment: exact decimal moment
     // sums on one (group, variant) aggregation, fixed IEEE t statistic
@@ -4972,6 +4981,45 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT fold, count(*) AS n, CAST(sum(n_chars) AS BIGINT)
         |  AS sum_chars
         |FROM b GROUP BY 1""".stripMargin,
+
+    // the bootstrap restated: same md5 uniform, same literal Poisson(1)
+    // CDF chain, exact BIGINT weighted sums per replicate, order
+    // statistics at ranks 5 and 195 of the 200 replicate means
+    "q_bootstrap_ci" ->
+      """WITH rep AS (
+        |  SELECT doc_id, n_chars, i AS rep,
+        |    (CAST(('0x' || substring(md5(doc_id || ':' || i || ':boot'),
+        |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents, unnest(generate_series(0, 199)) AS t(i)),
+        |w AS (
+        |  SELECT rep, n_chars,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         WHEN u < 0.9999998885745216 THEN 9
+        |         ELSE 10 END AS w
+        |  FROM rep),
+        |m AS (
+        |  SELECT rep, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS mean_rep
+        |  FROM w GROUP BY rep HAVING sum(w) > 0),
+        |r AS (
+        |  SELECT mean_rep, row_number() OVER (ORDER BY mean_rep, rep) AS rn,
+        |    count(*) OVER () AS n_eff
+        |  FROM m),
+        |f AS (
+        |  SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_full
+        |  FROM documents)
+        |SELECT f.mean_full,
+        |  (SELECT mean_rep FROM r WHERE rn = 5) AS ci_lo,
+        |  (SELECT mean_rep FROM r WHERE rn = 195) AS ci_hi,
+        |  (SELECT CAST(any_value(n_eff) AS BIGINT) FROM r) AS n_replicates
+        |FROM f""".stripMargin,
 
     // mirrors Profile.abCompare: identical decimal moment sums and the
     // identical Welch expression tree

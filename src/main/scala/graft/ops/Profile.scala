@@ -800,4 +800,72 @@ object Profile {
       .withColumn("ks_micros", expr("(1000000 * dmax) div (n_a * n_b)"))
       .select(col("n_a"), col("n_b"), col("ks_micros"), col("ks_at"))
   }
+
+  /** Poisson(1) CDF, cumulative pmf values written as LITERALS: both
+    * engines parse the same decimals to the same doubles, where an
+    * engine-computed exp(-1)/k! chain could drift an ulp. Draws with
+    * u above the last entry take weight 10 (P ≈ 1e-7). */
+  private val poisson1Cdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216)
+
+  /** Inverse-CDF Poisson(1) draw from a uniform column. */
+  private def poisson1(u: Column): Column =
+    poisson1Cdf.zipWithIndex
+      .foldRight(lit(10): Column) { case ((c, k), acc) =>
+        when(u < c, lit(k)).otherwise(acc)
+      }
+
+  /** Bootstrap confidence interval for the mean of an INTEGER metric
+    * (n_chars, token counts, latencies-in-micros — the integer demand
+    * keeps every replicate sum exact, which is what makes the interval
+    * reproducible cross-engine). Poissonized resampling (the standard
+    * distributed approximation to the multinomial bootstrap: each row's
+    * multiplicity in replicate r is Poisson(1), drawn deterministically
+    * from md5(id, r, salt)), B replicates in ONE pass over the data —
+    * explode by B, two integer sums per replicate, then order-statistic
+    * quantiles over the B replicate means (a B-row single-partition
+    * window, bounded and deliberate).
+    *
+    * Returns one row: the full-sample mean, the [2.5%, 97.5%] interval
+    * endpoints (order statistics at ranks floor(0.025·B) and
+    * ceil(0.975·B), clamped to [1, B]), and the replicate count.
+    * Replicates that draw zero total weight (probability ~e^-n) are
+    * dropped — n_replicates reports the effective count. */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, salt: String = "boot"): DataFrame = {
+    require(b >= 20, "bootstrapMeanCi: need at least 20 replicates")
+    import org.apache.spark.sql.expressions.Window
+    val loRank = math.max(1, math.floor(0.025 * b).toInt)
+    val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), col("rep").cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val reps = df.select(col(idCol), col(valueCol).cast("long").as("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("w", poisson1(u))
+      .groupBy(col("rep"))
+      .agg(sum(col("w").cast("long") * col("x")).as("swx"),
+        sum(col("w").cast("long")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("rep"),
+        (col("swx").cast("double") / col("sw")).as("mean_rep"))
+    val ranked = reps.withColumn("rn",
+        row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
+      .withColumn("n_eff", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val full = df.agg(
+      (sum(col(valueCol).cast("long")).cast("double") / count(lit(1)))
+        .as("mean_full"))
+    ranked.groupBy()
+      .agg(
+        min(when(col("rn") === loRank, col("mean_rep"))).as("ci_lo"),
+        min(when(col("rn") === hiRank, col("mean_rep"))).as("ci_hi"),
+        any_value(col("n_eff")).cast("long").as("n_replicates"))
+      .crossJoin(full)
+      .select(col("mean_full"), col("ci_lo"), col("ci_hi"),
+        col("n_replicates"))
+  }
 }

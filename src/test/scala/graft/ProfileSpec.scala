@@ -397,4 +397,47 @@ class ProfileSpec extends SparkSpec {
     val m = ks(Seq(1L, 2L), Seq(2L, 3L))
     assert(m == ((2L, 2L, 500000L, 1L)), s"got $m")
   }
+
+  test("bootstrap CI brackets the mean, replays exactly, and is salt-sensitive") {
+    val data = (1 to 200).map(i => (i.toLong, (100 + i % 50).toLong))
+      .toDF("id", "v")
+    val ci = Profile.bootstrapMeanCi(data, "id", "v", b = 200, salt = "s1")
+      .as[(Double, Double, Double, Long)].collect().head
+    val trueMean = (1 to 200).map(i => 100 + i % 50).sum / 200.0
+    assert(ci._1 == trueMean)
+    assert(ci._2 < ci._1 && ci._1 < ci._3, s"CI $ci")
+    assert(ci._4 == 200L)
+    // deterministic across runs
+    val again = Profile.bootstrapMeanCi(data, "id", "v", 200, "s1")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(ci == again)
+    // a different salt draws different replicates (interval shifts)
+    val other = Profile.bootstrapMeanCi(data, "id", "v", 200, "s2")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(other._2 != ci._2 || other._3 != ci._3)
+    // driver-side replay of the full mechanism at b = 20
+    def u(id: Long, rep: Int, salt: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$rep:$salt".getBytes("UTF-8"))
+      val hex = d.take(4).map(x => f"${x & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253,
+      0.999998874797402, 0.9999998885745216)
+    def w(uu: Double): Long = cdf.indexWhere(uu < _) match {
+      case -1 => 10L; case k => k.toLong
+    }
+    val vals = (1 to 200).map(i => i.toLong -> (100 + i % 50).toLong)
+    val means = (0 until 20).flatMap { rep =>
+      val ws = vals.map { case (id, v) => (w(u(id, rep, "s3")), v) }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None else Some(ws.map { case (k, v) => k * v }.sum.toDouble / sw)
+    }.sorted
+    val expected = (means(0), means(19))   // ranks 1 and 20 at b = 20
+    val got = Profile.bootstrapMeanCi(data, "id", "v", 20, "s3")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert((got._2, got._3) == expected, s"got $got expected $expected")
+  }
 }
