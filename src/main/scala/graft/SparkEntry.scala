@@ -2292,6 +2292,23 @@ object SparkEntry {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
     }),
 
+    // ---- LLM: leakage-free split (clusters held out atomically) -------
+    // near-dup clusters bucket as UNITS, so a document can't train
+    // while its near-copy evaluates; docs in no pair are singletons.
+    // The grouped output states the invariant the oracle re-derives:
+    // per-split cluster counts sum to the total cluster count
+    "q_leakage_split" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      graft.ops.Sampling.leakageFreeSplit(docs, "doc_id", clusters, 80)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- LLM: edit-distance fuzzy join (SymSpell deletion buckets) ----
     // supplier names differ in single digits, so the ed<=1 pair set is
     // dense and the full cross-join oracle is exact at this SF; the
@@ -6802,6 +6819,46 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  UNION
         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // the q_dedup_clusters labeling + singleton coalesce + the stable
+    // md5 cluster bucket, aggregated per split
+    "q_leakage_split" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    coalesce(lab.cl, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+        |s AS (
+        |  SELECT cluster_id, n_chars,
+        |    CASE WHEN CAST(('0x' || substring(md5(cluster_id || ':leak'),
+        |      1, 8)) AS BIGINT) % 100 < 80 THEN 'train' ELSE 'test'
+        |    END AS split
+        |  FROM f)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT cluster_id) AS n_clusters,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q_editdist_pairs" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

@@ -404,4 +404,28 @@ object Sampling {
     best.join(worst, Seq(groupCol, "pair_rank"))
       .where(col("chosen_score") > col("rejected_score"))
   }
+
+  /** Leakage-free train/test split: near-duplicate CLUSTERS move to a
+    * side atomically, so no document can sit in train while its
+    * near-copy sits in test — the split discipline that makes held-out
+    * eval numbers mean anything on a deduplicated-but-not-perfectly
+    * corpus (Lee et al. 2022's contamination argument applied to the
+    * split itself). Takes a (id, cluster_id) labeling (e.g.
+    * [[Dedup.nearDupClusters]] output — which covers only documents in
+    * some near-dup pair; absent documents become singleton clusters of
+    * themselves), buckets on md5(cluster) so the choice is stable
+    * across runs/engines, and returns every row with its cluster and
+    * split. One left join on the id — the labeling is pair-participant
+    * sized, typically far smaller than the corpus. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      pctTrain: Int): DataFrame = {
+    require(pctTrain >= 0 && pctTrain <= 100)
+    df.join(clusters.select(col("id").as(idCol),
+        col("cluster_id").as("__cl")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl")
+      .withColumn("split", when(
+        bucketOf(concat(col("cluster_id").cast("string"), lit(":leak")))
+          < pctTrain, "train").otherwise("test"))
+  }
 }

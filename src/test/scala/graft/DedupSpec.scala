@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Sampling, TextOps}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -421,5 +421,33 @@ class DedupSpec extends SparkSpec {
       .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(got.toSeq == Seq(("g1", 1, 1L, 5L), ("g1", 2, 2L, 4L)),
       s"got ${got.toSeq}")
+  }
+
+  test("leakageFreeSplit: clusters never straddle the train/test boundary") {
+    // docs 1,2,3 form one near-dup cluster; 4,5 another; 6..20 singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val docs = (1 to 20).map(i => (i.toLong, s"doc $i", i * 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val split = Sampling.leakageFreeSplit(docs, "doc_id", clusters, 60)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 20)                 // every row survives
+    // the leakage invariant: one split per cluster
+    val byCluster = split.groupBy(_._2).values
+    assert(byCluster.forall(g => g.map(_._3).distinct.length == 1))
+    // near-dup groups moved atomically
+    val m = split.map(r => r._1 -> r._3).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(4L) == m(5L))
+    // absent docs became singletons of themselves
+    val cl = split.map(r => r._1 -> r._2).toMap
+    assert((6 to 20).forall(i => cl(i.toLong) == i.toLong))
+    // both sides populated and stable across runs
+    assert(m.values.toSet == Set("train", "test"))
+    val again = Sampling.leakageFreeSplit(docs, "doc_id", clusters, 60)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.toSet == again.toSet)
   }
 }
