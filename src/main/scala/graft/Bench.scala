@@ -64,7 +64,12 @@ object Bench {
     "q_warc_ingest", "q_decontam_fuzzy", "q_cc_pipeline",
     // round 7, fifth continuation: training-objective preprocessing
     // (deterministic T5 span corruption — per-row fold + transforms)
-    "q_span_corrupt")
+    "q_span_corrupt",
+    // round 7, sixth continuation: the 200-replicate bootstrap (one
+    // 200x explode + exact integer sums), the mergeable-HLL distinct
+    // estimate, and the leakage-free split (iterative near-dup
+    // clustering + cluster-keyed bucketing)
+    "q_bootstrap_ci", "q_hll_distinct", "q_leakage_split")
 
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {

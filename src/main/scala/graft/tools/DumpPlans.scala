@@ -57,7 +57,10 @@ object DumpPlans {
     "q_warc_ingest" -> "WARC roundtrip: record build is a codegen'd concat projection; file assembly one file-id-keyed aggregation; the byte parser is a stateless per-file flatMap (DeserializeToObject/MapPartitions span) — records explode executor-side, nothing driver-sized anywhere.",
     "q_decontam_fuzzy" -> "Fuzzy decontamination: the benchmark-sized eval side broadcasts both its banded signatures and its shingle sets (two BroadcastHashJoins); corpus candidates shuffle ids only; the longest stage is the corpus's own shingle+minhash projection inside its scan — no cartesian, no all-pairs.",
     "q_robots_filter" -> "robots.txt admission: the hosts-x-rules table broadcasts into the frontier's host-keyed join; the longest-prefix argmax is one window keyed by the URL row — the frontier shuffles only on its own keys.",
-    "q_cc_pipeline" -> "Common-Crawl-shaped end-to-end: record build + gzip members in one file-id-keyed aggregation+map, inflate+parse as a stateless flatMap, then sniff/extract as pure per-record regex projections — one keyed exchange in the whole pipeline; everything else pipelines in the scan or the flatMap stage.")
+    "q_cc_pipeline" -> "Common-Crawl-shaped end-to-end: record build + gzip members in one file-id-keyed aggregation+map, inflate+parse as a stateless flatMap, then sniff/extract as pure per-record regex projections — one keyed exchange in the whole pipeline; everything else pipelines in the scan or the flatMap stage.",
+    "q_hll_distinct" -> "Mergeable HLL sketch: the 60-bit md5 hash, bucket and rho are codegen'd projections inside the scan; one partial+final HashAggregate on bucket bounds the exchange at 2^p rows; the estimate is a second 1-row aggregate over the register table — nothing distinct-key-sized moves.",
+    "q_bootstrap_ci" -> "Poissonized bootstrap: the 200x explode and the md5-Poisson weight chain are per-row codegen; partial aggregation collapses each partition to 200 (replicate, two-BIGINT) rows before the exchange; order-statistic quantiles run on the 200-row result — one data pass, bounded everything after.",
+    "q_leakage_split" -> "Leakage-free split: the near-dup clustering's banded pair generation + iterative min-label rounds (localCheckpoint-truncated lineage), then ONE left join of the corpus against the pair-participant-sized labeling and a per-row md5 bucket on the cluster id — the split adds no data-sized shuffle of its own.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
