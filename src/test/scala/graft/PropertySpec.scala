@@ -552,4 +552,41 @@ class PropertySpec extends SparkSpec {
       assert(got.forall(r => r._3 > r._4), s"case $i zero-gap leaked")
     }
   }
+
+  test("HLL merge is commutative, associative, idempotent for ANY key sets (property)") {
+    import graft.ops.Hll
+    val setGen = Gen.listOfN(80, Gen.chooseNum(0L, 400L))
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    for ((pair, i) <- samples(Gen.zip(setGen, setGen), 6).zipWithIndex) {
+      val (xs, ys) = pair
+      val a = Hll.sketch(xs.toDF("k"), "k", 5)
+      val b = Hll.sketch(ys.toDF("k"), "k", 5)
+      val ab = regs(Hll.merge(a, b))
+      val ba = regs(Hll.merge(b, a))
+      assert(ab == ba, s"case $i commutativity")
+      assert(regs(Hll.merge(a, a)) == regs(a), s"case $i idempotence")
+      // merge equals the sketch of the concatenated input
+      val whole = regs(Hll.sketch((xs ++ ys).toDF("k"), "k", 5))
+      assert(ab == whole, s"case $i union")
+    }
+  }
+
+  test("CMS never underestimates and conserves mass for ANY multiset (property)") {
+    import graft.ops.Freq
+    val dataGen = Gen.listOfN(120, Gen.chooseNum(0, 30).map(n => s"k$n"))
+    for ((vals, i) <- samples(dataGen, 6).zipWithIndex) {
+      val df = vals.toDF("v").repartition(1 + i % 5)
+      val sk = Freq.cmsSketch(df, "v", width = 16, depth = 3)
+      // mass conservation per hash row
+      val perRow = sk.groupBy("r").sum("cnt").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perRow.values.forall(_ == vals.length.toLong), s"case $i mass")
+      // one-sided guarantee for every present key, even at width 16
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Freq.cmsEstimate(sk, exact.keys.toSeq.toDF("v"), "v", 16, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(exact.forall { case (k, c) => est(k) >= c }, s"case $i bound")
+    }
+  }
 }
