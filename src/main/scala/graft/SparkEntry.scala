@@ -3120,6 +3120,17 @@ object SparkEntry {
       graft.ops.Privacy.dpNoisyCounts(t(s, dir, "orders"),
         "o_orderpriority", 0.5, "graft-r7")),
 
+    // ---- LLM: Luhn-validated card detection --------------------------
+    // a 16-digit run planted per doc (validity falls out of the digits,
+    // neither engine knows it a priori — both run the same checksum);
+    // candidates gate on run length 13-19 with no lookarounds, so the
+    // RE2-based oracle regexp agrees with Spark's
+    "q_pii_luhn" -> ((s, dir) =>
+      TextOps.detectCards(t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(" card "),
+          lpad((col("doc_id") * 7919 % 10000000000L).cast("string"),
+            16, "4")).as("text")))),
+
     "q_pii_redact" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), concat(col("text"),
@@ -7593,6 +7604,34 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  exact_n + CAST(floor(ln(u1) / -0.5) AS BIGINT)
         |          - CAST(floor(ln(u2) / -0.5) AS BIGINT) AS noisy_n
         |FROM u""".stripMargin,
+
+    // the Luhn fold restated as a DuckDB list comprehension over the
+    // reversed digit string — same per-position doubling, same mod-10
+    "q_pii_luhn" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' card ' ||
+        |    lpad(CAST(doc_id * 7919 % 10000000000 AS VARCHAR), 16, '4')
+        |    AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_extract_all(text, '\d+'),
+        |      x -> length(x) BETWEEN 13 AND 19) AS cands
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, cands,
+        |    list_filter(cands, cc -> list_sum(
+        |      [CASE WHEN i % 2 = 0 THEN
+        |         CASE WHEN (ascii(reverse(cc)[i]) - 48) * 2 > 9
+        |              THEN (ascii(reverse(cc)[i]) - 48) * 2 - 9
+        |              ELSE (ascii(reverse(cc)[i]) - 48) * 2 END
+        |       ELSE ascii(reverse(cc)[i]) - 48 END
+        |       FOR i IN generate_series(1, length(cc))]) % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+        |  coalesce(array_to_string(valid, ','), '') AS valid_numbers
+        |FROM v""".stripMargin,
 
     "q_pii_redact" ->
       """WITH d AS (

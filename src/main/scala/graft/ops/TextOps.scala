@@ -157,6 +157,46 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), DigitRunRe, "<NUM>"))
 
+  /** Luhn checksum over a digit-string column — the check that turns
+    * "a 16-digit run" into "plausibly a real card number", cutting the
+    * false-positive rate of naive digit-run PII scans by ~10× (only 1
+    * in 10 random runs passes). Pure codegen HOFs (reverse → indexed
+    * fold), no UDF; the same expression runs in the DuckDB oracle. */
+  def luhnValid(d: Column): Column = {
+    val chars = split(reverse(d), "")
+    val total = aggregate(
+      sequence(lit(1), length(d)),
+      lit(0),
+      (acc, i) => {
+        val dig = ascii(element_at(chars, i)) - 48
+        acc + when(i % 2 === 0,
+          when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+      })
+    total % 10 === 0
+  }
+
+  /** Credit-card detection with Luhn validation: candidate = any
+    * contiguous 13–19-digit run (no lookarounds — RE2-safe, so the
+    * oracle's regexp engine agrees), valid = candidates passing
+    * [[luhnValid]]. Emits per-doc candidate/valid counts plus the
+    * validated numbers (comma-joined for a sortable column). Pure
+    * per-row expressions — pipelines inside the scan like the rest of
+    * the PII family; pair with [[redactPii]] to redact what this
+    * flags. */
+  def detectCards(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cands = filter(
+      expr(s"regexp_extract_all($textCol, '\\\\d+', 0)"),
+      c => length(c).between(13, 19))
+    docs
+      .withColumn("__cands", cands)
+      .withColumn("__valid", filter(col("__cands"), luhnValid(_)))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("n_candidates"),
+        size(col("__valid")).cast("long").as("n_luhn_valid"),
+        array_join(col("__valid"), ",").as("valid_numbers"))
+  }
+
   // --------------------------------------------------------------------
   // Benchmark decontamination: flag corpus documents sharing ANY word
   // n-gram with an evaluation set — the "don't train on your benchmark"

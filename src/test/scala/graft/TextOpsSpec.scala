@@ -856,4 +856,35 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(sw.head._1 == "ham")
   }
+
+  test("Luhn card detection: classic vectors, run-length gating") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "fake 4111111111111112 and short 12345"),
+      (3L, "amex 378282246310005 visa 4532015112830366"),
+      (4L, "no card digits here"),
+      (5L, "too long 12345678901234567890 to be a card"))
+      .toDF("doc_id", "text")
+    val got = TextOps.detectCards(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, "4111111111111111")))
+    assert(got(2L) == ((2L, 1L, 0L, "")))         // checksum off by one
+    assert(got(3L) == ((3L, 2L, 2L, "378282246310005,4532015112830366")))
+    assert(got(4L) == ((4L, 0L, 0L, "")))
+    assert(got(5L) == ((5L, 0L, 0L, "")))         // 20 digits: gated out
+    // cross-check the expression against a reference Luhn on random runs
+    def refLuhn(s: String): Boolean = s.reverse.zipWithIndex.map {
+      case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum % 10 == 0
+    val runs = (0 until 40).map(i => f"${i * 7919196234577L % 10000000000000L}%016d")
+    val exprGot = TextOps.detectCards(
+        runs.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+          .toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._3 == 1L)).toMap
+    runs.zipWithIndex.foreach { case (r, i) =>
+      assert(exprGot(i.toLong) == refLuhn(r), s"run $r") }
+  }
 }
