@@ -3120,6 +3120,15 @@ object SparkEntry {
       graft.ops.Privacy.dpNoisyCounts(t(s, dir, "orders"),
         "o_orderpriority", 0.5, "graft-r7")),
 
+    // ---- LLM: cross-source quantile normalization --------------------
+    // each source's n_chars distribution maps onto the pooled one via a
+    // 16-bin equi-depth reference — all-integer rank arithmetic (the
+    // interpolation-free quantile convention), so scorers with
+    // arbitrary scales become comparable by rank
+    "q_quantile_normalize" -> ((s, dir) =>
+      graft.ops.Profile.quantileNormalize(t(s, dir, "documents"),
+        "doc_id", "source", "n_chars", 16)),
+
     // ---- LLM: Luhn-validated card detection --------------------------
     // a 16-digit run planted per doc (validity falls out of the digits,
     // neither engine knows it a priori — both run the same checksum);
@@ -7604,6 +7613,34 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  exact_n + CAST(floor(ln(u1) / -0.5) AS BIGINT)
         |          - CAST(floor(ln(u2) / -0.5) AS BIGINT) AS noisy_n
         |FROM u""".stripMargin,
+
+    // the normalization restated: domain CDF -> per-domain-row covered
+    // bin range -> boundary table; per-source integer rank -> bin ->
+    // boundary join. Integer div throughout, no interpolation
+    "q_quantile_normalize" ->
+      """WITH dom AS (
+        |  SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+        |cdf AS (
+        |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM dom),
+        |bounds AS (
+        |  SELECT k, v AS normalized
+        |  FROM (SELECT v,
+        |          CAST((cum - cnt) * 16 // n + 1 AS BIGINT) AS k_lo,
+        |          CAST(cum * 16 // n AS BIGINT) AS k_hi
+        |        FROM cdf),
+        |    unnest(generate_series(k_lo, k_hi)) AS t(k)),
+        |grp AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng
+        |  FROM documents)
+        |SELECT g.doc_id, g.source, g.n_chars,
+        |  (g.r * 16 + g.ng - 1) // g.ng AS q_bin,
+        |  b.normalized
+        |FROM grp g JOIN bounds b ON b.k = (g.r * 16 + g.ng - 1) // g.ng""".stripMargin,
 
     // the Luhn fold restated as a DuckDB list comprehension over the
     // reversed digit string — same per-position doubling, same mod-10

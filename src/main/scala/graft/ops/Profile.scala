@@ -801,6 +801,56 @@ object Profile {
       .select(col("n_a"), col("n_b"), col("ks_micros"), col("ks_at"))
   }
 
+  /** Quantile normalization across groups: map each group's value
+    * distribution onto the POOLED distribution through a B-bin
+    * equi-depth reference — what mixing quality scores from different
+    * scorers needs (each source's score scale is arbitrary; its RANKS
+    * are not). Every step is integer arithmetic on exact counts, the
+    * repo's interpolation-free quantile convention:
+    *
+    *  - reference: boundary[k] (k = 1..B) = the pooled order statistic
+    *    at rank ceil(k·N/B), derived from the value-domain CDF — each
+    *    domain row covers k ∈ (cum_prev·B div N, cum·B div N], so the
+    *    boundary table falls out of one bounded explode, no global
+    *    row-level sort;
+    *  - per row: rank r within its group (ties break on the id),
+    *    mapped to bin k = ceil(r·B/n_g), normalized value =
+    *    boundary[k] (broadcast B-row join).
+    *
+    * Scale shape: one domain-sized aggregate + domain window (the
+    * vocab rule), one group-keyed window, one broadcast join. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, b: Int = 16): DataFrame = {
+    require(b >= 2, "quantileNormalize: need at least 2 bins")
+    import org.apache.spark.sql.expressions.Window
+    val dom = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+    val wCdf = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = dom
+      .withColumn("cum", sum(col("cnt")).over(wCdf))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+    val bounds = cdf
+      .withColumn("k_lo", expr(s"(cum - cnt) * $b div n + 1"))
+      .withColumn("k_hi", expr(s"cum * $b div n"))
+      // Spark's sequence() runs BACKWARD when start > stop — guard the
+      // empty case explicitly or uncovered domain rows emit junk bins
+      .withColumn("k", explode(when(col("k_hi") >= col("k_lo"),
+        sequence(col("k_lo"), col("k_hi")))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("k"), col("v").as("normalized"))
+    val wGrp = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("r", row_number().over(wGrp).cast("long"))
+      .withColumn("ng", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+      .withColumn("k", expr(s"(r * $b + ng - 1) div ng"))
+    ranked.join(broadcast(bounds), Seq("k"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("k").as("q_bin"), col("normalized"))
+  }
+
   /** Poisson(1) CDF, cumulative pmf values written as LITERALS: both
     * engines parse the same decimals to the same doubles, where an
     * engine-computed exp(-1)/k! chain could drift an ulp. Draws with

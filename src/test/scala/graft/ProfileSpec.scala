@@ -398,6 +398,36 @@ class ProfileSpec extends SparkSpec {
     assert(m == ((2L, 2L, 500000L, 1L)), s"got $m")
   }
 
+  test("quantile normalization: identity on aligned bins, cross-group distribution match") {
+    // 16 distinct values, b = 16: rank r maps to bin r, boundary[r] is
+    // the value at pooled rank r — normalization is the identity
+    val single = (1 to 16).map(i => (i.toLong, "g", i * 10L))
+      .toDF("id", "g", "v")
+    val idm = Profile.quantileNormalize(single, "id", "g", "v", 16)
+      .select("v", "normalized").as[(Long, Long)].collect()
+    assert(idm.forall { case (v, nv) => v == nv }, s"got ${idm.toSeq}")
+    // two equal-size groups on disjoint scales: after normalization
+    // their value multisets agree exactly (rank r -> same bin -> same
+    // pooled boundary)
+    val two = ((1 to 32).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 32).map(i => (100 + i.toLong, "b", 1000 + i.toLong)))
+      .toDF("id", "g", "v")
+    val norm = Profile.quantileNormalize(two, "id", "g", "v", 16)
+      .select("g", "normalized").as[(String, Long)].collect()
+    val byG = norm.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byG("a") == byG("b"), s"a=${byG("a")}\nb=${byG("b")}")
+    // normalization preserves within-group order
+    val ordered = Profile.quantileNormalize(two, "id", "g", "v", 16)
+      .where(col("g") === "a").orderBy(col("v"))
+      .select("normalized").as[Long].collect()
+    assert(ordered.toSeq == ordered.sorted.toSeq)
+    // every row lands in a bin in [1, 16]
+    val bins = Profile.quantileNormalize(two, "id", "g", "v", 16)
+      .select("q_bin").as[Long].collect()
+    assert(bins.forall(k => k >= 1 && k <= 16))
+  }
+
   test("bootstrap CI brackets the mean, replays exactly, and is salt-sensitive") {
     val data = (1 to 200).map(i => (i.toLong, (100 + i % 50).toLong))
       .toDF("id", "v")
