@@ -3250,6 +3250,25 @@ object SparkEntry {
           (col("est") >= col("exact_n")).as("bounded"))
     }),
 
+    // ---- LLM: CMS join-size preflight ---------------------------------
+    // the inner-product estimator: price |orders ⋈ customer| from two
+    // 4x1024 sketches — the sketch-based sibling of q_join_preflight's
+    // exact key-domain costing; one-sided (est >= truth), all BIGINT
+    "q_cms_join_size" -> ((s, dir) => {
+      val est = graft.ops.Freq.cmsJoinSize(
+        graft.ops.Freq.cmsSketch(t(s, dir, "orders")
+          .select(col("o_custkey").as("v")), "v", 1024, 4),
+        graft.ops.Freq.cmsSketch(t(s, dir, "customer")
+          .select(col("c_custkey").as("v")), "v", 1024, 4))
+      val exact = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(exact)
+        .withColumn("bounded",
+          col("est_join_rows") >= col("exact_join_rows"))
+    }),
+
     // ---- LLM: Zipf's-law fit (corpus-health power-law exponent) -------
     // OLS of ln(tf) on ln(rank) over the top-1000 tokens: natural text
     // sits near slope -1, templated corpora flatten. Quantized logs +
@@ -3908,18 +3927,21 @@ object SparkEntry {
     // MultimodalSpec
     "q_multimodal_sniff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ppm = Multimodal.plantedPpm(docs.where(col("doc_id") % 4 === 0))
+      val ppm = Multimodal.plantedPpm(docs.where(col("doc_id") % 5 === 0))
         .select(col("media_id"), col("payload"))
-      val wav = Multimodal.plantedWav(docs.where(col("doc_id") % 4 === 1))
+      val wav = Multimodal.plantedWav(docs.where(col("doc_id") % 5 === 1))
         .select(col("media_id"), col("payload"))
-      val html = docs.where(col("doc_id") % 4 === 2)
+      val y4m = Multimodal.plantedY4m(docs.where(col("doc_id") % 5 === 2))
+        .select(col("media_id"), col("payload"))
+      val html = docs.where(col("doc_id") % 5 === 3)
         .select(col("doc_id").cast("long").as("media_id"),
           concat(lit("<html><body>"), col("text"), lit("</body></html>"))
             .cast("binary").as("payload"))
-      val txt = docs.where(col("doc_id") % 4 === 3)
+      val txt = docs.where(col("doc_id") % 5 === 4)
         .select(col("doc_id").cast("long").as("media_id"),
           col("text").cast("binary").as("payload"))
-      ppm.unionByName(wav).unionByName(html).unionByName(txt)
+      ppm.unionByName(wav).unionByName(y4m).unionByName(html)
+        .unionByName(txt)
         .select(col("media_id"),
           Multimodal.sniffKind(col("payload")).as("sniffed"))
     }),
@@ -7845,6 +7867,37 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT token, exact_n, est_n, est_n >= exact_n AS bounded
         |FROM est""".stripMargin,
 
+    // both sketches rebuilt cell-for-cell, inner product per hash row,
+    // min over the 4 rows (rows with no shared cells contribute 0)
+    "q_cms_join_size" ->
+      """WITH sa AS (
+        |  SELECT i AS r,
+        |    CAST(CAST(('0x' || substring(md5(o_custkey || ':cms' || i),
+        |      1, 15)) AS BIGINT) % 1024 AS INT) AS c,
+        |    count(*) AS cnt
+        |  FROM orders, unnest(generate_series(0, 3)) AS t(i)
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT i AS r,
+        |    CAST(CAST(('0x' || substring(md5(c_custkey || ':cms' || i),
+        |      1, 15)) AS BIGINT) % 1024 AS INT) AS c,
+        |    count(*) AS cnt
+        |  FROM customer, unnest(generate_series(0, 3)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT sa.r, sum(sa.cnt * sb.cnt) AS ip
+        |  FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_rows
+        |  FROM (SELECT DISTINCT r FROM sa) d LEFT JOIN ip USING (r)),
+        |ex AS (
+        |  SELECT count(*) AS exact_join_rows
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT est.est_join_rows, ex.exact_join_rows,
+        |  est.est_join_rows >= ex.exact_join_rows AS bounded
+        |FROM est, ex""".stripMargin,
+
     // the Zipf fit restated: same tokenizer as q_vocab, rank ties break
     // on the token, ln quantized to 9 decimals, moments summed in
     // DECIMAL(38,9) (exact for 9-decimal values), and the closed-form
@@ -8612,10 +8665,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // with '<' honest on both sides
     "q_multimodal_sniff" ->
       """SELECT doc_id AS media_id,
-        |  CASE doc_id % 4
+        |  CASE doc_id % 5
         |    WHEN 0 THEN 'image/ppm'
         |    WHEN 1 THEN 'audio/wav'
-        |    WHEN 2 THEN 'text/html'
+        |    WHEN 2 THEN 'video/y4m'
+        |    WHEN 3 THEN 'text/html'
         |    ELSE CASE WHEN text LIKE '<%' THEN 'text/html'
         |              ELSE 'application/octet-stream' END
         |  END AS sniffed

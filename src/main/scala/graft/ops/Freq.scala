@@ -162,6 +162,27 @@ object Freq {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join size estimation from two count-min sketches (the
+    * classic CMS inner-product estimator): |A ⋈ B on k| =
+    * Σ_k f_A(k)·f_B(k), approximated per hash row by the cell-wise
+    * inner product, min over rows — one-sided (estimate ≥ truth, since
+    * collisions only add mass). This is [[graft.ops.Skew]]-style join
+    * preflight priced from two d×w sketches instead of two key-domain
+    * aggregates: sketch both 100 TB sides once (or reuse standing
+    * sketches) and the go/no-go costs a d×w-row join. Rows with no
+    * overlapping cells contribute an inner product of 0 (driven off
+    * sketch A's row domain, which every input row populates). */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val ips = a.select(col("r"), col("c"), col("cnt").as("ca"))
+      .join(b.select(col("r"), col("c"), col("cnt").as("cb")),
+        Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+    a.select(col("r")).distinct()
+      .join(ips, Seq("r"), "left")
+      .select(coalesce(col("ip"), lit(0L)).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+  }
+
   /** Zipf's-law fit over a rank–frequency curve: OLS slope of
     * ln(freq) on ln(rank) for the topN most frequent values — the
     * standard natural-corpus health check (clean text sits near

@@ -134,6 +134,23 @@ class FreqSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("CMS join-size estimate: one-sided, exact without collisions, zero when disjoint") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("v")       // fa: x3 y1 z1
+    val b = Seq("x", "y", "y", "w").toDF("v")            // fb: x1 y2 w1
+    // true join size = 3*1 + 1*2 = 5
+    val sa = Freq.cmsSketch(a, "v", 1024, 4)
+    val sb = Freq.cmsSketch(b, "v", 1024, 4)
+    val est = Freq.cmsJoinSize(sa, sb).collect().head.getLong(0)
+    assert(est == 5L, s"est $est")                       // no collisions
+    // disjoint key sets: estimate 0 (wide sketch, no shared cells)
+    val sc = Freq.cmsSketch(Seq("p", "q").toDF("v"), "v", 1024, 4)
+    assert(Freq.cmsJoinSize(sa, sc).collect().head.getLong(0) == 0L)
+    // narrow sketch forces collisions: still never underestimates
+    val na = Freq.cmsSketch(a, "v", 4, 2)
+    val nb = Freq.cmsSketch(b, "v", 4, 2)
+    assert(Freq.cmsJoinSize(na, nb).collect().head.getLong(0) >= 5L)
+  }
+
   test("count-min sketch: collisions overestimate but never underestimate") {
     // tiny width forces collisions: the guarantee direction must hold
     val data = (1 to 200).map(i => s"t${i % 50}").toDF("v")
