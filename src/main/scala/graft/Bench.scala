@@ -132,7 +132,7 @@ object Bench {
     // executor count.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", math.min(4, shuffle).toString)
-    val (streaming, streamingIngest) = try {
+    val (streaming, streamingIngest, streamingHll) = try {
     // streaming headline: the same tumbling-window aggregation the batch
     // oracle q_events_hourly verifies, driven as a REAL Structured
     // Streaming query over the file source — the batch/stream parity
@@ -197,12 +197,42 @@ object Bench {
       }
       Entry(name, samples.collect { case (t, true) => t })
     }
-    (streaming, streamingIngest)
+    // third streaming entry: the stateful HLL distinct sketch — one
+    // 2^p-int register array per event_type in mapGroupsWithState,
+    // measured as a real file-source stream (the batch-parity claim is
+    // pinned in StreamingSpec; this times the stateful path itself)
+    val streamingHll = {
+      val name = "s_hll_users"
+      val samples = (1 to runs).map { i =>
+        try {
+          val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-hll$i")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+            dir.resolve("events.parquet"))
+          val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+          timed {
+            val q = graft.streaming.StreamOps.hllDistinct(
+                spark.readStream.schema(schema).parquet(dir.toString),
+                "event_type", "user_id", 6)
+              .writeStream.format("memory").queryName(s"bench_hll$i")
+              .outputMode("update").start()
+            q.processAllAvailable(); q.stop()
+            val n = spark.table(s"bench_hll$i").count()
+            require(n > 0, "hll stream produced no estimates")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, false)
+        }
+      }
+      Entry(name, samples.collect { case (t, true) => t })
+    }
+    (streaming, streamingIngest, streamingHll)
     // exception-safe restore (ADVICE r6): without the finally, a crash in
     // the streaming section leaves the shared session pinned at 4 shuffle
     // partitions for everything that runs after the bench
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val all = results :+ streaming :+ streamingIngest
+    val all = results :+ streaming :+ streamingIngest :+ streamingHll
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
     val qs = all.map(e => "\"" + e.name + "\":" + e.med).mkString("{", ",", "}")
