@@ -3952,6 +3952,36 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // ---- LLM: sniff-routed decode over a MIXED dump -------------------
+    // five planted families in one table, one per-partition pass:
+    // magic bytes route each payload to its parser (PPM / PCM16 / y4m),
+    // text families pass through with kind only — the unified nullable
+    // schema a real crawl dump lands in
+    "q_multimodal_auto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ppm = Multimodal.plantedPpm(docs.where(col("doc_id") % 5 === 0))
+        .select(col("media_id"), col("payload"))
+      val wav = Multimodal.plantedWav(docs.where(col("doc_id") % 5 === 1))
+        .select(col("media_id"), col("payload"))
+      val y4m = Multimodal.plantedY4m(docs.where(col("doc_id") % 5 === 2))
+        .select(col("media_id"), col("payload"))
+      val html = docs.where(col("doc_id") % 5 === 3)
+        .select(col("doc_id").cast("long").as("media_id"),
+          concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+            .cast("binary").as("payload"))
+      val txt = docs.where(col("doc_id") % 5 === 4)
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      Multimodal.decodeAuto(ppm.unionByName(wav).unionByName(y4m)
+          .unionByName(html).unionByName(txt))
+        .select(col("media_id"), col("sniffed"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width"), col("height"), col("mean_r"), col("mean_g"),
+          col("mean_b"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), col("peak"), col("rms"),
+          col("luma_mean"))
+    }),
+
     // ---- LLM: REAL audio decode (RIFF/WAVE PCM16 chunk walk) ----------
     // the WAV sibling of q_multimodal_ppm: planted PCM16 clips are
     // actually parsed — chunk walk, fmt block, sample streaming — while
@@ -8698,6 +8728,75 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(sum(v) FILTER (ch = 2) AS DOUBLE)
         |    / (any_value(w) * any_value(h)) AS mean_b
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    // the mixed-dump auto-decode restated family by family (%5 routing):
+    // each format's closed form from its own plant rule, nulls where a
+    // family doesn't carry a field
+    "q_multimodal_auto" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 AS fam, text,
+        |    2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+        |    1 + doc_id % 2 AS ch, 50 + doc_id % 20 AS nfw,
+        |    3 + doc_id % 4 AS nfv
+        |  FROM documents),
+        |ppm AS (
+        |  SELECT media_id,
+        |    CAST(sum(v) FILTER (k = 0) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_r,
+        |    CAST(sum(v) FILTER (k = 1) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_g,
+        |    CAST(sum(v) FILTER (k = 2) AS DOUBLE) / (any_value(w) * any_value(h)) AS mean_b
+        |  FROM (SELECT media_id, w, h,
+        |          (media_id * 7 + i * 13) % 256 AS v, i % 3 AS k
+        |        FROM base, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+        |        WHERE fam = 0)
+        |  GROUP BY media_id),
+        |wav AS (
+        |  SELECT media_id, CAST(max(abs(v)) AS INT) AS peak,
+        |    sqrt(CAST(sum(v * v) AS DOUBLE)
+        |      / (any_value(nfw) * any_value(ch))) AS rms
+        |  FROM (SELECT media_id, ch, nfw,
+        |          (media_id * 31 + i * 17) % 4001 - 2000 AS v
+        |        FROM base, unnest(generate_series(0, nfw * ch - 1)) AS t(i)
+        |        WHERE fam = 1)
+        |  GROUP BY media_id),
+        |y4m AS (
+        |  SELECT media_id, CAST(max(v) AS INT) AS peak,
+        |    CAST(sum(v) AS DOUBLE)
+        |      / (any_value(nfv) * any_value(w) * any_value(h)) AS luma_mean
+        |  FROM (SELECT media_id, w, h, nfv,
+        |          (media_id * 7 + f * 11 + i * 13) % 256 AS v
+        |        FROM base,
+        |          unnest(generate_series(0, nfv - 1)) AS tf(f),
+        |          unnest(generate_series(0, w * h - 1)) AS ti(i)
+        |        WHERE fam = 2)
+        |  GROUP BY media_id)
+        |SELECT b.media_id,
+        |  CASE b.fam WHEN 0 THEN 'image/ppm' WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'video/y4m' WHEN 3 THEN 'text/html'
+        |    ELSE CASE WHEN b.text LIKE '<%' THEN 'text/html'
+        |              ELSE 'application/octet-stream' END END AS sniffed,
+        |  CAST(CASE b.fam
+        |    WHEN 0 THEN length('P6' || chr(10) || b.w || ' ' || b.h
+        |      || chr(10) || '255' || chr(10)) + b.w * b.h * 3
+        |    WHEN 1 THEN 44 + b.nfw * b.ch * 2
+        |    WHEN 2 THEN length('YUV4MPEG2 W' || b.w || ' H' || b.h
+        |      || ' F25:1 Ip A1:1 Cmono') + 1 + b.nfv * (6 + b.w * b.h)
+        |    WHEN 3 THEN octet_length(CAST(b.text AS BLOB)) + 26
+        |    ELSE octet_length(CAST(b.text AS BLOB)) END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN b.fam IN (0, 2) THEN b.w END AS INT) AS width,
+        |  CAST(CASE WHEN b.fam IN (0, 2) THEN b.h END AS INT) AS height,
+        |  p.mean_r, p.mean_g, p.mean_b,
+        |  CAST(CASE WHEN b.fam = 1 THEN 8000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN b.fam = 1 THEN b.ch END AS INT) AS channels,
+        |  CAST(CASE b.fam WHEN 1 THEN b.nfw WHEN 2 THEN b.nfv END
+        |    AS BIGINT) AS n_frames,
+        |  CAST(CASE b.fam WHEN 1 THEN b.nfw * 1000 // 8000
+        |    WHEN 2 THEN b.nfv * 40 END AS BIGINT) AS duration_ms,
+        |  CASE b.fam WHEN 1 THEN wv.peak WHEN 2 THEN yv.peak END AS peak,
+        |  wv.rms, yv.luma_mean
+        |FROM base b
+        |LEFT JOIN ppm p USING (media_id)
+        |LEFT JOIN wav wv USING (media_id)
+        |LEFT JOIN y4m yv USING (media_id)""".stripMargin,
 
     // planted PCM16 stats in closed form: the oracle never sees a byte;
     // the one float (RMS) is a per-row sqrt over exact integer sums, so

@@ -734,6 +734,86 @@ object Multimodal {
       }(enc)
   }
 
+  /** Sniff-routed decode over a MIXED payload column — the one-pass
+    * shape a crawl dump actually needs: magic bytes pick the codec
+    * (P6 → PPM, RIFF/WAVE → PCM16, YUV4MPEG2 → y4m), each payload
+    * decodes with its own parser, and unrecognized/undecodable bytes
+    * degrade to nulls with only the sniffed kind set. One unified
+    * nullable schema (image fields, audio fields, video fields) so a
+    * single table carries the whole dump. Same per-partition streaming
+    * contract as the per-format decoders: constant memory, payloads
+    * never leave their partitions, one pass over the bytes. */
+  def decodeAuto(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sniffed", StringType, nullable = true),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("luma_mean", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val nulls12 = Seq.fill(12)(null)
+    def startsWith(b: Array[Byte], s: String): Boolean =
+      b.length >= s.length &&
+        s.zipWithIndex.forall { case (ch, i) => b(i) == ch.toByte }
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](1)
+          val id = r.getLong(0)
+          if (startsWith(bytes, "P6"))
+            parsePpm(bytes) match {
+              case Some((w, h, sr, sg, sb)) =>
+                val n = (w * h).toDouble
+                Row(id, "image/ppm", bytes.length, w, h,
+                  sr / n, sg / n, sb / n,
+                  null, null, null, null, null, null, null)
+              case None => Row(Seq(id, "image/ppm", bytes.length) ++
+                nulls12: _*)
+            }
+          else if (startsWith(bytes, "RIFF") && bytes.length >= 12 &&
+              bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+              bytes(11) == 'E')
+            parseWav(bytes) match {
+              case Some((rate, ch, n, peak, sumSq)) =>
+                val frames = n / ch
+                val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+                Row(id, "audio/wav", bytes.length, null, null, null, null,
+                  null, rate, ch, frames, frames * 1000L / rate, peak,
+                  rms, null)
+              case None => Row(Seq(id, "audio/wav", bytes.length) ++
+                nulls12: _*)
+            }
+          else if (startsWith(bytes, "YUV4MPEG2"))
+            parseY4m(bytes) match {
+              case Some((w, h, num, den, nf, lumaSum, peak)) =>
+                Row(id, "video/y4m", bytes.length, w, h, null, null, null,
+                  null, null, nf, nf * 1000L * den / num, peak, null,
+                  lumaSum.toDouble / (nf * w * h))
+              case None => Row(Seq(id, "video/y4m", bytes.length) ++
+                nulls12: _*)
+            }
+          else {
+            val kind =
+              if (startsWith(bytes, "<")) "text/html"
+              else if (bytes.isEmpty && r.isNullAt(1)) null
+              else "application/octet-stream"
+            Row(Seq(id, kind, bytes.length) ++ nulls12: _*)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling over a binary "video": every `stride` bytes emit a
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */

@@ -293,6 +293,46 @@ class MultimodalSpec extends SparkSpec {
       math.round(whole.getDouble(10) * whole.getLong(7) * 1 * 2))
   }
 
+  test("decodeAuto routes mixed payloads to the right codec in one pass") {
+    val ppm = Multimodal.plantedPpm(Seq(10L).toDF("doc_id"))
+      .select("media_id", "payload")
+    val wav = Multimodal.plantedWav(Seq(11L).toDF("doc_id"))
+      .select("media_id", "payload")
+    val y4m = Multimodal.plantedY4m(Seq(12L).toDF("doc_id"))
+      .select("media_id", "payload")
+    val misc = Seq[(Long, Array[Byte])](
+      (13L, "<html>x</html>".getBytes("US-ASCII")),
+      (14L, "plain bytes".getBytes("US-ASCII")),
+      (15L, "P6 but truncated".getBytes("US-ASCII")),
+      (16L, null))
+      .toDF("media_id", "payload")
+    val auto = Multimodal.decodeAuto(
+        ppm.unionByName(wav).unionByName(y4m).unionByName(misc))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // routing matches sniffKind
+    assert(auto(10L).getString(1) == "image/ppm")
+    assert(auto(11L).getString(1) == "audio/wav")
+    assert(auto(12L).getString(1) == "video/y4m")
+    assert(auto(13L).getString(1) == "text/html")
+    assert(auto(14L).getString(1) == "application/octet-stream")
+    assert(auto(15L).getString(1) == "image/ppm")   // sniffed, undecodable
+    assert(auto(15L).isNullAt(3))                   // ...so stats null
+    assert(auto(16L).isNullAt(1))
+    // per-family stats agree with the dedicated decoders
+    val img = Multimodal.decodeImages(
+      ppm.withColumn("kind", lit("image"))).collect().head
+    assert(auto(10L).getInt(3) == img.getInt(3) &&
+      auto(10L).getDouble(5) == img.getDouble(5))
+    val aud = Multimodal.decodeAudio(
+      wav.withColumn("kind", lit("audio"))).collect().head
+    assert(auto(11L).getInt(8) == aud.getInt(3) &&   // sample_rate
+      auto(11L).getDouble(13) == aud.getDouble(8))   // rms
+    val vid = Multimodal.decodeVideo(
+      y4m.withColumn("kind", lit("video"))).collect().head
+    assert(auto(12L).getLong(10) == vid.getLong(7) &&  // n_frames
+      auto(12L).getDouble(14) == vid.getDouble(10))    // luma_mean
+  }
+
   test("sniffKind classifies by magic bytes, not declared type") {
     import java.nio.charset.StandardCharsets.US_ASCII
     val wav = Multimodal.plantedWav(Seq(1L).toDF("doc_id"))
