@@ -3279,6 +3279,18 @@ object SparkEntry {
           .select(col("token"), col("tf")),
         "token", "tf", 1000)),
 
+    // ---- LLM: per-source Zipf fit (templated-source triage) -----------
+    // one slope per source from a group-KEYED rank window — no
+    // single-partition stage anywhere, fully parallel at any source count
+    "q_zipf_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(col("source"),
+          explode(TextOps.words(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      graft.ops.Freq.zipfFitBy(counts, "source", "token", "tf", 500)
+    }),
+
     // ---- LLM: Heaps'-law fit (vocabulary growth exponent) -------------
     // V(n) ~ K n^beta over the corpus in doc order: one exact-integer
     // point per document, same quantized OLS as the Zipf fit
@@ -7960,6 +7972,38 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |SELECT n, a / b AS slope,
         |  (sy - a / b * sx) / n AS intercept,
         |  a * a / (b * c) AS r2
+        |FROM f""".stripMargin,
+
+    // per-source ranks partition the window by source; otherwise the
+    // q_zipf_fit recipe verbatim
+    "q_zipf_by_source" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, tf, row_number() OVER (PARTITION BY source
+        |    ORDER BY tf DESC, token) AS rank
+        |  FROM tf
+        |  QUALIFY rank <= 500),
+        |q AS (
+        |  SELECT source, round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(tf AS DOUBLE)), 9) AS y
+        |  FROM rk),
+        |s AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+        |  FROM q GROUP BY 1),
+        |f AS (
+        |  SELECT source, n, n * sxy - sx * sy AS a, n * sxx - sx * sx AS b,
+        |    n * syy - sy * sy AS c
+        |  FROM s)
+        |SELECT source, n, a / b AS slope, a * a / (b * c) AS r2
         |FROM f""".stripMargin,
 
     // the Heaps fit restated: cumulative tokens and cumulative

@@ -247,6 +247,47 @@ object Freq {
           .otherwise(lit(Double.NaN)).as("r2"))
   }
 
+  /** Per-GROUP Zipf fit: one power-law slope per group (per source,
+    * per language, per crawl snapshot) — the grouped triage version of
+    * [[zipfFit]]: a source whose slope flattens toward 0 is templated/
+    * spammy, one that steepens past -1.5 is likely over-deduplicated.
+    * Unlike the global fit this needs NO single-partition window at
+    * all: ranks come from a group-KEYED window and the quantized
+    * moments aggregate per group — fully parallel at any group count.
+    * Same determinism recipe (tie-break on the value, 9-decimal logs,
+    * DECIMAL moment sums, fixed association order). */
+  def zipfFitBy(counts: DataFrame, groupCol: String, valueCol: String,
+      countCol: String, topN: Int): DataFrame = {
+    require(topN >= 3, "zipfFitBy: need at least 3 points")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(countCol).desc, col(valueCol))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+    val q = ranked.select(col(groupCol),
+      round(log(col("rank").cast("double")), 9).as("x"),
+      round(log(col(countCol).cast("double")), 9).as("y"))
+    def dsum9(c: Column): Column =
+      sum(c.cast(DecimalType(38, 9))).cast("double")
+    q.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        dsum9(col("x")).as("sx"), dsum9(col("y")).as("sy"),
+        dsum9(round(col("x") * col("x"), 9)).as("sxx"),
+        dsum9(round(col("x") * col("y"), 9)).as("sxy"),
+        dsum9(round(col("y") * col("y"), 9)).as("syy"))
+      .select(col(groupCol), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("c"))
+      .select(col(groupCol), col("n"),
+        when(col("b") =!= 0.0, col("a") / col("b"))
+          .otherwise(lit(Double.NaN)).as("slope"),
+        when(col("b") * col("c") =!= 0.0,
+            col("a") * col("a") / (col("b") * col("c")))
+          .otherwise(lit(Double.NaN)).as("r2"))
+  }
+
   /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over a corpus read
     * in document order — the companion diagnostic to [[zipfFit]]
     * (natural text: β ≈ 0.4–0.6; near-duplicate-heavy corpora sag

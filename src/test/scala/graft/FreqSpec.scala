@@ -179,6 +179,27 @@ class FreqSpec extends SparkSpec {
     assert(s2 < -1.8, s"slope $s2")
   }
 
+  test("zipfFitBy: per-group slopes separate natural from templated groups") {
+    // group "nat": exact Zipf s=1; group "tpl": flat (every token equal)
+    val nat = (1 to 200).map(r =>
+      ("nat", f"w$r%04d", (10000.0 / r).round))
+    val tpl = (1 to 200).map(r => ("tpl", f"t$r%04d", 50L))
+    val fits = Freq.zipfFitBy((nat ++ tpl).toDF("g", "token", "tf"),
+        "g", "token", "tf", 200)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fits("nat")._2 == 200 && fits("tpl")._2 == 200)
+    assert(math.abs(fits("nat")._3 - (-1.0)) < 0.05, s"nat ${fits("nat")}")
+    // y is constant, but the 9-decimal product quantization leaves
+    // ~1e-11 residue rather than an exact zero
+    assert(math.abs(fits("tpl")._3) < 1e-9, s"tpl ${fits("tpl")}")
+    assert(fits("tpl")._4.isNaN || fits("tpl")._4 < 1e-9)
+    // agrees with the global fit when there is one group
+    val global = Freq.zipfFit(nat.map(t => (t._2, t._3)).toDF("token", "tf"),
+      "token", "tf", 200).collect().head.getDouble(1)
+    assert(fits("nat")._3 == global)
+  }
+
   test("heapsFit: slope 1 for all-unique tokens, 0 for a constant vocabulary") {
     // every token globally unique: V(n) = n exactly -> beta = 1, r2 = 1
     val unique = (1 to 40)
