@@ -3297,6 +3297,12 @@ object SparkEntry {
     "q_heaps_fit" -> ((s, dir) =>
       graft.ops.Freq.heapsFit(t(s, dir, "documents"))),
 
+    // ---- LLM: per-source Heaps fit (duplicate-heavy-source triage) ----
+    // one vocabulary-growth exponent per source, every window keyed on
+    // the source — the grouped twin of q_heaps_fit
+    "q_heaps_by_source" -> ((s, dir) =>
+      graft.ops.Freq.heapsFitBy(t(s, dir, "documents"), "source")),
+
     // ---- LLM: BPE tokenizer training (iterative pair merges) ----------
     // the first learned merge rule is SQL-expressible (one weighted
     // adjacent-character-pair count over the word-frequency table +
@@ -7991,6 +7997,47 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  SELECT source, round(ln(CAST(rank AS DOUBLE)), 9) AS x,
         |    round(ln(CAST(tf AS DOUBLE)), 9) AS y
         |  FROM rk),
+        |s AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+        |  FROM q GROUP BY 1),
+        |f AS (
+        |  SELECT source, n, n * sxy - sx * sy AS a, n * sxx - sx * sx AS b,
+        |    n * syy - sy * sy AS c
+        |  FROM s)
+        |SELECT source, n, a / b AS slope, a * a / (b * c) AS r2
+        |FROM f""".stripMargin,
+
+    // the grouped Heaps fit: the q_heaps_fit construction with every
+    // aggregate and window additionally keyed on source
+    "q_heaps_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT source, doc_id, count(*) AS ntok
+        |  FROM tok GROUP BY 1, 2),
+        |newv AS (
+        |  SELECT source, d AS doc_id, count(*) AS vnew
+        |  FROM (SELECT source, min(doc_id) AS d FROM tok
+        |        GROUP BY source, token)
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT p.source,
+        |    sum(p.ntok) OVER (PARTITION BY p.source
+        |                      ORDER BY p.doc_id) AS xn,
+        |    sum(coalesce(v.vnew, 0)) OVER (PARTITION BY p.source
+        |                                   ORDER BY p.doc_id) AS yv
+        |  FROM per_doc p LEFT JOIN newv v USING (source, doc_id)),
+        |q AS (
+        |  SELECT source, round(ln(CAST(xn AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(yv AS DOUBLE)), 9) AS y
+        |  FROM pts),
         |s AS (
         |  SELECT source, count(*) AS n,
         |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,

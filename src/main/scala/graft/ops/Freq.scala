@@ -265,9 +265,17 @@ object Freq {
       .orderBy(col(countCol).desc, col(valueCol))
     val ranked = counts.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topN)
-    val q = ranked.select(col(groupCol),
-      round(log(col("rank").cast("double")), 9).as("x"),
-      round(log(col(countCol).cast("double")), 9).as("y"))
+    powerLawFitBy(ranked, groupCol, "rank", countCol)
+  }
+
+  /** Per-group quantized log–log OLS — the grouped twin of
+    * [[powerLawFit]], shared by [[zipfFitBy]] and [[heapsFitBy]]. */
+  def powerLawFitBy(points: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = points.select(col(groupCol),
+      round(log(col(xCol).cast("double")), 9).as("x"),
+      round(log(col(yCol).cast("double")), 9).as("y"))
     def dsum9(c: Column): Column =
       sum(c.cast(DecimalType(38, 9))).cast("double")
     q.groupBy(col(groupCol))
@@ -286,6 +294,32 @@ object Freq {
         when(col("b") * col("c") =!= 0.0,
             col("a") * col("a") / (col("b") * col("c")))
           .otherwise(lit(Double.NaN)).as("r2"))
+  }
+
+  /** Per-group Heaps fit: one vocabulary-growth exponent per source —
+    * the grouped twin of [[heapsFit]], with every window KEYED on the
+    * group (no single-partition stage at all; per-source doc counts
+    * bound the window partitions). A source whose β sags toward 0 is
+    * duplicate-heavy; toward 1, id/hash-heavy. */
+  def heapsFitBy(docs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(groupCol), col(idCol).as("d"),
+      explode(TextOps.words(lower(col(textCol)))).as("token"))
+    val perDoc = toks.groupBy(col(groupCol), col("d"))
+      .agg(count(lit(1)).as("ntok"))
+    val newv = toks.groupBy(col(groupCol), col("token"))
+      .agg(min(col("d")).as("d"))
+      .groupBy(col(groupCol), col("d")).agg(count(lit(1)).as("vnew"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(newv, Seq(groupCol, "d"), "left")
+      .select(col(groupCol), col("d"), col("ntok"),
+        coalesce(col("vnew"), lit(0L)).as("vnew"))
+      .select(col(groupCol),
+        sum(col("ntok")).over(w).as("n_tokens"),
+        sum(col("vnew")).over(w).as("n_vocab"))
+    powerLawFitBy(pts, groupCol, "n_tokens", "n_vocab")
   }
 
   /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over a corpus read

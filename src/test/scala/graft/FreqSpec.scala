@@ -200,6 +200,23 @@ class FreqSpec extends SparkSpec {
     assert(fits("nat")._3 == global)
   }
 
+  test("heapsFitBy: per-group growth exponents, agreement with the global fit") {
+    // group "u": all-unique tokens (beta = 1); "c": constant vocab
+    val docs = ((1 to 30).map(d =>
+        ("u", d.toLong, (1 to 4).map(j => s"w${d}_$j").mkString(" "))) ++
+      (1 to 30).map(d => ("c", 100 + d.toLong, "same same")))
+      .toDF("source", "doc_id", "text")
+    val fits = Freq.heapsFitBy(docs, "source")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(fits("u")._3 - 1.0) < 1e-6)
+    assert(math.abs(fits("c")._3) < 1e-9)
+    // single-group agreement with the global heapsFit
+    val global = Freq.heapsFit(
+      docs.where(col("source") === "u").select("doc_id", "text"))
+      .collect().head.getDouble(1)
+    assert(fits("u")._3 == global)
+  }
+
   test("heapsFit: slope 1 for all-unique tokens, 0 for a constant vocabulary") {
     // every token globally unique: V(n) = n exactly -> beta = 1, r2 = 1
     val unique = (1 to 40)
