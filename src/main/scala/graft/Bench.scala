@@ -235,7 +235,9 @@ object Bench {
     val all = results :+ streaming :+ streamingIngest :+ streamingHll
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
-    val qs = all.map(e => "\"" + e.name + "\":" + e.med).mkString("{", ",", "}")
+    def sec(d: Double): String = f"$d%.3f"   // ms resolution, ~6 bytes
+    val qs = all.map(e => "\"" + e.name + "\":" + sec(e.med))
+      .mkString("{", ",", "}")
     val failed = all.collect { case e if !e.ok => "\"" + e.name + "\"" }
     val total = all.filter(_.ok).map(_.med).sum
     // full per-run samples + min/max: lets the reader separate machine
@@ -248,9 +250,25 @@ object Bench {
         "\"" + e.name + "\":{\"min\":" + e.samples.min +
           ",\"median\":" + e.med + ",\"max\":" + e.samples.max + "}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // the stdout line must stay COMPACT: the driver's capture keeps only
+    // the trailing ~2.3 KB of output, and r7's line with inline
+    // samples/stats (~5 KB) came back front-truncated and unparseable
+    // (VERDICT r7, "What's missing" #2). Medians at 1 ms resolution keep
+    // the full ~50-entry line under 2 KB; the per-run samples/stats go
+    // to a separate file (committed per round as BENCH_STATS_r{N}.json).
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""queries":$qs,"failed":[${failed.mkString(",")}],""" +
+      s""""runs":$runs,"sf":"$sfDir"}"""
+    val statsFull =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""samples":$samplesJson,"stats":$statsJson,""" +
       s""""failed":[${failed.mkString(",")}],"runs":$runs,"sf":"$sfDir"}"""
+    val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
+      "BENCH_STATS_LOCAL.json")
+    try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(statsPath), statsFull + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] stats write failed: ${e.getMessage}") }
     // two delivery paths (VERDICT r3 "What's wrong" #3 — BENCH_r03 came
     // back parsed:null): stdout (unprefixed now that build.sbt forks the
     // run with StdoutOutput) and, when SPARK_GRAFT_BENCH_OUT is set, a

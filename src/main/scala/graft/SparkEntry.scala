@@ -4882,7 +4882,9 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |      AS cum_before,
         |    sum(n_v) OVER () AS n_total
         |  FROM c),
-        |m AS (SELECT u, least(9, cum_before * 10 // n_total) AS bin FROM b)
+        |m AS (SELECT u,
+        |  CAST(least(9, cum_before * 10 // n_total) AS BIGINT) AS bin
+        |  FROM b)
         |SELECT m.bin, count(*) AS n, CAST(sum(s.y) AS BIGINT) AS n_pos,
         |  (1000000 * CAST(sum(s.y) AS BIGINT)) // count(*) AS pos_rate_micros
         |FROM s JOIN m ON s.score_micros = m.u
@@ -4978,9 +4980,9 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
         |  FROM e)
         |SELECT event_type, event_id, value_unit,
-        |  (1000000 * list_sum(
+        |  CAST((1000000 * list_sum(
         |     [l[i] * (1 << (i - 1)) FOR i IN generate_series(1, len(l))]))
-        |    // ((1 << len(l)) - 1) AS ewma_unit_micros
+        |    // ((1 << len(l)) - 1) AS BIGINT) AS ewma_unit_micros
         |FROM w""".stripMargin,
 
     // mirrors Profile.shareShift on the same midpoint split
@@ -5000,14 +5002,14 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  SELECT *, sum(cnt_a) OVER () AS tot_a, sum(cnt_b) OVER () AS tot_b
         |  FROM g)
         |SELECT event_type, cnt_a, cnt_b,
-        |  CASE WHEN tot_a = 0 THEN NULL
-        |       ELSE 1000000 * cnt_a // tot_a END AS share_a_micros,
-        |  CASE WHEN tot_b = 0 THEN NULL
-        |       ELSE 1000000 * cnt_b // tot_b END AS share_b_micros,
-        |  (CASE WHEN tot_b = 0 THEN NULL
+        |  CAST(CASE WHEN tot_a = 0 THEN NULL
+        |       ELSE 1000000 * cnt_a // tot_a END AS BIGINT) AS share_a_micros,
+        |  CAST(CASE WHEN tot_b = 0 THEN NULL
+        |       ELSE 1000000 * cnt_b // tot_b END AS BIGINT) AS share_b_micros,
+        |  CAST((CASE WHEN tot_b = 0 THEN NULL
         |        ELSE 1000000 * cnt_b // tot_b END)
         |  - (CASE WHEN tot_a = 0 THEN NULL
-        |          ELSE 1000000 * cnt_a // tot_a END) AS delta_micros
+        |          ELSE 1000000 * cnt_a // tot_a END) AS BIGINT) AS delta_micros
         |FROM w""".stripMargin,
 
     // sliding-window replication stated directly: an event in hour b is
@@ -7312,15 +7314,17 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  coalesce(array_to_string(sents, '|'), '') AS sentences_joined
         |FROM sp""".stripMargin,
 
-    // recomputes shard assignment and the order-free digest sum from
-    // the same md5 prefixes — parquet bytes never enter the contract
+    // recomputes shard assignment and the order-free two-limb digest
+    // sums from the same md5 prefixes — parquet bytes never enter the
+    // contract, and the limbs stay plain BIGINT (no HUGEINT/DECIMAL)
     "q_export_shards" ->
       """WITH d AS (
         |  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
         |    1, 12))::BIGINT AS BIGINT) AS dg
         |  FROM documents)
         |SELECT dg % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(dg) AS DECIMAL(38,0)) AS rows_digest
+        |  CAST(sum(dg // 16777216) AS BIGINT) AS digest_hi,
+        |  CAST(sum(dg % 16777216) AS BIGINT) AS digest_lo
         |FROM d GROUP BY 1""".stripMargin,
 
     // expected outputs from the plant's construction: chr() codepoints
@@ -9033,7 +9037,9 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |      AS cum_before,
         |    sum(n_v) OVER () AS n_total
         |  FROM c),
-        |m AS (SELECT u, least(9, cum_before * 10 // n_total) AS bin FROM b)
+        |m AS (SELECT u,
+        |  CAST(least(9, cum_before * 10 // n_total) AS BIGINT) AS bin
+        |  FROM b)
         |SELECT e.event_id, e.value_unit, m.bin
         |FROM e JOIN m ON e.value_unit = m.u""".stripMargin,
 

@@ -173,14 +173,23 @@ object Freq {
     * overlapping cells contribute an inner product of 0 (driven off
     * sketch A's row domain, which every input row populates). */
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    // DECIMAL(38,0) accumulator: per hash row the inner product
+    // approaches n_a*n_b/width + true join size, which overflows int64
+    // for multi-billion-row sides (1e11 x 1e11 / 1024 ~ 1e19 > 2^63) —
+    // the DuckDB oracle sums into HUGEINT, so a BIGINT sum would
+    // diverge (or throw under ANSI) exactly at the scale this
+    // preflight exists for. The final min collapses back to BIGINT:
+    // a join answer beyond 2^63 rows isn't representable anyway.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val ips = a.select(col("r"), col("c"), col("cnt").as("ca"))
       .join(b.select(col("r"), col("c"), col("cnt").as("cb")),
         Seq("r", "c"))
-      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).as("ip"))
     a.select(col("r")).distinct()
       .join(ips, Seq("r"), "left")
-      .select(coalesce(col("ip"), lit(0L)).as("ip"))
-      .agg(min(col("ip")).as("est_join_rows"))
+      .select(coalesce(col("ip"), lit(0L).cast(dec)).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_join_rows"))
   }
 
   /** Zipf's-law fit over a rank–frequency curve: OLS slope of

@@ -50,7 +50,11 @@ object Hll {
     val m = 1 << p
     // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
     // 60-bit hash doesn't fit a double's 53-bit mantissa
-    df.select(hash60(col(keyCol)).as("h"))
+    // null keys are not observations (approx_count_distinct semantics;
+    // unguarded they'd mint a (null, null) register row that inflates
+    // n_present at estimate time)
+    df.where(col(keyCol).isNotNull)
+      .select(hash60(col(keyCol)).as("h"))
       .select((col("h") % m).cast("int").as("bucket"),
         rhoOf(expr(s"h div ${m}L"), p).cast("int").as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
@@ -61,7 +65,8 @@ object Hll {
   def sketchBy(df: DataFrame, groupCol: String, keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val m = 1 << p
-    df.select(col(groupCol), hash60(col(keyCol)).as("h"))
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol), hash60(col(keyCol)).as("h"))
       .select(col(groupCol), (col("h") % m).cast("int").as("bucket"),
         rhoOf(expr(s"h div ${m}L"), p).cast("int").as("rho"))
       .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("reg"))
@@ -102,8 +107,12 @@ object Hll {
   def estimate(sk: DataFrame, p: Int): DataFrame = {
     val m = 1 << p
     val scale = 60 - p + 1
+    // coalesce: on an EMPTY sketch sum() is null and the whole estimate
+    // chain would go null — with s_scaled=0 the v=m linear-counting
+    // branch fires and correctly yields est_n = 0.0
     sk.agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")).as("s_scaled"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")),
+          lit(0L)).as("s_scaled"),
         count(lit(1)).cast("int").as("n_present"))
       .select(estimateExpr(m, p, col("s_scaled"), col("n_present"))
           .as("est_n"),
@@ -116,7 +125,8 @@ object Hll {
     val scale = 60 - p + 1
     sk.groupBy(col(groupCol))
       .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")).as("s_scaled"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - reg)")),
+          lit(0L)).as("s_scaled"),
         count(lit(1)).cast("int").as("n_present"))
       .select(col(groupCol),
         estimateExpr(m, p, col("s_scaled"), col("n_present")).as("est_n"))

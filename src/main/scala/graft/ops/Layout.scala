@@ -280,9 +280,13 @@ object Layout {
 
   /** Trainer-facing sharded export: write `df` into `nShards`
     * hive-partitioned shard directories with a content MANIFEST the
-    * consumer can verify shard-by-shard — (shard, n_rows, rows_digest),
-    * where the digest is an ORDER-FREE exact BIGINT sum of per-row md5
-    * prefixes on the row key. Shard assignment is the md5 bucket of the
+    * consumer can verify shard-by-shard — (shard, n_rows, digest_hi,
+    * digest_lo), where the digest is an ORDER-FREE exact sum of per-row
+    * 48-bit md5 prefixes on the row key, carried as two BIGINT limbs
+    * (sum of the high 24 bits, sum of the low 24 bits; total =
+    * digest_hi * 2^24 + digest_lo). Two int64 limbs stay exact to
+    * ~2^39 rows per shard with no wide-decimal types that downstream
+    * engines render differently. Shard assignment is the md5 bucket of the
     * same key: deterministic across runs, retries, partitionings, and
     * engines (a downstream reader can recompute both columns in any
     * system and prove it holds the same rows — no reliance on parquet
@@ -309,20 +313,21 @@ object Layout {
       .repartition(col("shard"))
       .drop("_row_digest")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    // DECIMAL(38,0) accumulator: 48-bit row digests summed as BIGINT
+    // two-limb accumulator: a raw BIGINT sum of 48-bit row digests
     // would overflow around 2^15 worst-case rows per shard (ANSI would
-    // at least raise, but the export must WORK at 100 TB) — decimal is
-    // exact to ~10^23 rows per shard
+    // at least raise, but the export must WORK at 100 TB) — summing the
+    // 24-bit halves separately keeps each limb exact to ~2^39 rows per
+    // shard in plain int64, with no wide-decimal output type
     val manifest = sharded
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("_row_digest")
-          .cast(org.apache.spark.sql.types.DataTypes
-            .createDecimalType(38, 0))).as("rows_digest"))
+        sum(expr("_row_digest div 16777216")).as("digest_hi"),
+        sum(col("_row_digest") % lit(16777216L)).as("digest_lo"))
       .orderBy(col("shard"))
-    val lines = "shard\tn_rows\trows_digest\n" +
+    val lines = "shard\tn_rows\tdigest_hi\tdigest_lo\n" +
       manifest.collect().map(r =>
-        s"${r.getLong(0)}\t${r.getLong(1)}\t${r.get(2)}").mkString("\n")
+        s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}")
+        .mkString("\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_manifest.tsv"), lines)
     manifest

@@ -22,6 +22,109 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Exact distributed prefix sums over a DISTINCT-key domain table —
+    * the scale-safe replacement for `Window.orderBy(key)` with no
+    * partitioning, which funnels the whole domain through ONE task
+    * (Spark's own "No Partition Defined ... serious performance
+    * degradation" warning; VERDICT r7 flagged this family as the one
+    * true scale-killer shape left in the repo).
+    *
+    * For every measure column m it appends `cum_m` = the EXCLUSIVE
+    * cumulative sum (Σ of m over rows with strictly smaller key) and
+    * `tot_m` = the global total. All sums are exact BIGINT in a fixed
+    * tree shape, so outputs are bit-identical to the single-partition
+    * window they replace (the oracles pin them).
+    *
+    * Mechanism — a 4-level distributed prefix scan on the key's high
+    * bits: bucket b0 = key >> 12 (arithmetic shift: sign-correct floor
+    * division, monotone in key, so each bucket is a contiguous key
+    * range with ≤ 4096 distinct keys). A window partitioned by b0
+    * computes within-bucket prefixes in parallel; bucket subtotals
+    * cascade through b1 = key >> 24, b2 = key >> 36, b3 = key >> 48,
+    * each level again ≤ 4096 rows per partition group. The top table
+    * has one row per b3 — hard-bounded at 2^16 rows by the LONG type
+    * itself, so its pseudo-global window is scalar work at ANY data
+    * scale. Offsets broadcast back down the cascade as bucket-keyed
+    * equi-joins of geometrically shrinking tables.
+    *
+    * The key is bucketed via `cast("long")` — exact for the integral
+    * domains every caller quantizes to (cents units, micros scores,
+    * char counts); a fractional DOUBLE domain still computes correctly
+    * (truncation is monotone) but degrades toward integer-granularity
+    * buckets. */
+  private[graft] def domainPrefix(dom: DataFrame, keyCol: String,
+      measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(measures.nonEmpty, "domainPrefix: need at least one measure")
+    def excl(w: org.apache.spark.sql.expressions.WindowSpec,
+        m: Column): Column =
+      coalesce(sum(m).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    // level 0: within-bucket prefix over the domain rows
+    val lvl0 = dom.withColumn("_b0", shiftright(col(keyCol).cast("long"), 12))
+    val w0 = Window.partitionBy(col("_b0")).orderBy(col(keyCol))
+    val local = measures.foldLeft(lvl0) { (d, m) =>
+      d.withColumn(s"_c_$m", excl(w0, col(m)))
+    }
+    // subtotal cascade: tK holds one row per bucket at that level with
+    // the bucket's measure sums (_s_m) and the within-parent exclusive
+    // prefix of those sums (_c_m)
+    def sums(d: DataFrame, by: String): DataFrame = {
+      val aggs = measures.map(m => sum(col(if (d.columns.contains(s"_s_$m"))
+        s"_s_$m" else m)).as(s"_s_$m"))
+      d.groupBy(col(by)).agg(aggs.head, aggs.tail: _*)
+    }
+    def withPrefix(t: DataFrame, b: String, parent: Column,
+        pName: String): DataFrame = {
+      val tt = t.withColumn(pName, parent)
+      val w = Window.partitionBy(col(pName)).orderBy(col(b))
+      measures.foldLeft(tt) { (d, m) =>
+        d.withColumn(s"_c_$m", excl(w, col(s"_s_$m")))
+      }
+    }
+    val t1 = withPrefix(sums(lvl0, "_b0"), "_b0",
+      shiftright(col("_b0"), 12), "_b1")
+    val t2 = withPrefix(sums(t1, "_b1"), "_b1",
+      shiftright(col("_b1"), 12), "_b2")
+    val t3 = withPrefix(sums(t2, "_b2"), "_b2",
+      shiftright(col("_b2"), 12), "_b3")
+    // top: ≤ 2^16 rows for any LONG key. A literal partition key would
+    // be folded away by the optimizer (back to an unpartitioned window),
+    // so partition by the SIGN bit — a real 2-value column — and stitch:
+    // every non-negative bucket's prefix additionally owes the negative
+    // half's total (negatives sort first). The stitch total is a 1-row
+    // broadcast aggregate, so no window anywhere is unpartitioned.
+    val t4cum = withPrefix(sums(t3, "_b3"), "_b3",
+      shiftright(col("_b3"), 63), "_sg")
+    val negAggs = measures.map(m =>
+      coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
+        .as(s"_nt_$m"))
+    val negTot = t4cum.agg(negAggs.head, negAggs.tail: _*)
+    val t4 = t4cum.crossJoin(broadcast(negTot))
+      .withColumns(measures.map(m => s"_c_$m" ->
+        when(col("_sg") === 0L, col(s"_c_$m") + col(s"_nt_$m"))
+          .otherwise(col(s"_c_$m"))).toMap)
+    // offsets compose top-down; each join is bucket-keyed and the right
+    // side shrinks 4096x per level
+    def offCols(suffix: String) =
+      measures.map(m => (col(s"_c_$m") + col(s"_o_$m")).as(s"_o_$m$suffix"))
+    val off3 = t4.select(col("_b3") +:
+      measures.map(m => col(s"_c_$m").as(s"_o_$m")): _*)
+    val off2 = t3.join(off3, Seq("_b3"))
+      .select(col("_b2") +: offCols(""): _*)
+    val off1 = t2.join(off2, Seq("_b2"))
+      .select(col("_b1") +: offCols(""): _*)
+    val off0 = t1.join(off1, Seq("_b1"))
+      .select(col("_b0") +: offCols(""): _*)
+    val totAggs = measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
+    val totals = t4.agg(totAggs.head, totAggs.tail: _*)
+    local.join(off0, Seq("_b0"))
+      .withColumns(measures.map(m => s"cum_$m" -> (col(s"_c_$m") +
+        col(s"_o_$m"))).toMap)
+      .crossJoin(broadcast(totals))
+      .drop("_b0" +: measures.flatMap(m => Seq(s"_c_$m", s"_o_$m")): _*)
+  }
+
   /** @param cols columns to profile (default: all)
     * @param exactDistinct exact COUNT(DISTINCT) instead of HyperLogLog */
   def summarize(df: DataFrame, cols: Seq[String] = Nil,
@@ -279,16 +382,12 @@ object Profile {
         !isnan(col(colName).cast("double")))
       .groupBy(unit.as("u"))
       .agg(count(lit(1)).as("n_v"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("u"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wn = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val binned = cnts
-      .withColumn("cum_before", coalesce(sum(col("n_v")).over(w), lit(0L)))
-      .withColumn("n_total", sum(col("n_v")).over(wn))
+    // distributed prefix scan, not a global Window.orderBy: at 100 TB a
+    // heavy-tailed value column's distinct-cents domain is itself huge,
+    // and an unpartitioned window funnels it through one task
+    val binned = domainPrefix(cnts, "u", Seq("n_v"))
       .withColumn("bin", least(lit((nBins - 1).toLong),
-        expr(s"cum_before * $nBins div n_total")))
+        expr(s"cum_n_v * $nBins div tot_n_v")))
     binned.groupBy(col("bin"))
       .agg(sum(col("n_v")).as("n"),
         min(col("u")).as("lo_unit"), max(col("u")).as("hi_unit"),
@@ -319,17 +418,11 @@ object Profile {
       .select(col(idCol), unit.as("value_unit"))
     val cnts = rows.groupBy(col("value_unit").as("u"))
       .agg(count(lit(1)).as("n_v"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("u"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wn = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val mapping = cnts
-      .withColumn("cum_before", coalesce(sum(col("n_v")).over(w), lit(0L)))
-      .withColumn("n_total", sum(col("n_v")).over(wn))
+    // distributed prefix scan over the value domain (see domainPrefix)
+    val mapping = domainPrefix(cnts, "u", Seq("n_v"))
       .select(col("u").as("value_unit"),
         least(lit((nBins - 1).toLong),
-          expr(s"cum_before * $nBins div n_total")).as("bin"))
+          expr(s"cum_n_v * $nBins div tot_n_v")).as("bin"))
     rows.join(mapping, Seq("value_unit"))
       .select(col(idCol), col("value_unit"), col("bin"))
   }
@@ -444,10 +537,9 @@ object Profile {
         when(col(labelCol).cast("long") > 0, 1L).otherwise(0L).as("y"))
     val byScore = rows.groupBy(col("s"))
       .agg(count(lit(1)).as("m"), sum(col("y")).as("m_pos"))
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("cum_before", coalesce(sum(col("m")).over(wCum), lit(0L)))
+    // distributed prefix scan over the score domain (see domainPrefix)
+    domainPrefix(byScore, "s", Seq("m"))
+      .withColumn("cum_before", col("cum_m"))
       // doubled tie-averaged rank of this score group, times its positives
       .withColumn("r2_contrib",
         col("m_pos") * (lit(2L) * col("cum_before") + col("m") + 1L))
@@ -781,18 +873,17 @@ object Profile {
       .where(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-    val byV = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val cum = counts
-      .withColumn("cuma", sum(col("ca")).over(byV))
-      .withColumn("cumb", sum(col("cb")).over(byV))
-      .withColumn("na", sum(col("ca")).over(tot))
-      .withColumn("nb", sum(col("cb")).over(tot))
+    // distributed prefix scan over the merged value domain (see
+    // domainPrefix); inclusive CDF = exclusive prefix + own count
+    val cum = domainPrefix(counts, "v", Seq("ca", "cb"))
+      .withColumn("cuma", col("cum_ca") + col("ca"))
+      .withColumn("cumb", col("cum_cb") + col("cb"))
+      .withColumn("na", col("tot_ca"))
+      .withColumn("nb", col("tot_cb"))
       .withColumn("d", abs(col("cuma") * col("nb") -
         col("cumb") * col("na")))
     cum
-      .withColumn("dmax", max(col("d")).over(tot))
+      .crossJoin(broadcast(cum.agg(max(col("d")).as("dmax"))))
       .where(col("d") === col("dmax"))
       .groupBy()
       .agg(any_value(col("na")).as("n_a"), any_value(col("nb")).as("n_b"),
@@ -824,12 +915,11 @@ object Profile {
     require(b >= 2, "quantileNormalize: need at least 2 bins")
     import org.apache.spark.sql.expressions.Window
     val dom = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
-    val wCdf = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = dom
-      .withColumn("cum", sum(col("cnt")).over(wCdf))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.partitionBy(lit(1))))
+    // distributed prefix scan over the pooled value domain (see
+    // domainPrefix); inclusive CDF = exclusive prefix + own count
+    val cdf = domainPrefix(dom, "v", Seq("cnt"))
+      .withColumn("cum", col("cum_cnt") + col("cnt"))
+      .withColumn("n", col("tot_cnt"))
     val bounds = cdf
       .withColumn("k_lo", expr(s"(cum - cnt) * $b div n + 1"))
       .withColumn("k_hi", expr(s"cum * $b div n"))

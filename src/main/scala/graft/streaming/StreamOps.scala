@@ -461,9 +461,14 @@ object StreamOps {
         (g: String, it: Iterator[(String, String)], state: GroupState[HllRegs]) =>
           val regs = state.getOption.map(_.regs.clone())
             .getOrElse(new Array[Int](1 << p))
+          // null keys are not observations (matches the batch sketch's
+          // isNotNull guard; unguarded, string-concat would hash the
+          // literal "null" and break stream/batch parity on nullables)
           it.foreach { case (_, k) =>
-            val (b, r) = graft.ops.Hll.bucketRho(k, p)
-            if (r > regs(b)) regs(b) = r
+            if (k != null) {
+              val (b, r) = graft.ops.Hll.bucketRho(k, p)
+              if (r > regs(b)) regs(b) = r
+            }
           }
           state.update(HllRegs(regs))
           HllEstimate(g, graft.ops.Hll.estimateJvm(regs, p))

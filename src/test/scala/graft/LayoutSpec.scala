@@ -277,10 +277,10 @@ class LayoutSpec extends SparkSpec {
     val df = spark.range(0, 500).toDF("id")
     val manifest = Layout.exportShards(df, out, "id", nShards = 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1),
-        r.getDecimal(2).toBigInteger))).toMap
+        r.getLong(2), r.getLong(3)))).toMap
     assert(manifest.keySet == Set(0L, 1L, 2L, 3L))
     assert(manifest.values.map(_._1).sum == 500L, "no row lost")
-    // a consumer reads the shard DIRECTORIES back and recomputes both
+    // a consumer reads the shard DIRECTORIES back and recomputes all
     // manifest columns from row content alone
     // hive-partition inference types the shard directory as INT;
     // normalize for the comparison
@@ -288,9 +288,11 @@ class LayoutSpec extends SparkSpec {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12)" +
-          ", 16, 10) AS BIGINT)").cast("decimal(38,0)")).as("dg"))
+          ", 16, 10) AS BIGINT) div 16777216")).as("hi"),
+        sum(expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12)" +
+          ", 16, 10) AS BIGINT) % 16777216")).as("lo"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1),
-        r.getDecimal(2).toBigInteger))).toMap
+        r.getLong(2), r.getLong(3)))).toMap
     assert(redo == manifest, "shard content must prove the manifest")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out, "_manifest.tsv")))

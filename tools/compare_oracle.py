@@ -24,6 +24,35 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 for unknown in sorted(skip - set(oracle)):
     print(f"WARN unknown ORACLE_SKIP entry: {unknown!r}")
 
+import re
+
+def wide_types(types, cols):
+    """Output-type lint (VERDICT r7 next-round #2): an oracle whose
+    RESULT relation carries HUGEINT (DuckDB windowed sum / list_sum) or
+    a DECIMAL wider than 18 digits hash-mismatches in the DRIVER even
+    when every value is equal — its hasher converts wide types through
+    pandas/float while this script stringifies exactly. Every such
+    column needs a CAST(... AS BIGINT) (or a two-limb/VARCHAR reshape)
+    in the oracle SQL."""
+    bad = []
+    for c, t in zip(cols, types):
+        s = str(t).upper()
+        if "HUGEINT" in s:
+            bad.append(f"{c}:{s}")
+        else:
+            m = re.match(r"DECIMAL\((\d+)", s)
+            if m and int(m.group(1)) > 18:
+                bad.append(f"{c}:{s}")
+    return bad
+
+# lint self-test: a seeded windowed-sum oracle MUST be flagged
+_r = con.sql("SELECT sum(x) OVER () AS s FROM (VALUES (1), (2)) t(x)")
+assert wide_types(_r.types, _r.columns) == ["s:HUGEINT"], \
+    "type lint failed to flag a seeded HUGEINT output"
+_r = con.sql("SELECT CAST(1 AS DECIMAL(38,0)) AS d, CAST(1 AS BIGINT) AS b")
+assert wide_types(_r.types, _r.columns) == ["d:DECIMAL(38,0)"], \
+    "type lint failed to flag a seeded wide DECIMAL output"
+
 def norm(v):
     if v is None: return "NULL"
     if isinstance(v, float):
@@ -44,6 +73,11 @@ for name, sql in sorted(oracle.items()):
         scols = sorted(spark_rel.columns); dcols = sorted(duck_rel.columns)
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             print(f"FAIL {name}: columns {scols} vs {dcols}"); n_bad += 1; continue
+        wide = wide_types(duck_rel.types, duck_rel.columns)
+        if wide:
+            print(f"FAIL {name}: oracle output type(s) the driver hasher "
+                  f"mangles — {wide}; CAST to BIGINT-safe forms")
+            n_bad += 1; continue
         srows = spark_rel.fetchall(); drows = duck_rel.fetchall()
         sidx = [spark_rel.columns.index(c) for c in scols]
         didx = [duck_rel.columns.index(c) for c in dcols]
