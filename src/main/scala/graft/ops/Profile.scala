@@ -60,8 +60,18 @@ object Profile {
         m: Column): Column =
       coalesce(sum(m).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    // level 0: within-bucket prefix over the domain rows
-    val lvl0 = dom.withColumn("_b0", shiftright(col(keyCol).cast("long"), 12))
+    // level 0: within-bucket prefix over the domain rows.
+    // The coalesce does two load-bearing things: (1) NULL keys (legal —
+    // SQL sorts them first) land in the absolute smallest bucket instead
+    // of null buckets the cascade's inner joins would silently drop;
+    // (2) it makes every bucket column NON-NULLABLE, so the joins infer
+    // no isnotnull(shiftright(...)) filters — those push into each
+    // branch's scan with branch-specific expressions, de-canonicalizing
+    // otherwise identical scans and defeating AQE exchange reuse (six
+    // materialized corpus scans instead of one, measured).
+    val lvl0 = dom.withColumn("_b0",
+      shiftright(coalesce(col(keyCol).cast("long"),
+        lit(Long.MinValue)), 12))
     val w0 = Window.partitionBy(col("_b0")).orderBy(col(keyCol))
     val local = measures.foldLeft(lvl0) { (d, m) =>
       d.withColumn(s"_c_$m", excl(w0, col(m)))
@@ -116,8 +126,12 @@ object Profile {
       .select(col("_b1") +: offCols(""): _*)
     val off0 = t1.join(off1, Seq("_b1"))
       .select(col("_b0") +: offCols(""): _*)
+    // totals from t4cum, NOT t4: t4 carries the negTot crossJoin, and a
+    // totals aggregate over it keeps a column-pruned copy of that 1-row
+    // build side — which collapses to an empty aggregate over the RAW
+    // scan and costs a whole second corpus pass (measured)
     val totAggs = measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
-    val totals = t4.agg(totAggs.head, totAggs.tail: _*)
+    val totals = t4cum.agg(totAggs.head, totAggs.tail: _*)
     local.join(off0, Seq("_b0"))
       .withColumns(measures.map(m => s"cum_$m" -> (col(s"_c_$m") +
         col(s"_o_$m"))).toMap)

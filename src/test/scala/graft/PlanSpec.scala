@@ -401,15 +401,55 @@ class PlanSpec extends SparkSpec {
     assert(bs.contains("BroadcastHashJoin"), bs)
     assert(!bs.contains("CartesianProduct"))
 
-    // equi-depth histogram: raw rows are touched by exactly one scan;
-    // the window runs over the distinct-value domain, not the rows
-    val h = plan("q_histogram_eqdepth")
-    val scans = """\(\d+\) Scan parquet""".r.findAllIn(h).size
-    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$h")
+    // equi-depth histogram: raw rows are touched by exactly one scan.
+    // The distributed prefix cascade (Profile.domainPrefix) reconsumes
+    // the distinct-value aggregate from several branches, so the
+    // invariant lives at RUNTIME: one materialized scan stage, every
+    // reconsumption a ReusedExchange of the domain aggregation
+    val hq = SparkEntry.queries("q_histogram_eqdepth")(spark, sfDir)
+    hq.collect()
+    val hfin = hq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(hfin.contains("ReusedExchange"),
+      s"expected the domain aggregate built once:\n$hfin")
+    val scans = "Scan parquet".r.findAllIn(hfin).size
+    assert(scans == 1, s"expected 1 materialized lineitem scan, got $scans:\n$hfin")
+    // and no window anywhere runs unpartitioned (the single-partition
+    // CDF shape this cascade replaced)
+    assert(!hfin.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("[], [")),
+      s"unpartitioned window crept back:\n$hfin")
 
     // DQ annotate: pure per-row projection — no join, no exchange
     val ann = plan("q_dq_annotate")
     assert(!ann.contains("Join"), s"annotate must be join-free:\n$ann")
     assert(!ann.contains("Exchange"), s"annotate must be exchange-free:\n$ann")
+  }
+
+  test("bm25 tokenizes the corpus once; rrf fusion adds no second corpus pass") {
+    // the corpus-sized tokenize+tf aggregation must materialize ONCE:
+    // the (N, avgdl) scalar stats branch reconsumes the same exchange,
+    // so the runtime plan shows ReusedExchange and a single documents
+    // scan (VERDICT r7 flagged the lexical leg as a potential rerun of
+    // the most expensive retrieval scan at 100x)
+    val bq = SparkEntry.queries("q_bm25")(spark, sfDir)
+    bq.collect()
+    val bfin = bq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(bfin.contains("ReusedExchange"),
+      s"expected the tf exchange built once:\n$bfin")
+
+    // hybrid fusion: the lexical leg keeps the same reuse; the dense
+    // leg reads embeddings — documents must still materialize once
+    val rq = SparkEntry.queries("q_rrf_hybrid")(spark, sfDir)
+    rq.collect()
+    val rfin = rq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rfin.contains("ReusedExchange"),
+      s"expected the tf exchange built once in the fused plan:\n$rfin")
+    val docScans = rfin.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(docScans <= 2,
+      s"expected at most one documents + one embeddings scan, got $docScans:\n$rfin")
   }
 }
