@@ -71,6 +71,47 @@ object Bench {
     // clustering + cluster-keyed bucketing)
     "q_bootstrap_ci", "q_hll_distinct", "q_leakage_split")
 
+  /** Untimed JVM warm-up, shared with BenchOne. The cheap generic costs
+    * (codegen infra, parquet footers) were always warmed; the string- and
+    * codec-heavy entries additionally pay JVM JIT on their FIRST hot use
+    * of the gzip codec / HTML extractor / span-corrupt fold — measured as
+    * a 3.7x cold/warm spread on q_cc_pipeline with Janino compile at only
+    * 15 ms, i.e. pure JIT, not generated-code size. A 200-row synthetic
+    * pass through those exact library paths moves that one-time cost out
+    * of whichever entry happens to run first. */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // 2000 x ~400-byte rows: enough iterations of the per-record codec
+    // and per-char extractor loops to reach tiered JIT, still < 1 s
+    val tiny = spark.range(2000).toDF("doc_id")
+      .withColumn("text", concat(lit("the quick <p>brown</p> fox "),
+        col("doc_id").cast("string"),
+        lit(" <a href=\"/x\">jumps</a> over the lazy dog " * 8)))
+    val recs = tiny.select((col("doc_id") % 4).as("file_id"), col("doc_id"),
+      graft.sources.Warc.record(lit("response"),
+        concat(lit("urn:w:"), col("doc_id").cast("string")),
+        concat(lit("https://w.example.com/"), col("doc_id").cast("string")),
+        col("text")).as("rec"))
+    // two passes: tiered JIT compiles the hot codec/extractor loops
+    // asynchronously during the first, so the second runs (and any
+    // remaining compilation finishes) before measurement starts
+    (1 to 2).foreach { _ =>
+      val gz = graft.sources.Warc.gzipFiles(recs, "file_id", "rec", "doc_id")
+      graft.ops.Html.extract(
+        graft.sources.Warc.parseGzip(gz, "file_id", "payload")
+          .withColumn("sniffed",
+            graft.ops.Multimodal.sniffKind(col("body").cast("binary")))
+          .withColumn("doc_id", regexp_extract(col("record_id"),
+            "urn:w:(\\d+)", 1).cast("long")),
+        "doc_id", "body").count()
+      graft.ops.TextOps.spanCorrupt(tiny, "doc_id", "text",
+        maskPermille = 150).count()
+    }
+  }
+
   /** Upper median — with the default 3 runs, the true middle value. */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted; s(s.length / 2)
@@ -97,9 +138,7 @@ object Bench {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
     val spark = GraftSession.create(s"local[$cpus]", shuffle)
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JIT/codegen/parquet-footer costs land here, not in query #1
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    warmup(spark, sfDir)
 
     def timed(body: => Unit): (Double, Boolean) = {
       // every measurement starts from an empty SQL cache: caching is part

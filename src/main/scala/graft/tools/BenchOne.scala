@@ -11,7 +11,7 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.Bench.warmup(spark, sfDir)
     (1 to runs).foreach { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
