@@ -19,13 +19,24 @@ object ScalingCurve {
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
 
+  /** The heaviest corpus families, re-measured through a generated sf1
+    * (10x sf0.1 via MakeSf1) — a full 1000x data span. Run:
+    * `runMain graft.tools.ScalingCurve heavy1000x /tmp/graft_sf1` */
+  private val heavy = Seq("q_minhash_lsh", "q_repeated_spans", "q_bm25",
+    "q_rrf_hybrid", "q_decontam_fuzzy", "q_leakage_split")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val rows = queries.map { q =>
-      val times = sfs.map { sf =>
+    val heavyMode = args.headOption.contains("heavy1000x")
+    val qset = if (heavyMode) heavy else queries
+    val sfset =
+      if (heavyMode) sfs :+ (if (args.length > 1) args(1) else "/tmp/graft_sf1")
+      else sfs
+    val rows = qset.map { q =>
+      val times = sfset.map { sf =>
         val samples = (1 to 3).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -36,9 +47,14 @@ object ScalingCurve {
       }
       (q, times)
     }
-    println(f"${"query"}%-20s ${"sf0.001"}%9s ${"sf0.01"}%9s ${"sf0.1"}%9s ${"t(100x)/t(1x)"}%14s")
+    val hdr = if (heavyMode)
+      f"${"query"}%-20s ${"sf0.001"}%9s ${"sf0.01"}%9s ${"sf0.1"}%9s ${"sf1"}%9s ${"t(1000x)/t(1x)"}%15s"
+    else
+      f"${"query"}%-20s ${"sf0.001"}%9s ${"sf0.01"}%9s ${"sf0.1"}%9s ${"t(100x)/t(1x)"}%14s"
+    println(hdr)
     rows.foreach { case (q, ts) =>
-      println(f"$q%-20s ${ts(0)}%8.2fs ${ts(1)}%8.2fs ${ts(2)}%8.2fs ${ts(2) / ts(0)}%13.1fx")
+      val cells = ts.map(t => f"$t%8.2fs").mkString(" ")
+      println(f"$q%-20s $cells ${ts.last / ts.head}%13.1fx")
     }
     spark.stop()
   }

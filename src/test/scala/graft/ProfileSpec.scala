@@ -470,4 +470,53 @@ class ProfileSpec extends SparkSpec {
       .as[(Double, Double, Double, Long)].collect().head
     assert((got._2, got._3) == expected, s"got $got expected $expected")
   }
+
+  test("domainPrefix: exact prefix sums on adversarial domains") {
+    import spark.implicits._
+    // adversarial shapes for the bucket cascade: negative keys (sign
+    // stitch), keys straddling bucket boundaries at every level (4096,
+    // 2^24, 2^48), huge sparse gaps, Long extremes, a null key (sorts
+    // first), duplicates of measure values — checked against the plain
+    // sequential prefix sum
+    val keys: Seq[Option[Long]] = Seq(None, Some(Long.MinValue),
+      Some(Long.MinValue + 4095L), Some(-5000000000000000L),
+      Some(-4097L), Some(-4096L), Some(-1L), Some(0L), Some(1L),
+      Some(4095L), Some(4096L), Some(4097L), Some(1L << 24),
+      Some((1L << 24) + 1), Some(1L << 48), Some(7L << 50),
+      Some(Long.MaxValue - 1), Some(Long.MaxValue))
+    val rows = keys.zipWithIndex.map { case (k, i) =>
+      (k, (i % 5 + 1).toLong, (i % 3).toLong)
+    }
+    val dom = rows.toDF("u", "a", "b")
+    val got = Profile.domainPrefix(dom, "u", Seq("a", "b"))
+      .select(col("u"), col("cum_a"), col("cum_b"),
+        col("tot_a"), col("tot_b"))
+      .as[(Option[Long], Long, Long, Long, Long)].collect()
+      .sortBy(r => r._1.getOrElse(Long.MinValue))
+    // reference: nulls first, then ascending key (rows are constructed
+    // sorted already; null shares the MinValue bucket but sorts first)
+    val ordered = rows.sortBy(r => (r._1.isDefined, r._1.getOrElse(0L)))
+    val expCumA = ordered.map(_._2).scanLeft(0L)(_ + _).init
+    val expCumB = ordered.map(_._3).scanLeft(0L)(_ + _).init
+    val gotSorted = got.sortBy(r => (r._1.isDefined, r._1.getOrElse(0L)))
+    assert(gotSorted.length == rows.length, "no row lost (incl. the null key)")
+    gotSorted.zipWithIndex.foreach { case ((k, ca, cb, ta, tb), i) =>
+      assert(ca == expCumA(i) && cb == expCumB(i),
+        s"key $k: got ($ca,$cb) expected (${expCumA(i)},${expCumB(i)})")
+      assert(ta == rows.map(_._2).sum && tb == rows.map(_._3).sum)
+    }
+    // randomized: 300 distinct keys drawn across the full long range,
+    // seeded, single measure — exact agreement with the sequential scan
+    val rnd = new scala.util.Random(42)
+    val rkeys = Seq.fill(400)(rnd.nextLong()).distinct.take(300)
+    val rrows = rkeys.map(k => (k, (k % 7 + 7).abs + 1))
+    val rgot = Profile.domainPrefix(rrows.toDF("u", "n"), "u", Seq("n"))
+      .select(col("u"), col("cum_n")).as[(Long, Long)].collect()
+      .sortBy(_._1)
+    val rord = rrows.sortBy(_._1)
+    val rexp = rord.map(_._2).scanLeft(0L)(_ + _).init
+    rgot.zipWithIndex.foreach { case ((k, c), i) =>
+      assert(c == rexp(i), s"key $k: got $c expected ${rexp(i)}")
+    }
+  }
 }
