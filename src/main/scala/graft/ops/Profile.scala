@@ -615,17 +615,17 @@ object Profile {
     * blow-up.
     *
     * Scale shape: one group-keyed aggregation with map-side combine;
-    * the totals window runs over the GROUP DOMAIN (human-count-sized),
-    * not the rows, so the unpartitioned window is scalar work. */
+    * the totals are a 1-row aggregate broadcast back onto the group
+    * table — group cardinality is usually human-sized, but per-URL or
+    * per-user groupings aren't, and a full-frame unpartitioned window
+    * would funnel them through one task where the broadcast attach
+    * stays map-only at any cardinality. */
   def shareShift(df: DataFrame, groupCol: String, isB: Column): DataFrame = {
     val g = df.groupBy(col(groupCol))
       .agg(sum(when(isB, 0L).otherwise(1L)).as("cnt_a"),
         sum(when(isB, 1L).otherwise(0L)).as("cnt_b"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    g.withColumn("tot_a", sum(col("cnt_a")).over(wAll))
-      .withColumn("tot_b", sum(col("cnt_b")).over(wAll))
+    g.crossJoin(broadcast(g.agg(sum(col("cnt_a")).as("tot_a"),
+        sum(col("cnt_b")).as("tot_b"))))
       .select(col(groupCol), col("cnt_a"), col("cnt_b"),
         expr("CASE WHEN tot_a = 0 THEN NULL" +
           " ELSE 1000000L * cnt_a div tot_a END").as("share_a_micros"),
