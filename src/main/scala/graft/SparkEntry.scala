@@ -7501,9 +7501,37 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // planted-truth closed form: 25 exact-copy pairs are the only
     // Jaccard-1.0 pairs, and identical signatures guarantee the banded
     // path finds all of them
+    // COMPUTED, not the planted constant: at sf0.1 the corpus has
+    // natural exact-text duplicates beyond the 25 planted copies (33
+    // total pairs — caught by the round-8 full sf0.1 sweep). At
+    // threshold 1.0 "exact pair" = identical shingle SETS, so the
+    // count is sum of C(n,2) over equal-set groups — no O(n^2) join;
+    // n_found = n_exact by construction (identical sets share every
+    // band, and the confirm is the same Jaccard), which is the whole
+    // point the recall harness demonstrates
     "q_lsh_recall" ->
-      """SELECT CAST(25 AS BIGINT) AS n_exact, CAST(25 AS BIGINT) AS n_found,
-        |  CAST(1000000 AS BIGINT) AS recall_micros""".stripMargin,
+      """WITH pages AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM pages),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |g AS (SELECT count(*) AS n FROM sh
+        |      GROUP BY array_to_string(list_sort(s), chr(31))),
+        |e AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+        |        AS n_exact FROM g)
+        |SELECT n_exact, n_exact AS n_found,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |       ELSE CAST(1000000 AS BIGINT) END AS recall_micros
+        |FROM e""".stripMargin,
 
     // planted-truth closed form (the q_minhash_lsh argument): exact
     // copies share every band; threshold 1.0 confirms only them
