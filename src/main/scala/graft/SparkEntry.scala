@@ -7051,10 +7051,33 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
 
     // planted-truth closed forms (see the query comments): the only
     // qualifying pairs are the 25 planted exact copies
+    // COMPUTED set-equality join, not the planted constant: at
+    // threshold 1.0 the exact-Jaccard confirm makes the op's output
+    // precisely "natural doc whose shingle SET equals a planted
+    // (doc_id < 25) copy's" — so the oracle stays right even if a
+    // future fixture regeneration gives some doc < 25 a natural
+    // duplicate elsewhere in the corpus (the q_lsh_recall lesson)
     "q_minhash_lsh" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS jaccard
-        |FROM documents WHERE doc_id < 25""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |k AS (SELECT doc_id,
+        |        array_to_string(list_sort(s), chr(31)) AS key FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id + 100000 AS id_b, 1.0 AS jaccard
+        |FROM k a JOIN k b ON a.key = b.key AND b.doc_id < 25""".stripMargin,
 
+    // stays the planted constant (unlike q_minhash_lsh): hamming-0
+    // simhash equality can't be restated in DuckDB — the 64-bit token
+    // hash is XXH64, which DuckDB lacks. A fixture regeneration that
+    // gives a doc < 25 a natural exact duplicate would surface here as
+    // a red row in the sf0.1 sweep; update the constant then.
     "q_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
         |FROM documents WHERE doc_id < 25""".stripMargin,
@@ -7533,12 +7556,25 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |       ELSE CAST(1000000 AS BIGINT) END AS recall_micros
         |FROM e""".stripMargin,
 
-    // planted-truth closed form (the q_minhash_lsh argument): exact
-    // copies share every band; threshold 1.0 confirms only them
+    // COMPUTED set-equality join (same robustness argument as
+    // q_minhash_lsh): the batch copy of doc b matches EVERY corpus doc
+    // whose shingle set equals b's, not only b itself
     "q_dedup_incr_near" ->
-      """SELECT doc_id + 500000 AS batch_id, doc_id AS corpus_id,
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                             for i in range(1, len(ws) - 1)])
+        |    END AS s
+        |  FROM w),
+        |k AS (SELECT doc_id,
+        |        array_to_string(list_sort(s), chr(31)) AS key FROM sh)
+        |SELECT b.doc_id + 500000 AS batch_id, a.doc_id AS corpus_id,
         |  1.0 AS jaccard
-        |FROM documents WHERE doc_id < 25""".stripMargin,
+        |FROM k a JOIN k b ON a.key = b.key AND b.doc_id < 25""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
