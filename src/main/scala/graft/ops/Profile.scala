@@ -551,18 +551,28 @@ object Profile {
         when(col(labelCol).cast("long") > 0, 1L).otherwise(0L).as("y"))
     val byScore = rows.groupBy(col("s"))
       .agg(count(lit(1)).as("m"), sum(col("y")).as("m_pos"))
-    // distributed prefix scan over the score domain (see domainPrefix)
-    domainPrefix(byScore, "s", Seq("m"))
-      .withColumn("cum_before", col("cum_m"))
-      // doubled tie-averaged rank of this score group, times its positives
-      .withColumn("r2_contrib",
-        col("m_pos") * (lit(2L) * col("cum_before") + col("m") + 1L))
-      .agg(sum(col("m_pos")).as("n_pos"),
-        (sum(col("m")) - sum(col("m_pos"))).as("n_neg"),
-        sum(col("r2_contrib")).as("r2"))
+    // distributed prefix scan over the score domain (see domainPrefix),
+    // with BOTH measures consumed so column pruning can't specialize any
+    // cascade branch's copy of the domain aggregate (each specialization
+    // is a separate materialized corpus scan — 3 of them, measured).
+    // The doubled Mann-Whitney U comes from the exact integer identity
+    //   r2 - n_pos*(n_pos+1)
+    //     = Σ_s m_pos*(2*(cum_m - cum_m_pos) + (m - m_pos))
+    // (split each score group's doubled rank-sum into its negatives-
+    // below part and the positives-among-positives part, whose total is
+    // exactly n_pos*(n_pos+1)) — same auc_micros bit for bit, but every
+    // branch now needs every byScore column: ONE scan, ReusedExchange
+    // for the rest.
+    domainPrefix(byScore, "s", Seq("m", "m_pos"))
+      .withColumn("u2_contrib",
+        col("m_pos") * (lit(2L) * (col("cum_m") - col("cum_m_pos"))
+          + (col("m") - col("m_pos"))))
+      .agg(any_value(col("tot_m_pos")).as("n_pos"),
+        (any_value(col("tot_m")) - any_value(col("tot_m_pos"))).as("n_neg"),
+        sum(col("u2_contrib")).as("u2"))
       .select(col("n_pos"), col("n_neg"),
         expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL" +
-          " ELSE (1000000L * (r2 - n_pos * (n_pos + 1L)))" +
+          " ELSE (1000000L * u2)" +
           " div (2L * n_pos * n_neg) END").as("auc_micros"))
   }
 

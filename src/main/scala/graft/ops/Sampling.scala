@@ -226,8 +226,14 @@ object Sampling {
       df.select(extra.map(col) :+
         explode(concat(ws, bi)).as("f"): _*)
     }
-    val bucket = conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % nBuckets
+    // coalesce: exploded features are never null, but a NULLABLE bucket
+    // makes the docFeats joins infer isnotnull(bucket) into their copies
+    // of the feature explosion while the tt/tr scalar branches don't —
+    // de-canonicalizing the subtrees, so AQE materialized the corpus
+    // explosion twice per side (measured; the domainPrefix lesson)
+    val bucket = coalesce(
+      conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % nBuckets, lit(0L))
     val tgt = feats(target, Nil).groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("ct"))
     val rawCounts = feats(raw, Nil).groupBy(bucket.as("bucket"))

@@ -253,13 +253,24 @@ object TextOps {
     def buckets(df: DataFrame) = sets(df)
       .select(col("id"), explode(Dedup.bandKeys(minhashSig64(col("sh"),
         bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
-    val cand = buckets(corpus).as("c")
+    // the corpus-side shingle sets RIDE the candidate join instead of
+    // being recomputed for the confirm: the bucket join is a broadcast
+    // hash join (eval side is human-sized), so carrying `sh` is
+    // map-side-free, and the (cid, eid) dedup then shuffles shingle
+    // arrays for CANDIDATES only. The join-back formulation this
+    // replaces shuffled the entire corpus sets table on cid and paid
+    // the corpus tokenize+shingle a second time (measured: 6 scans at
+    // this query's fixture, 4 after).
+    val cand = sets(corpus)
+      .select(col("id"), col("sh"), explode(Dedup.bandKeys(minhashSig64(
+        col("sh"), bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .as("c")
       .join(broadcast(buckets(evalSet).as("e")), Seq("bucket"))
-      .select(col("c.id").as("cid"), col("e.id").as("eid"))
-      .distinct()
+      .select(col("c.id").as("cid"), col("c.sh").as("sh_c"),
+        col("e.id").as("eid"))
+      .groupBy(col("cid"), col("eid"))
+      .agg(any_value(col("sh_c")).as("sh_c")) // identical within a pair
     cand
-      .join(sets(corpus).select(col("id").as("cid"), col("sh").as("sh_c")),
-        Seq("cid"))
       .join(broadcast(sets(evalSet)
         .select(col("id").as("eid"), col("sh").as("sh_e"))), Seq("eid"))
       .withColumn("inter",
