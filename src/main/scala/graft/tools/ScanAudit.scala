@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Runtime scan audit: executes each headline query at a small SF and
+  * counts materialized FileScans vs ReusedExchanges in the final
+  * adaptive plan — the quickest detector for the branch-specialization
+  * trap (column pruning de-canonicalizing shared subtrees so AQE
+  * re-materializes a corpus scan per consumer). */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.create("local[8]", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.Bench.headline.filterNot(_.startsWith("s_"))
+    names.foreach { name =>
+      try {
+        val q = graft.SparkEntry.queries(name)(spark, sf)
+        q.queryExecution.toRdd.count()
+        val fin = q.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val scans = "FileScan parquet".r.findAllIn(fin).size
+        val reused = "ReusedExchange".r.findAllIn(fin).size
+        println(f"[scanaudit] $name%-24s scans=$scans reused=$reused")
+      } catch { case e: Throwable =>
+        println(s"[scanaudit] $name ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -452,4 +452,24 @@ class PlanSpec extends SparkSpec {
     assert(docScans <= 2,
       s"expected at most one documents + one embeddings scan, got $docScans:\n$rfin")
   }
+
+  test("branch-specialization stays fixed: auc 1 scan, dsir 3, decontam-fuzzy 4") {
+    // the trap (see Profile.domainPrefix / Sampling.importanceWeights /
+    // TextOps.fuzzyContaminatedIds): column pruning or inferred
+    // isnotnull filters specialize each consumer's copy of a shared
+    // subtree, AQE stops reusing, and the corpus scan re-materializes
+    // per branch. These counts are the fixed minima; a regression here
+    // is a silent 2x corpus read at 100 TB.
+    def scansOf(name: String): Int = {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      q.queryExecution.toRdd.count()
+      "FileScan parquet".r.findAllIn(q.queryExecution.executedPlan
+        .toString.split("== Initial Plan ==").head).size
+    }
+    assert(scansOf("q_auc") == 1, "aucExact must stay single-scan")
+    assert(scansOf("q_dsir") <= 3,
+      "importanceWeights must not recompute a feature explosion")
+    assert(scansOf("q_decontam_fuzzy") <= 4,
+      "fuzzy decontam must not re-tokenize the corpus for the confirm")
+  }
 }
