@@ -274,7 +274,12 @@ object Bench {
     val all = results :+ streaming :+ streamingIngest :+ streamingHll
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
-    def sec(d: Double): String = f"$d%.3f"   // ms resolution, ~6 bytes
+    // ms resolution, ~6 bytes; Locale.ROOT because the f-interpolator's
+    // default-locale %.3f writes "60,274" on comma-decimal JVMs —
+    // invalid JSON, recreating the exact parsed:null failure this
+    // compact line exists to fix
+    def sec(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = all.map(e => "\"" + e.name + "\":" + sec(e.med))
       .mkString("{", ",", "}")
     val failed = all.collect { case e if !e.ok => "\"" + e.name + "\"" }

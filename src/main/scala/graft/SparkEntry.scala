@@ -7071,7 +7071,9 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |k AS (SELECT doc_id,
         |        array_to_string(list_sort(s), chr(31)) AS key FROM sh)
         |SELECT a.doc_id AS id_a, b.doc_id + 100000 AS id_b, 1.0 AS jaccard
-        |FROM k a JOIN k b ON a.key = b.key AND b.doc_id < 25""".stripMargin,
+        |FROM k a JOIN k b
+        |  ON a.key = b.key AND b.doc_id < 25
+        |  AND a.doc_id < 100000""".stripMargin,
 
     // stays the planted constant (unlike q_minhash_lsh): hamming-0
     // simhash equality can't be restated in DuckDB — the 64-bit token
@@ -8005,7 +8007,8 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c
         |  GROUP BY 1),
         |est AS (
-        |  SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_rows
+        |  SELECT CAST(least(min(coalesce(ip.ip, 0)),
+        |    9223372036854775807) AS BIGINT) AS est_join_rows
         |  FROM (SELECT DISTINCT r FROM sa) d LEFT JOIN ip USING (r)),
         |ex AS (
         |  SELECT count(*) AS exact_join_rows

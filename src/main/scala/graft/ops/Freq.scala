@@ -186,10 +186,15 @@ object Freq {
         Seq("r", "c"))
       .groupBy(col("r"))
       .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).as("ip"))
+    // saturate before the BIGINT cast: past ~1e19 the min inner product
+    // itself exceeds int64, and an unclamped cast would return NULL
+    // (or throw under ANSI) at precisely the scale the preflight
+    // exists for — Long.MaxValue preserves the one-sided >= bound
     a.select(col("r")).distinct()
       .join(ips, Seq("r"), "left")
       .select(coalesce(col("ip"), lit(0L).cast(dec)).as("ip"))
-      .agg(min(col("ip")).cast("long").as("est_join_rows"))
+      .agg(least(min(col("ip")), lit(Long.MaxValue).cast(dec))
+        .cast("long").as("est_join_rows"))
   }
 
   /** Zipf's-law fit over a rank–frequency curve: OLS slope of

@@ -47,13 +47,30 @@ object Profile {
     * scale. Offsets broadcast back down the cascade as bucket-keyed
     * equi-joins of geometrically shrinking tables.
     *
-    * The key is bucketed via `cast("long")` — exact for the integral
-    * domains every caller quantizes to (cents units, micros scores,
-    * char counts); a fractional DOUBLE domain still computes correctly
-    * (truncation is monotone) but degrades toward integer-granularity
-    * buckets. */
+    * The key is bucketed via `cast("long")` by default — exact for the
+    * integral domains the quantized callers produce (cents units,
+    * micros scores, char counts). Callers with FRACTIONAL domains pass
+    * [[fracBucket]] as `bucket0`: plain truncation would collapse a
+    * score domain in (-4096, 4096) — e.g. qualities in [0, 1] — into
+    * ONE bucket and silently restore the single-task window this
+    * cascade exists to remove. */
+  private[graft] def fracBucket(key: Column): Column = {
+    // clamp-then-scale: buckets of width 1/4096 in key units, saturating
+    // at +-2^61 so the shift cascade's top table stays type-bounded.
+    // least/greatest double as the NaN router: NaN is LARGEST in
+    // Spark's total order, so greatest(NaN, -L) = NaN and
+    // least(NaN, L) = L — NaN keys land in the TOP bucket and sort
+    // last within it, exactly where the unpartitioned Window.orderBy
+    // this replaces put them. NULLs take the MinValue bucket (first).
+    val lim = 2.30e18
+    coalesce(
+      floor(least(greatest(key.cast("double") * 4096.0, lit(-lim)),
+        lit(lim))).cast("long"),
+      lit(Long.MinValue))
+  }
+
   private[graft] def domainPrefix(dom: DataFrame, keyCol: String,
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String], bucket0: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(measures.nonEmpty, "domainPrefix: need at least one measure")
     def excl(w: org.apache.spark.sql.expressions.WindowSpec,
@@ -69,9 +86,9 @@ object Profile {
     // branch's scan with branch-specific expressions, de-canonicalizing
     // otherwise identical scans and defeating AQE exchange reuse (six
     // materialized corpus scans instead of one, measured).
-    val lvl0 = dom.withColumn("_b0",
+    val lvl0 = dom.withColumn("_b0", bucket0.getOrElse(
       shiftright(coalesce(col(keyCol).cast("long"),
-        lit(Long.MinValue)), 12))
+        lit(Long.MinValue)), 12)))
     val w0 = Window.partitionBy(col("_b0")).orderBy(col(keyCol))
     val local = measures.foldLeft(lvl0) { (d, m) =>
       d.withColumn(s"_c_$m", excl(w0, col(m)))
@@ -898,8 +915,12 @@ object Profile {
       .groupBy(col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     // distributed prefix scan over the merged value domain (see
-    // domainPrefix); inclusive CDF = exclusive prefix + own count
-    val cum = domainPrefix(counts, "v", Seq("ca", "cb"))
+    // domainPrefix); inclusive CDF = exclusive prefix + own count.
+    // fracBucket: the value column is raw (not pre-quantized), so a
+    // fractional domain must not collapse into one truncation bucket,
+    // and NaN must keep its sort-last position
+    val cum = domainPrefix(counts, "v", Seq("ca", "cb"),
+        Some(fracBucket(col("v"))))
       .withColumn("cuma", col("cum_ca") + col("ca"))
       .withColumn("cumb", col("cum_cb") + col("cb"))
       .withColumn("na", col("tot_ca"))
@@ -940,8 +961,9 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val dom = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
     // distributed prefix scan over the pooled value domain (see
-    // domainPrefix); inclusive CDF = exclusive prefix + own count
-    val cdf = domainPrefix(dom, "v", Seq("cnt"))
+    // domainPrefix); inclusive CDF = exclusive prefix + own count.
+    // fracBucket: raw (possibly fractional) value domain — see ksStatistic
+    val cdf = domainPrefix(dom, "v", Seq("cnt"), Some(fracBucket(col("v"))))
       .withColumn("cum", col("cum_cnt") + col("cnt"))
       .withColumn("n", col("tot_cnt"))
     val bounds = cdf

@@ -415,10 +415,21 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(hfin).size
     assert(scans == 1, s"expected 1 materialized lineitem scan, got $scans:\n$hfin")
     // and no window anywhere runs unpartitioned (the single-partition
-    // CDF shape this cascade replaced)
-    assert(!hfin.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("[], [")),
-      s"unpartitioned window crept back:\n$hfin")
+    // CDF shape this cascade replaced) — checked on the optimized
+    // LOGICAL plan: a string match is unreliable (TreeNode.argString
+    // silently drops empty argument lists, so unpartitioned Window
+    // never prints an empty bracket group)
+    def unpartitionedWindows(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+        .collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+    Seq("q_histogram_eqdepth", "q_quantile_bins", "q_auc", "q_ks_drift",
+        "q_quantile_normalize", "q_decile_lift").foreach { n =>
+      assert(unpartitionedWindows(n) == 0,
+        s"$n: unpartitioned window crept back")
+    }
 
     // DQ annotate: pure per-row projection — no join, no exchange
     val ann = plan("q_dq_annotate")

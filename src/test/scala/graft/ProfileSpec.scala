@@ -519,4 +519,48 @@ class ProfileSpec extends SparkSpec {
       assert(c == rexp(i), s"key $k: got $c expected ${rexp(i)}")
     }
   }
+
+  test("domainPrefix fracBucket: fractional [0,1] domains, NaN last, infinities") {
+    import spark.implicits._
+    // the raw-value callers (ksStatistic, quantileNormalize): a score
+    // domain inside (0, 1) must spread across buckets (plain truncation
+    // collapses it to one), NaN must keep Spark's sort-LAST position,
+    // infinities the extremes, NULL first
+    val keys: Seq[Option[Double]] = Seq(None, Some(Double.NegativeInfinity),
+      Some(-1e30), Some(-2.5), Some(-0.4), Some(0.0)) ++
+      (1 to 200).map(i => Some(i / 201.0)) ++
+      Seq(Some(1.0), Some(7.25), Some(4095.9), Some(4096.1), Some(1e30),
+        Some(Double.PositiveInfinity), Some(Double.NaN))
+    val rows = keys.zipWithIndex.map { case (k, i) => (k, (i % 4 + 1).toLong) }
+    val dom = rows.toDF("v", "n")
+    val got = Profile.domainPrefix(dom, "v", Seq("n"),
+        Some(Profile.fracBucket(col("v"))))
+      .select(col("v"), col("cum_n"), col("tot_n"))
+      .as[(Option[Double], Long, Long)].collect()
+    // reference order: NULL first, then ascending, NaN last (Spark's
+    // ORDER BY total order)
+    def rank(k: Option[Double]): Double = k match {
+      case None => Double.NegativeInfinity
+      case Some(d) if d.isNaN => Double.MaxValue // after +Inf? use key
+      case Some(d) => d
+    }
+    val ordered = rows.sortBy { case (k, _) => (k.isDefined,
+      k.exists(_.isNaN), rank(k)) }
+    val exp = ordered.map(_._2).scanLeft(0L)(_ + _).init
+    // string keys: Some(NaN) == Some(NaN) is FALSE under Scala's
+    // primitive-double equality, so a direct Option[Double] map misses
+    def kstr(k: Option[Double]): String = k.map(_.toString).getOrElse("null")
+    val expByKey = ordered.map(r => kstr(r._1)).zip(exp).toMap
+    assert(got.length == rows.length, "no row lost")
+    got.foreach { case (k, c, t) =>
+      assert(c == expByKey(kstr(k)),
+        s"key $k: got $c expected ${expByKey(kstr(k))}")
+      assert(t == rows.map(_._2).sum)
+    }
+    // the fractional domain genuinely spreads: >1 distinct level-0 bucket
+    val nBuckets = dom.where(col("v").isNotNull)
+      .select(Profile.fracBucket(col("v")).as("b"))
+      .distinct().count()
+    assert(nBuckets > 10, s"fractional domain collapsed to $nBuckets buckets")
+  }
 }
