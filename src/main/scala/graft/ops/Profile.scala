@@ -35,17 +35,18 @@ object Profile {
     * tree shape, so outputs are bit-identical to the single-partition
     * window they replace (the oracles pin them).
     *
-    * Mechanism — a 4-level distributed prefix scan on the key's high
+    * Mechanism — a 5-level distributed prefix scan on the key's high
     * bits: bucket b0 = key >> 12 (arithmetic shift: sign-correct floor
     * division, monotone in key, so each bucket is a contiguous key
     * range with ≤ 4096 distinct keys). A window partitioned by b0
     * computes within-bucket prefixes in parallel; bucket subtotals
-    * cascade through b1 = key >> 24, b2 = key >> 36, b3 = key >> 48,
-    * each level again ≤ 4096 rows per partition group. The top table
-    * has one row per b3 — hard-bounded at 2^16 rows by the LONG type
-    * itself, so its pseudo-global window is scalar work at ANY data
-    * scale. Offsets broadcast back down the cascade as bucket-keyed
-    * equi-joins of geometrically shrinking tables.
+    * cascade through four more 12-bit shifts (b1..b4), each level again
+    * ≤ 4096 rows per partition group. Five shifts cover the full 62-bit
+    * range even for a [[fracBucket]] b0 (which SCALES UP by 4096), so
+    * the top table — one row per b4 — is hard-bounded at 2^14 rows by
+    * the LONG type itself and its pseudo-global window is scalar work
+    * at ANY data scale. Offsets broadcast back down the cascade as
+    * bucket-keyed equi-joins of geometrically shrinking tables.
     *
     * The key is bucketed via `cast("long")` by default — exact for the
     * integral domains the quantized callers produce (cents units,
@@ -115,14 +116,20 @@ object Profile {
       shiftright(col("_b1"), 12), "_b2")
     val t3 = withPrefix(sums(t2, "_b2"), "_b2",
       shiftright(col("_b2"), 12), "_b3")
-    // top: ≤ 2^16 rows for any LONG key. A literal partition key would
-    // be folded away by the optimizer (back to an unpartitioned window),
-    // so partition by the SIGN bit — a real 2-value column — and stitch:
-    // every non-negative bucket's prefix additionally owes the negative
+    val t3b = withPrefix(sums(t3, "_b3"), "_b3",
+      shiftright(col("_b3"), 12), "_b4")
+    // top: ≤ 2^14 rows for ANY bucket0 — five 12-bit shifts cover the
+    // full 62-bit range a fracBucket b0 can occupy (fracBucket SCALES
+    // UP by 4096, so four shifts would leave a 2^26-row top table and
+    // quietly resurrect the single-task scan on adversarially wide
+    // double domains). A literal partition key would be folded away by
+    // the optimizer (back to an unpartitioned window), so partition by
+    // the SIGN bit — a real 2-value column — and stitch: every
+    // non-negative bucket's prefix additionally owes the negative
     // half's total (negatives sort first). The stitch total is a 1-row
     // broadcast aggregate, so no window anywhere is unpartitioned.
-    val t4cum = withPrefix(sums(t3, "_b3"), "_b3",
-      shiftright(col("_b3"), 63), "_sg")
+    val t4cum = withPrefix(sums(t3b, "_b4"), "_b4",
+      shiftright(col("_b4"), 63), "_sg")
     val negAggs = measures.map(m =>
       coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
         .as(s"_nt_$m"))
@@ -135,8 +142,10 @@ object Profile {
     // side shrinks 4096x per level
     def offCols(suffix: String) =
       measures.map(m => (col(s"_c_$m") + col(s"_o_$m")).as(s"_o_$m$suffix"))
-    val off3 = t4.select(col("_b3") +:
+    val off4 = t4.select(col("_b4") +:
       measures.map(m => col(s"_c_$m").as(s"_o_$m")): _*)
+    val off3 = t3b.join(off4, Seq("_b4"))
+      .select(col("_b3") +: offCols(""): _*)
     val off2 = t3.join(off3, Seq("_b3"))
       .select(col("_b2") +: offCols(""): _*)
     val off1 = t2.join(off2, Seq("_b2"))
