@@ -19,6 +19,7 @@ object Graft {
       graft.functions.TextExprs.register(spark)
       graft.functions.ShingleExprs.register(spark)
       graft.functions.BpeEncode.register(spark)
+      graft.functions.NumericExprs.register(spark)
     }
     spark
   }

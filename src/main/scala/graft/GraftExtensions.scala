@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"unicode_normalize form must be a string literal, got $other")
         }))))
+    ext.injectFunction((FunctionIdentifier("sortable_f64"),
+      info("sortable_f64",
+        "sortable_f64(x) - order-preserving long image of a double's IEEE bits"),
+      arity("sortable_f64", 1)(es => SortableF64(es.head))))
     ext.injectFunction((FunctionIdentifier("bpe_encode"),
       info("bpe_encode",
         "bpe_encode(text, merges) - BPE tokenization; merges is the " +

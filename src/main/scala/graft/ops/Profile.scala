@@ -55,20 +55,23 @@ object Profile {
     * score domain in (-4096, 4096) — e.g. qualities in [0, 1] — into
     * ONE bucket and silently restore the single-task window this
     * cascade exists to remove. */
-  private[graft] def fracBucket(key: Column): Column = {
-    // clamp-then-scale: buckets of width 1/4096 in key units, saturating
-    // at +-2^61 so the shift cascade's top table stays type-bounded.
-    // least/greatest double as the NaN router: NaN is LARGEST in
-    // Spark's total order, so greatest(NaN, -L) = NaN and
-    // least(NaN, L) = L — NaN keys land in the TOP bucket and sort
-    // last within it, exactly where the unpartitioned Window.orderBy
-    // this replaces put them. NULLs take the MinValue bucket (first).
-    val lim = 2.30e18
-    coalesce(
-      floor(least(greatest(key.cast("double") * 4096.0, lit(-lim)),
-        lit(lim))).cast("long"),
-      lit(Long.MinValue))
-  }
+  private[graft] def fracBucket(key: Column): Column =
+    // bucket on the double's ORDER-PRESERVING BIT PATTERN
+    // (functions.SortableF64), not on any numeric quantization: a fixed
+    // quantum (truncate / scale / clamp) can always be defeated by a
+    // domain concentrating unbounded distinct values inside one quantum
+    // (epoch-micros magnitudes saturate a clamp; calibrated
+    // probabilities pack into one 1/4096 interval), whereas 4096
+    // consecutive bit patterns contain at most 4096 representable
+    // doubles — per-bucket work is type-bounded for EVERY distribution.
+    // The bit order matches Spark's double total order incl. NaN-last
+    // (canonical NaN pattern sits above +Inf). NULL keys take the
+    // MinValue bucket: no real double maps to Long.MinValue (it would
+    // need a non-canonical negative-NaN pattern), so NULLs sort first
+    // there, matching the replaced window's NULLS FIRST.
+    shiftright(coalesce(
+      graft.functions.NumericExprs.sortableF64(key.cast("double")),
+      lit(Long.MinValue)), 12)
 
   private[graft] def domainPrefix(dom: DataFrame, keyCol: String,
       measures: Seq[String], bucket0: Option[Column] = None): DataFrame = {

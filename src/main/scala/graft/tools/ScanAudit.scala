@@ -14,17 +14,24 @@ object ScanAudit {
       else graft.Bench.headline.filterNot(_.startsWith("s_"))
     names.foreach { name =>
       try {
-        val q = graft.SparkEntry.queries(name)(spark, sf)
-        q.queryExecution.toRdd.count()
-        val fin = q.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==").head
+        val fin = finalPlan(graft.SparkEntry.queries(name)(spark, sf))
         val scans = "FileScan parquet".r.findAllIn(fin).size
         val reused = "ReusedExchange".r.findAllIn(fin).size
         println(f"[scanaudit] $name%-24s scans=$scans reused=$reused")
       } catch { case e: Throwable =>
-        println(s"[scanaudit] $name ERROR ${e.getMessage.take(80)}")
+        // String.valueOf: a bare NPE has a null message, and calling
+        // .take on it would abort the remaining audit
+        println(s"[scanaudit] $name ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()
+  }
+
+  /** Execute the frame and return its FINAL adaptive plan string (AQE
+    * applies exchange reuse at runtime; the initial plan hides it).
+    * Shared with PlanSpec's runtime plan-shape goldens. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 }

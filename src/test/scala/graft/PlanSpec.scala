@@ -284,10 +284,8 @@ class PlanSpec extends SparkSpec {
     // to one build + ReusedExchange at runtime
     val c = plan("q_collocations")
     assert(!c.contains("SortMergeJoin") && !c.contains("CartesianProduct"))
-    val cq = SparkEntry.queries("q_collocations")(spark, sfDir)
-    cq.collect() // AQE inserts ReusedExchange at runtime only
-    val cfin = cq.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head // final adaptive plan only
+    val cfin = tools.ScanAudit.finalPlan(  // final adaptive plan only
+      SparkEntry.queries("q_collocations")(spark, sfDir))
     assert(cfin.contains("ReusedExchange"),
       s"expected the unigram broadcast built once:\n$cfin")
     val keyed = cfin.linesIterator
@@ -406,10 +404,8 @@ class PlanSpec extends SparkSpec {
     // the distinct-value aggregate from several branches, so the
     // invariant lives at RUNTIME: one materialized scan stage, every
     // reconsumption a ReusedExchange of the domain aggregation
-    val hq = SparkEntry.queries("q_histogram_eqdepth")(spark, sfDir)
-    hq.collect()
-    val hfin = hq.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    val hfin = tools.ScanAudit.finalPlan(
+      SparkEntry.queries("q_histogram_eqdepth")(spark, sfDir))
     assert(hfin.contains("ReusedExchange"),
       s"expected the domain aggregate built once:\n$hfin")
     val scans = "Scan parquet".r.findAllIn(hfin).size
@@ -443,19 +439,15 @@ class PlanSpec extends SparkSpec {
     // so the runtime plan shows ReusedExchange and a single documents
     // scan (VERDICT r7 flagged the lexical leg as a potential rerun of
     // the most expensive retrieval scan at 100x)
-    val bq = SparkEntry.queries("q_bm25")(spark, sfDir)
-    bq.collect()
-    val bfin = bq.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    val bfin = tools.ScanAudit.finalPlan(
+      SparkEntry.queries("q_bm25")(spark, sfDir))
     assert(bfin.contains("ReusedExchange"),
       s"expected the tf exchange built once:\n$bfin")
 
     // hybrid fusion: the lexical leg keeps the same reuse; the dense
     // leg reads embeddings — documents must still materialize once
-    val rq = SparkEntry.queries("q_rrf_hybrid")(spark, sfDir)
-    rq.collect()
-    val rfin = rq.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    val rfin = tools.ScanAudit.finalPlan(
+      SparkEntry.queries("q_rrf_hybrid")(spark, sfDir))
     assert(rfin.contains("ReusedExchange"),
       s"expected the tf exchange built once in the fused plan:\n$rfin")
     val docScans = rfin.linesIterator.count(l =>
@@ -471,12 +463,9 @@ class PlanSpec extends SparkSpec {
     // subtree, AQE stops reusing, and the corpus scan re-materializes
     // per branch. These counts are the fixed minima; a regression here
     // is a silent 2x corpus read at 100 TB.
-    def scansOf(name: String): Int = {
-      val q = SparkEntry.queries(name)(spark, sfDir)
-      q.queryExecution.toRdd.count()
-      "FileScan parquet".r.findAllIn(q.queryExecution.executedPlan
-        .toString.split("== Initial Plan ==").head).size
-    }
+    def scansOf(name: String): Int =
+      "FileScan parquet".r.findAllIn(tools.ScanAudit.finalPlan(
+        SparkEntry.queries(name)(spark, sfDir))).size
     assert(scansOf("q_auc") == 1, "aucExact must stay single-scan")
     assert(scansOf("q_dsir") <= 3,
       "importanceWeights must not recompute a feature explosion")
