@@ -2712,7 +2712,6 @@ object SparkEntry {
     // over the merged n_chars domain, all-integer (cum*n cross products
     // over the common denominator), single-digit sources vs the rest
     "q_ks_drift" -> ((s, dir) => {
-      Graft.init(s) // fracBucket's sortable_f64 expression
       val docs = t(s, dir, "documents")
       graft.ops.Profile.ksStatistic(
         docs.where(length(col("source")) === 4),
@@ -3126,11 +3125,9 @@ object SparkEntry {
     // 16-bin equi-depth reference — all-integer rank arithmetic (the
     // interpolation-free quantile convention), so scorers with
     // arbitrary scales become comparable by rank
-    "q_quantile_normalize" -> ((s, dir) => {
-      Graft.init(s) // fracBucket's sortable_f64 expression
+    "q_quantile_normalize" -> ((s, dir) =>
       graft.ops.Profile.quantileNormalize(t(s, dir, "documents"),
-        "doc_id", "source", "n_chars", 16)
-    }),
+        "doc_id", "source", "n_chars", 16)),
 
     // ---- LLM: Luhn-validated card detection --------------------------
     // a 16-digit run planted per doc (validity falls out of the digits,

@@ -35,18 +35,19 @@ object Profile {
     * tree shape, so outputs are bit-identical to the single-partition
     * window they replace (the oracles pin them).
     *
-    * Mechanism — a 5-level distributed prefix scan on the key's high
-    * bits: bucket b0 = key >> 12 (arithmetic shift: sign-correct floor
+    * Mechanism — a 4-level distributed prefix scan on the key's high
+    * bits: bucket b0 = key >> 12 (arithmetic shift of either the long
+    * key or its [[fracBucket]] sortable-bits image: sign-correct floor
     * division, monotone in key, so each bucket is a contiguous key
     * range with ≤ 4096 distinct keys). A window partitioned by b0
     * computes within-bucket prefixes in parallel; bucket subtotals
-    * cascade through four more 12-bit shifts (b1..b4), each level again
-    * ≤ 4096 rows per partition group. Five shifts cover the full 62-bit
-    * range even for a [[fracBucket]] b0 (which SCALES UP by 4096), so
-    * the top table — one row per b4 — is hard-bounded at 2^14 rows by
-    * the LONG type itself and its pseudo-global window is scalar work
-    * at ANY data scale. Offsets broadcast back down the cascade as
-    * bucket-keyed equi-joins of geometrically shrinking tables.
+    * cascade through three more 12-bit shifts (b1..b3), each level
+    * again ≤ 4096 rows per partition group. Both bucketings emit b0 in
+    * ±2^51, so the top table — one row per b3 — is hard-bounded at
+    * 2^16 rows by the LONG type itself and its pseudo-global window is
+    * scalar work at ANY data scale. Offsets broadcast back down the
+    * cascade as bucket-keyed equi-joins of geometrically shrinking
+    * tables.
     *
     * The key is bucketed via `cast("long")` by default — exact for the
     * integral domains the quantized callers produce (cents units,
@@ -119,20 +120,16 @@ object Profile {
       shiftright(col("_b1"), 12), "_b2")
     val t3 = withPrefix(sums(t2, "_b2"), "_b2",
       shiftright(col("_b2"), 12), "_b3")
-    val t3b = withPrefix(sums(t3, "_b3"), "_b3",
-      shiftright(col("_b3"), 12), "_b4")
-    // top: ≤ 2^14 rows for ANY bucket0 — five 12-bit shifts cover the
-    // full 62-bit range a fracBucket b0 can occupy (fracBucket SCALES
-    // UP by 4096, so four shifts would leave a 2^26-row top table and
-    // quietly resurrect the single-task scan on adversarially wide
-    // double domains). A literal partition key would be folded away by
-    // the optimizer (back to an unpartitioned window), so partition by
-    // the SIGN bit — a real 2-value column — and stitch: every
-    // non-negative bucket's prefix additionally owes the negative
-    // half's total (negatives sort first). The stitch total is a 1-row
-    // broadcast aggregate, so no window anywhere is unpartitioned.
-    val t4cum = withPrefix(sums(t3b, "_b4"), "_b4",
-      shiftright(col("_b4"), 63), "_sg")
+    // top: ≤ 2^16 rows for any LONG-valued b0 (both bucketings shift
+    // the 64-bit key space right by 12 first, so four levels cover it).
+    // A literal partition key would be folded away by the optimizer
+    // (back to an unpartitioned window), so partition by the SIGN bit —
+    // a real 2-value column — and stitch: every non-negative bucket's
+    // prefix additionally owes the negative half's total (negatives
+    // sort first). The stitch total is a 1-row broadcast aggregate, so
+    // no window anywhere is unpartitioned.
+    val t4cum = withPrefix(sums(t3, "_b3"), "_b3",
+      shiftright(col("_b3"), 63), "_sg")
     val negAggs = measures.map(m =>
       coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
         .as(s"_nt_$m"))
@@ -145,10 +142,8 @@ object Profile {
     // side shrinks 4096x per level
     def offCols(suffix: String) =
       measures.map(m => (col(s"_c_$m") + col(s"_o_$m")).as(s"_o_$m$suffix"))
-    val off4 = t4.select(col("_b4") +:
+    val off3 = t4.select(col("_b3") +:
       measures.map(m => col(s"_c_$m").as(s"_o_$m")): _*)
-    val off3 = t3b.join(off4, Seq("_b4"))
-      .select(col("_b3") +: offCols(""): _*)
     val off2 = t3.join(off3, Seq("_b3"))
       .select(col("_b2") +: offCols(""): _*)
     val off1 = t2.join(off2, Seq("_b2"))
@@ -918,6 +913,7 @@ object Profile {
     * Magnitudes: cum ≤ n ≤ ~2^31 rows per side keeps cum·n and the
     * 1e6 scaling inside BIGINT. */
   def ksStatistic(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
+    graft.Graft.init(a.sparkSession) // fracBucket's sortable_f64 (idempotent)
     import org.apache.spark.sql.expressions.Window
     val counts = a.select(col(colName).as("v"), lit(1L).as("ca"),
         lit(0L).as("cb"))
@@ -970,6 +966,7 @@ object Profile {
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, b: Int = 16): DataFrame = {
     require(b >= 2, "quantileNormalize: need at least 2 bins")
+    graft.Graft.init(df.sparkSession) // fracBucket's sortable_f64 (idempotent)
     import org.apache.spark.sql.expressions.Window
     val dom = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
     // distributed prefix scan over the pooled value domain (see
