@@ -344,6 +344,19 @@ object Similarity {
     * found via band-keyed self-join then exact-cosine confirm. Pairs carry
     * only ids through the candidate shuffle; vectors re-attach by id.
     *
+    * SIZE THE BANDS TO THE CORPUS: candidate volume per band is
+    * Σ_buckets C(occupancy, 2) ≈ n²/2^rowsPerBand for near-uniform sign
+    * buckets, so at FIXED rowsPerBand candidates grow quadratically in
+    * n — measured on the sf1 scaling slice as a 5× last decade for 10×
+    * vectors (SCALING.md round-8 table). The defaults (8 bands × 8
+    * bits = 256 buckets/band) are sized for ~10⁴–10⁵ vectors; at n
+    * vectors pick rowsPerBand ≈ log2(n / targetBucketOccupancy) and
+    * recover the recall the extra bits cost by raising `bands` (recall
+    * = 1-(1-p^r)^b with p the per-bit agreement probability; bands cost
+    * linearly, occupancy falls exponentially in r). Exact duplicates
+    * share every band at ANY granularity, so planted-copy semantics
+    * (and the oracle) are parameter-independent.
+    *
     * `dim` defaults to -1 = infer from the first non-null vector (one
     * 1-row driver lookup — a scalar, like the ANN probe fetch). Vectors
     * that don't match the resolved dimension fail fast in [[bandKeys]]

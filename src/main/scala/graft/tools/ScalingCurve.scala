@@ -23,7 +23,9 @@ object ScalingCurve {
     * (10x sf0.1 via MakeSf1) — a full 1000x data span. Run:
     * `runMain graft.tools.ScalingCurve heavy1000x /tmp/graft_sf1` */
   private val heavy = Seq("q_minhash_lsh", "q_repeated_spans", "q_bm25",
-    "q_rrf_hybrid", "q_decontam_fuzzy", "q_leakage_split")
+    "q_rrf_hybrid", "q_decontam_fuzzy", "q_leakage_split",
+    // round-8 widening: the next tier of corpus/embedding families
+    "q_semantic_dedup", "q_jaccard_pairs05", "q_dedup_lines", "q_tfidf")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
