@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, functions}
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -27,15 +26,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *
   * (Extension surface — the reference engine has no numeric functions;
   * reference: src/logical_plan/logical_expr.rs:137-143.) */
-case class SortableF64(child: Expression) extends UnaryExpression {
+case class SortableF64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "sortable_f64"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case DoubleType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"sortable_f64 requires double, got ${t.catalogString}")
-  }
+  // ImplicitCastInputTypes (not a hard checkInputDataTypes): SQL callers
+  // hand this ints, floats and DECIMAL literals — `sortable_f64(0.5)`
+  // types as DECIMAL(1,1) under Spark's literal rules — and all of them
+  // should coerce to double exactly like the built-in double functions
+  // do, instead of a hard TypeCheckFailure (ADVICE r8). (Return type
+  // narrowed to Seq[DataType] — AbstractDataType is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
   override def nullSafeEval(input: Any): Any =
     SortableF64.compute(input.asInstanceOf[Double])

@@ -300,7 +300,15 @@ object Layout {
     * checkpoint first; the digest algebra itself is retry-stable by
     * construction. Returns the manifest (also written
     * as `_manifest.tsv` next to the shards — underscore-prefixed so
-    * parquet readers of the directory skip it, like _SUCCESS). */
+    * parquet readers of the directory skip it, like _SUCCESS).
+    *
+    * FORMAT NOTE (v2, round 8): the manifest columns changed from
+    * (shard, n_rows, rows_digest) to (shard, n_rows, digest_hi,
+    * digest_lo) — the two-limb split below is what keeps the sums
+    * exact in int64 at 100 TB shard sizes. The TSV carries its header
+    * line precisely so consumers can key on column NAMES, not
+    * positions; a reader that checks the header sees the break
+    * loudly instead of silently mis-parsing (ADVICE r8). */
   def exportShards(df: DataFrame, path: String, keyCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be positive")

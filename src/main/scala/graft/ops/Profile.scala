@@ -74,10 +74,21 @@ object Profile {
       graft.functions.NumericExprs.sortableF64(key.cast("double")),
       lit(Long.MinValue)), 12)
 
+  /** `groupCols` (round 9) turns the cascade into its grouped twin:
+    * every window partitions on (group, bucket), every subtotal
+    * aggregates on (group, bucket), every offset join carries the
+    * group — so per-task work stays ≤ 4096 keys PER GROUP and the
+    * "one giant group" skew case (a single source holding most of a
+    * 100 TB corpus) never funnels through one task the way a plain
+    * `Window.partitionBy(group).orderBy(key)` does. With groups the
+    * stitch total and `tot_m` become per-group equi-joins on the
+    * group key instead of 1-row broadcasts. */
   private[graft] def domainPrefix(dom: DataFrame, keyCol: String,
-      measures: Seq[String], bucket0: Option[Column] = None): DataFrame = {
+      measures: Seq[String], bucket0: Option[Column] = None,
+      groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(measures.nonEmpty, "domainPrefix: need at least one measure")
+    val g = groupCols.map(col)
     def excl(w: org.apache.spark.sql.expressions.WindowSpec,
         m: Column): Column =
       coalesce(sum(m).over(
@@ -94,22 +105,22 @@ object Profile {
     val lvl0 = dom.withColumn("_b0", bucket0.getOrElse(
       shiftright(coalesce(col(keyCol).cast("long"),
         lit(Long.MinValue)), 12)))
-    val w0 = Window.partitionBy(col("_b0")).orderBy(col(keyCol))
+    val w0 = Window.partitionBy(g :+ col("_b0"): _*).orderBy(col(keyCol))
     val local = measures.foldLeft(lvl0) { (d, m) =>
       d.withColumn(s"_c_$m", excl(w0, col(m)))
     }
-    // subtotal cascade: tK holds one row per bucket at that level with
-    // the bucket's measure sums (_s_m) and the within-parent exclusive
-    // prefix of those sums (_c_m)
+    // subtotal cascade: tK holds one row per (group, bucket) at that
+    // level with the bucket's measure sums (_s_m) and the within-parent
+    // exclusive prefix of those sums (_c_m)
     def sums(d: DataFrame, by: String): DataFrame = {
       val aggs = measures.map(m => sum(col(if (d.columns.contains(s"_s_$m"))
         s"_s_$m" else m)).as(s"_s_$m"))
-      d.groupBy(col(by)).agg(aggs.head, aggs.tail: _*)
+      d.groupBy(g :+ col(by): _*).agg(aggs.head, aggs.tail: _*)
     }
     def withPrefix(t: DataFrame, b: String, parent: Column,
         pName: String): DataFrame = {
       val tt = t.withColumn(pName, parent)
-      val w = Window.partitionBy(col(pName)).orderBy(col(b))
+      val w = Window.partitionBy(g :+ col(pName): _*).orderBy(col(b))
       measures.foldLeft(tt) { (d, m) =>
         d.withColumn(s"_c_$m", excl(w, col(s"_s_$m")))
       }
@@ -120,21 +131,24 @@ object Profile {
       shiftright(col("_b1"), 12), "_b2")
     val t3 = withPrefix(sums(t2, "_b2"), "_b2",
       shiftright(col("_b2"), 12), "_b3")
-    // top: ≤ 2^16 rows for any LONG-valued b0 (both bucketings shift
-    // the 64-bit key space right by 12 first, so four levels cover it).
-    // A literal partition key would be folded away by the optimizer
-    // (back to an unpartitioned window), so partition by the SIGN bit —
-    // a real 2-value column — and stitch: every non-negative bucket's
-    // prefix additionally owes the negative half's total (negatives
-    // sort first). The stitch total is a 1-row broadcast aggregate, so
-    // no window anywhere is unpartitioned.
+    // top: ≤ 2^16 rows per group for any LONG-valued b0 (both
+    // bucketings shift the 64-bit key space right by 12 first, so four
+    // levels cover it). A literal partition key would be folded away by
+    // the optimizer (back to an unpartitioned window), so partition by
+    // the SIGN bit — a real 2-value column — and stitch: every
+    // non-negative bucket's prefix additionally owes the negative
+    // half's total (negatives sort first). The stitch total is a 1-row
+    // broadcast aggregate (per-group equi-join when grouped), so no
+    // window anywhere is unpartitioned.
     val t4cum = withPrefix(sums(t3, "_b3"), "_b3",
       shiftright(col("_b3"), 63), "_sg")
     val negAggs = measures.map(m =>
       coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
         .as(s"_nt_$m"))
-    val negTot = t4cum.agg(negAggs.head, negAggs.tail: _*)
-    val t4 = t4cum.crossJoin(broadcast(negTot))
+    val t4 = (if (groupCols.isEmpty)
+        t4cum.crossJoin(broadcast(t4cum.agg(negAggs.head, negAggs.tail: _*)))
+      else t4cum.join(
+        t4cum.groupBy(g: _*).agg(negAggs.head, negAggs.tail: _*), groupCols))
       .withColumns(measures.map(m => s"_c_$m" ->
         when(col("_sg") === 0L, col(s"_c_$m") + col(s"_nt_$m"))
           .otherwise(col(s"_c_$m"))).toMap)
@@ -142,25 +156,29 @@ object Profile {
     // side shrinks 4096x per level
     def offCols(suffix: String) =
       measures.map(m => (col(s"_c_$m") + col(s"_o_$m")).as(s"_o_$m$suffix"))
-    val off3 = t4.select(col("_b3") +:
-      measures.map(m => col(s"_c_$m").as(s"_o_$m")): _*)
-    val off2 = t3.join(off3, Seq("_b3"))
-      .select(col("_b2") +: offCols(""): _*)
-    val off1 = t2.join(off2, Seq("_b2"))
-      .select(col("_b1") +: offCols(""): _*)
-    val off0 = t1.join(off1, Seq("_b1"))
-      .select(col("_b0") +: offCols(""): _*)
+    val off3 = t4.select(g ++ (col("_b3") +:
+      measures.map(m => col(s"_c_$m").as(s"_o_$m"))): _*)
+    val off2 = t3.join(off3, groupCols :+ "_b3")
+      .select(g ++ (col("_b2") +: offCols("")): _*)
+    val off1 = t2.join(off2, groupCols :+ "_b2")
+      .select(g ++ (col("_b1") +: offCols("")): _*)
+    val off0 = t1.join(off1, groupCols :+ "_b1")
+      .select(g ++ (col("_b0") +: offCols("")): _*)
     // totals from t4cum, NOT t4: t4 carries the negTot crossJoin, and a
     // totals aggregate over it keeps a column-pruned copy of that 1-row
     // build side — which collapses to an empty aggregate over the RAW
     // scan and costs a whole second corpus pass (measured)
     val totAggs = measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
-    val totals = t4cum.agg(totAggs.head, totAggs.tail: _*)
-    local.join(off0, Seq("_b0"))
+    val joined = local.join(off0, groupCols :+ "_b0")
       .withColumns(measures.map(m => s"cum_$m" -> (col(s"_c_$m") +
         col(s"_o_$m"))).toMap)
-      .crossJoin(broadcast(totals))
-      .drop("_b0" +: measures.flatMap(m => Seq(s"_c_$m", s"_o_$m")): _*)
+    val withTot = if (groupCols.isEmpty)
+      joined.crossJoin(broadcast(t4cum.agg(totAggs.head, totAggs.tail: _*)))
+    else
+      joined.join(t4cum.groupBy(g: _*).agg(totAggs.head, totAggs.tail: _*),
+        groupCols)
+    withTot.drop("_b0" +: measures.flatMap(m =>
+      Seq(s"_c_$m", s"_o_$m")): _*)
   }
 
   /** @param cols columns to profile (default: all)

@@ -340,6 +340,34 @@ object Similarity {
     Ivf.probe(model, query, k, nProbe)
   }
 
+  /** The self-sizing rule, pure and unit-testable: given the corpus
+    * size, the rows-per-band that holds mean sign-bucket occupancy at
+    * ~0.5 (`ceil(log2(2n))`, clamped to [8, 30] — 8 is the legacy
+    * fixed default, 2^30 buckets/band is past any single band's useful
+    * resolution), and bands raised to match so band-level recall is
+    * repurchased linearly. Measured on the sf1 slice (20k clustered
+    * vectors): rule picks (16, 16) = the config that ran 4× faster
+    * than the fixed (8, 8) default at identical planted recall
+    * (SCALING.md sizing table). */
+  private[graft] def autoGranularity(n: Long, bands: Int): (Int, Int) = {
+    val r = math.min(30, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(2 * n - 1, 1L))))
+    (math.max(bands, r), r)
+  }
+
+  /** `rowsPerBand == -1` ⇒ apply [[autoGranularity]] off one corpus
+    * `count()` (scalar job); anything else passes through untouched —
+    * the explicit-parameter path runs zero extra jobs. */
+  private def resolveGranularity(base: DataFrame, bands: Int,
+      rowsPerBand: Int): (Int, Int) =
+    if (rowsPerBand == -1) autoGranularity(base.count(), bands)
+    else {
+      require(bands > 0 && rowsPerBand > 0,
+        s"bands/rowsPerBand must be positive (or rowsPerBand = -1 for " +
+          s"self-sizing), got ($bands, $rowsPerBand)")
+      (bands, rowsPerBand)
+    }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold,
     * found via band-keyed self-join then exact-cosine confirm. Pairs carry
     * only ids through the candidate shuffle; vectors re-attach by id.
@@ -357,6 +385,19 @@ object Similarity {
     * share every band at ANY granularity, so planted-copy semantics
     * (and the oracle) are parameter-independent.
     *
+    * SELF-SIZING (round 9): pass `rowsPerBand = -1` and the sizing rule
+    * above applies ITSELF — one corpus `count()` (a scalar job, the
+    * same cost class as the dim inference) resolves
+    * `r = clamp(ceil(log2(2n)), 8, 30)` (target mean occupancy 0.5 —
+    * the margin real label-CLUSTERED corpora need, where skewed sign
+    * buckets make the uniform n²/2^r estimate undercount hot buckets;
+    * measured in SCALING.md's sizing table) and `bands = max(bands, r)`
+    * so band-level recall is bought back linearly as r grows. At 100 TB
+    * this turns the one measured super-linear growth curve into a
+    * self-correcting near-linear one without the caller reading
+    * SCALING.md first. Explicit parameters are untouched — the
+    * oracle-pinned fixed-granularity path stays byte-identical.
+    *
     * `dim` defaults to -1 = infer from the first non-null vector (one
     * 1-row driver lookup — a scalar, like the ANN probe fetch). Vectors
     * that don't match the resolved dimension fail fast in [[bandKeys]]
@@ -370,14 +411,15 @@ object Similarity {
         .head(1).headOption.map(_.getInt(0)).getOrElse(
           throw new IllegalArgumentException(
             s"cosineNearDups: no non-null $vecCol to infer dimension from"))
-    val planes = hyperplanes(bands * rowsPerBand, d, seed)
     // NULL embeddings are excluded up front (same reasoning as the dim
     // inference above): they can't be near anything, and bandKeys
     // fail-fasts on NULL dots by design
     val base = emb.where(col(vecCol).isNotNull)
       .select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
+    val (b, r) = resolveGranularity(base, bands, rowsPerBand)
+    val planes = hyperplanes(b * r, d, seed)
     val keyed = base.select(col("id"),
-      explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
+      explode(bandKeys(col("v"), planes, b, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = keyed.as("a").join(keyed.as("b"), Seq("band", "key"))
       .where(col("a.id") < col("b.id"))
@@ -413,11 +455,12 @@ object Similarity {
         .head(1).headOption.map(_.getInt(0)).getOrElse(
           throw new IllegalArgumentException(
             s"knnJoin: no non-null $vecCol to infer dimension from"))
-    val planes = hyperplanes(bands * rowsPerBand, d, seed)
     val base = emb.where(col(vecCol).isNotNull)
       .select(Dedup.longId(emb, idCol).as("id"), col(vecCol).as("v"))
+    val (b, r) = resolveGranularity(base, bands, rowsPerBand)
+    val planes = hyperplanes(b * r, d, seed)
     val keyed = base.select(col("id"),
-      explode(bandKeys(col("v"), planes, bands, rowsPerBand)).as("bk"))
+      explode(bandKeys(col("v"), planes, b, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = keyed.as("a").join(keyed.as("b"), Seq("band", "key"))
       .where(col("a.id") =!= col("b.id"))
@@ -449,7 +492,12 @@ object Similarity {
     * broadcast-able anti join on the dropped-id set (at 100 TB the
     * dropped set is a fraction of the corpus and shuffles only ids).
     * Rows with NULL embeddings survive by definition (near nothing).
-    * Returns the surviving rows with their original columns. */
+    * Returns the surviving rows with their original columns.
+    *
+    * `rowsPerBand = -1` opts into the corpus-sized LSH granularity
+    * ([[autoGranularity]] via [[cosineNearDups]]) — the right call for
+    * any corpus past ~10⁵ vectors, where the fixed default's candidate
+    * volume grows quadratically. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, bands: Int = 8, rowsPerBand: Int = 8,
       dim: Int = -1, seed: Long = 42L): DataFrame = {

@@ -149,6 +149,12 @@ class FreqSpec extends SparkSpec {
     val na = Freq.cmsSketch(a, "v", 4, 2)
     val nb = Freq.cmsSketch(b, "v", 4, 2)
     assert(Freq.cmsJoinSize(na, nb).collect().head.getLong(0) >= 5L)
+    // EMPTY sketch side: min over zero rows is NULL, and least() skips
+    // NULLs — without the coalesce the saturation clamp turned "no rows
+    // at all" into Long.MaxValue (ADVICE r8); the true size is 0
+    val se = Freq.cmsSketch(a.where(lit(false)), "v", 1024, 4)
+    assert(Freq.cmsJoinSize(se, sb).collect().head.getLong(0) == 0L)
+    assert(Freq.cmsJoinSize(sa, se).collect().head.getLong(0) == 0L)
   }
 
   test("count-min sketch: collisions overestimate but never underestimate") {

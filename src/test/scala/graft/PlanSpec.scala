@@ -422,7 +422,11 @@ class PlanSpec extends SparkSpec {
               if w.partitionSpec.isEmpty => w
         }.size
     Seq("q_histogram_eqdepth", "q_quantile_bins", "q_auc", "q_ks_drift",
-        "q_quantile_normalize", "q_decile_lift").foreach { n =>
+        "q_quantile_normalize", "q_decile_lift",
+        // round 9: heapsFit rides the cascade too — its cumulative
+        // window was the last DATA-proportional (doc-count-sized)
+        // single-partition window in the repo (VERDICT r8)
+        "q_heaps_fit", "q_heaps_by_source").foreach { n =>
       assert(unpartitionedWindows(n) == 0,
         s"$n: unpartitioned window crept back")
     }

@@ -563,4 +563,28 @@ class ProfileSpec extends SparkSpec {
       .distinct().count()
     assert(nBuckets > 10, s"fractional domain collapsed to $nBuckets buckets")
   }
+
+  test("domainPrefix groupCols: per-group exact prefixes, groups independent") {
+    import spark.implicits._
+    // three groups with interleaved, deliberately overlapping key spaces
+    // (including keys spanning multiple 4096-buckets and negatives) —
+    // each group's prefix must see ONLY its own rows
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      gi <- 0 until 3
+      k <- Seq.fill(120)(rnd.nextInt(40000) - 20000L).distinct
+    } yield (s"g$gi", k, (k % 5 + 5) % 5 + 1L)
+    val got = Profile.domainPrefix(rows.toDF("src", "u", "n"), "u",
+        Seq("n"), groupCols = Seq("src"))
+      .select(col("src"), col("u"), col("cum_n"), col("tot_n"))
+      .as[(String, Long, Long, Long)].collect()
+    val byGroup = rows.groupBy(_._1)
+    got.foreach { case (src, k, c, t) =>
+      val grp = byGroup(src).sortBy(_._2)
+      val exp = grp.takeWhile(_._2 < k).map(_._3).sum
+      assert(c == exp, s"group $src key $k: got $c expected $exp")
+      assert(t == grp.map(_._3).sum, s"group $src total")
+    }
+    assert(got.length == rows.length)
+  }
 }

@@ -302,4 +302,45 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()
     assert(got.map(_._1).toSeq == Seq(0L))
   }
+
+  test("autoGranularity applies the measured sizing rule") {
+    // ceil(log2(2n)) clamped to [8, 30], bands raised to match r
+    assert(Similarity.autoGranularity(0L, 8) == (8, 8))
+    assert(Similarity.autoGranularity(100L, 8) == (8, 8))       // small: floor
+    assert(Similarity.autoGranularity(200L, 8) == (9, 9))       // 2n=400 -> 9
+    assert(Similarity.autoGranularity(20050L, 8) == (16, 16))   // the measured
+      // sf1-slice config: rule reproduces SCALING.md's 4x-faster (16,16)
+    assert(Similarity.autoGranularity(1000000L, 8) == (21, 21))
+    assert(Similarity.autoGranularity(Long.MaxValue / 4, 8) == (30, 30)) // cap
+    // caller-raised bands are never lowered
+    assert(Similarity.autoGranularity(100L, 12) == (12, 8))
+    // monotone: more data never coarsens the buckets
+    val rs = Seq(1L, 1000L, 100000L, 10000000L)
+      .map(n => Similarity.autoGranularity(n, 8)._2)
+    assert(rs == rs.sorted)
+  }
+
+  test("self-sized LSH (rowsPerBand = -1) finds the planted dups like the fixed path") {
+    // exact-direction copies share every band at ANY granularity, so the
+    // planted answer is sizing-independent — the property that lets the
+    // auto path share the fixed path's oracle
+    val auto = Similarity.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.99, rowsPerBand = -1, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.contains((0L, 1L)) && auto.contains((0L, 2L)))
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.99, rowsPerBand = -1, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == (Set(0L) ++ (3L until 40L)))
+    // knnJoin honors it too: each planted copy's nearest is its original
+    val nn = Similarity.knnJoin(emb, "vec_id", "embedding", k = 1,
+        rowsPerBand = -1, dim = 8)
+      .where(col("qid") === 1L).select("nid").as[Long].collect()
+    assert(nn.toSeq == Seq(0L))
+    // explicit nonsense still fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.99,
+        bands = 0, rowsPerBand = 4, dim = 8).collect()
+    }
+  }
 }
