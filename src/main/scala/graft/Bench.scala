@@ -69,7 +69,12 @@ object Bench {
     // 200x explode + exact integer sums), the mergeable-HLL distinct
     // estimate, and the leakage-free split (iterative near-dup
     // clustering + cluster-keyed bucketing)
-    "q_bootstrap_ci", "q_hll_distinct", "q_leakage_split")
+    "q_bootstrap_ci", "q_hll_distinct", "q_leakage_split",
+    // round 9: the distributed CDF prefix cascade (Profile.domainPrefix,
+    // the r8 rewrite that removed the single-partition windows) gets a
+    // headline entry so a cost regression in the cascade shows up in
+    // BENCH_r{N}.json instead of being invisible (VERDICT r8 ask #5)
+    "q_histogram_eqdepth")
 
   /** Untimed JVM warm-up, shared with BenchOne. The cheap generic costs
     * (codegen infra, parquet footers) were always warmed; the string- and
@@ -82,7 +87,15 @@ object Bench {
   def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // best-effort, per-table: a missing fixture (purely relational
+    // bench dirs) or a bug in the warmed text stack must degrade to a
+    // cold first query, never abort the whole bench run (ADVICE r8)
+    def tryWarm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup($label) skipped: ${e.getMessage}") }
+    tryWarm("lineitem") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
+    tryWarm("text-pipeline") {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     // 2000 x ~400-byte rows: enough iterations of the per-record codec
     // and per-char extractor loops to reach tiered JIT, still < 1 s
@@ -109,6 +122,7 @@ object Bench {
         "doc_id", "body").count()
       graft.ops.TextOps.spanCorrupt(tiny, "doc_id", "text",
         maskPermille = 150).count()
+    }
     }
   }
 
@@ -280,7 +294,16 @@ object Bench {
     // compact line exists to fix
     def sec(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = all.map(e => "\"" + e.name + "\":" + sec(e.med))
+    // per-query [median, min] (VERDICT r8 ask #3): min is the
+    // contention detector — a contended run shows med >> min while a
+    // real plan regression is tight-and-slow (med ≈ min, both high) —
+    // so the driver artifact self-adjudicates without a judge re-run.
+    // Arrays, not {"med":..,"min":..} objects: objects cost ~28 bytes
+    // per entry and push the ~50-entry line past the driver's 2000-byte
+    // tail capture (the r7 parsed:null failure mode); the "q_fmt" field
+    // documents the element order in-band.
+    val qs = all.map(e => "\"" + e.name + "\":[" + sec(e.med) + "," +
+        sec(if (e.ok) e.samples.min else -1.0) + "]")
       .mkString("{", ",", "}")
     val failed = all.collect { case e if !e.ok => "\"" + e.name + "\"" }
     val total = all.filter(_.ok).map(_.med).sum
@@ -301,7 +324,8 @@ object Bench {
     // the full ~50-entry line under 2 KB; the per-run samples/stats go
     // to a separate file (committed per round as BENCH_STATS_r{N}.json).
     val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
-      s""""queries":$qs,"failed":[${failed.mkString(",")}],""" +
+      s""""q_fmt":"[med_s,min_s]","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],""" +
       s""""runs":$runs,"sf":"$sfDir"}"""
     val statsFull =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +

@@ -2856,6 +2856,28 @@ object SparkEntry {
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 1.0)
     }),
 
+    // ---- LLM: fuzzy decontamination off a PERSISTED signature index ---
+    // the standing-corpus shape (VERDICT r8 ask #7): the corpus
+    // signatures are built ONCE (Dedup.saveSignatureIndex, temp dir —
+    // the q_ann_ivf convention) and the probe never re-reads corpus
+    // text; the planted oracle is q_decontam_fuzzy's, id-for-id, since
+    // the index path computes the identical signatures
+    "q_decontam_fuzzy_indexed" -> ((s, dir) => {
+      Graft.init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20).unionByName(
+        evalSet.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sigidx-q").toString
+      graft.ops.Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4)
+      TextOps.fuzzyContaminatedIdsIndexed(s, tmp, evalSet, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 1.0)
+    }),
+
     // ---- LLM: corpus data card (per-source release manifest) ----------
     // the summary table a corpus release ships with: per source, doc and
     // token counts, char volume, dominant language (deterministic
@@ -7480,6 +7502,12 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // shingle sets → every band matches and Jaccard is exactly 1
     "q_decontam_fuzzy" ->
       """SELECT doc_id + 100000 AS doc_id, doc_id AS matched_eval_id,
+        |  CAST(1000000 AS BIGINT) AS jaccard_micros
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    // identical planted truth through the persisted-index probe path
+    "q_decontam_fuzzy_indexed" ->
+      """SELECT doc_id + 100000 AS corpus_id, doc_id AS matched_eval_id,
         |  CAST(1000000 AS BIGINT) AS jaccard_micros
         |FROM documents WHERE doc_id < 20""".stripMargin,
 

@@ -55,10 +55,39 @@ object MakeSf1 {
     emb1.repartition(4).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
-    // the light relational tables ride along untouched so any query in
-    // the curve set can run against the sf1 dir
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events").foreach { t =>
+    // Relational side (round 9): scale the TPC-H facts AND their
+    // per-SF dimensions 10x the way the spec itself scales them —
+    // customer/supplier/part/orders/lineitem grow with SF, only
+    // nation/region stay fixed. Each replica shifts every key by
+    // rep*10^7 IN LOCKSTEP (orderkey with its lineitems, custkey with
+    // its orders, part/supp refs with their lines), so every join
+    // edge stays within one replica: per-key fan-outs are preserved
+    // exactly and join output grows exactly 10x — replicating facts
+    // against FIXED dimensions would instead grow per-key join groups
+    // 10x, a shuffle profile real SF growth doesn't have. Dates,
+    // flags and prices are untouched, so filter selectivities (q9's
+    // p_name pattern, q21's F flag) hold per replica.
+    val shift = lit(10000000L)
+    def rep10(t: String, keys: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = keys.foldLeft(df.crossJoin(reps)) { (d, k) =>
+        d.withColumn(k, col(k) + col("rep") * shift)
+      }.drop("rep")
+      scaled.repartition(8).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    rep10("customer", Seq("c_custkey"))
+    rep10("supplier", Seq("s_suppkey"))
+    rep10("part", Seq("p_partkey"))
+    rep10("orders", Seq("o_orderkey", "o_custkey"))
+    rep10("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // events: more USERS over the same time window (shift user/event
+    // ids, keep ts) — sessions-per-user and windows-per-user stay
+    // fixed while user count grows, which is how event volume actually
+    // scales; densifying the same users 10x would instead blow up the
+    // per-user window state, a shape real growth doesn't have
+    rep10("events", Seq("event_id", "user_id"))
+    Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

@@ -25,7 +25,14 @@ object ScalingCurve {
   private val heavy = Seq("q_minhash_lsh", "q_repeated_spans", "q_bm25",
     "q_rrf_hybrid", "q_decontam_fuzzy", "q_leakage_split",
     // round-8 widening: the next tier of corpus/embedding families
-    "q_semantic_dedup", "q_jaccard_pairs05", "q_dedup_lines", "q_tfidf")
+    "q_semantic_dedup", "q_jaccard_pairs05", "q_dedup_lines", "q_tfidf",
+    // round-9 widening (VERDICT r8 ask #4): the RELATIONAL families —
+    // MakeSf1 now scales the TPC-H facts + per-SF dimensions and the
+    // events stream 10x with replica-local keys, so the heaviest
+    // join/window/sessionize shapes get measured sf0.001->sf1 instead
+    // of arguing their last decade from plan shapes
+    "q_tpch_q9", "q_tpch_q18", "q_tpch_q21", "q_window", "q_sessionize",
+    "q_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
