@@ -3897,6 +3897,26 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // ---- LLM: semantic dedup, SELF-SIZED LSH granularity --------------
+    // the same planted corpus through rowsPerBand = -1 (round 9): one
+    // corpus count() picks r = ceil(log2(2n)) and bands = r. The
+    // survivor set is granularity-INDEPENDENT (exact copies share every
+    // band at any r; no organic pair reaches 0.9), so this shares
+    // q_semantic_dedup's closed-form oracle — what it adds is coverage
+    // of the auto path end-to-end, and a scaling-curve row that stays
+    // near-linear where the fixed default grows ~9x per decade
+    "q_semantic_dedup_auto" -> ((s, dir) => {
+      Graft.init(s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      Similarity.semanticDedup(emb.unionByName(planted), "vec_id",
+          "embedding", threshold = 0.9, rowsPerBand = -1)
+        .select(col("vec_id"))
+    }),
+
     // ---- LLM: ANN recall harness (self-evaluating) --------------------
     // 10 exact copies of the probe planted at ids >= 100000: the exact
     // top-10 is the probe + 9 copies at cosine 1.0, every copy shares
@@ -8857,6 +8877,10 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     // planted copy (id >= 100000) is dropped against its original, no
     // organic row has a neighbor above 0.9 — survivors = the corpus
     "q_semantic_dedup" ->
+      """SELECT vec_id FROM embeddings""".stripMargin,
+
+    // granularity-independent planted truth (see the query comment)
+    "q_semantic_dedup_auto" ->
       """SELECT vec_id FROM embeddings""".stripMargin,
 
     // closed-form recall (see the query comment): both indexes find the

@@ -26,6 +26,10 @@ object ScalingCurve {
     "q_rrf_hybrid", "q_decontam_fuzzy", "q_leakage_split",
     // round-8 widening: the next tier of corpus/embedding families
     "q_semantic_dedup", "q_jaccard_pairs05", "q_dedup_lines", "q_tfidf",
+    // round 9: the self-sized LSH path next to the fixed default — the
+    // pair of rows that shows the sizing rule correcting the one
+    // super-linear family
+    "q_semantic_dedup_auto",
     // round-9 widening (VERDICT r8 ask #4): the RELATIONAL families —
     // MakeSf1 now scales the TPC-H facts + per-SF dimensions and the
     // events stream 10x with replica-local keys, so the heaviest

@@ -393,6 +393,15 @@ class DedupSpec extends SparkSpec {
     assert(inc.map(p => (p._1, p._2)) == Set((101L, 1L)))
     // the novel batch doc matches nothing; index files were not rewritten
     assert(!inc.exists(_._1 == 102L))
+    // plan golden (VERDICT r8 ask #7): the batch is a LOCAL frame, so
+    // every file scan in the probe's final plan must be the persisted
+    // signature index — the standing corpus's text is never re-read
+    val fin = graft.tools.ScanAudit.finalPlan(
+      Dedup.incrementalNearDups(batch, tmp, "doc_id", "text",
+        threshold = 0.5))
+    assert("FileScan parquet".r.findAllIn(fin).nonEmpty, fin)
+    assert(fin.contains("graft-sigidx"),
+      s"probe plan does not read the signature index:\n$fin")
   }
   test("provenance keeps every source an exact-dup group arrived under") {
     import graft.ops.Dedup
