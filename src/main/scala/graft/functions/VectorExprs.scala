@@ -1,11 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, functions}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for embedding math over `array<float>`
   * columns (the `embeddings.embedding` column, FIXTURES.md §2).
@@ -116,6 +118,126 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     copy(left = l, right = r)
 }
 
+/** Fused sign-LSH band keys: ALL bands·rowsPerBand hyperplane sign bits
+  * of one vector in a single evaluation — the per-row candidate-
+  * generation primitive of cosineNearDups / knnJoin / semanticDedup /
+  * lshTopK. Output: array<struct<band:int, key:long>> (band b's key
+  * packs bits [b·r, (b+1)·r)), bit-identical to the expression tree it
+  * replaces (same double accumulation, same i-ascending sum order, same
+  * `> 0` sign rule — IEEE multiply is commutative, so plane·vec ==
+  * vec·plane exactly).
+  *
+  * Why fused (round 9): the previous formulation built bands·r SEPARATE
+  * dot expressions — 64 at the (8, 8) default, but the self-sizing path
+  * (`rowsPerBand = -1`) grows plane count as log²(n): 256 at the sf1
+  * slice, 900 at the r = 30 cap. At that size the expression tree risks
+  * Janino's 64 KB method limit (whole-stage codegen silently falls back
+  * to interpreted eval — a 10× slowdown exactly on the 100 TB path that
+  * needed the finer granularity), and each dot re-reads the vector with
+  * per-element null checks. One static JIT-compiled loop has none of
+  * those cliffs and one vector read per row.
+  *
+  * FAIL-FAST contract (unchanged from the tree it replaces): a NULL
+  * vector or a length != the hyperplane dim THROWS — a silent NULL/zero
+  * key would give every bad row the SAME bucket and quietly degenerate
+  * the keyed self-join into an N² bucket. Callers filter NULLs first.
+  *
+  * The planes ride as a foldable array<array<float>> literal child, so
+  * two identical banding subtrees stay semantically equal and AQE's
+  * ReusedExchange keeps materializing the bucket table once. */
+case class SignBandKeys(vec: Expression, planesLit: Expression,
+    bands: Int, rowsPerBand: Int) extends Expression {
+  override def children: Seq[Expression] = Seq(vec, planesLit)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sign_band_keys"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType,
+      planesLit.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _))
+        if planesLit.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, foldable array<array<float>>), " +
+        s"got (${vec.dataType.catalogString}, ${planesLit.dataType.catalogString})")
+  }
+
+  // decoded once per task from the literal child; dim from plane 0
+  @transient private lazy val flatPlanes: Array[Float] = {
+    val arr = planesLit.eval(null).asInstanceOf[ArrayData]
+    val nPlanes = arr.numElements()
+    require(nPlanes == bands * rowsPerBand,
+      s"$prettyName: ${nPlanes} planes != $bands bands * $rowsPerBand rows")
+    val d = arr.getArray(0).numElements()
+    val flat = new Array[Float](nPlanes * d)
+    var p = 0
+    while (p < nPlanes) {
+      val pl = arr.getArray(p)
+      require(pl.numElements() == d, s"$prettyName: ragged plane matrix")
+      var i = 0
+      while (i < d) { flat(p * d + i) = pl.getFloat(i); i += 1 }
+      p += 1
+    }
+    flat
+  }
+  @transient private lazy val dim: Int = flatPlanes.length / (bands * rowsPerBand)
+
+  override def eval(input: InternalRow): Any =
+    SignBandKeys.compute(vec.eval(input).asInstanceOf[ArrayData],
+      flatPlanes, dim, bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("lshPlanes", flatPlanes, "float[]")
+    val vecCode = vec.genCode(ctx)
+    val resultCode =
+      code"""
+         |${vecCode.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.SignBandKeys.compute(
+         |    ${vecCode.isNull} ? null : ${vecCode.value},
+         |    $pl, $dim, $bands, $rowsPerBand);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SignBandKeys =
+    copy(vec = newChildren(0), planesLit = newChildren(1))
+}
+
+object SignBandKeys {
+  /** Static entry point shared by interpreted eval and generated code —
+    * the whole banding inner loop, JIT-compiled once, immune to the
+    * generated-method size limit. */
+  def compute(vec: ArrayData, planes: Array[Float], dim: Int,
+      bands: Int, rowsPerBand: Int): ArrayData = {
+    if (vec == null || vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft LSH: vector dimension != $dim (hyperplane dim); got length " +
+          (if (vec == null) "NULL" else vec.numElements().toString))
+    val keys = new Array[Long](bands)
+    val total = bands * rowsPerBand
+    var p = 0
+    while (p < total) {
+      var s = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < dim) {
+        s += planes(off + i).toDouble * vec.getFloat(i).toDouble
+        i += 1
+      }
+      if (s > 0) keys(p / rowsPerBand) |= 1L << (p % rowsPerBand)
+      p += 1
+    }
+    val rows = new Array[Any](bands)
+    var b = 0
+    while (b < bands) { rows(b) = InternalRow(b, keys(b)); b += 1 }
+    new GenericArrayData(rows)
+  }
+}
+
 /** Registration + Column-level wrappers. Registration is per-session and
   * idempotent; wrappers use `call_function`, so they resolve against the
   * active session's registry at analysis time. Requires a CLASSIC
@@ -130,10 +252,24 @@ object VectorExprs {
       es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sign_band_keys", es => {
+      def asInt(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case _ => throw new IllegalArgumentException(
+          s"sign_band_keys: $name must be an INT literal, got $e")
+      }
+      SignBandKeys(es(0), es(1), asInt(es(2), "bands"),
+        asInt(es(3), "rowsPerBand"))
+    }, "built-in")
   }
 
   /** Requires [[register]] to have been called on the active session. */
   def dot(a: Column, b: Column): Column = functions.call_function("dot_f", a, b)
   def cosineSim(a: Column, b: Column): Column =
     functions.call_function("cosine_sim", a, b)
+  def signBandKeys(vec: Column, planes: Array[Array[Float]], bands: Int,
+      rowsPerBand: Int): Column =
+    functions.call_function("sign_band_keys", vec,
+      functions.typedLit(planes.map(_.toSeq).toSeq),
+      functions.lit(bands), functions.lit(rowsPerBand))
 }

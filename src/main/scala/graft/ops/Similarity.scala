@@ -169,20 +169,12 @@ object Similarity {
   def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int,
       rowsPerBand: Int): Column = {
     require(planes.length == bands * rowsPerBand)
-    val dim = planes.head.length
-    array((0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { j =>
-        val pl = planes(b * rowsPerBand + j)
-        // boolean->long cast keeps NULL (dim mismatch / NULL vec) NULL
-        (VectorExprs.dot(vec, typedLit(pl)) > 0d).cast("long") * lit(1L << j)
-      }
-      struct(lit(b).as("band"),
-        coalesce(bits.reduce(_ + _),
-          raise_error(concat(lit(s"graft LSH: vector dimension != $dim " +
-            "(hyperplane dim); got length "),
-            coalesce(size(vec).cast("string"), lit("NULL"))))
-            .cast("long")).as("key"))
-    }: _*)
+    // fused expression (round 9): one JIT-compiled loop computes every
+    // sign bit — bit-identical keys to the bands*r-dot expression tree
+    // this replaces, without the Janino method-size cliff the
+    // self-sizing path's larger plane counts would hit
+    // (functions.SignBandKeys scaladoc has the full story)
+    VectorExprs.signBandKeys(vec, planes, bands, rowsPerBand)
   }
 
   /** L2-normalized copy of an embedding column (unit vectors) — the

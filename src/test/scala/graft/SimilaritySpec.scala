@@ -303,6 +303,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(0L))
   }
 
+  test("sign_band_keys (fused) equals the per-plane reference bits") {
+    // plain-Scala reference: bit j of band b = sign of plane (b*r+j)
+    // dot vec, double accumulation in ascending i — the contract the
+    // fused expression must reproduce bit-for-bit (lshTopK computes
+    // query keys driver-side with exactly this loop)
+    val bands = 4; val r = 6
+    val planes = Similarity.hyperplanes(bands * r, 8, seed = 7L)
+    def refKeys(v: Array[Float]): Seq[(Int, Long)] =
+      (0 until bands).map { b =>
+        var key = 0L
+        (0 until r).foreach { j =>
+          val pl = planes(b * r + j)
+          var s = 0.0; var i = 0
+          while (i < 8) { s += pl(i).toDouble * v(i).toDouble; i += 1 }
+          if (s > 0) key |= 1L << j
+        }
+        (b, key)
+      }
+    val got = emb.select(col("vec_id"),
+        explode(Similarity.bandKeys(col("embedding"), planes, bands, r))
+          .as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)
+        .toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refKeys(v), s"vec $id keys diverge")
+    }
+    // fail-fast: NULL vector and wrong dimension both throw
+    val bad = Seq((99L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    assertThrows[Exception] {
+      bad.select(Similarity.bandKeys(col("embedding"), planes, bands, r))
+        .collect()
+    }
+    val nul = Seq((99L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assertThrows[Exception] {
+      nul.select(Similarity.bandKeys(col("embedding"), planes, bands, r))
+        .collect()
+    }
+  }
+
   test("autoGranularity applies the measured sizing rule") {
     // ceil(log2(2n)) clamped to [8, 30], bands raised to match r
     assert(Similarity.autoGranularity(0L, 8) == (8, 8))
