@@ -238,6 +238,107 @@ object SignBandKeys {
   }
 }
 
+/** Fused Johnson–Lindenstrauss ±1 sign projection: outDim EXACT BIGINT
+  * components of one vector in a single evaluation —
+  * `comp[j] = Σ_i round(vec[i]·10⁶) · sign[j][i]`, the
+  * [[graft.ops.Similarity.randomProject]] inner loop. The quantization
+  * reproduces Spark's `round(double, 0)` bit-for-bit
+  * (`BigDecimal.valueOf(d).setScale(0, HALF_UP).toDouble.toLong` — the
+  * exact chain the Round expression + ANSI long cast ran), and each
+  * element quantizes ONCE instead of once per output component.
+  *
+  * Why fused (round 9): the zip_with/aggregate formulation ran
+  * outDim × inDim per-element LAMBDA INTERPRETER steps per row —
+  * higher-order functions never enter whole-stage codegen (this file's
+  * header note), so the 100 TB storage-path op (64→16 dims before
+  * int8 quantization) paid a 1024-step interpreted loop per vector.
+  * One static JIT-compiled loop replaces all of it.
+  *
+  * NULL or wrong-dimension vectors yield NULL (the caller drops them —
+  * randomProject's documented contract — so a NULL here never
+  * silently survives; it just keeps the filter order-independent). */
+case class SignProject(vec: Expression, signsLit: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = signsLit
+  override def prettyName: String = "sign_project"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType,
+      signsLit.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(LongType, _), _))
+        if signsLit.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, foldable array<array<long>>), " +
+        s"got (${vec.dataType.catalogString}, ${signsLit.dataType.catalogString})")
+  }
+
+  @transient private lazy val (flatSigns: Array[Long], outDim: Int, inDim: Int) = {
+    val arr = signsLit.eval(null).asInstanceOf[ArrayData]
+    val o = arr.numElements()
+    require(o > 0, s"$prettyName: empty sign matrix")
+    val d = arr.getArray(0).numElements()
+    val flat = new Array[Long](o * d)
+    var j = 0
+    while (j < o) {
+      val row = arr.getArray(j)
+      require(row.numElements() == d, s"$prettyName: ragged sign matrix")
+      var i = 0
+      while (i < d) { flat(j * d + i) = row.getLong(i); i += 1 }
+      j += 1
+    }
+    (flat, o, d)
+  }
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    SignProject.compute(v.asInstanceOf[ArrayData], flatSigns, inDim, outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signs = ctx.addReferenceObj("jlSigns", flatSigns, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      s"""
+         |${ev.value} = graft.functions.SignProject.compute(
+         |  $v, $signs, $inDim, $outDim);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SignProject = copy(vec = l, signsLit = r)
+}
+
+object SignProject {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, signs: Array[Long], inDim: Int,
+      outDim: Int): ArrayData = {
+    if (vec == null || vec.numElements() != inDim) return null
+    val q = new Array[Long](inDim)
+    var i = 0
+    while (i < inDim) {
+      // Spark round(double, 0) then ANSI cast to long, bit-for-bit
+      q(i) = java.math.BigDecimal
+        .valueOf(vec.getFloat(i).toDouble * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toLong
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0L
+      val off = j * inDim
+      i = 0
+      while (i < inDim) { s += q(i) * signs(off + i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Registration + Column-level wrappers. Registration is per-session and
   * idempotent; wrappers use `call_function`, so they resolve against the
   * active session's registry at analysis time. Requires a CLASSIC
@@ -252,6 +353,8 @@ object VectorExprs {
       es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sign_project",
+      es => SignProject(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sign_band_keys", es => {
       def asInt(e: Expression, name: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
@@ -272,4 +375,7 @@ object VectorExprs {
     functions.call_function("sign_band_keys", vec,
       functions.typedLit(planes.map(_.toSeq).toSeq),
       functions.lit(bands), functions.lit(rowsPerBand))
+  def signProject(vec: Column, signs: Array[Array[Long]]): Column =
+    functions.call_function("sign_project", vec,
+      functions.typedLit(signs.map(_.toSeq).toSeq))
 }

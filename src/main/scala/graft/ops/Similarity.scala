@@ -236,23 +236,21 @@ object Similarity {
     * [[quantizeInt8]] multiplies that by another 4×, and JL preserves
     * pairwise angles within the lemma's distortion bound, so the banded
     * ANN ops keep working in the projected space (SimilaritySpec pins
-    * the cosine-preservation property). Per-row, shuffle-free,
-    * whole-stage-codegen: the matrix rides along as array literals.
+    * the cosine-preservation property). Per-row, shuffle-free, and as
+    * of round 9 ONE fused JIT loop ([[VectorExprs.signProject]]) — the
+    * previous zip_with/aggregate formulation ran outDim×inDim
+    * interpreted lambda steps per row (HOFs never enter whole-stage
+    * codegen), a real tax on the op whose whole point is compressing
+    * a 100 TB corpus. Components are bit-identical (same round-then-
+    * cast quantization, same integer sum order).
     * Vectors that are NULL or of the wrong dimension are dropped —
     * same contract as the other vector ops. */
   def randomProject(emb: DataFrame, idCol: String, vecCol: String,
       inDim: Int, outDim: Int): DataFrame = {
     val signs = signMatrix(outDim, inDim)
-    val qvec = transform(col(vecCol),
-      x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
-    val comps = (0 until outDim).map { j =>
-      aggregate(
-        zip_with(col("_vq"), typedLit(signs(j).toSeq), (x, s) => x * s),
-        lit(0L), (a, x) => a + x)
-    }
     emb.where(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
-      .withColumn("_vq", qvec)
-      .select(col(idCol), array(comps: _*).as("proj"))
+      .select(col(idCol),
+        VectorExprs.signProject(col(vecCol), signs).as("proj"))
   }
 
   /** Exact brute-force cosine top-k against a single query vector.
