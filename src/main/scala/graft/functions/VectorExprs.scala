@@ -339,6 +339,126 @@ object SignProject {
   }
 }
 
+/** Fused product-quantization encode: the m-entry PQ code of one
+  * vector in a single evaluation — per subspace j, squared-L2 to each
+  * of k broadcast centroids folded in element order (double
+  * accumulation from 0.0, float elements cast exactly), argmin with a
+  * FIRST-index tie-break. Bit-identical to the m×k
+  * `aggregate(zip_with(...))` fold tree it replaces, which ran m·k
+  * interpreted lambda folds per row (HOFs never enter codegen) — 2,048
+  * of them at a production m = 8, k = 256. One static JIT loop reads
+  * the vector once per subspace instead of once per centroid.
+  *
+  * NULL-propagation parity with the fold tree: a subspace whose slice
+  * runs past the vector's end or touches a NULL element yields a NULL
+  * code entry (downstream `codesTopK` excludes such rows); distances
+  * are sums of squares, so the -0.0/+0.0 ordering seam cannot arise. */
+case class PqEncode(vec: Expression, codebookLit: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = codebookLit
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType,
+      codebookLit.dataType) match {
+    case (ArrayType(FloatType, _),
+        ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+        if codebookLit.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, foldable " +
+        s"array<array<array<double>>>), got (${vec.dataType.catalogString}, " +
+        s"${codebookLit.dataType.catalogString})")
+  }
+
+  // flat codebook: centroid (j, i) occupies [ (j*k + i)*dsub, +dsub )
+  @transient private lazy val (flatBook: Array[Double], m: Int, k: Int,
+      dsub: Int) = {
+    val arr = codebookLit.eval(null).asInstanceOf[ArrayData]
+    val mm = arr.numElements()
+    val kk = arr.getArray(0).numElements()
+    val dd = arr.getArray(0).getArray(0).numElements()
+    val flat = new Array[Double](mm * kk * dd)
+    var j = 0
+    while (j < mm) {
+      val cb = arr.getArray(j)
+      require(cb.numElements() == kk, s"$prettyName: ragged codebook")
+      var i = 0
+      while (i < kk) {
+        val c = cb.getArray(i)
+        require(c.numElements() == dd, s"$prettyName: ragged centroid")
+        var d = 0
+        while (d < dd) { flat(((j * kk) + i) * dd + d) = c.getDouble(d); d += 1 }
+        i += 1
+      }
+      j += 1
+    }
+    (flat, mm, kk, dd)
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], flatBook, m, k, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val book = ctx.addReferenceObj("pqBook", flatBook, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      s"""
+         |${ev.value} = graft.functions.PqEncode.compute(
+         |  $v, $book, $m, $k, $dsub);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PqEncode = copy(vec = l, codebookLit = r)
+}
+
+object PqEncode {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, book: Array[Double], m: Int, k: Int,
+      dsub: Int): ArrayData = {
+    if (vec == null) return null
+    val n = vec.numElements()
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      // a subspace that runs past the vector or hits a NULL element
+      // yields a NULL code (the fold tree's zip_with padding semantics)
+      var usable = base + dsub <= n
+      var d = 0
+      while (usable && d < dsub) {
+        if (vec.isNullAt(base + d)) usable = false
+        d += 1
+      }
+      if (!usable) codes(j) = null
+      else {
+        var best = 0
+        var bestDist = Double.NaN
+        var i = 0
+        while (i < k) {
+          var acc = 0.0
+          val off = ((j * k) + i) * dsub
+          d = 0
+          while (d < dsub) {
+            val diff = vec.getFloat(base + d).toDouble - book(off + d)
+            acc = acc + diff * diff
+            d += 1
+          }
+          if (i == 0 || acc < bestDist) { best = i; bestDist = acc }
+          i += 1
+        }
+        codes(j) = best
+      }
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
 /** Registration + Column-level wrappers. Registration is per-session and
   * idempotent; wrappers use `call_function`, so they resolve against the
   * active session's registry at analysis time. Requires a CLASSIC
@@ -355,6 +475,8 @@ object VectorExprs {
       es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sign_project",
       es => SignProject(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => PqEncode(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("sign_band_keys", es => {
       def asInt(e: Expression, name: String): Int = e match {
         case Literal(v: Int, IntegerType) => v
@@ -378,4 +500,7 @@ object VectorExprs {
   def signProject(vec: Column, signs: Array[Array[Long]]): Column =
     functions.call_function("sign_project", vec,
       functions.typedLit(signs.map(_.toSeq).toSeq))
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    functions.call_function("pq_encode", vec,
+      functions.typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq))
 }

@@ -49,26 +49,17 @@ object Pq {
     PqModel(dim, Array.tabulate(m, k, dim / m)((j, i, d) =>
       ((j * 31 + i * 17 + d * 7) % 19 - 9) / 16.0))
 
-  /** Per-subspace squared-L2 to each centroid, folded element-by-element
-    * in index order (the cross-engine fold convention). */
-  private def subDists(vec: Column, model: PqModel, j: Int): Column = {
-    val sub = slice(vec, j * model.dsub + 1, model.dsub)
-    array(model.codebooks(j).map { c =>
-      aggregate(
-        zip_with(sub, typedLit(c.toSeq),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-  }
-
   /** The m-entry PQ code of a vector column: per subspace, the 0-based
     * index of the nearest centroid, first index winning ties (matches
-    * the oracle's `ORDER BY dist, i LIMIT 1`). */
+    * the oracle's `ORDER BY dist, i LIMIT 1`). One fused JIT loop
+    * ([[graft.functions.VectorExprs.pqEncode]], round 9) — the
+    * m×k `aggregate(zip_with(...))` fold tree this replaces ran every
+    * fold through the per-element lambda interpreter (2,048 folds/row
+    * at a production m = 8, k = 256); codes are bit-identical (same
+    * element-order double accumulation, same first-index argmin,
+    * same NULL-propagation — the q_pq_adc oracle pins it). */
   def encodeCol(vec: Column, model: PqModel): Column =
-    array((0 until model.m).map { j =>
-      val d = subDists(vec, model, j)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }: _*)
+    graft.functions.VectorExprs.pqEncode(vec, model.codebooks)
 
   /** Distributed encode: (idCol, codes array<int>). Codes are what a
     * 100 TB deployment PERSISTS — m small ints per row in place of the
@@ -223,10 +214,10 @@ object Pq {
         val model1 = PqModel(dim, Array.tabulate(m, cb.length, dsub)(
           (jj, i, d) => if (jj == j) cb(i)(d) else 0.0))
         val assigned = emb.where(col(vecCol).isNotNull)
-          .select(subCol.as("v"), {
-            val ds = subDists(col(vecCol), model1, j)
-            (array_position(ds, array_min(ds)) - 1).cast("int").as("c")
-          })
+          .select(subCol.as("v"),
+            // subspace j's entry of the fused encode (other subspaces
+            // score against the zero-padded dummy books and are unused)
+            element_at(encodeCol(col(vecCol), model1), j + 1).as("c"))
         val updated = assigned
           // a vector with null ELEMENTS yields a null code even at the
           // right dimension — skip it here (the null-vector convention)
