@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig", "minhash_sig(shingles, k) - k-permutation minhash signature"),
       arity("minhash_sig", 2)(es =>
         MinHashSig(es(0), ShingleExprs.foldInt(es(1))))))
+    ext.injectFunction((FunctionIdentifier("shingle_anchors"),
+      info("shingle_anchors",
+        "shingle_anchors(text, n) - positional n-gram anchor hashes " +
+          "(element i = chain hash of words i+1..i+n; < n words -> empty)"),
+      arity("shingle_anchors", 2)(es =>
+        ShingleAnchors(es(0), ShingleExprs.foldInt(es(1))))))
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),

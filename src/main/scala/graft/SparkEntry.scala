@@ -32,10 +32,13 @@ object SparkEntry {
   private val spanBlock12: String = (1 to 12).map(i => s"aq$i").mkString(" ")
   private val spanBlock8: String = (1 to 8).map(i => s"bq$i").mkString(" ")
 
-  /** Shared oracle CTE block mirroring Dedup.repeatedSpans (md5 anchors,
-    * df<=64 guard, gaps-and-islands over (pair, offset)) on the planted
+  /** Shared oracle CTE block mirroring Dedup.repeatedSpans (df<=64
+    * guard, gaps-and-islands over (pair, offset)) on the planted
     * corpus — ends with a `spans` CTE used by q_repeated_spans and the
-    * q_dup_fraction composition. */
+    * q_dup_fraction composition. The oracle keeps md5-string anchors
+    * while the Spark side uses the fused 64-bit ShingleAnchors chain:
+    * anchors are pure EQUALITY keys that never reach output, so any
+    * injective-on-word-tuples hash yields identical rows. */
   private def spanCtes: String =
     s"""WITH docs2 AS (
        |  SELECT doc_id, text FROM documents

@@ -240,7 +240,11 @@ object Dedup {
     * block, the dominant duplication mode in web corpora.
     *
     * Method (no suffix array needed): every minLen-token shingle is an
-    * anchor (1-based pos, md5 of the joined window). Two docs sharing a
+    * anchor (1-based pos, chained XXH64 of the window's word hashes —
+    * the fused [[graft.functions.ShingleAnchors]] expression; anchors
+    * are pure equality keys, never output, so the md5-string
+    * formulation's 32-char keys bought nothing but shuffle width and
+    * interpreted-lambda time). Two docs sharing a
     * span of L >= minLen tokens share exactly L-minLen+1 CONSECUTIVE
     * anchors at a constant offset d = pa-pb, so after the anchor
     * equi-join, maximal spans are gaps-and-islands runs within each
@@ -257,23 +261,23 @@ object Dedup {
     * shingle-positions corpus-wide stops generating pairs (spans
     * through a dropped anchor split — a cost/recall dial, not silent
     * truncation). Islands are per-(pair, offset) windows, never global.
-    * Only ids, positions and 16-byte hashes ever shuffle — the text
-    * stays in the scan stage. */
+    * Only ids, positions and 8-byte anchor hashes ever shuffle — the
+    * text stays in the scan stage. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 8, maxShingleDf: Long = 64): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.ShingleExprs.shingleAnchors
     val id = longId(docs, idCol)
-    val ws = TextOps.words(lower(col(textCol)))
+    // positional anchors in one fused codegen'd pass (docs shorter than
+    // minLen words yield an empty array — explode drops them, replacing
+    // the old size(words) >= minLen pre-filter and its extra regex split)
     val anchors = docs
-      .filter(size(ws) >= minLen)
-      .select(id.as("id"), explode(transform(
-        sequence(lit(1), size(ws) - (minLen - 1)),
-        i => struct(i.as("pos"),
-          md5(array_join(slice(ws, i, lit(minLen)), " ").cast("binary"))
-            .as("h")))).as("e"))
-      .select(col("id"), col("e.pos").as("pos"), col("e.h").as("h"))
+      .select(id.as("id"),
+        posexplode(shingleAnchors(lower(col(textCol)), minLen))
+          .as(Seq("i", "h")))
+      .select(col("id"), (col("i") + 1).as("pos"), col("h"))
     val guarded = anchors
       .withColumn("df_h", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df_h") <= maxShingleDf)

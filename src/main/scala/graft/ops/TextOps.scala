@@ -209,9 +209,15 @@ object TextOps {
   // --------------------------------------------------------------------
   def contaminatedIds(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
+    // gram identity = the fused 64-bit shingle-set hash (distinct per
+    // doc, so the corpus explode shrinks to unique grams and the join
+    // key is 8 bytes, not an n-word string); grams are pure equality
+    // keys here — both sides hash the same way and no gram is output,
+    // so the swap is oracle-invisible (same doc-id equivalence, whp)
+    import graft.functions.ShingleExprs.shingleHash64
     val evalGrams = evalSet
-      .select(explode(wordShingles(col(textCol), n)).as("g")).distinct()
-    corpus.select(col(idCol), explode(wordShingles(col(textCol), n)).as("g"))
+      .select(explode(shingleHash64(col(textCol), n)).as("g")).distinct()
+    corpus.select(col(idCol), explode(shingleHash64(col(textCol), n)).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(col(idCol)).distinct()
   }

@@ -53,6 +53,28 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("shingle_anchors: positional identity, shift-equality, short-doc empty") {
+    import graft.functions.ShingleExprs.shingleAnchors
+    // anchors are positional (index i = words i+1..i+n) and equal across
+    // docs exactly when the word windows are equal — the only property
+    // repeatedSpans' equi-join consumes
+    val r = Seq(("a b c d e", 0), ("z a b c d", 1), ("a b", 2))
+      .toDF("text", "tag")
+      .select(col("tag"), shingleAnchors(col("text"), 4).as("an"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(r(0).length == 2 && r(1).length == 2) // 5 words, n=4 -> 2 anchors
+    assert(r(0)(0) == r(1)(1)) // "a b c d" at pos 1 vs pos 2
+    assert(r(0)(1) != r(1)(0)) // "b c d e" vs "z a b c"
+    assert(r(2).isEmpty)       // < n words -> empty, explode drops the doc
+    // and the chain identity matches shingle_hash64's (same word+gram
+    // hashes, anchors are the unsorted positional form of the same set)
+    val both = Seq("w1 w2 w3 w4 w2 w3").toDF("text")
+      .selectExpr("shingle_anchors(text, 3) AS an",
+        "shingle_hash64(text, 3) AS sh")
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(both._1.sorted.distinct == both._2.sorted)
+  }
+
   test("duplicated-token stats coverage-merge overlapping spans per doc") {
     val corpus = Seq(
       (1L, "a b c d e f"),     // [1,5) from 2 and [3,7) from 3 -> union 6
