@@ -60,10 +60,19 @@ object Retrieval {
     // 2.2 as 1.2+1.0 at plan-build time would be fine in Spark but easy
     // to mismatch in hand-written oracle SQL, so both sides write the
     // finished literals.
+    // term identity = per-word XXH64 (shingle_anchors n=1, one fused
+    // byte-scan pass replacing two regex splits per doc) — terms here
+    // are pure equality keys (tf/df grouping, query join, df window)
+    // that never reach output, so hashing preserves every count the
+    // score reads whp while the twice-shuffled key drops from an
+    // average word string to 8 bytes. Tokenization class matches
+    // TextOps.words exactly (same \s set, same [''] empty-doc artifact),
+    // so dl and the oracle's len(ws) agree row-for-row.
+    import graft.functions.ShingleExprs.shingleAnchors
     val tf = docs
-      .select(col(idCol),
-        size(TextOps.words(lower(col(textCol)))).as("dl"),
-        explode(TextOps.words(lower(col(textCol)))).as("term"))
+      .select(col(idCol), shingleAnchors(lower(col(textCol)), 1).as("tk"))
+      .select(col(idCol), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfw = tf.withColumn("df_docs",
@@ -74,7 +83,7 @@ object Retrieval {
       sum(col("tf")).as("total_tokens"))
     val qterms = queries
       .select(col(qidCol),
-        explode(array_distinct(TextOps.words(lower(col(qtextCol)))))
+        explode(array_distinct(shingleAnchors(lower(col(qtextCol)), 1)))
           .as("term"))
     val idf = round(log(
       (col("n_docs").cast("double") - col("df_docs").cast("double") + 0.5)

@@ -124,12 +124,19 @@ object TextOps {
   // --------------------------------------------------------------------
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val grams = wordShingles(col(textCol), n)
+    // gram identity via the fused positional hash pass (only COUNTS are
+    // read — total vs distinct — so the 64-bit swap is output-invisible
+    // whp); greatest(.,1) restores the whole-text-fallback gram count
+    // the string shingler gave docs shorter than n words (anchors give
+    // those an empty array, and their dup fraction is 0 either way)
+    import graft.functions.ShingleExprs.shingleAnchors
     docs
-      .withColumn("n_grams", size(grams))
+      .withColumn("_g", shingleAnchors(col(textCol), n))
+      .withColumn("n_grams", greatest(size(col("_g")), lit(1)))
       .withColumn("dup_gram_frac",
-        (size(grams) - size(array_distinct(grams))).cast("double") /
-          greatest(size(grams), lit(1)))
+        (size(col("_g")) - size(array_distinct(col("_g")))).cast("double") /
+          greatest(size(col("_g")), lit(1)))
+      .drop("_g")
   }
 
   // --------------------------------------------------------------------
