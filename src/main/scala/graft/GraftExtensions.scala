@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(element i = chain hash of words i+1..i+n; < n words -> empty)"),
       arity("shingle_anchors", 2)(es =>
         ShingleAnchors(es(0), ShingleExprs.foldInt(es(1))))))
+    ext.injectFunction((FunctionIdentifier("md5_bucket_grams"),
+      info("md5_bucket_grams",
+        "md5_bucket_grams(text, n) - md5-bucket ids of every unigram and " +
+          "bigram (conv(substring(md5(f),1,8),16,10) % n per gram)"),
+      arity("md5_bucket_grams", 2)(es =>
+        Md5BucketGrams(es(0), ShingleExprs.foldInt(es(1))))))
     ext.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(s, form) - Unicode NFC/NFD/NFKC/NFKD normalization"),

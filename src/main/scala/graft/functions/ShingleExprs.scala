@@ -48,7 +48,7 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash64 {
   final val WordSeed = 42L
 
-  private def isSpace(b: Byte): Boolean =
+  private[functions] def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
       b == 0x0B // vertical tab — Java regex \s (TextOps.words) includes it
 
@@ -208,6 +208,97 @@ object MinHashSig {
   }
 }
 
+/** DSIR feature buckets: the md5-bucket id of every unigram AND bigram
+  * of a text's whitespace-split words, one fused pass. Bucket identity
+  * is the exact cross-engine md5 idiom the samplers share —
+  * `conv(substring(md5(f), 1, 8), 16, 10) % n`, i.e. the digest's first
+  * four bytes big-endian unsigned mod n — so a DuckDB oracle reproduces
+  * the SAME bucket assignment (bucket collisions are load-bearing in
+  * DSIR's add-one-smoothed distributions; a faster non-md5 hash would
+  * change answers, not just keys). What fuses away is everything
+  * around the digest: the interpreted zip_with(slice, slice, concat)
+  * bigram lambda, the per-gram string allocation, and the hex
+  * round-trip (digest bytes are bucketed directly; bigram bytes stream
+  * through the digest as word + 0x20 + word, no concat).
+  * Output order: all unigrams, then all bigrams (multiplicity
+  * preserved — only grouped counts consume this). A text with no words
+  * yields the one empty-string unigram, mirroring split(trim(x))'s
+  * [''] artifact. */
+case class Md5BucketGrams(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets >= 1, "nBuckets must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_bucket_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_bucket_grams requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    Md5BucketGrams.compute(text.asInstanceOf[UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Md5BucketGrams.compute($c, $nBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketGrams =
+    copy(child = newChild)
+}
+
+object Md5BucketGrams {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First four digest bytes, big-endian unsigned, mod n — exactly
+    * conv(substring(md5_hex, 1, 8), 16, 10) % n. */
+  private def first4mod(h: Array[Byte], n: Int): Long =
+    (((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+      ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)) % n
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    var starts = new Array[Int](8)
+    var lens = new Array[Int](8)
+    var wc = 0
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && ShingleHash64.isSpace(b(i))) i += 1
+      if (i < b.length) {
+        val s = i
+        while (i < b.length && !ShingleHash64.isSpace(b(i))) i += 1
+        if (wc == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, wc * 2)
+          lens = java.util.Arrays.copyOf(lens, wc * 2)
+        }
+        starts(wc) = s; lens(wc) = i - s; wc += 1
+      }
+    }
+    val d = md.get()
+    if (wc == 0) { // split(trim(''), '\s+') = [''] — one empty unigram
+      d.reset()
+      return new GenericArrayData(Array(first4mod(d.digest(), n)))
+    }
+    val out = new Array[Long](wc + (wc - 1))
+    var k = 0
+    var w = 0
+    while (w < wc) {
+      d.reset(); d.update(b, starts(w), lens(w))
+      out(k) = first4mod(d.digest(), n); k += 1; w += 1
+    }
+    w = 0
+    while (w < wc - 1) {
+      d.reset(); d.update(b, starts(w), lens(w)); d.update(' '.toByte)
+      d.update(b, starts(w + 1), lens(w + 1))
+      out(k) = first4mod(d.digest(), n); k += 1; w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Registration + Column wrappers (int params are passed as literals and
   * extracted at function-build time). */
 object ShingleExprs {
@@ -220,6 +311,8 @@ object ShingleExprs {
       es => MinHashSig(es.head, foldInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction("shingle_anchors",
       es => ShingleAnchors(es.head, foldInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("md5_bucket_grams",
+      es => Md5BucketGrams(es.head, foldInt(es(1))), "built-in")
   }
 
   private[graft] def foldInt(e: Expression): Int =
@@ -237,4 +330,6 @@ object ShingleExprs {
     functions.call_function("minhash_sig", shingles, functions.lit(k))
   def shingleAnchors(text: Column, n: Int): Column =
     functions.call_function("shingle_anchors", text, functions.lit(n))
+  def md5BucketGrams(text: Column, nBuckets: Int): Column =
+    functions.call_function("md5_bucket_grams", text, functions.lit(nBuckets))
 }

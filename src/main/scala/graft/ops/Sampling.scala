@@ -209,7 +209,8 @@ object Sampling {
     * sampler here uses.
     *
     * Scale shape: both corpora explode features ONCE (unigram + bigram
-    * arrays built map-side with slice+zip); the bucket-count tables are
+    * bucket ids built map-side by the fused
+    * [[graft.functions.Md5BucketGrams]] pass); the bucket-count tables are
     * at most `nBuckets` rows and attach by broadcast, so the raw corpus
     * shuffles only for its per-doc sum. The selection in
     * [[importanceResample]] is a TakeOrdered top-k, never a global
@@ -218,32 +219,28 @@ object Sampling {
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    def feats(df: DataFrame, extra: Seq[String]): DataFrame = {
-      val ws = split(trim(lower(col(textCol))), "\\s+")
-      val bi = zip_with(
-        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => concat(a, lit(" "), b))
+    // one fused pass per document: word split, unigrams + bigrams, md5
+    // digest, first-4-bytes bucket — Md5BucketGrams replaces the
+    // interpreted zip_with(slice, slice, concat) lambda + per-gram
+    // string + hex round-trip while keeping the EXACT md5 bucket
+    // assignment the DuckDB oracle reproduces (bucket collisions are
+    // load-bearing in the smoothed distributions). The element type is
+    // non-null, so all three consumers see byte-identical explosion
+    // subtrees and AQE reuses one exchange (the nullable-bucket
+    // de-canonicalization this function was burned by in round 8)
+    def feats(df: DataFrame, extra: Seq[String]): DataFrame =
       df.select(extra.map(col) :+
-        explode(concat(ws, bi)).as("f"): _*)
-    }
-    // coalesce: exploded features are never null, but a NULLABLE bucket
-    // makes the docFeats joins infer isnotnull(bucket) into their copies
-    // of the feature explosion while the tt/tr scalar branches don't —
-    // de-canonicalizing the subtrees, so AQE materialized the corpus
-    // explosion twice per side (measured; the domainPrefix lesson)
-    val bucket = coalesce(
-      conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % nBuckets, lit(0L))
-    val tgt = feats(target, Nil).groupBy(bucket.as("bucket"))
+        explode(graft.functions.ShingleExprs.md5BucketGrams(
+          trim(lower(col(textCol))), nBuckets)).as("bucket"): _*)
+    val tgt = feats(target, Nil).groupBy(col("bucket"))
       .agg(count(lit(1)).as("ct"))
-    val rawCounts = feats(raw, Nil).groupBy(bucket.as("bucket"))
+    val rawCounts = feats(raw, Nil).groupBy(col("bucket"))
       .agg(count(lit(1)).as("cr"))
     val tt = tgt.agg(sum(col("ct")).as("tt"))
     val tr = rawCounts.agg(sum(col("cr")).as("tr"))
     def microsLn(x: Column): Column =
       round(log(x) * lit(1000000.0), 0).cast("long")
     val docFeats = feats(raw, Seq(idCol))
-      .select(col(idCol), bucket.as("bucket"))
     docFeats
       .join(broadcast(tgt), Seq("bucket"), "left")
       .join(broadcast(rawCounts), Seq("bucket")) // raw features always hit

@@ -278,6 +278,29 @@ class PropertySpec extends SparkSpec {
     assert(got == expect, s"got $got want $expect")
   }
 
+  test("md5_bucket_grams equals the SQL md5 formulation, edge cases included") {
+    // the fused DSIR pass must reproduce conv(substring(md5(f),1,8),16,10)%n
+    // for every unigram+bigram — including the [''] empty-split artifact
+    // and multi-whitespace separators (bigram joins with ONE space)
+    val n = 64
+    val texts = Seq("a b c", "word", "", "   ", "x  \t y", "a a a a")
+    val got = texts.toDF("t")
+      .selectExpr(s"md5_bucket_grams(trim(lower(t)), $n) AS bk")
+      .as[Seq[Long]].collect()
+    def ref(t: String): Seq[Long] = {
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      val fs = ws ++ ws.zip(ws.drop(1)).map { case (x, y) => s"$x $y" }
+      fs.map { f =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % n
+      }
+    }
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"text=$t got=$g want=${ref(t)}")
+    }
+  }
+
   test("weighted sampling rejects non-positive weights at runtime") {
     import graft.ops.Sampling
     val df = Seq((1L, "a", 1.0), (2L, "b", 0.0), (3L, "c", 2.0))
