@@ -3440,13 +3440,20 @@ object SparkEntry {
     // features = capped length, capped token count, stopword ratio
     // (ops/Classifier.train/score — oracle replays all 5 rounds)
     "q_quality_classifier" -> ((s, dir) => {
+      Graft.init(s)
       val docs = t(s, dir, "documents")
-      val ws = split(trim(lower(col("text"))), "\\s+")
+      // word + stopword counts in one fused byte scan (the interpreted
+      // split + filter(isin) lambda ran on every GD pass); counts are
+      // exact byte-compares, so features are bit-identical to the
+      // split/size/filter formulation the oracle replays
+      val st = graft.functions.TextExprs.wordStopStats(
+        trim(lower(col("text"))), Seq("the", "a", "and", "of", "to"))
+      val nWords = st.getField("n_words")
       val feats = Seq(
         least(col("n_chars"), lit(2000L)).cast("double") / lit(2000.0),
-        least(size(ws), lit(400)).cast("double") / lit(400.0),
-        size(filter(ws, w => w.isin("the", "a", "and", "of", "to")))
-          .cast("double") / greatest(size(ws), lit(1)).cast("double"))
+        least(nWords, lit(400)).cast("double") / lit(400.0),
+        st.getField("n_stop").cast("double")
+          / greatest(nWords, lit(1)).cast("double"))
       val y = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
       val model = graft.ops.Classifier.train(docs, feats, y,
         iterations = 5, lr = 1.0)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array, as a native codegen'd Catalyst
@@ -124,6 +124,82 @@ object UnicodeNormalize {
   }
 }
 
+/** Word count + stopword hits in ONE fused byte scan — the feature pair
+  * the trained quality classifier reads on every gradient pass. The
+  * higher-order formulation (split → size, split → filter(isin) → size)
+  * runs an interpreted per-word lambda per document per GD iteration;
+  * this computes both counts in a single whitespace walk with EXACT
+  * byte comparison against the (small, literal) stopword set — these
+  * counts become output VALUES (ratios in scores), so no hash-identity
+  * shortcut is admissible here, unlike the anchor/term key fusions.
+  * n_words keeps the [''] split artifact: an empty/all-whitespace text
+  * counts 1 word (and 0 stopword hits), matching size(split(trim(x))).
+  * Output: struct<n_words int, n_stop int>; null text yields null. */
+case class WordStopStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  require(stopwords.nonEmpty && stopwords.size <= 256,
+    "stopwords must be a non-empty literal set (<= 256)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "word_stop_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_stop_stats requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopwords.map(_.getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(text: Any): Any =
+    WordStopStats.compute(text.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopBytes", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordStopStats.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordStopStats =
+    copy(child = newChild)
+}
+
+object WordStopStats {
+  def compute(text: UTF8String,
+      stops: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    var nw = 0
+    var ns = 0
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && ShingleHash64.isSpace(b(i))) i += 1
+      if (i < b.length) {
+        val s = i
+        while (i < b.length && !ShingleHash64.isSpace(b(i))) i += 1
+        nw += 1
+        val len = i - s
+        var j = 0
+        var hit = false
+        while (j < stops.length && !hit) {
+          val sw = stops(j)
+          if (sw.length == len) {
+            var k = 0
+            while (k < len && sw(k) == b(s + k)) k += 1
+            hit = k == len
+          }
+          j += 1
+        }
+        if (hit) ns += 1
+      }
+    }
+    if (nw == 0) nw = 1 // split(trim(''), '\s+') = [''] — one empty word
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, ns))
+  }
+}
+
 /** Registration + Column wrappers for the text expressions. */
 object TextExprs {
   def register(spark: SparkSession): Unit = {
@@ -138,6 +214,13 @@ object TextExprs {
         case other => throw new IllegalArgumentException(
           s"unicode_normalize form must be a string literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("word_stop_stats", es =>
+      WordStopStats(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, StringType) => s.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          s"word_stop_stats stopwords must be a CSV string literal, got $other")
+      }), "built-in")
   }
 
   /** Requires [[register]] on the active session. */
@@ -147,4 +230,13 @@ object TextExprs {
   /** Requires [[register]] on the active session. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     functions.call_function("unicode_normalize", text, functions.lit(form))
+
+  /** Requires [[register]] on the active session. Stopwords must not
+    * contain commas (they ride a CSV literal through the registry). */
+  def wordStopStats(text: Column, stopwords: Seq[String]): Column = {
+    require(stopwords.forall(!_.contains(",")),
+      "stopwords must not contain commas")
+    functions.call_function("word_stop_stats", text,
+      functions.lit(stopwords.mkString(",")))
+  }
 }

@@ -53,6 +53,24 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("word_stop_stats equals the split/filter formulation bit-for-bit") {
+    // the fused classifier feature pass must reproduce size(split) and
+    // size(filter(isin)) EXACTLY — these counts become score values
+    import graft.functions.TextExprs.wordStopStats
+    val stops = Seq("the", "a", "and", "of", "to")
+    val df = Seq("the quick brown fox", "a a the and to of", "", "   ",
+      "x", "THE the The", "a,b the").toDF("t")
+    val got = df.select(wordStopStats(trim(lower(col("t"))), stops).as("s"))
+      .select(col("s.n_words"), col("s.n_stop"))
+      .as[(Int, Int)].collect().toSeq
+    val want = df.select(
+        size(split(trim(lower(col("t"))), "\\s+")).as("nw"),
+        size(filter(split(trim(lower(col("t"))), "\\s+"),
+          w => w.isin(stops.map(x => x: Any): _*))).as("ns"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("one GD round moves weights against the gradient") {
     // all labels 1, single feature 1.0: sig starts at 0.5, residual
     // -0.5 -> gradient micros = -500000 per row -> w += lr * 0.5
