@@ -200,6 +200,161 @@ object WordStopStats {
   }
 }
 
+/** T5 span corruption in ONE fused per-row pass: tokenize, draw the
+  * deterministic per-position md5 mask, merge adjacent masked positions
+  * into sentinel spans, and build both serializations — replacing a
+  * per-token md5-string round-trip plus an interpreted aggregate fold
+  * whose array-concat accumulator was O(n²) PER DOCUMENT in token count
+  * (the genuine 100 TB liability: a 10k-token document paid 10⁸ array
+  * cells through the fold; this pass is strictly linear).
+  *
+  * Mask identity is the exact cross-engine draw the oracle replays:
+  * md5(doc_id || ':' || position)'s first four digest bytes big-endian
+  * unsigned, % 1000 < maskPermille — byte-identical to
+  * conv(substring(md5(concat(id, ':', i)), 1, 8), 16, 10) % 1000.
+  * Output strings reconstruct token bytes verbatim (single-0x20 joins,
+  * ASCII sentinels), so input/target equal the array_join formulation
+  * bit-for-bit. Empty/whitespace-only text → zero tokens, empty
+  * strings, zero counts (the call site coalesces NULL text to '').
+  * Output: struct<n_tokens int, n_masked int, n_spans int,
+  * input_joined string, target_joined string>. */
+case class SpanCorruptStats(left: Expression, right: Expression,
+    maskPermille: Int) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maskPermille >= 0 && maskPermille <= 1000,
+    "maskPermille must be in [0, 1000]")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_masked", IntegerType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false),
+    StructField("input_joined", StringType, nullable = false),
+    StructField("target_joined", StringType, nullable = false)))
+  override def prettyName: String = "span_corrupt_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"span_corrupt_stats requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    SpanCorruptStats.compute(id.asInstanceOf[UTF8String],
+      text.asInstanceOf[UTF8String], maskPermille)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SpanCorruptStats.compute($a, $b, $maskPermille);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpanCorruptStats =
+    copy(left = l, right = r)
+}
+
+object SpanCorruptStats {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(id: UTF8String, text: UTF8String,
+      maskPermille: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    // token byte ranges (split(trim(text), "\\s+") word semantics; a
+    // whitespace-only text yields zero tokens = the caller's explicit
+    // empty-doc branch)
+    var starts = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && ShingleHash64.isSpace(b(i))) i += 1
+      if (i < b.length) {
+        val s = i
+        while (i < b.length && !ShingleHash64.isSpace(b(i))) i += 1
+        if (n == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, n * 2)
+          lens = java.util.Arrays.copyOf(lens, n * 2)
+        }
+        starts(n) = s; lens(n) = i - s; n += 1
+      }
+    }
+    // per-position mask draw: md5(id ':' pos-digits), first 4 bytes
+    // big-endian unsigned % 1000 < maskPermille
+    val idBytes = id.getBytes
+    val key = new Array[Byte](idBytes.length + 1 + 11)
+    System.arraycopy(idBytes, 0, key, 0, idBytes.length)
+    key(idBytes.length) = ':'.toByte
+    val d = md.get()
+    val ids = new Array[Int](n)
+    var nMasked = 0
+    var nSpans = 0
+    var p = 0
+    while (p < n) {
+      val digits = java.lang.Integer.toString(p)
+      var k = 0
+      while (k < digits.length) {
+        key(idBytes.length + 1 + k) = digits.charAt(k).toByte; k += 1
+      }
+      d.reset(); d.update(key, 0, idBytes.length + 1 + digits.length)
+      val h = d.digest()
+      val u = (((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)) % 1000
+      if (u < maskPermille) {
+        if (p == 0 || ids(p - 1) < 0) nSpans += 1
+        ids(p) = nSpans - 1
+        nMasked += 1
+      } else ids(p) = -1
+      p += 1
+    }
+    // input: sentinel at each span start, kept tokens elsewhere
+    val in = new java.io.ByteArrayOutputStream(text.numBytes + 16 * nSpans)
+    var first = true
+    p = 0
+    while (p < n) {
+      val cur = ids(p)
+      if (cur < 0 || p == 0 || ids(p - 1) != cur) {
+        if (!first) in.write(' ')
+        first = false
+        if (cur >= 0) writeSentinel(in, cur)
+        else in.write(b, starts(p), lens(p))
+      }
+      p += 1
+    }
+    // target: each sentinel followed by the tokens it hides (span
+    // positions are contiguous by construction — one ordered pass)
+    val tg = new java.io.ByteArrayOutputStream(64 + 8 * nMasked)
+    first = true
+    p = 0
+    while (p < n) {
+      val cur = ids(p)
+      if (cur >= 0) {
+        if (p == 0 || ids(p - 1) != cur) {
+          if (!first) tg.write(' ')
+          first = false
+          writeSentinel(tg, cur)
+        }
+        tg.write(' ')
+        tg.write(b, starts(p), lens(p))
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nMasked, nSpans,
+        UTF8String.fromBytes(in.toByteArray),
+        UTF8String.fromBytes(tg.toByteArray)))
+  }
+
+  private val SentinelPrefix = "<extra_id_".getBytes("UTF-8")
+
+  private def writeSentinel(out: java.io.ByteArrayOutputStream, k: Int): Unit = {
+    out.write(SentinelPrefix, 0, SentinelPrefix.length)
+    val digits = java.lang.Integer.toString(k)
+    var i = 0
+    while (i < digits.length) { out.write(digits.charAt(i)); i += 1 }
+    out.write('>')
+  }
+}
+
 /** Registration + Column wrappers for the text expressions. */
 object TextExprs {
   def register(spark: SparkSession): Unit = {
@@ -214,6 +369,8 @@ object TextExprs {
         case other => throw new IllegalArgumentException(
           s"unicode_normalize form must be a string literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("span_corrupt_stats", es =>
+      SpanCorruptStats(es(0), es(1), ShingleExprs.foldInt(es(2))), "built-in")
     reg.createOrReplaceTempFunction("word_stop_stats", es =>
       WordStopStats(es(0), es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(
@@ -230,6 +387,12 @@ object TextExprs {
   /** Requires [[register]] on the active session. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     functions.call_function("unicode_normalize", text, functions.lit(form))
+
+  /** Requires [[register]] on the active session. */
+  def spanCorruptStats(idStr: Column, text: Column,
+      maskPermille: Int): Column =
+    functions.call_function("span_corrupt_stats", idStr, text,
+      functions.lit(maskPermille))
 
   /** Requires [[register]] on the active session. Stopwords must not
     * contain commas (they ride a CSV literal through the registry). */

@@ -420,59 +420,30 @@ object TextOps {
     * `<extra_id_K>`, the target lists each sentinel followed by the
     * tokens it hides (the exact T5 serialization).
     *
-    * Span-id assignment is a linear per-row `aggregate` fold (the
-    * chunker's shape); everything else is array transforms over the
-    * token/ids arrays. Pure per-row codegen, no shuffle; empty
-    * documents emit empty input/target with zero counts. The oracle
-    * replays the same definition with order-free prefix counts, so the
-    * whole transform is cross-engine checkable. */
+    * The whole transform is ONE fused per-row expression
+    * ([[graft.functions.SpanCorruptStats]]) — strictly linear in
+    * document length, no shuffle; empty documents emit empty
+    * input/target with zero counts. The oracle replays the same
+    * definition with order-free prefix counts, so the whole transform
+    * is cross-engine checkable. */
   def spanCorrupt(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maskPermille: Int = 150): DataFrame = {
     require(maskPermille >= 0 && maskPermille <= 1000,
       "maskPermille must be in [0, 1000]")
-    val tk = when(trim(coalesce(col(textCol), lit(""))) === "",
-      array().cast("array<string>")).otherwise(words(col(textCol)))
-    docs.withColumn("_tk", tk).withColumn("_n", size(col("_tk")))
-      .withColumn("_pos", when(col("_n") === 0,
-        array().cast("array<int>"))
-        .otherwise(sequence(lit(0), col("_n") - 1)))
-      .withColumn("_masked", transform(col("_pos"), i =>
-        (md5Hash32(concat(col(idCol).cast("string"), lit(":"),
-          i.cast("string"))) % 1000) < lit(maskPermille)))
-      .withColumn("_st", aggregate(col("_masked"),
-        struct(lit(false).as("pm"), lit(0).as("cnt"),
-          array().cast("array<int>").as("ids")),
-        (a, m) => {
-          val ns = m && !a.getField("pm")
-          val cnt2 = a.getField("cnt") + when(ns, 1).otherwise(0)
-          struct(m.as("pm"), cnt2.as("cnt"),
-            concat(a.getField("ids"),
-              array(when(m, cnt2 - 1).otherwise(-1))).as("ids"))
-        }))
-      .withColumn("_ids", col("_st").getField("ids"))
-      .withColumn("_nspans", col("_st").getField("cnt"))
-      .select(col(idCol), col("_n").as("n_tokens"),
-        size(filter(col("_ids"), c => c >= 0)).as("n_masked"),
-        col("_nspans").as("n_spans"),
-        array_join(filter(transform(col("_pos"), i => {
-          val id = element_at(col("_ids"), i + 1)
-          val runStart = id >= 0 && (i === 0 ||
-            element_at(col("_ids"), i) =!= id)
-          when(runStart,
-            concat(lit("<extra_id_"), id.cast("string"), lit(">")))
-            .when(id < 0, element_at(col("_tk"), i + 1))
-            .otherwise(lit(null).cast("string"))
-        }), s => s.isNotNull), " ").as("input_joined"),
-        array_join(when(col("_nspans") === 0,
-          array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), col("_nspans") - 1), k =>
-            concat_ws(" ",
-              concat(lit("<extra_id_"), k.cast("string"), lit(">")),
-              array_join(transform(filter(
-                zip_with(col("_tk"), col("_ids"),
-                  (t, c) => struct(t.as("t"), c.as("c"))),
-                p => p.getField("c") === k), p => p.getField("t")), " "))
-          )), " ").as("target_joined"))
+    // one fused per-row pass (functions.SpanCorruptStats): tokenize,
+    // md5 position draw, span merge, and both serializations — replaces
+    // the interpreted aggregate fold whose array-concat accumulator was
+    // O(n_tokens^2) per document (linear now; same md5 draw, same
+    // output bytes, oracle replays the definition unchanged)
+    val st = graft.functions.TextExprs.spanCorruptStats(
+      col(idCol).cast("string"), coalesce(col(textCol), lit("")),
+      maskPermille)
+    docs.withColumn("_s", st)
+      .select(col(idCol), col("_s.n_tokens").as("n_tokens"),
+        col("_s.n_masked").as("n_masked"),
+        col("_s.n_spans").as("n_spans"),
+        col("_s.input_joined").as("input_joined"),
+        col("_s.target_joined").as("target_joined"))
   }
 
   /** BERT-style MLM masking with the 80/10/10 rule — the masked-LM
