@@ -269,6 +269,7 @@ object Dedup {
     require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.ShingleExprs.shingleAnchors
+    graft.Graft.init(docs.sparkSession) // shingle_anchors (idempotent)
     val id = longId(docs, idCol)
     // positional anchors in one fused codegen'd pass (docs shorter than
     // minLen words yield an empty array — explode drops them, replacing

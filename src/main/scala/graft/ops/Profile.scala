@@ -1014,23 +1014,6 @@ object Profile {
         col("k").as("q_bin"), col("normalized"))
   }
 
-  /** Poisson(1) CDF, cumulative pmf values written as LITERALS: both
-    * engines parse the same decimals to the same doubles, where an
-    * engine-computed exp(-1)/k! chain could drift an ulp. Draws with
-    * u above the last entry take weight 10 (P ≈ 1e-7). */
-  private val poisson1Cdf = Seq(
-    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
-    0.999916758850712, 0.9999897508033253, 0.999998874797402,
-    0.9999998885745216)
-
-  /** Inverse-CDF Poisson(1) draw from a uniform column. */
-  private def poisson1(u: Column): Column =
-    poisson1Cdf.zipWithIndex
-      .foldRight(lit(10): Column) { case ((c, k), acc) =>
-        when(u < c, lit(k)).otherwise(acc)
-      }
-
   /** Bootstrap confidence interval for the mean of an INTEGER metric
     * (n_chars, token counts, latencies-in-micros — the integer demand
     * keeps every replicate sum exact, which is what makes the interval
@@ -1050,15 +1033,17 @@ object Profile {
   def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
       b: Int = 200, salt: String = "boot"): DataFrame = {
     require(b >= 20, "bootstrapMeanCi: need at least 20 replicates")
+    graft.Graft.init(df.sparkSession) // poisson_weights (idempotent)
     import org.apache.spark.sql.expressions.Window
     val loRank = math.max(1, math.floor(0.025 * b).toInt)
     val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-      lit(":"), col("rep").cast("string"), lit(":" + salt))), 1, 8),
-      16, 10).cast("double") + 0.5) / 4294967296.0
+    // all B deterministic Poisson(1) draws of a row in one fused pass
+    // (functions.PoissonWeights — same md5(id:rep:salt) bytes, IEEE
+    // division, and literal inverse-CDF compares as the string-concat
+    // formulation the oracle replays; posexplode pos = replicate id)
     val reps = df.select(col(idCol), col(valueCol).cast("long").as("x"),
-        explode(sequence(lit(0), lit(b - 1))).as("rep"))
-      .withColumn("w", poisson1(u))
+        posexplode(graft.functions.NumericExprs.poissonWeights(
+          col(idCol).cast("string"), b, salt)).as(Seq("rep", "w")))
       .groupBy(col("rep"))
       .agg(sum(col("w").cast("long") * col("x")).as("swx"),
         sum(col("w").cast("long")).as("sw"))

@@ -69,6 +69,7 @@ object Retrieval {
     // TextOps.words exactly (same \s set, same [''] empty-doc artifact),
     // so dl and the oracle's len(ws) agree row-for-row.
     import graft.functions.ShingleExprs.shingleAnchors
+    graft.Graft.init(docs.sparkSession) // shingle_anchors (idempotent)
     val tf = docs
       .select(col(idCol), shingleAnchors(lower(col(textCol)), 1).as("tk"))
       .select(col(idCol), size(col("tk")).as("dl"),

@@ -219,6 +219,7 @@ object Sampling {
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    graft.Graft.init(raw.sparkSession) // md5_bucket_grams (idempotent)
     // one fused pass per document: word split, unigrams + bigrams, md5
     // digest, first-4-bytes bucket — Md5BucketGrams replaces the
     // interpreted zip_with(slice, slice, concat) lambda + per-gram

@@ -130,6 +130,7 @@ object TextOps {
     // the string shingler gave docs shorter than n words (anchors give
     // those an empty array, and their dup fraction is 0 either way)
     import graft.functions.ShingleExprs.shingleAnchors
+    graft.Graft.init(docs.sparkSession) // shingle_anchors (idempotent)
     docs
       .withColumn("_g", shingleAnchors(col(textCol), n))
       .withColumn("n_grams", greatest(size(col("_g")), lit(1)))
@@ -222,6 +223,7 @@ object TextOps {
     // keys here — both sides hash the same way and no gram is output,
     // so the swap is oracle-invisible (same doc-id equivalence, whp)
     import graft.functions.ShingleExprs.shingleHash64
+    graft.Graft.init(corpus.sparkSession) // shingle_hash64 (idempotent)
     val evalGrams = evalSet
       .select(explode(shingleHash64(col(textCol), n)).as("g")).distinct()
     corpus.select(col(idCol), explode(shingleHash64(col(textCol), n)).as("g"))
@@ -435,6 +437,7 @@ object TextOps {
     // the interpreted aggregate fold whose array-concat accumulator was
     // O(n_tokens^2) per document (linear now; same md5 draw, same
     // output bytes, oracle replays the definition unchanged)
+    graft.Graft.init(docs.sparkSession) // span_corrupt_stats (idempotent)
     val st = graft.functions.TextExprs.spanCorruptStats(
       col(idCol).cast("string"), coalesce(col(textCol), lit("")),
       maskPermille)
