@@ -208,6 +208,60 @@ object MinHashSig {
   }
 }
 
+/** Intersection size of two SORTED DISTINCT long arrays by a single
+  * merge walk — the exact-Jaccard confirm primitive. Equal to
+  * size(array_intersect(a, b)) for sorted-distinct inputs (every
+  * shingle set here is [[ShingleHash64]] output, sorted+deduped by
+  * construction and preserved through parquet round-trips), but
+  * allocation-free per pair where array_intersect builds a hash set —
+  * and the confirm runs once per CANDIDATE pair, the banded-join
+  * families' volume term. Inputs that are not sorted-distinct are a
+  * caller bug (counts undercount); nothing in the repo constructs
+  * shingle sets any other way. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint>, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedIntersectCount = copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** DSIR feature buckets: the md5-bucket id of every unigram AND bigram
   * of a text's whitespace-split words, one fused pass. Bucket identity
   * is the exact cross-engine md5 idiom the samplers share —
@@ -313,6 +367,8 @@ object ShingleExprs {
       es => ShingleAnchors(es.head, foldInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction("md5_bucket_grams",
       es => Md5BucketGrams(es.head, foldInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
 
   private[graft] def foldInt(e: Expression): Int =
@@ -332,4 +388,6 @@ object ShingleExprs {
     functions.call_function("shingle_anchors", text, functions.lit(n))
   def md5BucketGrams(text: Column, nBuckets: Int): Column =
     functions.call_function("md5_bucket_grams", text, functions.lit(nBuckets))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    functions.call_function("sorted_intersect_count", a, b)
 }

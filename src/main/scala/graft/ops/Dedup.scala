@@ -584,7 +584,10 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // sorted-distinct hash sets -> allocation-free merge count
+      // (functions.SortedIntersectCount == size(array_intersect) here)
+      .withColumn("inter", graft.functions.ShingleExprs
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)

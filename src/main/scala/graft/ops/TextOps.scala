@@ -288,8 +288,8 @@ object TextOps {
     cand
       .join(broadcast(sets(evalSet)
         .select(col("id").as("eid"), col("sh").as("sh_e"))), Seq("eid"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_c"), col("sh_e"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExprs
+        .sortedIntersectCount(col("sh_c"), col("sh_e")).cast("long"))
       .withColumn("uni",
         size(col("sh_c")) + size(col("sh_e")) - col("inter"))
       .withColumn("jaccard_micros",
@@ -344,8 +344,8 @@ object TextOps {
         .select(col("id").as("cid"), col("sh").as("sh_c")), Seq("cid"))
       .join(broadcast(sets(evalSet)
         .select(col("id").as("eid"), col("sh").as("sh_e"))), Seq("eid"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_c"), col("sh_e"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExprs
+        .sortedIntersectCount(col("sh_c"), col("sh_e")).cast("long"))
       .withColumn("uni",
         size(col("sh_c")) + size(col("sh_e")) - col("inter"))
       .withColumn("jaccard_micros",

@@ -75,6 +75,24 @@ class DedupSpec extends SparkSpec {
     assert(both._1.sorted.distinct == both._2.sorted)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on hash sets") {
+    import graft.functions.ShingleExprs._
+    // on shingle_hash64 output (sorted distinct by construction) the
+    // merge count must equal the built-in exactly — incl. empty overlap,
+    // identical sets, and the whole-text fallback single-hash sets
+    val df = Seq(
+      ("a b c d", "b c d e"), ("a b c", "a b c"), ("a b c", "x y z"),
+      ("a", "a"), ("a", "b"), ("", "")).toDF("t1", "t2")
+      .select(shingleHash64(col("t1"), 2).as("s1"),
+        shingleHash64(col("t2"), 2).as("s2"))
+    val r = df.select(
+        sortedIntersectCount(col("s1"), col("s2")).as("mc"),
+        size(array_intersect(col("s1"), col("s2"))).as("ai"))
+      .as[(Int, Int)].collect()
+    assert(r.forall(p => p._1 == p._2), s"mismatch: ${r.toSeq}")
+    assert(r.map(_._1).toSeq == Seq(2, 2, 0, 1, 0, 1))
+  }
+
   test("duplicated-token stats coverage-merge overlapping spans per doc") {
     val corpus = Seq(
       (1L, "a b c d e f"),     // [1,5) from 2 and [3,7) from 3 -> union 6
