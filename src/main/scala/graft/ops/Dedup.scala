@@ -135,9 +135,17 @@ object Dedup {
     // the bucket table is both sides of the self-join; both sides are the
     // SAME deterministic subplan exchanged on the same key, so ReuseExchange
     // materializes it once (no persist — see the cache-ownership header)
+    // signature materialized in its OWN projection: bandKeys reads the
+    // sig attribute per getItem, where the inline form re-evaluated the
+    // whole k-perm minhash_sig once PER ELEMENT ACCESS inside the
+    // Generate (no subexpression elimination there — measured ~k x the
+    // signature cost; CollapseProject keeps non-cheap multiply-referenced
+    // aliases materialized, so the boundary survives optimization)
     val buckets = sets
-      .select(col("id"), explode(bandKeys(minhashSig64(col("sh"),
-        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"),
+        explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bucket"))
     val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -543,8 +551,10 @@ object Dedup {
     val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     sets.write.mode("overwrite").parquet(s"$path/sets")
-    sets.select(col("id"), explode(bandKeys(minhashSig64(col("sh"),
-        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+    sets.select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"),
+        explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bucket"))
       .write.mode("overwrite").parquet(s"$path/buckets")
   }
 
@@ -566,9 +576,10 @@ object Dedup {
     val spark = batch.sparkSession
     val bSets = batch.select(longId(batch, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
-    val bBuckets = bSets.select(col("id"),
-      explode(bandKeys(minhashSig64(col("sh"), bands * rowsPerBand),
-        bands, rowsPerBand)).as("bucket"))
+    val bBuckets = bSets.select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"),
+        explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bucket"))
     val saved = spark.read.parquet(s"$path/buckets")
     val cand = bBuckets.as("b").join(saved.as("c"), Seq("bucket"))
       .select(col("b.id").as("id_a"), col("c.id").as("id_b"))

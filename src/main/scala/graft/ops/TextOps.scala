@@ -266,8 +266,10 @@ object TextOps {
     def sets(df: DataFrame) = df.select(col(idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     def buckets(df: DataFrame) = sets(df)
-      .select(col("id"), explode(Dedup.bandKeys(minhashSig64(col("sh"),
-        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"), explode(Dedup.bandKeys(col("_sig"),
+        bands, rowsPerBand)).as("bucket"))
     // the corpus-side shingle sets RIDE the candidate join instead of
     // being recomputed for the confirm: the bucket join is a broadcast
     // hash join (eval side is human-sized), so carrying `sh` is
@@ -277,8 +279,10 @@ object TextOps {
     // the corpus tokenize+shingle a second time (measured: 6 scans at
     // this query's fixture, 4 after).
     val cand = sets(corpus)
-      .select(col("id"), col("sh"), explode(Dedup.bandKeys(minhashSig64(
-        col("sh"), bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .select(col("id"), col("sh"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"), col("sh"), explode(Dedup.bandKeys(col("_sig"),
+        bands, rowsPerBand)).as("bucket"))
       .as("c")
       .join(broadcast(buckets(evalSet).as("e")), Seq("bucket"))
       .select(col("c.id").as("cid"), col("c.sh").as("sh_c"),
@@ -332,8 +336,10 @@ object TextOps {
     def sets(df: DataFrame) = df.select(col(idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     def buckets(df: DataFrame) = sets(df)
-      .select(col("id"), explode(Dedup.bandKeys(minhashSig64(col("sh"),
-        bands * rowsPerBand), bands, rowsPerBand)).as("bucket"))
+      .select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"), explode(Dedup.bandKeys(col("_sig"),
+        bands, rowsPerBand)).as("bucket"))
     val cand = spark.read.parquet(s"$indexPath/buckets")
       .select(col("id").as("cid"), col("bucket"))
       .join(broadcast(buckets(evalSet)
