@@ -394,7 +394,15 @@ object Dedup {
     * changes nothing. Rounds needed = graph diameter (near-dup clusters
     * are tiny — a handful of rounds); every round is two keyed
     * shuffles, never an all-pairs step. The driver-side work per round is
-    * ONE scalar (the changed-count), not data. */
+    * ONE scalar (the changed-count), not data.
+    *
+    * The changed-count rides the SAME job that materializes the round:
+    * `next` carries a per-row changed flag observed via
+    * [[org.apache.spark.sql.Observation]], and the eager localCheckpoint
+    * is a `withAction` (it posts the execution-end event observations
+    * listen for) — so convergence detection costs zero extra passes,
+    * where a separate next-vs-old join-and-count would re-shuffle the
+    * label table once per round. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
@@ -416,12 +424,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
+      // a row changed iff some neighbor label beat the current one;
+      // count(when(...)) (not sum) so an empty label table yields 0
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"),
-          col("label"))).as("label"))
+          col("label"))).as("label"),
+          coalesce(col("nmin") < col("label"), lit(false)).as("_chg"))
+        .observe(obs, count(when(col("_chg"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.label") =!= col("o.label")).count()
+        .drop("_chg")
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       converged = changed == 0
       i += 1
