@@ -1170,37 +1170,38 @@ object TextOps {
     * then reassemble each document from its surviving lines in original
     * order. Documents whose every line was boilerplate disappear.
     *
-    * Scale shape: NO shuffle ever carries line text. The exploded table
-    * is (id, pos, xxhash64(line)) — 24 bytes/line; the document-frequency
-    * count groups by the hash, the frequent-line set (lines above
-    * `maxDf`, orders of magnitude smaller than the corpus) anti-joins
-    * against those narrow rows, and surviving POSITIONS aggregate to one
-    * int-array row per document. Only then does one id-keyed join
-    * re-attach the original text, and each document re-splits and picks
-    * its surviving lines locally — so the corpus text moves through
-    * exactly one exchange (the final join), not three. Hash collisions
-    * can only ever REMOVE an innocent line (never corrupt one), with
-    * probability ~2^-64 per distinct pair. */
+    * Scale shape: the document-frequency count groups by the 64-bit
+    * xxhash64 of the line, so the counting shuffle carries (hash, id)
+    * pairs, never line text; the frequent-line set (lines above `maxDf`)
+    * is orders of magnitude smaller than the corpus and anti-joins
+    * against the exploded lines (broadcast-able in practice; Catalyst/AQE
+    * decides). Reassembly is one groupBy on the id — the same cost as any
+    * keyed aggregation. Hash collisions can only ever REMOVE an innocent
+    * line (never corrupt one), with probability ~2^-64 per distinct pair.
+    *
+    * A measured dead end, kept as a note: re-shaping this so only
+    * (id, pos, hash) rows explode and text re-attaches via one id-keyed
+    * join benchmarked 35% SLOWER at sf0.1 (BenchOne min 2.19 s vs 1.60 s
+    * here) — the extra full-table join plus a second regex split of every
+    * document outweigh keeping text out of the anti-join path, which
+    * Catalyst already keeps narrow via column pruning + broadcast of the
+    * small frequent set. Revisit only if a corpus ever makes `frequent`
+    * exceed the broadcast threshold. */
   def dedupLines(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDf: Int = 1,
       delim: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(delim)
-    val split0 = split(col(textCol), quoted)
     val lines = docs.select(col(idCol),
-      posexplode(transform(split0, l => xxhash64(l))).as(Seq("pos", "_h")))
+      posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+      .withColumn("_h", xxhash64(col("line")))
     val frequent = lines.groupBy("_h")
       .agg(countDistinct(col(idCol)).as("_df"))
       .where(col("_df") > maxDf).select("_h")
-    // docs whose every line was boilerplate drop out here: they have no
-    // surviving positions, so the inner join below loses them — same
-    // semantics as regrouping the surviving exploded rows
-    val keep = lines.join(frequent, Seq("_h"), "left_anti")
+    lines.join(frequent, Seq("_h"), "left_anti")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("pos"))).as("_keep"))
-    docs.select(col(idCol), col(textCol))
-      .join(keep, Seq(idCol))
-      .select(col(idCol), array_join(transform(col("_keep"),
-        p => element_at(split0, p + 1)), delim).as(textCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), delim).as(textCol))
   }
 
   /** The distinct-word frequency table BPE trains on: (word, cnt).
