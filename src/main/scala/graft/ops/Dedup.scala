@@ -389,15 +389,22 @@ object Dedup {
     * representative to KEEP; every other member is the dedup drop set.
     *
     * Algorithm: iterative min-label propagation (the shuffle-based
-    * connected-components idiom): each round joins current labels across
-    * edges and takes the min of neighbor labels; stops when a round
-    * changes nothing. Rounds needed = graph diameter (near-dup clusters
-    * are tiny — a handful of rounds); every round is two keyed
-    * shuffles, never an all-pairs step. The driver-side work per round is
-    * ONE scalar (the changed-count), not data.
+    * connected-components idiom): each materialized round applies the
+    * propagation step TWICE — hop 1 takes the min over neighbor labels,
+    * hop 2 repeats it on hop 1's result — and observes the changed-count
+    * of hop 2 only. If the SECOND application changed nothing, hop 1's
+    * output was already the fixed point (and hop 2 returned it
+    * unchanged), so the loop terminates without the naive scheme's extra
+    * confirmation round: a diameter-d component converges in
+    * ceil(d/2)+ rounds of jobs instead of d+1. Total propagation work is
+    * identical (d-ish hops either way, each two keyed shuffles, never an
+    * all-pairs step); what halves is the per-round fixed cost — one
+    * driver job, one checkpoint materialization, one AQE re-plan per TWO
+    * hops. The driver-side work per round is ONE scalar (the
+    * changed-count), not data.
     *
     * The changed-count rides the SAME job that materializes the round:
-    * `next` carries a per-row changed flag observed via
+    * the round's result carries a per-row changed flag observed via
     * [[org.apache.spark.sql.Observation]], and the eager localCheckpoint
     * is a `withAction` (it posts the execution-end event observations
     * listen for) — so convergence detection costs zero extra passes,
@@ -412,36 +419,52 @@ object Dedup {
     // count (measured: OOM merely stringifying it around 30 rounds). On a
     // multi-node cluster prefer reliable `checkpoint` with a checkpoint
     // dir (localCheckpoint stores on executors, not fault-tolerant).
+    // (measured dead end: repartition(dst) before the checkpoint to
+    // pre-co-partition the per-round join — under AQE localCheckpoint's
+    // LogicalRDD comes back UnknownPartitioning(0), so the exchange is
+    // re-inserted every round anyway and the upfront shuffle is pure waste)
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // init labels are NOT checkpointed: the lineage is one distinct over
+    // the already-checkpointed sym (depth 1 — no exponential-plan risk),
+    // and skipping the eager materialization saves a whole driver job
+    // before the first round
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
+    // one propagation hop: min over neighbor labels, kept only when it
+    // beats the node's own label; `_chg` marks rows hop actually improved.
+    // count(when(...)) (not sum) so an empty label table yields 0
+    def hop(l: DataFrame): DataFrame = {
       val viaNeighbor = sym
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .join(l.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel")
+          .drop("_chg"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nmin"))
-      // a row changed iff some neighbor label beat the current one;
-      // count(when(...)) (not sum) so an empty label table yields 0
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      l.drop("_chg").join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"),
           col("label"))).as("label"),
           coalesce(col("nmin") < col("label"), lit(false)).as("_chg"))
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = hop(hop(labels))
         .observe(obs, count(when(col("_chg"), lit(1))).as("changed"))
         .localCheckpoint(true)
         .drop("_chg")
+      // hop 2's changed-count: zero means the second application was an
+      // identity on hop 1's output — i.e. hop 1 had already reached the
+      // per-component minimum and `next` equals it
       val changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       converged = changed == 0
       i += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"nearDupClusters did not converge in $maxIters rounds — the pair " +
-        "graph has a component with a longer min-label path; raise maxIters")
+      s"nearDupClusters did not converge in ${2 * maxIters} propagation " +
+        "steps — the pair graph has a component with a longer min-label " +
+        "path; raise maxIters")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

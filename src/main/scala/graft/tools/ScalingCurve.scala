@@ -44,7 +44,16 @@ object ScalingCurve {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val heavyMode = args.headOption.contains("heavy1000x")
-    val qset = if (heavyMode) heavy else queries
+    // optional trailing args: query names to re-measure (subset of the
+    // mode's list) — refreshing one changed row costs one row, not a
+    // ~20-minute full-table re-run
+    val subset = (if (heavyMode) args.drop(2) else args).toSet
+    val qset0 = if (heavyMode) heavy else queries
+    val qset = if (subset.isEmpty) qset0 else {
+      val unknown = subset -- qset0.toSet
+      require(unknown.isEmpty, s"not in this mode's query list: $unknown")
+      qset0.filter(subset)
+    }
     val sfset =
       if (heavyMode) sfs :+ (if (args.length > 1) args(1) else "/tmp/graft_sf1")
       else sfs

@@ -202,6 +202,32 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters converge on long chains (multi-round propagation)") {
+    // a path graph is the worst case for min-label propagation: the min
+    // id travels one hop per step, so a length-d chain needs d steps —
+    // exercises several materialized rounds of the two-hop loop, at both
+    // parities (the even/odd step count hits the round boundary
+    // differently: an odd diameter finishes mid-round)
+    for (n <- Seq(8, 9)) {
+      val pairs = (0L until n.toLong).sliding(2).map { w =>
+        (w(1), w(0)) // reversed so min-label actually has to travel
+      }.toSeq.toDF("id_a", "id_b")
+      val r = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+      assert(r == (0L until n.toLong).map(_ -> 0L).toMap, s"chain n=$n")
+    }
+    // too-small maxIters must throw, not silently return partial labels
+    val chain = (0L until 12L).sliding(2).map(w => (w(0), w(1)))
+      .toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain, maxIters = 2)
+    }
+  }
+
+  test("clusters of an empty pair relation are empty, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(empty).count() == 0L)
+  }
+
   test("non-integral id columns are rejected, not silently nulled") {
     val stringIds = Seq(("doc-1", "a b c"), ("doc-2", "a b c"))
       .toDF("doc_id", "text")
