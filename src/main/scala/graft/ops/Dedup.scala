@@ -396,12 +396,19 @@ object Dedup {
     * output was already the fixed point (and hop 2 returned it
     * unchanged), so the loop terminates without the naive scheme's extra
     * confirmation round: a diameter-d component converges in
-    * ceil(d/2)+ rounds of jobs instead of d+1. Total propagation work is
-    * identical (d-ish hops either way, each two keyed shuffles, never an
-    * all-pairs step); what halves is the per-round fixed cost — one
-    * driver job, one checkpoint materialization, one AQE re-plan per TWO
-    * hops. The driver-side work per round is ONE scalar (the
-    * changed-count), not data.
+    * ceil(d/2)+ rounds of jobs instead of d+1. What halves is the
+    * per-round fixed cost — one driver job, one checkpoint
+    * materialization, one AQE re-plan per TWO hops — which dominates for
+    * near-dup graphs (tiny components, label tables orders of magnitude
+    * under the corpus; measured 1.5 s → 0.7 s at sf0.1). The trade: hop
+    * 1's un-checkpointed output feeds hop 2 twice (probe + base), and
+    * AQE reuses only part of that subtree, so big graphs pay roughly one
+    * extra label-sized (node-count, never edge-count) merge join per
+    * round — measured a wash against the 1-hop loop at 4M symmetric
+    * edges / 500k nodes / diameter 11 (21.4 s vs 22.1 s) — while every
+    * round is still keyed shuffles only, never an all-pairs step. The
+    * driver-side work per round is ONE scalar (the changed-count), not
+    * data.
     *
     * The changed-count rides the SAME job that materializes the round:
     * the round's result carries a per-row changed flag observed via
