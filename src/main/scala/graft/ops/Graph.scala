@@ -223,13 +223,20 @@ object Graph {
         .join(state(labels.select(col("node").as("dst"),
           col("component").as("nc"))), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("nc")).as("nmin"))
+      // the changed-count rides the SAME job that materializes the round
+      // (Observation + eager localCheckpoint, the Dedup.nearDupClusters
+      // pattern) — the old next-vs-old join-and-count was a whole extra
+      // node-sized job per round
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(state(viaNeighbor), Seq("node"), "left")
         .select(col("node"),
           least(col("component"),
-            coalesce(col("nmin"), col("component"))).as("component"))
+            coalesce(col("nmin"), col("component"))).as("component"),
+          coalesce(col("nmin") < col("component"), lit(false)).as("_chg"))
+        .observe(obs, count(when(col("_chg"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .where(col("n.component") =!= col("o.component")).count()
+        .drop("_chg")
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       converged = changed == 0
       i += 1
