@@ -1406,6 +1406,46 @@ object SparkEntry {
           Seq("o_orderpriority"))
     }),
 
+    // ---- extension: mergeable bottom-k (KMV) sketches (ops/Kmv) -------
+    // the mergeable SAMPLE next to HLL's registers: k smallest md5
+    // hashes estimate distinct counts (k=256 -> ~6% rel err) and the
+    // same order statistic over a unique id is a deterministic uniform
+    // row sample; everything k-bounded after one corpus pass
+    "q_kmv_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.ops.Kmv.estimate(graft.ops.Kmv.sketch(o, "o_custkey", 256), 256)
+        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_n")))
+    }),
+
+    // merge-invariance is EXACT for bottom-k (a lattice, like HLL's
+    // register max): the merged halves equal the whole-table sketch row
+    // for row, so the estimates must agree bit for bit
+    "q_kmv_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val even = graft.ops.Kmv.sketch(
+        o.where(col("o_orderkey") % 2 === 0), "o_custkey", 256)
+      val odd = graft.ops.Kmv.sketch(
+        o.where(col("o_orderkey") % 2 === 1), "o_custkey", 256)
+      val merged = graft.ops.Kmv.estimate(
+          graft.ops.Kmv.merge(256, even, odd), 256)
+        .select(col("est_n").as("est_merged"))
+      val whole = graft.ops.Kmv.estimate(
+          graft.ops.Kmv.sketch(o, "o_custkey", 256), 256)
+        .select(col("est_n").as("est_whole"))
+      merged.crossJoin(whole)
+        .withColumn("agree", col("est_merged") === col("est_whole"))
+    }),
+
+    // one-pass approximate quantiles from the deterministic bottom-k
+    // row sample: integer-rank extraction, every output a value the
+    // table actually contains — nothing for engines to interpolate
+    "q_kmv_quantiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.ops.Kmv.sampleQuantiles(
+        graft.ops.Kmv.rowSample(o, "o_orderkey", 1024, "o_totalprice"),
+        "o_totalprice", Seq(25, 50, 75, 95))
+    }),
+
     // ---- extension: approximate sketches within pinned tolerance ------
     // HLL++ distinct and quantile-sketch median, each checked against its
     // exact counterpart IN the query; the oracle pins the exact values
@@ -5630,6 +5670,61 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  END AS est_n,
         |  ex.exact_n
         |FROM agg JOIN ex USING (o_orderpriority)""".stripMargin,
+
+    // KMV oracles restate the bottom-k construction: same 60-bit md5
+    // hash, same order statistic, same single float division (2^60 and
+    // k-1 both CAST AS DOUBLE — bare decimal literals are DECIMAL in
+    // DuckDB and multiply 1 ulp off)
+    "q_kmv_distinct" ->
+      """WITH s AS (
+        |  SELECT DISTINCT CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |  ORDER BY 1 LIMIT 256),
+        |a AS (SELECT count(*) AS n_sample, max(h) AS h_max FROM s)
+        |SELECT
+        |  CASE WHEN n_sample < 256 THEN CAST(n_sample AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(h_max AS DOUBLE) END AS est_n,
+        |  CAST(n_sample AS INT) AS n_sample,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_n
+        |FROM a""".stripMargin,
+
+    // merging disjoint halves IS the whole-table bottom-k (a lattice),
+    // so one estimate serves both columns
+    "q_kmv_merge" ->
+      """WITH s AS (
+        |  SELECT DISTINCT CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |  ORDER BY 1 LIMIT 256),
+        |a AS (SELECT count(*) AS n_sample, max(h) AS h_max FROM s),
+        |est AS (
+        |  SELECT CASE WHEN n_sample < 256 THEN CAST(n_sample AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(h_max AS DOUBLE) END AS e
+        |  FROM a)
+        |SELECT e AS est_merged, e AS est_whole, true AS agree FROM est""".stripMargin,
+
+    "q_kmv_quantiles" ->
+      """WITH s AS (
+        |  SELECT CAST(('0x' || substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |  ORDER BY h LIMIT 1024),
+        |r AS (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s WHERE o_totalprice IS NOT NULL)
+        |SELECT
+        |  max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75,
+        |  max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95,
+        |  CAST(max(n) AS INT) AS n_sample
+        |FROM r""".stripMargin,
 
     "q_approx_sketches" ->
       """SELECT count(DISTINCT o_custkey) AS exact_distinct,

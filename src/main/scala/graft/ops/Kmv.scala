@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable bottom-k (KMV) sketches as plain DataFrames (Bar-Yossef
+  * et al. 2002's k-minimum-values distinct counter; the same bottom-k
+  * order statistic doubles as a deterministic uniform sample).
+  *
+  * The missing sibling of [[Hll]] / [[Freq]] / the Bloom scan: where
+  * HLL answers "how many distinct" and Misra–Gries answers "which are
+  * frequent", the bottom-k sketch is the mergeable SAMPLE — k rows
+  * that (a) estimate distinct counts with relative error ~1/sqrt(k),
+  * (b) give one-pass approximate quantiles of any carried column, and
+  * (c) stay a uniform sample under ANY union of sketches, because
+  * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) exactly — a
+  * lattice, like HLL's register max. Sketch each day's partition once,
+  * persist k rows, and answer distinct/quantile questions over any
+  * date range without rescanning the data.
+  *
+  * Determinism contract (the [[Hll]] one): hashes are 60-bit
+  * md5-derived (15 hex digits — the ANSI long cast can't overflow),
+  * selection is a pure order statistic on those hashes, quantile
+  * extraction is integer-rank (lower rank, no interpolation), and the
+  * one float division happens once at estimate time — the same sketch
+  * and the same estimates on every engine, run, and retry. The DuckDB
+  * oracles restate the whole construction in SQL.
+  *
+  * Scale shape: sketching is one pass — a map-side-partial distinct
+  * over 8-byte hashes (never the payload) followed by a k-bounded
+  * take-ordered (per-partition top-k, k-row merge: nothing data-sized
+  * reaches the driver and no stage sees more than the distinct-hash
+  * stream); merge is a union of k-row tables re-taken to k; every
+  * readout aggregates ≤ k rows. k is a parameter (hundreds to
+  * thousands), so all post-sketch state is O(k) — the same bounded
+  * class as [[Hll]]'s 2^p registers.
+  */
+object Kmv {
+
+  /** The 60-bit hash space: hashes are uniform in [0, 2^60). */
+  private val HashSpace = 1L << 60
+
+  /** 60-bit deterministic hash: first 15 md5 hex digits (salted so
+    * kmv streams never collide with the :hll ones on the same key). */
+  private[ops] def hash60(key: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":kmv"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Bottom-k distinct-count sketch of a key column: the k smallest
+    * DISTINCT 60-bit hashes, one (h) row each. NULL keys are not
+    * observations (count-distinct semantics). */
+  def sketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    df.where(col(keyCol).isNotNull)
+      .select(hash60(col(keyCol)).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Merge bottom-k sketches: union, dedup, re-take the k smallest.
+    * EXACTLY the sketch of the unioned inputs (bottom-k is a lattice),
+    * so merge order and grouping never change the answer. */
+  def merge(k: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** KMV distinct estimate: with the k-th smallest distinct hash at
+    * h_k of a 2^60 space, est = (k-1) * 2^60 / h_k; when the sketch
+    * holds fewer than k hashes the count is exact (we saw every
+    * distinct value). Relative error ~ 1/sqrt(k-2). One float
+    * division, computed identically by the oracle. */
+  def estimate(sk: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    sk.agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"))
+      .select(
+        when(col("n_sample") < k, col("n_sample").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace.toDouble)
+            / col("h_max").cast("double")).as("est_n"),
+        col("n_sample").cast("int").as("n_sample"))
+  }
+
+  /** Deterministic uniform row sample: the k rows whose unique id
+    * hashes smallest — mergeable (union + re-take) and rerun-stable,
+    * carrying `cols` for downstream readouts. `idCol` must identify
+    * rows uniquely (duplicate ids share a hash, making the k-boundary
+    * row-ambiguous); hash ties across DISTINCT ids happen with
+    * probability ~2^-60 per pair — the [[Hll]] collision posture. */
+  def rowSample(df: DataFrame, idCol: String, k: Int,
+      cols: String*): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.where(col(idCol).isNotNull)
+      .select(hash60(col(idCol)).as("h") +: cols.map(col): _*)
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Integer-rank quantiles of `valueCol` from a bottom-k sample:
+    * percentile p (an integer percent) reads the sorted sample at rank
+    * ceil(p*n/100) = (p*n + 99) div 100 — lower-rank, no
+    * interpolation, so the extracted value is one of the sample's own
+    * (bit-exact cross-engine; the q_covariance lesson). NULL values
+    * are excluded. The collect is k-bounded by construction — one
+    * array row, the [[Profile]] bootstrap's size class — never
+    * data-proportional. */
+  def sampleQuantiles(sample: DataFrame, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $pcts")
+    val sorted = sample.where(col(valueCol).isNotNull)
+      .agg(sort_array(collect_list(col(valueCol))).as("_vs"),
+        count(col(valueCol)).as("_n"))
+    sorted.select(
+      pcts.map(p => when(col("_n") === 0, lit(null))
+        .otherwise(element_at(col("_vs"),
+          expr(s"CAST(($p * _n + 99) div 100 AS INT)"))).as(s"p$p")) :+
+        col("_n").cast("int").as("n_sample"): _*)
+  }
+}

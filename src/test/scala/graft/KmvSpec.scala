@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Kmv
+
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch: k smallest distinct hashes, multiplicity-invariant, sorted") {
+    val distinct = (1 to 2000).map(_.toLong).toDF("k")
+    val duplicated = ((1 to 2000) ++ (1 to 2000) ++ (1 to 300))
+      .map(_.toLong).toDF("k")
+    val s1 = Kmv.sketch(distinct, "k", 64).as[Long].collect()
+    val s2 = Kmv.sketch(duplicated, "k", 64).as[Long].collect()
+    assert(s1.toSeq == s2.toSeq)           // multiplicity never matters
+    assert(s1.length == 64)
+    assert(s1.toSet.size == 64)            // distinct hashes
+    // the k smallest of ALL hashes: every non-member hash is larger
+    val all = distinct.select(
+      conv(substring(md5(concat(col("k").cast("string"), lit(":kmv"))),
+        1, 15), 16, 10).cast("long").as("h")).as[Long].collect().toSet
+    assert(s1.toSet == all.toSeq.sorted.take(64).toSet)
+  }
+
+  test("estimate: within KMV error bounds at k=64, exact under k, reproducible") {
+    val df = (1 to 5000).map(_.toLong).toDF("k")
+    val est = Kmv.estimate(Kmv.sketch(df, "k", 64), 64)
+      .collect().head.getDouble(0)
+    // sigma ~ 1/sqrt(62) = 12.7%; deterministic, so pin the accuracy
+    // this hash achieves rather than a flaky bound
+    assert(math.abs(est - 5000) / 5000 < 0.3, s"est $est")
+    val again = Kmv.estimate(Kmv.sketch(df, "k", 64), 64)
+      .collect().head.getDouble(0)
+    assert(est == again)                   // bit-identical across runs
+    // fewer distinct values than k: the count is exact
+    val small = (1 to 40).map(_.toLong).toDF("k")
+    val r = Kmv.estimate(Kmv.sketch(small, "k", 64), 64).collect().head
+    assert(r.getDouble(0) == 40.0 && r.getInt(1) == 40)
+  }
+
+  test("merge(sketch(A), sketch(B)) IS sketch(A ∪ B), row for row") {
+    val a = (1 to 3000).map(_.toLong).toDF("k")
+    val b = (2000 to 6000).map(_.toLong).toDF("k")
+    val merged = Kmv.merge(64, Kmv.sketch(a, "k", 64), Kmv.sketch(b, "k", 64))
+      .as[Long].collect().toSeq
+    val whole = Kmv.sketch(a.unionByName(b), "k", 64).as[Long].collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("null keys are not observations") {
+    val df = (Seq[Option[Long]](None, None) ++ (1 to 30).map(i =>
+      Some(i.toLong))).toDF("k")
+    val r = Kmv.estimate(Kmv.sketch(df, "k", 64), 64).collect().head
+    assert(r.getDouble(0) == 30.0)
+  }
+
+  test("rowSample: deterministic, mergeable, carries requested columns") {
+    val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val s1 = Kmv.rowSample(df, "id", 50, "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s2 = Kmv.rowSample(df, "id", 50, "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s1 == s2)
+    // bottom-k of the union == re-take of the halves' bottom-ks
+    val lo = df.where(col("id") <= 500)
+    val hi = df.where(col("id") > 500)
+    val viaHalves = Kmv.rowSample(lo, "id", 50, "v")
+      .unionByName(Kmv.rowSample(hi, "id", 50, "v"))
+      .orderBy(col("h")).limit(50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHalves == s1)
+  }
+
+  test("sampleQuantiles: integer lower-rank extraction, member values only") {
+    // a known 4-row sample: sorted values (1.0, 2.0, 3.0, 4.0);
+    // rank(p) = (p*4 + 99) div 100 -> p25=1, p50=2, p75=3, p95=4 (ranks)
+    val sample = Seq((1L, 3.0), (2L, 1.0), (3L, 4.0), (4L, 2.0))
+      .toDF("h", "v")
+    val r = Kmv.sampleQuantiles(sample, "v", Seq(25, 50, 75, 95))
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0 &&
+      r.getDouble(2) == 3.0 && r.getDouble(3) == 4.0 && r.getInt(4) == 4)
+    // empty sample: null quantiles, zero count — not an error
+    val e = Kmv.sampleQuantiles(sample.where(col("v") > 100), "v", Seq(50))
+      .collect().head
+    assert(e.isNullAt(0) && e.getInt(1) == 0)
+    // sampled quantiles of a real column track the exact ones
+    val o = (1 to 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val q = Kmv.sampleQuantiles(Kmv.rowSample(o, "id", 1000, "v"),
+      "v", Seq(50)).collect().head.getDouble(0)
+    assert(math.abs(q - 5000.0) / 5000.0 < 0.1, s"p50 $q")
+  }
+}
