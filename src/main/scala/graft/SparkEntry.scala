@@ -1436,6 +1436,18 @@ object SparkEntry {
         .withColumn("agree", col("est_merged") === col("est_whole"))
     }),
 
+    // per-group sketches: distinct customers per order priority — the
+    // grouped rollup shape, mirroring q_hll_by_priority so the two
+    // sketch families are comparable on the same question
+    "q_kmv_by_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.ops.Kmv.estimateBy(graft.ops.Kmv.sketchBy(
+          o, "o_orderpriority", "o_custkey", 128), "o_orderpriority", 128)
+        .join(o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact_n")),
+          Seq("o_orderpriority"))
+    }),
+
     // one-pass approximate quantiles from the deterministic bottom-k
     // row sample: integer-rank extraction, every output a value the
     // table actually contains — nothing for engines to interpolate
@@ -5705,6 +5717,30 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |         / CAST(h_max AS DOUBLE) END AS e
         |  FROM a)
         |SELECT e AS est_merged, e AS est_whole, true AS agree FROM est""".stripMargin,
+
+    "q_kmv_by_priority" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |s AS (
+        |  SELECT o_orderpriority, h,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |  FROM h),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n_sample, max(h) AS h_max
+        |  FROM s WHERE rn <= 128 GROUP BY 1),
+        |ex AS (
+        |  SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_n
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_orderpriority,
+        |  CASE WHEN n_sample < 128 THEN CAST(n_sample AS DOUBLE)
+        |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(h_max AS DOUBLE) END AS est_n,
+        |  CAST(n_sample AS INT) AS n_sample,
+        |  ex.exact_n
+        |FROM a JOIN ex USING (o_orderpriority)""".stripMargin,
 
     "q_kmv_quantiles" ->
       """WITH s AS (

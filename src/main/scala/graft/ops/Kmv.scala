@@ -82,6 +82,37 @@ object Kmv {
         col("n_sample").cast("int").as("n_sample"))
   }
 
+  /** Grouped bottom-k sketch: per group, the k smallest distinct
+    * hashes — the per-source/per-day rollup form. The rank runs in a
+    * group-partitioned window over the distinct (group, hash) stream,
+    * so no task sees more than one group's distinct hashes and the
+    * output is ≤ k rows per group. */
+  def sketchBy(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol), hash60(col(keyCol)).as("h"))
+      .distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
+      .where(col("_rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Per-group KMV estimates from a [[sketchBy]] table: same estimator
+    * as [[estimate]], one row per group. */
+  def estimateBy(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"))
+      .select(col(groupCol),
+        when(col("n_sample") < k, col("n_sample").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace.toDouble)
+            / col("h_max").cast("double")).as("est_n"),
+        col("n_sample").cast("int").as("n_sample"))
+  }
+
   /** Deterministic uniform row sample: the k rows whose unique id
     * hashes smallest — mergeable (union + re-take) and rerun-stable,
     * carrying `cols` for downstream readouts. `idCol` must identify

@@ -54,6 +54,22 @@ class KmvSpec extends SparkSpec {
     assert(r.getDouble(0) == 30.0)
   }
 
+  test("sketchBy/estimateBy: per-group bottom-k matches per-group global sketches") {
+    val df = (1 to 4000).map(i => (if (i % 3 == 0) "a" else "b", i.toLong))
+      .toDF("g", "k")
+    val grouped = Kmv.estimateBy(Kmv.sketchBy(df, "g", "k", 64), "g", 64)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Kmv.estimate(
+          Kmv.sketch(df.where(col("g") === g), "k", 64), 64)
+        .collect().head
+      assert(grouped(g) == ((solo.getDouble(0), solo.getInt(1))), s"group $g")
+    }
+    // accuracy per group (a has ~1333 distinct, b ~2667)
+    assert(math.abs(grouped("a")._1 - 1333) / 1333 < 0.35)
+    assert(math.abs(grouped("b")._1 - 2667) / 2667 < 0.35)
+  }
+
   test("rowSample: deterministic, mergeable, carries requested columns") {
     val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
     val s1 = Kmv.rowSample(df, "id", 50, "v").collect()
