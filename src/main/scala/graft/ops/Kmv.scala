@@ -83,17 +83,30 @@ object Kmv {
   }
 
   /** Grouped bottom-k sketch: per group, the k smallest distinct
-    * hashes — the per-source/per-day rollup form. The rank runs in a
-    * group-partitioned window over the distinct (group, hash) stream,
-    * so no task sees more than one group's distinct hashes and the
-    * output is ≤ k rows per group. */
+    * hashes — the per-source/per-day rollup form.
+    *
+    * Selection is EXACT through a two-level salted rank (bottom-k is a
+    * lattice, so per-salt bottom-ks lose nothing: any hash in the
+    * group's true bottom-k is in its salt's bottom-k). A single
+    * group-partitioned window would funnel one giant group's whole
+    * distinct-hash stream through one task — the skew case
+    * [[Profile]]'s prefix cascade exists for — so level 1 ranks within
+    * (group, h & 4095): 4096-way spread, each task sees ~1/4096 of a
+    * group's distinct hashes (md5 output is uniform — the salt cannot
+    * be adversarially loaded). Level 2 ranks ≤ 4096·k survivors per
+    * group — parameter-bounded, never data-proportional. */
   def sketchBy(df: DataFrame, groupCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    df.where(col(keyCol).isNotNull)
+    val salted = df.where(col(keyCol).isNotNull)
       .select(col(groupCol), hash60(col(keyCol)).as("h"))
       .distinct()
+      .withColumn("_rn", row_number().over(Window
+        .partitionBy(col(groupCol), col("h").bitwiseAND(lit(4095L)))
+        .orderBy(col("h"))))
+      .where(col("_rn") <= k)
+    salted
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("h"))))
       .where(col("_rn") <= k)
