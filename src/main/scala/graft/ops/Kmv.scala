@@ -140,6 +140,30 @@ object Kmv {
       .orderBy(col("h")).limit(k)
   }
 
+  // --------------------------------------------------------------------
+  // JVM-side mirror of the expression pipeline above, for stateful
+  // STREAMING use (graft.streaming.StreamOps.kmvDistinct keeps one
+  // sorted bottom-k hash array per key in mapGroupsWithState).
+  // Bit-compatible with the SQL path by construction: same md5-derived
+  // 60-bit hash, same order statistic, same association order in the
+  // estimate — the streaming parity spec asserts exact double equality
+  // against estimateBy.
+  // --------------------------------------------------------------------
+
+  /** 60-bit hash of one key — the JVM twin of [[hash60]]. */
+  private[graft] def jvmHash60(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((key + ":kmv").getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"${b & 0xFF}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Estimate from a sorted-ascending bottom-k hash array — the JVM
+    * twin of [[estimate]], same arithmetic in the same order. */
+  private[graft] def estimateJvm(hs: Array[Long], k: Int): Double =
+    if (hs.length < k) hs.length.toDouble
+    else (k - 1).toDouble * HashSpace.toDouble / hs(hs.length - 1).toDouble
+
   /** Integer-rank quantiles of `valueCol` from a bottom-k sample:
     * percentile p (an integer percent) reads the sorted sample at rank
     * ceil(p*n/100) = (p*n + 99) div 100 — lower-rank, no

@@ -474,6 +474,50 @@ object StreamOps {
           HllEstimate(g, graft.ops.Hll.estimateJvm(regs, p))
       }
   }
+
+  /** Streaming bottom-k (KMV) distinct estimate per group — the
+    * mergeable-sample sibling of [[hllDistinct]]: one sorted array of
+    * the k smallest distinct 60-bit hashes per group in
+    * mapGroupsWithState, state BOUNDED at k longs per group no matter
+    * how many distinct keys flow past. Emits one update row per group
+    * per micro-batch.
+    *
+    * The estimate is bit-identical to the batch `Kmv.estimateBy` over
+    * the same rows (same md5 hash, same order statistic, same single
+    * float division — pinned by the parity spec), so a stream can be
+    * spot-checked against a batch recompute at any point. On a batch
+    * frame this degrades to ordinary mapGroups (state starts empty),
+    * keeping batch/stream parity by construction. */
+  def kmvDistinct(rows: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256): Dataset[KmvEstimate] = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    import rows.sparkSession.implicits._
+    val typed = rows
+      .select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[KmvHashes, KmvEstimate](GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, String)], state: GroupState[KmvHashes]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(s => set ++= s.hs)
+          // null keys are not observations (the batch sketch's
+          // isNotNull guard — see hllDistinct)
+          it.foreach { case (_, key) =>
+            if (key != null) {
+              val h = graft.ops.Kmv.jvmHash60(key)
+              // TreeSet dedups (distinct hashes); only insert when the
+              // candidate can belong to the bottom k
+              if (set.size < k || h < set.max) {
+                set += h
+                if (set.size > k) set -= set.max
+              }
+            }
+          }
+          val arr = set.toArray // sorted ascending
+          state.update(KmvHashes(arr))
+          KmvEstimate(g, graft.ops.Kmv.estimateJvm(arr, k), arr.length)
+      }
+  }
 }
 
 /** Typed event row for stateful streaming ops. */
@@ -485,6 +529,10 @@ case class UserStats(user_id: Long, n: Long, sum: Double, crossed100: Boolean)
 /** HLL register state / output for the streaming distinct estimator. */
 case class HllRegs(regs: Array[Int])
 case class HllEstimate(group: String, est_n: Double)
+
+/** Bottom-k hash state / output for the streaming KMV estimator. */
+case class KmvHashes(hs: Array[Long])
+case class KmvEstimate(group: String, est_n: Double, n_sample: Int)
 
 /** Typed rows for the streaming rolling z-score. */
 case class ZEvent(user_id: Long, event_id: Long, sec: Long, value: Double)

@@ -566,4 +566,40 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamMap("a") - 500) / 500.0 < 0.35)
     assert(math.abs(streamMap("b") - 40) / 40.0 < 0.5)
   }
+
+  test("streaming KMV distinct: bottom-k persists across batches, parity with batch sketch") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.kmvDistinct(mem.toDF()
+        .select(col("_1").as("src"), col("_2").as("uid")), "src", "uid", 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    val batch1 = (1 to 300).map(i => ("a", s"u$i")) ++
+      (1 to 40).map(i => ("b", s"v$i"))
+    val batch2 = (200 to 500).map(i => ("a", s"u$i"))   // overlaps batch 1
+    mem.addData(batch1)
+    q.processAllAvailable()
+    mem.addData(batch2)
+    q.processAllAvailable()
+    // the estimate is monotone non-decreasing (filling: est = n grows to
+    // k-1; full: the k-th hash only shrinks, so (k-1)·2^60/h_k grows),
+    // so the latest update row per group is the max — same readout as
+    // the HLL test's monotone registers
+    val streamed = spark.table("kmv_stream")
+      .groupBy(col("group"))
+      .agg(max(col("est_n")).as("est_n"), max(col("n_sample")).as("n_sample"))
+    val streamMap = streamed.as[(String, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    q.stop()
+    // batch recompute over the union must agree bit-for-bit
+    val union = (batch1 ++ batch2).toDF("src", "uid")
+    val batchMap = graft.ops.Kmv.estimateBy(
+        graft.ops.Kmv.sketchBy(union, "src", "uid", 64), "src", 64)
+      .as[(String, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamMap == batchMap, s"stream $streamMap vs batch $batchMap")
+    // sane estimates (500 true distincts for a; b has 40 < k so exact)
+    assert(math.abs(streamMap("a")._1 - 500) / 500.0 < 0.35)
+    assert(streamMap("b") == ((40.0, 40)))
+  }
 }
