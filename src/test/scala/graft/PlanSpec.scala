@@ -426,10 +426,16 @@ class PlanSpec extends SparkSpec {
         // round 9: heapsFit rides the cascade too — its cumulative
         // window was the last DATA-proportional (doc-count-sized)
         // single-partition window in the repo (VERDICT r8)
-        "q_heaps_fit", "q_heaps_by_source").foreach { n =>
-      assert(unpartitionedWindows(n) == 0,
-        s"$n: unpartitioned window crept back")
-    }
+        "q_heaps_fit", "q_heaps_by_source",
+        // KMV grouped sketch: both rank levels are salted/group
+        // partitioned (Kmv.sketchBy — no task sees a whole group's
+        // distinct-hash stream); the global forms use take-ordered,
+        // no window at all
+        "q_kmv_by_priority", "q_kmv_distinct", "q_kmv_quantiles")
+      .foreach { n =>
+        assert(unpartitionedWindows(n) == 0,
+          s"$n: unpartitioned window crept back")
+      }
 
     // DQ annotate: pure per-row projection — no join, no exchange
     val ann = plan("q_dq_annotate")
