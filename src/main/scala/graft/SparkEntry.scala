@@ -1448,6 +1448,15 @@ object SparkEntry {
           Seq("o_orderpriority"))
     }),
 
+    // deterministic per-group cap — "at most k docs per domain/source",
+    // the Gopher/C4-style frequency cap: survivors are the k smallest
+    // id-hashes per group, stable across runs/engines/retries (a random
+    // cap would churn the training set every rebuild)
+    "q_domain_cap" -> ((s, dir) =>
+      graft.ops.Kmv.rowSampleBy(t(s, dir, "documents"),
+          "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"))),
+
     // one-pass approximate quantiles from the deterministic bottom-k
     // row sample: integer-rank extraction, every output a value the
     // table actually contains — nothing for engines to interpolate
@@ -5741,6 +5750,18 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(n_sample AS INT) AS n_sample,
         |  ex.exact_n
         |FROM a JOIN ex USING (o_orderpriority)""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
     "q_kmv_quantiles" ->
       """WITH s AS (

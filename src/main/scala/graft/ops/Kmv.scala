@@ -140,6 +140,34 @@ object Kmv {
       .orderBy(col("h")).limit(k)
   }
 
+  /** Deterministic per-group row cap — the corpus-curation primitive
+    * "at most k documents per domain": per group, the k rows whose
+    * unique id hashes smallest. Stable across runs, engines, and
+    * retries (re-crawling the same corpus keeps the same survivors —
+    * a random cap would churn the training set every rebuild), and
+    * mergeable like every bottom-k: capping shards then re-capping the
+    * union equals capping the whole.
+    *
+    * Same salted two-level rank as [[sketchBy]], so one giant group (a
+    * single domain holding most of a 100 TB crawl — exactly the case
+    * capping exists for) never funnels through one task. */
+  def rowSampleBy(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.where(col(idCol).isNotNull)
+      .withColumn("_h", hash60(col(idCol)))
+    val l1 = hashed
+      .withColumn("_rn", row_number().over(Window
+        .partitionBy(col(groupCol), col("_h").bitwiseAND(lit(4095L)))
+        .orderBy(col("_h"))))
+      .where(col("_rn") <= k)
+    l1.withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_h"))))
+      .where(col("_rn") <= k)
+      .drop("_h", "_rn")
+  }
+
   // --------------------------------------------------------------------
   // JVM-side mirror of the expression pipeline above, for stateful
   // STREAMING use (graft.streaming.StreamOps.kmvDistinct keeps one

@@ -87,6 +87,30 @@ class KmvSpec extends SparkSpec {
     assert(viaHalves == s1)
   }
 
+  test("rowSampleBy: per-group cap is deterministic, exact-k, and mergeable") {
+    val df = (1 to 900).map(i => (i.toLong, s"g${i % 3}", i * 1.5))
+      .toDF("id", "g", "v")
+    val a = Kmv.rowSampleBy(df, "g", "id", 20)
+    val rows = a.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // exactly k per group, deterministic
+    val perGroup = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perGroup == Map("g0" -> 20, "g1" -> 20, "g2" -> 20))
+    val again = Kmv.rowSampleBy(df, "g", "id", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == again)
+    // capping shards then re-capping the union == capping the whole
+    val viaShards = Kmv.rowSampleBy(
+      Kmv.rowSampleBy(df.where(col("id") <= 450), "g", "id", 20)
+        .unionByName(Kmv.rowSampleBy(df.where(col("id") > 450), "g", "id", 20)),
+      "g", "id", 20).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaShards == rows)
+    // groups under the cap survive whole
+    val small = Kmv.rowSampleBy(df.where(col("id") <= 30), "g", "id", 20)
+    assert(small.count() == 30)
+    // carried columns come through untouched
+    assert(a.columns.toSeq == Seq("id", "g", "v"))
+  }
+
   test("sampleQuantiles: integer lower-rank extraction, member values only") {
     // a known 4-row sample: sorted values (1.0, 2.0, 3.0, 4.0);
     // rank(p) = (p*4 + 99) div 100 -> p25=1, p50=2, p75=3, p95=4 (ranks)
