@@ -3268,6 +3268,22 @@ object SparkEntry {
       TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
+    // ---- LLM: streaming decontamination gate (batch-parity surface) ---
+    // the stateless per-document admission check a continuously-fed
+    // corpus runs: distinct-8-gram hits against a broadcast eval set,
+    // one row per document either way (StreamOps.decontamGate — the
+    // same op drives a real stream in StreamingSpec; here the oracle
+    // replays the gram construction on the batch frame)
+    "q_decontam_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20).unionByName(
+        evalSet.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.streaming.StreamOps.decontamGate(corpus, evalSet)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }),
+
     // ---- LLM: leakage-free train/eval split (composed pipeline) -------
     // stable content-keyed 90/10 split, then 8-gram decontamination of
     // the train side against the held-out eval side: a train doc
@@ -8097,6 +8113,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
+
+    // gate parity: same gram construction as q_decontam, but per-doc
+    // DISTINCT matched-gram counts with zero-hit docs kept
+    "q_decontam_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) - 7 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 7)] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, g FROM g WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
+        |SELECT c.doc_id,
+        |  count(DISTINCT ev.g) AS n_hits,
+        |  count(DISTINCT ev.g) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN ev ON c.g = ev.g
+        |GROUP BY c.doc_id""".stripMargin,
 
     // 3-gram construction mirrors TextOps.wordShingles (see q_decontam)
     "q_repetition" ->

@@ -518,6 +518,58 @@ object StreamOps {
           KmvEstimate(g, graft.ops.Kmv.estimateJvm(arr, k), arr.length)
       }
   }
+
+  /** Streaming decontamination gate: annotate every arriving document
+    * with how many of its distinct word n-grams appear in a STATIC
+    * eval/benchmark set — the inline admission check a continuously-fed
+    * training corpus runs, the streaming form of
+    * [[graft.ops.TextOps.contaminatedIds]].
+    *
+    * STATELESS by construction, so it needs no watermark, emits exactly
+    * one row per input row in append mode, and behaves identically on a
+    * batch frame (the oracle query runs it in batch; stream parity is
+    * pinned in StreamingSpec). Eval benchmarks are policy-sized by
+    * contract (the blocklistAC convention): their distinct gram hashes
+    * collect ONCE to a sorted array, broadcast per executor — never per
+    * row, never per micro-batch — and each document's membership test
+    * is a per-gram binary search (G·log|eval| per row, zero shuffle).
+    * Gram identity is the fused 64-bit chain hash
+    * ([[graft.functions.ShingleHash64]].compute — the expression's own
+    * static loop, so stream and batch hash bit-identically). */
+  def decontamGate(docs: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val spark = evalSet.sparkSession
+    graft.Graft.init(spark)
+    import spark.implicits._
+    import graft.functions.ShingleExprs.shingleHash64
+    val grams = evalSet
+      .select(explode(shingleHash64(col(textCol), n)).as("g"))
+      .distinct().as[Long].collect().sorted
+    require(grams.length <= 8000000,
+      s"decontamGate: ${grams.length} eval grams exceed the policy-sized " +
+        "broadcast contract (8M) — that is a data table, not a benchmark; " +
+        "decontaminate in batch (TextOps.contaminatedIds) instead")
+    val bc = spark.sparkContext.broadcast(grams)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.map { case (id, txt) =>
+          val gs = graft.functions.ShingleHash64.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (txt == null) "" else txt), n).toLongArray()
+          var hits = 0
+          var i = 0
+          while (i < gs.length) {
+            if (java.util.Arrays.binarySearch(ev, gs(i)) >= 0) hits += 1
+            i += 1
+          }
+          (id, txt, hits.toLong, hits > 0)
+        }
+      }
+      .toDF(idCol, textCol, "n_hits", "contaminated")
+  }
 }
 
 /** Typed event row for stateful streaming ops. */

@@ -567,6 +567,36 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamMap("b") - 40) / 40.0 < 0.5)
   }
 
+  test("decontam gate: stateless stream equals batch, row for row") {
+    implicit val sql = spark.sqlContext
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "four score and seven years ago our fathers brought forth"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (11L, "completely unrelated text with no overlap whatsoever here now"),
+      (12L, "prefix words then four score and seven years ago our fathers brought forth and more"),
+      (13L, "short doc"))
+    val batch = StreamOps.decontamGate(docs.toDF("doc_id", "text"), evalSet)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    // planted expectations: 10 and 12 share full 8-gram windows, 11 and
+    // 13 share none
+    assert(batch.map(t => t._1 -> t._3).toMap ==
+      Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.decontamGate(mem.toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("text")), evalSet)
+      .writeStream.format("memory").queryName("dgate")
+      .outputMode("append").start()
+    mem.addData(docs.take(2)); q.processAllAvailable()
+    mem.addData(docs.drop(2)); q.processAllAvailable()
+    val streamed = spark.table("dgate")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    q.stop()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming KMV distinct: bottom-k persists across batches, parity with batch sketch") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(String, String)]
