@@ -36,7 +36,12 @@ object ScalingCurve {
     // join/window/sessionize shapes get measured sf0.001->sf1 instead
     // of arguing their last decade from plan shapes
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21", "q_window", "q_sessionize",
-    "q_cohort_retention")
+    "q_cohort_retention",
+    // round 9 widening: the bottom-k family — the distinct sketch
+    // (take-ordered over a map-side-partial distinct) and the salted
+    // per-domain cap (two bounded rank levels) should both be
+    // near-flat in data size
+    "q_kmv_distinct", "q_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
