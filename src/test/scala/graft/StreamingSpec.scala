@@ -584,6 +584,10 @@ class StreamingSpec extends SparkSpec {
     // 13 share none
     assert(batch.map(t => t._1 -> t._3).toMap ==
       Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    // null text gates as empty, not as an NPE or a match
+    val withNull = StreamOps.decontamGate(
+      Seq((20L, null: String)).toDF("doc_id", "text"), evalSet).collect()
+    assert(withNull.length == 1 && !withNull.head.getBoolean(3))
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.decontamGate(mem.toDF()
         .select(col("_1").as("doc_id"), col("_2").as("text")), evalSet)
