@@ -612,4 +612,31 @@ class PropertySpec extends SparkSpec {
       assert(exact.forall { case (k, c) => est(k) >= c }, s"case $i bound")
     }
   }
+
+  test("bottom-k merge is a lattice for ANY split of ANY key set (property)") {
+    import graft.ops.Kmv
+    val dataGen = Gen.listOfN(150,
+      Gen.zip(Gen.chooseNum(0L, 400L), Gen.oneOf(0, 1, 2)))
+    for ((rows, i) <- samples(dataGen, 6).zipWithIndex) {
+      val k = 16 + (i % 3) * 8
+      val whole = Kmv.sketch(rows.toDF("key", "part").select(col("key")),
+        "key", k).as[Long].collect().toSeq
+      // ANY 3-way split: merging the parts' sketches IS the whole sketch
+      val parts = (0 to 2).map(p =>
+        Kmv.sketch(rows.filter(_._2 == p).toDF("key", "part")
+          .select(col("key")), "key", k))
+      val merged = Kmv.merge(k, parts: _*).as[Long].collect().toSeq
+      assert(merged == whole, s"case $i k=$k")
+      // merge is idempotent and order-insensitive
+      val twice = Kmv.merge(k, parts(2), parts(0), parts(1), parts(0))
+        .as[Long].collect().toSeq
+      assert(twice == whole, s"case $i reorder")
+      // estimates never disagree between the merged and whole forms
+      val ew = Kmv.estimate(Kmv.sketch(rows.toDF("key", "part")
+        .select(col("key")), "key", k), k).collect().head.getDouble(0)
+      val em = Kmv.estimate(Kmv.merge(k, parts: _*), k)
+        .collect().head.getDouble(0)
+      assert(ew == em, s"case $i estimate")
+    }
+  }
 }
