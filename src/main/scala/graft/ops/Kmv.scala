@@ -59,7 +59,10 @@ object Kmv {
 
   /** Merge bottom-k sketches: union, dedup, re-take the k smallest.
     * EXACTLY the sketch of the unioned inputs (bottom-k is a lattice),
-    * so merge order and grouping never change the answer. */
+    * so merge order and grouping never change the answer. Exactness
+    * requires `k` ≤ every input's own k (a bottom-16 of bottom-8s only
+    * knows 8 hashes per part); merging at the inputs' shared k — the
+    * normal sketch-per-day-then-merge use — always qualifies. */
   def merge(k: Int, sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "merge needs at least one sketch")
     sketches.reduce(_ unionByName _)
