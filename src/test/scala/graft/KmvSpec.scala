@@ -47,6 +47,21 @@ class KmvSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("parameter contracts reject degenerate arguments") {
+    val df = (1 to 10).map(_.toLong).toDF("k")
+    intercept[IllegalArgumentException] { Kmv.sketch(df, "k", 1) }
+    intercept[IllegalArgumentException] { Kmv.estimate(df.select(col("k").as("h")), 0) }
+    intercept[IllegalArgumentException] { Kmv.rowSample(df, "k", 0) }
+    intercept[IllegalArgumentException] { Kmv.rowSampleBy(df.withColumn("g", lit("a")), "g", "k", 0) }
+    intercept[IllegalArgumentException] {
+      Kmv.sampleQuantiles(df.select(col("k").cast("double").as("v")), "v", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Kmv.sampleQuantiles(df.select(col("k").cast("double").as("v")), "v", Nil)
+    }
+    intercept[IllegalArgumentException] { Kmv.merge(8) }
+  }
+
   test("null keys are not observations") {
     val df = (Seq[Option[Long]](None, None) ++ (1 to 30).map(i =>
       Some(i.toLong))).toDF("k")
