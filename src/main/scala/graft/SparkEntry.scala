@@ -1457,6 +1457,14 @@ object SparkEntry {
           "source", "doc_id", 10)
         .select(col("doc_id"), col("source"))),
 
+    // per-source length quantiles from the capped sample — the grouped
+    // drift-monitoring readout (one row per source, k-bounded collects)
+    "q_kmv_quantiles_by" -> ((s, dir) =>
+      graft.ops.Kmv.quantilesBy(
+        graft.ops.Kmv.rowSampleBy(t(s, dir, "documents"),
+          "source", "doc_id", 10),
+        "source", "n_chars", Seq(50, 90))),
+
     // one-pass approximate quantiles from the deterministic bottom-k
     // row sample: integer-rank extraction, every output a value the
     // table actually contains — nothing for engines to interpolate
@@ -5778,6 +5786,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
         |  FROM h)
         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_kmv_quantiles_by" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |capped AS (
+        |  SELECT source, n_chars FROM (
+        |    SELECT source, n_chars,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM h) WHERE rn <= 10),
+        |r AS (
+        |  SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM capped WHERE n_chars IS NOT NULL)
+        |SELECT source,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90,
+        |  CAST(max(n) AS INT) AS n_sample
+        |FROM r GROUP BY source""".stripMargin,
 
     "q_kmv_quantiles" ->
       """WITH s AS (

@@ -171,6 +171,26 @@ object Kmv {
       .drop("_h", "_rn")
   }
 
+  /** Per-group integer-rank quantiles from a grouped bottom-k sample
+    * (the [[rowSampleBy]] output) — the per-source drift-monitoring
+    * readout: one row per group, same lower-rank extraction as
+    * [[sampleQuantiles]]. Each group's collect is ≤ k values by the
+    * sample's construction — parameter-bounded, never
+    * data-proportional. */
+  def quantilesBy(sample: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $pcts")
+    sample.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol))).as("_vs"),
+        count(col(valueCol)).as("_n"))
+      .select(col(groupCol) +:
+        pcts.map(p => element_at(col("_vs"),
+          expr(s"CAST(($p * _n + 99) div 100 AS INT)")).as(s"p$p")) :+
+        col("_n").cast("int").as("n_sample"): _*)
+  }
+
   // --------------------------------------------------------------------
   // JVM-side mirror of the expression pipeline above, for stateful
   // STREAMING use (graft.streaming.StreamOps.kmvDistinct keeps one

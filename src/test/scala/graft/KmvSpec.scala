@@ -126,6 +126,22 @@ class KmvSpec extends SparkSpec {
     assert(a.columns.toSeq == Seq("id", "g", "v"))
   }
 
+  test("quantilesBy: per-group ranks match sampleQuantiles per group") {
+    val df = (1 to 600).map(i => (i.toLong, s"g${i % 2}", (i * 7 % 100).toDouble))
+      .toDF("id", "g", "v")
+    val sample = Kmv.rowSampleBy(df, "g", "id", 40)
+    val grouped = Kmv.quantilesBy(sample, "g", "v", Seq(25, 75))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    for (g <- Seq("g0", "g1")) {
+      val solo = Kmv.sampleQuantiles(sample.where(col("g") === g), "v",
+        Seq(25, 75)).collect().head
+      assert(grouped(g) ==
+        ((solo.getDouble(0), solo.getDouble(1), solo.getInt(2))), s"group $g")
+      assert(grouped(g)._3 == 40)
+    }
+  }
+
   test("sampleQuantiles: integer lower-rank extraction, member values only") {
     // a known 4-row sample: sorted values (1.0, 2.0, 3.0, 4.0);
     // rank(p) = (p*4 + 99) div 100 -> p25=1, p50=2, p75=3, p95=4 (ranks)
