@@ -26,14 +26,13 @@ import org.apache.spark.sql.functions._
   * and the same estimates on every engine, run, and retry. The DuckDB
   * oracles restate the whole construction in SQL.
   *
-  * Scale shape: sketching is one pass — a map-side-partial distinct
-  * over 8-byte hashes (never the payload) followed by a k-bounded
-  * take-ordered (per-partition top-k, k-row merge: nothing data-sized
-  * reaches the driver and no stage sees more than the distinct-hash
-  * stream); merge is a union of k-row tables re-taken to k; every
-  * readout aggregates ≤ k rows. k is a parameter (hundreds to
-  * thousands), so all post-sketch state is O(k) — the same bounded
-  * class as [[Hll]]'s 2^p registers.
+  * Scale shape: sketching is one pass — each input partition collapses
+  * to its own ≤ k smallest distinct hashes (8 bytes each, never the
+  * payload), so the only exchange carries partitions×k rows, the
+  * [[Freq]] Misra–Gries summary shape; merge is a union of k-row
+  * tables re-taken to k; every readout aggregates ≤ k rows. k is a
+  * parameter (hundreds to thousands), so all post-sketch state is
+  * O(k) — the same bounded class as [[Hll]]'s 2^p registers.
   */
 object Kmv {
 
@@ -48,11 +47,35 @@ object Kmv {
 
   /** Bottom-k distinct-count sketch of a key column: the k smallest
     * DISTINCT 60-bit hashes, one (h) row each. NULL keys are not
-    * observations (count-distinct semantics). */
+    * observations (count-distinct semantics).
+    *
+    * Exchange economy: a naive `distinct().orderBy.limit(k)` shuffles
+    * EVERY distinct hash in the corpus just to keep k of them (10^12
+    * distinct keys = terabytes of 8-byte hashes through the wire).
+    * Bottom-k is a lattice over ANY partitioning, so each input
+    * partition first collapses to its own ≤ k smallest distinct hashes
+    * (one TreeSet pass — the [[Freq]] Misra–Gries summary shape), and
+    * only partitions×k rows reach the final dedup + take. The
+    * cross-partition `distinct` is still required for exactness —
+    * `limit(k)` over a multiset could return k copies crowding out
+    * true members — but it now runs over the k-bounded summaries. */
   def sketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
     df.where(col(keyCol).isNotNull)
-      .select(hash60(col(keyCol)).as("h"))
+      .select(hash60(col(keyCol)).as("h")).as[Long]
+      .mapPartitions { it =>
+        val set = scala.collection.mutable.TreeSet.empty[Long]
+        it.foreach { h =>
+          if (set.size < k || h < set.max) {
+            set += h
+            if (set.size > k) set -= set.max
+          }
+        }
+        set.iterator
+      }
+      .toDF("h")
       .distinct()
       .orderBy(col("h")).limit(k)
   }
