@@ -120,7 +120,15 @@ object Kmv {
     * (group, h & 4095): 4096-way spread, each task sees ~1/4096 of a
     * group's distinct hashes (md5 output is uniform — the salt cannot
     * be adversarially loaded). Level 2 ranks ≤ 4096·k survivors per
-    * group — parameter-bounded, never data-proportional. */
+    * group — parameter-bounded, never data-proportional.
+    *
+    * Unlike the global [[sketch]], the level-1 exchange here carries
+    * the distinct (group, hash) stream, not a partitions×k summary — a
+    * map-side per-group TreeSet would hold groups-per-partition × k
+    * longs, unbounded when the group column is high-cardinality, while
+    * the window shape spills gracefully at any cardinality. For a FEW
+    * known-huge groups, shard the input and [[merge]] per group
+    * instead (bottom-k merges exactly). */
   def sketchBy(df: DataFrame, groupCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
