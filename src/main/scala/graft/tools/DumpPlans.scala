@@ -61,7 +61,7 @@ object DumpPlans {
     "q_hll_distinct" -> "Mergeable HLL sketch: the 60-bit md5 hash, bucket and rho are codegen'd projections inside the scan; one partial+final HashAggregate on bucket bounds the exchange at 2^p rows; the estimate is a second 1-row aggregate over the register table — nothing distinct-key-sized moves.",
     "q_bootstrap_ci" -> "Poissonized bootstrap: the 200x explode and the md5-Poisson weight chain are per-row codegen; partial aggregation collapses each partition to 200 (replicate, two-BIGINT) rows before the exchange; order-statistic quantiles run on the 200-row result — one data pass, bounded everything after.",
     "q_leakage_split" -> "Leakage-free split: the near-dup clustering's banded pair generation + iterative min-label rounds (localCheckpoint-truncated lineage), then ONE left join of the corpus against the pair-participant-sized labeling and a per-row md5 bucket on the cluster id — the split adds no data-sized shuffle of its own.",
-    "q_kmv_distinct" -> "Bottom-k KMV sketch: the 60-bit md5 hash is a codegen'd projection in the scan; one map-side-partial distinct over 8-byte hashes, then TakeOrderedAndProject(k) — per-partition top-k, k-row merge — so nothing distinct-key-sized sorts globally; the estimate is a 1-row aggregate over k rows.",
+    "q_kmv_distinct" -> "Bottom-k KMV sketch: the 60-bit md5 hash is a codegen'd projection in the scan; each partition collapses to its own ≤k smallest distinct hashes in a MapPartitions summary pass (the Misra–Gries shape — the exchange carries partitions×k 8-byte rows, never the corpus's distinct-hash stream), then a k-bounded dedup + TakeOrderedAndProject(k); the estimate is a 1-row aggregate over k rows.",
     "q_domain_cap" -> "Deterministic per-domain cap: two salted rank levels — level 1 windows on (source, h & 4095) so a giant domain spreads 4096 ways, level 2 ranks the ≤4096·k survivors per domain — both exchanges keyed, no unpartitioned window, no task holding a whole domain.")
 
   def main(args: Array[String]): Unit = {
