@@ -41,7 +41,7 @@ object Kmv {
 
   /** 60-bit deterministic hash: first 15 md5 hex digits (salted so
     * kmv streams never collide with the :hll ones on the same key). */
-  private[ops] def hash60(key: Column): Column =
+  private[graft] def hash60(key: Column): Column =
     conv(substring(md5(concat(key.cast("string"), lit(":kmv"))), 1, 15),
       16, 10).cast("long")
 

@@ -47,6 +47,17 @@ class KmvSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("jvmHash60 mirrors the SQL hash60 bit for bit") {
+    val keys = (1 to 100).map(i => s"key-$i-${"x" * (i % 7)}") ++
+      Seq("", " ", "unicode-é-試", "0", "-1")
+    val sql = keys.toDF("k")
+      .select(col("k"), graft.ops.Kmv.hash60(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(graft.ops.Kmv.jvmHash60(k) == sql(k), s"key $k")
+    }
+  }
+
   test("parameter contracts reject degenerate arguments") {
     val df = (1 to 10).map(_.toLong).toDF("k")
     intercept[IllegalArgumentException] { Kmv.sketch(df, "k", 1) }
