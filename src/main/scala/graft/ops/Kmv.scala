@@ -93,6 +93,14 @@ object Kmv {
       .orderBy(col("h")).limit(k)
   }
 
+  /** The estimator over (n_sample, h_max) aggregate columns — shared
+    * by [[estimate]] and [[estimateBy]]; see [[estimate]] for the
+    * formula's derivation. */
+  private def estExpr(k: Int): Column =
+    when(col("n_sample") < k, col("n_sample").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace.toDouble)
+        / col("h_max").cast("double"))
+
   /** KMV distinct estimate: with the k-th smallest distinct hash at
     * h_k of a 2^60 space, est = (k-1) * 2^60 / h_k; when the sketch
     * holds fewer than k hashes the count is exact (we saw every
@@ -101,10 +109,7 @@ object Kmv {
   def estimate(sk: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
     sk.agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"))
-      .select(
-        when(col("n_sample") < k, col("n_sample").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(HashSpace.toDouble)
-            / col("h_max").cast("double")).as("est_n"),
+      .select(estExpr(k).as("est_n"),
         col("n_sample").cast("int").as("n_sample"))
   }
 
@@ -153,10 +158,7 @@ object Kmv {
     require(k >= 2, s"k must be at least 2, got $k")
     sk.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"))
-      .select(col(groupCol),
-        when(col("n_sample") < k, col("n_sample").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(HashSpace.toDouble)
-            / col("h_max").cast("double")).as("est_n"),
+      .select(col(groupCol), estExpr(k).as("est_n"),
         col("n_sample").cast("int").as("n_sample"))
   }
 
