@@ -20,6 +20,7 @@ object Graft {
       graft.functions.ShingleExprs.register(spark)
       graft.functions.BpeEncode.register(spark)
       graft.functions.NumericExprs.register(spark)
+      graft.functions.SketchExprs.register(spark)
     }
     spark
   }

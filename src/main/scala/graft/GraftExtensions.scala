@@ -80,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"bpe_encode merges must be a string literal, got $other")
         }))))
+    ext.injectFunction((FunctionIdentifier("bottom_k"),
+      info("bottom_k",
+        "bottom_k(h, k) - aggregate: sorted array of the k smallest " +
+          "distinct bigint values (the grouped KMV selection)"),
+      arity("bottom_k", 2)(es =>
+        BottomKLongs(es(0), ShingleExprs.foldInt(es(1))))))
   }
 }

@@ -116,40 +116,29 @@ object Kmv {
   /** Grouped bottom-k sketch: per group, the k smallest distinct
     * hashes — the per-source/per-day rollup form.
     *
-    * Selection is EXACT through a two-level salted rank (bottom-k is a
-    * lattice, so per-salt bottom-ks lose nothing: any hash in the
-    * group's true bottom-k is in its salt's bottom-k). A single
-    * group-partitioned window would funnel one giant group's whole
-    * distinct-hash stream through one task — the skew case
-    * [[Profile]]'s prefix cascade exists for — so level 1 ranks within
-    * (group, h & 4095): 4096-way spread, each task sees ~1/4096 of a
-    * group's distinct hashes (md5 output is uniform — the salt cannot
-    * be adversarially loaded). Level 2 ranks ≤ 4096·k survivors per
-    * group — parameter-bounded, never data-proportional.
-    *
-    * Unlike the global [[sketch]], the level-1 exchange here carries
-    * the distinct (group, hash) stream, not a partitions×k summary — a
-    * map-side per-group TreeSet would hold groups-per-partition × k
-    * longs, unbounded when the group column is high-cardinality, while
-    * the window shape spills gracefully at any cardinality. For a FEW
-    * known-huge groups, shard the input and [[merge]] per group
-    * instead (bottom-k merges exactly). */
+    * Selection runs through [[graft.functions.BottomKLongs]], a native
+    * bottom-k `TypedImperativeAggregate`, which gives the grouped form
+    * the SAME bounded exchange the global [[sketch]] earned from its
+    * per-partition TreeSet pass: partial aggregation collapses each
+    * task's slice of a group to ≤ k eight-byte hashes BEFORE the
+    * shuffle (bottom-k is a lattice — per-slice bottom-ks lose
+    * nothing), so the exchange carries tasks × groups-per-task × k
+    * longs instead of the full distinct (group, hash) stream the
+    * previous two-level salted window shipped. High group cardinality
+    * is safe: ObjectHashAggregateExec falls back to sort-based
+    * aggregation past its group threshold, processing groups one at a
+    * time — memory stays ≤ threshold × k longs per task, never
+    * groups-per-partition × k. One giant group never funnels through
+    * one task either: every task contributes at most k hashes for it. */
   def sketchBy(df: DataFrame, groupCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val salted = df.where(col(keyCol).isNotNull)
+    graft.Graft.init(df.sparkSession)
+    df.where(col(keyCol).isNotNull)
       .select(col(groupCol), hash60(col(keyCol)).as("h"))
-      .distinct()
-      .withColumn("_rn", row_number().over(Window
-        .partitionBy(col(groupCol), col("h").bitwiseAND(lit(4095L)))
-        .orderBy(col("h"))))
-      .where(col("_rn") <= k)
-    salted
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("h"))))
-      .where(col("_rn") <= k)
-      .select(col(groupCol), col("h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchExprs.bottomK(col("h"), k).as("_hs"))
+      .select(col(groupCol), explode(col("_hs")).as("h"))
   }
 
   /** Per-group KMV estimates from a [[sketchBy]] table: same estimator
@@ -184,24 +173,31 @@ object Kmv {
     * mergeable like every bottom-k: capping shards then re-capping the
     * union equals capping the whole.
     *
-    * Same salted two-level rank as [[sketchBy]], so one giant group (a
-    * single domain holding most of a 100 TB crawl — exactly the case
-    * capping exists for) never funnels through one task. */
+    * Id selection rides the same bottom-k aggregate as [[sketchBy]]
+    * (bounded exchange: tasks × groups-per-task × k hashes — the
+    * (group, id-hash) projection is all that aggregates, never the
+    * payload columns), then ONE (group, hash)-keyed semi-join attaches
+    * the surviving rows — the only move the full rows make, and a
+    * broadcast when groups × k is small (AQE decides). One giant group
+    * (a single domain holding most of a 100 TB crawl — exactly the
+    * case capping exists for) never funnels through one task: each
+    * task's partial buffer holds ≤ k hashes for it. Duplicate ids
+    * (contract violation) surface every copy of a surviving id rather
+    * than an arbitrary k-row subset — the honest failure mode. */
   def rowSampleBy(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
+    graft.Graft.init(df.sparkSession)
     val hashed = df.where(col(idCol).isNotNull)
       .withColumn("_h", hash60(col(idCol)))
-    val l1 = hashed
-      .withColumn("_rn", row_number().over(Window
-        .partitionBy(col(groupCol), col("_h").bitwiseAND(lit(4095L)))
-        .orderBy(col("_h"))))
-      .where(col("_rn") <= k)
-    l1.withColumn("_rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("_h"))))
-      .where(col("_rn") <= k)
-      .drop("_h", "_rn")
+    val keep = hashed.select(col(groupCol), col("_h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchExprs.bottomK(col("_h"), k).as("_hs"))
+      .select(col(groupCol), explode(col("_hs")).as("_h"))
+    // the using-columns join fronts the group key — restore the input's
+    // own column order (callers read positionally)
+    hashed.join(keep, Seq(groupCol, "_h"), "left_semi")
+      .select(df.columns.toSeq.map(col): _*)
   }
 
   /** Per-group integer-rank quantiles from a grouped bottom-k sample

@@ -172,4 +172,32 @@ class KmvSpec extends SparkSpec {
       "v", Seq(50)).collect().head.getDouble(0)
     assert(math.abs(q - 5000.0) / 5000.0 < 0.1, s"p50 $q")
   }
+
+  test("bottom_k aggregate: distinct k-smallest per group, sorted, " +
+      "partition/merge-order invariant, null-skipping") {
+    // 500 groups x ~40 values each with duplicates, spread over many
+    // partitions — well past ObjectHashAggregate's sort-based fallback
+    // threshold, so the partial/merge/serialize path and the fallback
+    // path both execute
+    graft.Graft.init(spark)
+    val rows = for {
+      g <- 0 until 500; i <- 0 until 40
+    } yield (s"g$g", ((i * 7919 + g) % 25).toLong)
+    val withNulls = rows.toDF("g", "v")
+      .unionByName(Seq(("g0", null.asInstanceOf[java.lang.Long]))
+        .toDF("g", "v"))
+      .repartition(16)
+    val got = withNulls.groupBy(col("g"))
+      .agg(graft.functions.SketchExprs.bottomK(col("v"), 8).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.take(8)).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (g, e) =>
+      assert(got(g) == e, s"group $g: ${got(g)} vs $e")
+    }
+    // groups with fewer than k distinct values return them all
+    assert(got.values.forall(hs => hs.length <= 8 &&
+      hs.toSeq == hs.toSeq.distinct.sorted))
+  }
 }

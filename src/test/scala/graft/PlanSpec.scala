@@ -427,15 +427,23 @@ class PlanSpec extends SparkSpec {
         // window was the last DATA-proportional (doc-count-sized)
         // single-partition window in the repo (VERDICT r8)
         "q_heaps_fit", "q_heaps_by_source",
-        // KMV grouped sketch: both rank levels are salted/group
-        // partitioned (Kmv.sketchBy — no task sees a whole group's
-        // distinct-hash stream); the global forms use take-ordered,
-        // no window at all
+        // KMV grouped sketch: selection is a bottom-k
+        // TypedImperativeAggregate since round 10 (no window at all —
+        // partial buffers bound the exchange at tasks×groups×k); the
+        // global forms use take-ordered, also window-free
         "q_kmv_by_priority", "q_kmv_distinct", "q_kmv_quantiles")
       .foreach { n =>
         assert(unpartitionedWindows(n) == 0,
           s"$n: unpartitioned window crept back")
       }
+    // and the grouped bottom-k actually aggregates PARTIALLY map-side —
+    // the exchange-bounding property (tasks×groups×k, never the distinct
+    // (group, hash) stream): the physical plan must carry a
+    // partial_bottom_k ObjectHashAggregate below the exchange
+    val kmvPlan = SparkEntry.queries("q_kmv_by_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(kmvPlan.contains("partial_bottom_k"),
+      s"grouped KMV lost its map-side partial aggregation:\n$kmvPlan")
 
     // DQ annotate: pure per-row projection — no join, no exchange
     val ann = plan("q_dq_annotate")
