@@ -417,21 +417,23 @@ object Dedup {
     * listen for) — so convergence detection costs zero extra passes,
     * where a separate next-vs-old join-and-count would re-shuffle the
     * label table once per round. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
-    // localCheckpoint (not persist): each round's plan references the
+    // checkpoint (not persist): each round's plan references the
     // previous round's twice, so lineage roughly DOUBLES per iteration —
     // without truncation the plan tree is exponential in the iteration
-    // count (measured: OOM merely stringifying it around 30 rounds). On a
-    // multi-node cluster prefer reliable `checkpoint` with a checkpoint
-    // dir (localCheckpoint stores on executors, not fault-tolerant).
+    // count (measured: OOM merely stringifying it around 30 rounds).
+    // `checkpointDir` picks local (default) vs reliable truncation — see
+    // Checkpoints.materialize; pass a dir on a multi-node cluster.
     // (measured dead end: repartition(dst) before the checkpoint to
     // pre-co-partition the per-round join — under AQE localCheckpoint's
     // LogicalRDD comes back UnknownPartitioning(0), so the exchange is
     // re-inserted every round anyway and the upfront shuffle is pure waste)
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = Checkpoints.materialize(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      checkpointDir)
     // init labels are NOT checkpointed: the lineage is one distinct over
     // the already-checkpointed sym (depth 1 — no exponential-plan risk),
     // and skipping the eager materialization saves a whole driver job
@@ -456,9 +458,10 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val obs = org.apache.spark.sql.Observation()
-      val next = hop(hop(labels))
-        .observe(obs, count(when(col("_chg"), lit(1))).as("changed"))
-        .localCheckpoint(true)
+      val next = Checkpoints.materialize(
+        hop(hop(labels))
+          .observe(obs, count(when(col("_chg"), lit(1))).as("changed")),
+        checkpointDir)
         .drop("_chg")
       // hop 2's changed-count: zero means the second application was an
       // identity on hop 1's output — i.e. hop 1 had already reached the
@@ -471,8 +474,115 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"nearDupClusters did not converge in ${2 * maxIters} propagation " +
         "steps — the pair graph has a component with a longer min-label " +
-        "path; raise maxIters")
+        "path; raise maxIters, or use nearDupClustersStar (round count " +
+        "grows with log² of component size, not diameter)")
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Transitive near-dup clusters via alternating large-star /
+    * small-star rounds (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — same output contract as
+    * [[nearDupClusters]] (every node labeled with its component's
+    * minimum id), different convergence law: min-label propagation
+    * needs rounds ∝ component DIAMETER (a 10^6-node path graph would
+    * need 500k materialized rounds), while the star rounds contract
+    * every component to a depth-1 star in O(log² n) rounds regardless
+    * of shape — the safe choice when the pair graph's diameter is
+    * unknown (transitive chains of near-dups: A≈B≈C≈… can be long in
+    * templated/boilerplate corpora). Default stays [[nearDupClusters]]
+    * for the common near-dup case (tiny components, fewer and cheaper
+    * rounds — its per-round cost is one join of a NODE-sized label
+    * table with the edges; a star round rewrites the EDGE set twice,
+    * with two set-equality probes); this is the documented escape
+    * hatch, pointed at by the propagation loop's failure message.
+    *
+    * Per round: large-star connects every node's larger neighbors to
+    * the minimum of its closed neighborhood; small-star re-points its
+    * smaller neighbors (and itself) at that minimum. Both are one
+    * symmetrize + one (node)-keyed min aggregation + one keyed
+    * join-back over the CURRENT edge set — all keyed shuffles, never
+    * all-pairs, and the edge set only shrinks toward stars (one giant
+    * component's hub key skews its join; AQE's skew split handles the
+    * build-up rounds). Convergence is an exact set-equality probe per
+    * half-round (count compare + anti-join on the materialized table —
+    * no checksum collisions), so termination is structural: converged
+    * means the edge set IS a union of depth-1 stars centered at
+    * component minima, and labels read off it with no further pass.
+    * Determinism: every step is min/set algebra over node ids — no
+    * ordering, hashing, or float seams.
+    *
+    * `checkpointDir` behaves as in [[nearDupClusters]]
+    * ([[Checkpoints.materialize]]). */
+  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges0 = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    // all ids keep a label even if their only pair is a self loop (the
+    // min-label form's behavior — parity pinned by spec)
+    val nodes = Checkpoints.materialize(
+      edges0.select(col("src").as("id"))
+        .union(edges0.select(col("dst").as("id"))).distinct(),
+      checkpointDir)
+    def symmetric(d: DataFrame): DataFrame =
+      d.select(col("src").as("u"), col("dst").as("v"))
+        .union(d.select(col("dst").as("u"), col("src").as("v")))
+    // each node's closed-neighborhood minimum; larger neighbors re-point
+    // at it
+    def largeStar(d: DataFrame): DataFrame = {
+      val s = symmetric(d)
+      val m = s.groupBy(col("u")).agg(min(col("v")).as("m0"))
+        .select(col("u"), least(col("m0"), col("u")).as("m"))
+      s.join(m, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // each node's smaller neighbors (and the node) re-point at their
+    // minimum; every undirected edge is seen exactly once, from its
+    // larger endpoint
+    def smallStar(d: DataFrame): DataFrame = {
+      val s = symmetric(d).where(col("v") < col("u"))
+      val m = s.groupBy(col("u")).agg(min(col("v")).as("m"))
+      s.join(m, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(m.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // exact set equality of two DISTINCT materialized edge tables
+    def unchanged(next: DataFrame, nextN: Long, curN: Long,
+        cur: DataFrame): Boolean =
+      nextN == curN &&
+        next.join(cur, Seq("src", "dst"), "left_anti").limit(1).count() == 0
+    var e = Checkpoints.materialize(
+      edges0.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct(), checkpointDir)
+    var eN = e.count()
+    var converged = eN == 0
+    var i = 0
+    while (!converged && i < maxIters) {
+      val e1 = Checkpoints.materialize(largeStar(e), checkpointDir)
+      val e1N = e1.count()
+      val fixed1 = unchanged(e1, e1N, eN, e)
+      val e2 = Checkpoints.materialize(smallStar(e1), checkpointDir)
+      val e2N = e2.count()
+      val fixed2 = unchanged(e2, e2N, e1N, e1)
+      converged = fixed1 && fixed2
+      e = e2
+      eN = e2N
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClustersStar did not converge in $maxIters rounds — " +
+        "that exceeds the O(log² n) bound for any realistic graph; " +
+        "raise maxIters")
+    // fixed point = stars (child -> component min); centers label
+    // themselves
+    nodes.join(e.select(col("src").as("id"), col("dst").as("_c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("cluster_id"))
   }
 
   /** All one-character-deletion variants of a string (SymSpell

@@ -68,14 +68,17 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       broadcastState: Boolean = true,
       assumeDistinct: Boolean = false,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val d100 = dampingTo100(iterations, damping)
     val baseN = 1000000000L - d100 * 10000000L // (1 - damping) in nanos
     val (e, nodes, outDeg) =
-      normalizedGraph(edges, srcCol, dstCol, assumeDistinct, weightCol)
+      normalizedGraph(edges, srcCol, dstCol, assumeDistinct, weightCol,
+        checkpointDir)
     val nodesB = nodes.withColumn("base_n", lit(baseN))
     val r0 = nodes.select(col("node"), lit(1000000000L).as("pr_n"))
-    rankLoop(e, nodesB, r0, outDeg, iterations, d100, broadcastState)
+    rankLoop(e, nodesB, r0, outDeg, iterations, d100, broadcastState,
+      checkpointDir)
   }
 
   /** Personalized PageRank (TrustRank): teleport mass lands ONLY on the
@@ -331,7 +334,8 @@ object Graph {
     * the stationary distribution (the weightedSample convention). */
   private def normalizedGraph(edges: DataFrame, srcCol: String,
       dstCol: String, assumeDistinct: Boolean,
-      weightCol: Option[String]): (DataFrame, DataFrame, DataFrame) = {
+      weightCol: Option[String],
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
     val eRaw = weightCol match {
       case None =>
         edges.select(col(srcCol).cast("string").as("src"),
@@ -352,13 +356,13 @@ object Graph {
                  .withColumn("w", lit(1L))
              else eRaw.groupBy(col("src"), col("dst"))
                .agg(sum(col("w")).as("w")))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-      .localCheckpoint(true)
-    (e, nodes, outDeg)
+    val eM = Checkpoints.materialize(e, checkpointDir)
+    val nodes = Checkpoints.materialize(
+      eM.select(col("src").as("node"))
+        .union(eM.select(col("dst").as("node"))).distinct(), checkpointDir)
+    val outDeg = Checkpoints.materialize(
+      eM.groupBy(col("src")).agg(sum(col("w")).as("wsum")), checkpointDir)
+    (eM, nodes, outDeg)
   }
 
   /** The shared fixed-point iteration: each round sends
@@ -368,7 +372,8 @@ object Graph {
     * personalized form). */
   private def rankLoop(e: DataFrame, nodesB: DataFrame, r0: DataFrame,
       outDeg: DataFrame, iterations: Int, d100: Int,
-      broadcastState: Boolean): DataFrame = {
+      broadcastState: Boolean,
+      checkpointDir: Option[String] = None): DataFrame = {
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
     var ranks = r0
@@ -384,7 +389,8 @@ object Graph {
           (col("base_n") + coalesce(col("csum"), lit(0L))).as("pr_n"))
       // rank lineage otherwise chains all prior rounds into one plan;
       // node-sized, so the eager materialization is cheap
-      if (i < iterations) ranks = ranks.localCheckpoint(true)
+      if (i < iterations)
+        ranks = Checkpoints.materialize(ranks, checkpointDir)
     }
     ranks.select(col("node"),
       (col("pr_n").cast("double") / lit(1.0e9)).as("pr"))
@@ -589,18 +595,20 @@ object Graph {
 
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int,
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
-    val e = edges
+    val e = Checkpoints.materialize(edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct(), checkpointDir)
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
-    var dist = seeds.select(col(seedCol).cast("string").as("node"))
-      .where(col("node").isNotNull).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var dist = Checkpoints.materialize(
+      seeds.select(col(seedCol).cast("string").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .withColumn("hops", lit(0)), checkpointDir)
     var frontier = dist.select("node")
     var h = 0
     var dry = frontier.limit(1).count() == 0
@@ -608,12 +616,13 @@ object Graph {
       val nbrs = e
         .join(state(frontier.select(col("node").as("src"))), Seq("src"))
         .select(col("dst").as("node")).distinct()
-      val fresh = nbrs
+      val fresh = Checkpoints.materialize(nbrs
         .join(state(dist.select("node")), Seq("node"), "left_anti")
-        .withColumn("hops", lit(h + 1)).localCheckpoint(true)
+        .withColumn("hops", lit(h + 1)), checkpointDir)
       dry = fresh.limit(1).count() == 0
       if (!dry) {
-        dist = dist.unionByName(fresh).localCheckpoint(true)
+        dist = Checkpoints.materialize(dist.unionByName(fresh),
+          checkpointDir)
         frontier = fresh.select("node")
       }
       h += 1

@@ -340,24 +340,39 @@ object Sampling {
     * the one seam that would make the same corpus sample differently on
     * two engines. W is folded in SORTED group order (left-assoc IEEE
     * adds), so any engine reproduces it bit-exactly; groups are
-    * human-count-sized, so the fold is scalar work.
+    * language/source-sized by contract — `maxGroups` ENFORCES it (the
+    * [[TextOps.blocklistAC]] policy-size pattern): called with a
+    * data-cardinality group column (per-domain on a crawl), the
+    * group-count collect would pull millions of rows to the driver and
+    * the keep-fraction CASE expression would be unplannable — that
+    * shape belongs to [[graft.ops.Kmv.rowSampleBy]] (per-group caps)
+    * instead, which the failure message points at.
     *
-    * Scale shape: one count aggregation collecting #groups scalars, then
-    * a pure per-row keep predicate — no join, no second shuffle, and the
-    * predicate pushes into the scan. NULL groups are dropped (no
-    * temperature share to assign). */
+    * Scale shape: one count aggregation collecting #groups scalars
+    * (≤ maxGroups), then a pure per-row keep predicate — no join, no
+    * second shuffle, and the predicate pushes into the scan. NULL
+    * groups are dropped (no temperature share to assign). */
   def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
       alphaHalves: Int, targetNum: Long, targetDen: Long,
-      granularity: Int = 10000): DataFrame = {
+      granularity: Int = 10000, maxGroups: Int = 10000): DataFrame = {
     require(Set(0, 1, 2).contains(alphaHalves),
       "alphaHalves must be 0, 1, or 2 (alpha in {0, 0.5, 1})")
     require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
       s"target fraction must satisfy 0 < num/den <= 1 (got $targetNum/$targetDen)")
     require(granularity > 0, "granularity must be positive")
+    require(maxGroups > 0, "maxGroups must be positive")
+    // limit(maxGroups + 1): when the contract holds this returns every
+    // group; when it doesn't, the violation arrives as ONE extra row
+    // instead of a driver-OOM-sized collect
     val counts = df.where(col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("g"))
-      .agg(count(lit(1)).as("c")).collect()
+      .agg(count(lit(1)).as("c")).limit(maxGroups + 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.length <= maxGroups,
+      s"temperatureSample: ${counts.length} groups exceed the " +
+        s"policy-sized contract ($maxGroups) — '$groupCol' is a data " +
+        "column, not a language/source mix; cap per group with " +
+        "Kmv.rowSampleBy or raise maxGroups deliberately")
     val n = counts.map(_._2).sum
     val targetN = n * targetNum / targetDen
     def weight(c: Long): Double = alphaHalves match {

@@ -1234,20 +1234,274 @@ object TextOps {
     * merges it greedily left-to-right in every word. Returns the learned
     * rules: (merge_rank, left, right, pair_count).
     *
-    * Scale shape: after [[wordCounts]] collapses the corpus, every
-    * iteration is one vocab-sized pair count (partial+final hash agg on
-    * (l, r)) plus a pure per-row merge projection; the only driver
-    * traffic is ONE (l, r, count) row per iteration — a scalar, like the
-    * IVF centroid means. The per-iteration argmax is a TakeOrdered of 1.
-    * `localCheckpoint` every 4 rounds truncates the growing transform
-    * lineage (same pattern as [[Dedup.nearDupClusters]]; use reliable
-    * checkpointing on a real cluster).
+    * Scale shape (round 10): ONE Spark pass total. [[wordCounts]]
+    * collapses the corpus to its distinct-word frequency table — the
+    * step where 100 TB happens — and the merge iteration runs
+    * DRIVER-SIDE over that bounded table (collected once under
+    * `maxVocabRows`, the [[blocklistAC]] policy-size contract): a
+    * production tokenizer is 32k–256k merges, and the previous
+    * one-Spark-job-per-merge loop ([[bpeMergesDistributed]]) meant tens
+    * of thousands of driver-synchronized jobs over an
+    * ever-re-checkpointed vocab table — scheduler-bound regardless of
+    * cluster size. Every real BPE trainer collapses to word counts and
+    * trains in memory for this reason; the learned rules are
+    * bit-identical to the distributed loop's (pinned by TextOpsSpec),
+    * so the oracle replay is unchanged. Measured
+    * (`tools/BpeTrainProbe`): 32,000 merges over a 1M-word vocabulary
+    * in 74 s, where the loop measures ~3.6 s PER MERGE on the same
+    * corpus (SCALING.md).
     *
-    * The greedy in-word merge is an `aggregate` fold: append each
-    * symbol, or fuse it with the accumulator's tail when the tail/next
-    * pair equals the rule — left-to-right non-overlapping semantics
-    * ("aaa" under rule a+a gives ["aa","a"]), matching reference BPE. */
+    * The greedy in-word merge appends each symbol, or fuses it with the
+    * accumulated tail when the tail/next pair equals the rule —
+    * left-to-right non-overlapping semantics ("aaa" under rule a+a
+    * gives ["aa","a"]), matching reference BPE and the SQL `aggregate`
+    * fold of the distributed loop exactly. */
   def bpeMerges(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 8, minCount: Long = 2L,
+      maxVocabRows: Long = 20000000L): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs, textCol)
+    val nVocab = wc.count()
+    require(nVocab <= maxVocabRows,
+      s"bpeMerges: $nVocab distinct words exceed the driver-trainer " +
+        s"contract ($maxVocabRows) — that vocabulary does not fit one " +
+        "machine's training pass; raise maxVocabRows if the driver has " +
+        "the memory, or fall back to bpeMergesDistributed")
+    val words = wc.as[(String, Long)].collect()
+      .map { case (w, c) => (splitCodePoints(w), c) }
+    val learned = trainBpeLocal(words, numMerges, minCount)
+    learned.toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("left"), col("right"), col("pair_count"))
+  }
+
+  /** One code point per symbol — the JVM twin of Spark's
+    * `split(word, "")`, which splits BETWEEN code points (a surrogate
+    * pair stays one symbol) and emits no trailing empty. Java's
+    * `String.split("")` breaks supplementary characters into lone
+    * surrogate halves, so the split must walk code points directly. */
+  private def splitCodePoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte order — the JVM twin of Spark's UTF8String binary
+    * comparison, which the distributed loop's `orderBy(l, r)` tie-break
+    * uses. Java String.compareTo (UTF-16 code units) disagrees with it
+    * for supplementary vs high-BMP characters, so the trainer compares
+    * the encoded bytes unsigned. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The classic in-memory BPE trainer over a bounded word-count table,
+    * with the standard inverted-index delta update (Sennrich et al.
+    * 2016's released trainer does the same): pair counts are built ONCE
+    * (O(total symbols)), and each merge re-counts only the words that
+    * actually CONTAIN the merged pair — per-round work ∝ the pair's
+    * occurrence count, not the vocabulary. The per-round argmax is one
+    * scan of the live pair table (count desc, then UTF-8-lexicographic
+    * (l, r) — the distributed loop's exact tie-break; the scan applies
+    * the full total order, so hash-map iteration order never shows).
+    * Deterministic in the input MULTISET, so word order from the
+    * collect never matters. Symbols are interned to ints; a pair is one
+    * packed long — no boxed tuples in the hot loops. */
+  /** Flat open-addressing long→long counter for the BPE trainer's pair
+    * table: the per-round argmax scans EVERY live pair, and a boxed
+    * HashMap makes that scan the trainer's dominant cost (measured —
+    * see SCALING.md). Keys are packed (l, r) symbol-id pairs, always
+    * ≥ 0, so -1 is a free empty sentinel; counts that return to zero
+    * keep their slot (skipped by the scan) — dead slots are bounded by
+    * pairs-ever-seen, the same order as the live table. */
+  private final class PairCountMap {
+    private var cap = 1 << 16
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(-1L)
+    private var vals = new Array[Long](cap)
+    private var used = 0
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // Murmur-style avalanche
+      h ^= (h >>> 32)
+      var i = h.toInt & mask
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def add(k: Long, c: Long): Long = {
+      val i = slot(k)
+      if (keys(i) == -1L) {
+        keys(i) = k; vals(i) = c; used += 1
+        if (used * 2 > cap) grow()
+        c
+      } else { vals(i) += c; vals(i) }
+    }
+    def get(k: Long): Long = {
+      val i = slot(k)
+      if (keys(i) == -1L) 0L else vals(i)
+    }
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != -1L && vals(i) != 0L) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = Array.fill[Long](cap)(-1L); vals = new Array[Long](cap)
+      used = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) {
+          val j = slot(ok(i)); keys(j) = ok(i); vals(j) = ov(i); used += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def trainBpeLocal(words: Array[(Array[String], Long)],
+      numMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val symIds = mutable.HashMap.empty[String, Int]
+    val symStrs = mutable.ArrayBuffer.empty[String]
+    def intern(s: String): Int =
+      symIds.getOrElseUpdate(s, { symStrs += s; symStrs.length - 1 })
+    val wordSyms: Array[Array[Int]] = words.map(_._1.map(intern))
+    val wordCnt: Array[Long] = words.map(_._2)
+    def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xFFFFFFFFL)
+    val pairCounts = new PairCountMap()
+    // lazy max-heap over (pair, count) snapshots: every UPWARD count
+    // mutation pushes a fresh entry; pops that no longer match the live
+    // table are discarded. A full-table argmax scan per round made the
+    // scan the trainer's dominant cost at production merge counts
+    // (32k rounds × millions of live pairs); the heap pays O(log H) per
+    // count mutation instead. Order: count desc, then UTF-8-lex (l, r)
+    // asc — the distributed loop's exact tie-break, so the first VALID
+    // pop IS the full scan's argmax.
+    val heap = new java.util.PriorityQueue[Array[Long]](
+      (a: Array[Long], b: Array[Long]) => {
+        if (a(1) != b(1)) java.lang.Long.compare(b(1), a(1))
+        else {
+          val dl = utf8Compare(symStrs((a(0) >>> 32).toInt),
+            symStrs((b(0) >>> 32).toInt))
+          if (dl != 0) dl
+          else utf8Compare(symStrs(a(0).toInt), symStrs(b(0).toInt))
+        }
+      })
+    // pair -> word indices where it occurs; entries may be stale or
+    // duplicated (cheap append-only index) — consumers dedup and
+    // re-verify against the word's current symbols
+    val pairWords = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
+    def countWord(wi: Int, sign: Long, index: Boolean): Unit = {
+      val syms = wordSyms(wi)
+      val c = wordCnt(wi) * sign
+      var j = 0
+      while (j < syms.length - 1) {
+        val key = pk(syms(j), syms(j + 1))
+        val nv = pairCounts.add(key, c)
+        // push on EVERY mutation that leaves the pair eligible —
+        // counts move in word-count strides, so a decrement can land
+        // on a value no earlier push recorded; entries the table has
+        // moved past are discarded at pop
+        if (nv >= minCount) heap.add(Array(key, nv))
+        if (index) pairWords.getOrElseUpdate(key,
+          mutable.ArrayBuffer.empty[Int]) += wi
+        j += 1
+      }
+    }
+    var wi = 0
+    while (wi < wordSyms.length) { countWord(wi, 1L, index = true); wi += 1 }
+
+    /** Greedy left-to-right non-overlapping merge — the JVM twin of the
+      * SQL `aggregate` fold in [[bpeMergesDistributed]] (append, or
+      * fuse with the accumulated TAIL when tail/next equals the rule:
+      * "aaa" under a+a gives ["aa","a"], and a just-fused tail can
+      * itself be the left side of the next fuse). Interning is by
+      * string, so id equality IS the fold's string equality. */
+    def mergeWord(syms: Array[Int], l: Int, r: Int,
+        merged: Int): Array[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < syms.length) {
+        if (out.nonEmpty && out.last == l && syms(j) == r)
+          out(out.length - 1) = merged
+        else out += syms(j)
+        j += 1
+      }
+      out.toArray
+    }
+
+    val learned = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      var bestKey = -1L
+      var bestC = 0L
+      while (bestKey == -1L && !heap.isEmpty) {
+        val e = heap.poll()
+        // live = the key still has exactly this count ("changed and
+        // changed back" validates too — the key IS at that count)
+        if (pairCounts.get(e(0)) == e(1)) { bestKey = e(0); bestC = e(1) }
+      }
+      if (bestKey == -1L) exhausted = true
+      else {
+        val lId = (bestKey >>> 32).toInt
+        val rId = bestKey.toInt
+        val l = symStrs(lId)
+        val r = symStrs(rId)
+        learned += ((i + 1, l, r, bestC))
+        val merged = intern(l + r)
+        val occ = pairWords.remove(bestKey)
+          .getOrElse(mutable.ArrayBuffer.empty[Int]).distinct
+        occ.foreach { w =>
+          val syms = wordSyms(w)
+          var j = 0
+          var has = false
+          while (j < syms.length - 1 && !has) {
+            has = syms(j) == lId && syms(j + 1) == rId
+            j += 1
+          }
+          if (has) { // stale index entries are a no-op
+            countWord(w, -1L, index = false)
+            wordSyms(w) = mergeWord(syms, lId, rId, merged)
+            countWord(w, 1L, index = true)
+          }
+        }
+        i += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The previous per-round Spark loop, kept as the distributed-only
+    * path for the (pathological) vocabulary that exceeds the driver
+    * contract: each iteration is one vocab-sized pair count
+    * (partial+final hash agg on (l, r)) plus a per-row merge
+    * projection, with ONE (l, r, count) argmax row to the driver per
+    * round and a lineage-truncating `localCheckpoint` every 4 rounds.
+    * Trains the SAME rules as [[bpeMerges]] (TextOpsSpec pins
+    * equality) but costs one driver-synchronized job per merge —
+    * untenable at production vocab sizes (32k–256k merges), which is
+    * why it is no longer the default. */
+  def bpeMergesDistributed(docs: DataFrame, textCol: String = "text",
       numMerges: Int = 8, minCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession

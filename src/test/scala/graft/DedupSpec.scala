@@ -226,6 +226,59 @@ class DedupSpec extends SparkSpec {
   test("clusters of an empty pair relation are empty, not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.nearDupClusters(empty).count() == 0L)
+    assert(Dedup.nearDupClustersStar(empty).count() == 0L)
+  }
+
+  test("star clustering handles a diameter > 40 chain the propagation " +
+      "loop rejects, in O(log² n) rounds") {
+    // a 120-node path graph: min-label propagation needs 119 hops, far
+    // past the default 2×20; the alternating star rounds contract it
+    // regardless of diameter
+    val chain = (0L until 120L).sliding(2).map(w => (w(1), w(0)))
+      .toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(chain)
+    }
+    val star = Dedup.nearDupClustersStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(star == (0L until 120L).map(_ -> 0L).toMap)
+  }
+
+  test("star clustering equals min-label propagation on random graphs " +
+      "(property)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 10
+      val pairs = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.toDF("id_a", "id_b")
+      val viaLabel = Dedup.nearDupClusters(pairs, maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.nearDupClustersStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar == viaLabel, s"trial $trial")
+    }
+  }
+
+  test("reliable-checkpoint path converges identically to the default") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (9L, 3L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val default = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val reliable = Dedup.nearDupClusters(pairs,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == default)
+    val starReliable = Dedup.nearDupClustersStar(pairs,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(starReliable == default)
+    // the dir actually received checkpoint state (the reliable path ran)
+    def filesUnder(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(filesUnder).sum else 1
+    assert(filesUnder(new java.io.File(dir)) > 0)
   }
 
   test("non-integral id columns are rejected, not silently nulled") {

@@ -360,4 +360,27 @@ class GraphSpec extends SparkSpec {
     assert(Set("h2", "x", "y").forall(got(_) == 0.0))
     assert(got.keySet == Set("h", "a", "b", "c", "h2", "x", "y"))
   }
+
+  test("pageRank and bfsHops converge identically under reliable " +
+      "checkpointing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-ckpt").toString
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "a")).toDF("src", "dst")
+    // the exact-integer rank loop makes equality BIT equality, so the
+    // two truncation strategies are provably the same computation
+    val prDefault = Graph.pageRank(e, "src", "dst", iterations = 6)
+      .as[(String, Double)].collect().toMap
+    val prReliable = Graph.pageRank(e, "src", "dst", iterations = 6,
+        checkpointDir = Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(prReliable == prDefault)
+    val seeds = Seq("a").toDF("node")
+    val bfsDefault = Graph.bfsHops(e, "src", "dst", seeds, "node", 3)
+      .as[(String, Int)].collect().toMap
+    val bfsReliable = Graph.bfsHops(e, "src", "dst", seeds, "node", 3,
+        checkpointDir = Some(dir))
+      .as[(String, Int)].collect().toMap
+    assert(bfsReliable == bfsDefault)
+  }
 }

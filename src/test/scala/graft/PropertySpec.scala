@@ -478,6 +478,16 @@ class PropertySpec extends SparkSpec {
       graft.ops.Sampling.temperatureSample(df, "g", "id", 3, 1, 2))
     intercept[IllegalArgumentException](
       graft.ops.Sampling.temperatureSample(df, "g", "id", 1, 3, 2))
+    // group-cardinality contract (round 10): a data-cardinality group
+    // column is rejected with guidance instead of collected; at the
+    // boundary (#groups == maxGroups) everything still works
+    val atBoundary = graft.ops.Sampling.temperatureSample(df, "g", "id",
+      1, 1, 2, maxGroups = 2).count()
+    assert(atBoundary > 0)
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Sampling.temperatureSample(df, "id", "id", 1, 1, 2,
+        maxGroups = 100))
+    assert(e.getMessage.contains("rowSampleBy"), e.getMessage)
   }
 
   test("WARC roundtrip holds for ANY body bytes (property)") {

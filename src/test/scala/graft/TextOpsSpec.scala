@@ -794,6 +794,41 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.values.exists(_.exists(_.length > 1)))
   }
 
+  test("bpeMerges: driver-side trainer equals the distributed loop rule " +
+      "for rule (ties, accents, supplementary chars)") {
+    // the corpus engineers the two seams that could diverge:
+    // (1) a COUNT TIE between a supplementary-char pair (𝄞a) and a
+    //     high-BMP pair (￮a) — UTF-16 String.compareTo orders them
+    //     OPPOSITE to Spark's UTF-8 binary order, so a trainer using
+    //     the JVM default comparator learns a different rule sequence;
+    // (2) surrogate-pair splitting — Java's split("") breaks 𝄞 into
+    //     two lone halves, Spark's split keeps code points whole
+    val corpus = Seq(
+      "aa ab aa ab cc aa",
+      "résumé naïve résumé café café",
+      "𝄞a 𝄞a ￮a ￮a",
+      "the the the quick quick brown",
+      "aaa aaa bbb ab ab")
+    val docs = corpus.toDF("text")
+    val fast = TextOps.bpeMerges(docs, numMerges = 40, minCount = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val slow = TextOps.bpeMergesDistributed(docs, numMerges = 40,
+        minCount = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fast == slow, s"driver $fast vs distributed $slow")
+    assert(fast.nonEmpty)
+    // the engineered tie actually fires, and UTF-8 order wins it:
+    // ￮ (EF BF AE) sorts before 𝄞 (F0 9D 84 9E)
+    val tieRanks = fast.filter(m => m._2 == "𝄞" || m._2 == "￮")
+    assert(tieRanks.map(_._2) == Seq("￮", "𝄞"),
+      s"tie-break order wrong: $tieRanks")
+    // the driver contract rejects oversized vocabularies with guidance
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(docs, numMerges = 1, maxVocabRows = 2)
+    }
+    assert(e.getMessage.contains("bpeMergesDistributed"))
+  }
+
   test("BPE tokenizer round-trips through save/load (rank order preserved)") {
     val rules = Seq(("e", "r"), ("er", "s"), ("a", "b"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/rules"
