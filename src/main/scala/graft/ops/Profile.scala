@@ -125,60 +125,74 @@ object Profile {
         d.withColumn(s"_c_$m", excl(w, col(s"_s_$m")))
       }
     }
+    // subtotal fan-out is 17 bits per level (vs level 0's 12): two
+    // levels + the sign-partitioned top cover any LONG-valued b0
+    // (52 b0 bits → 35 → 18 → ≤2^17 per sign), and each dropped level
+    // was a whole agg+window+join stage of FIXED cost — measured
+    // ~0.35 s off q_histogram_eqdepth's cascade at sf0.1 (round 10).
+    // A 2^17-row window partition is still a trivial per-task sort;
+    // per-task work stays type-bounded for every distribution.
     val t1 = withPrefix(sums(lvl0, "_b0"), "_b0",
-      shiftright(col("_b0"), 12), "_b1")
+      shiftright(col("_b0"), 17), "_b1")
     val t2 = withPrefix(sums(t1, "_b1"), "_b1",
-      shiftright(col("_b1"), 12), "_b2")
-    val t3 = withPrefix(sums(t2, "_b2"), "_b2",
-      shiftright(col("_b2"), 12), "_b3")
-    // top: ≤ 2^16 rows per group for any LONG-valued b0 (both
-    // bucketings shift the 64-bit key space right by 12 first, so four
-    // levels cover it). A literal partition key would be folded away by
-    // the optimizer (back to an unpartitioned window), so partition by
-    // the SIGN bit — a real 2-value column — and stitch: every
-    // non-negative bucket's prefix additionally owes the negative
-    // half's total (negatives sort first). The stitch total is a 1-row
-    // broadcast aggregate (per-group equi-join when grouped), so no
-    // window anywhere is unpartitioned.
-    val t4cum = withPrefix(sums(t3, "_b3"), "_b3",
-      shiftright(col("_b3"), 63), "_sg")
-    val negAggs = measures.map(m =>
+      shiftright(col("_b1"), 17), "_b2")
+    // top: ≤ 2^17 rows per sign per group. A literal partition key
+    // would be folded away by the optimizer (back to an unpartitioned
+    // window), so partition by the SIGN bit — a real 2-value column —
+    // and stitch: every non-negative bucket's prefix additionally owes
+    // the negative half's total (negatives sort first). The stitch
+    // total is a 1-row broadcast aggregate (per-group equi-join when
+    // grouped), so no window anywhere is unpartitioned.
+    val t3cum = withPrefix(sums(t2, "_b2"), "_b2",
+      shiftright(col("_b2"), 63), "_sg")
+    // ONE summary aggregate over t3cum carries BOTH the stitch total
+    // (the negative half's sum, owed to every non-negative prefix) and
+    // the grand totals — previously two separate broadcast stages; the
+    // totals ride the offset joins down as one extra long per measure
+    // (round 10: one fewer exchange + join-back of fixed latency).
+    // Aggregating t3cum (pre-crossJoin), never t3: a totals aggregate
+    // over the crossJoined table keeps a column-pruned copy of the
+    // 1-row build side that collapses to an empty aggregate over the
+    // RAW scan — a whole second corpus pass (measured, round 8)
+    val topAggs = measures.map(m =>
       coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
-        .as(s"_nt_$m"))
-    val t4 = (if (groupCols.isEmpty)
-        t4cum.crossJoin(broadcast(t4cum.agg(negAggs.head, negAggs.tail: _*)))
-      else t4cum.join(
-        t4cum.groupBy(g: _*).agg(negAggs.head, negAggs.tail: _*), groupCols))
+        .as(s"_nt_$m")) ++
+      measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
+    val t3 = (if (groupCols.isEmpty)
+        t3cum.crossJoin(broadcast(t3cum.agg(topAggs.head, topAggs.tail: _*)))
+      else t3cum.join(
+        t3cum.groupBy(g: _*).agg(topAggs.head, topAggs.tail: _*), groupCols))
       .withColumns(measures.map(m => s"_c_$m" ->
         when(col("_sg") === 0L, col(s"_c_$m") + col(s"_nt_$m"))
           .otherwise(col(s"_c_$m"))).toMap)
-    // offsets compose top-down; each join is bucket-keyed and the right
-    // side shrinks 4096x per level
-    def offCols(suffix: String) =
-      measures.map(m => (col(s"_c_$m") + col(s"_o_$m")).as(s"_o_$m$suffix"))
-    val off3 = t4.select(g ++ (col("_b3") +:
-      measures.map(m => col(s"_c_$m").as(s"_o_$m"))): _*)
-    val off2 = t3.join(off3, groupCols :+ "_b3")
-      .select(g ++ (col("_b2") +: offCols("")): _*)
-    val off1 = t2.join(off2, groupCols :+ "_b2")
-      .select(g ++ (col("_b1") +: offCols("")): _*)
-    val off0 = t1.join(off1, groupCols :+ "_b1")
-      .select(g ++ (col("_b0") +: offCols("")): _*)
-    // totals from t4cum, NOT t4: t4 carries the negTot crossJoin, and a
-    // totals aggregate over it keeps a column-pruned copy of that 1-row
-    // build side — which collapses to an empty aggregate over the RAW
-    // scan and costs a whole second corpus pass (measured)
-    val totAggs = measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
-    val joined = local.join(off0, groupCols :+ "_b0")
+    // each domain row's cumulative = its within-b0 prefix PLUS one
+    // ancestor prefix per level — so instead of composing offsets
+    // top-down through a chain of sequential join stages (off2→off1→
+    // off0→local, each a separate query stage of fixed latency), join
+    // the domain table against every level DIRECTLY: the three
+    // ancestor joins share the streamed side and fuse into ONE final
+    // stage when the level tables broadcast (AQE decides; each is
+    // 2^17× smaller than the last — a non-broadcastable t1 degrades to
+    // the same keyed shuffle join the chain form paid anyway). Measured
+    // round 10: the chain form's three extra stages were pure fixed
+    // latency at sf0.1
+    val o1 = t1.select(g ++ (col("_b0") +:
+      measures.map(m => col(s"_c_$m").as(s"_o1_$m"))): _*)
+    val o2 = t2.select(g ++ (col("_b1") +:
+      measures.map(m => col(s"_c_$m").as(s"_o2_$m"))): _*)
+    val o3 = t3.select(g ++ (col("_b2") +:
+      measures.map(m => col(s"_c_$m").as(s"_o3_$m"))) ++
+      measures.map(m => col(s"tot_$m")): _*)
+    val withTot = local
+      .withColumn("_b1", shiftright(col("_b0"), 17))
+      .withColumn("_b2", shiftright(col("_b1"), 17))
+      .join(o1, groupCols :+ "_b0")
+      .join(o2, groupCols :+ "_b1")
+      .join(o3, groupCols :+ "_b2")
       .withColumns(measures.map(m => s"cum_$m" -> (col(s"_c_$m") +
-        col(s"_o_$m"))).toMap)
-    val withTot = if (groupCols.isEmpty)
-      joined.crossJoin(broadcast(t4cum.agg(totAggs.head, totAggs.tail: _*)))
-    else
-      joined.join(t4cum.groupBy(g: _*).agg(totAggs.head, totAggs.tail: _*),
-        groupCols)
-    withTot.drop("_b0" +: measures.flatMap(m =>
-      Seq(s"_c_$m", s"_o_$m")): _*)
+        col(s"_o1_$m") + col(s"_o2_$m") + col(s"_o3_$m"))).toMap)
+    withTot.drop(Seq("_b0", "_b1", "_b2") ++ measures.flatMap(m =>
+      Seq(s"_c_$m", s"_o1_$m", s"_o2_$m", s"_o3_$m")): _*)
   }
 
   /** @param cols columns to profile (default: all)

@@ -519,6 +519,68 @@ object StreamOps {
       }
   }
 
+  /** Streaming grouped quantiles from a bottom-k row sample — the
+    * stateful twin of the batch `rowSampleBy` → `quantilesBy` pipeline
+    * ([[graft.ops.Kmv]]): per group, state holds the k (id-hash, value)
+    * pairs with the SMALLEST hashes seen so far (k longs + k doubles,
+    * bounded no matter how many rows flow past), and each micro-batch
+    * emits the integer-rank quantiles of the current sample's values —
+    * one update row per group per batch, `qs(i)` answering `pcts(i)`.
+    *
+    * Parity contract (pinned by the StreamingSpec, like
+    * [[kmvDistinct]]'s): after any prefix of the stream, the emitted
+    * quantiles are BIT-identical to
+    * `Kmv.quantilesBy(Kmv.rowSampleBy(batch, group, id, k), group,
+    * value, pcts)` over the distinct rows seen — same md5-derived
+    * 60-bit id hash, same bottom-k order statistic, same lower-rank
+    * extraction `(p·n + 99) div 100` returning a MEMBER value (nothing
+    * interpolated, so nothing for engines to round). Re-arrivals of an
+    * id collapse in the id-keyed state (ids identify rows uniquely —
+    * the [[graft.ops.Kmv.rowSample]] contract). NULL values occupy
+    * their sampled slot but are not quantile observations (batch
+    * behavior); NaN payloads are rejected by cast discipline upstream —
+    * NaN is the state's NULL encoding. Groups whose sample holds no
+    * observations emit `n_sample = 0` with empty `qs`. */
+  def kmvQuantiles(rows: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, pcts: Seq[Int],
+      k: Int = 256): Dataset[KmvQuantiles] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $pcts")
+    import rows.sparkSession.implicits._
+    val typed = rows
+      .select(col(groupCol).cast("string"), col(idCol).cast("string"),
+        col(valueCol).cast("double"))
+      .as[(String, String, Option[Double])]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[KmvValues, KmvQuantiles](GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, String, Option[Double])],
+            state: GroupState[KmvValues]) =>
+          val map = scala.collection.mutable.TreeMap.empty[Long, Double]
+          state.getOption.foreach(s =>
+            s.hs.indices.foreach(i => map.update(s.hs(i), s.vs(i))))
+          it.foreach { case (_, id, v) =>
+            if (id != null) {
+              val h = graft.ops.Kmv.jvmHash60(id)
+              // first arrival of an id claims its hash; only insert
+              // when the candidate can belong to the bottom k
+              if (!map.contains(h) && (map.size < k || h < map.lastKey)) {
+                map.update(h, v.getOrElse(Double.NaN))
+                if (map.size > k) map.remove(map.lastKey)
+              }
+            }
+          }
+          state.update(KmvValues(map.keys.toArray, map.values.toArray))
+          // the batch twin sorts the sample's non-null values ascending
+          // and reads rank (p*n + 99) div 100, 1-based
+          val obs = map.values.filter(v => !v.isNaN).toArray.sorted
+          val n = obs.length
+          val qs = if (n == 0) Array.empty[Double]
+            else pcts.map(p => obs((p * n + 99) / 100 - 1)).toArray
+          KmvQuantiles(g, qs, n)
+      }
+  }
+
   /** Streaming decontamination gate: annotate every arriving document
     * with how many of its distinct word n-grams appear in a STATIC
     * eval/benchmark set — the inline admission check a continuously-fed
@@ -585,6 +647,14 @@ case class HllEstimate(group: String, est_n: Double)
 /** Bottom-k hash state / output for the streaming KMV estimator. */
 case class KmvHashes(hs: Array[Long])
 case class KmvEstimate(group: String, est_n: Double, n_sample: Int)
+
+/** Bottom-k (hash, value) state / output for the streaming grouped
+  * quantile sample ([[StreamOps.kmvQuantiles]]): `hs` ascending, `vs`
+  * positionally aligned (NaN encodes a NULL payload — the slot is
+  * sampled but not a quantile observation, matching the batch
+  * `rowSampleBy` → `quantilesBy` pipeline). */
+case class KmvValues(hs: Array[Long], vs: Array[Double])
+case class KmvQuantiles(group: String, qs: Array[Double], n_sample: Int)
 
 /** Typed rows for the streaming rolling z-score. */
 case class ZEvent(user_id: Long, event_id: Long, sec: Long, value: Double)

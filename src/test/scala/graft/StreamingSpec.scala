@@ -636,4 +636,42 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamMap("a")._1 - 500) / 500.0 < 0.35)
     assert(streamMap("b") == ((40.0, 40)))
   }
+
+  test("streaming KMV quantiles: bit parity with the batch " +
+      "rowSampleBy -> quantilesBy pipeline across micro-batch splits") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.kmvQuantiles(mem.toDF()
+        .select(col("_1").as("src"), col("_2").as("id"),
+          col("_3").as("v")),
+        "src", "id", "v", pcts = Seq(50, 90), k = 16)
+      .writeStream.format("memory").queryName("kmvq_stream")
+      .outputMode("update").start()
+    val all = (1 to 200).map(i => ("a", i.toLong, i * 1.5)) ++
+      (1 to 9).map(i => ("b", 1000L + i, i * 10.0))
+    mem.addData(all.take(80))
+    q.processAllAvailable()
+    mem.addData(all.drop(80))
+    q.processAllAvailable()
+    // latest update row per group = the full-prefix sample
+    val streamed = spark.table("kmvq_stream")
+    val latest = streamed
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy(col("group"))
+      .agg(max_by(struct(col("qs"), col("n_sample")), col("rn")).as("s"))
+      .select(col("group"), col("s.qs"), col("s.n_sample"))
+      .as[(String, Seq[Double], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    q.stop()
+    // batch recompute over the same rows must agree bit for bit
+    val union = all.toDF("src", "id", "v")
+    val batch = graft.ops.Kmv.quantilesBy(
+        graft.ops.Kmv.rowSampleBy(union, "src", "id", 16),
+        "src", "v", Seq(50, 90))
+      .as[(String, Double, Double, Int)].collect()
+      .map(r => r._1 -> ((Seq(r._2, r._3), r._4))).toMap
+    assert(latest == batch, s"stream $latest vs batch $batch")
+    // the small group is under k: its sample is exact, p90 = 90.0
+    assert(latest("b")._1 == Seq(50.0, 90.0) && latest("b")._2 == 9)
+  }
 }
