@@ -1475,6 +1475,21 @@ object SparkEntry {
         "o_totalprice", Seq(25, 50, 75, 95))
     }),
 
+    // the STREAMING grouped quantile sample in batch degrade mode
+    // (mapGroupsWithState with empty initial state — one batch): the
+    // same bits as rowSampleBy → quantilesBy by the parity contract,
+    // which the oracle restates in SQL (values ride as doubles — the
+    // stream's value type)
+    "q_kmv_quantiles_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.kmvQuantiles(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars",
+          Seq(50, 90), k = 10)
+        .toDF()
+        .select(col("group").as("source"),
+          expr("try_element_at(qs, 1)").as("p50"),
+          expr("try_element_at(qs, 2)").as("p90"),
+          col("n_sample"))),
+
     // ---- extension: approximate sketches within pinned tolerance ------
     // HLL++ distinct and quantile-sketch median, each checked against its
     // exact counterpart IN the query; the oracle pins the exact values
@@ -2361,6 +2376,15 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       Graft.init(s)
       Dedup.nearDupClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
+    }),
+
+    // the O(log²)-round alternating large-star/small-star form
+    // (round 10) must land on the SAME clusters as min-label
+    // propagation — the oracle is the identical min-reachability CTE
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      Graft.init(s)
+      Dedup.nearDupClustersStar(
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
     }),
 
@@ -4736,6 +4760,34 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
   // are omitted -> rows-only check; their correctness is asserted in
   // ScalaTest against brute-force oracles instead.
   // -------------------------------------------------------------------
+  /** Min-reachability clusters over the exact 3-gram Jaccard pair graph
+    * — shared verbatim by q_dedup_clusters (min-label propagation) and
+    * q_dedup_clusters_star (alternating star rounds): the two operators
+    * promise identical labels. */
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                             for i in range(1, len(ws) - 1)])
+      |    END AS s
+      |  FROM w),
+      |p AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |e AS (SELECT ia AS src, ib AS dst FROM p
+      |      UNION ALL SELECT ib, ia FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase ++
     // the q_sql_tpch_* portability rows share the q_tpch_* oracle text
     // verbatim (one text, two engines — see sqlTpchPortability)
@@ -5800,6 +5852,31 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    FROM h) WHERE rn <= 10),
         |r AS (
         |  SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM capped WHERE n_chars IS NOT NULL)
+        |SELECT source,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90,
+        |  CAST(max(n) AS INT) AS n_sample
+        |FROM r GROUP BY source""".stripMargin,
+
+    // same construction as q_kmv_quantiles_by, values as DOUBLE — the
+    // streaming twin's value type (its parity contract says batch
+    // degrade mode = this pipeline, bit for bit)
+    "q_kmv_quantiles_stream" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |capped AS (
+        |  SELECT source, n_chars FROM (
+        |    SELECT source, n_chars,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM h) WHERE rn <= 10),
+        |r AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM capped WHERE n_chars IS NOT NULL)
@@ -7138,29 +7215,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents d JOIN f USING (source))
         |WHERE n_copies > 0""".stripMargin,
 
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |         ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
-        |                             for i in range(1, len(ws) - 1)])
-        |    END AS s
-        |  FROM w),
-        |p AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS src, ib AS dst FROM p
-        |      UNION ALL SELECT ib, ia FROM p),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT src, src FROM e
-        |  UNION
-        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
-        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersSql,
+
+    // identical oracle for the star form: the operator contract is
+    // "same clusters, different round law"
+    "q_dedup_clusters_star" -> dedupClustersSql,
 
     // the q_dedup_clusters labeling + singleton coalesce + the stable
     // md5 cluster bucket, aggregated per split

@@ -41,7 +41,12 @@ object ScalingCurve {
     // (take-ordered over a map-side-partial distinct) and the salted
     // per-domain cap (two bounded rank levels) should both be
     // near-flat in data size
-    "q_kmv_distinct", "q_domain_cap")
+    "q_kmv_distinct", "q_domain_cap",
+    // round 10: the rows the bottom-k aggregate + star/propagation work
+    // changed — grouped quantiles ride the new bounded exchange, and
+    // the cluster family re-measures after the two-hop loop kept its
+    // default but gained the star escape hatch
+    "q_kmv_quantiles_by", "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
