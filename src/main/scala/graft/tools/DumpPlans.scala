@@ -49,7 +49,7 @@ object DumpPlans {
     "q_geo_radius" -> "Planar radius join: candidates from the (cx, cy) cell equi-join (home cell vs exploded 3x3 neighborhood), exact-BIGINT distance confirm as the join residual — no CartesianProduct, no dedup pass (exactly-once by construction).",
     "q_bfs_hops" -> "Multi-source BFS final level: the frontier broadcasts into the checkpointed edge table (edges never shuffle); new nodes leave through a node-sized LeftAnti against the settled set.",
     "q_dq_checks" -> "DQ expectations report: all four row rules share ONE parquet scan feeding a single partial+final aggregate; the uniqueness rule is one keyed count aggregation; the FK rule one LeftAnti join — three passes for six rules.",
-    "q_histogram_eqdepth" -> "Equi-depth histogram: one scan collapses rows to the distinct cent-value domain; the cumulative window and the re-aggregation both run at domain cardinality — raw rows are touched exactly once.",
+    "q_histogram_eqdepth" -> "Equi-depth histogram: one scan collapses rows to the distinct cent-value domain; the prefix cascade's three levels (17-bit fan-out) aggregate at shrinking bucket cardinality, and the domain table joins each level's prefix DIRECTLY (broadcasts fusing into the final stage — no sequential offset-join chain); raw rows are touched exactly once.",
     "q_heavy_hitters" -> "Misra-Gries heavy hitters, confirm pass: the candidate set broadcasts into a LeftSemi over the token stream (the scan stays pipelined) and partial aggregation bounds the exchange at candidate cardinality — nothing distinct-value-sized shuffles, which is the whole point vs q_vocab's full GROUP BY.",
     "q_rrf_hybrid" -> "Hybrid RRF fusion: the BM25 side's one corpus tokenize + term-window; the dense side a pure codegen cosine projection + per-query window; fusion itself is an answer-sized (query, doc) aggregation with integer rank arithmetic — no float after the two input rankings.",
     "q_sliding_distinct" -> "Sliding exact distinct: window() explodes each event into its 3 covering windows map-side (span/slide = 3x), then one partial+final distinct aggregation per window — swap countDistinct for approx_count_distinct at wider spans under the same plan shape.",
@@ -62,7 +62,8 @@ object DumpPlans {
     "q_bootstrap_ci" -> "Poissonized bootstrap: the 200x explode and the md5-Poisson weight chain are per-row codegen; partial aggregation collapses each partition to 200 (replicate, two-BIGINT) rows before the exchange; order-statistic quantiles run on the 200-row result — one data pass, bounded everything after.",
     "q_leakage_split" -> "Leakage-free split: the near-dup clustering's banded pair generation + iterative min-label rounds (localCheckpoint-truncated lineage), then ONE left join of the corpus against the pair-participant-sized labeling and a per-row md5 bucket on the cluster id — the split adds no data-sized shuffle of its own.",
     "q_kmv_distinct" -> "Bottom-k KMV sketch: the 60-bit md5 hash is a codegen'd projection in the scan; each partition collapses to its own ≤k smallest distinct hashes in a MapPartitions summary pass (the Misra–Gries shape — the exchange carries partitions×k 8-byte rows, never the corpus's distinct-hash stream), then a k-bounded dedup + TakeOrderedAndProject(k); the estimate is a 1-row aggregate over k rows.",
-    "q_domain_cap" -> "Deterministic per-domain cap: two salted rank levels — level 1 windows on (source, h & 4095) so a giant domain spreads 4096 ways, level 2 ranks the ≤4096·k survivors per domain — both exchanges keyed, no unpartitioned window, no task holding a whole domain.")
+    "q_domain_cap" -> "Deterministic per-domain cap: id selection is the bottom-k TypedImperativeAggregate (partial_bottom_k below the exchange — each task ships ≤k hashes per domain, never the distinct (domain, hash) stream), then one (domain, hash)-keyed LeftSemi attaches the surviving rows; no window anywhere, no task holding a whole domain.",
+    "q_kmv_by_priority" -> "Grouped bottom-k sketch: ObjectHashAggregate with partial_bottom_k BEFORE the group-keyed exchange — the map side collapses every (group-slice) to ≤k eight-byte hashes (bottom-k is a lattice), so the shuffle is tasks×groups×k; the estimate reads k rows per group.")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
