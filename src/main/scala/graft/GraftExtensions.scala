@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sortable_f64",
         "sortable_f64(x) - order-preserving long image of a double's IEEE bits"),
       arity("sortable_f64", 1)(es => SortableF64(es.head))))
+    ext.injectFunction((FunctionIdentifier("sortable_f64_inv"),
+      info("sortable_f64_inv",
+        "sortable_f64_inv(s) - the double whose sortable_f64 image is s"),
+      arity("sortable_f64_inv", 1)(es => SortableF64Inv(es.head))))
     ext.injectFunction((FunctionIdentifier("bpe_encode"),
       info("bpe_encode",
         "bpe_encode(text, merges) - BPE tokenization; merges is the " +
@@ -86,5 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "distinct bigint values (the grouped KMV selection)"),
       arity("bottom_k", 2)(es =>
         BottomKLongs(es(0), ShingleExprs.foldInt(es(1))))))
+    ext.injectFunction((FunctionIdentifier("bottom_k_by"),
+      info("bottom_k_by",
+        "bottom_k_by(sortKey, payload, k) - aggregate: (s, p) structs " +
+          "of the k lexicographically smallest distinct (sortKey, " +
+          "payload) bigint pairs, in selection order"),
+      arity("bottom_k_by", 3)(es =>
+        BottomKPairs(es(0), es(1), ShingleExprs.foldInt(es(2))))))
   }
 }

@@ -57,6 +57,37 @@ object SortableF64 {
   }
 }
 
+/** The inverse of [[SortableF64]]: the order-preserving long image back
+  * to its double (bit-exact — the image is a bijection on IEEE bit
+  * patterns, NaN canonicalization aside). Lets an operator SORT and
+  * AGGREGATE on the integer image (exact, engine-portable order) and
+  * still emit the original double — e.g. the bottom-k pair aggregate
+  * carrying score images through a bounded exchange. */
+case class SortableF64Inv(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sortable_f64_inv"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    SortableF64Inv.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SortableF64Inv.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortableF64Inv =
+    copy(child = newChild)
+}
+
+object SortableF64Inv {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Same xor form as the forward map — it is an involution per sign
+    * half: a non-negative image IS the bit pattern; a negative image
+    * xors the magnitude bits back. */
+  def compute(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & 0x7fffffffffffffffL))
+}
+
 /** The B Poissonized-bootstrap weights of one row, in ONE fused pass:
   * element r is the deterministic Poisson(1) draw for replicate r,
   * u = (conv(substring(md5(id || ':' || r || ':' || salt), 1, 8), 16,
@@ -151,6 +182,8 @@ object NumericExprs {
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("sortable_f64",
       es => SortableF64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sortable_f64_inv",
+      es => SortableF64Inv(es.head), "built-in")
     reg.createOrReplaceTempFunction("poisson_weights", es =>
       PoissonWeights(es(0), ShingleExprs.foldInt(es(1)), es(2) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(
@@ -163,6 +196,8 @@ object NumericExprs {
   /** Requires [[register]] on the active session. */
   def sortableF64(x: Column): Column =
     functions.call_function("sortable_f64", x)
+  def sortableF64Inv(s: Column): Column =
+    functions.call_function("sortable_f64_inv", s)
 
   /** Requires [[register]] on the active session. */
   def poissonWeights(idStr: Column, b: Int, salt: String): Column =

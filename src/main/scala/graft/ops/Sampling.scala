@@ -171,22 +171,57 @@ object Sampling {
 
   /** Per-group [[weightedSample]]: the k highest priorities WITHIN each
     * group — stratified quality-weighted selection (k docs per source,
-    * per language, per domain). One shuffle on the group key, window
-    * rank in-partition; same deterministic priority, tie-break, weight
-    * guard, and retained `priority` column as the global form. */
+    * per language, per domain). Same deterministic priority, tie-break,
+    * weight guard, and retained `priority` column as the global form.
+    *
+    * Selection runs through the bottom-k pair aggregate
+    * ([[graft.functions.BottomKPairs]] — the [[Kmv.sketchBy]] exchange
+    * shape): the 9-decimal priority maps to its exact integer image
+    * (the rounding makes ×1e9 a monotone bijection onto [0, 1e9] —
+    * nothing float-ordered crosses the aggregate), descending rides as
+    * negation with the id as the ascending tie-break, and partial
+    * buffers of ≤ k (priority, id) pairs bound the exchange at
+    * tasks × groups × k instead of the every-row stream a
+    * group-partitioned `row_number` window ships (and one giant group
+    * never funnels through one task). Requires an integral `idCol`
+    * (the pair payload; same contract as [[graft.ops.Dedup]]'s id
+    * columns) — a non-integral id falls back to the window form,
+    * which selects identically (spec-pinned). */
   def weightedSampleByGroup(df: DataFrame, keyCol: String, idCol: String,
       groupCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967297.0)
     val pri = round(pow(u, lit(1.0) / checkedWeight(weight, "weightedSampleByGroup")), 9)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col("priority").desc, col(idCol))
-    df.withColumn("priority", pri)
-      .withColumn("pick", row_number().over(w))
-      .where(col("pick") <= k)
-      .drop("pick")
+    val withPri = df.withColumn("priority", pri)
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      graft.Graft.init(df.sparkSession)
+      val keep = withPri.select(col(groupCol).as("_g"),
+          (-round(col("priority") * lit(1.0e9), 0).cast("long")).as("_sk"),
+          col(idCol).cast("long").as("_pid"))
+        .groupBy(col("_g"))
+        .agg(graft.functions.SketchExprs.bottomKBy(col("_sk"),
+          col("_pid"), k).as("_ids"))
+        .select(col("_g"), explode(col("_ids.p")).as("_pid"))
+      withPri.join(keep,
+        col(groupCol) === col("_g") &&
+          col(idCol).cast("long") === col("_pid"), "left_semi")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(col("priority").desc, col(idCol))
+      withPri
+        .withColumn("pick", row_number().over(w))
+        .where(col("pick") <= k)
+        .drop("pick")
+    }
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
@@ -397,31 +432,87 @@ object Sampling {
     * with the i-th WORST (score asc, id desc), up to k pairs, never
     * letting the two halves overlap (both ranks capped at
     * floor(n/2)); pairs with NO score gap are dropped (an equal-score
-    * "preference" teaches nothing). Two windows on one group-keyed
-    * exchange + a (group, rank)-keyed self-join of k-sized slices —
-    * nothing corpus-sized moves twice. All orderings are total, so
-    * the pairing is engine/retry-deterministic. */
+    * "preference" teaches nothing). With an integral `idCol` both rank
+    * lists come from ONE bounded bottom-k-pair aggregate
+    * ([[graft.functions.BottomKPairs]]): the exchange carries ≤ 2k
+    * (score-image, id) pairs per (task, group) instead of every row
+    * through a group-partitioned window, one giant group never
+    * funnels through one task, and the pairing is a positional zip —
+    * no self-join. NULL scores are excluded up front (not a
+    * preference signal). All orderings are total, so the pairing is
+    * engine/retry-deterministic on either path. */
   def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val wBest = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val wWorst = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).asc, col(idCol).desc)
-    val ranked = df.select(col(groupCol), col(idCol), col(scoreCol))
-      .withColumn("_rb", row_number().over(wBest))
-      .withColumn("_rw", row_number().over(wWorst))
-      .withColumn("_half", expr(
-        s"count(1) OVER (PARTITION BY $groupCol) div 2"))
-    val best = ranked.where(col("_rb") <= k && col("_rb") <= col("_half"))
-      .select(col(groupCol), col("_rb").as("pair_rank"),
-        col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
-    val worst = ranked.where(col("_rw") <= k && col("_rw") <= col("_half"))
-      .select(col(groupCol), col("_rw").as("pair_rank"),
-        col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
-    best.join(worst, Seq(groupCol, "pair_rank"))
-      .where(col("chosen_score") > col("rejected_score"))
+    // NULL scores are not preference signals: excluded up front on BOTH
+    // paths (previously they consumed worst-side ranks only to have
+    // every pair they touched dropped by the score-gap filter)
+    val base = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .where(col(scoreCol).isNotNull)
+    val idType = df.schema(idCol).dataType
+    val scoreType = df.schema(scoreCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      // both rank lists from ONE bounded aggregate (the
+      // weightedSampleByGroup exchange shape): scores ride as their
+      // order-preserving sortable-f64 image (+0.0 folds -0.0 into 0.0,
+      // matching SQL's normalized float comparison; NaN images above
+      // all — SQL's NaN-sorts-last, so desc ranks it first, asc last,
+      // exactly the window's order), descending as negation, ids as
+      // tie-break payloads (worst side negates for its DESC id
+      // tie-break). Array position IS the rank, so the pairing is a
+      // posexplode of the zipped lists — no self-join, and the only
+      // exchange carries ≤ 2k (image, id) pairs per (task, group).
+      graft.Graft.init(df.sparkSession)
+      val sImg = graft.functions.NumericExprs
+        .sortableF64(col(scoreCol).cast("double") + lit(0.0))
+      def inv(c: Column) = graft.functions.NumericExprs.sortableF64Inv(c)
+      val agg = base
+        .select(col(groupCol), col(idCol).cast("long").as("_id"),
+          sImg.as("_s"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("_n"),
+          graft.functions.SketchExprs.bottomKBy(-col("_s"), col("_id"), k)
+            .as("_best"),
+          graft.functions.SketchExprs.bottomKBy(col("_s"), -col("_id"), k)
+            .as("_worst"))
+      agg.select(col(groupCol), col("_n"),
+          posexplode(arrays_zip(col("_best"), col("_worst"))))
+        .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_e")
+        .where(col("_i") + 1 <= least(lit(k), expr("_n div 2")))
+        .select(col(groupCol), (col("_i") + 1).cast("int").as("pair_rank"),
+          col("_e._best.p").cast(idType).as("chosen_id"),
+          inv(-col("_e._best.s")).cast(scoreType).as("chosen_score"),
+          (-col("_e._worst.p")).cast(idType).as("rejected_id"),
+          inv(col("_e._worst.s")).cast(scoreType).as("rejected_score"))
+        .where(col("chosen_score") > col("rejected_score"))
+    } else {
+      // non-integral ids: the window form, selecting identically
+      import org.apache.spark.sql.expressions.Window
+      val wBest = Window.partitionBy(col(groupCol))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      val wWorst = Window.partitionBy(col(groupCol))
+        .orderBy(col(scoreCol).asc, col(idCol).desc)
+      val ranked = base
+        .withColumn("_rb", row_number().over(wBest))
+        .withColumn("_rw", row_number().over(wWorst))
+        .withColumn("_half", expr(
+          s"count(1) OVER (PARTITION BY $groupCol) div 2"))
+      val best = ranked.where(col("_rb") <= k && col("_rb") <= col("_half"))
+        .select(col(groupCol), col("_rb").as("pair_rank"),
+          col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
+      val worst = ranked.where(col("_rw") <= k && col("_rw") <= col("_half"))
+        .select(col(groupCol), col("_rw").as("pair_rank"),
+          col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
+      best.join(worst, Seq(groupCol, "pair_rank"))
+        .where(col("chosen_score") > col("rejected_score"))
+    }
   }
 
   /** Leakage-free train/test split: near-duplicate CLUSTERS move to a

@@ -317,6 +317,36 @@ class PropertySpec extends SparkSpec {
     assert(e2.getMessage.contains("strictly positive"))
   }
 
+  test("weightedSampleByGroup: the bottom-k aggregate path selects " +
+      "exactly what the window path does (property)") {
+    import graft.ops.Sampling
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val rows = (1L to 120L).map { i =>
+        (i, s"text-$trial-$i-${rnd.nextInt(1000)}",
+          1.0 + rnd.nextInt(50), s"g${i % 4}")
+      }
+      val df = rows.toDF("doc_id", "text", "w", "src")
+      // integral id -> the aggregate path
+      val viaAgg = Sampling.weightedSampleByGroup(df, "text", "doc_id",
+          "src", col("w"), 7)
+        .select("doc_id", "src", "priority")
+        .as[(Long, String, Double)].collect().toSet
+      // a string id forces the row_number window path over the SAME
+      // priorities (the id renders with fixed width so the string
+      // tie-break equals the numeric one)
+      val strId = df.withColumn("doc_id",
+        format_string("%06d", col("doc_id")))
+      val viaWindow = Sampling.weightedSampleByGroup(strId, "text",
+          "doc_id", "src", col("w"), 7)
+        .select("doc_id", "src", "priority")
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1.toLong, r._2, r._3)).toSet
+      assert(viaAgg == viaWindow, s"trial $trial")
+      assert(viaAgg.groupBy(_._2).forall(_._2.size == 7), s"trial $trial")
+    }
+  }
+
   test("incrementalAgg equals full recompute on random change logs") {
     import graft.ops.Cdc
     val rnd = new scala.util.Random(4242)
