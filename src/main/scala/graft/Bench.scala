@@ -74,7 +74,11 @@ object Bench {
     // the r8 rewrite that removed the single-partition windows) gets a
     // headline entry so a cost regression in the cascade shows up in
     // BENCH_r{N}.json instead of being invisible (VERDICT r8 ask #5)
-    "q_histogram_eqdepth")
+    "q_histogram_eqdepth",
+    // round 10: corpus-global exact-substring dedup REWRITE (anchor agg
+    // + gram join-back + per-doc interval merge + codegen'd excision) —
+    // the heaviest new text family this round, tracked from day one
+    "q_substring_dedup")
 
   /** Untimed JVM warm-up, shared with BenchOne. The cheap generic costs
     * (codegen infra, parquet footers) were always warmed; the string- and

@@ -3832,6 +3832,24 @@ object SparkEntry {
         minLen = 8, maxShingleDf = 64)
     }),
 
+    // ---- LLM: corpus-global exact-substring dedup (REWRITE) ------------
+    // the Lee et al. curation op itself: every duplicated >= 8-token
+    // window excised from all but its globally-first occurrence, text
+    // emitted rewritten; planted docs give closed-form truths (200002
+    // loses the 12-block, 200003 loses its WITHIN-doc second 8-block,
+    // 200001 keeps everything as the first occurrence)
+    "q_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (200001L, s"$spanBlock12 tail1 tail2"),
+        (200002L, s"lead1 lead2 $spanBlock12"),
+        (200003L, s"solo1 $spanBlock8 mid1 $spanBlock8 solo2"))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      Dedup.exactSubstringDedup(docs, "doc_id", "text", minLen = 8)
+    }),
+
     // ---- LLM: PMI collocations (phrase mining, word2phrase step) ------
     // top-20 bigrams by pointwise mutual information among those seen
     // >= 5 times; ln quantized to 1e-6, ties break on the bigram string
@@ -9027,6 +9045,56 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    round(CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) /
         |      CAST(t.n_tokens AS DOUBLE), 6) ELSE 0.0 END AS dup_fraction
         |FROM toks t LEFT JOIN dup d ON t.doc_id = d.id""".stripMargin,
+
+    // mirrors Dedup.exactSubstringDedup: md5 string grams replace the
+    // 64-bit chain hashes (pure equality keys — identical classes whp),
+    // keep-first = row_number over (doc_id, pos) per gram, coverage =
+    // the distinct union of 8-token windows (equals the operator's
+    // merged-interval sum), rewrite = list comprehension over the
+    // ORIGINAL-case tokens; array_to_string([]) is NULL in DuckDB where
+    // the excise walker emits '' — coalesced
+    "q_substring_dedup" ->
+      s"""WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (200001, '$spanBlock12 tail1 tail2'),
+        |    (200002, 'lead1 lead2 $spanBlock12'),
+        |    (200003, 'solo1 $spanBlock8 mid1 $spanBlock8 solo2'))
+        |    v(doc_id, text)),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ws,
+        |    string_split_regex(trim(text), '\\s+') AS wo
+        |  FROM docs2),
+        |anch AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
+        |     FOR i IN generate_series(1, len(ws) - 7)]) AS u
+        |  FROM tok WHERE len(ws) >= 8),
+        |a AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY h) AS n,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM a),
+        |dup AS (SELECT doc_id, pos FROM r WHERE n >= 2 AND rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS tp
+        |  FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) g),
+        |cov2 AS (SELECT doc_id, list(tp) AS cl,
+        |    CAST(count(*) AS BIGINT) AS removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.text IS NULL THEN NULL ELSE
+        |    coalesce(array_to_string(
+        |      [t.wo[i] FOR i IN generate_series(1, len(t.wo))
+        |       IF t.wo[i] <> '' AND NOT list_contains(coalesce(c.cl, []), i)],
+        |      ' '), '')
+        |  END AS text_dedup,
+        |  CASE WHEN t.text IS NULL OR trim(t.text) = '' THEN 0
+        |    ELSE CAST(len(t.wo) AS BIGINT) END AS n_tokens,
+        |  CAST(coalesce(c.removed, 0) AS BIGINT) AS removed_tokens
+        |FROM tok t LEFT JOIN cov2 c USING (doc_id)""".stripMargin,
 
     // mirrors TextOps.collocations: one tokenize, quantized ln, bigram
     // tie-break; DuckDB list comprehension builds the bigram events

@@ -355,6 +355,82 @@ object SpanCorruptStats {
   }
 }
 
+/** Removes the tokens covered by a set of 1-based [s, e) token-position
+  * intervals and rejoins the survivors with single spaces — the rewrite
+  * half of corpus-global exact-substring deduplication
+  * ([[graft.ops.Dedup.exactSubstringDedup]]). Tokens are maximal
+  * non-whitespace byte runs (the [[ShingleHash64.wordHashes]] walker, so
+  * positions line up with `shingle_anchors` grams exactly); output is
+  * whitespace-normalized by construction. Intervals must arrive sorted
+  * by start and disjoint (the operator merges them upstream) — one
+  * two-pointer pass, zero allocation beyond the output buffer.
+  *
+  * Why a custom Expression: the HOF form
+  * (`filter(split(text), (w, i) => !exists(cuts, ...))`) runs an
+  * interpreted lambda per token × cut and allocates the full token
+  * array per row — the exact hot-loop shape round 9 measured 3–10×
+  * slower than a fused static-loop expression. */
+case class ExciseSpans(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "excise_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StructType(Array(
+        StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"excise_spans requires (string, array<struct<bigint,bigint>>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(text: Any, cuts: Any): Any =
+    ExciseSpans.compute(text.asInstanceOf[UTF8String],
+      cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.functions.ExciseSpans.compute($t, $c);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExciseSpans =
+    copy(left = l, right = r)
+}
+
+object ExciseSpans {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, cuts: ArrayData): UTF8String = {
+    val b = text.getBytes
+    val nCuts = cuts.numElements()
+    val out = new Array[Byte](b.length)
+    var outLen = 0
+    var first = true
+    var ci = 0
+    var p = 0 // 1-based token position
+    var i = 0
+    while (i < b.length) {
+      while (i < b.length && ShingleHash64.isSpace(b(i))) i += 1
+      if (i < b.length) {
+        val start = i
+        while (i < b.length && !ShingleHash64.isSpace(b(i))) i += 1
+        p += 1
+        while (ci < nCuts && cuts.getStruct(ci, 2).getLong(1) <= p) ci += 1
+        val covered = ci < nCuts && {
+          val cut = cuts.getStruct(ci, 2)
+          cut.getLong(0) <= p && p < cut.getLong(1)
+        }
+        if (!covered) {
+          if (!first) { out(outLen) = ' '; outLen += 1 }
+          first = false
+          System.arraycopy(b, start, out, outLen, i - start)
+          outLen += i - start
+        }
+      }
+    }
+    UTF8String.fromBytes(out, 0, outLen)
+  }
+}
+
 /** Registration + Column wrappers for the text expressions. */
 object TextExprs {
   def register(spark: SparkSession): Unit = {
@@ -371,6 +447,8 @@ object TextExprs {
       }), "built-in")
     reg.createOrReplaceTempFunction("span_corrupt_stats", es =>
       SpanCorruptStats(es(0), es(1), ShingleExprs.foldInt(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("excise_spans", es =>
+      ExciseSpans(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("word_stop_stats", es =>
       WordStopStats(es(0), es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(
@@ -393,6 +471,11 @@ object TextExprs {
       maskPermille: Int): Column =
     functions.call_function("span_corrupt_stats", idStr, text,
       functions.lit(maskPermille))
+
+  /** Requires [[register]] on the active session. `cuts` must be sorted
+    * by start and disjoint (1-based [s, e) token intervals). */
+  def exciseSpans(text: Column, cuts: Column): Column =
+    functions.call_function("excise_spans", text, cuts)
 
   /** Requires [[register]] on the active session. Stopwords must not
     * contain commas (they ride a CSV literal through the registry). */

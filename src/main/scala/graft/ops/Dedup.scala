@@ -355,6 +355,87 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Corpus-global exact-substring deduplication (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" rewrite,
+    * gram-granular): every length-`minLen` token window whose lowercased
+    * token sequence occurs at MORE than one (doc, position) in the corpus
+    * is excised from every occurrence EXCEPT the globally first (minimum
+    * (doc id, position) — deterministic keep-first, covering within-doc
+    * repetition too); overlapping excisions merge into maximal intervals
+    * before any text is touched. Returns one row per input document:
+    * (idCol = long id, `text_dedup` = surviving tokens space-joined —
+    * whitespace-NORMALIZED by construction, `n_tokens`, `removed_tokens`).
+    * NULL text passes through as NULL with zero counts.
+    *
+    * This is the corpus-global sibling of the PAIRWISE [[repeatedSpans]]:
+    * that one reports who shares what with whom (O(matching pairs), df-
+    * capped); this one answers the curation question — "emit the corpus
+    * with duplicated passages removed" — and is CHEAPER, not dearer: no
+    * pair join exists anywhere, so no df cap is needed and boilerplate
+    * grams with millions of occurrences are exactly the rows it should
+    * handle.
+    *
+    * Scale shape: one fused-codegen anchor pass (corpus token stream);
+    * one hash-keyed count/min aggregation (both algebraic — map-side
+    * partial combine shrinks the exchange to distinct-gram volume); one
+    * equi-join of anchors to the duplicated-gram table on the 64-bit gram
+    * key (AQE skew-split handles hot boilerplate grams); interval merge
+    * in per-DOC windows (bounded by document length); and a map-side
+    * two-pointer rewrite ([[graft.functions.ExciseSpans]], one codegen'd
+    * static loop — no interpreted per-token × per-cut lambda). The
+    * anchors subtree is shuffled on `h` by both consumers, so the scan
+    * materializes once (ReuseExchange). Document text never shuffles:
+    * cuts travel to the text (a doc-keyed join of interval lists), never
+    * the text to the cuts. */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ShingleExprs.shingleAnchors
+    graft.Graft.init(docs.sparkSession) // shingle_anchors, excise_spans
+    val id = longId(docs, idCol)
+    val anchors = docs
+      .select(id.as("id"),
+        posexplode(shingleAnchors(lower(col(textCol)), minLen))
+          .as(Seq("i", "h")))
+      .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+    // grams seen at >= 2 positions; `first` = the surviving occurrence
+    val dupGrams = anchors.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .where(col("n") >= 2)
+      .select(col("h"), col("first"))
+    val dupPos = anchors.join(dupGrams, Seq("h"))
+      .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+      .select(col("id"), col("pos"))
+    // merge [pos, pos + minLen) into maximal disjoint intervals per doc
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(minLen.toLong))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val cuts = dupPos
+      .withColumn("new_isl",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("grp", sum(col("new_isl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(minLen.toLong)).as("e"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        sum(col("e") - col("s")).as("removed"))
+    docs
+      .select(id.as("id"), col(textCol).as("_text"),
+        TextOps.nTokens(col(textCol)).cast("long").as("n_tokens"))
+      .join(cuts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        graft.functions.TextExprs.exciseSpans(col("_text"),
+          coalesce(col("cuts"),
+            expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+          .as("text_dedup"),
+        col("n_tokens"),
+        coalesce(col("removed"), lit(0L)).as("removed_tokens"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd
     * Catalyst expression, graft.functions.SimHash64), split into 4 bands of
     * 16 bits. By pigeonhole, any pair at hamming distance <= 3 agrees on at

@@ -112,6 +112,61 @@ class DedupSpec extends SparkSpec {
       (6L, 5L, 0L, 0.0)))
   }
 
+  test("exact substring dedup: keep-first excision, within-doc repeats, " +
+      "overlap merge, brute-force parity") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h tail1 tail2"),       // first occurrence: kept whole
+      (2L, "lead1 a b c d e f g h"),              // later copy: excised
+      (3L, "s1 p q r s t u v w m1 p q r s t u v w s2"), // within-doc repeat
+      (4L, null.asInstanceOf[String]),            // null text passes through
+      (5L, "   "),                                 // whitespace-only
+      (6L, "x a b c d e f g h i j")                // overlapping dup grams merge
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(corpus, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b c d e f g h tail1 tail2", 10L, 0L)))
+    assert(got(2L) == (("lead1", 9L, 8L)))
+    assert(got(3L) == (("s1 p q r s t u v w m1 s2", 19L, 8L)))
+    assert(got(4L) == ((null, 0L, 0L)))
+    assert(got(5L) == (("", 0L, 0L)))
+    // doc 6 holds "a b c d e f g h" at pos 2 (a later copy of doc 1's
+    // pos-1 gram) and "b c d e f g h i" / "c..j" which are unique -> only
+    // tokens 2..9 are covered
+    assert(got(6L) == (("x i j", 11L, 8L)))
+
+    // brute-force parity on a random corpus: a token is removed iff some
+    // 8-gram covering it equals an 8-gram at a strictly earlier (doc,pos)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val randomDocs = (1L to 30L).map { i =>
+      (i, Vector.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df2 = randomDocs.toDF("doc_id", "text")
+    val toks = randomDocs.map { case (i, t) =>
+      i -> t.split("\\s+").toVector }.toMap
+    val grams = for {
+      (i, ws) <- toks.toSeq; p <- 1 to ws.length - 7
+    } yield (ws.slice(p - 1, p + 7).mkString(" "), (i, p))
+    val byGram = grams.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = randomDocs.map { case (i, _) =>
+      val ws = toks(i)
+      val dupPos = (1 to ws.length - 7).filter { p =>
+        val occ = byGram(ws.slice(p - 1, p + 7).mkString(" "))
+        occ.head != ((i, p))
+      }
+      val covered = dupPos.flatMap(p => p until p + 8).toSet
+      val kept = ws.zipWithIndex.collect {
+        case (w, j) if !covered(j + 1) => w }
+      (i, (kept.mkString(" "), ws.length.toLong, covered.size.toLong))
+    }.toMap
+    val got2 = Dedup.exactSubstringDedup(df2, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2 == expected)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
