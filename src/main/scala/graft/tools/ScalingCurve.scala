@@ -46,7 +46,11 @@ object ScalingCurve {
     // changed — grouped quantiles ride the new bounded exchange, and
     // the cluster family re-measures after the two-hop loop kept its
     // default but gained the star escape hatch
-    "q_kmv_quantiles_by", "q_dedup_clusters")
+    "q_kmv_quantiles_by", "q_dedup_clusters",
+    // round 10b: the corpus-global substring-dedup rewrite — anchors are
+    // the raw token stream, so this row is the direct probe of the
+    // hash-keyed agg + join-back + excision shape
+    "q_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
