@@ -1448,6 +1448,34 @@ object SparkEntry {
           Seq("o_orderpriority"))
     }),
 
+    // KMV set algebra (Beyer et al. 2007): the bottom-k of A UNION B is
+    // a uniform union sample, so the fraction present in BOTH sketches
+    // estimates Jaccard and scales the union estimate down to the
+    // intersection — "how many urgent-priority customers also order
+    // high-priority", answered from two k-row sketches
+    "q_kmv_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = graft.ops.Kmv.sketch(
+        o.where(col("o_orderpriority") === "1-URGENT"), "o_custkey", 256)
+      val b = graft.ops.Kmv.sketch(
+        o.where(col("o_orderpriority") === "2-HIGH"), "o_custkey", 256)
+      graft.ops.Kmv.setEstimates(a, b, 256)
+    }),
+
+    // the grouped form: per-priority customer overlap between the even
+    // and odd order-key halves — two sketchBy tables in, one overlap
+    // row per group out, everything groups x k-bounded
+    "q_kmv_setops_by" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = graft.ops.Kmv.sketchBy(
+        o.where(col("o_orderkey") % 2 === 0), "o_orderpriority",
+        "o_custkey", 128)
+      val b = graft.ops.Kmv.sketchBy(
+        o.where(col("o_orderkey") % 2 === 1), "o_orderpriority",
+        "o_custkey", 128)
+      graft.ops.Kmv.setEstimatesBy(a, b, "o_orderpriority", 128)
+    }),
+
     // deterministic per-group cap — "at most k docs per domain/source",
     // the Gopher/C4-style frequency cap: survivors are the k smallest
     // id-hashes per group, stable across runs/engines/retries (a random
@@ -5844,6 +5872,97 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(n_sample AS INT) AS n_sample,
         |  ex.exact_n
         |FROM a JOIN ex USING (o_orderpriority)""".stripMargin,
+
+    // mirrors Kmv.setEstimates: bottom-256 of each side, bottom-256 of
+    // the union, membership flags, rho computed BEFORE the multiply
+    // (same float-op order as the engine)
+    "q_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'
+        |  ORDER BY 1 LIMIT 256),
+        |hb AS (
+        |  SELECT DISTINCT CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderpriority = '2-HIGH'
+        |  ORDER BY 1 LIMIT 256),
+        |m AS (
+        |  SELECT DISTINCT h FROM (
+        |    SELECT h FROM ha UNION ALL SELECT h FROM hb)
+        |  ORDER BY 1 LIMIT 256),
+        |f AS (
+        |  SELECT h, h IN (SELECT h FROM ha) AS ia,
+        |    h IN (SELECT h FROM hb) AS ib FROM m),
+        |a AS (
+        |  SELECT count(*) AS n, max(h) AS hm,
+        |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM f)
+        |SELECT
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(hm AS DOUBLE) END AS est_union,
+        |  CASE WHEN n > 0 THEN CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE 0.0 END AS jaccard_est,
+        |  (CASE WHEN n > 0 THEN CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE 0.0 END) *
+        |  (CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(hm AS DOUBLE) END) AS est_intersection,
+        |  CAST(n AS INT) AS n_sample, nb AS n_both
+        |FROM a""".stripMargin,
+
+    // mirrors Kmv.setEstimatesBy on the even/odd order-key halves:
+    // per-group rank <= 128 replaces each bottom-k, including the
+    // union's re-take
+    "q_kmv_setops_by" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey % 2 AS half,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |ha AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM base WHERE half = 0)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |hb AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM base WHERE half = 1)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |m AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM (
+        |      SELECT * FROM ha UNION ALL SELECT * FROM hb))
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |f AS (
+        |  SELECT m.o_orderpriority, m.h,
+        |    EXISTS (SELECT 1 FROM ha WHERE ha.o_orderpriority =
+        |      m.o_orderpriority AND ha.h = m.h) AS ia,
+        |    EXISTS (SELECT 1 FROM hb WHERE hb.o_orderpriority =
+        |      m.o_orderpriority AND hb.h = m.h) AS ib
+        |  FROM m),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n, max(h) AS hm,
+        |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM f GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+        |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(hm AS DOUBLE) END AS est_union,
+        |  CASE WHEN n > 0 THEN CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE 0.0 END AS jaccard_est,
+        |  (CASE WHEN n > 0 THEN CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+        |    ELSE 0.0 END) *
+        |  (CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+        |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(hm AS DOUBLE) END) AS est_intersection,
+        |  CAST(n AS INT) AS n_sample, nb AS n_both
+        |FROM a""".stripMargin,
 
     "q_domain_cap" ->
       """WITH h AS (

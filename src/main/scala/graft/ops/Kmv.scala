@@ -151,6 +151,81 @@ object Kmv {
         col("n_sample").cast("int").as("n_sample"))
   }
 
+  /** KMV set-operation estimates between two sketches (Beyer et al.
+    * 2007): the k smallest hashes of A ∪ B are a uniform sample of the
+    * union, so the fraction ρ of that sample present in BOTH input
+    * sketches estimates Jaccard(A, B), and ρ × est(|A ∪ B|) estimates
+    * the intersection size. Returns one row:
+    * (est_union, jaccard_est, est_intersection, n_sample, n_both).
+    *
+    * EXACT when small: if the merged sketch holds fewer than k hashes,
+    * both inputs were complete enumerations and ρ IS the Jaccard.
+    * Exactness of the sample requires both inputs sketched at ≥ this k
+    * (the [[merge]] contract). Determinism: selection is a pure order
+    * statistic; the float ops are one division and one multiply at
+    * readout, same expression order as the oracle.
+    *
+    * Scale shape: inputs are already k-row sketches — everything here
+    * is k-bounded (union of 2k rows, two broadcast membership joins,
+    * one aggregate). The 100 TB corpora were paid for when the
+    * sketches were built, once each. */
+  def setEstimates(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val m = merge(k, skA.select(col("h")), skB.select(col("h")))
+    val flagged = m
+      .join(broadcast(skA.select(col("h"), lit(1).as("_a"))), Seq("h"), "left")
+      .join(broadcast(skB.select(col("h"), lit(1).as("_b"))), Seq("h"), "left")
+    val rho = when(col("n_sample") > 0,
+      col("n_both").cast("double") / col("n_sample").cast("double"))
+      .otherwise(lit(0.0))
+    flagged
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(estExpr(k).as("est_union"),
+        rho.as("jaccard_est"),
+        (rho * estExpr(k)).as("est_intersection"),
+        col("n_sample").cast("int").as("n_sample"),
+        col("n_both").cast("long").as("n_both"))
+  }
+
+  /** Per-group [[setEstimates]] between two GROUPED sketch tables
+    * ([[sketchBy]] outputs): one row per group present in either input
+    * — per-language vocabulary overlap between two corpora, per-domain
+    * URL overlap between two crawls. A group absent from one side has
+    * n_both = 0 and jaccard_est = 0 (its union sample is the other
+    * side's sketch alone). Everything is (group, h)-keyed over
+    * groups×k-row tables; the per-group re-take runs through the same
+    * bounded [[graft.functions.BottomKLongs]] aggregate as
+    * [[sketchBy]]. */
+  def setEstimatesBy(skA: DataFrame, skB: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    graft.Graft.init(skA.sparkSession)
+    val union = skA.select(col(groupCol), col("h"))
+      .unionByName(skB.select(col(groupCol), col("h")))
+    val m = union.groupBy(col(groupCol))
+      .agg(graft.functions.SketchExprs.bottomK(col("h"), k).as("_hs"))
+      .select(col(groupCol), explode(col("_hs")).as("h"))
+    val flagged = m
+      .join(skA.select(col(groupCol), col("h"), lit(1).as("_a")),
+        Seq(groupCol, "h"), "left")
+      .join(skB.select(col(groupCol), col("h"), lit(1).as("_b")),
+        Seq(groupCol, "h"), "left")
+    val rho = when(col("n_sample") > 0,
+      col("n_both").cast("double") / col("n_sample").cast("double"))
+      .otherwise(lit(0.0))
+    flagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_max"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col(groupCol), estExpr(k).as("est_union"),
+        rho.as("jaccard_est"),
+        (rho * estExpr(k)).as("est_intersection"),
+        col("n_sample").cast("int").as("n_sample"),
+        col("n_both").cast("long").as("n_both"))
+  }
+
   /** Deterministic uniform row sample: the k rows whose unique id
     * hashes smallest — mergeable (union + re-take) and rerun-stable,
     * carrying `cols` for downstream readouts. `idCol` must identify

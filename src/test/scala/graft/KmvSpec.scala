@@ -200,4 +200,59 @@ class KmvSpec extends SparkSpec {
     assert(got.values.forall(hs => hs.length <= 8 &&
       hs.toSeq == hs.toSeq.distinct.sorted))
   }
+
+  test("setEstimates: exact Jaccard when both sets fit the sketch, " +
+      "bounded error when they don't, disjoint -> zero") {
+    import graft.ops.Kmv
+    // small sets: merged sketch < k => exact set algebra
+    val a = Seq.range(0, 40).map(i => Tuple1(s"k$i")).toDF("key")
+    val b = Seq.range(25, 70).map(i => Tuple1(s"k$i")).toDF("key")
+    val exact = Kmv.setEstimates(
+      Kmv.sketch(a, "key", 256), Kmv.sketch(b, "key", 256), 256)
+      .collect().head
+    // |A ∪ B| = 70, |A ∩ B| = 15
+    assert(exact.getDouble(0) == 70.0)
+    assert(exact.getDouble(1) == 15.0 / 70.0)
+    assert(exact.getDouble(2) == (15.0 / 70.0) * 70.0)
+    assert(exact.getInt(3) == 70 && exact.getLong(4) == 15L)
+    // disjoint sets: jaccard and intersection exactly zero
+    val c = Seq.range(1000, 1050).map(i => Tuple1(s"k$i")).toDF("key")
+    val dis = Kmv.setEstimates(
+      Kmv.sketch(a, "key", 256), Kmv.sketch(c, "key", 256), 256)
+      .collect().head
+    assert(dis.getDouble(1) == 0.0 && dis.getDouble(2) == 0.0)
+    // big overlapping sets at k=256: estimates land near truth
+    val bigA = Seq.range(0, 8000).map(i => Tuple1(s"x$i")).toDF("key")
+    val bigB = Seq.range(4000, 12000).map(i => Tuple1(s"x$i")).toDF("key")
+    val est = Kmv.setEstimates(
+      Kmv.sketch(bigA, "key", 256), Kmv.sketch(bigB, "key", 256), 256)
+      .collect().head
+    // truth: union 12000, jaccard 4000/12000, intersection 4000
+    assert(math.abs(est.getDouble(0) - 12000.0) / 12000.0 < 0.25)
+    assert(math.abs(est.getDouble(1) - 1.0 / 3.0) < 0.15)
+    assert(math.abs(est.getDouble(2) - 4000.0) / 4000.0 < 0.40)
+  }
+
+  test("setEstimatesBy matches global setEstimates per group") {
+    import graft.ops.Kmv
+    val rows = for {
+      g <- Seq("p1", "p2", "p3"); i <- 0 until 300
+    } yield (g, s"$g-c${(i * 13) % 180}", i % 2)
+    val df = rows.toDF("g", "key", "half")
+    val skA = Kmv.sketchBy(df.where(col("half") === 0), "g", "key", 64)
+    val skB = Kmv.sketchBy(df.where(col("half") === 1), "g", "key", 64)
+    val grouped = Kmv.setEstimatesBy(skA, skB, "g", 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getInt(4), r.getLong(5)))).toMap
+    Seq("p1", "p2", "p3").foreach { g =>
+      val ga = Kmv.sketch(df.where(col("half") === 0 && col("g") === g),
+        "key", 64)
+      val gb = Kmv.sketch(df.where(col("half") === 1 && col("g") === g),
+        "key", 64)
+      val e = Kmv.setEstimates(ga, gb, 64).collect().head
+      assert(grouped(g) == ((e.getDouble(0), e.getDouble(1),
+        e.getDouble(2), e.getInt(3), e.getLong(4))), s"group $g")
+    }
+  }
 }
