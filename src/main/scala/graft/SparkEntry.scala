@@ -32,6 +32,20 @@ object SparkEntry {
   private val spanBlock12: String = (1 to 12).map(i => s"aq$i").mkString(" ")
   private val spanBlock8: String = (1 to 8).map(i => s"bq$i").mkString(" ")
 
+  /** Planted unigram piece vocabulary for q_unigram_encode, shared
+    * verbatim between the Spark encode and the DuckDB Viterbi replay:
+    * every character the corpus + planted docs use EXCEPT z/x (those
+    * exercise `<unk>`), plus multi-char pieces engineering a whole-word
+    * win ('scan' beats [sc,an]), and an exact tie on 'abcd'
+    * ([ab,cd] = [abc,d] = −16M with equal token counts — the
+    * lexicographic tie-break must pick [ab,cd] on BOTH engines). */
+  private val unigramVocab: Seq[(String, Long)] =
+    "abcdefghijklmnopqrstuvwy".map(c => c.toString -> -15000000L) ++ Seq(
+      "sc" -> -10000000L, "an" -> -10000000L, "scan" -> -6000000L,
+      "jo" -> -7000000L, "in" -> -7000000L,
+      "the" -> -6000000L, "query" -> -6000000L, "er" -> -9000000L,
+      "ab" -> -8000000L, "cd" -> -8000000L, "abc" -> -1000000L)
+
   /** Shared oracle CTE block mirroring Dedup.repeatedSpans (df<=64
     * guard, gaps-and-islands over (pair, offset)) on the planted
     * corpus — ends with a `spans` CTE used by q_repeated_spans and the
@@ -3499,6 +3513,36 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // ---- LLM: unigram-LM (SentencePiece-style) Viterbi encode ----------
+    // the second production subword family next to BPE: segmentation
+    // maximizes summed integer micro-log-probs (ties: fewer tokens, then
+    // UTF-8-lex token sequence), so the DuckDB oracle can replay the DP
+    // EXACTLY as unrolled per-position stages. The vocabulary here is
+    // PLANTED (shared verbatim with the oracle): it exercises a
+    // whole-word piece beating its bigrams ('scan'), an engineered
+    // exact-score tie ('abcd': [ab,cd] vs [abc,d], lex pick), and <unk>
+    // on characters outside the inventory ('zx'). Training itself is
+    // driver-side (unigramPieces — the bpeMerges collect contract) and
+    // is pinned by TextOpsSpec's brute-force Viterbi parity instead of
+    // an oracle (soft scores from ln() would put floats inside the DP
+    // on the SQL side; the planted-vocab DP keeps the oracle integer).
+    "q_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (300001L, "scanjoin thequery zx"),
+        (300002L, "abcd scan order"),
+        (300003L, "customer merge vector tablesort"))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+        .unionByName(planted)
+      graft.Graft.init(s)
+      TextOps.unigramEncodeFast(docs, unigramVocab, "doc_id", "text")
+        .select(col("doc_id"),
+          array_join(col("tokens"), "|").as("tokens_joined"),
+          col("n_tokens"))
+    }),
+
     // ---- LLM: unigram LM quality score (model-based filter slot) ------
     // per-doc mean token log-prob under the corpus's own unigram model;
     // log-probs quantized to 1e-6 and folded in token order so both
@@ -4730,6 +4774,73 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   (1000000 * CAST(sum(n_chars) AS BIGINT))
     // CAST(sum(len(toks)) AS BIGINT) AS chars_per_token_micros
 FROM e GROUP BY source"""
+  }
+
+  /** DuckDB replay of the unigram Viterbi encode over the PLANTED
+    * vocabulary: the DP unrolls as one chained CTE per code-point
+    * position (d1..dMaxWordLen), each taking the per-word best of the
+    * ≤ maxPieceLen piece-extension candidates plus the always-available
+    * `<unk>` single-character candidate, ordered exactly as the
+    * expression's comparator: summed integer score desc, token count
+    * asc, then the chr(31)-joined token path asc (binary string order
+    * on both engines — chr(31) sits below every printable byte, so
+    * path order IS token-list order). The objective is integer-only,
+    * so nothing float-ordered crosses the replay. */
+  private def unigramEncodeSql(maxWordLen: Int, maxPieceLen: Int): String = {
+    val vocabValues = unigramVocab
+      .map { case (p, sc) => s"('$p', CAST($sc AS BIGINT))" }
+      .mkString(", ")
+    val stages = (1 to maxWordLen).map { i =>
+      val cands = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"""    SELECT d.w, d.sc + v.s AS sc, d.nt + 1 AS nt,
+           |      CASE WHEN d.path = '' THEN v.piece
+           |        ELSE d.path || chr(31) || v.piece END AS path
+           |    FROM d${i - l} d JOIN v
+           |      ON substring(d.w, ${i - l + 1}, $l) = v.piece
+           |    WHERE len(d.w) >= $i""".stripMargin
+      } :+
+        s"""    SELECT d.w, d.sc - 50000000 AS sc, d.nt + 1 AS nt,
+           |      CASE WHEN d.path = '' THEN '<unk>'
+           |        ELSE d.path || chr(31) || '<unk>' END AS path
+           |    FROM d${i - 1} d WHERE len(d.w) >= $i""".stripMargin
+      s"""d$i AS (
+         |  SELECT w, sc, nt, path FROM (
+         |${cands.mkString("\n    UNION ALL\n")}) c
+         |  QUALIFY row_number() OVER (PARTITION BY w
+         |    ORDER BY sc DESC, nt ASC, path ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxWordLen)
+      .map(i => s"SELECT * FROM d$i WHERE len(w) = $i")
+      .mkString(" UNION ALL ")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND trim(text) <> ''
+       |  UNION ALL SELECT * FROM (VALUES
+       |    (300001, 'scanjoin thequery zx'),
+       |    (300002, 'abcd scan order'),
+       |    (300003, 'customer merge vector tablesort')) t(doc_id, text)),
+       |v(piece, s) AS (SELECT * FROM (VALUES $vocabValues)),
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM docs2),
+       |wq AS (SELECT DISTINCT unnest(ws) AS w FROM tok),
+       |d0 AS (SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS nt, '' AS path
+       |  FROM wq),
+       |$stages,
+       |seg AS (
+       |  SELECT w, nt, replace(path, chr(31), '|') AS tp
+       |  FROM ($finals)),
+       |wx AS (
+       |  SELECT doc_id, u.i AS i, u.w AS w FROM (
+       |    SELECT doc_id, unnest([{'i': i, 'w': ws[i]}
+       |      FOR i IN generate_series(1, len(ws))]) AS u
+       |    FROM tok)),
+       |j AS (SELECT wx.doc_id, wx.i, s.tp, s.nt
+       |  FROM wx JOIN seg s ON wx.w = s.w)
+       |SELECT doc_id,
+       |  string_agg(tp, '|' ORDER BY i) AS tokens_joined,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM j GROUP BY doc_id""".stripMargin
   }
 
   private def bpeEncodeSql(n: Int): String = {
@@ -8424,6 +8535,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_bpe_merges" -> bpeMergesSql(8),
     "q_bpe_encode" -> bpeEncodeSql(8),
     "q_bpe_fertility" -> bpeFertilitySql(8),
+
+    // mirrors TextOps.unigramEncodeFast on the planted vocabulary: the
+    // Viterbi DP unrolled per position; 9 covers the longest word
+    // ('tablesort'), 5 the longest piece ('query')
+    "q_unigram_encode" -> unigramEncodeSql(9, 5),
 
     "q_vocab" ->
       """WITH t AS (

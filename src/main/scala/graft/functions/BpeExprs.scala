@@ -182,6 +182,13 @@ object BpeEncode {
         case other => throw new IllegalArgumentException(
           s"bpe_encode merges must be a string literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("unigram_encode", es =>
+      UnigramEncode(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, StringType) => UnigramEncode.decodePieces(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"unigram_encode pieces must be a string literal, got $other")
+      }, ShingleExprs.foldLong(es(2))), "built-in")
   }
 
   /** Column wrapper: `bpeEncode(col("text"), merges)` -> array<string>.
@@ -189,4 +196,191 @@ object BpeEncode {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     functions.call_function("bpe_encode", text,
       functions.lit(encodeMerges(merges)))
+
+  /** Column wrapper: `unigramEncode(col("text"), pieces)` ->
+    * array<string>. Requires [[register]] on the active session. */
+  def unigramEncode(text: Column, pieces: Seq[(String, Long)],
+      unkScore: Long = UnigramEncode.DefaultUnkScore): Column =
+    functions.call_function("unigram_encode", text,
+      functions.lit(UnigramEncode.encodePieces(pieces)),
+      functions.lit(unkScore))
+}
+
+/** Unigram-LM (SentencePiece-style) tokenization over a scored piece
+  * vocabulary as ONE codegen'd Catalyst expression: whitespace-split the
+  * document, Viterbi-segment every word, emit the flattened token array.
+  *
+  * Objective per word (exact, integer-only): among all segmentations
+  * into vocabulary pieces (plus the always-available `<unk>` consuming
+  * one code point at `unkScore`), take the one maximizing the summed
+  * integer scores (micro-log-probs from
+  * [[graft.ops.TextOps.unigramPieces]]); ties break on fewer tokens,
+  * then on the UTF-8-byte-lexicographically smallest token sequence
+  * (tokens joined by U+001F — a byte below every printable character, so
+  * string order IS token-list order; UTF8String comparison is binary, so
+  * both engines and the DuckDB oracle agree). Pure integer DP: no float
+  * enters the objective, so the segmentation is bit-reproducible across
+  * engines, partitionings, and retries.
+  *
+  * Why a custom Expression: the DP is O(len × maxPieceLen) hash lookups
+  * per word against a table that rides the generated class as ONE
+  * reference object ([[BpeEncode]]'s pattern) — vocabulary size never
+  * touches the plan, where a per-piece column-function form would
+  * compile a vocab-sized expression tree.
+  *
+  * Null text yields null; the empty/whitespace-only document yields the
+  * single empty token (split(trim(s), "\\s+") parity, as [[BpeEncode]]). */
+case class UnigramEncode(child: Expression, pieces: Seq[(String, Long)],
+    unkScore: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires a string document, got ${t.catalogString}")
+  }
+
+  @transient private lazy val table = UnigramEncode.buildTable(pieces)
+
+  override def nullSafeEval(text: Any): Any =
+    UnigramEncode.encode(text.asInstanceOf[UTF8String], table, unkScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      "graft.functions.UnigramEncode.Table")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramEncode.encode($c, $ref, ${unkScore}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
+object UnigramEncode {
+  /** The standard "worse than any trained piece" floor: a trained score
+    * is ln(c/total) micros ≥ ln(1/total) — about −21M at a billion-count
+    * total — so −50M is only ever chosen when no piece covers the
+    * position. */
+  final val DefaultUnkScore: Long = -50000000L
+
+  final val UnkToken = "<unk>"
+
+  /** Piece map + its max piece length in code points (the DP lookback). */
+  final class Table(val scores: java.util.HashMap[String, java.lang.Long],
+      val maxPieceLen: Int) extends Serializable
+
+  def buildTable(pieces: Seq[(String, Long)]): Table = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    var maxLen = 1
+    pieces.foreach { case (p, s) =>
+      require(p.nonEmpty, "unigram_encode: empty piece")
+      m.putIfAbsent(p, java.lang.Long.valueOf(s))
+      maxLen = math.max(maxLen, p.codePointCount(0, p.length))
+    }
+    new Table(m, maxLen)
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def encode(text: UTF8String, table: Table, unkScore: Long): ArrayData = {
+    val words = text.toString.trim.split("\\s+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](words.length * 4)
+    var wi = 0
+    while (wi < words.length) {
+      encodeWord(words(wi), table, unkScore, out)
+      wi += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private final val Sep = '\u001F'
+
+  /** UTF-8 binary order on the joined-token paths — UTF8String.compareTo
+    * is byte order, matching DuckDB's string comparison. */
+  private def pathLt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  private def encodeWord(word: String, table: Table, unkScore: Long,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    if (word.isEmpty) { out += UTF8String.EMPTY_UTF8; return }
+    segmentWord(word, table, unkScore)
+      .foreach(t => out += UTF8String.fromString(t))
+  }
+
+  /** Viterbi segmentation of ONE non-empty word — the DP the expression
+    * runs per word, exposed for the driver-side trainer
+    * ([[graft.ops.TextOps.unigramPieces]]'s E-step uses the exact
+    * function encode will run, so trained scores and encode behavior
+    * can never drift). */
+  def segmentWord(word: String, table: Table, unkScore: Long): Array[String] = {
+    // code points (surrogate pairs stay one symbol — splitCodePoints
+    // parity with the BPE trainer)
+    val cps = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      cps += word.substring(i, i + n)
+      i += n
+    }
+    val n = cps.length
+    // dp over code-point positions: (score, ntok, path)
+    val score = new Array[Long](n + 1)
+    val ntok = new Array[Int](n + 1)
+    val path = new Array[String](n + 1)
+    path(0) = ""
+    var pos = 1
+    while (pos <= n) {
+      // the <unk> candidate (one code point) seeds the cell — always
+      // available, so every position is reachable
+      var bs = score(pos - 1) + unkScore
+      var bt = ntok(pos - 1) + 1
+      var bp = if (path(pos - 1).isEmpty) UnkToken
+        else path(pos - 1) + Sep + UnkToken
+      var l = 1
+      val maxL = math.min(table.maxPieceLen, pos)
+      val sb = new java.lang.StringBuilder(cps(pos - 1))
+      while (l <= maxL) {
+        if (l > 1) sb.insert(0, cps(pos - l))
+        val piece = sb.toString
+        val s = table.scores.get(piece)
+        if (s != null) {
+          val cs = score(pos - l) + s.longValue
+          val ct = ntok(pos - l) + 1
+          val cp0 = if (path(pos - l).isEmpty) piece
+            else path(pos - l) + Sep + piece
+          if (cs > bs || (cs == bs && (ct < bt ||
+              (ct == bt && pathLt(cp0, bp))))) {
+            bs = cs; bt = ct; bp = cp0
+          }
+        }
+        l += 1
+      }
+      score(pos) = bs; ntok(pos) = bt; path(pos) = bp
+      pos += 1
+    }
+    path(n).split(Sep)
+  }
+
+  // piece-list wire encoding for the registry path: entries joined by
+  // U+0001, piece and score split by U+0000 (the BpeEncode convention)
+  private final val EntrySep = '\u0001'
+  private final val FieldSep = '\u0000'
+
+  private[graft] def encodePieces(pieces: Seq[(String, Long)]): String = {
+    pieces.foreach { case (p, _) =>
+      require(!p.contains(EntrySep) && !p.contains(FieldSep) &&
+          !p.contains(Sep),
+        "unigram_encode: piece contains a wire/path separator " +
+          "(U+0000/U+0001/U+001F); register the expression directly")
+    }
+    pieces.map { case (p, s) => s"$p$FieldSep$s" }.mkString(EntrySep.toString)
+  }
+
+  private[graft] def decodePieces(s: String): Seq[(String, Long)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(EntrySep).toSeq.map { e =>
+      val i = e.indexOf(FieldSep.toInt)
+      require(i >= 0, s"unigram_encode: malformed piece entry '$e'")
+      (e.substring(0, i), e.substring(i + 1).toLong)
+    }
 }

@@ -379,6 +379,14 @@ object ShingleExprs {
         s"expected a literal int, got $other")
     }
 
+  private[graft] def foldLong(e: Expression): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"expected a literal long, got $other")
+    }
+
   /** Requires [[register]] on the active session. */
   def shingleHash64(text: Column, n: Int): Column =
     functions.call_function("shingle_hash64", text, functions.lit(n))

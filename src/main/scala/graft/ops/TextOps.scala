@@ -1606,6 +1606,145 @@ object TextOps {
       .sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training — the hard-EM
+    * (Viterbi) variant, the second of the two production subword
+    * families next to [[bpeMerges]]. Returns one row per learned piece:
+    * (piece, score_micros, piece_count), where score_micros is the
+    * integer micro-log-prob `round(ln(count / total) * 1e6)` that
+    * [[unigramEncodeFast]] maximizes over segmentations.
+    *
+    * Algorithm (every step deterministic): (1) seed the candidate set
+    * with all code-point substrings of length 2..maxPieceLen (counted
+    * per occurrence, weighted by word frequency, `minCount`-floored,
+    * kept to the top vocabSize×seedFactor by count desc / UTF-8-lex
+    * asc) plus EVERY single code point (full coverage — `<unk>` exists
+    * only for unseen characters at encode time); (2) `nIters` rounds of
+    * hard EM: Viterbi-segment each distinct word under the current
+    * scores using the EXACT function encode runs
+    * ([[graft.functions.UnigramEncode.segmentWord]] — trainer and
+    * encoder can never drift), re-count pieces by usage (word-frequency
+    * weighted), drop unused multi-char pieces, floor unused characters
+    * at count 1; (3) prune to the top (vocabSize − #chars) multi-char
+    * pieces, re-normalize scores over the kept set. Hard EM replaces
+    * SentencePiece's soft-EM + loss-ranked pruning — the deterministic,
+    * integer-objective variant of the same alternation (soft EM's
+    * forward-backward accumulates floats in data order, which no
+    * engine-portable contract survives).
+    *
+    * Scale shape: [[bpeMerges]]'s exactly — the corpus collapses to its
+    * distinct-word frequency table in the one pass where 100 TB
+    * happens, and training runs driver-side over that bounded table
+    * (collected once under the `maxVocabRows` policy contract). Per
+    * iteration cost is O(Σ word_len × maxPieceLen) hash lookups. */
+  def unigramPieces(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 64, maxPieceLen: Int = 8, nIters: Int = 2,
+      seedFactor: Int = 4, minCount: Long = 2L,
+      maxVocabRows: Long = 20000000L): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(nIters >= 1, "nIters must be >= 1")
+    require(seedFactor >= 1, "seedFactor must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs, textCol)
+    val nVocab = wc.count()
+    require(nVocab <= maxVocabRows,
+      s"unigramPieces: $nVocab distinct words exceed the driver-trainer " +
+        s"contract ($maxVocabRows); raise maxVocabRows if the driver " +
+        "has the memory")
+    val words = wc.as[(String, Long)].collect()
+      .map { case (w, c) => (splitCodePoints(w), c) }
+    trainUnigramLocal(words, vocabSize, maxPieceLen, nIters, seedFactor,
+      minCount).toSeq.toDF("piece", "score_micros", "piece_count")
+  }
+
+  private[ops] def trainUnigramLocal(words: Array[(Array[String], Long)],
+      vocabSize: Int, maxPieceLen: Int, nIters: Int, seedFactor: Int,
+      minCount: Long): Array[(String, Long, Long)] = {
+    import scala.collection.mutable
+    // character inventory — always kept, so training never needs <unk>
+    val charCounts = mutable.HashMap.empty[String, Long]
+    words.foreach { case (cps, c) =>
+      cps.foreach(ch =>
+        charCounts.update(ch, charCounts.getOrElse(ch, 0L) + c))
+    }
+    require(vocabSize >= charCounts.size,
+      s"unigramPieces: vocabSize $vocabSize is below the " +
+        s"${charCounts.size}-character inventory — full coverage needs " +
+        "one piece per seen character")
+    // seed candidates: every substring occurrence, frequency-weighted
+    val subCounts = mutable.HashMap.empty[String, Long]
+    words.foreach { case (cps, c) =>
+      var i = 0
+      while (i < cps.length) {
+        val sb = new java.lang.StringBuilder(cps(i))
+        var l = 2
+        while (l <= maxPieceLen && i + l <= cps.length) {
+          sb.append(cps(i + l - 1))
+          val p = sb.toString
+          subCounts.update(p, subCounts.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    def topBy(m: Iterable[(String, Long)], n: Int): Array[(String, Long)] =
+      m.toArray.sortWith((a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else utf8Compare(a._1, b._1) < 0)
+        .take(n)
+    val seedBudget = math.min(vocabSize.toLong * seedFactor,
+      Int.MaxValue.toLong).toInt
+    val seeds = topBy(subCounts.filter(_._2 >= minCount), seedBudget)
+    def scoresOf(cs: Iterable[(String, Long)]): Seq[(String, Long)] = {
+      var total = 0L
+      cs.foreach(total += _._2)
+      cs.map { case (p, c) =>
+        p -> Math.round(StrictMath.log(c.toDouble / total.toDouble) * 1e6)
+      }.toSeq
+    }
+    var cur: Map[String, Long] = charCounts.toMap ++ seeds
+    var iter = 0
+    while (iter < nIters) {
+      val table = graft.functions.UnigramEncode.buildTable(scoresOf(cur))
+      val next = mutable.HashMap.empty[String, Long]
+      words.foreach { case (cps, c) =>
+        graft.functions.UnigramEncode
+          .segmentWord(cps.mkString, table,
+            graft.functions.UnigramEncode.DefaultUnkScore)
+          .foreach(t => next.update(t, next.getOrElse(t, 0L) + c))
+      }
+      // unused characters stay at a floor count of 1 (coverage); unused
+      // multi-char pieces drop out
+      charCounts.keysIterator.foreach(ch =>
+        if (!next.contains(ch)) next.update(ch, 1L))
+      cur = next.toMap
+      iter += 1
+    }
+    val kept = charCounts.keysIterator
+      .map(ch => ch -> cur.getOrElse(ch, 1L)).toArray ++
+      topBy(cur.filter(e => !charCounts.contains(e._1)),
+        vocabSize - charCounts.size)
+    val scores = scoresOf(kept.toSeq).toMap
+    kept.map { case (p, c) => (p, scores(p), c) }
+      .sortWith((a, b) =>
+        if (a._3 != b._3) a._3 > b._3 else utf8Compare(a._1, b._1) < 0)
+  }
+
+  /** Distributed unigram encode over a trained piece table — the
+    * [[bpeEncodeFast]] twin: one codegen'd Viterbi expression per
+    * document, O(len × maxPieceLen) per word, vocabulary size never
+    * enters the plan. Unseen characters surface as `<unk>` tokens. */
+  def unigramEncodeFast(docs: DataFrame, pieces: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text",
+      unkScore: Long = graft.functions.UnigramEncode.DefaultUnkScore): DataFrame = {
+    graft.Graft.init(docs.sparkSession)
+    docs.select(col(idCol),
+        graft.functions.BpeEncode.unigramEncode(col(textCol), pieces,
+          unkScore).as("tokens"))
+      .select(col(idCol), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
   // --------------------------------------------------------------------
   // Distinctive terms between two corpus slices: the "Fightin' Words"
   // log-odds ratio with an add-one (uninformative Dirichlet) prior

@@ -975,4 +975,83 @@ class TextOpsSpec extends SparkSpec {
     runs.zipWithIndex.foreach { case (r, i) =>
       assert(exprGot(i.toLong) == refLuhn(r), s"run $r") }
   }
+
+  test("unigram segmentWord equals brute-force Viterbi over all " +
+      "segmentations (score desc, ntok asc, path asc)") {
+    import graft.functions.UnigramEncode
+    val rnd = new scala.util.Random(31)
+    val chars = Vector("a", "b", "c")
+    for (trial <- 1 to 60) {
+      // random vocab: all chars + random 2-4 length pieces, random scores
+      val pieces = (chars.map(c => c -> (-(8 + rnd.nextInt(8))).toLong * 1000000L) ++
+        (1 to 6).map { _ =>
+          val len = 2 + rnd.nextInt(3)
+          Vector.fill(len)(chars(rnd.nextInt(3))).mkString ->
+            (-(4 + rnd.nextInt(10))).toLong * 1000000L
+        }).distinct.groupBy(_._1).map(_._2.head).toSeq
+      val vocab = pieces.toMap
+      val word = Vector.fill(3 + rnd.nextInt(7))(chars(rnd.nextInt(3))).mkString
+      val unk = UnigramEncode.DefaultUnkScore
+      // brute force: enumerate all segmentations into vocab pieces or
+      // 1-char <unk>, pick max (score, -ntok, lexicographic path)
+      def segs(s: String): Seq[(Long, List[String])] =
+        if (s.isEmpty) Seq((0L, Nil))
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val p = s.substring(0, l)
+          val heads =
+            (if (vocab.contains(p)) Seq((vocab(p), p)) else Nil) ++
+              (if (l == 1) Seq((unk, "<unk>")) else Nil)
+          heads.flatMap { case (sc, tok) =>
+            segs(s.substring(l)).map { case (ts, tl) => (sc + ts, tok :: tl) }
+          }
+        }
+      val all = segs(word)
+      val bestScore = all.map(_._1).max
+      val minTok = all.filter(_._1 == bestScore).map(_._2.length).min
+      val expect = all.filter(e => e._1 == bestScore && e._2.length == minTok)
+        .map(_._2.mkString("\u001f")).min
+      val got = UnigramEncode.segmentWord(word,
+        UnigramEncode.buildTable(pieces), unk).mkString("\u001f")
+      assert(got == expect, s"trial $trial word $word vocab $pieces")
+    }
+  }
+
+  test("unigramPieces: full char coverage, vocab bound, deterministic, " +
+      "encode round-trips the corpus") {
+    val docs = Seq(
+      (1L, "spark scan sparkscan scan spark table tablescan"),
+      (2L, "scan table spark sparkscan tablescan tablescan"),
+      (3L, "spark spark scan table scantable")).toDF("doc_id", "text")
+    val p1 = TextOps.unigramPieces(docs, "text", vocabSize = 24,
+      maxPieceLen = 6, nIters = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    val p2 = TextOps.unigramPieces(docs, "text", vocabSize = 24,
+      maxPieceLen = 6, nIters = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(p1 == p2) // deterministic
+    assert(p1.size <= 24)
+    val pieceSet = p1.map(_._1).toSet
+    // every seen character is a piece
+    "sparkscantble".foreach(c => assert(pieceSet.contains(c.toString)))
+    // scores are negative micro-log-probs, counts positive
+    assert(p1.forall(p => p._2 < 0 && p._3 >= 1))
+    // encode with the trained pieces: no <unk> on the training corpus,
+    // and concatenated tokens rebuild each word
+    val enc = TextOps.unigramEncodeFast(docs,
+      p1.map(p => (p._1, p._2)), "doc_id", "text")
+      .as[(Long, Seq[String], Long)].collect()
+    val orig = Map(1L -> "spark scan sparkscan scan spark table tablescan",
+      2L -> "scan table spark sparkscan tablescan tablescan",
+      3L -> "spark spark scan table scantable")
+    enc.foreach { case (id, toks, n) =>
+      assert(n == toks.size)
+      assert(!toks.contains("<unk>"), s"doc $id got <unk>: $toks")
+      assert(toks.mkString == orig(id).replace(" ", ""), s"doc $id")
+    }
+    // unseen characters surface as <unk>
+    val probe = Seq((9L, "zq spark")).toDF("doc_id", "text")
+    val ptoks = TextOps.unigramEncodeFast(probe, p1.map(p => (p._1, p._2)))
+      .as[(Long, Seq[String], Long)].collect().head._2
+    assert(ptoks.take(2) == Seq("<unk>", "<unk>"))
+  }
 }
