@@ -99,11 +99,60 @@ object Layout {
         case d: Double => d
       }
     val bounds = mmRow.grouped(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
-    df.withColumn("_z", zValue(cols.map(col), bounds, bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // File boundaries are EXACT equi-depth z-quantiles, not
+    // repartitionByRange's sampled ones: the sampler draws with an
+    // RDD-id-dependent seed, so two runs of the same write can lay the
+    // same corpus out differently (and a 100-rows-per-partition sample
+    // sets boundaries with real variance at production partition
+    // counts). Here the distinct-z domain aggregates once (map-side
+    // combined), the distributed prefix cascade ([[Profile.domainPrefix]]
+    // — never an unpartitioned window) assigns each z value its bucket
+    // under [[Profile.binByQuantile]]'s integer-CDF rule, and the write
+    // is value-deterministic: same corpus → same file boundaries, every
+    // run, every retry. A z value heavier than one bucket width stays
+    // in one file (its bucket), so heavy ties yield FEWER files, never
+    // a straddled value.
+    val withZ = df
+      .withColumn("_zk", coalesce(zValue(cols.map(col), bounds, bits),
+        lit(-1L)))
+    val cnts = withZ.groupBy(col("_zk").as("u"))
+      .agg(count(lit(1)).as("n_v"))
+    val mapping = Profile.domainPrefix(cnts, "u", Seq("n_v"))
+      .select(col("u").as("_zk"),
+        least(lit((numFiles - 1).toLong),
+          expr(s"cum_n_v * $numFiles div tot_n_v")).as("_b"))
+    // exact bucket -> partition map: repartition()'s exchange hashes
+    // with murmur3(seed 42), so pin each bucket to its own partition by
+    // routing through a driver-found long whose hash lands on that
+    // residue — a deterministic identity partitioner in pure DataFrame
+    // terms, no RDD round-trip
+    val pins = hashPins(numFiles)
+    withZ.join(mapping, Seq("_zk"))
+      .repartition(numFiles,
+        element_at(lit(pins), col("_b").cast("int") + 1))
+      .sortWithinPartitions(col("_zk"))
+      .drop("_zk", "_b")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** For each residue b in [0, n): a long x with
+    * pmod(murmur3_hash(x, seed 42), n) == b — what lets a DataFrame
+    * `repartition(n, ...)` act as an exact value->partition assignment.
+    * Expected search cost is n·H(n) hash evaluations (coupon
+    * collector), driver-side, microseconds at realistic file counts. */
+  private[ops] def hashPins(n: Int): Array[Long] = {
+    val pins = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var x = 0L
+    while (remaining > 0) {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(x, org.apache.spark.sql.types.LongType, 42L).toInt
+      val b = ((h % n) + n) % n
+      if (!found(b)) { found(b) = true; pins(b) = x; remaining -= 1 }
+      x += 1
+    }
+    pins
   }
 
   /** Compact a parquet directory into files of roughly `targetFileBytes`

@@ -83,6 +83,31 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("z-order layout is value-deterministic: two writes produce " +
+      "identical file boundaries") {
+    // the old repartitionByRange path sampled boundaries with an
+    // RDD-id-dependent seed — the same write in a different session
+    // history laid files out differently (the full-suite flake this
+    // pins); exact integer-CDF buckets depend on values only
+    def fileRanges(p: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(p)
+        .select(input_file_name().as("f"),
+          col("l_orderkey").cast("long").as("v"))
+        .groupBy("f")
+        .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+        .select("lo", "hi", "n").as[(Long, Long, Long)].collect().toSet
+    val p1 = java.nio.file.Files.createTempDirectory("graft-zdet-spec")
+      .resolve("a").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-zdet-spec")
+      .resolve("b").toString
+    Layout.writeZOrdered(src, p1, 8, "l_orderkey", "l_partkey")
+    // interleave unrelated jobs so the second write's RDD ids differ —
+    // the exact perturbation that flipped the sampled-boundary layout
+    spark.range(1000).select(sum("id")).collect()
+    Layout.writeZOrdered(src, p2, 8, "l_orderkey", "l_partkey")
+    assert(fileRanges(p1) == fileRanges(p2))
+  }
+
   test("z-order files cover small rectangles on BOTH dimensions") {
     val path = java.nio.file.Files.createTempDirectory("graft-zorder-spec")
       .resolve("lineitem").toString
