@@ -344,6 +344,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head._2 == Seq("abc", "abc", "ab"))
   }
 
+  test("streaming unigram tokenization is stream/batch identical") {
+    // same contract as the BPE twin: the integer-Viterbi unigram_encode
+    // expression is stateless per-row, so the trained piece table drops
+    // into a streaming ingest unchanged (including <unk> on unseen
+    // characters)
+    Graft.init(spark)
+    implicit val sql = spark.sqlContext
+    val pieces = Seq("a" -> -15000000L, "b" -> -15000000L,
+      "c" -> -15000000L, "ab" -> -8000000L, "bc" -> -8000000L,
+      "abc" -> -6000000L)
+    val docs = Seq((1L, "abcabc ab"), (2L, "xyz"), (3L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps.unigramEncodeFast(
+        mem.toDF().toDF("doc_id", "text"), pieces)
+      .writeStream.format("memory").queryName("unigram_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("unigram_stream")
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.TextOps.unigramEncodeFast(
+        docs.toDF("doc_id", "text"), pieces)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.head._2 == Seq("abc", "abc", "ab"))
+    assert(streamed(1)._2 == Seq("<unk>", "<unk>", "<unk>"))
+  }
+
   test("streaming dedup on a batch frame equals fingerprint dedup") {
     val deduped = StreamOps.dedupByFingerprint(evs.toDF(), "event_type")
       .select("event_type").as[String].collect().sorted
