@@ -3922,6 +3922,32 @@ object SparkEntry {
       Dedup.exactSubstringDedup(docs, "doc_id", "text", minLen = 8)
     }),
 
+    // ---- LLM: incremental substring dedup vs a persisted gram index ---
+    // the ingest form: the standing corpus (doc_id >= 20, plus a planted
+    // doc holding the 8-block) is indexed ONCE (distinct gram hashes,
+    // bucket-partitioned parquet); the batch (doc_id < 20 + planted)
+    // rewrites against it — corpus grams always win (400101 loses its
+    // copy even though it is the batch's first), batch-internal repeats
+    // keep their first occurrence (400102), untouched docs pass through
+    "q_substring_dedup_indexed" -> ((s, dir) => {
+      import s.implicits._
+      graft.Graft.init(s)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") >= 20)
+        .unionByName(Seq((400001L, s"$spanBlock8 corpustail"))
+          .toDF("doc_id", "text"))
+      val batch = d.where(col("doc_id") < 20)
+        .unionByName(Seq(
+          (400101L, s"batchlead $spanBlock8 batchtail"),
+          (400102L, s"x1 $spanBlock12 mid $spanBlock12 x2"),
+          (400103L, "totally fresh words nothing shared here at all ok"))
+          .toDF("doc_id", "text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-gramidx-q").toString
+      Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 64)
+      Dedup.exciseAgainstIndex(batch, tmp, "doc_id", "text", minLen = 8)
+    }),
+
     // ---- LLM: PMI collocations (phrase mining, word2phrase step) ------
     // top-20 bigrams by pointwise mutual information among those seen
     // >= 5 times; ln quantized to 1e-6, ties break on the bigram string
@@ -9313,6 +9339,68 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM a),
         |dup AS (SELECT doc_id, pos FROM r WHERE n >= 2 AND rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS tp
+        |  FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) g),
+        |cov2 AS (SELECT doc_id, list(tp) AS cl,
+        |    CAST(count(*) AS BIGINT) AS removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.text IS NULL THEN NULL ELSE
+        |    coalesce(array_to_string(
+        |      [t.wo[i] FOR i IN generate_series(1, len(t.wo))
+        |       IF t.wo[i] <> '' AND NOT list_contains(coalesce(c.cl, []), i)],
+        |      ' '), '')
+        |  END AS text_dedup,
+        |  CASE WHEN t.text IS NULL OR trim(t.text) = '' THEN 0
+        |    ELSE CAST(len(t.wo) AS BIGINT) END AS n_tokens,
+        |  CAST(coalesce(c.removed, 0) AS BIGINT) AS removed_tokens
+        |FROM tok t LEFT JOIN cov2 c USING (doc_id)""".stripMargin,
+
+    // mirrors Dedup.exciseAgainstIndex: corpus gram inventory (distinct
+    // md5 grams of doc_id >= 20 + the planted corpus doc), batch anchors
+    // excised where the gram is indexed OR is a non-first occurrence
+    // within the batch — the same coverage-union tail as
+    // q_substring_dedup
+    "q_substring_dedup_indexed" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (400001, '$spanBlock8 corpustail')) c(doc_id, text)),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (400101, 'batchlead $spanBlock8 batchtail'),
+        |    (400102, 'x1 $spanBlock12 mid $spanBlock12 x2'),
+        |    (400103, 'totally fresh words nothing shared here at all ok'))
+        |    b(doc_id, text)),
+        |ctok AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+        |  FROM corpus WHERE text IS NOT NULL),
+        |cg AS (
+        |  SELECT DISTINCT unnest(
+        |    [md5(array_to_string(ws[i:i+7], ' '))
+        |     FOR i IN generate_series(1, len(ws) - 7)]) AS h
+        |  FROM ctok WHERE len(ws) >= 8),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ws,
+        |    string_split_regex(trim(text), '\\s+') AS wo
+        |  FROM batch),
+        |anch AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
+        |     FOR i IN generate_series(1, len(ws) - 7)]) AS u
+        |  FROM tok WHERE len(ws) >= 8),
+        |a AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM anch),
+        |r AS (
+        |  SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY h) AS n,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM a),
+        |dup AS (
+        |  SELECT doc_id, pos FROM r
+        |  WHERE h IN (SELECT h FROM cg) OR (n >= 2 AND rn > 1)),
         |cov AS (
         |  SELECT DISTINCT doc_id, pos + d AS tp
         |  FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) g),

@@ -408,7 +408,19 @@ object Dedup {
     val dupPos = anchors.join(dupGrams, Seq("h"))
       .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"), col("pos"))
-    // merge [pos, pos + minLen) into maximal disjoint intervals per doc
+    exciseAtPositions(docs, dupPos, idCol, textCol, minLen)
+  }
+
+  /** Shared tail of the substring-dedup family: merge the duplicated
+    * positions' [pos, pos + minLen) windows into maximal disjoint
+    * intervals per doc (per-DOC windows — bounded by document length)
+    * and rewrite the text through the codegen'd two-pointer
+    * [[graft.functions.ExciseSpans]]. `dupPos` is (id, pos) with id =
+    * [[longId]] of `idCol`. */
+  private def exciseAtPositions(docs: DataFrame, dupPos: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = longId(docs, idCol)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(minLen.toLong))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -434,6 +446,98 @@ object Dedup {
           .as("text_dedup"),
         col("n_tokens"),
         coalesce(col("removed"), lit(0L)).as("removed_tokens"))
+  }
+
+  /** Persist the corpus's DISTINCT gram-hash inventory as a
+    * bucket-partitioned parquet index — the standing-corpus artifact
+    * for [[exciseAgainstIndex]], the substring-dedup sibling of
+    * [[saveSignatureIndex]]: build once per corpus release, then every
+    * ingest batch rewrites itself against it without the corpus text
+    * ever being re-read. One fused anchor pass + one hash-keyed
+    * distinct (map-side combined, 8-byte rows); the `bucket = pmod(h)`
+    * directory layout gives batch probes partition pruning. */
+  def saveGramIndex(docs: DataFrame, path: String, textCol: String,
+      minLen: Int = 8, buckets: Int = 256): Unit = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import graft.functions.ShingleExprs.shingleAnchors
+    val spark = docs.sparkSession
+    graft.Graft.init(spark)
+    import spark.implicits._
+    docs.select(explode(shingleAnchors(lower(col(textCol)), minLen))
+        .as("h"))
+      .distinct()
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
+    // the probe must mirror pmod(h, nBuckets) exactly — record it (the
+    // max present directory under-counts when a bucket is empty)
+    Seq((minLen, buckets)).toDF("min_len", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental exact-substring dedup: rewrite an ingest BATCH against
+    * a [[saveGramIndex]] corpus — every ≥ `minLen`-token window whose
+    * gram exists ANYWHERE in the indexed corpus is excised from the
+    * batch (the corpus always wins — its occurrences are prior), and
+    * windows duplicated WITHIN the batch keep their first (min (doc,
+    * pos)) occurrence, exactly [[exactSubstringDedup]]'s rule applied
+    * to corpus ∪ batch with the corpus already deduplicated. Same
+    * output shape as [[exactSubstringDedup]]. `minLen` and the anchor
+    * hashing must match the index build.
+    *
+    * Scale shape: the batch is an ingest micro-batch — small against
+    * the standing corpus — so its distinct gram set broadcasts; the
+    * index side streams ONCE through a semi-join against that
+    * broadcast, reading only the `pmod` bucket directories the batch's
+    * grams hash into (partition pruning, ≤ `buckets` values collected
+    * driver-side — bounded regardless of batch size); the surviving
+    * corpus-hit grams (batch-bounded) broadcast back onto the batch's
+    * anchor table. Corpus text is never read, batch text never
+    * shuffles. */
+  def exciseAgainstIndex(batch: DataFrame, path: String, idCol: String,
+      textCol: String, minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import graft.functions.ShingleExprs.shingleAnchors
+    val spark = batch.sparkSession
+    graft.Graft.init(spark)
+    val id = longId(batch, idCol)
+    val anchors = batch
+      .select(id.as("id"),
+        posexplode(shingleAnchors(lower(col(textCol)), minLen))
+          .as(Seq("i", "h")))
+      .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+    val batchGrams = anchors.select(col("h")).distinct()
+    val idx = spark.read.parquet(s"$path/grams")
+    // bucket arithmetic must mirror the writer: pmod(h, nBuckets) with
+    // the recorded bucket count (and the recorded minLen must match —
+    // a mismatch would silently MISS duplicated spans, so fail loudly)
+    val meta = spark.read.parquet(s"$path/meta").head
+    val idxMinLen = meta.getAs[Int]("min_len")
+    require(idxMinLen == minLen,
+      s"exciseAgainstIndex: index was built with minLen=$idxMinLen, " +
+        s"probe uses $minLen — gram identities cannot match")
+    val nBuckets = meta.getAs[Int]("n_buckets").toLong
+    // ≤ nBuckets distinct values — a bounded collect no matter the batch
+    val wanted = batchGrams
+      .select(pmod(col("h"), lit(nBuckets)).as("b")).distinct()
+      .collect().map(_.getLong(0))
+    val hits = idx.where(col("bucket").isin(wanted: _*))
+      .join(broadcast(batchGrams), Seq("h"), "left_semi")
+      .select(col("h"))
+    // corpus always wins: every batch occurrence of an indexed gram is
+    // excised; batch-internal duplicates keep their first occurrence
+    val corpusHit = anchors.join(broadcast(hits), Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    val batchDups = anchors
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .where(col("n") >= 2)
+      .join(anchors, Seq("h"))
+      .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+      .select(col("id"), col("pos"))
+    exciseAtPositions(batch, corpusHit.unionByName(batchDups).distinct(),
+      idCol, textCol, minLen)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd

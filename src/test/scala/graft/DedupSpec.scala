@@ -167,6 +167,41 @@ class DedupSpec extends SparkSpec {
     assert(got2 == expected)
   }
 
+  test("incremental substring dedup: corpus grams always win, batch " +
+      "keeps its own firsts, equals one-shot on corpus-union-batch") {
+    val corpus = Seq(
+      (1L, "c1 a b c d e f g h c2"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-spec").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    val batch = Seq(
+      (101L, "lead a b c d e f g h tail"),     // corpus hit: excised
+      (102L, "m n o baz1 baz2 baz3 baz4 baz5 baz6 baz7 baz8 mid " +
+        "baz1 baz2 baz3 baz4 baz5 baz6 baz7 baz8"), // batch-internal dup
+      (103L, "fresh words only nothing shared anywhere at all yes")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseAgainstIndex(batch, tmp, "doc_id", "text",
+        minLen = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // 101: its copy of the corpus block is removed even though it is the
+    // batch's own first occurrence — the corpus is prior
+    assert(got(101L) == (("lead tail", 8L)))
+    // 102: the SECOND in-batch copy of the baz block goes, first stays
+    assert(got(102L) == (("m n o baz1 baz2 baz3 baz4 baz5 baz6 baz7 " +
+      "baz8 mid", 8L)))
+    assert(got(103L)._2 == 0L)
+    // equivalence: excising the batch against the index equals running
+    // the one-shot operator on corpus ∪ batch and reading the batch rows
+    val oneShot = Dedup.exactSubstringDedup(
+        corpus.unionByName(batch), "doc_id", "text", minLen = 8)
+      .where(col("doc_id") >= 100L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got == oneShot)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
