@@ -171,22 +171,26 @@ object Sampling {
 
   /** Per-group [[weightedSample]]: the k highest priorities WITHIN each
     * group — stratified quality-weighted selection (k docs per source,
-    * per language, per domain). Same deterministic priority, tie-break,
-    * weight guard, and retained `priority` column as the global form.
+    * per language, per domain). Same deterministic priority, weight
+    * guard, and retained `priority` column as the global form.
     *
-    * Selection runs through the bottom-k pair aggregate
-    * ([[graft.functions.BottomKPairs]] — the [[Kmv.sketchBy]] exchange
-    * shape): the 9-decimal priority maps to its exact integer image
-    * (the rounding makes ×1e9 a monotone bijection onto [0, 1e9] —
-    * nothing float-ordered crosses the aggregate), descending rides as
-    * negation with the id as the ascending tie-break, and partial
+    * Selection runs through the bottom-k pair aggregate for EVERY id
+    * type ([[graft.functions.BottomKPairs]] — the [[Kmv.sketchBy]]
+    * exchange shape): the 9-decimal priority maps to its exact integer
+    * image (the rounding makes ×1e9 a monotone bijection onto
+    * [0, 1e9] — nothing float-ordered crosses the aggregate),
+    * descending rides as the overflow-free `~x` flip, and partial
     * buffers of ≤ k (priority, id) pairs bound the exchange at
     * tasks × groups × k instead of the every-row stream a
     * group-partitioned `row_number` window ships (and one giant group
-    * never funnels through one task). Requires an integral `idCol`
-    * (the pair payload; same contract as [[graft.ops.Dedup]]'s id
-    * columns) — a non-integral id falls back to the window form,
-    * which selects identically (spec-pinned). */
+    * never funnels through one task). Integral ids ride as themselves
+    * with the id-ascending tie-break; any other id type
+    * dictionary-encodes through the 60-bit md5 hash ([[Kmv.hash60]] —
+    * the r10 window fallback retired), making the tie-break the HASH's
+    * ascending order — still a total, engine-stable order, and distinct
+    * ids collide at ~2^-60 (the [[Kmv.rowSample]] posture; duplicate
+    * ids, a contract violation, surface every copy of a surviving id).
+    * NULL groups form a real group (the join-back is null-safe). */
   def weightedSampleByGroup(df: DataFrame, keyCol: String, idCol: String,
       groupCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -201,27 +205,20 @@ object Sampling {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (integralId) {
-      graft.Graft.init(df.sparkSession)
-      val keep = withPri.select(col(groupCol).as("_g"),
-          (-round(col("priority") * lit(1.0e9), 0).cast("long")).as("_sk"),
-          col(idCol).cast("long").as("_pid"))
-        .groupBy(col("_g"))
-        .agg(graft.functions.SketchExprs.bottomKBy(col("_sk"),
-          col("_pid"), k).as("_ids"))
-        .select(col("_g"), explode(col("_ids.p")).as("_pid"))
-      withPri.join(keep,
-        col(groupCol) === col("_g") &&
-          col(idCol).cast("long") === col("_pid"), "left_semi")
-    } else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(groupCol))
-        .orderBy(col("priority").desc, col(idCol))
-      withPri
-        .withColumn("pick", row_number().over(w))
-        .where(col("pick") <= k)
-        .drop("pick")
-    }
+    graft.Graft.init(df.sparkSession)
+    val idImg =
+      if (integralId) col(idCol).cast("long")
+      else graft.ops.Kmv.hash60(col(idCol))
+    val keep = withPri.select(col(groupCol).as("_g"),
+        bitwise_not(round(col("priority") * lit(1.0e9), 0).cast("long"))
+          .as("_sk"),
+        idImg.as("_pid"))
+      .groupBy(col("_g"))
+      .agg(graft.functions.SketchExprs.bottomKBy(col("_sk"),
+        col("_pid"), k).as("_ids"))
+      .select(col("_g"), explode(col("_ids.p")).as("_pid"))
+    withPri.join(keep,
+      col(groupCol) <=> col("_g") && idImg === col("_pid"), "left_semi")
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
@@ -432,15 +429,30 @@ object Sampling {
     * with the i-th WORST (score asc, id desc), up to k pairs, never
     * letting the two halves overlap (both ranks capped at
     * floor(n/2)); pairs with NO score gap are dropped (an equal-score
-    * "preference" teaches nothing). With an integral `idCol` both rank
-    * lists come from ONE bounded bottom-k-pair aggregate
+    * "preference" teaches nothing). NULL scores are excluded up front
+    * (not a preference signal). All orderings are total, so the
+    * pairing is engine/retry-deterministic on every path.
+    *
+    * Both rank lists come from ONE bounded bottom-k-pair aggregate
     * ([[graft.functions.BottomKPairs]]): the exchange carries ≤ 2k
     * (score-image, id) pairs per (task, group) instead of every row
-    * through a group-partitioned window, one giant group never
-    * funnels through one task, and the pairing is a positional zip —
-    * no self-join. NULL scores are excluded up front (not a
-    * preference signal). All orderings are total, so the pairing is
-    * engine/retry-deterministic on either path. */
+    * through a group-partitioned window, one giant group never funnels
+    * through one task, and the pairing is a positional zip — no
+    * self-join. Scores cross the aggregate as an EXACT long image
+    * (integral types as themselves — a double image would collapse
+    * distinct longs past 2^53 (ADVICE r10); float/double through the
+    * order-preserving sortable-f64 bits), descending as the
+    * overflow-free `~x` flip (arithmetic negation corrupts
+    * Long.MinValue — ADVICE r10), and emitted scores invert the image
+    * exactly. Integral ids ride as themselves (id tie-breaks as
+    * documented); other id types dictionary-encode through the 60-bit
+    * md5 hash ([[Kmv.hash60]]) with the tie-break on the HASH's order
+    * (total and engine-stable; ~2^-60 collisions — the
+    * [[Kmv.rowSample]] posture) and ids join back by (group, hash).
+    * Score types with NO exact long image (decimal, string, date)
+    * take a group-partitioned window instead — the documented
+    * exotic-type escape (full exchange; cast to double/bigint upstream
+    * for the bounded path). */
   def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -458,60 +470,94 @@ object Sampling {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (integralId) {
-      // both rank lists from ONE bounded aggregate (the
-      // weightedSampleByGroup exchange shape): scores ride as their
-      // order-preserving sortable-f64 image (+0.0 folds -0.0 into 0.0,
-      // matching SQL's normalized float comparison; NaN images above
-      // all — SQL's NaN-sorts-last, so desc ranks it first, asc last,
-      // exactly the window's order), descending as negation, ids as
-      // tie-break payloads (worst side negates for its DESC id
-      // tie-break). Array position IS the rank, so the pairing is a
-      // posexplode of the zipped lists — no self-join, and the only
-      // exchange carries ≤ 2k (image, id) pairs per (task, group).
-      graft.Graft.init(df.sparkSession)
-      val sImg = graft.functions.NumericExprs
-        .sortableF64(col(scoreCol).cast("double") + lit(0.0))
-      def inv(c: Column) = graft.functions.NumericExprs.sortableF64Inv(c)
-      val agg = base
-        .select(col(groupCol), col(idCol).cast("long").as("_id"),
-          sImg.as("_s"))
-        .groupBy(col(groupCol))
-        .agg(count(lit(1)).as("_n"),
-          graft.functions.SketchExprs.bottomKBy(-col("_s"), col("_id"), k)
-            .as("_best"),
-          graft.functions.SketchExprs.bottomKBy(col("_s"), -col("_id"), k)
-            .as("_worst"))
-      agg.select(col(groupCol), col("_n"),
-          posexplode(arrays_zip(col("_best"), col("_worst"))))
-        .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_e")
-        .where(col("_i") + 1 <= least(lit(k), expr("_n div 2")))
-        .select(col(groupCol), (col("_i") + 1).cast("int").as("pair_rank"),
-          col("_e._best.p").cast(idType).as("chosen_id"),
-          inv(-col("_e._best.s")).cast(scoreType).as("chosen_score"),
-          (-col("_e._worst.p")).cast(idType).as("rejected_id"),
-          inv(col("_e._worst.s")).cast(scoreType).as("rejected_score"))
-        .where(col("chosen_score") > col("rejected_score"))
-    } else {
-      // non-integral ids: the window form, selecting identically
-      import org.apache.spark.sql.expressions.Window
-      val wBest = Window.partitionBy(col(groupCol))
-        .orderBy(col(scoreCol).desc, col(idCol))
-      val wWorst = Window.partitionBy(col(groupCol))
-        .orderBy(col(scoreCol).asc, col(idCol).desc)
-      val ranked = base
-        .withColumn("_rb", row_number().over(wBest))
-        .withColumn("_rw", row_number().over(wWorst))
-        .withColumn("_half", expr(
-          s"count(1) OVER (PARTITION BY $groupCol) div 2"))
-      val best = ranked.where(col("_rb") <= k && col("_rb") <= col("_half"))
-        .select(col(groupCol), col("_rb").as("pair_rank"),
-          col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
-      val worst = ranked.where(col("_rw") <= k && col("_rw") <= col("_half"))
-        .select(col(groupCol), col("_rw").as("pair_rank"),
-          col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
-      best.join(worst, Seq(groupCol, "pair_rank"))
-        .where(col("chosen_score") > col("rejected_score"))
+    // exact long image of the score + its inverse: the aggregate's
+    // selection order must equal the score column's own SQL order
+    // EXACTLY, and the emitted score must round-trip bit-for-bit
+    val scoreImg: Option[(Column => Column, Column => Column)] =
+      scoreType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          Some((c => c.cast("long"), c => c.cast(scoreType)))
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          // +0.0 folds -0.0 into 0.0, matching SQL's normalized float
+          // comparison; NaN images above all — SQL's NaN-sorts-last,
+          // so desc ranks it first, asc last, the window's order
+          Some((c => graft.functions.NumericExprs
+              .sortableF64(c.cast("double") + lit(0.0)),
+            c => graft.functions.NumericExprs.sortableF64Inv(c)
+              .cast(scoreType)))
+        case _ => None
+      }
+    scoreImg match {
+      case Some((img, inv)) =>
+        graft.Graft.init(df.sparkSession)
+        val idImg =
+          if (integralId) col(idCol).cast("long")
+          else graft.ops.Kmv.hash60(col(idCol))
+        val agg = base
+          .select(col(groupCol), idImg.as("_id"),
+            img(col(scoreCol)).as("_s"))
+          .groupBy(col(groupCol))
+          .agg(count(lit(1)).as("_n"),
+            graft.functions.SketchExprs.bottomKBy(bitwise_not(col("_s")),
+              col("_id"), k).as("_best"),
+            graft.functions.SketchExprs.bottomKBy(col("_s"),
+              bitwise_not(col("_id")), k).as("_worst"))
+        val paired = agg.select(col(groupCol), col("_n"),
+            posexplode(arrays_zip(col("_best"), col("_worst"))))
+          .withColumnRenamed("pos", "_i").withColumnRenamed("col", "_e")
+          .where(col("_i") + 1 <= least(lit(k), expr("_n div 2")))
+          .select(col(groupCol), (col("_i") + 1).cast("int").as("pair_rank"),
+            col("_e._best.p").as("_ch"),
+            inv(bitwise_not(col("_e._best.s"))).as("chosen_score"),
+            bitwise_not(col("_e._worst.p")).as("_rh"),
+            inv(col("_e._worst.s")).as("rejected_score"))
+          .where(col("chosen_score") > col("rejected_score"))
+        if (integralId)
+          paired.select(col(groupCol), col("pair_rank"),
+            col("_ch").cast(idType).as("chosen_id"), col("chosen_score"),
+            col("_rh").cast(idType).as("rejected_id"), col("rejected_score"))
+        else {
+          // dictionary decode: ids come back by (group, hash) joins —
+          // null-safe on the group (a NULL group is a real group), the
+          // pair table side tiny (≤ k per group) so AQE broadcasts it
+          val keyed = base.select(col(groupCol).as("_jg"),
+            graft.ops.Kmv.hash60(col(idCol)).as("_jh"),
+            col(idCol).as("_jid"))
+          paired
+            .join(keyed.select(col("_jg").as("_cg"), col("_jh").as("_chh"),
+                col("_jid").as("chosen_id")),
+              col(groupCol) <=> col("_cg") && col("_ch") === col("_chh"))
+            .join(keyed.select(col("_jg").as("_rg"), col("_jh").as("_rhh"),
+                col("_jid").as("rejected_id")),
+              col(groupCol) <=> col("_rg") && col("_rh") === col("_rhh"))
+            .select(col(groupCol), col("pair_rank"),
+              col("chosen_id"), col("chosen_score"),
+              col("rejected_id"), col("rejected_score"))
+        }
+      case None =>
+        // exotic score types: the window form, selecting identically
+        import org.apache.spark.sql.expressions.Window
+        val wBest = Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        val wWorst = Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).asc, col(idCol).desc)
+        val ranked = base
+          .withColumn("_rb", row_number().over(wBest))
+          .withColumn("_rw", row_number().over(wWorst))
+          .withColumn("_half", expr(
+            s"count(1) OVER (PARTITION BY $groupCol) div 2"))
+        val best = ranked.where(col("_rb") <= k && col("_rb") <= col("_half"))
+          .select(col(groupCol), col("_rb").as("pair_rank"),
+            col(idCol).as("chosen_id"), col(scoreCol).as("chosen_score"))
+        val worst = ranked.where(col("_rw") <= k && col("_rw") <= col("_half"))
+          .select(col(groupCol), col("_rw").as("pair_rank"),
+            col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
+        best.join(worst, Seq(groupCol, "pair_rank"))
+          .where(col("chosen_score") > col("rejected_score"))
     }
   }
 

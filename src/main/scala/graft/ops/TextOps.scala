@@ -1260,6 +1260,11 @@ object TextOps {
       numMerges: Int = 8, minCount: Long = 2L,
       maxVocabRows: Long = 20000000L): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    // minCount = 0 would let the heap validate entries whose live count
+    // RETURNED to 0 and emit dead rules with pair_count 0 — a sequence
+    // the distributed loop (groupBy counts always >= 1) can never
+    // produce, breaking the pinned equality (ADVICE r10)
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
     val wc = wordCounts(docs, textCol)
@@ -1504,6 +1509,7 @@ object TextOps {
   def bpeMergesDistributed(docs: DataFrame, textCol: String = "text",
       numMerges: Int = 8, minCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = wordCounts(docs, textCol)

@@ -538,9 +538,11 @@ object StreamOps {
     * id collapse in the id-keyed state (ids identify rows uniquely —
     * the [[graft.ops.Kmv.rowSample]] contract). NULL values occupy
     * their sampled slot but are not quantile observations (batch
-    * behavior); NaN payloads are rejected by cast discipline upstream —
-    * NaN is the state's NULL encoding. Groups whose sample holds no
-    * observations emit `n_sample = 0` with empty `qs`. */
+    * behavior); a NaN payload FAILS the query (NaN is the state's NULL
+    * encoding, and silently reclassifying a real NaN as NULL would
+    * diverge from the batch twin, which sorts NaN last — filter or
+    * recode NaN upstream). Groups whose sample holds no observations
+    * emit `n_sample = 0` with empty `qs`. */
   def kmvQuantiles(rows: DataFrame, groupCol: String, idCol: String,
       valueCol: String, pcts: Seq[Int],
       k: Int = 256): Dataset[KmvQuantiles] = {
@@ -561,6 +563,15 @@ object StreamOps {
             s.hs.indices.foreach(i => map.update(s.hs(i), s.vs(i))))
           it.foreach { case (_, id, v) =>
             if (id != null) {
+              // NaN is the state's NULL sentinel — a genuine NaN payload
+              // would be silently reclassified as NULL (excluded from
+              // quantiles, where the batch twin sorts it last), so it is
+              // rejected loudly instead of corrupting the parity contract
+              // (ADVICE r10)
+              if (v.exists(_.isNaN)) throw new IllegalArgumentException(
+                s"kmvQuantiles: NaN value for id '$id' — NaN payloads are " +
+                  "unsupported in the streaming sample (NaN encodes NULL " +
+                  "in state); filter or recode NaN upstream")
               val h = graft.ops.Kmv.jvmHash60(id)
               // first arrival of an id claims its hash; only insert
               // when the candidate can belong to the bottom k

@@ -641,6 +641,53 @@ class DedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("preferencePairs: string ids ride the bounded aggregate — ids " +
+      "recovered exactly, no window in the plan") {
+    import graft.ops.Sampling
+    val rows = Seq(
+      ("g1", "a", 50L), ("g1", "b", 40L), ("g1", "c", 30L),
+      ("g1", "d", 20L), ("g1", "e", 10L),
+      ("g2", "f", 7L), ("g2", "g", 7L),
+      ("g3", "h", 99L)).toDF("g", "id", "score")
+    val q = Sampling.preferencePairs(rows, "g", "id", "score", k = 3)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, "string-id path must not plan a window")
+    val got = q.select("g", "pair_rank", "chosen_id", "rejected_id",
+        "chosen_score", "rejected_score")
+      .as[(String, Int, String, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("g1", 1, "a", "e", 50L, 10L),
+      ("g1", 2, "b", "d", 40L, 20L)), s"got ${got.toSeq}")
+  }
+
+  test("preferencePairs: long scores past 2^53 order and emit exactly " +
+      "(no double image); Long.MinValue ids survive the DESC flip") {
+    import graft.ops.Sampling
+    val m = Long.MaxValue
+    // four scores inside one double ulp of each other: a double image
+    // collapses them all (every pair zero-gap -> dropped); the exact
+    // long image pairs (m, m-3) and (m-1, m-2)
+    val wide = Seq(("g", 1L, m), ("g", 2L, m - 1L), ("g", 3L, m - 2L),
+      ("g", 4L, m - 3L)).toDF("g", "id", "score")
+    val gotWide = Sampling.preferencePairs(wide, "g", "id", "score", k = 3)
+      .select("pair_rank", "chosen_id", "rejected_id", "chosen_score",
+        "rejected_score")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(gotWide.toSeq == Seq((1, 1L, 4L, m, m - 3L),
+      (2, 2L, 3L, m - 1L, m - 2L)), s"got ${gotWide.toSeq}")
+    // an id of Long.MinValue: arithmetic negation is a no-op on it
+    // (overflow), corrupting the worst-side rank list — the ~x flip
+    // is a bijection, so the id both orders and recovers correctly
+    val ids = Seq(("g", 1L, 50L), ("g", Long.MinValue, 10L),
+      ("g", 2L, 40L), ("g", 3L, 20L)).toDF("g", "id", "score")
+    val gotIds = Sampling.preferencePairs(ids, "g", "id", "score", k = 3)
+      .select("pair_rank", "chosen_id", "rejected_id")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(gotIds.toSeq == Seq((1, 1L, Long.MinValue), (2, 2L, 3L)),
+      s"got ${gotIds.toSeq}")
+  }
+
   test("leakageFreeSplit: clusters never straddle the train/test boundary") {
     // docs 1,2,3 form one near-dup cluster; 4,5 another; 6..20 singletons
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))

@@ -233,6 +233,24 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est.getDouble(2) - 4000.0) / 4000.0 < 0.40)
   }
 
+  test("setEstimatesBy: a NULL group is a real group (null-safe joins)") {
+    import graft.ops.Kmv
+    // both sides carry a NULL group with real overlap: the membership
+    // joins must match its rows (<=>), not zero out n_both
+    val a = (0 until 40).map(i => (null.asInstanceOf[String], s"k$i"))
+      .toDF("g", "key")
+    val b = (25 until 70).map(i => (null.asInstanceOf[String], s"k$i"))
+      .toDF("g", "key")
+    val got = Kmv.setEstimatesBy(
+      Kmv.sketchBy(a, "g", "key", 256), Kmv.sketchBy(b, "g", "key", 256),
+      "g", 256).collect()
+    assert(got.length == 1 && got.head.isNullAt(0))
+    val r = got.head
+    // |A ∪ B| = 70, |A ∩ B| = 15 — exact (both under k)
+    assert(r.getDouble(1) == 70.0 && r.getLong(5) == 15L,
+      s"union ${r.getDouble(1)}, n_both ${r.getLong(5)}")
+  }
+
   test("setEstimatesBy matches global setEstimates per group") {
     import graft.ops.Kmv
     val rows = for {

@@ -430,20 +430,32 @@ class PlanSpec extends SparkSpec {
         // KMV grouped sketch: selection is a bottom-k
         // TypedImperativeAggregate since round 10 (no window at all —
         // partial buffers bound the exchange at tasks×groups×k); the
-        // global forms use take-ordered, also window-free
+        // global forms ride the SAME aggregate since round 11
         "q_kmv_by_priority", "q_kmv_distinct", "q_kmv_quantiles")
       .foreach { n =>
         assert(unpartitionedWindows(n) == 0,
           s"$n: unpartitioned window crept back")
       }
-    // and the grouped bottom-k actually aggregates PARTIALLY map-side —
-    // the exchange-bounding property (tasks×groups×k, never the distinct
+    // and the bottom-k actually aggregates PARTIALLY map-side — the
+    // exchange-bounding property (tasks×groups×k, never the distinct
     // (group, hash) stream): the physical plan must carry a
-    // partial_bottom_k ObjectHashAggregate below the exchange
-    val kmvPlan = SparkEntry.queries("q_kmv_by_priority")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(kmvPlan.contains("partial_bottom_k"),
-      s"grouped KMV lost its map-side partial aggregation:\n$kmvPlan")
+    // partial_bottom_k below the exchange, in the GROUPED plan and
+    // (round 11, the unified path) the GLOBAL sketch plan alike
+    Seq("q_kmv_by_priority", "q_kmv_distinct").foreach { n =>
+      val kmvPlan = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(kmvPlan.contains("partial_bottom_k"),
+        s"$n lost its map-side partial bottom-k aggregation:\n$kmvPlan")
+    }
+    // the sampling family's selections are aggregate-bounded on every
+    // id type since round 11 — no row_number window in these plans
+    Seq("q_weighted_by_source", "q_preference_pairs", "q_domain_cap")
+      .foreach { n =>
+        val winds = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+        assert(winds.isEmpty, s"$n: a window crept into the selection")
+      }
 
     // DQ annotate: pure per-row projection — no join, no exchange
     val ann = plan("q_dq_annotate")

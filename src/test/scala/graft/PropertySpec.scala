@@ -317,34 +317,90 @@ class PropertySpec extends SparkSpec {
     assert(e2.getMessage.contains("strictly positive"))
   }
 
+  /** The priority expression weightedSample* computes, restated for the
+    * window references below. */
+  private def samplePriority(keyCol: String, wCol: String) = {
+    val u = (conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    round(pow(u, lit(1.0) / col(wCol)), 9)
+  }
+
   test("weightedSampleByGroup: the bottom-k aggregate path selects " +
-      "exactly what the window path does (property)") {
+      "exactly what a (priority desc, id) window does (property)") {
     import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
+      // duplicated (text, w) rows within groups plant PRIORITY TIES, so
+      // the id tie-break is load-bearing, not decorative
       val rows = (1L to 120L).map { i =>
-        (i, s"text-$trial-$i-${rnd.nextInt(1000)}",
-          1.0 + rnd.nextInt(50), s"g${i % 4}")
+        (i, s"text-$trial-${i % 40}-${rnd.nextInt(8)}",
+          1.0 + (i % 40) % 5, s"g${i % 4}")
       }
       val df = rows.toDF("doc_id", "text", "w", "src")
-      // integral id -> the aggregate path
       val viaAgg = Sampling.weightedSampleByGroup(df, "text", "doc_id",
           "src", col("w"), 7)
         .select("doc_id", "src", "priority")
         .as[(Long, String, Double)].collect().toSet
-      // a string id forces the row_number window path over the SAME
-      // priorities (the id renders with fixed width so the string
-      // tie-break equals the numeric one)
-      val strId = df.withColumn("doc_id",
-        format_string("%06d", col("doc_id")))
-      val viaWindow = Sampling.weightedSampleByGroup(strId, "text",
-          "doc_id", "src", col("w"), 7)
+      val ref = df.withColumn("priority", samplePriority("text", "w"))
+        .withColumn("_rn", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("priority").desc, col("doc_id"))))
+        .where(col("_rn") <= 7)
         .select("doc_id", "src", "priority")
-        .as[(String, String, Double)].collect()
-        .map(r => (r._1.toLong, r._2, r._3)).toSet
-      assert(viaAgg == viaWindow, s"trial $trial")
+        .as[(Long, String, Double)].collect().toSet
+      assert(viaAgg == ref, s"trial $trial")
       assert(viaAgg.groupBy(_._2).forall(_._2.size == 7), s"trial $trial")
     }
+  }
+
+  test("weightedSampleByGroup: string ids ride the bounded aggregate — " +
+      "window-equivalent with the id-HASH tie-break, no window in the plan") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // duplicated (text, w) per group -> tied priorities, so the hash
+    // tie-break decides real selections
+    val rows = (1L to 90L).map { i =>
+      (s"id-${"%03d".format(i)}", s"t-${i % 15}", 1.0 + (i % 15) % 4,
+        s"g${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "text", "w", "src")
+    val got = Sampling.weightedSampleByGroup(df, "text", "doc_id",
+      "src", col("w"), 5)
+    // retired fallback stays retired: no row_number window anywhere
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, "string-id path must not plan a window")
+    val gotSet = got.select("doc_id", "src", "priority")
+      .as[(String, String, Double)].collect().toSet
+    // reference: the same priorities ranked by (priority desc, hash60(id))
+    // — the dictionary-encoded contract for non-integral ids
+    val idHash = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":kmv"))), 1, 15), 16, 10).cast("long")
+    val ref = df.withColumn("priority", samplePriority("text", "w"))
+      .withColumn("_h", idHash)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("priority").desc, col("_h"))))
+      .where(col("_rn") <= 5)
+      .select("doc_id", "src", "priority")
+      .as[(String, String, Double)].collect().toSet
+    assert(gotSet == ref)
+    assert(gotSet.groupBy(_._2).forall(_._2.size == 5))
+  }
+
+  test("weightedSampleByGroup and rowSampleBy keep the NULL group's rows") {
+    import graft.ops.{Kmv, Sampling}
+    val df = (1L to 40L).map(i =>
+        (i, s"t$i", 1.0, if (i % 2 == 0) "g" else null))
+      .toDF("doc_id", "text", "w", "src")
+    // a NULL group is a real group to groupBy (and was to the window
+    // form) — the null-safe join-back must keep its k survivors
+    val ws = Sampling.weightedSampleByGroup(df, "text", "doc_id", "src",
+      col("w"), 3).collect()
+    assert(ws.count(_.isNullAt(3)) == 3, "null group lost in weighted sample")
+    assert(ws.count(r => !r.isNullAt(3)) == 3)
+    val rs = Kmv.rowSampleBy(df, "src", "doc_id", 4).collect()
+    assert(rs.count(_.isNullAt(3)) == 4, "null group lost in row cap")
+    assert(rs.count(r => !r.isNullAt(3)) == 4)
   }
 
   test("incrementalAgg equals full recompute on random change logs") {

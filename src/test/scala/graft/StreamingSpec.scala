@@ -702,4 +702,27 @@ class StreamingSpec extends SparkSpec {
     // the small group is under k: its sample is exact, p90 = 90.0
     assert(latest("b")._1 == Seq(50.0, 90.0) && latest("b")._2 == 9)
   }
+
+  test("streaming KMV quantiles reject NaN payloads loudly") {
+    // NaN is the state's NULL sentinel: a genuine NaN arriving on the
+    // stream must fail the query, not silently reclassify as NULL
+    // (the batch twin sorts NaN last — ADVICE r10)
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.kmvQuantiles(mem.toDF()
+        .select(col("_1").as("src"), col("_2").as("id"),
+          col("_3").as("v")),
+        "src", "id", "v", pcts = Seq(50), k = 8)
+      .writeStream.format("memory").queryName("kmvq_nan")
+      .outputMode("update").start()
+    mem.addData(Seq(("a", 1L, 1.0), ("a", 2L, Double.NaN)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NaN payloads are unsupported")),
+      s"unexpected failure: ${msgs(e)}")
+  }
 }

@@ -827,6 +827,13 @@ class TextOpsSpec extends SparkSpec {
       TextOps.bpeMerges(docs, numMerges = 1, maxVocabRows = 2)
     }
     assert(e.getMessage.contains("bpeMergesDistributed"))
+    // minCount = 0 would let the heap emit dead zero-count rules the
+    // distributed loop can never produce (ADVICE r10) — rejected up
+    // front, on both trainers
+    intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(docs, numMerges = 1, minCount = 0) }
+    intercept[IllegalArgumentException] {
+      TextOps.bpeMergesDistributed(docs, numMerges = 1, minCount = 0) }
   }
 
   test("BPE tokenizer round-trips through save/load (rank order preserved)") {
