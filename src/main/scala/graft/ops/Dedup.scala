@@ -383,8 +383,12 @@ object Dedup {
     * in per-DOC windows (bounded by document length); and a map-side
     * two-pointer rewrite ([[graft.functions.ExciseSpans]], one codegen'd
     * static loop — no interpreted per-token × per-cut lambda). The
-    * anchors subtree is shuffled on `h` by both consumers, so the scan
-    * materializes once (ReuseExchange). Document text never shuffles:
+    * anchors pass is exchanged on `h` exactly ONCE — an explicit
+    * repartition both consumers reuse (AQE stage reuse; the aggregate's
+    * distribution is already satisfied so it adds no second exchange) —
+    * so the corpus-wide scan + Generate materializes once in every
+    * regime (PlanSpec pins it with broadcasts disabled; r10's
+    * double-scan finding closed). Document text never shuffles:
     * cuts travel to the text (a doc-keyed join of interval lists), never
     * the text to the cuts. */
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -394,11 +398,31 @@ object Dedup {
     import graft.functions.ShingleExprs.shingleAnchors
     graft.Graft.init(docs.sparkSession) // shingle_anchors, excise_spans
     val id = longId(docs, idCol)
+    // NULL-id docs are excluded from anchor accounting up front (they
+    // pass through the final left join unexcised): previously their
+    // grams COUNTED as occurrences while their own excisions were
+    // silently dropped at the id join — and the explicit symmetric
+    // filter keeps both anchor consumers canonically EQUAL, so the
+    // anchors exchange is built once (the round-8 isnotnull-inference
+    // trap: the join-back infers isnotnull(id) into the dupPos branch
+    // only, and ReuseExchange dies on the asymmetry)
     val anchors = docs
+      .where(id.isNotNull)
       .select(id.as("id"),
         posexplode(shingleAnchors(lower(col(textCol)), minLen))
           .as(Seq("i", "h")))
       .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+      // ONE explicit exchange on the gram key, reused by both consumers
+      // (same canonical subplan -> AQE stage reuse): the dup-gram
+      // aggregate's required distribution is then already satisfied, so
+      // its partial+final runs INSIDE the reused stage with no second
+      // exchange, and the join's probe side sorts the same stage's
+      // output. Without this, the aggregate partial-combines BELOW its
+      // own exchange — a different subtree than the probe side's raw
+      // anchors, so the corpus-wide Generate pass ran twice (r10's
+      // double-scan finding); one shared anchor shuffle is strictly
+      // less exchange AND half the anchor compute.
+      .repartition(col("h"))
     // grams seen at >= 2 positions; `first` = the surviving occurrence
     val dupGrams = anchors.groupBy(col("h"))
       .agg(count(lit(1)).as("n"),
@@ -453,9 +477,11 @@ object Dedup {
     * for [[exciseAgainstIndex]], the substring-dedup sibling of
     * [[saveSignatureIndex]]: build once per corpus release, then every
     * ingest batch rewrites itself against it without the corpus text
-    * ever being re-read. One fused anchor pass + one hash-keyed
-    * distinct (map-side combined, 8-byte rows); the `bucket = pmod(h)`
-    * directory layout gives batch probes partition pruning. */
+    * ever being re-read — and grows it with [[appendToGramIndex]] so
+    * consecutive batches dedup against each other too. One fused
+    * anchor pass + one hash-keyed distinct (map-side combined, 8-byte
+    * rows); the `bucket = pmod(h)` directory layout gives batch probes
+    * partition pruning. */
   def saveGramIndex(docs: DataFrame, path: String, textCol: String,
       minLen: Int = 8, buckets: Int = 256): Unit = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
@@ -470,8 +496,10 @@ object Dedup {
       .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/grams")
     // the probe must mirror pmod(h, nBuckets) exactly — record it (the
-    // max present directory under-counts when a bucket is empty)
-    Seq((minLen, buckets)).toDF("min_len", "n_buckets")
+    // max present directory under-counts when a bucket is empty);
+    // generation 0 = a fresh release build, bumped by every
+    // [[appendToGramIndex]]
+    Seq((minLen, buckets, 0L)).toDF("min_len", "n_buckets", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -483,29 +511,45 @@ object Dedup {
     * pos)) occurrence, exactly [[exactSubstringDedup]]'s rule applied
     * to corpus ∪ batch with the corpus already deduplicated. Same
     * output shape as [[exactSubstringDedup]]. `minLen` and the anchor
-    * hashing must match the index build.
+    * hashing must match the index build. To make consecutive batches
+    * dedup against EACH OTHER, follow every accepted batch with
+    * [[appendToGramIndex]] — without it two batches carrying the same
+    * novel passage both survive (each is novel vs the standing corpus).
     *
-    * Scale shape: the batch is an ingest micro-batch — small against
-    * the standing corpus — so its distinct gram set broadcasts; the
-    * index side streams ONCE through a semi-join against that
-    * broadcast, reading only the `pmod` bucket directories the batch's
-    * grams hash into (partition pruning, ≤ `buckets` values collected
-    * driver-side — bounded regardless of batch size); the surviving
-    * corpus-hit grams (batch-bounded) broadcast back onto the batch's
-    * anchor table. Corpus text is never read, batch text never
-    * shuffles. */
+    * Scale shape: the probe is SIZE-GATED (the `temperatureSample`
+    * contract pattern, VERDICT r10) on the batch's distinct gram count
+    * — one count over the already-built gram set, paid before any
+    * join. At or under `maxBroadcastGrams` (the ingest-micro-batch
+    * regime) the gram set broadcasts: the index side streams ONCE
+    * through a broadcast semi-join, and the surviving corpus-hit grams
+    * (batch-bounded) broadcast back onto the batch's anchor table.
+    * Past the gate (a backfill-sized "batch") both probes degrade to
+    * hash-partitioned semi-joins on the 8-byte gram key — more
+    * exchange, but no driver- or executor-memory cliff. Both regimes
+    * read only the `pmod` bucket directories the batch's grams hash
+    * into (partition pruning; ≤ `buckets` values collected driver-side
+    * — bounded regardless of batch size). Corpus text is never read,
+    * batch text never shuffles. */
   def exciseAgainstIndex(batch: DataFrame, path: String, idCol: String,
-      textCol: String, minLen: Int = 8): DataFrame = {
+      textCol: String, minLen: Int = 8,
+      maxBroadcastGrams: Long = 4000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxBroadcastGrams >= 1, "maxBroadcastGrams must be positive")
     import graft.functions.ShingleExprs.shingleAnchors
     val spark = batch.sparkSession
     graft.Graft.init(spark)
     val id = longId(batch, idCol)
+    // NULL-id docs pass through unexcised — the exactSubstringDedup rule;
+    // the explicit h-exchange is shared by all four anchor consumers
+    // (gram distinct, bucket collect, corpus-hit probe, within-batch
+    // dup detection) — the exactSubstringDedup reuse shape
     val anchors = batch
+      .where(id.isNotNull)
       .select(id.as("id"),
         posexplode(shingleAnchors(lower(col(textCol)), minLen))
           .as(Seq("i", "h")))
       .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h"))
+      .repartition(col("h"))
     val batchGrams = anchors.select(col("h")).distinct()
     val idx = spark.read.parquet(s"$path/grams")
     // bucket arithmetic must mirror the writer: pmod(h, nBuckets) with
@@ -517,16 +561,29 @@ object Dedup {
       s"exciseAgainstIndex: index was built with minLen=$idxMinLen, " +
         s"probe uses $minLen — gram identities cannot match")
     val nBuckets = meta.getAs[Int]("n_buckets").toLong
+    // the size gate: 8 bytes × maxBroadcastGrams bounds the broadcast
+    // (default ~32 MB); a quarter-corpus "batch" would otherwise OOM
+    // the driver and every executor through broadcast(batchGrams)
+    val nBatchGrams = batchGrams.count()
+    val broadcastRegime = nBatchGrams <= maxBroadcastGrams
+    if (!broadcastRegime) log.warn(
+      s"exciseAgainstIndex: $nBatchGrams batch grams exceed the " +
+        s"broadcast gate ($maxBroadcastGrams) — probing via " +
+        "hash-partitioned semi-joins (backfill regime)")
     // ≤ nBuckets distinct values — a bounded collect no matter the batch
     val wanted = batchGrams
       .select(pmod(col("h"), lit(nBuckets)).as("b")).distinct()
       .collect().map(_.getLong(0))
-    val hits = idx.where(col("bucket").isin(wanted: _*))
-      .join(broadcast(batchGrams), Seq("h"), "left_semi")
+    val pruned = idx.where(col("bucket").isin(wanted: _*))
+    val hits = (if (broadcastRegime)
+        pruned.join(broadcast(batchGrams), Seq("h"), "left_semi")
+      else pruned.join(batchGrams, Seq("h"), "left_semi"))
       .select(col("h"))
     // corpus always wins: every batch occurrence of an indexed gram is
     // excised; batch-internal duplicates keep their first occurrence
-    val corpusHit = anchors.join(broadcast(hits), Seq("h"), "left_semi")
+    val corpusHit = (if (broadcastRegime)
+        anchors.join(broadcast(hits), Seq("h"), "left_semi")
+      else anchors.join(hits, Seq("h"), "left_semi"))
       .select(col("id"), col("pos"))
     val batchDups = anchors
       .groupBy(col("h"))
@@ -538,6 +595,65 @@ object Dedup {
       .select(col("id"), col("pos"))
     exciseAtPositions(batch, corpusHit.unionByName(batchDups).distinct(),
       idCol, textCol, minLen)
+  }
+
+  /** Grow a [[saveGramIndex]] corpus with an ACCEPTED ingest batch's
+    * grams — the missing half of the incremental lifecycle (VERDICT
+    * r10): [[exciseAgainstIndex]] dedups batch-vs-corpus and
+    * within-batch, but unless the accepted batch's novel grams enter
+    * the standing inventory, two consecutive batches carrying the same
+    * novel passage BOTH survive (each is novel vs the corpus alone).
+    * Call it with the ORIGINAL batch after excision: the batch's first
+    * occurrence of each novel gram is exactly what the rewrite kept,
+    * so "this gram has been seen" is true of the grown corpus — the
+    * keep-first rule of [[exactSubstringDedup]] applied to
+    * corpus ∪ batch₁ ∪ batch₂ ∪ ….
+    *
+    * Mechanics: one fused anchor pass over the batch, distinct, one
+    * anti-join against the standing index (bucket-pruned to the
+    * directories the batch hashes into), and an APPEND of the novel
+    * (h, bucket) rows into their `pmod` buckets — the standing files
+    * are never rewritten, so the op is batch-shaped, never
+    * corpus-shaped. The meta generation counter bumps so operators can
+    * tell a grown index from a fresh release build. Compaction note:
+    * every append adds ≥ 1 small file per touched bucket; after many
+    * micro-batches, rebuild with [[saveGramIndex]] at the next corpus
+    * release (the documented cadence) or compact the bucket
+    * directories — the index stays CORRECT regardless (readers list
+    * all files), only file-count overhead grows. Single-writer
+    * contract: appends must not race each other or a rebuild. */
+  def appendToGramIndex(batch: DataFrame, path: String,
+      textCol: String): Unit = {
+    import graft.functions.ShingleExprs.shingleAnchors
+    val spark = batch.sparkSession
+    graft.Graft.init(spark)
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head
+    val minLen = meta.getAs[Int]("min_len")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val gen = if (meta.schema.fieldNames.contains("generation"))
+      meta.getAs[Long]("generation") else 0L
+    val grams = batch
+      .select(explode(shingleAnchors(lower(col(textCol)), minLen)).as("h"))
+      .distinct()
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+    // prune the standing read to the buckets the batch actually hits
+    // (≤ nBuckets values — bounded), then keep only NOVEL grams: an
+    // append must never duplicate an (h) row, or future probes would
+    // still be correct but the index would grow with dead weight
+    val wanted = grams.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val standing = spark.read.parquet(s"$path/grams")
+      .where(col("bucket").isin(wanted: _*)).select(col("h"))
+    // localCheckpoint cuts the write's lineage from the directory it
+    // appends to (the novel set is batch-gram-bounded)
+    val novel = Checkpoints.materialize(
+      grams.join(standing, Seq("h"), "left_anti"), None)
+    novel.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/grams")
+    Seq((minLen, nBuckets, gen + 1L))
+      .toDF("min_len", "n_buckets", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom codegen'd
@@ -886,6 +1002,8 @@ object Dedup {
       textCol: String, shingleN: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4): Unit = {
     import graft.functions.ShingleExprs._
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
     sets.write.mode("overwrite").parquet(s"$path/sets")
@@ -894,6 +1012,52 @@ object Dedup {
       .select(col("id"),
         explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bucket"))
       .write.mode("overwrite").parquet(s"$path/buckets")
+    // signature parameters recorded so appends can never drift from the
+    // build (bucket keys embed the band structure — a mismatch finds
+    // nothing, silently); generation 0 = fresh release build
+    Seq((shingleN, bands, rowsPerBand, 0L))
+      .toDF("shingle_n", "bands", "rows_per_band", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Grow a [[saveSignatureIndex]] corpus with an ACCEPTED ingest
+    * batch — the near-dup sibling of [[appendToGramIndex]] (VERDICT
+    * r10 #4): without it, [[incrementalNearDups]] and the indexed
+    * fuzzy-decontamination probes compare new batches against the last
+    * RELEASE only, so two post-release batches carrying the same
+    * near-duplicate both pass. Signature parameters come from the
+    * index's own meta (written by the release build), so the appended
+    * rows are bucket-compatible by construction; the meta generation
+    * bumps.
+    *
+    * Contract: batch ids must be disjoint from everything already in
+    * the index (the [[incrementalNearDups]] id rule — sets re-attach BY
+    * id), and each accepted batch appends ONCE (appends are plain
+    * parquet adds; a repeat would duplicate rows). Single-writer, like
+    * [[appendToGramIndex]]; rebuild via [[saveSignatureIndex]] at the
+    * next corpus release to compact. Batch-shaped cost: one shingle
+    * pass, two appends, no standing file rewritten. */
+  def appendToSignatureIndex(batch: DataFrame, path: String, idCol: String,
+      textCol: String): Unit = {
+    import graft.functions.ShingleExprs._
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = meta.getAs[Int]("rows_per_band")
+    val gen = meta.getAs[Long]("generation")
+    val sets = batch.select(longId(batch, idCol).as("id"),
+      shingleHash64(col(textCol), shingleN).as("sh"))
+    sets.write.mode("append").parquet(s"$path/sets")
+    sets.select(col("id"), minhashSig64(col("sh"),
+        bands * rowsPerBand).as("_sig"))
+      .select(col("id"),
+        explode(bandKeys(col("_sig"), bands, rowsPerBand)).as("bucket"))
+      .write.mode("append").parquet(s"$path/buckets")
+    Seq((shingleN, bands, rowsPerBand, gen + 1L))
+      .toDF("shingle_n", "bands", "rows_per_band", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Near-dups of a NEW batch against a [[saveSignatureIndex]] corpus:

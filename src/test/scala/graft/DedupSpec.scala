@@ -202,6 +202,88 @@ class DedupSpec extends SparkSpec {
     assert(got == oneShot)
   }
 
+  test("gram-index lifecycle: appended batches dedup later batches; " +
+      "the broadcast gate's shuffle regime selects identically") {
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-life").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    // batch 1 carries a NOVEL passage — it survives its own excision
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val batch1 = Seq((201L, s"lead $passage tail")).toDF("doc_id", "text")
+    val got1 = Dedup.exciseAgainstIndex(batch1, tmp, "doc_id", "text",
+        minLen = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got1._2 == s"lead $passage tail" && got1._4 == 0L)
+    // WITHOUT the append, batch 2's copy of the same passage would pass
+    // (each batch is novel vs the standing corpus alone) — the r10 gap
+    val batch2 = Seq((301L, s"x1 $passage x2")).toDF("doc_id", "text")
+    val preAppend = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id",
+        "text", minLen = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(preAppend._4 == 0L, "gap precondition changed")
+    // append batch 1's grams, then batch 2 IS excised against them
+    Dedup.appendToGramIndex(batch1, tmp, "text")
+    val postAppend = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id",
+        "text", minLen = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(postAppend._2 == "x1 x2" && postAppend._4 == 8L,
+      s"batch 2 not excised against batch 1's grams: $postAppend")
+    // append is idempotent on the inventory: re-appending the same
+    // batch adds nothing the probe can see, and the generation bumps
+    Dedup.appendToGramIndex(batch1, tmp, "text")
+    val again = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id", "text",
+        minLen = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert((again._2, again._4) == ((postAppend._2, postAppend._4)))
+    val meta = spark.read.parquet(s"$tmp/meta").head
+    assert(meta.getAs[Long]("generation") == 2L)
+    // the size gate: maxBroadcastGrams = 1 forces the hash-partitioned
+    // (backfill) regime — selection must be identical to the broadcast
+    // regime's, row for row
+    val shuffled = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id",
+        "text", minLen = 8, maxBroadcastGrams = 1L)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(shuffled == again, "regimes diverged")
+    // the grown index equals a fresh rebuild over corpus ∪ batch1 for
+    // every future probe (the lifecycle's correctness statement)
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-life2").toString
+    Dedup.saveGramIndex(corpus.unionByName(batch1), tmp2, "text",
+      minLen = 8, buckets = 16)
+    val rebuilt = Dedup.exciseAgainstIndex(batch2, tmp2, "doc_id",
+        "text", minLen = 8)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(rebuilt == again, "grown index diverged from a fresh rebuild")
+  }
+
+  test("signature-index append: post-release batches become visible to " +
+      "incremental near-dup probes") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-life").toString
+    Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text")
+    // batch 1: a near-copy of nothing in the corpus — passes, appended
+    val b1Text = "red orange yellow green blue indigo violet ultraviolet"
+    val batch1 = Seq((101L, b1Text)).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDups(batch1, tmp, "doc_id", "text")
+      .count() == 0L)
+    Dedup.appendToSignatureIndex(batch1, tmp, "doc_id", "text")
+    // batch 2 carries a near-copy of batch 1's doc: before the append
+    // it would have passed; now the probe finds it against 101
+    val batch2 = Seq((201L, b1Text + " extra")).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(batch2, tmp, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((201L, 101L)),
+      s"got ${hits.toSeq}")
+    assert(spark.read.parquet(s"$tmp/meta").head
+      .getAs[Long]("generation") == 1L)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
