@@ -78,7 +78,12 @@ object Bench {
     // round 10: corpus-global exact-substring dedup REWRITE (anchor agg
     // + gram join-back + per-doc interval merge + codegen'd excision) —
     // the heaviest new text family this round, tracked from day one
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // round 11: the round-10 families that lacked bench entries
+    // (VERDICT r10 #6) — the incremental PROBE path (index built once
+    // per JVM, repeat runs measure the batch rewrite against the
+    // standing grams) and the codegen'd integer-Viterbi unigram encode
+    "q_substring_dedup_indexed", "q_unigram_encode")
 
   /** Untimed JVM warm-up, shared with BenchOne. The cheap generic costs
     * (codegen infra, parquet footers) were always warmed; the string- and

@@ -184,6 +184,43 @@ object Kmv {
         col("n_both").cast("long").as("n_both"))
   }
 
+  /** KMV containment estimates — the DECONTAMINATION direction of
+    * [[setEstimates]]: C(A ⊆ B) = |A ∩ B| / |A| ("what fraction of the
+    * eval set's keys also occur in the training corpus"), where
+    * Jaccard under-reads precisely when |B| ≫ |A| — the usual shape of
+    * a contamination question. From the k-smallest union sample: n_a /
+    * n_b count the sample's members present in each input and n_both
+    * in both, so containment_a_in_b = n_both / n_a (the Beyer et al.
+    * 2007 estimator family; the sample restricted to A's members is a
+    * uniform sample OF A). EXACT whenever A ⊆ B holds literally (every
+    * sampled A-member is a B-member, so the ratio is 1 with no
+    * sampling error) and whenever the merged sketch holds fewer than k
+    * hashes. Determinism: integer counts, one division per emitted
+    * ratio. Everything post-sketch is k-bounded, the [[setEstimates]]
+    * shape. */
+  def containment(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val m = merge(k, skA.select(col("h")), skB.select(col("h")))
+    val flagged = m
+      .join(broadcast(skA.select(col("h"), lit(1).as("_a"))), Seq("h"), "left")
+      .join(broadcast(skB.select(col("h"), lit(1).as("_b"))), Seq("h"), "left")
+    flagged
+      .agg(sum(when(col("_a") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_b") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(
+        when(col("n_a") > 0, col("n_both").cast("double")
+          / col("n_a").cast("double")).otherwise(lit(0.0))
+          .as("containment_a_in_b"),
+        when(col("n_b") > 0, col("n_both").cast("double")
+          / col("n_b").cast("double")).otherwise(lit(0.0))
+          .as("containment_b_in_a"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_both").cast("long").as("n_both"))
+  }
+
   /** Per-group [[setEstimates]] between two GROUPED sketch tables
     * ([[sketchBy]] outputs): one row per group present in either input
     * — per-language vocabulary overlap between two corpora, per-domain

@@ -592,6 +592,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming corpus ingest with exact-substring dedup — the
+    * end-to-end lifecycle of [[graft.ops.Dedup.saveGramIndex]] /
+    * [[graft.ops.Dedup.exciseAgainstIndex]] /
+    * [[graft.ops.Dedup.appendToGramIndex]] as ONE streaming operator:
+    * each micro-batch rewrites itself against the standing gram index
+    * (corpus occurrences always win, within-batch repeats keep their
+    * first), the rewritten batch goes to `sink`, and the batch's novel
+    * grams are appended — so a passage arriving in micro-batch N is
+    * excised from micro-batch N+1 BY CONSTRUCTION, the cross-batch
+    * guarantee the batch operators only provide when the caller
+    * remembers the append step.
+    *
+    * Returns the configured `DataStreamWriter`; the caller sets
+    * trigger/checkpoint and calls `start()`. Ordering inside a batch:
+    * the rewritten frame is MATERIALIZED (localCheckpoint) before the
+    * append mutates the directory its plan reads, then handed to
+    * `sink`. Failure semantics: `foreachBatch` may replay a batch; the
+    * excision replays identically (the index append is
+    * inventory-idempotent — novel-only anti-join, so a replayed append
+    * adds nothing the probe can see), and the sink sees the same rows
+    * again — make it idempotent by `idCol`, the standard foreachBatch
+    * contract. Scale shape per batch = [[graft.ops.Dedup.exciseAgainstIndex]]
+    * (size-gated broadcast, bucket-pruned index read) +
+    * [[graft.ops.Dedup.appendToGramIndex]] (batch-shaped append);
+    * single-writer: one ingest stream per index. */
+  def substringDedupIngest(docs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text", minLen: Int = 8,
+      maxBroadcastGrams: Long = 4000000L)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cleaned = graft.ops.Dedup.exciseAgainstIndex(batch, indexPath,
+          idCol, textCol, minLen, maxBroadcastGrams)
+        .localCheckpoint(true)
+      sink(cleaned, batchId)
+      graft.ops.Dedup.appendToGramIndex(batch, indexPath, textCol)
+    }
+
   /** Streaming decontamination gate: annotate every arriving document
     * with how many of its distinct word n-grams appear in a STATIC
     * eval/benchmark set — the inline admission check a continuously-fed

@@ -233,6 +233,35 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est.getDouble(2) - 4000.0) / 4000.0 < 0.40)
   }
 
+  test("containment: exact 1.0 on a true subset, 0 on disjoint, " +
+      "tracks |A∩B|/|A| on big sets") {
+    import graft.ops.Kmv
+    // A ⊂ B literally: every sampled A member is a B member -> exactly 1
+    val a = Seq.range(0, 300).map(i => Tuple1(s"k$i")).toDF("key")
+    val b = Seq.range(0, 5000).map(i => Tuple1(s"k$i")).toDF("key")
+    val sub = Kmv.containment(
+      Kmv.sketch(a, "key", 128), Kmv.sketch(b, "key", 128), 128)
+      .collect().head
+    assert(sub.getDouble(0) == 1.0, s"subset containment ${sub.getDouble(0)}")
+    // reverse direction estimates |A|/|B| = 0.06
+    assert(sub.getDouble(1) > 0.0 && sub.getDouble(1) < 0.25,
+      s"reverse ${sub.getDouble(1)}")
+    // disjoint: both directions exactly zero
+    val c = Seq.range(9000, 9300).map(i => Tuple1(s"k$i")).toDF("key")
+    val dis = Kmv.containment(
+      Kmv.sketch(a, "key", 128), Kmv.sketch(c, "key", 128), 128)
+      .collect().head
+    assert(dis.getDouble(0) == 0.0 && dis.getDouble(1) == 0.0 &&
+      dis.getLong(4) == 0L)
+    // partial overlap at scale: C(A in B) truth = 4000/8000 = 0.5
+    val bigA = Seq.range(0, 8000).map(i => Tuple1(s"x$i")).toDF("key")
+    val bigB = Seq.range(4000, 12000).map(i => Tuple1(s"x$i")).toDF("key")
+    val est = Kmv.containment(
+      Kmv.sketch(bigA, "key", 256), Kmv.sketch(bigB, "key", 256), 256)
+      .collect().head
+    assert(math.abs(est.getDouble(0) - 0.5) < 0.2, s"est ${est.getDouble(0)}")
+  }
+
   test("setEstimatesBy: a NULL group is a real group (null-safe joins)") {
     import graft.ops.Kmv
     // both sides carry a NULL group with real overlap: the membership

@@ -703,6 +703,41 @@ class StreamingSpec extends SparkSpec {
     assert(latest("b")._1 == Seq(50.0, 90.0) && latest("b")._2 == 9)
   }
 
+  test("substringDedupIngest: a passage arriving in micro-batch N is " +
+      "excised from micro-batch N+1 (the lifecycle guarantee)") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ingest-stream").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    val passage = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val got = scala.collection.concurrent.TrieMap
+      .empty[Long, (String, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.substringDedupIngest(
+        mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+        tmp, "doc_id", "text", minLen = 8) { (cleaned, _) =>
+      cleaned.collect().foreach(r =>
+        got.put(r.getLong(0), (r.getString(1), r.getLong(3))))
+    }.start()
+    // batch 1: a corpus hit is excised; the novel passage survives
+    mem.addData(Seq((101L, s"head $passage foot"),
+      (102L, "x a b c d e f g h y")))
+    q.processAllAvailable()
+    assert(got(101L) == ((s"head $passage foot", 0L)))
+    assert(got(102L) == (("x y", 8L)), s"corpus hit kept: ${got(102L)}")
+    // batch 2: the SAME passage now hits batch 1's appended grams
+    mem.addData(Seq((201L, s"pre $passage post")))
+    q.processAllAvailable()
+    q.stop()
+    assert(got(201L) == (("pre post", 8L)),
+      s"cross-batch duplicate survived: ${got(201L)}")
+    // the index carries two appends' generations
+    assert(spark.read.parquet(s"$tmp/meta").head
+      .getAs[Long]("generation") == 2L)
+  }
+
   test("streaming KMV quantiles reject NaN payloads loudly") {
     // NaN is the state's NULL sentinel: a genuine NaN arriving on the
     // stream must fail the query, not silently reclassify as NULL
