@@ -1496,6 +1496,19 @@ object SparkEntry {
       graft.ops.Kmv.setEstimatesBy(a, b, "o_orderpriority", 128)
     }),
 
+    // grouped containment — per-priority coverage of the even order-key
+    // half's customers by the odd half's, one k-bounded row per group
+    "q_kmv_containment_by" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = graft.ops.Kmv.sketchBy(
+        o.where(col("o_orderkey") % 2 === 0), "o_orderpriority",
+        "o_custkey", 128)
+      val b = graft.ops.Kmv.sketchBy(
+        o.where(col("o_orderkey") % 2 === 1), "o_orderpriority",
+        "o_custkey", 128)
+      graft.ops.Kmv.containmentBy(a, b, "o_orderpriority", 128)
+    }),
+
     // KMV containment — the decontamination direction of set algebra:
     // urgent-priority customers are a LITERAL subset of all customers,
     // so containment(A in B) reads exactly 1.0 (every sampled A member
@@ -6125,6 +6138,53 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
         |         / CAST(hm AS DOUBLE) END) AS est_intersection,
         |  CAST(n AS INT) AS n_sample, nb AS n_both
+        |FROM a""".stripMargin,
+
+    // mirrors Kmv.containmentBy on the even/odd halves: the setops_by
+    // construction with per-input member counts instead of the union
+    // estimator
+    "q_kmv_containment_by" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_orderkey % 2 AS half,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(o_custkey AS VARCHAR) || ':kmv'), 1, 15)) AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |ha AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM base WHERE half = 0)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |hb AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM base WHERE half = 1)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |m AS (
+        |  SELECT o_orderpriority, h FROM (
+        |    SELECT DISTINCT o_orderpriority, h FROM (
+        |      SELECT * FROM ha UNION ALL SELECT * FROM hb))
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY h) <= 128),
+        |f AS (
+        |  SELECT m.o_orderpriority, m.h,
+        |    EXISTS (SELECT 1 FROM ha WHERE ha.o_orderpriority =
+        |      m.o_orderpriority AND ha.h = m.h) AS ia,
+        |    EXISTS (SELECT 1 FROM hb WHERE hb.o_orderpriority =
+        |      m.o_orderpriority AND hb.h = m.h) AS ib
+        |  FROM m),
+        |a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nboth
+        |  FROM f GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CASE WHEN na > 0 THEN CAST(nboth AS DOUBLE) / CAST(na AS DOUBLE)
+        |    ELSE 0.0 END AS containment_a_in_b,
+        |  CASE WHEN nb > 0 THEN CAST(nboth AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    ELSE 0.0 END AS containment_b_in_a,
+        |  na AS n_a, nb AS n_b, nboth AS n_both
         |FROM a""".stripMargin,
 
     // mirrors Kmv.containment: union bottom-k sample, per-input member

@@ -1030,13 +1030,16 @@ object Dedup {
     * rows are bucket-compatible by construction; the meta generation
     * bumps.
     *
-    * Contract: batch ids must be disjoint from everything already in
-    * the index (the [[incrementalNearDups]] id rule — sets re-attach BY
-    * id), and each accepted batch appends ONCE (appends are plain
-    * parquet adds; a repeat would duplicate rows). Single-writer, like
+    * Contract: distinct documents carry distinct ids (the
+    * [[incrementalNearDups]] id rule — sets re-attach BY id). The
+    * append is REPLAY-SAFE: ids already present in the index are
+    * skipped (one anti-join against the standing sets' id column —
+    * column-pruned, never the shingle payload), so a re-run batch (the
+    * foreachBatch replay case) adds nothing. Single-writer, like
     * [[appendToGramIndex]]; rebuild via [[saveSignatureIndex]] at the
     * next corpus release to compact. Batch-shaped cost: one shingle
-    * pass, two appends, no standing file rewritten. */
+    * pass, one id anti-join, two appends, no standing file
+    * rewritten. */
   def appendToSignatureIndex(batch: DataFrame, path: String, idCol: String,
       textCol: String): Unit = {
     import graft.functions.ShingleExprs._
@@ -1047,8 +1050,14 @@ object Dedup {
     val bands = meta.getAs[Int]("bands")
     val rowsPerBand = meta.getAs[Int]("rows_per_band")
     val gen = meta.getAs[Long]("generation")
-    val sets = batch.select(longId(batch, idCol).as("id"),
-      shingleHash64(col(textCol), shingleN).as("sh"))
+    val existing = spark.read.parquet(s"$path/sets").select(col("id"))
+    // materialize the novel slice BEFORE appending to the directory its
+    // plan reads (batch-sized; the Dedup lineage-cut convention)
+    val novel = Checkpoints.materialize(
+      batch.select(longId(batch, idCol).as("id"), col(textCol).as("_text"))
+        .join(existing, Seq("id"), "left_anti"), None)
+    val sets = novel.select(col("id"),
+      shingleHash64(col("_text"), shingleN).as("sh"))
     sets.write.mode("append").parquet(s"$path/sets")
     sets.select(col("id"), minhashSig64(col("sh"),
         bands * rowsPerBand).as("_sig"))

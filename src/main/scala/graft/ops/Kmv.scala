@@ -221,6 +221,50 @@ object Kmv {
         col("n_both").cast("long").as("n_both"))
   }
 
+  /** Per-group [[containment]] between two GROUPED sketch tables
+    * ([[sketchBy]] outputs) — per-language eval-in-corpus containment,
+    * per-domain crawl-in-crawl coverage. One row per group present in
+    * either input; a group absent from one side reads 0 both ways when
+    * A is absent (n_a = 0) and containment_a_in_b = 0 when B is absent.
+    * Same group semantics as [[setEstimatesBy]]: NULL groups are real
+    * groups (null-safe membership joins), the per-group re-take rides
+    * the bounded [[graft.functions.BottomKLongs]] aggregate, and
+    * everything is groups × k-bounded. */
+  def containmentBy(skA: DataFrame, skB: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    graft.Graft.init(skA.sparkSession)
+    val union = skA.select(col(groupCol), col("h"))
+      .unionByName(skB.select(col(groupCol), col("h")))
+    val m = union.groupBy(col(groupCol))
+      .agg(graft.functions.SketchExprs.bottomK(col("h"), k).as("_hs"))
+      .select(col(groupCol), explode(col("_hs")).as("h"))
+    val flagged = m
+      .join(skA.select(col(groupCol).as("_ga"), col("h").as("_ha"),
+          lit(1).as("_a")),
+        col(groupCol) <=> col("_ga") && col("h") === col("_ha"), "left")
+      .drop("_ga", "_ha")
+      .join(skB.select(col(groupCol).as("_gb"), col("h").as("_hb"),
+          lit(1).as("_b")),
+        col(groupCol) <=> col("_gb") && col("h") === col("_hb"), "left")
+      .drop("_gb", "_hb")
+    flagged.groupBy(col(groupCol))
+      .agg(sum(when(col("_a") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_b") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col(groupCol),
+        when(col("n_a") > 0, col("n_both").cast("double")
+          / col("n_a").cast("double")).otherwise(lit(0.0))
+          .as("containment_a_in_b"),
+        when(col("n_b") > 0, col("n_both").cast("double")
+          / col("n_b").cast("double")).otherwise(lit(0.0))
+          .as("containment_b_in_a"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_both").cast("long").as("n_both"))
+  }
+
   /** Per-group [[setEstimates]] between two GROUPED sketch tables
     * ([[sketchBy]] outputs): one row per group present in either input
     * — per-language vocabulary overlap between two corpora, per-domain

@@ -630,6 +630,51 @@ object StreamOps {
       graft.ops.Dedup.appendToGramIndex(batch, indexPath, textCol)
     }
 
+  /** Streaming corpus ingest with NEAR-duplicate dedup — the signature
+    * index's lifecycle as one streaming operator, the
+    * [[substringDedupIngest]] sibling for whole-document near-dups:
+    * each micro-batch (1) drops documents that near-duplicate the
+    * standing [[graft.ops.Dedup.saveSignatureIndex]] corpus
+    * ([[graft.ops.Dedup.incrementalNearDups]], exact-Jaccard
+    * confirmed), (2) collapses WITHIN-batch near-dup clusters to their
+    * min-id representative ([[graft.ops.Dedup.minhashNearDups]] →
+    * [[graft.ops.Dedup.representatives]] — without this, two copies
+    * arriving in one batch would both pass and both enter the index),
+    * (3) hands the accepted survivors to `sink`, and (4) appends their
+    * signatures — so a document accepted in micro-batch N rejects its
+    * near-copies in micro-batch N+1 by construction.
+    *
+    * Same contracts as [[substringDedupIngest]]: caller configures the
+    * returned writer and calls `start()`; the accepted frame is
+    * materialized before the append mutates what its plan reads;
+    * foreachBatch may replay a batch — the dedup replays identically
+    * and the signature append skips already-present ids
+    * (replay-safe) — make the sink idempotent by `idCol`. Ids must be
+    * globally unique across the stream and the corpus (the
+    * [[graft.ops.Dedup.incrementalNearDups]] rule). Signature
+    * parameters must match the index build (bucket keys embed the band
+    * structure). Single-writer: one ingest stream per index. */
+  def nearDupIngest(docs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ops.Dedup
+      val corpusHits = Dedup.incrementalNearDups(batch, indexPath, idCol,
+          textCol, shingleN, bands, rowsPerBand, threshold)
+        .select(col("batch_id").as("_dup")).distinct()
+      val noCorpusDup = batch.join(corpusHits,
+        col(idCol).cast("long") === col("_dup"), "left_anti")
+      val pairs = Dedup.minhashNearDups(noCorpusDup, idCol, textCol,
+        shingleN, bands, rowsPerBand, threshold)
+      val accepted = Dedup.representatives(noCorpusDup, pairs, idCol)
+        .localCheckpoint(true)
+      sink(accepted, batchId)
+      Dedup.appendToSignatureIndex(accepted, indexPath, idCol, textCol)
+    }
+
   /** Streaming decontamination gate: annotate every arriving document
     * with how many of its distinct word n-grams appear in a STATIC
     * eval/benchmark set — the inline admission check a continuously-fed

@@ -50,7 +50,15 @@ object ScalingCurve {
     // round 10b: the corpus-global substring-dedup rewrite — anchors are
     // the raw token stream, so this row is the direct probe of the
     // hash-keyed agg + join-back + excision shape
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // round 11: the rows this round's selection/exchange changes touch —
+    // the retired-window sampling pair (bounded bottom_k_by aggregate on
+    // every id type) and the size-gated indexed probe (index build
+    // amortized once per JVM; this times the batch rewrite path).
+    // q_kmv_distinct / q_substring_dedup above re-measure the unified
+    // global sketch and the shared anchors exchange on the same run.
+    "q_weighted_by_source", "q_preference_pairs",
+    "q_substring_dedup_indexed")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

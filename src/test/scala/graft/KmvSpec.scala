@@ -262,6 +262,29 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est.getDouble(0) - 0.5) < 0.2, s"est ${est.getDouble(0)}")
   }
 
+  test("containmentBy matches global containment per group") {
+    import graft.ops.Kmv
+    val rows = for {
+      g <- Seq("p1", "p2"); i <- 0 until 250
+    } yield (g, s"$g-c${(i * 7) % 150}", i % 2)
+    val df = rows.toDF("g", "key", "half")
+    val skA = Kmv.sketchBy(df.where(col("half") === 0), "g", "key", 64)
+    val skB = Kmv.sketchBy(df.where(col("half") === 1), "g", "key", 64)
+    val grouped = Kmv.containmentBy(skA, skB, "g", 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    Seq("p1", "p2").foreach { g =>
+      val ga = Kmv.sketch(df.where(col("half") === 0 && col("g") === g),
+        "key", 64)
+      val gb = Kmv.sketch(df.where(col("half") === 1 && col("g") === g),
+        "key", 64)
+      val e = Kmv.containment(ga, gb, 64).collect().head
+      assert(grouped(g) == ((e.getDouble(0), e.getDouble(1), e.getLong(2),
+        e.getLong(3), e.getLong(4))), s"group $g")
+    }
+  }
+
   test("setEstimatesBy: a NULL group is a real group (null-safe joins)") {
     import graft.ops.Kmv
     // both sides carry a NULL group with real overlap: the membership

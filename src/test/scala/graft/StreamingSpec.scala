@@ -738,6 +738,42 @@ class StreamingSpec extends SparkSpec {
       .getAs[Long]("generation") == 2L)
   }
 
+  test("nearDupIngest: corpus near-copies drop, within-batch clusters " +
+      "collapse, batch N's survivors reject batch N+1's near-copies") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-neardup-stream").toString
+    Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text")
+    val novel = "red orange yellow green blue indigo violet ultraviolet"
+    val got = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupIngest(
+        mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+        tmp, "doc_id", "text", threshold = 0.5) { (accepted, _) =>
+      got ++= accepted.collect().map(_.getLong(0))
+    }.start()
+    // batch 1: 101 near-dups the corpus (dropped); 102/103 are
+    // within-batch near-copies (min id 102 kept); 104 is novel
+    mem.addData(Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+      (102L, novel), (103L, novel + " tail"),
+      (104L, "one two three four five six seven eight")))
+    q.processAllAvailable()
+    assert(got.toSet == Set(102L, 104L), s"batch 1 accepted $got")
+    // batch 2: a near-copy of batch 1's SURVIVOR is rejected against
+    // the appended signatures — the cross-batch guarantee
+    mem.addData(Seq((201L, novel + " coda"),
+      (202L, "fresh words nothing shared anywhere at all")))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == Set(102L, 104L, 202L),
+      s"cross-batch near-dup survived: $got")
+  }
+
   test("streaming KMV quantiles reject NaN payloads loudly") {
     // NaN is the state's NULL sentinel: a genuine NaN arriving on the
     // stream must fail the query, not silently reclassify as NULL
