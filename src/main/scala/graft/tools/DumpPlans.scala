@@ -61,10 +61,10 @@ object DumpPlans {
     "q_hll_distinct" -> "Mergeable HLL sketch: the 60-bit md5 hash, bucket and rho are codegen'd projections inside the scan; one partial+final HashAggregate on bucket bounds the exchange at 2^p rows; the estimate is a second 1-row aggregate over the register table — nothing distinct-key-sized moves.",
     "q_bootstrap_ci" -> "Poissonized bootstrap: the 200x explode and the md5-Poisson weight chain are per-row codegen; partial aggregation collapses each partition to 200 (replicate, two-BIGINT) rows before the exchange; order-statistic quantiles run on the 200-row result — one data pass, bounded everything after.",
     "q_leakage_split" -> "Leakage-free split: the near-dup clustering's banded pair generation + iterative min-label rounds (localCheckpoint-truncated lineage), then ONE left join of the corpus against the pair-participant-sized labeling and a per-row md5 bucket on the cluster id — the split adds no data-sized shuffle of its own.",
-    "q_kmv_distinct" -> "Bottom-k KMV sketch: the 60-bit md5 hash is a codegen'd projection in the scan; each partition collapses to its own ≤k smallest distinct hashes in a MapPartitions summary pass (the Misra–Gries shape — the exchange carries partitions×k 8-byte rows, never the corpus's distinct-hash stream), then a k-bounded dedup + TakeOrderedAndProject(k); the estimate is a 1-row aggregate over k rows.",
+    "q_kmv_distinct" -> "Bottom-k KMV sketch: the 60-bit md5 hash is a codegen'd projection in the scan; selection is the SAME bottom_k TypedImperativeAggregate as the grouped form, run group-less — partial_bottom_k collapses each task to its ≤k smallest distinct hashes before the single-partition exchange (tasks×k 8-byte values, never the corpus's distinct-hash stream); the estimate is a 1-row aggregate over k rows.",
     "q_domain_cap" -> "Deterministic per-domain cap: id selection is the bottom-k TypedImperativeAggregate (partial_bottom_k below the exchange — each task ships ≤k hashes per domain, never the distinct (domain, hash) stream), then one (domain, hash)-keyed LeftSemi attaches the surviving rows; no window anywhere, no task holding a whole domain.",
     "q_kmv_by_priority" -> "Grouped bottom-k sketch: ObjectHashAggregate with partial_bottom_k BEFORE the group-keyed exchange — the map side collapses every (group-slice) to ≤k eight-byte hashes (bottom-k is a lattice), so the shuffle is tasks×groups×k; the estimate reads k rows per group.",
-    "q_substring_dedup" -> "Corpus-global substring-dedup rewrite: the fused shingle_anchors pass is the only corpus-sized stream; the duplicated-gram table comes from ONE hash-keyed partial+final count/min aggregate (algebraic — the exchange carries distinct-gram volume), joins back on the 64-bit gram key, interval merge windows only over DUPLICATED positions per doc, and the excise_spans rewrite is a map-side codegen'd two-pointer loop — cuts travel to the text, the text never shuffles.")
+    "q_substring_dedup" -> "Corpus-global substring-dedup rewrite: the fused shingle_anchors pass is the only corpus-sized stream; the duplicated-gram table comes from ONE hash-keyed partial+final count/min aggregate (algebraic — the exchange carries distinct-gram volume), joins back on the 64-bit gram key, interval merge windows only over DUPLICATED positions per doc, and the excise_spans rewrite is a map-side codegen'd two-pointer loop — cuts travel to the text, the text never shuffles. Round 11: the anchors pass is exchanged on the gram key exactly ONCE (explicit repartition reused by the aggregate and the probe join — the aggregate's distribution is already satisfied, so no second exchange).")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("local[4]", 4)
