@@ -3374,6 +3374,14 @@ object SparkEntry {
       TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
+    // ---- LLM: per-document novelty vs arrival order -------------------
+    // fraction of each doc's distinct 8-grams FIRST seen in that doc
+    // (min doc id = arrival); boilerplate scores ~0, new text ~1 — the
+    // marginal-value signal dataset-ordering experiments plot
+    // (TextOps.noveltyScores)
+    "q_novelty" -> ((s, dir) =>
+      TextOps.noveltyScores(t(s, dir, "documents"), "doc_id", "text", 8)),
+
     // ---- LLM: streaming decontamination gate (batch-parity surface) ---
     // the stateless per-document admission check a continuously-fed
     // corpus runs: distinct-8-gram hits against a broadcast eval set,
@@ -8598,6 +8606,29 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
+
+    // mirrors TextOps.noveltyScores: distinct 8-grams per doc, first
+    // occurrence by min doc id, one double division per row
+    "q_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |g0 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) - 7 <= 0 THEN [array_to_string(ws, ' ')]
+        |         ELSE [array_to_string(ws[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(ws) - 7)] END) AS g
+        |  FROM tok),
+        |g AS (SELECT DISTINCT doc_id, g FROM g0),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM g GROUP BY 1)
+        |SELECT g.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN f USING (g)
+        |GROUP BY g.doc_id""".stripMargin,
 
     // gate parity: same gram construction as q_decontam, but per-doc
     // DISTINCT matched-gram counts with zero-hit docs kept

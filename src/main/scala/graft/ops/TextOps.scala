@@ -231,6 +231,53 @@ object TextOps {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-document NOVELTY against the corpus's own arrival order — the
+    * curation readout behind "is this slice of the crawl still adding
+    * anything": for each document, the fraction of its DISTINCT word
+    * `n`-grams whose FIRST corpus occurrence (minimum doc id — ids are
+    * the arrival order by convention) is this document. A boilerplate
+    * page scores near 0 (its grams all arrived earlier); genuinely new
+    * text scores near 1. The per-source aggregate of this is the
+    * marginal-value curve dataset-ordering experiments plot; the
+    * per-document value is a drop/keep signal sitting between exact
+    * dedup (novelty 0 ⇒ every gram seen before, though possibly from
+    * many sources) and quality scores.
+    *
+    * Determinism: gram identity is the fused 64-bit shingle-set hash
+    * (the [[contaminatedIds]] convention — set semantics per doc,
+    * grams never output), first-occurrence is an integer min, counts
+    * are exact longs, and `novelty` is ONE double division. Documents
+    * with NULL text or no grams are absent from the output (they have
+    * no novelty to report); NULL ids are excluded (no position in the
+    * arrival order).
+    *
+    * Scale shape: the gram stream is exchanged on the gram key exactly
+    * ONCE (explicit repartition shared by the first-occurrence
+    * aggregate — whose distribution is then satisfied, partial+final
+    * in-stage — and the join-back probe: the
+    * [[graft.ops.Dedup.exactSubstringDedup]] reuse shape), then one
+    * doc-keyed aggregation. Only ids and 8-byte gram hashes shuffle;
+    * text stays in the scan stage. */
+  def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    import graft.functions.ShingleExprs.shingleHash64
+    graft.Graft.init(docs.sparkSession)
+    val id = col(idCol).cast("long")
+    val grams = docs.where(id.isNotNull)
+      .select(id.as("id"), explode(shingleHash64(col(textCol), n)).as("g"))
+      .repartition(col("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** FUZZY benchmark decontamination: flag corpus documents whose word-
     * shingle set is near-duplicate (exact Jaccard >= threshold) of ANY
     * eval document — the paraphrased/partially-edited leakage that

@@ -733,6 +733,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r._1.mkString("|") == r._2)
   }
 
+  test("noveltyScores: first occurrence by arrival order, set " +
+      "semantics per doc, short-doc gram convention") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),          // both grams first here -> 1.0
+      (2L, "a b c d e f g h y"),          // shares gram 1 with doc 1 -> 0.5
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),    // single novel gram -> 1.0
+      (4L, "short text"),                 // < 8 words: whole doc is the gram
+      (5L, "short text")                  // exact dup of doc 4 -> 0.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.noveltyScores(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5)), 3L -> ((1L, 1L, 1.0)),
+      4L -> ((1L, 1L, 1.0)), 5L -> ((1L, 0L, 0.0))), s"got $got")
+    // repeated grams WITHIN a doc count once (set semantics)
+    val rep = Seq((7L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"))
+      .toDF("doc_id", "text")
+    // 16 words = 9 windows, but window 9 repeats window 1 -> 8 distinct
+    val r = TextOps.noveltyScores(rep, "doc_id", "text", 8).collect().head
+    assert(r.getLong(1) == 8L, s"distinct grams ${r.getLong(1)}")
+  }
+
   test("BPE merges match a plain-Scala reference implementation") {
     val corpus = Seq("low low low low low", "lower lower", "low lower",
       "newest newest newest", "widest widest", "aaa aaa", "n e w")
