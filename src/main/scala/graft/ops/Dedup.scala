@@ -561,19 +561,24 @@ object Dedup {
       s"exciseAgainstIndex: index was built with minLen=$idxMinLen, " +
         s"probe uses $minLen — gram identities cannot match")
     val nBuckets = meta.getAs[Int]("n_buckets").toLong
+    // ONE ≤ nBuckets-row collect carries BOTH driver decisions: the
+    // per-bucket distinct-gram counts sum to the size-gate total, and
+    // the keys are the partition-pruning bucket list — fusing what was
+    // a count job plus a distinct-collect job into a single pass over
+    // the batch's anchors
+    val bucketCounts = batchGrams
+      .groupBy(pmod(col("h"), lit(nBuckets)).as("b"))
+      .agg(count(lit(1)).as("n")).collect()
     // the size gate: 8 bytes × maxBroadcastGrams bounds the broadcast
     // (default ~32 MB); a quarter-corpus "batch" would otherwise OOM
     // the driver and every executor through broadcast(batchGrams)
-    val nBatchGrams = batchGrams.count()
+    val nBatchGrams = bucketCounts.map(_.getLong(1)).sum
     val broadcastRegime = nBatchGrams <= maxBroadcastGrams
     if (!broadcastRegime) log.warn(
       s"exciseAgainstIndex: $nBatchGrams batch grams exceed the " +
         s"broadcast gate ($maxBroadcastGrams) — probing via " +
         "hash-partitioned semi-joins (backfill regime)")
-    // ≤ nBuckets distinct values — a bounded collect no matter the batch
-    val wanted = batchGrams
-      .select(pmod(col("h"), lit(nBuckets)).as("b")).distinct()
-      .collect().map(_.getLong(0))
+    val wanted = bucketCounts.map(_.getLong(0))
     val pruned = idx.where(col("bucket").isin(wanted: _*))
     val hits = (if (broadcastRegime)
         pruned.join(broadcast(batchGrams), Seq("h"), "left_semi")
