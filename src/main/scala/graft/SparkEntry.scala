@@ -3374,6 +3374,26 @@ object SparkEntry {
       TextOps.contaminatedIds(corpus, evalSet, "doc_id", "text", 8)
     }),
 
+    // ---- LLM: cross-source duplication matrix -------------------------
+    // distinct shared content fingerprints per source pair — "does this
+    // source add anything beyond what's already ingested"; planted
+    // mirror docs guarantee hits alongside any natural cross-source
+    // dups (Dedup.crossSourceDuplication)
+    "q_cross_source_dups" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (600001L, "mirrored page body one", "srcM1"),
+        (600002L, "mirrored page body one", "srcM2"),
+        (600003L, "mirrored page body two", "srcM1"),
+        (600004L, "mirrored page body two", "srcM2"),
+        (600005L, "mirrored page body one", "srcM3"))
+        .toDF("doc_id", "text", "source")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(planted)
+      Dedup.crossSourceDuplication(docs, "source", "text")
+    }),
+
     // ---- LLM: per-document novelty vs arrival order -------------------
     // fraction of each doc's distinct 8-grams FIRST seen in that doc
     // (min doc id = arrival); boilerplate scores ~0, new text ~1 — the
@@ -8606,6 +8626,27 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, g FROM g WHERE doc_id < 20)
         |SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (g)""".stripMargin,
+
+    // mirrors Dedup.crossSourceDuplication (md5 equality classes match
+    // Spark's binary-cast md5 on UTF-8 text; fp never reaches output)
+    "q_cross_source_dups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (600001, 'mirrored page body one', 'srcM1'),
+        |    (600002, 'mirrored page body one', 'srcM2'),
+        |    (600003, 'mirrored page body two', 'srcM1'),
+        |    (600004, 'mirrored page body two', 'srcM2'),
+        |    (600005, 'mirrored page body one', 'srcM3'))
+        |      AS p(doc_id, text, source)),
+        |f AS (
+        |  SELECT DISTINCT md5(text) AS fp, source AS src FROM all_docs
+        |  WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+        |FROM f a JOIN f b USING (fp)
+        |WHERE a.src < b.src
+        |GROUP BY 1, 2""".stripMargin,
 
     // mirrors TextOps.noveltyScores: distinct 8-grams per doc, first
     // occurrence by min doc id, one double division per row

@@ -102,6 +102,33 @@ object Dedup {
     * the same fingerprint [[exactByFingerprint]] groups on. */
   def fingerprintOf(key: Column): Column = md5(key.cast("binary"))
 
+  /** Cross-source duplication matrix — the crawl diagnostic behind
+    * "which sources copy each other": for every unordered source pair,
+    * how many distinct content fingerprints occur in BOTH — the
+    * overlap accounting that decides whether a new source adds
+    * anything beyond what's already ingested (e.g. a mirror site, a
+    * re-crawled dump). Cross-source only (source_a < source_b);
+    * WITHIN-source duplication is [[exact]]'s n_copies per source.
+    * NULL keys/sources are excluded.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (fingerprint,
+    * source) rows — 16-byte md5 + the source value, never the payload
+    * — and the self-join is keyed on the fingerprint with both sides
+    * the same subplan (ReuseExchange; the Dedup cache-ownership rule).
+    * A fingerprint's bucket is bounded by the SOURCE count (distinct
+    * per source), so no hot-key blowup exists, and the output is
+    * ≤ |sources|² rows. */
+  def crossSourceDuplication(docs: DataFrame, sourceCol: String,
+      keyCol: String): DataFrame = {
+    val fps = docs.where(col(keyCol).isNotNull && col(sourceCol).isNotNull)
+      .select(fingerprintOf(col(keyCol)).as("fp"),
+        col(sourceCol).as("src")).distinct()
+    fps.as("a").join(fps.as("b"), Seq("fp"))
+      .where(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
   /** LSH band keys: `bands` buckets, each hashing `rowsPerBand` adjacent
     * signature entries. Docs agreeing on ANY band become candidates. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =

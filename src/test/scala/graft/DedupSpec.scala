@@ -284,6 +284,22 @@ class DedupSpec extends SparkSpec {
       .getAs[Long]("generation") == 1L)
   }
 
+  test("crossSourceDuplication: unordered source pairs, distinct " +
+      "fingerprints, within-source repeats don't inflate") {
+    import graft.ops.Dedup
+    val rows = Seq(
+      (1L, "t1", "A"), (2L, "t1", "B"),          // A-B share t1
+      (3L, "t2", "A"), (4L, "t2", "B"),          // A-B share t2
+      (5L, "t1", "C"),                           // A-C and B-C share t1
+      (6L, "t1", "A"),                           // within-A repeat: no effect
+      (7L, "only-in-a", "A"), (8L, null, "B"), (9L, "t9", null))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDuplication(rows, "source", "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)),
+      s"got $got")
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
