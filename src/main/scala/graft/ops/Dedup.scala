@@ -653,8 +653,13 @@ object Dedup {
     * release (the documented cadence) or compact the bucket
     * directories — the index stays CORRECT regardless (readers list
     * all files), only file-count overhead grows. Single-writer
-    * contract: appends must not race each other or a rebuild. */
-  def appendToGramIndex(batch: DataFrame, path: String,
+    * contract: appends must not race each other or a rebuild.
+    *
+    * NULL-id docs are excluded, mirroring [[exciseAgainstIndex]] /
+    * [[exactSubstringDedup]]'s anchor accounting: a doc that cannot be
+    * excised (no identity) must not make OTHER docs' copies of its
+    * text "already seen", or the lifecycle's two halves disagree. */
+  def appendToGramIndex(batch: DataFrame, path: String, idCol: String,
       textCol: String): Unit = {
     import graft.functions.ShingleExprs.shingleAnchors
     val spark = batch.sparkSession
@@ -666,6 +671,7 @@ object Dedup {
     val gen = if (meta.schema.fieldNames.contains("generation"))
       meta.getAs[Long]("generation") else 0L
     val grams = batch
+      .where(longId(batch, idCol).isNotNull)
       .select(explode(shingleAnchors(lower(col(textCol)), minLen)).as("h"))
       .distinct()
       .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
@@ -1077,7 +1083,7 @@ object Dedup {
     import graft.functions.ShingleExprs._
     val spark = batch.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head
+    val meta = readSignatureMeta(spark, path)
     val shingleN = meta.getAs[Int]("shingle_n")
     val bands = meta.getAs[Int]("bands")
     val rowsPerBand = meta.getAs[Int]("rows_per_band")
@@ -1100,6 +1106,20 @@ object Dedup {
       .toDF("shingle_n", "bands", "rows_per_band", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** The signature index's recorded parameters, failing with GUIDANCE
+    * when the index predates the meta file (a pre-round-11 release
+    * build) instead of an opaque path error mid-lifecycle. */
+  private[graft] def readSignatureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.Row =
+    try spark.read.parquet(s"$path/meta").head
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"signature index at $path has no meta (built before the " +
+          "parameters were recorded) — rebuild it with " +
+          "saveSignatureIndex to enable appends/streaming ingest", e)
+    }
 
   /** Near-dups of a NEW batch against a [[saveSignatureIndex]] corpus:
     * batch signatures join the saved bucket table band-wise (the only

@@ -190,7 +190,10 @@ object Sampling {
     * ascending order — still a total, engine-stable order, and distinct
     * ids collide at ~2^-60 (the [[Kmv.rowSample]] posture; duplicate
     * ids, a contract violation, surface every copy of a surviving id).
-    * NULL groups form a real group (the join-back is null-safe). */
+    * NULL groups form a real group (the join-back is null-safe); NULL
+    * ids are never selectable (no tie-break position, no join-back
+    * identity — they are excluded from the sample on every id
+    * type). */
   def weightedSampleByGroup(df: DataFrame, keyCol: String, idCol: String,
       groupCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -459,8 +462,11 @@ object Sampling {
     // NULL scores are not preference signals: excluded up front on BOTH
     // paths (previously they consumed worst-side ranks only to have
     // every pair they touched dropped by the score-gap filter)
+    // NULL ids are excluded on EVERY path (an id-less row has no
+    // tie-break position, no join-back identity, and no recoverable
+    // pair endpoint); NULL scores are not preference signals
     val base = df.select(col(groupCol), col(idCol), col(scoreCol))
-      .where(col(scoreCol).isNotNull)
+      .where(col(scoreCol).isNotNull && col(idCol).isNotNull)
     val idType = df.schema(idCol).dataType
     val scoreType = df.schema(scoreCol).dataType
     val integralId = idType match {

@@ -592,6 +592,33 @@ object StreamOps {
       }
   }
 
+  /** Per-batch staging shared by the ingest-lifecycle operators: the
+    * batch's RESULT is written to `$indexPath/ingest_stage/b<batchId>`
+    * BEFORE the index append, and a replayed batch reads the staged
+    * result instead of recomputing — the recomputation would run
+    * against an index that already contains this batch's own append
+    * (foreachBatch replays after a crash between the append and the
+    * streaming commit), excising/rejecting the batch against itself.
+    * The `_SUCCESS` marker distinguishes a committed stage from a
+    * partial one (a crashed stage write is overwritten on replay —
+    * at that point the append has not run, so recomputation is still
+    * against the pre-batch index). Staged outputs are ALSO the durable
+    * materialization the append needs (the plan must not read the
+    * directory being appended to). Cleanup: delete staged batches only
+    * once the stream's checkpoint has committed past them. */
+  private def stagedBatchResult(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batchId: Long)
+      (compute: => DataFrame): DataFrame = {
+    val dir = s"$indexPath/ingest_stage/b$batchId"
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compute is by-name: a replayed batch never re-plans (let alone
+    // re-runs) the dedup against the already-grown index
+    if (!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")))
+      compute.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   /** Streaming corpus ingest with exact-substring dedup — the
     * end-to-end lifecycle of [[graft.ops.Dedup.saveGramIndex]] /
     * [[graft.ops.Dedup.exciseAgainstIndex]] /
@@ -605,30 +632,42 @@ object StreamOps {
     * remembers the append step.
     *
     * Returns the configured `DataStreamWriter`; the caller sets
-    * trigger/checkpoint and calls `start()`. Ordering inside a batch:
-    * the rewritten frame is MATERIALIZED (localCheckpoint) before the
-    * append mutates the directory its plan reads, then handed to
-    * `sink`. Failure semantics: `foreachBatch` may replay a batch; the
-    * excision replays identically (the index append is
-    * inventory-idempotent — novel-only anti-join, so a replayed append
-    * adds nothing the probe can see), and the sink sees the same rows
-    * again — make it idempotent by `idCol`, the standard foreachBatch
-    * contract. Scale shape per batch = [[graft.ops.Dedup.exciseAgainstIndex]]
-    * (size-gated broadcast, bucket-pruned index read) +
-    * [[graft.ops.Dedup.appendToGramIndex]] (batch-shaped append);
-    * single-writer: one ingest stream per index. */
+    * trigger/checkpoint and calls `start()`. Failure semantics: each
+    * batch's rewritten output is STAGED durably before the append (see
+    * [[stagedBatchResult]]), so a foreachBatch replay re-delivers the
+    * ORIGINAL pre-append result to the sink instead of re-excising the
+    * batch against its own appended grams (which would silently delete
+    * the batch's novel passages); the append itself is novel-only, so
+    * a replayed append adds nothing. Make the sink idempotent by
+    * `idCol`, the standard foreachBatch contract. Scale shape per
+    * batch = [[graft.ops.Dedup.exciseAgainstIndex]] (size-gated
+    * broadcast, bucket-pruned index read) +
+    * [[graft.ops.Dedup.appendToGramIndex]] (batch-shaped append) + one
+    * batch-sized staged write; single-writer: one ingest stream per
+    * index. */
   def substringDedupIngest(docs: DataFrame, indexPath: String,
       idCol: String = "doc_id", textCol: String = "text", minLen: Int = 8,
       maxBroadcastGrams: Long = 4000000L)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val cleaned = graft.ops.Dedup.exciseAgainstIndex(batch, indexPath,
-          idCol, textCol, minLen, maxBroadcastGrams)
-        .localCheckpoint(true)
-      sink(cleaned, batchId)
-      graft.ops.Dedup.appendToGramIndex(batch, indexPath, textCol)
+      substringDedupIngestBatch(batch, batchId, indexPath, idCol, textCol,
+        minLen, maxBroadcastGrams)(sink)
     }
+
+  /** One micro-batch of [[substringDedupIngest]] — public so replay
+    * behavior is directly testable (call twice with the same batchId:
+    * the second delivers the staged first result bit-for-bit). */
+  def substringDedupIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, idCol: String, textCol: String, minLen: Int = 8,
+      maxBroadcastGrams: Long = 4000000L)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    val cleaned = stagedBatchResult(batch.sparkSession, indexPath, batchId)(
+      graft.ops.Dedup.exciseAgainstIndex(batch, indexPath, idCol, textCol,
+        minLen, maxBroadcastGrams))
+    sink(cleaned, batchId)
+    graft.ops.Dedup.appendToGramIndex(batch, indexPath, idCol, textCol)
+  }
 
   /** Streaming corpus ingest with NEAR-duplicate dedup — the signature
     * index's lifecycle as one streaming operator, the
@@ -645,35 +684,57 @@ object StreamOps {
     * near-copies in micro-batch N+1 by construction.
     *
     * Same contracts as [[substringDedupIngest]]: caller configures the
-    * returned writer and calls `start()`; the accepted frame is
-    * materialized before the append mutates what its plan reads;
-    * foreachBatch may replay a batch — the dedup replays identically
-    * and the signature append skips already-present ids
-    * (replay-safe) — make the sink idempotent by `idCol`. Ids must be
-    * globally unique across the stream and the corpus (the
+    * returned writer and calls `start()`; each batch's ACCEPTED set is
+    * staged durably before the append ([[stagedBatchResult]]), so a
+    * foreachBatch replay re-delivers the original result instead of
+    * re-deduplicating the batch against its own appended signatures
+    * (which, for transitive within-batch clusters, could accept
+    * different survivors); the signature append skips already-present
+    * ids. Make the sink idempotent by `idCol`. Ids must be globally
+    * unique across the stream and the corpus (the
     * [[graft.ops.Dedup.incrementalNearDups]] rule). Signature
-    * parameters must match the index build (bucket keys embed the band
-    * structure). Single-writer: one ingest stream per index. */
+    * parameters are read from the INDEX's own meta, so they can never
+    * silently mismatch the build (a caller-supplied band structure
+    * that differed would find zero candidates and admit everything).
+    * Single-writer: one ingest stream per index. */
   def nearDupIngest(docs: DataFrame, indexPath: String,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      import graft.ops.Dedup
+      nearDupIngestBatch(batch, batchId, indexPath, idCol, textCol,
+        threshold)(sink)
+    }
+
+  /** One micro-batch of [[nearDupIngest]] — public so replay behavior
+    * is directly testable. A doc's own appended signature never counts
+    * as its duplicate (batch_id =!= corpus_id — defense in depth under
+    * the staged replay path). */
+  def nearDupIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, idCol: String, textCol: String,
+      threshold: Double = 0.5)
+      (sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val meta = Dedup.readSignatureMeta(spark, indexPath)
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = meta.getAs[Int]("rows_per_band")
+    val accepted = stagedBatchResult(spark, indexPath, batchId) {
       val corpusHits = Dedup.incrementalNearDups(batch, indexPath, idCol,
           textCol, shingleN, bands, rowsPerBand, threshold)
+        .where(col("batch_id") =!= col("corpus_id"))
         .select(col("batch_id").as("_dup")).distinct()
       val noCorpusDup = batch.join(corpusHits,
         col(idCol).cast("long") === col("_dup"), "left_anti")
       val pairs = Dedup.minhashNearDups(noCorpusDup, idCol, textCol,
         shingleN, bands, rowsPerBand, threshold)
-      val accepted = Dedup.representatives(noCorpusDup, pairs, idCol)
-        .localCheckpoint(true)
-      sink(accepted, batchId)
-      Dedup.appendToSignatureIndex(accepted, indexPath, idCol, textCol)
+      Dedup.representatives(noCorpusDup, pairs, idCol)
     }
+    sink(accepted, batchId)
+    Dedup.appendToSignatureIndex(accepted, indexPath, idCol, textCol)
+  }
 
   /** Streaming decontamination gate: annotate every arriving document
     * with how many of its distinct word n-grams appear in a STATIC

@@ -34,6 +34,9 @@ object EqDepthProbe {
       }.min
       stages.set(0); jobs.set(0)
       df.queryExecution.toRdd.count()
+      // listener events arrive on an async bus — give it a moment to
+      // drain before reading the counters (diagnostic-grade sync)
+      Thread.sleep(1000)
       println(f"[eqd] $label%-34s best $best%5.2f s  " +
         f"jobs ${jobs.get}%2d stages ${stages.get}%2d")
     }

@@ -40,7 +40,7 @@ object GramIndexProbe {
           .agg(sum(col("removed_tokens"))).head.getLong(0))
       println(s"[gramidx] removed tokens: $removed")
       time(s"appendToGramIndex $batchN docs")(
-        graft.ops.Dedup.appendToGramIndex(batch, tmp, "text"))
+        graft.ops.Dedup.appendToGramIndex(batch, tmp, "doc_id", "text"))
     }
     spark.stop()
   }

@@ -223,7 +223,7 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().head
     assert(preAppend._4 == 0L, "gap precondition changed")
     // append batch 1's grams, then batch 2 IS excised against them
-    Dedup.appendToGramIndex(batch1, tmp, "text")
+    Dedup.appendToGramIndex(batch1, tmp, "doc_id", "text")
     val postAppend = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id",
         "text", minLen = 8)
       .as[(Long, String, Long, Long)].collect().head
@@ -231,7 +231,7 @@ class DedupSpec extends SparkSpec {
       s"batch 2 not excised against batch 1's grams: $postAppend")
     // append is idempotent on the inventory: re-appending the same
     // batch adds nothing the probe can see, and the generation bumps
-    Dedup.appendToGramIndex(batch1, tmp, "text")
+    Dedup.appendToGramIndex(batch1, tmp, "doc_id", "text")
     val again = Dedup.exciseAgainstIndex(batch2, tmp, "doc_id", "text",
         minLen = 8)
       .as[(Long, String, Long, Long)].collect().head

@@ -774,6 +774,63 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch near-dup survived: $got")
   }
 
+  test("ingest replay stability: a replayed micro-batch re-delivers its " +
+      "staged pre-append result instead of deduping against itself") {
+    import graft.ops.Dedup
+    // --- substring form: without staging, the replay would excise the
+    // batch's novel passage against its OWN appended grams and the text
+    // would vanish from the corpus forever (r11 review finding)
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-replay-gram").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    val passage = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val batch = Seq((101L, s"head $passage foot")).toDF("doc_id", "text")
+    var first: Seq[(Long, String, Long)] = Nil
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id", "text",
+      minLen = 8) { (c, _) =>
+      first = c.collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(3)))
+    }
+    assert(first == Seq((101L, s"head $passage foot", 0L)))
+    // simulated crash-after-append: the same batchId arrives again
+    var replay: Seq[(Long, String, Long)] = Nil
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id", "text",
+      minLen = 8) { (c, _) =>
+      replay = c.collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(3)))
+    }
+    assert(replay == first, s"replay diverged: $replay vs $first")
+    // a genuinely NEW batch with the passage is excised as before
+    var next: Seq[Long] = Nil
+    StreamOps.substringDedupIngestBatch(
+      Seq((201L, s"x $passage y")).toDF("doc_id", "text"), 1L, tmp,
+      "doc_id", "text", minLen = 8) { (c, _) =>
+      next = c.collect().toSeq.map(_.getLong(3))
+    }
+    assert(next == Seq(8L))
+
+    // --- near-dup form: without staging + self-exclusion, the replayed
+    // batch's docs near-dup their own appended signatures and the
+    // accepted set collapses to empty
+    val corpus2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-replay-sig").toString
+    Dedup.saveSignatureIndex(corpus2, tmp2, "doc_id", "text")
+    val nd = Seq((301L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    var acc1: Set[Long] = Set.empty
+    StreamOps.nearDupIngestBatch(nd, 0L, tmp2, "doc_id", "text") {
+      (a, _) => acc1 = a.collect().map(_.getLong(0)).toSet }
+    assert(acc1 == Set(301L))
+    var acc2: Set[Long] = Set.empty
+    StreamOps.nearDupIngestBatch(nd, 0L, tmp2, "doc_id", "text") {
+      (a, _) => acc2 = a.collect().map(_.getLong(0)).toSet }
+    assert(acc2 == acc1, s"near-dup replay diverged: $acc2 vs $acc1")
+  }
+
   test("streaming KMV quantiles reject NaN payloads loudly") {
     // NaN is the state's NULL sentinel: a genuine NaN arriving on the
     // stream must fail the query, not silently reclassify as NULL
