@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * the candidate-generation shape follows ops/RangeJoin's bin-sharding
   * and ops/Dedup's banded joins.)
   *
-  * Coordinates are integer micro-degrees (or any integer unit) with
-  * |x|,|y| <= ~2e9: the squared Euclidean distance then stays an EXACT
-  * BIGINT ((4e9)^2 * 2 < 2^63), so the r^2 comparison is integer-exact
-  * on every engine — no haversine, no libm, no float tolerance. For
+  * Coordinates are integer micro-degrees (or any integer unit); a
+  * candidate pair from adjacent cells is at most 2·radius apart per
+  * axis, so with radius ≤ 2^30 the squared Euclidean distance stays an
+  * EXACT BIGINT (8·r² ≤ 2^63−1) and the r² comparison is
+  * integer-exact on every engine — no haversine, no libm, no float
+  * tolerance. For
   * city-scale radii the planar metric is the standard approximation;
   * a true great-circle confirm would slot into the same candidate
   * pipeline.
@@ -48,7 +50,13 @@ object Geo {
   def radiusPairs(points: DataFrame, idCol: String, xCol: String,
       yCol: String, radius: Long): DataFrame = {
     require(radius > 0, "radius must be positive")
-    require(radius <= 2000000000L, "radius beyond the exact-BIGINT domain")
+    // candidates from adjacent cells can be up to 2·radius apart PER
+    // AXIS, so dist2 reaches 8r² — exactness needs 8r² ≤ 2^63−1, i.e.
+    // r ≤ 2^30 (the previous 2e9 bound let a wrapped-negative dist2
+    // pass the <= r² filter and emit a pair ~2r apart as in-range)
+    require(radius <= (1L << 30),
+      s"radius beyond the exact-BIGINT domain (8*r*r must fit a " +
+        s"BIGINT): max ${1L << 30}, got $radius")
     val a = points.select(col(idCol).as("a_id"),
       col(xCol).cast("long").as("ax"), col(yCol).cast("long").as("ay"))
       .withColumn("cx", cellOf(col("ax"), radius))

@@ -504,15 +504,24 @@ object Multimodal {
   /** Bytes per frame for the y4m colourspaces we accept; the luma plane
     * is always the first `w*h` bytes of a frame, which is all the stats
     * read — chroma is skipped, not interpreted. */
-  private def y4mFrameBytes(w: Int, h: Int, cs: String): Option[Int] =
-    cs match {
-      case "mono" => Some(w * h)
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Option[Int] = {
+    // all size math in LONG: a crafted header like W46341 H46341 wraps
+    // w*h negative in Int, slips past the truncation checks, and
+    // crashes the task with ArrayIndexOutOfBoundsException — a parser
+    // whose contract is "None for anything malformed" must reject it
+    // instead (any frame over Int.MaxValue bytes can't be addressed in
+    // a JVM byte array anyway)
+    val wh = w.toLong * h.toLong
+    val len: Option[Long] = cs match {
+      case "mono" => Some(wh)
       case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
-        if (w % 2 == 0 && h % 2 == 0) Some(w * h * 3 / 2) else None
-      case "422" => if (w % 2 == 0) Some(w * h * 2) else None
-      case "444" => Some(w * h * 3)
+        if (w % 2 == 0 && h % 2 == 0) Some(wh * 3 / 2) else None
+      case "422" => if (w % 2 == 0) Some(wh * 2) else None
+      case "444" => Some(wh * 3)
       case _ => None // packed/alpha/high-bit-depth variants
     }
+    len.filter(l => l >= 1 && l <= Int.MaxValue.toLong).map(_.toInt)
+  }
 
   /** Minimal pure-JVM YUV4MPEG2 parser: reads the `YUV4MPEG2 ...`
     * stream header (W/H/F mandatory here, other tags skipped), then
@@ -818,6 +827,11 @@ object Multimodal {
     * `frameSize`-byte slice — pure codegen'd expression, no UDF. A row
     * with payload shorter than one frame yields an empty array. */
   def frameSample(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    // stride = 0 would otherwise yield silent NULL n_frames (non-ANSI)
+    // or a runtime DIVIDE_BY_ZERO (ANSI); negative values, nonsense
+    // substring offsets — the resizeStub/resizeImages guard convention
+    require(frameSize >= 1 && stride >= 1,
+      s"frameSize and stride must be >= 1, got ($frameSize, $stride)")
     val n = octet_length(col("payload"))
     // floor division: Spark's `/` on ints yields double, so cast back
     val nFrames = when(n >= frameSize,

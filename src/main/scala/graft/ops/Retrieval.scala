@@ -202,7 +202,14 @@ object Retrieval {
     * whitespace tokenization as every text op here. */
   def buildIndex(docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64): Unit =
+    writePostings(docs, path, idCol, textCol, nBuckets, "overwrite")
+
+  /** The one tokenize/tf/bucket pipeline behind [[buildIndex]] and
+    * [[appendToIndex]] — a change here cannot desynchronize the
+    * base-build and append paths. */
+  private def writePostings(docs: DataFrame, path: String, idCol: String,
+      textCol: String, nBuckets: Int, mode: String): Unit = {
     require(nBuckets >= 1, "nBuckets must be positive")
     docs
       .select(col(idCol), explode(TextOps.words(lower(col(textCol))))
@@ -210,7 +217,7 @@ object Retrieval {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
   }
 
@@ -224,17 +231,8 @@ object Retrieval {
     * fashion). */
   def appendToIndex(docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 64): Unit = {
-    require(nBuckets >= 1, "nBuckets must be positive")
-    docs
-      .select(col(idCol), explode(TextOps.words(lower(col(textCol))))
-        .as("term"))
-      .groupBy(col("term"), col(idCol))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(crc32(col("term")), lit(nBuckets.toLong)))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-  }
+      nBuckets: Int = 64): Unit =
+    writePostings(docs, path, idCol, textCol, nBuckets, "append")
 
   /** Compact an index that has accumulated small files from many
     * [[appendToIndex]] increments: rewrite the postings to a fresh
@@ -247,6 +245,22 @@ object Retrieval {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val live = Paths.get(s"$path/postings")
     val fresh = Paths.get(s"$path/postings.compact")
+    val retired0 = Paths.get(s"$path/postings.old")
+    // re-runnability: a prior compact that died mid-delete (or
+    // mid-rewrite) leaves postings.old / postings.compact behind, and
+    // the ATOMIC_MOVE below would then fail on every later compact —
+    // clear the scratch names first (the live index is never touched)
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList.foreach(Files.delete)
+        } finally s.close()
+      }
+    deleteTree(retired0)
+    deleteTree(fresh)
     spark.read.parquet(live.toString)
       .repartition(col("bucket")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -273,8 +287,12 @@ object Retrieval {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: Map[Long, String], nBuckets: Int = 64): DataFrame = {
     import spark.implicits._
+    // Locale.ROOT: Spark's lower() is locale-independent, and a driver
+    // JVM under tr-TR would otherwise dotless-i the query terms into
+    // buckets/terms the index never wrote (silent zero results)
     val qterms: Seq[(Long, String)] = queries.toSeq.flatMap { case (qid, q) =>
-      q.toLowerCase.trim.split("\\s+").toSeq.distinct.map(qid -> _) }
+      q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .toSeq.distinct.map(qid -> _) }
     // driver-side mirror of Spark's crc32 (same polynomial, UTF-8 bytes)
     def bucketOf(t: String): Long = {
       val crc = new java.util.zip.CRC32
@@ -287,11 +305,16 @@ object Retrieval {
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
     val qdf = qterms.toDF("query_id", "term")
     val need = queries.toSeq.map { case (qid, q) =>
-      qid -> q.toLowerCase.trim.split("\\s+").toSeq.distinct.size.toLong }
+      qid -> q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        .toSeq.distinct.size.toLong }
       .toDF("query_id", "n_need")
+    // count DISTINCT terms, not posting rows: duplicate (term, doc)
+    // postings (a doc re-ingested by appendToIndex) would otherwise
+    // make partial matches reach n_need — a FALSE-POSITIVE conjunctive
+    // hit, not just the documented surfaces-twice artifact
     postings.join(broadcast(qdf), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("matched"))
+      .agg(count_distinct(col("term")).as("matched"))
       .join(broadcast(need), Seq("query_id"))
       .where(col("matched") === col("n_need"))
       .select(col("query_id"), col("doc_id"))
@@ -348,8 +371,8 @@ object Retrieval {
         .cast("binary")), 1, 8), 16, 10).cast("long") % 1000L) / lit(999.0)
     def comps(tok: Column) = (0 until dim).map(comp(tok, _))
     val dtoks = docs
-      .select(col(docIdCol), explode(split(trim(lower(col(textCol))),
-        "\\s+")).as("dtok"))
+      .select(col(docIdCol),
+        explode(TextOps.words(lower(col(textCol)))).as("dtok"))
       .where(col("dtok") =!= "").distinct()
     val qtoks = queries
       .select(col(qidCol), lower(col(qTokenCol)).as("qtok")).distinct()

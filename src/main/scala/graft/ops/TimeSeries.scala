@@ -356,17 +356,32 @@ object TimeSeries {
       .withColumn("__v", lag(col("__u"), lagK).over(w))
       .where(col("__v").isNotNull)
       .groupBy(col(keyCol))
+      // moment products in DECIMAL(38,0): per-row u·v and the Pearson
+      // products n·Σu² / (Σu)² overflow BIGINT at realistic key sizes
+      // (1e6 pairs of ~100.00 values already wraps (Σu)² — ADVICE-class,
+      // r11 self-review); decimal keeps them exact for |unit| ≤ ~1e9
+      // and n_pairs ≤ ~1e9 (every product ≤ 1e36 < 1e38), and the final
+      // double casts round the same values the long path produced
+      // wherever the long path was in range
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__u")).as("su"), sum(col("__v")).as("sv"),
-        sum(col("__u") * col("__v")).as("suv"),
-        sum(col("__u") * col("__u")).as("su2"),
-        sum(col("__v") * col("__v")).as("sv2"))
+        sum(col("__u").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__v")).as("suv"),
+        sum(col("__u").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__u")).as("su2"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__v")).as("sv2"))
       .select(col(keyCol), col("n_pairs"),
-        expr("CASE WHEN n_pairs * su2 - su * su = 0" +
-          " OR n_pairs * sv2 - sv * sv = 0 THEN NULL" +
-          " ELSE CAST(n_pairs * suv - su * sv AS DOUBLE)" +
-          " / (sqrt(CAST(n_pairs * su2 - su * su AS DOUBLE))" +
-          " * sqrt(CAST(n_pairs * sv2 - sv * sv AS DOUBLE))) END")
+        expr("CASE WHEN CAST(n_pairs AS DECIMAL(38,0)) * su2" +
+          " - CAST(su AS DECIMAL(38,0)) * su = 0" +
+          " OR CAST(n_pairs AS DECIMAL(38,0)) * sv2" +
+          " - CAST(sv AS DECIMAL(38,0)) * sv = 0 THEN NULL" +
+          " ELSE CAST(CAST(n_pairs AS DECIMAL(38,0)) * suv" +
+          " - CAST(su AS DECIMAL(38,0)) * sv AS DOUBLE)" +
+          " / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * su2" +
+          " - CAST(su AS DECIMAL(38,0)) * su AS DOUBLE))" +
+          " * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sv2" +
+          " - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE))) END")
           .as("autocorr"))
   }
 
@@ -405,10 +420,20 @@ object TimeSeries {
     df.where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .withColumn("value_unit", unit)
       .withColumn("__l", collect_list(col("value_unit")).over(w))
-      .withColumn("ewma_unit_micros",
-        expr("(1000000L * aggregate(" +
-          "transform(__l, (v, i) -> v * shiftleft(1L, i)), 0L," +
-          " (a, x) -> a + x)) div (shiftleft(1L, size(__l)) - 1L)"))
-      .drop("__l")
+      .withColumn("__s", expr("aggregate(" +
+        "transform(__l, (v, i) -> v * shiftleft(1L, i)), 0L," +
+        " (a, x) -> a + x)"))
+      .withColumn("__d", expr("shiftleft(1L, size(__l)) - 1L"))
+      // quotient-and-remainder split of (10^6·S) div D: multiplying the
+      // FULL weighted sum by 10^6 first overflowed BIGINT once
+      // |unit| ≥ ~2150 at lookback 32 (ADVICE-class, r11 self-review);
+      // the split is the identical truncating quotient — 10^6·S =
+      // 10^6·q·D + 10^6·r with every term sharing S's sign — and the
+      // remainder term stays under 2^52, so the op is now exact for
+      // |unit| up to ~2^31 at the max lookback, the range the scaladoc
+      // always claimed
+      .withColumn("ewma_unit_micros", expr(
+        "(__s div __d) * 1000000L + ((__s % __d) * 1000000L) div __d"))
+      .drop("__l", "__s", "__d")
   }
 }

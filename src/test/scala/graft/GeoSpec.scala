@@ -47,6 +47,17 @@ class GeoSpec extends SparkSpec {
     assert(got.sorted == brute(pts, 7L))
   }
 
+  test("radiusPairs: radii past the exact-BIGINT domain are rejected " +
+      "(dist2 can reach 8r^2 for adjacent-cell candidates)") {
+    val pts = Seq((1L, 0L, 0L)).toDF("pid", "x", "y")
+    // the old 2e9 bound admitted wrapped-negative dist2 values that
+    // passed the <= r^2 filter (a pair ~2r apart emitted as in-range)
+    intercept[IllegalArgumentException] {
+      Geo.radiusPairs(pts, "pid", "x", "y", (1L << 30) + 1) }
+    // the max exact radius still runs (and finds nothing here)
+    assert(Geo.radiusPairs(pts, "pid", "x", "y", 1L << 30).isEmpty)
+  }
+
   test("nearestWithin: rank-1 neighbor per anchor, ties on id") {
     val pts = Seq(
       (1L, 0L, 0L), (2L, 4L, 0L), (3L, -4L, 0L), // 2 and 3 tie for 1

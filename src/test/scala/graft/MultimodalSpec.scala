@@ -250,6 +250,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 5L).forall(id => rows(id).isNullAt(3)))
   }
 
+  test("y4m decode: Int-overflow frame dimensions are malformed, not a " +
+      "task crash") {
+    // W46341*H46341 wraps w*h negative in Int: the negative frameLen
+    // previously slipped past the truncation checks and the parser
+    // crashed the executor with ArrayIndexOutOfBoundsException;
+    // W65536*H65536 wraps to exactly 0 and silently parsed garbage.
+    // Both must decode as malformed (null stats) — the parser's
+    // documented contract over crawl dumps (r11 self-review)
+    val wrapNeg = "YUV4MPEG2 W46341 H46341 F25:1 Cmono\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array.fill(64)(7.toByte)
+    val wrapZero = "YUV4MPEG2 W65536 H65536 F25:1 Cmono\nFRAME\n"
+      .getBytes("US-ASCII") ++ Array.fill(64)(7.toByte)
+    val media = Seq((1L, "video", wrapNeg), (2L, "video", wrapZero))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.decodeVideo(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(3) && rows(2L).isNullAt(3))
+  }
+
+  test("frameSample rejects degenerate frameSize/stride") {
+    val media = Seq((1L, "bin", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.frameSample(media, 2, 0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.frameSample(media, 0, 2) }
+  }
+
   test("planted y4m payloads decode to the closed-form frame stats") {
     val planted = Multimodal.plantedY4m(docs)
     val decoded = Multimodal.decodeVideo(planted).collect()

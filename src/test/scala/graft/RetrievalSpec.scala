@@ -229,6 +229,33 @@ class RetrievalSpec extends SparkSpec {
     assert(before.map(_._2) == (1L to 9L).toSet)
   }
 
+  test("searchIndex: duplicate postings never fake a conjunctive match; " +
+      "compactIndex is re-runnable after a crashed swap") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-invidx-dup").toString
+    // doc 1 contains ONLY alpha; re-ingesting it duplicates its
+    // (alpha, 1) posting — with row counting, 'alpha beta' would have
+    // matched doc 1 (2 rows = n_need) despite beta never occurring
+    Retrieval.buildIndex(Seq((1L, "alpha"), (2L, "alpha beta"))
+      .toDF("doc_id", "text"), tmp, nBuckets = 2)
+    Retrieval.appendToIndex(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      tmp, nBuckets = 2)
+    val got = Retrieval.searchIndex(spark, tmp, Map(1L -> "alpha beta"),
+      nBuckets = 2).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"duplicate posting faked a match: $got")
+    // a prior compact that died mid-delete leaves postings.old behind —
+    // the next compact must clear it and succeed, not throw on the move
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/postings.old/stale"))
+    Retrieval.compactIndex(spark, tmp)
+    val after = Retrieval.searchIndex(spark, tmp, Map(1L -> "alpha"),
+      nBuckets = 2).as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 1L), (1L, 2L)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/postings.old")))
+  }
+
   test("rrfFuse: hand-computed fusion, missing-doc convention, tie-break") {
     // list A ranks docs 1,2,3; list B ranks 2,1,9 — doc 2 is the
     // consensus pick: 1M/(60+2)+1M/(60+1) = 16129+16393 = 32522

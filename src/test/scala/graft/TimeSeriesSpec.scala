@@ -281,4 +281,39 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.ewmaDyadic(df, "k", Seq(col("sec")), "v", 33))
   }
+
+  test("ewmaDyadic and autocorr stay exact at magnitudes that overflowed " +
+      "the old BIGINT products (r11 self-review)") {
+    import spark.implicits._
+    // lookback 32 over values ~1e5: the old (10^6 * Σ v·2^i) wrapped
+    // once |unit| >= ~2150; the quotient-remainder split must equal the
+    // BigInt reference exactly
+    val vals = (1 to 40).map(i => 100000.0 + i * 137.25)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "k", v) }.toDF("sec", "k", "v")
+    val got = TimeSeries.ewmaDyadic(df, "k", Seq(col("sec")), "v",
+        lookback = 32)
+      .select("sec", "ewma_unit_micros").as[(Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val units = vals.map(v => BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).*(100).toBigInt)
+    (0 until 40).foreach { i =>
+      val window = units.slice(math.max(0, i - 31), i + 1)
+      val s = window.zipWithIndex.map { case (u, j) =>
+        u * BigInt(2).pow(j) }.sum
+      val d = BigInt(2).pow(window.length) - 1
+      val expect = (BigInt(1000000) * s) / d   // both positive: same trunc
+      assert(BigInt(got(i.toLong)) == expect, s"row $i")
+    }
+    // autocorr at 1e5-scale values over 5k pairs: (Σu)² alone is ~2.6e21
+    // — far past 2^63; the decimal moments must still give ~1.0 on a
+    // perfectly persistent series instead of wrapped garbage
+    val big = (1 to 5001).map(i => ("big", i.toLong, 100000.0 + i))
+      .toDF("k", "sec", "v")
+    val ac = graft.ops.TimeSeries.autocorr(big, "k", Seq(col("sec")),
+        "v", lagK = 1)
+      .as[(String, Long, Option[Double])].collect().head
+    assert(ac._2 == 5000L && math.abs(ac._3.get - 1.0) < 1e-9,
+      s"autocorr ${ac._3}")
+  }
 }
