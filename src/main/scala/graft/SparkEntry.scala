@@ -5062,9 +5062,9 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |    || '</div></body></html>' AS html
         |  FROM documents),
         |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
-        |    regexp_replace(html, '<head[ >][\s\S]*?</head>', ' ', 'g'),
-        |    '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
-        |    '<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS nos FROM u),
+        |    regexp_replace(html, '(?i)<head[ >][\s\S]*?</head>', ' ', 'g'),
+        |    '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+        |    '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS nos FROM u),
         |s2 AS (SELECT doc_id, html,
         |    regexp_replace(nos, '<[^>]*>', ' ', 'g') AS notags FROM s1),
         |s3 AS (SELECT doc_id, html,
@@ -10047,7 +10047,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM documents),
         |l AS (
         |  SELECT doc_id, unnest(regexp_extract_all(html,
-        |    '<a href="([^"]*)"', 1)) AS target
+        |    '(?i)<a href="([^"]*)"', 1)) AS target
         |  FROM u)
         |SELECT target, count(*) AS n_refs,
         |  count(DISTINCT doc_id) AS n_docs
@@ -10145,8 +10145,8 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_html_extract" ->
       (HtmlReplayCtes +
         """SELECT doc_id,
-          |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-          |  (length(html) - length(replace(html, '<a href', ''))) // 7
+          |  regexp_extract(html, '(?i)<title>([^<]*)</title>', 1) AS title,
+          |  CAST(len(regexp_extract_all(html, '(?i)<a href')) AS BIGINT)
           |    AS n_links,
           |  text_clean,
           |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
@@ -10157,7 +10157,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_cc_pipeline" ->
       (HtmlReplayCtes +
         """SELECT doc_id,
-          |  (length(html) - length(replace(html, '<a href', ''))) // 7
+          |  CAST(len(regexp_extract_all(html, '(?i)<a href')) AS BIGINT)
           |    AS n_links,
           |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
           |FROM s4""".stripMargin),
@@ -10209,8 +10209,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
         |  FROM s1),
         |s3 AS (SELECT doc_id, url, scheme,
-        |  regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
-        |    ':(80|443)$', '') AS host,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(
+        |      lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+        |    WHEN scheme = 'https' THEN regexp_replace(
+        |      lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+        |    ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END AS host,
         |  regexp_replace(rest, '^[^/?#]*', '') AS pathq0 FROM s2),
         |s4 AS (SELECT doc_id, url, scheme, host,
         |  regexp_replace(pathq0,

@@ -344,7 +344,12 @@ object Graph {
       case Some(wc) =>
         edges.select(col(srcCol).cast("string").as("src"),
           col(dstCol).cast("string").as("dst"),
-          when(col(wc).cast("long") > 0, col(wc).cast("long"))
+          // the cast alone silently FLOORS fractional weights (1.9 -> 1
+          // passes the > 0 test) — the integrality check makes the
+          // "positive integers or fail loudly" contract actually hold
+          when(col(wc).cast("long") > 0 &&
+              col(wc).cast("double") === col(wc).cast("long").cast("double"),
+              col(wc).cast("long"))
             .otherwise(expr(
               "raise_error('pageRank: edge weight must be a positive " +
                 "integer')")).as("w"))
@@ -565,9 +570,13 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
-        when(col(weightCol).cast("long") > 0, col(weightCol).cast("long"))
+        when(col(weightCol).cast("long") > 0 &&
+            col(weightCol).cast("double") ===
+              col(weightCol).cast("long").cast("double"),
+            col(weightCol).cast("long"))
           .otherwise(raise_error(lit(
-            "shortestPaths: edge weights must be positive integers")))
+            "shortestPaths: edge weights must be positive integers " +
+              "(fractional weights would be silently floored)")))
           .as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       // parallel edges: only the lightest can ever win a relaxation

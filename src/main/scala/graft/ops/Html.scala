@@ -20,24 +20,28 @@ import org.apache.spark.sql.functions._
   * unclosed `<` drops the tail of its line's markup, text survives). */
 object Html {
 
-  /** `<title>` contents ('' when absent). */
+  /** `<title>` contents ('' when absent). Tag names match
+    * case-insensitively — <TITLE>/<Title> markup is ubiquitous in
+    * older crawled pages (r11 self-review; all tag patterns here carry
+    * (?i), which replays identically in RE2). */
   def title(html: Column): Column =
-    regexp_extract(html, "<title>([^<]*)</title>", 1)
+    regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
 
-  /** Anchor count: occurrences of `<a href` (cheap length arithmetic,
-    * no regex). */
+  /** Anchor count: case-insensitive `<a href` occurrences. */
   def linkCount(html: Column): Column =
-    ((length(html) - length(replace(html, lit("<a href"), lit("")))) / 7)
-      .cast("long")
+    size(regexp_extract_all(html, lit("(?i)<a href"), lit(0))).cast("long")
 
   /** Visible text: script/style blocks dropped whole, remaining tags
     * stripped, the 6 high-volume entities decoded, whitespace
     * collapsed. */
   def visibleText(html: Column): Column = {
     // the whole <head> is metadata, not content (title/meta/script/style)
-    val noHead = regexp_replace(html, "<head[ >][\\s\\S]*?</head>", " ")
-    val noScript = regexp_replace(noHead, "<script[^>]*>[\\s\\S]*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
+    // (?i): uppercase <SCRIPT>/<STYLE>/<HEAD> blocks otherwise leak
+    // their raw JavaScript/CSS into the training text — exactly the
+    // contamination this extraction exists to remove
+    val noHead = regexp_replace(html, "(?i)<head[ >][\\s\\S]*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?i)<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?i)<style[^>]*>[\\s\\S]*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     // &amp; decodes LAST: the standard order, so '&amp;lt;' becomes the
     // literal text '&lt;' instead of double-decoding to '<'
@@ -50,7 +54,7 @@ object Html {
   /** Outbound link targets: every `<a href="...">` value, in document
     * order. */
   def links(html: Column): Column =
-    regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+    regexp_extract_all(html, lit("(?i)<a href=\"([^\"]*)\""), lit(1))
 
   /** Site link graph: one row per distinct link target with its total
     * reference count and distinct referring documents — the in-degree

@@ -56,7 +56,12 @@ object Robots {
     val byLine = Window.partitionBy(col("host")).orderBy(col("line_no"))
     robots
       .select(col(hostCol).as("host"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
+        // RFC 9309 NL is CR, LF, or CRLF: splitting on bare \n left a
+        // trailing \r on every Windows-served robots.txt line that
+        // trim() (ASCII space only) never removed — rule prefixes and
+        // User-agent values silently matched nothing (r11 self-review)
+        posexplode(split(col(txtCol), "\r\n|\r|\n"))
+          .as(Seq("line_no", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
       .where(col("line") =!= "" && col("line").contains(":"))
       .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
@@ -70,12 +75,25 @@ object Robots {
       .withColumn("gid", sum(col("new_group")).over(byLine))
   }
 
-  /** (host, gid) pairs of groups whose agent set matches `agent`. */
-  private def matchingGroups(grouped: DataFrame, agent: String): DataFrame =
-    grouped
-      .where(col("is_ua") &&
-        (col("value") === agent || col("value") === "*"))
+  /** (host, gid) pairs of the groups that GOVERN `agent` under RFC
+    * 9309 §2.2.1: the most specific match wins per host — groups whose
+    * agent token equals `agent` (case-insensitively, as the RFC
+    * requires) when any exist, otherwise the host's `*` groups. The
+    * previous union of both let a `*` group's longer Allow override an
+    * exact group's Disallow — a compliance violation. */
+  private def matchingGroups(grouped: DataFrame, agent: String): DataFrame = {
+    val ua = grouped.where(col("is_ua"))
+      .select(col("host"), col("gid"),
+        (lower(col("value")) ===
+          agent.toLowerCase(java.util.Locale.ROOT)).as("_exact"),
+        (col("value") === "*").as("_star"))
+    val exact = ua.where(col("_exact"))
       .select(col("host"), col("gid")).distinct()
+    val star = ua.where(col("_star"))
+      .join(exact.select(col("host")).distinct(), Seq("host"), "left_anti")
+      .select(col("host"), col("gid")).distinct()
+    exact.unionByName(star)
+  }
 
   /** Admission verdict per URL under [[parseRobots]] rules, with the
     * REP precedence: among rules whose prefix matches the URL's path,
@@ -91,11 +109,30 @@ object Robots {
     * argmax is one window over the match rows keyed by `idCol`. */
   def filterAllowed(urls: DataFrame, rules: DataFrame, hostCol: String,
       pathCol: String, idCol: String): DataFrame = {
+    // RFC 9309 §2.2.3 special characters: '*' matches any char run and
+    // a trailing '$' anchors the end — crawlers MUST support both, and
+    // the previous literal startsWith treated "/*.pdf$"-style rules as
+    // ordinary bytes that matched nothing (every URL they were meant to
+    // block was admitted). Plain prefixes keep the cheap startsWith;
+    // rules carrying a special compile to an anchored regex per match
+    // row (rules are hosts x rules — tiny next to the frontier).
+    val hasDollar = col("prefix").endsWith("$")
+    val body = when(hasDollar,
+      expr("substring(prefix, 1, length(prefix) - 1)")).otherwise(col("prefix"))
+    val quoted = regexp_replace(body,
+      "([\\\\.\\^\\$\\+\\?\\(\\)\\[\\]\\{\\}\\|])", "\\\\$1")
+    val pattern = concat(lit("^"),
+      regexp_replace(quoted, "\\*", ".*"),
+      when(hasDollar, lit("$")).otherwise(lit("")))
     val matches = urls.select(col(idCol), col(hostCol), col(pathCol))
       .join(rules.withColumnRenamed("host", hostCol),
         Seq(hostCol), "left")
+      .withColumn("_plain",
+        !col("prefix").contains("*") && !hasDollar)
+      .withColumn("_pat", when(!col("_plain"), pattern))
       .where(col("prefix").isNull ||
-        col(pathCol).startsWith(col("prefix")))
+        when(col("_plain"), col(pathCol).startsWith(col("prefix")))
+          .otherwise(expr(s"`$pathCol` RLIKE _pat")))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(
           // longest matching prefix first; allow beats disallow on ties;

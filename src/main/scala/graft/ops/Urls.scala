@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Normalizations applied (absolute http(s)-style URLs):
   *   - fragment dropped (`#...`)
-  *   - scheme and host:port lowercased; explicit `:80`/`:443` dropped
+  *   - scheme and host:port lowercased; the scheme's OWN default port dropped (`:80` for http, `:443` for https — never cross-scheme)
   *   - tracking params removed (`utm_*`, `gclid`, `fbclid`), the
   *     separator of the first surviving param repaired back to `?`
   *   - empty query tails (`?`/`&`) and one trailing `/` dropped
@@ -46,8 +46,16 @@ object Urls {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val host = regexp_replace(
-      lower(regexp_extract(rest, "^([^/?#]*)", 1)), ":(80|443)$", "")
+    val hostRaw = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    // only the scheme's OWN default port is redundant: stripping :443
+    // from an http URL (or :80 from https) collapsed genuinely distinct
+    // endpoints onto one canonical form and urlDedup dropped real
+    // documents (r11 self-review)
+    val host = when(lower(scheme) === "http",
+        regexp_replace(hostRaw, ":80$", ""))
+      .when(lower(scheme) === "https",
+        regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
     val pathq = stripTail(regexp_replace(rest, "^[^/?#]*", ""))
     when(scheme === "", stripTail(noFrag))
       .otherwise(concat(lower(scheme), lit("://"), host, pathq))

@@ -55,15 +55,22 @@ object Warc {
     * whole-stage codegen and an oracle can rebuild the identical bytes
     * from the same inputs. */
   def record(recType: Column, recordId: Column, targetUri: Column,
-      body: Column): Column =
+      body: Column): Column = {
+    // header-bound values must not carry CR/LF: a crawled link with an
+    // embedded \r\n would inject header lines (e.g. a second
+    // Content-Length), mis-frame the body, and poison every record
+    // after it in the file (r11 self-review) — fold any CR/LF run in
+    // the header fields to one space, the usual header-sanitizing move
+    def hdr(c: Column): Column = regexp_replace(c, "[\\r\\n]+", " ")
     concat(
       lit("WARC/1.0\r\n"),
-      lit("WARC-Type: "), recType, lit("\r\n"),
-      lit("WARC-Record-ID: <"), recordId, lit(">\r\n"),
-      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
+      lit("WARC-Type: "), hdr(recType), lit("\r\n"),
+      lit("WARC-Record-ID: <"), hdr(recordId), lit(">\r\n"),
+      lit("WARC-Target-URI: "), hdr(targetUri), lit("\r\n"),
       lit("Content-Length: "), octet_length(body).cast("string"), lit("\r\n"),
       lit("\r\n"),
       body, lit("\r\n\r\n"))
+  }
 
   /** Parse a dataframe of `(fileIdCol: LONG, blobCol: BINARY)` WARC
     * files into one row per well-formed record. STATELESS per-file, so
@@ -138,7 +145,11 @@ object Warc {
     val len = headers.get("content-length")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(return None)
-    if (len < 0 || p + len + 4 > blob.length) return None
+    // overflow-proof bounds: `p + len + 4 > blob.length` wraps negative
+    // for a crafted Content-Length near Long.MaxValue, slips the guard,
+    // and new String throws instead of the documented malformed-tail
+    // stop (r11 self-review) — compare without adding to `len`
+    if (len < 0 || len > blob.length.toLong - p.toLong - 4L) return None
     val body = new String(blob, p, len.toInt, StandardCharsets.UTF_8)
     p += len.toInt
     // the spec's two CRLF record terminators
@@ -190,6 +201,12 @@ object Warc {
           val gz = new java.util.zip.GZIPOutputStream(out)
           gz.write(rec.getBytes(StandardCharsets.UTF_8))
           gz.finish()
+          // close() releases the native zlib Deflater NOW — finish()
+          // alone leaked one Deflater per record to GC finalization,
+          // growing off-heap memory on million-record exports (r11
+          // self-review); BAOS.close() is a no-op, so the shared
+          // output stream is unaffected
+          gz.close()
         }
         (id, out.toByteArray)
       }
@@ -217,11 +234,16 @@ object Warc {
   }
 
   /** Decompression cap for [[inflateAll]]: a crawl container is at
-    * most ~1 GB compressed by convention, so 4 GiB of inflated output
-    * is far past any legitimate file — beyond it we are being zip-
-    * bombed (a few KB of crafted gzip can claim petabytes) and the
-    * walk stops with the prefix, exactly like a truncated file. */
-  private val MaxInflatedBytes: Long = 4L << 30
+    * most ~1 GB compressed by convention, so 1 GiB of inflated output
+    * is already past any legitimate single file — beyond it we are
+    * being zip-bombed (a few KB of crafted gzip can claim petabytes)
+    * and the walk stops with the prefix, exactly like a truncated
+    * file. The cap must sit WELL below ~2 GiB: ByteArrayOutputStream
+    * cannot grow past Int.MaxValue and dies with OutOfMemoryError (an
+    * Error the IOException recovery never catches), so a 4 GiB cap was
+    * unreachable — the bomb crashed the executor before the guard
+    * fired (r11 self-review). */
+  private val MaxInflatedBytes: Long = 1L << 30
 
   /** Inflate a (possibly multi-member) gzip blob; a corrupt or
     * truncated tail — or output beyond [[MaxInflatedBytes]] (gzip

@@ -316,6 +316,28 @@ class GraphSpec extends SparkSpec {
       s"unexpected: ${ex.getMessage}")
   }
 
+  test("fractional weights fail loudly instead of silently flooring") {
+    // cast(\"long\") alone floors 1.9 to 1 (> 0, guard passed) — a
+    // biased distance/rank with no error (r11 self-review)
+    val e = Seq(("a", "b", 1.9)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", maxHops = 1).collect()
+    }
+    assert(ex.getMessage.contains("positive integers"),
+      s"unexpected: ${ex.getMessage}")
+    val ex2 = intercept[Exception] {
+      Graph.pageRank(e, "src", "dst", iterations = 1,
+        weightCol = Some("w")).collect()
+    }
+    assert(ex2.getMessage.contains("positive"),
+      s"unexpected: ${ex2.getMessage}")
+    // integral-VALUED doubles are fine (exact long image)
+    val ok = Seq(("a", "b", 2.0)).toDF("src", "dst", "w")
+    assert(Graph.shortestPaths(ok, "src", "dst", "w",
+      Seq("a").toDF("node"), "node", maxHops = 1).count() == 2L)
+  }
+
   test("bfsHops: min hop per node, cap honored, isolated seed kept") {
     // chain a->b->c->d->e plus a shortcut a->c; seed {a, z} (z is not
     // in the graph at all)

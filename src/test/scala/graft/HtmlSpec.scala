@@ -39,6 +39,27 @@ class HtmlSpec extends SparkSpec {
     assert(text == "one two anchor-only")
   }
 
+  test("uppercase/mixed-case markup is handled: SCRIPT/STYLE/HEAD drop " +
+      "whole, TITLE and A HREF extract") {
+    import graft.ops.Html
+    // older crawled pages use uppercase tags ubiquitously; the old
+    // case-sensitive patterns leaked raw JavaScript/CSS into the
+    // training text (r11 self-review)
+    val html = "<HTML><HEAD><TITLE>Up</TITLE></HEAD><BODY>" +
+      "<SCRIPT>var x=1;</SCRIPT><Style>.c{}</Style><P>hello</P>" +
+      "<A HREF=\"/up1\">l</A><a href=\"/lo\">m</a></BODY></HTML>"
+    val r = Seq(html).toDF("html").select(
+        Html.title(col("html")).as("t"),
+        Html.linkCount(col("html")).as("n"),
+        Html.visibleText(col("html")).as("v"),
+        Html.links(col("html")).as("ls"))
+      .as[(String, Long, String, Seq[String])].collect().head
+    assert(r._1 == "Up")
+    assert(r._2 == 2L)
+    assert(r._3 == "hello l m", s"script/style leaked: '${r._3}'")
+    assert(r._4 == Seq("/up1", "/lo"))
+  }
+
   test("malformed markup degrades without losing following text") {
     val Seq((t1, _, x1), (t2, _, x2)) = ext(
       "<p>before <unclosed after</p> end",

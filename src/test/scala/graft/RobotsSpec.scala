@@ -44,6 +44,63 @@ class RobotsSpec extends SparkSpec {
       "googlebot shares the * group's rules via the stacked UA lines")
   }
 
+  test("parse: CRLF robots.txt parses identically to LF (RFC 9309 NL)") {
+    // a Windows-served file previously left \r on every value: the UA
+    // never matched and the gate silently admitted everything
+    val crlf = txt.replace("\n", "\r\n")
+    val viaLf = rules.as[(String, String, Boolean)].collect().toSet
+    val viaCrlf = Robots.parseRobots(
+        Seq(("h1.example", crlf)).toDF("host", "txt"), "host", "txt")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(viaCrlf == viaLf, s"CRLF diverged: $viaCrlf")
+  }
+
+  test("parse: agent tokens match case-insensitively; a specific group " +
+      "excludes the * group (RFC 9309 §2.2.1)") {
+    val policy =
+      """User-agent: *
+        |Allow: /private/public
+        |
+        |User-agent: MyBot
+        |Disallow: /private
+        |""".stripMargin
+    val df = Seq(("h.example", policy)).toDF("host", "txt")
+    // mybot's own group governs — the * group's longer Allow must NOT
+    // leak in and carve /private/public back out
+    val mine = Robots.parseRobots(df, "host", "txt", agent = "mybot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(mine == Set(("h.example", "/private", false)), s"got $mine")
+    // an agent with no specific group falls back to *
+    val other = Robots.parseRobots(df, "host", "txt", agent = "otherbot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(other == Set(("h.example", "/private/public", true)))
+  }
+
+  test("admission: RFC §2.2.3 wildcard and end-anchor rules match") {
+    val policy =
+      """User-agent: *
+        |Disallow: /*?sessionid=
+        |Disallow: /*.pdf$
+        |Allow: /docs/
+        |""".stripMargin
+    val rs = Robots.parseRobots(
+      Seq(("h.example", policy)).toDF("host", "txt"), "host", "txt")
+    val urls = Seq(
+      (1L, "h.example", "/page?sessionid=abc"),   // * rule: blocked
+      (2L, "h.example", "/docs/manual.pdf"),      // $ rule vs /docs allow:
+                                                  // /*.pdf$ (7 chars) < /docs/ — but
+                                                  // longest PREFIX len: "/*.pdf$" raw len 7 > 6
+      (3L, "h.example", "/docs/manual.pdf?x"),    // not pdf-at-end: allowed
+      (4L, "h.example", "/open/page"))            // nothing matches: allowed
+      .toDF("id", "host", "path")
+    val got = Robots.filterAllowed(urls, rs, "host", "path", "id")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L), "wildcard sessionid rule must block")
+    assert(!got(2L), "end-anchored pdf rule must block")
+    assert(got(3L), "pdf not at end must not match the $ rule")
+    assert(got(4L))
+  }
+
   test("admission: longest prefix wins; allow beats disallow on ties") {
     val urls = Seq(
       (1L, "h1.example", "/private/ok/page"), // Allow /private/ok (longer)

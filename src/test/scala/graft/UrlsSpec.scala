@@ -29,6 +29,21 @@ class UrlsSpec extends SparkSpec {
       "https://h.io/x"))
   }
 
+  test("only the scheme's OWN default port is stripped") {
+    import graft.ops.Urls
+    // http-on-443 / https-on-80 are real, distinct endpoints — the old
+    // scheme-blind strip merged them with the default-port URL and
+    // urlDedup dropped genuine documents (r11 self-review)
+    val got = Seq(
+      "http://h.example:80/a", "http://h.example:443/a",
+      "https://h.example:443/a", "https://h.example:80/a")
+      .toDF("url").select(Urls.canonicalize(col("url")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "http://h.example/a", "http://h.example:443/a",
+      "https://h.example/a", "https://h.example:80/a"), s"got $got")
+  }
+
   test("separator repair: first surviving param gets '?' back") {
     assert(canon("https://h/p?utm_x=1&keep=2&gclid=g&also=3")
       == Seq("https://h/p?keep=2&also=3"))

@@ -69,6 +69,42 @@ class WarcSpec extends SparkSpec {
       .map(_.record_id).toSeq == Seq("a"))
   }
 
+  test("Content-Length near Long.MaxValue is malformed, not a crash") {
+    // p + len + 4 wrapped negative and slipped the bounds check; the
+    // new String(..., len.toInt, ...) then threw out of the task
+    // (r11 self-review) — the walk must stop with the good prefix
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <x>\r\nContent-Length: 9223372036854775807\r\n\r\nshort")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, build(("a", "ok")) ++ huge)
+      .map(_.record_id).toSeq == Seq("a"))
+    // a wrap landing on a small positive toInt must not mis-frame either
+    val wrap = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <y>\r\nContent-Length: 4294967299\r\n\r\nabc")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(Warc.parseFile(0L, build(("a", "ok")) ++ wrap)
+      .map(_.record_id).toSeq == Seq("a"))
+  }
+
+  test("header-bound values cannot inject header lines") {
+    // an href captured from crawled markup can carry CRLF; written
+    // verbatim it would smuggle a second Content-Length and poison
+    // every later record in the file — record() folds CR/LF runs in
+    // header fields to one space, and the archive stays walkable
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rec = Seq(("r1", "https://h/x\r\nContent-Length: 0\r\n", "body1"),
+        ("r2", "https://h/clean", "body2"))
+      .toDF("rid", "uri", "body")
+      .select(Warc.record(lit("response"), col("rid"), col("uri"),
+        col("body")).as("rec"))
+      .as[String].collect().mkString.getBytes(StandardCharsets.UTF_8)
+    val out = Warc.parseFile(0L, rec).toSeq
+    assert(out.map(_.record_id) == Seq("r1", "r2"), s"got $out")
+    assert(out.head.target_uri == "https://h/x Content-Length: 0")
+    assert(out.map(_.body) == Seq("body1", "body2"))
+  }
+
   test("missing Content-Length or bad magic ends the walk") {
     val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
       .getBytes(StandardCharsets.US_ASCII)
