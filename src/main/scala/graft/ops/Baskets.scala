@@ -51,7 +51,13 @@ object Baskets {
       .crossJoin(broadcast(nBaskets)) // 1-row scalar attach
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"),
-        expr("(1000000L * n_baskets * pair_cnt) div (cnt_a * cnt_b)")
+        // DECIMAL(38,0) staging: the BIGINT chain 1e6*n_baskets*pair_cnt
+        // overflows (ANSI: job failure) once n_baskets*pair_cnt passes
+        // ~9.2e12 — trivially reached at crawl scale (r11 self-review);
+        // decimal keeps both products exact to 1e38 and `div` still
+        // returns the same truncated BIGINT in the old range
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_baskets * pair_cnt)" +
+          " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)")
           .as("lift_micros"))
   }
 }

@@ -42,7 +42,7 @@ object Cdc {
     require(!base.columns.contains("__rn"),
       "base must not contain a __rn column")
     val latest = latestPerKey(changes, keyCols, seqCols)
-    val upserts = latest.where(col(opCol) =!= "D")
+    val upserts = latest.where(checkedOp(opCol, "applyChanges") =!= "D")
       .select(base.columns.map(col).toIndexedSeq: _*)
     base.join(latest.select(keyCols.map(col).toIndexedSeq: _*),
         keyCols, "left_anti")
@@ -66,9 +66,21 @@ object Cdc {
     changes
       .withColumn("valid_from", col(seqCol))
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
-      .where(col(opCol) =!= "D")
+      .where(checkedOp(opCol, "scd2") =!= "D")
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Op-code guard shared by every change consumer: a NULL or unknown
+    * op (a corrupt/partial CDC extract) was previously treated as a
+    * silent DELETE — the row's key anti-joined the base away while the
+    * row itself failed `=!= "D"` and never re-entered. Fail loudly
+    * instead. */
+  private def checkedOp(opCol: String, fn: String): Column =
+    when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"$fn: unknown change op '"),
+        coalesce(col(opCol).cast("string"), lit("null")),
+        lit("' — expected I/U/D"))))
 
   /** Latest change row per key by `seqCols` descending (row 1 of the
     * per-key window). */
@@ -109,6 +121,14 @@ object Cdc {
     // stream as the facts), and qualified df(col) refs on a self-join
     // of derived frames is exactly where Spark's ambiguous-self-join
     // analysis bites
+    // a dim payload/validity name already present on the facts side
+    // would silently produce DUPLICATE output columns after the
+    // rename-back (an AMBIGUOUS_REFERENCE far from its cause) — reject
+    val clash = facts.columns.toSet
+      .intersect(dim.columns.filterNot(keyCols.contains).toSet)
+    require(clash.isEmpty,
+      s"pointInTime: facts already carry dim column(s) " +
+        s"${clash.mkString(", ")} — rename them before joining")
     val pfx = "__dim_"
     val dimR = dim.columns.foldLeft(dim)((d, c) => d.withColumnRenamed(c, pfx + c))
     val cond = keyCols.map(k => col(k) === col(pfx + k)).reduce(_ && _) &&
@@ -148,18 +168,23 @@ object Cdc {
     // snapshot is usually DERIVED from the old one, the self-join case
     // qualified refs can't survive
     val cols = (keyCols ++ payload).distinct
+    // presence markers, not key nullness: a row whose KEY VALUE is
+    // legitimately NULL is present on its side, and testing the key
+    // column misclassified it (a removed NULL-key row read as "added");
+    // the null-safe key join also lets NULL-key rows pair up instead of
+    // always splitting into an added+removed pair (r11 self-review)
     def side(df: DataFrame, pfx: String) =
       cols.foldLeft(df.select(cols.map(col).toIndexedSeq: _*)) {
         (d, c) => d.withColumnRenamed(c, pfx + c)
-      }
+      }.withColumn(pfx + "present", lit(1))
     val o = side(oldDf, "__o_")
     val n = side(newDf, "__n_")
-    val cond = keyCols.map(k => col("__o_" + k) === col("__n_" + k))
+    val cond = keyCols.map(k => col("__o_" + k) <=> col("__n_" + k))
       .reduce(_ && _)
     val same = payload.map(c => col("__o_" + c) <=> col("__n_" + c))
       .reduce(_ && _)
-    val status = when(col("__o_" + keyCols.head).isNull, "added")
-      .when(col("__n_" + keyCols.head).isNull, "removed")
+    val status = when(col("__o_present").isNull, "added")
+      .when(col("__n_present").isNull, "removed")
       .when(same, "unchanged")
       .otherwise("changed")
     val keys = keyCols.map(k =>
@@ -205,13 +230,17 @@ object Cdc {
       .select(col(groupCol), lit(-1L).as("dn"),
         (dec(col(valueCol)) * -1).as("dtotal"))
     // ...and surviving latest rows enter theirs
-    val arrived = latest.where(col(opCol) =!= "D")
+    val arrived = latest.where(checkedOp(opCol, "incrementalAgg") =!= "D")
       .select(col(groupCol), lit(1L).as("dn"), dec(col(valueCol)).as("dtotal"))
     val delta = removed.unionByName(arrived)
       .groupBy(col(groupCol))
       .agg(sum(col("dn")).as("dn"), sum(col("dtotal")).as("dtotal"))
-    baseAgg.join(delta, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+      .withColumnRenamed(groupCol, "__dg")
+    // null-safe merge: a NULL group is a legal grouping value a full
+    // recompute emits as ONE row — a plain full_outer split it into a
+    // stale row plus an orphan delta (r11 self-review)
+    baseAgg.join(delta, col(groupCol) <=> col("__dg"), "full_outer")
+      .select(coalesce(col(groupCol), col("__dg")).as(groupCol),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         dec(coalesce(dec(col("total")), dec(lit(0)))
           + coalesce(col("dtotal"), dec(lit(0)))).as("total"))
@@ -244,22 +273,26 @@ object Cdc {
       "incrementalMinMax needs key and sequence columns")
     val latest = latestPerKey(changes, keyCols, seqCols)
     val changedKeys = latest.select(keyCols.map(col).toIndexedSeq: _*)
-    val upserts = latest.where(col(opCol) =!= "D")
+    val upserts = latest.where(checkedOp(opCol, "incrementalMinMax") =!= "D")
     val affected = base.join(changedKeys, keyCols)
       .select(col(groupCol))
       .unionByName(upserts.select(col(groupCol)))
       .distinct()
+      .withColumnRenamed(groupCol, "__ag")
     val baseCols: Seq[String] = (keyCols ++ Seq(groupCol, valueCol)).distinct
     val logCols: Seq[String] = (baseCols ++ Seq(opCol) ++ seqCols).distinct
     val merged = applyChanges(
       base.select(baseCols.map(col).toIndexedSeq: _*),
       latest.select(logCols.map(col).toIndexedSeq: _*),
       keyCols, seqCols, opCol)
-    val recomputed = merged.join(affected, Seq(groupCol), "left_semi")
+    // null-safe membership (<=>): a NULL group's recompute was dropped
+    // by the semi join while its stale aggregate survived the anti join
+    val recomputed = merged.join(affected,
+        col(groupCol) <=> col("__ag"), "left_semi")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))
-    baseAgg.join(affected, Seq(groupCol), "left_anti")
+    baseAgg.join(affected, col(groupCol) <=> col("__ag"), "left_anti")
       .unionByName(recomputed)
   }
 }

@@ -80,6 +80,10 @@ object Classifier {
             .as(s"g$j")
       }
       val row = docs.agg(count(lit(1)).as("n"), gradMicros: _*).head()
+      // an empty input yields NULL gradient sums (getLong would NPE)
+      // and n = 0 divides to NaN — fail with a named error instead
+      require(row.getLong(0) > 0L,
+        "Classifier.train: no rows to fit (empty input)")
       val n = row.getLong(0).toDouble
       w = w.zipWithIndex.map { case (wj, j) =>
         round6(wj - lr * ((row.getLong(j + 1).toDouble / 1000000.0) / n))

@@ -263,13 +263,17 @@ object Layout {
   }
 
   /** Garbage-collect snapshot history: delete version directories older
-    * than the newest `keepLast` PUBLISHED versions (torn/orphaned
-    * directories above the published version are also removed — they
-    * are inert leftovers of failed commits). The current manifest's
-    * version always survives regardless of `keepLast`. Readers pinned
-    * to vacuumed versions lose time travel, not correctness — the
-    * manifest never references a vacuumed directory. */
-  def vacuumSnapshots(path: String, keepLast: Int): Unit = {
+    * than the newest `keepLast` PUBLISHED versions. Directories ABOVE
+    * the published version are leftovers of failed commits — but they
+    * are indistinguishable from an IN-FLIGHT commit's half-written next
+    * version, so deleting them is OPT-IN (`dropTornAbove`): pass true
+    * only inside a maintenance window when no commit can be running
+    * (single-writer). The current manifest's version always survives
+    * regardless of `keepLast`. Readers pinned to vacuumed versions lose
+    * time travel, not correctness — the manifest never references a
+    * vacuumed directory. */
+  def vacuumSnapshots(path: String, keepLast: Int,
+      dropTornAbove: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     require(keepLast >= 1, "keepLast must retain at least the current version")
@@ -296,7 +300,12 @@ object Layout {
           val n = v.getFileName.toString
           n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) && {
             val ver = n.drop(1).toLong
-            ver < cutoff || ver > current // old history OR torn orphan
+            // torn-orphan deletion (ver > current) is OPT-IN: a vacuum
+            // racing an in-flight commitSnapshot would destroy the new
+            // version's directories before its manifest publishes
+            // (r11 self-review) — only pass dropTornAbove when no
+            // commit can be running (single-writer maintenance window)
+            ver < cutoff || (dropTornAbove && ver > current)
           }
         }
         .foreach(deleteTree)
@@ -361,8 +370,14 @@ object Layout {
   def exportShards(df: DataFrame, path: String, keyCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
-    val digest = expr(
-      s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+    // a NULL key would shard to NULL (a __HIVE_DEFAULT_PARTITION__
+    // directory) and then NPE in the manifest's getLong AFTER the data
+    // write completed (r11 self-review) — fail before any byte lands
+    val keyStr = when(col(keyCol).isNotNull, col(keyCol).cast("string"))
+      .otherwise(raise_error(lit(
+        s"exportShards: NULL $keyCol — every row needs a shardable key")))
+    val digest =
+      conv(substring(md5(keyStr.cast("binary")), 1, 12), 16, 10).cast("long")
     val sharded = df
       .withColumn("shard", pmod(digest, lit(nShards.toLong)))
       .withColumn("_row_digest", digest)

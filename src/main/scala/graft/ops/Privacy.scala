@@ -106,8 +106,13 @@ object Privacy {
       seed: String): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
     val key = col(groupCol)
-    val noise = geometric(uniform(key, seed + ":g1"), epsilon) -
-      geometric(uniform(key, seed + ":g2"), epsilon)
+    // the NULL group is a real group to groupBy, but md5(concat(NULL,
+    // salt)) is NULL and the release would silently publish a NULL
+    // noisy count for it (r11 self-review) — hash a sentinel instead
+    // (the output group label stays NULL; only the noise seed changes)
+    val hkey = coalesce(key.cast("string"), lit(":null-group:"))
+    val noise = geometric(uniform(hkey, seed + ":g1"), epsilon) -
+      geometric(uniform(hkey, seed + ":g2"), epsilon)
     df.groupBy(key)
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("noisy_n", col("exact_n") + noise)

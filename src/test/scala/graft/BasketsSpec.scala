@@ -69,4 +69,18 @@ class BasketsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Baskets.liftPairs(df, "b", "i", 1, 2))
     intercept[IllegalArgumentException](Baskets.liftPairs(df, "b", "i", 5, 0))
   }
+
+  test("lift arithmetic survives counts past the BIGINT product range") {
+    import graft.ops.Baskets
+    // verify the decimal staging on a small frame by checking the
+    // closed form still holds — then the same expression at
+    // n_baskets*pair_cnt ~ 1e13 cannot overflow (decimal holds 1e38);
+    // with the old BIGINT chain this spot-check is unchanged, so the
+    // load-bearing assertion is the expression form itself
+    val plan = Baskets.liftPairs(
+        Seq((1L, "a"), (1L, "b")).toDF("basket_id", "item"),
+        "basket_id", "item", maxBasketSize = 8, minPairCount = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("38,0"), s"lift products must stage in decimal:\n$plan")
+  }
 }

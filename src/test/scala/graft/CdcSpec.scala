@@ -211,4 +211,54 @@ class CdcSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 4, s"too many exchanges ($exchanges) in:\n$plan")
   }
+
+  test("NULL semantics: NULL-key diff rows classify by presence, NULL " +
+      "groups maintain incrementally, unknown ops fail loudly") {
+    import graft.ops.Cdc
+    // snapshotDiff: a removed NULL-key row previously read as "added"
+    val o = Seq((Option(1L), "a"), (Option.empty[Long], "x"))
+      .toDF("k", "v")
+    val n = Seq((Option(1L), "a")).toDF("k", "v")
+    val d = Cdc.snapshotDiff(o, n, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(d == Set((Some(1L), "unchanged"), (None, "removed")), s"got $d")
+    // incrementalAgg: a changed NULL group merges to ONE row, matching
+    // the full recompute (the plain full_outer split it in two)
+    val base = Seq((1L, Option.empty[String], 10.0),
+      (2L, Option.empty[String], 20.0), (3L, Some("g"), 5.0))
+      .toDF("id", "grp", "v")
+    val baseAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("total"))
+    val changes = Seq((2L, Option.empty[String], 25.0, "U", 1L))
+      .toDF("id", "grp", "v", "op", "seq")
+    val inc = Cdc.incrementalAgg(base, baseAgg, changes, Seq("id"),
+        "grp", "v", Seq("seq"))
+      .as[(Option[String], Long, BigDecimal)].collect().toSet
+    val full = Cdc.applyChanges(base, changes.drop("op", "seq")
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L)),
+        Seq("id"), Seq("seq"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("total"))
+      .as[(Option[String], Long, BigDecimal)].collect().toSet
+    assert(inc == full, s"inc $inc vs full $full")
+    assert(inc.count(_._1.isEmpty) == 1, s"null group split: $inc")
+    // incrementalMinMax: the NULL group recomputes, not passes stale
+    val baseMm = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val mm = Cdc.incrementalMinMax(base, baseMm, changes, Seq("id"),
+        "grp", "v", Seq("seq"))
+      .as[(Option[String], Long, Double, Double)].collect().toSet
+    assert(mm.contains((None, 2L, 10.0, 25.0)), s"got $mm")
+    // a NULL op is a corrupt extract, not a silent delete
+    val bad = Seq((2L, Option.empty[String], 9.9,
+        null.asInstanceOf[String], 2L))
+      .toDF("id", "grp", "v", "op", "seq")
+    val ex = intercept[Exception] {
+      Cdc.applyChanges(base, bad, Seq("id"), Seq("seq")).collect() }
+    assert(ex.getMessage.contains("unknown change op"),
+      s"unexpected: ${ex.getMessage}")
+  }
 }

@@ -79,4 +79,13 @@ class ClassifierSpec extends SparkSpec {
       iterations = 1, lr = 1.0)
     assert(m.weights == Seq(0.5, 0.5), s"got ${m.weights}")
   }
+
+  test("train rejects empty input with a named error") {
+    import graft.ops.Classifier
+    import org.apache.spark.sql.functions._
+    val empty = Seq((1.0, 0.0)).toDF("x", "label").where(lit(false))
+    val ex = intercept[IllegalArgumentException] {
+      Classifier.train(empty, Seq(col("x")), col("label"), 1, 0.1) }
+    assert(ex.getMessage.contains("empty input"))
+  }
 }

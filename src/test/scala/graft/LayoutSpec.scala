@@ -279,7 +279,11 @@ class LayoutSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-snap-gc").toString
     val t = Seq((1, "x")).toDF("id", "v")
     (1 to 4).foreach(_ => Layout.commitSnapshot(Map("a" -> t), root))
-    // a torn orphan ABOVE the published version
+    // a directory ABOVE the published version could be a torn orphan OR
+    // an in-flight commit — the default vacuum must leave it alone
+    // (deleting a racing commit's half-written version would corrupt
+    // the next publish), and the opt-in maintenance-window flag removes
+    // it (r11 self-review)
     Seq((9, "torn")).toDF("id", "v").write.parquet(s"$root/a/v9")
     Layout.vacuumSnapshots(root, keepLast = 2)
     def dirs = {
@@ -288,6 +292,8 @@ class LayoutSpec extends SparkSpec {
       try s.iterator().asScala.map(_.getFileName.toString).toSet
       finally s.close()
     }
+    assert(dirs == Set("v3", "v4", "v9"), s"got $dirs")
+    Layout.vacuumSnapshots(root, keepLast = 2, dropTornAbove = true)
     assert(dirs == Set("v3", "v4"), s"got $dirs")
     // the published snapshot still reads
     assert(Layout.readSnapshot(spark, root, "a").count() == 1L)

@@ -73,4 +73,18 @@ class PrivacySpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(tight.forall(r => r._2 == r._3))        // p = e^-20: noise 0
   }
+
+  test("dpNoisyCounts noises the NULL group instead of publishing NULL") {
+    import graft.ops.Privacy
+    val df = (Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(3)(Some("g"))).toDF("grp")
+    val got = Privacy.dpNoisyCounts(df, "grp", epsilon = 0.5, seed = "s")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(None)._1 == 5L)
+    assert(got(None)._2.isDefined, "NULL group released a NULL noisy count")
+    assert(got(Some("g"))._2.isDefined)
+  }
 }
