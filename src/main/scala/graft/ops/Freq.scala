@@ -88,8 +88,12 @@ object Freq {
     require(num > 0 && den > 0 && num <= den,
       s"heavyHitters: frequency floor must satisfy 0 < num/den <= 1 (got $num/$den)")
     val spark = df.sparkSession
-    // k+1 > den/num with 2x slack: fewer spurious candidates per buffer
-    val k = ((2 * den + num - 1) / num).toInt
+    // k+1 > den/num with 2x slack: fewer spurious candidates per buffer.
+    // toIntExact: a silent Int wrap here (den ~ 2^31·num) would pass
+    // MisraGries' k > 0 require while voiding the exactness guarantee —
+    // items above the threshold could be absent from every partial
+    // (r11 self-review); a floor that small needs a different sketch
+    val k = java.lang.Math.toIntExact((2 * den + num - 1) / num)
     val values = df.select(col(valueCol).cast("string").as("v"))
       .where(col("v").isNotNull)
     import spark.implicits._
@@ -99,7 +103,10 @@ object Freq {
     val (cands, n) = values.select(sketch(col("v")).as("s"))
       .select(col("s._1"), col("s._2"))
       .as[(Map[String, Long], Long)].head()
-    val threshold = (num * n + den - 1) / den
+    // threshold in BigInt: num·n overflows LONG for large num·n pairs,
+    // yielding a garbage floor with no error
+    val threshold =
+      ((BigInt(num) * n + den - 1) / den).bigInteger.longValueExact()
     val candDf = cands.keys.toSeq.toDF("v")
     // pass 2: exact confirm — broadcast semi-join keeps the scan
     // pipelined; partial aggregation bounds the exchange at
@@ -236,9 +243,14 @@ object Freq {
     * [[heapsFit]]. */
   def powerLawFit(points: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // non-positive x/y have no log: EXCLUDE the point entirely — the
+    // sums already skipped NULL logs while count(*) still counted the
+    // row, so n was inconsistent with the moments and the fit silently
+    // biased (r11 self-review: a smoothing-zero count row was enough)
     val q = points.select(
-      round(log(col(xCol).cast("double")), 9).as("x"),
-      round(log(col(yCol).cast("double")), 9).as("y"))
+        round(log(col(xCol).cast("double")), 9).as("x"),
+        round(log(col(yCol).cast("double")), 9).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
     def dsum9(c: Column): Column =
       sum(c.cast(DecimalType(38, 9))).cast("double")
     q.agg(count(lit(1)).as("n"),
@@ -293,8 +305,10 @@ object Freq {
       yCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val q = points.select(col(groupCol),
-      round(log(col(xCol).cast("double")), 9).as("x"),
-      round(log(col(yCol).cast("double")), 9).as("y"))
+        round(log(col(xCol).cast("double")), 9).as("x"),
+        round(log(col(yCol).cast("double")), 9).as("y"))
+      // the powerLawFit n-consistency rule: no point without a log
+      .where(col("x").isNotNull && col("y").isNotNull)
     def dsum9(c: Column): Column =
       sum(c.cast(DecimalType(38, 9))).cast("double")
     q.groupBy(col(groupCol))

@@ -58,15 +58,25 @@ object Ivf {
     * data collect). */
   def train(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       nClusters: Int, iters: Int): Array[Array[Float]] = {
+    // validate the WHOLE corpus dimension, not just the seed sample
+    // (the Pq.train / Ivf.addToIndex lesson): one UNSAMPLED
+    // wrong-dimension vector gets all-NULL cosines, lands in cluster
+    // k-1 by the null tie-break, and either crashes the Lloyd update
+    // (a dim index past the centroid array) or silently poisons the
+    // persisted index (r11 self-review)
+    val dims = emb.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
+      .head()
+    require(!dims.isNullAt(0), "Ivf.train requires a non-empty corpus")
+    require(dims.getInt(0) == dim && dims.getInt(1) == dim,
+      s"Ivf.train: corpus vector dimensions span " +
+        s"[${dims.getInt(0)}, ${dims.getInt(1)}] but $dim was requested")
     val sampleN = math.max(nClusters, math.min(64 * nClusters, 4096))
     val sample: Array[Array[Float]] = emb.where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "Ivf.train requires a non-empty corpus")
-    require(sample.forall(_.length == dim),
-      s"Ivf.train: corpus vector dimension ${sample.map(_.length).distinct.mkString("/")} " +
-        s"does not match requested dimension $dim")
     val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
     while (seeds.length < math.min(nClusters, sample.length)) {
       var best = -1; var bestD = -1.0

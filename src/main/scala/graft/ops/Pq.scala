@@ -114,7 +114,14 @@ object Pq {
     codes
       .where(col("codes").isNotNull &&
         size(col("codes")) === model.m &&
-        forall(col("codes"), c => c.isNotNull))
+        // the RANGE term completes the corrupt-row guard: a persisted
+        // code from a differently-sized codebook slips NULL/size/
+        // forall-notnull, and its out-of-range element_at turns the
+        // distance NULL — NULLS FIRST under ascending sort, so corrupt
+        // rows would fill the entire top-k (ANSI: the probe aborts
+        // instead) — r11 self-review
+        forall(col("codes"),
+          c => c.isNotNull && c >= 0 && c < model.k))
       .select(col(idCol),
         array_join(col("codes"), "|").as("codes_joined"),
         score.as("adc_dist"))
@@ -188,8 +195,9 @@ object Pq {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(fullSample.nonEmpty, "Pq.train requires a non-empty corpus")
-    val codebooks = (0 until m).map { j =>
-      val subCol = slice(col(vecCol), j * dsub + 1, dsub)
+    // k-means++-style seeding per subspace, driver-side over the shared
+    // sample (k × dsub scalar work per subspace — never data-sized)
+    val seeded: Array[Array[Array[Double]]] = (0 until m).map { j =>
       val sample: Array[Array[Double]] =
         fullSample.map(_.slice(j * dsub, (j + 1) * dsub))
       def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -209,31 +217,40 @@ object Pq {
         }
         seeds += sample(best)
       }
-      var cb: Array[Array[Double]] = seeds.toArray
-      for (_ <- 0 until iters) {
-        val model1 = PqModel(dim, Array.tabulate(m, cb.length, dsub)(
-          (jj, i, d) => if (jj == j) cb(i)(d) else 0.0))
-        val assigned = emb.where(col(vecCol).isNotNull)
-          .select(subCol.as("v"),
-            // subspace j's entry of the fused encode (other subspaces
-            // score against the zero-padded dummy books and are unused)
-            element_at(encodeCol(col(vecCol), model1), j + 1).as("c"))
-        val updated = assigned
-          // a vector with null ELEMENTS yields a null code even at the
-          // right dimension — skip it here (the null-vector convention)
-          // rather than NPE in the centroid update
-          .where(col("c").isNotNull)
-          .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("c", "d")
-          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
-            .cast("double") / count(lit(1))).as("mean"))
-          .collect()
-        val next = Array.tabulate(cb.length)(i => cb(i).clone())
-        updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        cb = next
-      }
-      cb
+      seeds.toArray
     }.toArray
-    PqModel(dim, codebooks)
+    // JOINT Lloyd loop: ONE corpus scan per iteration encodes every
+    // subspace against the current books (subspaces are independent —
+    // subspace j's argmin depends only on book j, so assignments are
+    // bit-identical to training each book alone) and one (subspace,
+    // cluster, dim)-keyed aggregation updates all m books at once. The
+    // previous per-subspace loops ran m full scans per iteration, each
+    // computing the whole fused encode and discarding m−1 of its
+    // entries (r11 self-review: m-fold redundant corpus work on the
+    // 100 TB-targeted op).
+    var books = seeded
+    for (_ <- 0 until iters) {
+      val model1 = PqModel(dim, books)
+      val byCode = emb.where(col(vecCol).isNotNull)
+        .select(col(vecCol).as("v"),
+          posexplode(encodeCol(col(vecCol), model1)).as(Seq("j", "c")))
+        // a vector with null ELEMENTS yields a null code even at the
+        // right dimension — skip it here (the null-vector convention)
+        // rather than NPE in the centroid update
+        .where(col("c").isNotNull)
+      val updated = byCode
+        .select(col("j"), col("c"),
+          posexplode(slice(col("v"),
+            col("j") * lit(dsub) + lit(1), lit(dsub))).as(Seq("d", "x")))
+        .groupBy("j", "c", "d")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+          .cast("double") / count(lit(1))).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      updated.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next
+    }
+    PqModel(dim, books)
   }
 }

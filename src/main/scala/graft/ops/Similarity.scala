@@ -34,9 +34,11 @@ object Similarity {
     *
     * Determinism contract: vector elements quantize to 1e-6 LONGs
     * first (one float→double→round chain, identical everywhere), so
-    * centroid component sums, dot products, and norms are EXACT
-    * BIGINTs — the float→DECIMAL cast seam and every accumulation-
-    * order question disappear. Each per-vector cosine is then a fixed
+    * centroid component sums are EXACT BIGINTs and the dot/norm folds
+    * are EXACT DECIMAL(38,0) (centroid components grow with the label
+    * size, so their squares outgrow BIGINT at a few thousand vectors
+    * per label) — every accumulation-order question disappears
+    * regardless. Each per-vector cosine is then a fixed
     * IEEE expression over exact integers (correctly-rounded
     * BIGINT→double casts), quantized to micros before the final mean,
     * which is an exact integer sum divided once.
@@ -63,16 +65,21 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("d"), col("sx")))).as("cs"))
       .select(col("label"),
         transform(col("cs"), s => s.getField("sx")).as("centroid_sums"))
-    // dot(v, centroid_sums) and both norms as exact BIGINT folds;
+    // dot(v, centroid_sums) and both norms as exact DECIMAL(38,0)
+    // folds — a LONG fold overflows at a few thousand vectors per
+    // label (centroid components grow with n, so nc ~ n²·1e12; ANSI
+    // aborts, non-ANSI silently NaNs the report — r11 self-review);
     // cosine = one IEEE chain over their correctly-rounded doubles
     // (the shared n factor of the centroid cancels in the quotient)
     val joined = base.join(broadcast(sums), Seq("label"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val zero = lit(0).cast(d38)
     val dot = aggregate(zip_with(col("v"), col("centroid_sums"),
-      (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-    val nv = aggregate(transform(col("v"), a => a * a), lit(0L),
-      (acc, x) => acc + x)
-    val nc = aggregate(transform(col("centroid_sums"), a => a * a),
-      lit(0L), (acc, x) => acc + x)
+      (a, b) => a.cast(d38) * b), zero, (acc, x) => (acc + x).cast(d38))
+    val nv = aggregate(transform(col("v"), a => a.cast(d38) * a), zero,
+      (acc, x) => (acc + x).cast(d38))
+    val nc = aggregate(transform(col("centroid_sums"),
+      a => a.cast(d38) * a), zero, (acc, x) => (acc + x).cast(d38))
     joined
       .withColumn("cos_micros",
         round(dot.cast("double")
@@ -544,6 +551,14 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(dupCeiling > 0.0 && dupCeiling <= 1.0,
       "dupCeiling must be in (0, 1]")
+    // anchors are usually SAMPLED FROM emb — shared column names after
+    // the crossJoin throw AMBIGUOUS_REFERENCE far from the cause
+    // (r11 self-review); the RangeJoin disjoint-name convention
+    val clash = emb.columns.toSet.intersect(anchors.columns.toSet)
+    require(clash.isEmpty,
+      s"hardNegatives: emb and anchors share column(s) " +
+        s"${clash.mkString(", ")} — rename the anchor side first " +
+        "(e.g. anchors.select(col(id).as(\"aid\"), col(vec).as(\"avec\")))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(aidCol))
       .orderBy(col("cos_raw").desc, col(idCol))

@@ -63,6 +63,11 @@ object Skew {
     * `small` across all salt values, join on (key, salt). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int = 32): DataFrame = {
+    // the sibling-op reserved-name convention (RangeJoin's _bin,
+    // AsOfJoin's list): a user _salt column would be silently
+    // overwritten and then dropped from the output
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename it upstream")
     val b = big.withColumn("_salt",
       saltOf(big.columns.map(col).toSeq, saltBuckets))
     val s = small.withColumn("_salt",
