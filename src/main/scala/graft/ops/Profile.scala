@@ -158,10 +158,29 @@ object Profile {
       coalesce(sum(when(col("_sg") === -1L, col(s"_s_$m"))), lit(0L))
         .as(s"_nt_$m")) ++
       measures.map(m => sum(col(s"_s_$m")).as(s"tot_$m"))
+    // every grouped join below is NULL-SAFE on the group columns: a
+    // NULL group is a real partition under the Window.partitionBy
+    // contract this cascade replaces, and a plain equi-join silently
+    // dropped its rows from the output (r11 self-review); the
+    // ungrouped path keeps the established plain joins
+    def gRename(right: DataFrame, extra: Seq[String]): DataFrame =
+      groupCols.zipWithIndex.foldLeft(
+        extra.foldLeft(right)((d, c) => d.withColumnRenamed(c, "__r" + c))) {
+        case (d, (c, i)) => d.withColumnRenamed(c, s"__rg$i") }
+    def gCond(extra: Seq[String]): Column =
+      (groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__rg$i") }
+        ++ extra.map(c => col(c) === col("__r" + c))).reduce(_ && _)
+    def gDrop(d: DataFrame, extra: Seq[String]): DataFrame =
+      d.drop(groupCols.indices.map(i => s"__rg$i") ++
+        extra.map("__r" + _): _*)
+    def gJoin(left: DataFrame, right: DataFrame,
+        extra: Seq[String]): DataFrame =
+      if (groupCols.isEmpty) left.join(right, extra)
+      else gDrop(left.join(gRename(right, extra), gCond(extra)), extra)
     val t3 = (if (groupCols.isEmpty)
         t3cum.crossJoin(broadcast(t3cum.agg(topAggs.head, topAggs.tail: _*)))
-      else t3cum.join(
-        t3cum.groupBy(g: _*).agg(topAggs.head, topAggs.tail: _*), groupCols))
+      else gJoin(t3cum,
+        t3cum.groupBy(g: _*).agg(topAggs.head, topAggs.tail: _*), Nil))
       .withColumns(measures.map(m => s"_c_$m" ->
         when(col("_sg") === 0L, col(s"_c_$m") + col(s"_nt_$m"))
           .otherwise(col(s"_c_$m"))).toMap)
@@ -183,12 +202,12 @@ object Profile {
     val o3 = t3.select(g ++ (col("_b2") +:
       measures.map(m => col(s"_c_$m").as(s"_o3_$m"))) ++
       measures.map(m => col(s"tot_$m")): _*)
-    val withTot = local
+    val withBuckets = local
       .withColumn("_b1", shiftright(col("_b0"), 17))
       .withColumn("_b2", shiftright(col("_b1"), 17))
-      .join(o1, groupCols :+ "_b0")
-      .join(o2, groupCols :+ "_b1")
-      .join(o3, groupCols :+ "_b2")
+    val withTot =
+      gJoin(gJoin(gJoin(withBuckets, o1, Seq("_b0")), o2, Seq("_b1")),
+          o3, Seq("_b2"))
       .withColumns(measures.map(m => s"cum_$m" -> (col(s"_c_$m") +
         col(s"_o1_$m") + col(s"_o2_$m") + col(s"_o3_$m"))).toMap)
     withTot.drop(Seq("_b0", "_b1", "_b2") ++ measures.flatMap(m =>
@@ -264,9 +283,14 @@ object Profile {
     def variance(c: String) = col(s"__ss_$c") / n - mean(c) * mean(c)
     val entries = array(pairs.map { case (a, b) =>
       val cov = col(s"__sp_${a}_$b") / n - mean(a) * mean(b)
+      // zero-variance columns have no correlation: 0/0 is NaN and x/0
+      // ±Inf — IEEE edges engines disagree on (the groupRegression /
+      // abCompare guard, missing here until r11's self-review)
+      val denom = sqrt(variance(a)) * sqrt(variance(b))
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
         round(cov, 9).as("cov"),
-        round(cov / (sqrt(variance(a)) * sqrt(variance(b))), 12).as("corr"))
+        when(denom > 0.0, round(cov / denom, 12))
+          .otherwise(lit(null).cast("double")).as("corr"))
     }: _*)
     one.select(explode(entries).as("p")).select("p.*")
   }
@@ -400,6 +424,13 @@ object Profile {
           count(lit(1)).as("n_keys"),
           max(col("cnt")).as("max_key_rows"),
           min_by(col("key"), struct(-col("cnt"), col("key"))).as("top_key"),
+          // buffer bound (honest note, r11 self-review): Spark's exact
+          // percentile holds one entry per DISTINCT per-key count in
+          // the final task — heavy-tailed keys repeat counts, so this
+          // is typically tiny, but a pathological all-distinct-counts
+          // table approaches key cardinality; run exactPercentiles
+          // (integer-CDF cascade, type-bounded) over the counts table
+          // for that shape
           round(expr("percentile(cnt, 0.5)"), 6).as("p50_key_rows"),
           round(expr("percentile(cnt, 0.99)"), 6).as("p99_key_rows"))
         .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
@@ -602,8 +633,23 @@ object Profile {
     * per-score positive/total counts, one cumulative window over that
     * domain (domain-sized, not row-sized), one scalar fold. */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // scores must already be INTEGER-valued (micros-quantized upstream,
+    // the library convention): a blind cast("long") silently truncated
+    // fractional probabilities — every score in [0,1) collapsed to 0
+    // and the "exact" AUC read 0.5 regardless of the model (and a NaN
+    // aborted the ANSI cast mid-job) — so non-integral scores now fail
+    // with guidance instead (r11 self-review)
+    val sd = col(scoreCol).cast("double")
+    // try_cast: NaN / overflow become NULL instead of an ANSI abort
+    // inside the guard itself, and route into the raise branch
+    val sLong = sd.try_cast(org.apache.spark.sql.types.LongType)
+    val sOk = when(sLong.isNotNull && sd === sLong.cast("double"), sLong)
+      .otherwise(raise_error(concat(
+        lit("aucExact: non-integer score "),
+        coalesce(sd.cast("string"), lit("null")),
+        lit(" — quantize first (e.g. round(p * 1e6) micros)"))))
     val rows = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(scoreCol).cast("long").as("s"),
+      .select(sOk.as("s"),
         when(col(labelCol).cast("long") > 0, 1L).otherwise(0L).as("y"))
     val byScore = rows.groupBy(col("s"))
       .agg(count(lit(1)).as("m"), sum(col("y")).as("m_pos"))
@@ -687,8 +733,12 @@ object Profile {
     * would funnel them through one task where the broadcast attach
     * stays map-only at any cardinality. */
   def shareShift(df: DataFrame, groupCol: String, isB: Column): DataFrame = {
+    // a NULL period predicate (e.g. a NULL timestamp under ts >= cutoff)
+    // belongs to NEITHER period: when(isB, 0).otherwise(1) silently
+    // counted such rows in period A, inflating its shares (r11
+    // self-review) — count each side explicitly and exclude NULLs
     val g = df.groupBy(col(groupCol))
-      .agg(sum(when(isB, 0L).otherwise(1L)).as("cnt_a"),
+      .agg(sum(when(!isB, 1L).otherwise(0L)).as("cnt_a"),
         sum(when(isB, 1L).otherwise(0L)).as("cnt_b"))
     g.crossJoin(broadcast(g.agg(sum(col("cnt_a")).as("tot_a"),
         sum(col("cnt_b")).as("tot_b"))))
@@ -1000,7 +1050,12 @@ object Profile {
     require(b >= 2, "quantileNormalize: need at least 2 bins")
     graft.Graft.init(df.sparkSession) // fracBucket's sortable_f64 (idempotent)
     import org.apache.spark.sql.expressions.Window
-    val dom = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+    // NULL values have no quantile (the exactPercentiles/ksStatistic
+    // convention): previously they entered the pooled CDF as the
+    // smallest "values", shifting every bin boundary, and a NULL could
+    // even be emitted as a normalized boundary value (r11 self-review)
+    val nn = df.where(col(valueCol).isNotNull)
+    val dom = nn.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
     // distributed prefix scan over the pooled value domain (see
     // domainPrefix); inclusive CDF = exclusive prefix + own count.
     // fracBucket: raw (possibly fractional) value domain — see ksStatistic
@@ -1018,7 +1073,7 @@ object Profile {
       .select(col("k"), col("v").as("normalized"))
     val wGrp = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(idCol))
-    val ranked = df
+    val ranked = nn
       .withColumn("r", row_number().over(wGrp).cast("long"))
       .withColumn("ng", count(lit(1)).over(
         Window.partitionBy(col(groupCol))))
@@ -1051,11 +1106,15 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     val loRank = math.max(1, math.floor(0.025 * b).toInt)
     val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
+    // NULL metrics are not observations: previously they biased
+    // mean_full low (the sum skipped them, the count did not) and made
+    // replicate means inconsistent the same way (r11 self-review)
+    val base = df.where(col(valueCol).isNotNull)
     // all B deterministic Poisson(1) draws of a row in one fused pass
     // (functions.PoissonWeights — same md5(id:rep:salt) bytes, IEEE
     // division, and literal inverse-CDF compares as the string-concat
     // formulation the oracle replays; posexplode pos = replicate id)
-    val reps = df.select(col(idCol), col(valueCol).cast("long").as("x"),
+    val reps = base.select(col(idCol), col(valueCol).cast("long").as("x"),
         posexplode(graft.functions.NumericExprs.poissonWeights(
           col(idCol).cast("string"), b, salt)).as(Seq("rep", "w")))
       .groupBy(col("rep"))
@@ -1068,13 +1127,19 @@ object Profile {
         row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
       .withColumn("n_eff", count(lit(1)).over(
         Window.partitionBy(lit(1))))
-    val full = df.agg(
+    val full = base.agg(
       (sum(col(valueCol).cast("long")).cast("double") / count(lit(1)))
         .as("mean_full"))
+    // ranks CLAMP to the surviving replicate count: a small sample can
+    // drop zero-weight replicates (total weight 0 at probability e^-n
+    // each), and the nominal rank ceil(0.975 b) then exceeded n_eff —
+    // ci_hi silently NULL (r11 self-review)
     ranked.groupBy()
       .agg(
-        min(when(col("rn") === loRank, col("mean_rep"))).as("ci_lo"),
-        min(when(col("rn") === hiRank, col("mean_rep"))).as("ci_hi"),
+        min(when(col("rn") === least(lit(loRank), col("n_eff")),
+          col("mean_rep"))).as("ci_lo"),
+        min(when(col("rn") === least(lit(hiRank), col("n_eff")),
+          col("mean_rep"))).as("ci_hi"),
         any_value(col("n_eff")).cast("long").as("n_replicates"))
       .crossJoin(full)
       .select(col("mean_full"), col("ci_lo"), col("ci_hi"),

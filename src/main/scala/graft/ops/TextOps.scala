@@ -180,7 +180,11 @@ object TextOps {
         acc + when(i % 2 === 0,
           when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
       })
-    total % 10 === 0
+    // empty-string guard: sequence(1, 0) runs BACKWARD in Spark and
+    // element_at(chars, 0) raises INVALID_INDEX_OF_ZERO — the
+    // documented sequence() trap, missed on this public API until
+    // r11's self-review (internal callers pre-filter to 13-19 digits)
+    when(length(d) === 0, lit(false)).otherwise(total % 10 === 0)
   }
 
   /** Credit-card detection with Luhn validation: candidate = any
@@ -1314,7 +1318,11 @@ object TextOps {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = wordCounts(docs, textCol)
+    // materialize the word counts ONCE: the guard's count() and the
+    // collect() otherwise each run the full corpus tokenize+shuffle —
+    // a whole second corpus pass on the one stage where 100 TB happens
+    // (r11 self-review); the table is maxVocabRows-bounded by contract
+    val wc = wordCounts(docs, textCol).localCheckpoint(true)
     val nVocab = wc.count()
     require(nVocab <= maxVocabRows,
       s"bpeMerges: $nVocab distinct words exceed the driver-trainer " +
@@ -1699,7 +1707,9 @@ object TextOps {
     require(seedFactor >= 1, "seedFactor must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = wordCounts(docs, textCol)
+    // one corpus pass (the bpeMerges rule): guard count + collect share
+    // the materialized table
+    val wc = wordCounts(docs, textCol).localCheckpoint(true)
     val nVocab = wc.count()
     require(nVocab <= maxVocabRows,
       s"unigramPieces: $nVocab distinct words exceed the driver-trainer " +

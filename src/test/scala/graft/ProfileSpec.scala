@@ -587,4 +587,57 @@ class ProfileSpec extends SparkSpec {
     }
     assert(got.length == rows.length)
   }
+
+  test("domainPrefix groupCols: a NULL group is a real partition " +
+      "(the Window.partitionBy contract)") {
+    import spark.implicits._
+    // the offset/total joins were null-unsafe and every NULL-group row
+    // silently vanished from the cascade's output (r11 self-review)
+    val rows = Seq((Option("g"), 1L, 2L), (Option("g"), 5L, 3L),
+      (Option.empty[String], 2L, 7L), (Option.empty[String], 9L, 4L))
+    val got = Profile.domainPrefix(rows.toDF("src", "u", "n"), "u",
+        Seq("n"), groupCols = Seq("src"))
+      .select(col("src"), col("u"), col("cum_n"), col("tot_n"))
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (Some("g"), 1L, 0L, 5L), (Some("g"), 5L, 2L, 5L),
+      (None, 2L, 0L, 11L), (None, 9L, 7L, 11L)), s"got $got")
+  }
+
+  test("NULL/NaN edges across the profile family (r11 self-review)") {
+    import spark.implicits._
+    // quantileNormalize: NULL values have no quantile and must not
+    // shift the pooled CDF or surface as boundary values
+    val qn = Profile.quantileNormalize(
+      Seq((1L, "a", Option(1.0)), (2L, "a", Option(2.0)),
+        (3L, "a", Option.empty[Double]), (4L, "b", Option(3.0)),
+        (5L, "b", Option(4.0))).toDF("id", "g", "v"),
+      "id", "g", "v", b = 2)
+    val rows = qn.collect()
+    assert(rows.length == 4, s"NULL value row leaked: ${rows.toSeq}")
+    assert(rows.forall(!_.isNullAt(4)), "NULL emitted as normalized value")
+    // shareShift: a NULL period predicate belongs to NEITHER period
+    val ss = Profile.shareShift(
+      Seq(("s1", Option(1L)), ("s1", Option(10L)),
+        ("s1", Option.empty[Long])).toDF("seg", "ts"),
+      "seg", col("ts") >= 5L).collect().head
+    assert(ss.getLong(1) == 1L && ss.getLong(2) == 1L,
+      s"NULL-predicate row was counted: $ss")
+    // covarianceMatrix: zero-variance corr is NULL, never NaN/Inf
+    val cm = Profile.covarianceMatrix(
+      Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("c1", "c2"),
+      Seq("c1", "c2")).collect()
+    assert(cm.forall(r => r.isNullAt(4) ||
+      !r.getDouble(4).isNaN), s"NaN corr leaked: ${cm.toSeq}")
+    assert(cm.exists(r => r.getString(0) == "c1" && r.isNullAt(4)))
+    // aucExact: fractional scores fail with guidance, not AUC 0.5
+    val ex = intercept[Exception] {
+      Profile.aucExact(Seq((0.7, 1L), (0.3, 0L)).toDF("p", "y"),
+        "p", "y").collect() }
+    assert(ex.getMessage.contains("quantize"), s"got ${ex.getMessage}")
+    // luhnValid: empty string is false, not INVALID_INDEX_OF_ZERO
+    val lv = Seq("", "79927398713").toDF("d")
+      .select(graft.ops.TextOps.luhnValid(col("d"))).as[Boolean].collect()
+    assert(lv.toSeq == Seq(false, true))
+  }
 }
