@@ -792,8 +792,10 @@ object TextOps {
       termCol: String = "term"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // limit(bound + 1): a contract violation arrives as ONE extra row,
+    // not a driver-OOM-sized collect (the temperatureSample pattern)
     val termArr = terms.select(lower(col(termCol)).as("t"))
-      .distinct().as[String].collect().sorted
+      .distinct().limit(1000001).as[String].collect().sorted
     require(termArr.length <= 1000000,
       s"blocklistAC: ${termArr.length} terms exceeds the policy-sized " +
         "contract (1M) — this is a data table, not a blocklist; join it")

@@ -762,7 +762,7 @@ object StreamOps {
     import graft.functions.ShingleExprs.shingleHash64
     val grams = evalSet
       .select(explode(shingleHash64(col(textCol), n)).as("g"))
-      .distinct().as[Long].collect().sorted
+      .distinct().limit(8000001).as[Long].collect().sorted
     require(grams.length <= 8000000,
       s"decontamGate: ${grams.length} eval grams exceed the policy-sized " +
         "broadcast contract (8M) — that is a data table, not a benchmark; " +

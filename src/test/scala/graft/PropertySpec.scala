@@ -672,6 +672,94 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("preferencePairs decimal scores select identically to brute force " +
+      "(property)") {
+    // DecimalType has no exact long image, so this is the one selection
+    // path that stays on the group-partitioned window (VERDICT r11 #7) —
+    // pin it to the documented rule: i-th best (score desc, id asc) pairs
+    // with i-th worst (score asc, id desc), ranks capped at min(k, n/2),
+    // zero-gap pairs dropped
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.chooseNum(-999L, 999L))
+    for ((rows, i) <- samples(Gen.listOfN(16, rowGen), 8).zipWithIndex) {
+      val data = rows.zipWithIndex.map { case ((g, c), id) =>
+        (g, id.toLong, BigDecimal(c) / 100) }
+      val df = data.toDF("g", "id", "score")
+        .withColumn("score", col("score").cast("decimal(10,2)"))
+      assert(df.schema("score").dataType ==
+        org.apache.spark.sql.types.DecimalType(10, 2))
+      val got = graft.ops.Sampling.preferencePairs(df, "g", "id",
+          "score", k = 3)
+        .select("g", "pair_rank", "chosen_id", "chosen_score",
+          "rejected_id", "rejected_score")
+        .as[(String, Int, Long, BigDecimal, Long, BigDecimal)]
+        .collect().toSet
+      val want = data.groupBy(_._1).flatMap { case (g, xs) =>
+        val best = xs.sortWith((a, b) =>
+          a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        val worst = xs.sortWith((a, b) =>
+          a._3 < b._3 || (a._3 == b._3 && a._2 > b._2))
+        (0 until math.min(3, xs.length / 2)).flatMap { j =>
+          val c = best(j); val r = worst(j)
+          if (c._3 > r._3) Some((g, j + 1, c._2, c._3, r._2, r._3))
+          else None
+        }
+      }.toSet
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("diverseSample equals the brute-force per-orthant window rule " +
+      "for ANY vectors (property)") {
+    // the bottom-k-pair aggregate selection (r12) must pick exactly what
+    // the retired window picked: per sign-orthant, (md5(id:seed), id)
+    // ascending, top perBucket — on the integral-id direct-decode path
+    // AND the string-id hash60 dictionary path
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecGen = Gen.listOfN(3, Gen.chooseNum(-5, 5).map(_.toFloat))
+    for ((vecs, i) <- samples(Gen.listOfN(40, vecGen), 6).zipWithIndex) {
+      val rows = vecs.zipWithIndex.map { case (v, id) =>
+        (id.toLong, v.toArray) }
+      val want = rows.map { case (id, v) =>
+        (id, (if (v(0) > 0f) 1L else 0L) + (if (v(1) > 0f) 2L else 0L))
+      }.groupBy(_._2).flatMap { case (_, xs) =>
+        xs.sortBy { case (id, _) => (md5hex(s"$id:7"), id) }.take(2)
+      }.toSet
+      val got = graft.ops.Sampling.diverseSample(rows.toDF("vec_id",
+          "embedding"), "vec_id", "embedding",
+          signDims = 2, perBucket = 2, seed = 7L)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"case $i long ids")
+      // string ids: same selection (the md5 priority is keyed on the
+      // CAST string, identical for "N" vs N), ids decode via hash60
+      val gotStr = graft.ops.Sampling.diverseSample(
+          rows.map { case (id, v) => (id.toString, v) }
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", signDims = 2, perBucket = 2, seed = 7L)
+        .as[(String, Long)].collect()
+        .map { case (id, b) => (id.toLong, b) }.toSet
+      assert(gotStr == want, s"case $i string ids")
+    }
+  }
+
+  test("mixtureToBudget totals are policy-bounded: a data-cardinality " +
+      "source column cannot inflate the driver collect") {
+    // 5000 distinct sources, 2 weighted: the totals aggregation filters
+    // to the weight map's keys BEFORE grouping (VERDICT r11 weak), so
+    // only the weighted sources are ever aggregated or emitted
+    val df = (1L to 5000L).map(i => (i, s"src$i", 100L))
+      .toDF("id", "source", "toks")
+    val out = graft.ops.Sampling.mixtureToBudget(df, "source", "id",
+      "toks", Map("src1" -> 0.5, "src2" -> 0.5), budgetTokens = 400L)
+    // each weighted source holds 100 tokens, target 200 -> f = 2.0
+    // exactly: every kept doc carries exactly 2 copies, nothing else
+    val copies = out.select("id", "n_copies").as[(Long, Long)]
+      .collect().toMap
+    assert(copies == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("HLL merge is commutative, associative, idempotent for ANY key sets (property)") {
     import graft.ops.Hll
     val setGen = Gen.listOfN(80, Gen.chooseNum(0L, 400L))
