@@ -604,14 +604,30 @@ object StreamOps {
     * at that point the append has not run, so recomputation is still
     * against the pre-batch index). Staged outputs are ALSO the durable
     * materialization the append needs (the plan must not read the
-    * directory being appended to). Cleanup: delete staged batches only
-    * once the stream's checkpoint has committed past them. */
+    * directory being appended to). Retention (ADVICE r12): stage dirs
+    * more than [[StageRetentionBatches]] behind the current batch are
+    * deleted at the top of each invocation — a foreachBatch replay can
+    * only target the batch the checkpoint has not committed past
+    * (i.e. at or just below the current one), so dropping the deep
+    * tail is safe, and a long-running ingest stream holds a BOUNDED
+    * number of staged results instead of one directory per micro-batch
+    * forever. */
+  private[graft] val StageRetentionBatches = 64L
+
   private def stagedBatchResult(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batchId: Long)
       (compute: => DataFrame): DataFrame = {
     val dir = s"$indexPath/ingest_stage/b$batchId"
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_stage")
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("b") && name.drop(1).forall(_.isDigit) &&
+            name.drop(1).toLong < batchId - StageRetentionBatches)
+          fs.delete(st.getPath, true)
+      }
     // compute is by-name: a replayed batch never re-plans (let alone
     // re-runs) the dedup against the already-grown index
     if (!fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")))

@@ -236,8 +236,7 @@ class DedupSpec extends SparkSpec {
         minLen = 8)
       .as[(Long, String, Long, Long)].collect().head
     assert((again._2, again._4) == ((postAppend._2, postAppend._4)))
-    val meta = spark.read.parquet(s"$tmp/meta").head
-    assert(meta.getAs[Long]("generation") == 2L)
+    assert(Dedup.indexGeneration(spark, tmp) == 2L)
     // the size gate: maxBroadcastGrams = 1 forces the hash-partitioned
     // (backfill) regime — selection must be identical to the broadcast
     // regime's, row for row
@@ -280,8 +279,7 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(hits.map(h => (h._1, h._2)).toSeq == Seq((201L, 101L)),
       s"got ${hits.toSeq}")
-    assert(spark.read.parquet(s"$tmp/meta").head
-      .getAs[Long]("generation") == 1L)
+    assert(Dedup.indexGeneration(spark, tmp) == 1L)
   }
 
   test("crossSourceDuplication: unordered source pairs, distinct " +
@@ -812,5 +810,167 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "cluster_id", "split")
       .as[(Long, Long, String)].collect()
     assert(split.toSet == again.toSet)
+  }
+
+  test("index appends are single-writer: a stale-generation claim " +
+      "throws loudly") {
+    val corpus = Seq((1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-cas").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    assert(Dedup.indexGeneration(spark, tmp) == 0L)
+    // the race: writer A reads generation 0; writer B claims g1 and
+    // appends; writer A now tries to claim the SAME g1 — the create-
+    // without-overwrite CAS admits exactly one. Writer A's stale claim
+    // (its read happened before B's claim landed) must throw.
+    val claimed = Dedup.claimGenerationAt(spark, tmp, 1L) // writer B wins
+    assert(claimed == 1L)
+    val e = intercept[IllegalStateException](
+      Dedup.claimGenerationAt(spark, tmp, 1L))            // writer A, stale
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // claims happen BEFORE any data write in the append path, and the
+    // generation history they build is what appends read next: a fresh
+    // (non-stale) append claims 2 on top of B's 1 and succeeds
+    val batch = Seq((10L, "u v w x y z aa bb cc dd")).toDF("doc_id", "text")
+    Dedup.appendToGramIndex(batch, tmp, "doc_id", "text")
+    assert(Dedup.indexGeneration(spark, tmp) == 2L)
+    // same CAS on the signature index
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-cas").toString
+    Dedup.saveSignatureIndex(corpus, tmp2, "doc_id", "text")
+    Dedup.claimGenerationAt(spark, tmp2, 1L)
+    intercept[IllegalStateException](
+      Dedup.claimGenerationAt(spark, tmp2, 1L))
+    // a fresh rebuild resets the claim history to generation 0
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    assert(Dedup.indexGeneration(spark, tmp) == 0L)
+  }
+
+  test("appendToSignatureIndex survives a torn write: buckets-only " +
+      "rows self-heal on replay") {
+    // ADVICE r12 (medium): the replay anti-join keys on sets ids, so
+    // the crash-safe order is buckets THEN sets — a crash between them
+    // leaves bucket rows whose replay re-appends both halves
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-torn").toString
+    Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text")
+    val b1Text = "red orange yellow green blue indigo violet ultraviolet"
+    val batch1 = Seq((101L, b1Text)).toDF("doc_id", "text")
+    // simulate the torn write: run the append, then delete the SETS
+    // rows it added (buckets remain) — the on-disk state a crash
+    // between the buckets append and the sets append leaves behind
+    val setsDir = java.nio.file.Paths.get(tmp, "sets")
+    val preFiles = java.nio.file.Files.list(setsDir).toArray.toSet
+    Dedup.appendToSignatureIndex(batch1, tmp, "doc_id", "text")
+    java.nio.file.Files.list(setsDir).toArray.toSet.diff(preFiles)
+      .foreach(p => java.nio.file.Files.delete(
+        p.asInstanceOf[java.nio.file.Path]))
+    assert(spark.read.parquet(s"$tmp/sets").count() == 1L,
+      "torn-write simulation failed")
+    // replay of the same batch: 101 is NOT in sets, so it re-appends
+    // fully (duplicate bucket rows are harmless)
+    Dedup.appendToSignatureIndex(batch1, tmp, "doc_id", "text")
+    assert(spark.read.parquet(s"$tmp/sets").count() == 2L)
+    // the healed index generates candidates against 101 again
+    val batch2 = Seq((201L, b1Text + " extra")).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(batch2, tmp, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((201L, 101L)),
+      s"near-copy of the torn-write doc admitted: ${hits.toSeq}")
+  }
+
+  test("compactGramIndex: content-equal, one file per bucket, probes " +
+      "and generation history unchanged") {
+    import scala.jdk.CollectionConverters._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "pack my box with five dozen liquor jugs right now ok"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-compact").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 8)
+    // fragment: several small appends
+    for (i <- 0 until 5) {
+      val b = Seq((100L + i, s"novel passage number $i with words " +
+        s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+      Dedup.appendToGramIndex(b, tmp, "doc_id", "text")
+    }
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val rowsBefore = spark.read.parquet(s"$tmp/grams")
+      .select("h", "bucket").as[(Long, Long)].collect().sorted.toSeq
+    val filesBefore = parquetFiles(s"$tmp/grams").size
+    val genBefore = Dedup.indexGeneration(spark, tmp)
+    assert(genBefore == 5L)
+    val probe = Seq((999L, "the quick brown fox jumps over the lazy " +
+      "dog again today plus fresh tail words")).toDF("doc_id", "text")
+    val probeBefore = Dedup.exciseAgainstIndex(probe, tmp, "doc_id",
+      "text", minLen = 8).as[(Long, String, Long, Long)].collect().toSeq
+    Dedup.compactGramIndex(spark, tmp)
+    val rowsAfter = spark.read.parquet(s"$tmp/grams")
+      .select("h", "bucket").as[(Long, Long)].collect().sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed the gram set")
+    val filesAfter = parquetFiles(s"$tmp/grams").size
+    assert(filesAfter < filesBefore && filesAfter <= 8,
+      s"files $filesBefore -> $filesAfter")
+    // generation history: the 5 appends plus the compaction's own claim
+    assert(Dedup.indexGeneration(spark, tmp) == genBefore + 1)
+    val probeAfter = Dedup.exciseAgainstIndex(probe, tmp, "doc_id",
+      "text", minLen = 8).as[(Long, String, Long, Long)].collect().toSeq
+    assert(probeAfter == probeBefore, "probe diverged after compaction")
+    // appends keep working on the compacted index
+    Dedup.appendToGramIndex(Seq((300L, "entirely new closing words " +
+      "qq ww ee rr tt yy uu")).toDF("doc_id", "text"), tmp, "doc_id", "text")
+    assert(Dedup.indexGeneration(spark, tmp) == genBefore + 2)
+  }
+
+  test("compactSignatureIndex: sets/buckets content preserved, torn-" +
+      "write duplicate bucket rows swept, probes unchanged") {
+    import scala.jdk.CollectionConverters._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sigidx-compact").toString
+    Dedup.saveSignatureIndex(corpus, tmp, "doc_id", "text")
+    for (i <- 0 until 4) {
+      val b = Seq((100L + i, s"fresh document $i carrying its own " +
+        s"unique tokens u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+      Dedup.appendToSignatureIndex(b, tmp, "doc_id", "text")
+    }
+    def parquetFiles(dir: String): Int =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.count(_.toString.endsWith(".parquet"))
+    val setsBefore = spark.read.parquet(s"$tmp/sets")
+      .select("id").as[Long].collect().sorted.toSeq
+    val bucketsBefore = spark.read.parquet(s"$tmp/buckets")
+      .select("id", "bucket").as[(Long, String)].collect().sorted.toSeq
+    val filesBefore = parquetFiles(s"$tmp/sets") +
+      parquetFiles(s"$tmp/buckets")
+    val batch2 = Seq((201L, "fresh document 0 carrying its own unique " +
+      "tokens u0a u0b u0c plus more")).toDF("doc_id", "text")
+    val probeBefore = Dedup.incrementalNearDups(batch2, tmp, "doc_id",
+        "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    Dedup.compactSignatureIndex(spark, tmp, targetFiles = 2)
+    assert(spark.read.parquet(s"$tmp/sets")
+      .select("id").as[Long].collect().sorted.toSeq == setsBefore)
+    assert(spark.read.parquet(s"$tmp/buckets")
+      .select("id", "bucket").as[(Long, String)].collect().sorted.toSeq
+      == bucketsBefore)
+    val filesAfter = parquetFiles(s"$tmp/sets") +
+      parquetFiles(s"$tmp/buckets")
+    assert(filesAfter < filesBefore && filesAfter <= 4,
+      s"files $filesBefore -> $filesAfter")
+    val probeAfter = Dedup.incrementalNearDups(batch2, tmp, "doc_id",
+        "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(probeAfter == probeBefore, "probe diverged after compaction")
   }
 }

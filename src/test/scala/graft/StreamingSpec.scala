@@ -734,8 +734,7 @@ class StreamingSpec extends SparkSpec {
     assert(got(201L) == (("pre post", 8L)),
       s"cross-batch duplicate survived: ${got(201L)}")
     // the index carries two appends' generations
-    assert(spark.read.parquet(s"$tmp/meta").head
-      .getAs[Long]("generation") == 2L)
+    assert(graft.ops.Dedup.indexGeneration(spark, tmp) == 2L)
   }
 
   test("nearDupIngest: corpus near-copies drop, within-batch clusters " +
@@ -829,6 +828,30 @@ class StreamingSpec extends SparkSpec {
     StreamOps.nearDupIngestBatch(nd, 0L, tmp2, "doc_id", "text") {
       (a, _) => acc2 = a.collect().map(_.getLong(0)).toSet }
     assert(acc2 == acc1, s"near-dup replay diverged: $acc2 vs $acc1")
+  }
+
+  test("ingest stage dirs are retention-pruned: only the recent replay " +
+      "window survives a long-running stream") {
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stage-retention").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 16)
+    // plant stage dirs deep in the past (b0, b1) and inside the window
+    val stale = Seq(0L, 1L)
+    val recent = 900L - StreamOps.StageRetentionBatches // inside window
+    for (b <- stale :+ recent) {
+      val d = java.nio.file.Paths.get(tmp, "ingest_stage", s"b$b")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.createFile(d.resolve("_SUCCESS"))
+    }
+    StreamOps.substringDedupIngestBatch(
+      Seq((101L, "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text"),
+      900L, tmp, "doc_id", "text", minLen = 8) { (c, _) => c.count(); () }
+    val left = java.nio.file.Files
+      .list(java.nio.file.Paths.get(tmp, "ingest_stage"))
+      .toArray.map(_.toString.split('/').last).toSet
+    assert(left == Set(s"b$recent", "b900"), s"got $left")
   }
 
   test("streaming KMV quantiles reject NaN payloads loudly") {
