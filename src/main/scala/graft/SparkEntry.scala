@@ -8483,9 +8483,11 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  FROM orders GROUP BY 1),
         |u AS (
         |  SELECT o_orderpriority, exact_n,
-        |    (CAST(('0x' || substring(md5(o_orderpriority || 'graft-r7:g1'),
+        |    (CAST(('0x' || substring(md5('v:' || o_orderpriority
+        |      || 'graft-r7:g1'),
         |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
-        |    (CAST(('0x' || substring(md5(o_orderpriority || 'graft-r7:g2'),
+        |    (CAST(('0x' || substring(md5('v:' || o_orderpriority
+        |      || 'graft-r7:g2'),
         |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u2
         |  FROM g)
         |SELECT o_orderpriority, exact_n,

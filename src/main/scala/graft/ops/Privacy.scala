@@ -109,8 +109,15 @@ object Privacy {
     // the NULL group is a real group to groupBy, but md5(concat(NULL,
     // salt)) is NULL and the release would silently publish a NULL
     // noisy count for it (r11 self-review) — hash a sentinel instead
-    // (the output group label stays NULL; only the noise seed changes)
-    val hkey = coalesce(key.cast("string"), lit(":null-group:"))
+    // (the output group label stays NULL; only the noise seed changes).
+    // The sentinel is NON-SPOOFABLE (ADVICE r12): non-null keys seed
+    // from the "v:" domain, NULL from "n:" — every non-null seed
+    // carries the v-prefix, so no genuine group value (including one
+    // spelling the old ":null-group:" literal) can ever share a noise
+    // draw with the NULL group; identical draws would weaken the DP
+    // guarantee for that pair
+    val hkey = when(key.isNull, lit("n:"))
+      .otherwise(concat(lit("v:"), key.cast("string")))
     val noise = geometric(uniform(hkey, seed + ":g1"), epsilon) -
       geometric(uniform(hkey, seed + ":g2"), epsilon)
     df.groupBy(key)

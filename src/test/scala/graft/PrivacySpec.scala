@@ -63,8 +63,11 @@ class PrivacySpec extends SparkSpec {
     }
     def geom(uu: Double, eps: Double): Long =
       math.floor(math.log(uu) / -eps).toLong
+    // non-null keys seed from the "v:"-prefixed domain (non-spoofable
+    // sentinel split, ADVICE r12)
     for ((k, exact, noisy) <- run1) {
-      val expect = exact + geom(u(k, "s:g1"), 0.5) - geom(u(k, "s:g2"), 0.5)
+      val expect = exact + geom(u("v:" + k, "s:g1"), 0.5) -
+        geom(u("v:" + k, "s:g2"), 0.5)
       assert(noisy == expect, s"group $k")
     }
     // epsilon sweep: tighter epsilon (more noise) must not change the
@@ -86,5 +89,34 @@ class PrivacySpec extends SparkSpec {
     assert(got(None)._1 == 5L)
     assert(got(None)._2.isDefined, "NULL group released a NULL noisy count")
     assert(got(Some("g"))._2.isDefined)
+  }
+
+  test("dpNoisyCounts NULL-group sentinel is non-spoofable: no string " +
+      "value can share the NULL group's noise draws") {
+    import graft.ops.Privacy
+    // adversarial group values: the legacy sentinel literal and the new
+    // "n:" tag itself — each must draw from the v:-domain, never from
+    // the NULL group's n:-domain
+    val df = (Seq.fill(4)(Option.empty[String]) ++
+      Seq.fill(4)(Some(":null-group:")) ++ Seq.fill(4)(Some("n:")))
+      .toDF("grp")
+    val got = Privacy.dpNoisyCounts(df, "grp", epsilon = 0.5, seed = "s")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) "NULL" else r.getString(0)) -> r.getLong(2))
+      .toMap
+    def u(key: String, salt: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((key + salt).getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    def noise(seedKey: String): Long = {
+      def geom(uu: Double): Long = math.floor(math.log(uu) / -0.5).toLong
+      geom(u(seedKey, "s:g1")) - geom(u(seedKey, "s:g2"))
+    }
+    // each group's draw comes from ITS OWN disjoint seed domain
+    assert(got("NULL") == 4L + noise("n:"))
+    assert(got(":null-group:") == 4L + noise("v::null-group:"))
+    assert(got("n:") == 4L + noise("v:n:"))
   }
 }
