@@ -10147,7 +10147,7 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
     "q_html_extract" ->
       (HtmlReplayCtes +
         """SELECT doc_id,
-          |  regexp_extract(html, '(?i)<title>([^<]*)</title>', 1) AS title,
+          |  regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
           |  CAST(len(regexp_extract_all(html, '(?i)<a href')) AS BIGINT)
           |    AS n_links,
           |  text_clean,

@@ -60,31 +60,41 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asOf direction must be 'backward' or 'forward', got '$direction'")
-    if (direction == "forward") {
-      // exact reduction: forward on t IS backward on -t. "earliest right
-      // with r.t >= l.t" == "latest right with r.(-t) <= l.(-t)", and the
-      // tolerance band |lt - rt| is symmetric under negation. The salted
-      // path only needs a monotonic long cast, which -cast(t) is.
-      val l2 = left.withColumn("_negt", -col(timeCol).cast("long"))
-      val r2 = right.withColumn("_negt", -col(timeCol).cast("long"))
-      return asOfOn(l2, r2, keyCol, "_negt", payloadCols, saltBuckets,
-        tolerance).drop("_negt")
-    }
-    asOfOn(left, right, keyCol, timeCol, payloadCols, saltBuckets, tolerance)
+    // a negative tolerance would silently null every carried payload
+    // (lt - mt >= 0 by construction) — a caller sign error must fail
+    // fast, not masquerade as "no right data matched" (review r12)
+    require(tolerance.forall(_ >= 0L),
+      s"tolerance must be non-negative, got ${tolerance.get}")
+    asOfOn(left, right, keyCol, timeCol, payloadCols, saltBuckets,
+      tolerance, forward = direction == "forward")
   }
 
-  /** The backward-direction core, windowing on `timeCol` as given. */
+  /** The windowed core. `forward = true` runs the SAME carry logic over
+    * the time-descending window — "earliest right with r.t >= l.t" is
+    * "latest preceding right" in descending order. The window orders by
+    * the RAW time column in both directions (review r12: the old
+    * forward reduction negated `cast(t as long)`, whose truncation —
+    * whole seconds for timestamps, floor for fractional numerics —
+    * collapsed distinct times, matching right rows strictly BEFORE the
+    * left time and mis-picking among sub-second candidates; a cast used
+    * for ordering must be injective, and this one was not). */
   private def asOfOn(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCols: Seq[String],
-      saltBuckets: Int, tolerance: Option[Long]): DataFrame = {
+      saltBuckets: Int, tolerance: Option[Long],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val reserved = Seq("_tag", "_r", "_asof", "_b", "_last", "_carry") ++
       payloadCols.map("asof_" + _)
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with reserved as-of names: " +
         leftCols.filter(reserved.contains).mkString(", "))
-    require(!payloadCols.contains("_grft_mt"),
-      "payload column name _grft_mt is reserved for the tolerance check")
+    // payload columns named after the internals would be silently
+    // clobbered by the tagging withColumns before the payload struct
+    // resolves (review r12) — reject them like the left-side collisions
+    require(!payloadCols.exists(c => reserved.contains(c) || c == "_grft_mt"),
+      s"payload columns collide with reserved as-of names: " +
+        payloadCols.filter(c => reserved.contains(c) || c == "_grft_mt")
+          .mkString(", "))
     // the whole right payload travels as ONE struct: last(_, ignoreNulls)
     // then selects the latest right ROW atomically — per-column carrying
     // would resurrect an older value when the latest right row holds a
@@ -118,14 +128,20 @@ object AsOfJoin {
     def finish(df: DataFrame, partCols: Seq[String]): DataFrame = {
       // final `_r` tiebreaker: several right rows at the same (key, time)
       // would otherwise resolve by physical row order — nondeterministic
-      // across retries; struct ordering makes last() pick the max payload
+      // across retries; struct ordering makes last() pick the max payload.
+      // Forward runs the identical carry over the DESC window: nulls
+      // still sort first (a null-time left row must precede every right
+      // row and match nothing, exactly as in the asc default)
+      val tOrd = if (forward) col(timeCol).desc_nulls_first else col(timeCol)
       val w = Window.partitionBy(partCols.map(col): _*)
-        .orderBy(col(timeCol), col("_tag"), col("_r").asc_nulls_first)
+        .orderBy(tOrd, col("_tag"), col("_r").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // tolerance: the carried distance is lt - mt >= 0 by construction
-      // (on the negated axis for forward joins, where it equals rt - lt);
+      // tolerance: the carried distance is lt - mt >= 0 backward and
+      // mt - lt >= 0 forward, both in the time column's long-cast units;
       // outside the band the payload nulls out but the left row survives
       val within = tolerance match {
+        case Some(t) if forward =>
+          col("_asof._grft_mt") - col(timeCol).cast("long") <= lit(t)
         case Some(t) =>
           col(timeCol).cast("long") - col("_asof._grft_mt") <= lit(t)
         case None => lit(true)
@@ -139,19 +155,52 @@ object AsOfJoin {
     if (saltBuckets <= 1) return finish(unioned, Seq(keyCol))
 
     // ---- time-range salted path ------------------------------------
-    // observed span -> B fixed-width buckets (2 driver scalars, one agg)
-    val mm = unioned.select(col(timeCol).cast("long").as("_t"))
+    // observed span -> B fixed-width buckets (2 driver scalars, one agg).
+    // Bucketing needs a MONOTONE long image only (equal images share a
+    // bucket, which is harmless): cast(t as long), flipped with the
+    // overflow-free bitwise_not for forward joins so ascending bucket
+    // ids follow the DESC window order and ONE carry direction serves
+    // both directions (the old `-cast(t)` flip corrupted Long.MinValue)
+    val bImg0 = col(timeCol).cast("long")
+    val bImg = if (forward) bitwise_not(bImg0) else bImg0
+    val mm = unioned.select(bImg.as("_t"))
       .where(col("_t").isNotNull).agg(min("_t"), max("_t")).head()
     if (mm.isNullAt(0)) return finish(unioned, Seq(keyCol)) // no usable times
     val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
     val width = (tmax - tmin) / saltBuckets + 1 // >= 1, covers tmax
     val withB = unioned.withColumn("_b",
-      ((col(timeCol).cast("long") - lit(tmin)) / lit(width)).cast("long"))
-    // latest right row per (key, bucket): max struct(time, payload) is
-    // exactly the row last() would carry (same (time, _r) tie-break)
-    val rb = withB.where(col("_tag") === 0)
-      .groupBy(col(keyCol), col("_b"))
-      .agg(max(struct(col(timeCol).as("t"), col("_r").as("r"))).as("_last"))
+      ((bImg - lit(tmin)) / lit(width)).cast("long"))
+    // the right row each bucket contributes = exactly the row last()
+    // would carry out of it in WINDOW order. Backward: latest time, max
+    // payload at ties — one map-side-combinable max(struct). Forward:
+    // EARLIEST time with max payload at ties — min-then-max has no
+    // single-aggregate form over the truncated image (sub-second
+    // candidates must resolve on the RAW time), so it runs as a rank-1
+    // window instead; InferWindowGroupLimit bounds its exchange at one
+    // row per (task, key, bucket)
+    // `_last` leads with the row's own bucket image `i`: the cross-
+    // bucket running max below must rank candidate buckets in WINDOW
+    // order (largest time backward, smallest time forward), and images
+    // from different buckets are strictly ordered by construction —
+    // raw-time-first struct ordering would pick the latest time in both
+    // directions, carrying the wrong (farthest) row on forward joins
+    val rb = if (!forward)
+      withB.where(col("_tag") === 0)
+        .groupBy(col(keyCol), col("_b"))
+        .agg(max(struct(col(timeCol).as("t"), col("_r").as("r"))).as("_m"))
+        .select(col(keyCol), col("_b"),
+          struct(col("_m.t").cast("long").as("i"), col("_m.t").as("t"),
+            col("_m.r").as("r")).as("_last"))
+    else {
+      val w1 = Window.partitionBy(col(keyCol), col("_b"))
+        .orderBy(col(timeCol).asc, col("_r").desc_nulls_last)
+      withB.where(col("_tag") === 0)
+        .withColumn("_rn", row_number().over(w1))
+        .where(col("_rn") === 1)
+        .select(col(keyCol), col("_b"),
+          struct(bitwise_not(col(timeCol).cast("long")).as("i"),
+            col(timeCol).as("t"), col("_r").as("r")).as("_last"))
+    }
     // carry INTO bucket b = running max over strictly earlier buckets, on
     // the full (key, bucket) grid (left-only buckets still need a carry).
     // Window size <= saltBuckets rows per key — driver-small per task.
@@ -162,9 +211,12 @@ object AsOfJoin {
       .withColumn("_carry", max(col("_last")).over(wCarry))
       .where(col("_carry").isNotNull)
     // one synthetic right row per (key, bucket), at the carried row's
-    // ORIGINAL time: strictly earlier than every in-bucket time (the cast
-    // is monotonic), so it sorts first in the bucket's window and any real
-    // in-bucket right row at or before a left row correctly wins over it
+    // ORIGINAL time: strictly outside every in-bucket time on the
+    // window-order side (the bucket image is monotone, and equal images
+    // share a bucket, so a carried row's time is strictly earlier —
+    // strictly later for forward — than all in-bucket times), so it
+    // sorts first in the bucket's window and any real in-bucket right
+    // row at or before (at or after, forward) a left row wins over it
     val carryRows = carries.select(lAligned.columns.map {
       case "_tag" => lit(0).as("_tag")
       case "_r" => col("_carry.r").as("_r")

@@ -120,6 +120,18 @@ object Dq {
   def observed(df: DataFrame, name: String,
       rowRules: Seq[(String, Column)]): DataFrame = {
     require(rowRules.nonEmpty, "observed needs at least one rule")
+    // enforce the documented naming contract (review r12): duplicate
+    // names make one violation count silently shadow the other in the
+    // observedMetrics row, an empty name is unaddressable, and a rule
+    // named n_rows collides with the built-in row-count metric — a
+    // production monitor would read the wrong number with no error
+    val names = rowRules.map(_._1)
+    require(names.forall(_.nonEmpty), "observed: rule names must be non-empty")
+    require(!names.contains("n_rows"),
+      "observed: rule name n_rows collides with the built-in row count")
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty,
+      s"observed: rule names must be unique, duplicated: ${dups.mkString(", ")}")
     val counts = rowRules.map { case (n, pred) =>
       sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as(n) }
     df.observe(name, count(lit(1)).as("n_rows"), counts: _*)

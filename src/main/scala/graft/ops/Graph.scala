@@ -206,13 +206,7 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String,
       dstCol: String, maxIters: Int = 20,
       broadcastState: Boolean = true): DataFrame = {
-    val eRaw = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-    val sym = eRaw
-      .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val sym = undirectedSym(edges, srcCol, dstCol, dropSelfLoops = false)
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
     // mirrored ⇒ every node appears as a src; no separate node union
@@ -270,14 +264,7 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 30, broadcastState: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be at least 1, got $k")
-    val eRaw = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-    val sym = eRaw
-      .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val sym = undirectedSym(edges, srcCol, dstCol, dropSelfLoops = true)
     def state(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
     def coreDegrees(alive: DataFrame): DataFrame = sym
@@ -287,22 +274,65 @@ object Graph {
     var alive = sym.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var nAlive = alive.count()
+    // keep core_degree through each round's checkpoint: on the converged
+    // round next == alive, so that round's degrees ARE the final
+    // within-core degrees — the old select(node)-then-recompute shape
+    // paid one extra full edge pass (two semi-joins + a keyed count)
+    // after convergence to re-derive numbers it had just discarded
+    // (review r12)
+    var result = alive.withColumn("core_degree", lit(0L))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val next = coreDegrees(alive)
-        .where(col("core_degree") >= k).select(col("node"))
+        .where(col("core_degree") >= k)
         .localCheckpoint(true)
       val nNext = next.count()
       converged = nNext == nAlive
-      alive = next
+      result = next
+      alive = next.select(col("node"))
       nAlive = nNext
       i += 1
     }
     if (!converged) throw new IllegalStateException(
       s"kCore did not stabilize in $maxIters rounds — a deeper peeling " +
         "cascade than expected; raise maxIters")
-    coreDegrees(alive)
+    result
+  }
+
+  /** Shared normalization of the mirrored undirected family (review
+    * r12: this block had been copy-pasted into connectedComponents and
+    * kCore with only the self-loop filter differing): string-cast,
+    * null-filtered, mirrored to both directions, distinct, and
+    * checkpointed once. `dropSelfLoops` = degree semantics (kCore — a
+    * self-loop must not count toward core degree); components keep
+    * them (harmless to connectivity). */
+  private def undirectedSym(edges: DataFrame, srcCol: String,
+      dstCol: String, dropSelfLoops: Boolean): DataFrame = {
+    val base = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val eRaw = if (dropSelfLoops) base.where(col("src") =!= col("dst"))
+      else base
+    eRaw.union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+  }
+
+  /** The canonical-pair form of the same normalization (triangles,
+    * linkPredictions): one (a < b) row per undirected edge, self-loops
+    * dropped, NOT checkpointed (both callers keep it inside a larger
+    * plan). */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+    e0.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
   }
 
   private def dampingTo100(iterations: Int, damping: Double): Int = {
@@ -419,15 +449,7 @@ object Graph {
     * triples — no arithmetic at all. */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String):
       DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("string").as("x"),
-        col(dstCol).cast("string").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull &&
-        col("x") =!= col("y"))
-    val und = e0
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    val und = canonicalUndirected(edges, srcCol, dstCol)
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -482,15 +504,7 @@ object Graph {
     * that are ALREADY edges. */
   def linkPredictions(edges: DataFrame, srcCol: String, dstCol: String,
       maxDegree: Long = 100000): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("string").as("x"),
-        col(dstCol).cast("string").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull &&
-        col("x") =!= col("y"))
-    val und = e0
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    val und = canonicalUndirected(edges, srcCol, dstCol)
     val adj = und.select(col("a").as("n"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("n"), col("a").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -531,24 +545,6 @@ object Graph {
           coalesce(col("in_degree"), lit(0L))).as("degree"))
   }
 
-  /** Multi-source BFS: the minimum hop count from any seed to every
-    * node reachable within `maxHops` edges — blast-radius analysis
-    * ("everything within 3 hops of these compromised accounts"), crawl
-    * frontier depth, trust-distance features. Directed; mirror the
-    * edge set for undirected graphs (the [[pageRank]] fixture shape).
-    *
-    * Output: (node, hops INT), hop 0 = the seeds themselves (isolated
-    * seeds included — distance 0 to yourself needs no edge). A node
-    * first reached at hop h is never revisited, which IS the min-hop
-    * distance — integer levels and set membership only, so any engine
-    * agrees with no arithmetic convention needed.
-    *
-    * Scale shape per level: the checkpointed edge set equi-joins the
-    * frontier on src — broadcast under `broadcastState`, so edges
-    * never shuffle — then the new neighbor set anti-joins the settled
-    * table (node-sized both sides). Levels run at most `maxHops`
-    * times, with a limit(1) emptiness probe (one scalar to the driver)
-    * stopping early when the frontier dries up. */
   /** Bounded weighted shortest paths (multi-source Bellman-Ford): the
     * minimum total edge weight from any seed to each node over paths
     * of at most `maxHops` edges — trust distance over weighted links,
@@ -559,10 +555,18 @@ object Graph {
     * relaxations lands on identical distances.
     *
     * Scale shape per relaxation: the checkpointed edge set joins the
-    * node-sized distance table (broadcast under `broadcastState` —
-    * edges never shuffle), then one dst-keyed min-aggregate merges
-    * candidate distances with the standing table. Output: (node,
-    * dist), seeds at 0. */
+    * FRONTIER — only the nodes whose distance improved last round
+    * (review r12: relaxing from the whole distance table re-derived
+    * identical candidates every round and ran all `maxHops` rounds
+    * even on a diameter-3 graph); a node whose distance did not change
+    * contributes exactly the candidates it contributed last round, so
+    * frontier relaxation reaches the same per-round state as textbook
+    * Bellman-Ford and may stop as soon as a round improves nothing —
+    * the result is then final for any remaining hop budget. Frontier
+    * and distance tables are node-sized (broadcast under
+    * `broadcastState` — edges never shuffle); each active round pays
+    * one dst-keyed min-aggregate of the frontier's out-edges plus a
+    * node-sized merge. Output: (node, dist), seeds at 0. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int, broadcastState: Boolean = true): DataFrame = {
@@ -587,21 +591,53 @@ object Graph {
     var dist = seeds.select(col(seedCol).cast("string").as("node"))
       .where(col("node").isNotNull).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
     var h = 0
-    while (h < maxHops) {
-      val relaxed = e
-        .join(state(dist.select(col("node").as("src"),
+    var dry = frontier.limit(1).count() == 0 // no seeds → nothing to relax
+    while (h < maxHops && !dry) {
+      val candidates = e
+        .join(state(frontier.select(col("node").as("src"),
           col("dist").as("sd"))), Seq("src"))
-        .select(col("dst").as("node"), (col("sd") + col("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .select(col("dst").as("node"), (col("sd") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      // improved = strictly better than the standing distance, or a
+      // node seen for the first time — the next round's frontier
+      val improved = candidates
+        .join(state(dist.select(col("node"), col("dist").as("_old"))),
+          Seq("node"), "left")
+        .where(col("_old").isNull || col("cand") < col("_old"))
+        .select(col("node"), col("cand").as("dist"))
         .localCheckpoint(true)
-      dist = next
+      dry = improved.limit(1).count() == 0
+      if (!dry) {
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
       h += 1
     }
     dist
   }
 
+  /** Multi-source BFS: the minimum hop count from any seed to every
+    * node reachable within `maxHops` edges — blast-radius analysis
+    * ("everything within 3 hops of these compromised accounts"), crawl
+    * frontier depth, trust-distance features. Directed; mirror the
+    * edge set for undirected graphs (the [[pageRank]] fixture shape).
+    *
+    * Output: (node, hops INT), hop 0 = the seeds themselves (isolated
+    * seeds included — distance 0 to yourself needs no edge). A node
+    * first reached at hop h is never revisited, which IS the min-hop
+    * distance — integer levels and set membership only, so any engine
+    * agrees with no arithmetic convention needed.
+    *
+    * Scale shape per level: the checkpointed edge set equi-joins the
+    * frontier on src — broadcast under `broadcastState`, so edges
+    * never shuffle — then the new neighbor set anti-joins the settled
+    * table (node-sized both sides). Levels run at most `maxHops`
+    * times, with a limit(1) emptiness probe (one scalar to the driver)
+    * stopping early when the frontier dries up. */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int,
       broadcastState: Boolean = true,

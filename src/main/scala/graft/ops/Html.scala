@@ -23,9 +23,13 @@ object Html {
   /** `<title>` contents ('' when absent). Tag names match
     * case-insensitively — <TITLE>/<Title> markup is ubiquitous in
     * older crawled pages (r11 self-review; all tag patterns here carry
-    * (?i), which replays identically in RE2). */
+    * (?i), which replays identically in RE2) — and the open tag may
+    * carry attributes (<title data-react-helmet="true">, the Helmet/SSR
+    * idiom), matched with the same [^>]* allowance the script/style
+    * patterns use (review r12: the bare pattern extracted '' from any
+    * attributed title). */
   def title(html: Column): Column =
-    regexp_extract(html, "(?i)<title>([^<]*)</title>", 1)
+    regexp_extract(html, "(?i)<title[^>]*>([^<]*)</title>", 1)
 
   /** Anchor count: case-insensitive `<a href` occurrences. */
   def linkCount(html: Column): Column =

@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions._
   * default); the point side is never duplicated. Both sides shuffle on
   * (key, bin) — ids and bounds only if callers project first, as with any
   * join. Times are epoch-scaled longs (micros in this repo's fixtures);
-  * they must be non-negative, because `div` truncates toward zero and the
-  * binning needs floor semantics.
+  * NEGATIVE times (pre-1970 data) are first-class — binning uses true
+  * floor division `(t - pmod(t, w)) div w` rather than the
+  * toward-zero `div`, which would fold bins [-w, 0) and [0, w) together
+  * (review r12: the old guard silently FILTERED negative times instead,
+  * making pre-epoch matches vanish with no error).
   */
 object RangeJoin {
+
+  /** True floor-division bin of a long expression: `div` truncates
+    * toward zero, which would merge the bins either side of zero;
+    * subtracting the (always non-negative) pmod first makes the
+    * quotient exact floor for any sign. */
+  private def floorBin(x: String, w: Long): org.apache.spark.sql.Column =
+    expr(s"(($x) - pmod(($x), ${w}L)) div ${w}L")
 
   /** Inner join of `points` to every `intervals` row with equal key whose
     * half-open [start, end) window contains the point's time. Output =
@@ -50,16 +60,16 @@ object RangeJoin {
       "pointInInterval reserves the column name _bin; rename it upstream")
 
     val p = points
-      .where(col(pKey).isNotNull && col(pTime).isNotNull && col(pTime) >= 0L)
-      .withColumn("_bin", expr(s"`$pTime` div ${binWidth}L"))
+      .where(col(pKey).isNotNull && col(pTime).isNotNull)
+      .withColumn("_bin", floorBin(s"`$pTime`", binWidth))
     // one row per (interval, overlapped bin); end is exclusive so the last
     // overlapped bin is the one containing end-1
     val iv = intervals
       .where(col(iKey).isNotNull && col(iStart).isNotNull &&
-        col(iEnd).isNotNull && col(iEnd) > col(iStart) && col(iStart) >= 0L)
+        col(iEnd).isNotNull && col(iEnd) > col(iStart))
       .withColumn("_bin", explode(sequence(
-        expr(s"`$iStart` div ${binWidth}L"),
-        expr(s"(`$iEnd` - 1L) div ${binWidth}L"))))
+        floorBin(s"`$iStart`", binWidth),
+        floorBin(s"(`$iEnd` - 1L)", binWidth))))
 
     p.as("_rjp").join(iv.as("_rji"),
         col("_rjp._bin") === col("_rji._bin") &&
@@ -93,18 +103,19 @@ object RangeJoin {
 
     def binned(df: DataFrame, key: String, s: String, e: String) = df
       .where(col(key).isNotNull && col(s).isNotNull && col(e).isNotNull &&
-        col(e) > col(s) && col(s) >= 0L)
+        col(e) > col(s))
       .withColumn("_bin", explode(sequence(
-        expr(s"`$s` div ${binWidth}L"),
-        expr(s"(`$e` - 1L) div ${binWidth}L"))))
+        floorBin(s"`$s`", binWidth),
+        floorBin(s"(`$e` - 1L)", binWidth))))
 
     binned(a, aKey, aStart, aEnd).as("_ra")
       .join(binned(b, bKey, bStart, bEnd).as("_rb"),
         col("_ra._bin") === col("_rb._bin") &&
           col(s"_ra.`$aKey`") === col(s"_rb.`$bKey`") &&
-          // integer div, not float /: epoch-micros exceed double precision
+          // integer floor-div, not float /: epoch-micros exceed double
+          // precision, and toward-zero div mis-bins negative times
           col("_ra._bin") ===
-            expr(s"greatest(`$aStart`, `$bStart`) div ${binWidth}L") &&
+            floorBin(s"greatest(`$aStart`, `$bStart`)", binWidth) &&
           col(s"_ra.`$aStart`") < col(s"_rb.`$bEnd`") &&
           col(s"_rb.`$bStart`") < col(s"_ra.`$aEnd`"))
       .select(a.columns.map(c => col(s"_ra.`$c`")).toSeq ++

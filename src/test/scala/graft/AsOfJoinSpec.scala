@@ -177,4 +177,69 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "t", "v", "asof_rid"))
     assert(out.select("v").as[Double].collect().head == 3.5)
   }
+
+  test("forward is exact at sub-second timestamp precision (review r12: " +
+      "the long-cast reduction truncated to whole seconds)") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // all within ONE wall-clock second: the old -cast(t as long) flip
+    // collapsed them, matching a right row strictly BEFORE the left time
+    val left = Seq((1L, ts(900), "l1"), (1L, ts(150), "l2"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, ts(100), 10L), (1L, ts(800), 80L))
+      .toDF("k", "t", "rid")
+    for (buckets <- Seq(1, 4)) {
+      val fwd = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+          saltBuckets = buckets, direction = "forward")
+        .select("name", "asof_rid").as[(String, Option[Long])]
+        .collect().toMap
+      // l1 at .900: nothing at or after it (both rights are earlier);
+      // l2 at .150: the EARLIEST right at or after is .800, not .100
+      assert(fwd == Map("l1" -> None, "l2" -> Some(80L)),
+        s"buckets=$buckets: $fwd")
+      // backward still exact on the same data
+      val back = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+          saltBuckets = buckets)
+        .select("name", "asof_rid").as[(String, Option[Long])]
+        .collect().toMap
+      assert(back == Map("l1" -> Some(80L), "l2" -> Some(10L)),
+        s"buckets=$buckets: $back")
+    }
+  }
+
+  test("forward equals brute force on FRACTIONAL double times, salted " +
+      "and not") {
+    val rnd = new scala.util.Random(13)
+    val leftRows = (1 to 60).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100) / 7.0, i.toLong))
+    val rightRows = (1 to 80).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(100) / 3.0, 1000L + i))
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid")
+    val byKey = rightRows.groupBy(_._1)
+    for (buckets <- Seq(1, 6)) {
+      val got = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+          saltBuckets = buckets, direction = "forward")
+        .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+      leftRows.foreach { case (k, t, lid) =>
+        // earliest right at or after; ties (same k, same t) by MAX rid
+        // (the deterministic struct tie-break)
+        val cand = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+        val expect = cand.sortBy(r => (r._2, -r._3)).headOption.map(_._3)
+        assert(got(lid) == expect, s"buckets=$buckets key=$k t=$t")
+      }
+    }
+  }
+
+  test("caller errors fail fast: negative tolerance, reserved payload names") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, 1L)).toDF("k", "t", "rid")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOf(left, right, "k", "t", Seq("rid"),
+        tolerance = Some(-5L)))
+    // a payload column named after an internal would be clobbered by the
+    // tagging withColumns before the payload struct resolves
+    val rightTag = Seq((1L, 5L, 1L)).toDF("k", "t", "_tag")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOf(left, rightTag, "k", "t", Seq("_tag")))
+  }
 }

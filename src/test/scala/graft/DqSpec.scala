@@ -121,6 +121,19 @@ class DqSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("observed enforces the naming contract: duplicates, empties, " +
+      "and n_rows collisions fail fast") {
+    // (review r12) a duplicate rule name would make one violation count
+    // silently shadow the other in the observedMetrics row
+    val df = Seq((1L, 5.0)).toDF("k", "q")
+    intercept[IllegalArgumentException](Dq.observed(df, "dq",
+      Seq("r" -> (col("q") > 0), "r" -> (col("q") < 0))))
+    intercept[IllegalArgumentException](Dq.observed(df, "dq",
+      Seq("" -> (col("q") > 0))))
+    intercept[IllegalArgumentException](Dq.observed(df, "dq",
+      Seq("n_rows" -> (col("q") > 0))))
+  }
+
   test("plan: row rules share ONE scan regardless of rule count") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val plan = Dq.report(df, rowRules = Seq(

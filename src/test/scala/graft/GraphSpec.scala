@@ -297,6 +297,22 @@ class GraphSpec extends SparkSpec {
     assert(capped == Map("a" -> 0L, "x" -> 2L, "b" -> 5L, "c" -> 11L))
   }
 
+  test("shortestPaths: a hop budget far past the diameter changes " +
+      "nothing (frontier early-exit, review r12)") {
+    val e = Seq(("a", "b", 10L), ("a", "x", 2L), ("x", "b", 3L),
+      ("b", "c", 1L)).toDF("src", "dst", "w")
+    def run(hops: Int) = Graph.shortestPaths(e, "src", "dst", "w",
+        Seq("a").toDF("node"), "node", maxHops = hops)
+      .as[(String, Long)].collect().toMap
+    // the frontier dries up after round 3; rounds 4..50 must not run
+    // (this would previously execute 50 relaxation jobs) and the
+    // result is identical
+    assert(run(50) == run(3))
+    // an empty seed set exits immediately with an empty result
+    assert(Graph.shortestPaths(e, "src", "dst", "w",
+      Seq.empty[String].toDF("node"), "node", maxHops = 10).count() == 0L)
+  }
+
   test("shortestPaths: parallel edges collapse to lightest; multi-seed min") {
     val e = Seq(("a", "b", 7L), ("a", "b", 4L), ("z", "b", 1L))
       .toDF("src", "dst", "w")

@@ -58,6 +58,12 @@ class HtmlSpec extends SparkSpec {
     assert(r._2 == 2L)
     assert(r._3 == "hello l m", s"script/style leaked: '${r._3}'")
     assert(r._4 == Seq("/up1", "/lo"))
+    // attributed open tags (React Helmet / SSR idiom) still extract
+    // (review r12: the bare pattern returned '' for any attributed title)
+    val attributed = Seq(
+      "<title data-react-helmet=\"true\">My Page</title>").toDF("html")
+      .select(Html.title(col("html"))).as[String].collect().head
+    assert(attributed == "My Page")
   }
 
   test("malformed markup degrades without losing following text") {

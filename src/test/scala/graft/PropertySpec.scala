@@ -134,11 +134,14 @@ class PropertySpec extends SparkSpec {
 
   test("range joins equal the brute-force theta join on random intervals") {
     // random keys/times stress bin boundaries (times land on multiples of
-    // small primes vs binWidth 10) and hot keys (keys drawn from 0..4)
+    // small primes vs binWidth 10) and hot keys (keys drawn from 0..4).
+    // Times span NEGATIVE values too (review r12): pre-epoch data must
+    // floor-bin correctly, not vanish or fold bins across zero
     val pointsGen = Gen.listOfN(80,
-      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 200L)))
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-200L, 200L)))
     val ivGen = Gen.listOfN(40, Gen.zip(Gen.zip(
-      Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 200L)), Gen.chooseNum(0L, 60L)))
+      Gen.chooseNum(0L, 4L), Gen.chooseNum(-200L, 200L)),
+      Gen.chooseNum(0L, 60L)))
     for (i <- 0 until 6) {
       val pts = samples(pointsGen, i + 1).last.zipWithIndex
         .map { case ((k, t), id) => (id.toLong, k, t) }
