@@ -194,7 +194,7 @@ object Bench {
     // executor count.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", math.min(4, shuffle).toString)
-    val (streaming, streamingIngest, streamingHll) = try {
+    val (streaming, streamingIngest, streamingHll, streamingSubstring) = try {
     // streaming headline: the same tumbling-window aggregation the batch
     // oracle q_events_hourly verifies, driven as a REAL Structured
     // Streaming query over the file source — the batch/stream parity
@@ -289,12 +289,71 @@ object Bench {
       }
       Entry(name, samples.collect { case (t, true) => t })
     }
-    (streaming, streamingIngest, streamingHll)
+    // fourth streaming entry: the exact-substring ingest LIFECYCLE
+    // (excise against the standing gram index -> staged durable write
+    // -> sink -> novel-gram append), driven as a real foreachBatch
+    // stream in two micro-batches so batch 1's appends excise batch 2
+    // — the cross-batch guarantee is part of what's being timed. A
+    // regression in the staged-write or append path was invisible to
+    // BENCH_r11.json (VERDICT r11 ask #5). Each run gets a FRESH index
+    // (untimed setup): the ingest both appends to and stages under the
+    // index path, so a reused index would turn runs 2-3 into
+    // staged-read replays instead of the lifecycle under measurement.
+    val streamingSubstring = {
+      val name = "s_substring_ingest"
+      val samples = (1 to runs).map { i =>
+        try {
+          val base = java.nio.file.Files.createTempDirectory(s"graft-bench-sub$i")
+          val idxPath = base.resolve("gramidx").toString
+          val watchDir = base.resolve("in")
+          java.nio.file.Files.createDirectory(watchDir)
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text")
+          import org.apache.spark.sql.functions.{col, pmod, lit}
+          // standing corpus: even ids; stream: odd ids, split by
+          // doc_id % 4 into two single-file parquet batches
+          graft.ops.Dedup.saveGramIndex(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0), idxPath,
+            "text", minLen = 8, buckets = 64)
+          Seq(1L, 3L).zipWithIndex.foreach { case (r, j) =>
+            val stage = base.resolve(s"stage$j")
+            docs.where(pmod(col("doc_id"), lit(4)) === r)
+              .coalesce(1).write.parquet(stage.toString)
+            val listing = java.nio.file.Files.list(stage)
+            try {
+              val part = listing.filter(_.getFileName.toString
+                  .endsWith(".parquet")).findFirst()
+              require(part.isPresent, s"no parquet part written under $stage")
+              java.nio.file.Files.copy(part.get,
+                watchDir.resolve(s"f$j.parquet"))
+            } finally listing.close()
+          }
+          val schema = docs.schema
+          var delivered = 0L
+          timed {
+            val q = graft.streaming.StreamOps.substringDedupIngest(
+                spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(watchDir.toString),
+                idxPath) { (cleaned, _) => delivered += cleaned.count() }
+              .option("checkpointLocation", base.resolve("ckpt").toString)
+              .start()
+            q.processAllAvailable(); q.stop()
+            require(delivered > 0, "substring ingest delivered no rows")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, false)
+        }
+      }
+      Entry(name, samples.collect { case (t, true) => t })
+    }
+    (streaming, streamingIngest, streamingHll, streamingSubstring)
     // exception-safe restore (ADVICE r6): without the finally, a crash in
     // the streaming section leaves the shared session pinned at 4 shuffle
     // partitions for everything that runs after the bench
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val all = results :+ streaming :+ streamingIngest :+ streamingHll
+    val all = results :+ streaming :+ streamingIngest :+ streamingHll :+
+      streamingSubstring
     // a crashed query records -1 (NOT its near-zero elapsed time) and is
     // excluded from the total, so failures can't make the bench look fast
     // ms resolution, ~6 bytes; Locale.ROOT because the f-interpolator's

@@ -58,7 +58,13 @@ object ScalingCurve {
     // q_kmv_distinct / q_substring_dedup above re-measure the unified
     // global sketch and the shared anchors exchange on the same run.
     "q_weighted_by_source", "q_preference_pairs",
-    "q_substring_dedup_indexed")
+    "q_substring_dedup_indexed",
+    // round 12 (VERDICT r11 ask #4): the round-11 operators that
+    // shipped without sf1 rows — first-occurrence novelty (one shared
+    // gram exchange), the distinct-(fp, source) duplication matrix,
+    // and the KMV containment estimators (global + grouped)
+    "q_novelty", "q_cross_source_dups", "q_kmv_containment",
+    "q_kmv_containment_by")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

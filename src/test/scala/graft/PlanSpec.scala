@@ -531,4 +531,41 @@ class PlanSpec extends SparkSpec {
     assert(scansOf("q_decontam_fuzzy") <= 4,
       "fuzzy decontam must not re-tokenize the corpus for the confirm")
   }
+
+  test("pageRank hash-join regime keys the edge table exactly once") {
+    // broadcastState=false is the billions-of-nodes path
+    // (Graph.scala's documented regime for node sets that outgrow a
+    // broadcast): every join degrades to shuffle joins, and the claim
+    // to pin is that the EDGE table — the only 100 TB-sized operand —
+    // is hash-keyed on src exactly once per iteration, with the second
+    // src-keyed join (out-degree attach) reusing that partitioning
+    // instead of re-exchanging the edges. The regime is simulated by
+    // disabling auto-broadcast, which is exactly what a
+    // too-big-to-broadcast size estimate does at scale
+    // (broadcastState=false only omits the HINT; at test scale
+    // Catalyst would still stats-broadcast the node-sized tables).
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_custkey").as("src"),
+          (col("o_orderkey") % 97).as("dst"))
+      val p = graft.ops.Graph.pageRank(edges, "src", "dst",
+          iterations = 1, broadcastState = false, assumeDistinct = true)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastExchange"),
+        s"hash-join regime must not depend on any broadcast:\n$p")
+      // exactly 5 exchanges: nodesB(node) + ranks(src) + outDeg(src)
+      // + the partial+final contribution agg (node) + the EDGE keying
+      // (src). A 6th exchange means the edge table re-shuffled for the
+      // out-degree join instead of reusing its src partitioning — the
+      // regression that doubles the dominant shuffle at 100 TB
+      assert("""Exchange \(""".r.findAllIn(p).size == 5,
+        s"expected exactly 5 exchanges (edges keyed once):\n$p")
+      assert("SortMergeJoin Inner".r.findAllIn(p).size == 2)
+      // the contribution sum still combines map-side
+      assert(p.contains("partial_sum"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
