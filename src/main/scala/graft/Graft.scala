@@ -22,6 +22,14 @@ object Graft {
       graft.functions.NumericExprs.register(spark)
       graft.functions.SketchExprs.register(spark)
     }
+    // rollup routing (idempotent): rewrites matching aggregations over
+    // a Rollup.register'd base table to read the saved rollup. Runs in
+    // extraOptimizations — after pushdown/pruning settle into the
+    // Project/Filter chain the rule walks
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RollupRouting))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRouting
     spark
   }
 }

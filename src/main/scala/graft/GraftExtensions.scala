@@ -97,5 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "payload) bigint pairs, in selection order"),
       arity("bottom_k_by", 3)(es =>
         BottomKPairs(es(0), es(1), ShingleExprs.foldInt(es(2))))))
+    // rollup routing: answer Rollup.register'd aggregations from the
+    // saved rollup instead of the base scan (same rule Graft.init
+    // installs via extraOptimizations; double-installation is safe —
+    // the rewrite never matches its own output)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRouting)
   }
 }

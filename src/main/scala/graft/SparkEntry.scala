@@ -38,6 +38,12 @@ object SparkEntry {
   private val gramIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** One saved rollup per (corpus dir, JVM) for q_rollup_route — a
+    * build-once release artifact like the gram index, so repeat bench
+    * runs measure the ROUTED read, not the rollup build. */
+  private val rollupCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Planted unigram piece vocabulary for q_unigram_encode, shared
     * verbatim between the Spark encode and the DuckDB Viterbi replay:
     * every character the corpus + planted docs use EXCEPT z/x (those
@@ -3401,6 +3407,52 @@ object SparkEntry {
     // (TextOps.noveltyScores)
     "q_novelty" -> ((s, dir) =>
       TextOps.noveltyScores(t(s, dir, "documents"), "doc_id", "text", 8)),
+
+    // ---- engine: materialized-rollup routing (custom optimizer rule) -
+    // the query names the BASE path; plans.RollupRouting swaps the scan
+    // for the saved rollup (one row per (lang, source)) — dim filter,
+    // subset grouping, count/sum/min/max/count(col) all re-aggregated
+    // from stored partials. The oracle aggregates the base directly, so
+    // the hash compare proves routed == direct. Rollup built once per
+    // (corpus dir, JVM) — a release artifact, like the gram index; the
+    // executed plan is forced while registered, then the registration
+    // is dropped so no other query's documents aggregate can route
+    "q_rollup_route" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-rollup-q").toString
+        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
+          dims = Seq("lang", "source"), measures = Seq("n_chars"))
+        p
+      })
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .where(col("source") =!= "src0")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            count(col("source")).as("n_sources"))
+        // force plan resolution while registered (queryExecution's
+        // lazy vals pin the routed plan); contract-check the swap
+        q.queryExecution.executedPlan
+        val routed = q.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(roll))
+              case _ => false
+            }
+        }
+        require(routed.contains(true),
+          "q_rollup_route did not route through the rollup")
+        q
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
 
     // ---- LLM: streaming decontamination gate (batch-parity surface) ---
     // the stateless per-document admission check a continuously-fed
@@ -8649,6 +8701,19 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |FROM f a JOIN f b USING (fp)
         |WHERE a.src < b.src
         |GROUP BY 1, 2""".stripMargin,
+
+    // aggregates the BASE table directly — the Spark side answers from
+    // the saved rollup via the RollupRouting optimizer rule, so the
+    // hash compare proves the routed plan is exactly the direct answer
+    "q_rollup_route" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(source) AS BIGINT) AS n_sources
+        |FROM documents WHERE source <> 'src0'
+        |GROUP BY lang""".stripMargin,
 
     // mirrors TextOps.noveltyScores: distinct 8-grams per doc, first
     // occurrence by min doc id, one double division per row

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized rollup lifecycle: build a grouped summary of a huge
+  * fact table once, persist it, and let [[graft.plans.RollupRouting]]
+  * transparently answer matching aggregation queries from the summary
+  * instead of the base scan.
+  *
+  * The 100 TB economics: a fact table's common dashboard/monitoring
+  * aggregations (counts, sums, min/max by a handful of dimension
+  * columns) re-scan the full corpus on every run, while the rollup —
+  * one row per distinct dimension combination — is GB-sized at worst.
+  * Routing turns those queries into reads of the small artifact with
+  * zero caller changes: the query still names the base path, the
+  * optimizer swaps the scan. This is deliberately the narrow, EXACT
+  * subset of view matching: only plain attribute groupings that are a
+  * subset of the rollup's dims, only SUM / COUNT / COUNT(col) / MIN /
+  * MAX over stored measure columns (re-aggregable algebraic
+  * functions — never AVG, never DISTINCT, whose re-aggregation would
+  * need extra stored state), only dim-only residual filters. Anything
+  * else keeps its base-table plan untouched.
+  *
+  * Exactness: SUM re-aggregates partial sums (integral/decimal sums
+  * are exactly associative; double sums carry Spark's usual
+  * partition-order caveat exactly as the direct plan does), COUNT(*)
+  * re-aggregates the stored group counts, COUNT(m) the stored non-null
+  * counts, MIN/MAX compose. NULL dimension values group in the rollup
+  * exactly as in the base (groupBy keeps null keys), so routed and
+  * direct answers match row-for-row.
+  *
+  * Freshness is the caller's contract, same as every materialized
+  * view: the rollup answers AS OF its build; rebuild (or
+  * [[Rollup.unregister]]) when the base changes. */
+object Rollup {
+
+  /** Everything the router needs per registered base table. The
+    * template relation is analyzed once at registration; each rewrite
+    * stamps fresh expression ids via `newInstance()` so two routed
+    * aggregates in one query never collide. */
+  private[graft] final case class RollupInfo(
+      rollupPath: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      template: LogicalRelation)
+
+  /** JVM-wide registry keyed by the base relation's canonical root
+    * paths (the same string the optimizer reads off a matched scan).
+    * One rollup per base table; re-registering replaces. */
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, RollupInfo]
+
+  private[graft] def lookup(key: String): Option[RollupInfo] =
+    registry.get(key)
+
+  private[graft] def isEmpty: Boolean = registry.isEmpty
+
+  /** Canonical registry key of a parquet location: the sorted,
+    * fully-qualified root paths — identical whether computed here from
+    * a user-supplied path string or inside the optimizer from a
+    * matched [[HadoopFsRelation]]. */
+  private[graft] def keyOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(fs.location.rootPaths.map(_.toString).sorted.mkString(","))
+      case _ => None
+    }
+
+  private def analyzedRelation(spark: SparkSession, path: String)
+      : LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(
+      s"expected a parquet LogicalRelation at $path"))
+
+  /** The stored column names. A `graft_rollup__` prefix keeps them out
+    * of any user namespace; dims keep their own names (they ARE the
+    * join surface). */
+  private[graft] def cntCol = "graft_rollup__cnt"
+  private[graft] def sumCol(m: String) = s"graft_rollup__sum__$m"
+  private[graft] def minCol(m: String) = s"graft_rollup__min__$m"
+  private[graft] def maxCol(m: String) = s"graft_rollup__max__$m"
+  private[graft] def cntColOf(m: String) = s"graft_rollup__cnt__$m"
+
+  /** Build and persist the rollup: one row per distinct `dims`
+    * combination carrying the group count plus (sum, min, max,
+    * non-null count) for every measure. ONE partial+final aggregation
+    * over the base — the same single pass any one of the queries it
+    * will answer would have cost.
+    *
+    * Scale shape: output size is the dims' combined cardinality,
+    * independent of base row count; the aggregation map-side-combines,
+    * so shuffle traffic is cardinality-bounded too. Measures must be
+    * numeric (re-aggregable sums); dimension min/max queries need no
+    * stored state — the dims themselves serve. */
+  def saveRollup(base: DataFrame, path: String, dims: Seq[String],
+      measures: Seq[String]): Unit = {
+    require(dims.nonEmpty, "rollup needs at least one dimension column")
+    require(measures.nonEmpty, "rollup needs at least one measure column")
+    require(dims.intersect(measures).isEmpty,
+      s"dims and measures overlap: ${dims.intersect(measures)}")
+    val cols = base.columns.toSet
+    val missing = (dims ++ measures).filterNot(cols)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    measures.foreach { m =>
+      val dt = base.schema(m).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"measure '$m' must be numeric (re-aggregable sum), got $dt")
+    }
+    val aggs = count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
+      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
+      max(col(m)).as(maxCol(m)), count(col(m)).as(cntColOf(m))))
+    base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/data")
+    val spark = base.sparkSession
+    import spark.implicits._
+    Seq((dims, measures)).toDF("dims", "measures")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Point queries over `basePath` at the rollup saved at
+    * `rollupPath`: from now on (this JVM), any matching aggregation
+    * whose scan resolves to `basePath` is answered from the rollup.
+    * Reads the rollup's own meta so dims/measures can never drift from
+    * the build. Requires [[graft.Graft.init]] (which installs the
+    * routing rule) on every session that should route.
+    *
+    * Registration SNAPSHOTS the rollup's file listing (the analyzed
+    * template is reused per rewrite); after rebuilding a rollup at the
+    * same path, call register again — a stale registration would read
+    * the old file set, exactly like any cached relation. */
+  def register(spark: SparkSession, basePath: String,
+      rollupPath: String): Unit = {
+    val meta = spark.read.parquet(s"$rollupPath/meta").head()
+    val dims = meta.getSeq[String](meta.fieldIndex("dims"))
+    val measures = meta.getSeq[String](meta.fieldIndex("measures"))
+    val baseKey = keyOf(analyzedRelation(spark, basePath)).getOrElse(
+      throw new IllegalStateException(
+        s"base at $basePath is not a file-source relation"))
+    val template = analyzedRelation(spark, s"$rollupPath/data")
+    registry.put(baseKey, RollupInfo(rollupPath, dims, measures, template))
+  }
+
+  /** Stop routing queries over `basePath` (e.g. the base changed and
+    * the rollup is stale). Safe when nothing is registered. */
+  def unregister(spark: SparkSession, basePath: String): Unit = {
+    keyOf(analyzedRelation(spark, basePath)).foreach(registry.remove)
+    ()
+  }
+}

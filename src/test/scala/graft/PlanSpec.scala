@@ -532,6 +532,23 @@ class PlanSpec extends SparkSpec {
       "fuzzy decontam must not re-tokenize the corpus for the confirm")
   }
 
+  test("rollup routing answers the aggregation from the rollup artifact") {
+    val p = plan("q_rollup_route")
+    // the base corpus is never scanned — the whole point at 100 TB
+    assert(!p.contains("documents.parquet"),
+      s"base table must not be scanned:\n$p")
+    assert(p.contains("graft_rollup__cnt"))
+    // the dim filter reaches the ROLLUP scan as a pushed filter, and
+    // column pruning still applies even though the rewrite runs late
+    // (FileSourceStrategy prunes at physical planning): neither the
+    // base text column nor unreferenced rollup measures are read
+    assert(p.contains("Not(EqualTo(source,src0))"))
+    assert(readSchemas(p).forall(l =>
+      !l.contains("text") && !l.contains("__price")))
+    // re-aggregation of stored partials is itself partial+final
+    assert(p.contains("partial_sum"))
+  }
+
   test("pageRank hash-join regime keys the edge table exactly once") {
     // broadcastState=false is the billions-of-nodes path
     // (Graph.scala's documented regime for node sets that outgrow a

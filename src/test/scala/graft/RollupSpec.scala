@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Rollup
+
+/** Materialized-rollup routing: the saved summary must answer every
+  * in-surface aggregation EXACTLY as the base scan would (including
+  * NULL dims, NULL measures, empty filters, decimal widening), the
+  * optimizer must actually swap the scan (plan-checked, not assumed),
+  * and every out-of-surface shape must keep its base plan untouched. */
+class RollupSpec extends SparkSpec {
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).mkString(",")
+        case _ => ""
+      }
+    }
+
+  private def readsRollup(df: DataFrame): Boolean =
+    scanPaths(df).exists(_.contains("/data"))
+
+  /** Sorted collected rows as comparable seq-of-seq (null-safe). */
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: java.math.BigDecimal => d.stripTrailingZeros
+      case x => x
+    }).toSeq.sortBy(_.mkString("|"))
+
+  /** A base with NULL dims, NULL measures, and a decimal measure —
+    * written to parquet so the rule sees a real file-source relation. */
+  private lazy val (basePath, rollupPath): (String, String) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-spec")
+    val base = dir.resolve("base").toString
+    val roll = dir.resolve("roll").toString
+    val df = Seq[(java.lang.Long, String, String, java.lang.Long, String)](
+      (1L, "en", "web", 100L, "1.50"),
+      (2L, "en", "web", 200L, "2.25"),
+      (3L, "en", "book", 300L, null),
+      (4L, "de", "web", null, "4.00"),
+      (5L, "de", null, 500L, "0.75"),
+      (6L, null, "web", 600L, "6.00"),
+      (7L, null, null, null, null))
+      .toDF("id", "lang", "source", "n_chars", "price_s")
+      .withColumn("price", col("price_s").cast("decimal(10,2)"))
+      .drop("price_s")
+    df.write.mode("overwrite").parquet(base)
+    Rollup.saveRollup(spark.read.parquet(base), roll,
+      dims = Seq("lang", "source"), measures = Seq("n_chars", "price"))
+    (base, roll)
+  }
+
+  private def base: DataFrame = spark.read.parquet(basePath)
+
+  /** Run `q` against the base both unrouted and routed, assert the
+    * routed plan actually reads the rollup, and compare results. */
+  private def parity(routable: Boolean)(q: DataFrame => DataFrame): Unit = {
+    Graft.init(spark)
+    Rollup.unregister(spark, basePath)
+    val direct = rows(q(base))
+    Rollup.register(spark, basePath, rollupPath)
+    try {
+      val routed = q(base)
+      assert(readsRollup(routed) == routable,
+        s"expected readsRollup=$routable:\n${routed.queryExecution.optimizedPlan}")
+      assert(rows(routed) == direct)
+    } finally Rollup.unregister(spark, basePath)
+  }
+
+  test("grouped count/sum/min/max route and match the base exactly") {
+    parity(routable = true)(_.groupBy("lang", "source").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("s"),
+      min("n_chars").as("mn"), max("n_chars").as("mx")))
+  }
+
+  test("subset grouping re-aggregates the rollup (NULL dims included)") {
+    parity(routable = true)(_.groupBy("lang").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("s"),
+      count(col("n_chars")).as("nn"), max("n_chars").as("mx")))
+  }
+
+  test("count(dim) and min/max(dim) route with null-guarded counts") {
+    parity(routable = true)(_.groupBy("lang").agg(
+      count(col("source")).as("n_src"), min(col("source")).as("mn"),
+      max(col("source")).as("mx")))
+  }
+
+  test("global aggregation routes; empty dim filter keeps count 0") {
+    parity(routable = true)(_.agg(count(lit(1)).as("n"),
+      sum("n_chars").as("s"), min("n_chars").as("mn")))
+    parity(routable = true)(_.where(col("lang") === "zz").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("s")))
+  }
+
+  test("dim-only filters route; result expressions over aggs route") {
+    parity(routable = true)(_.where(col("source") === "web")
+      .groupBy("lang").agg((sum("n_chars") + lit(1)).as("s1"),
+        count(lit(1)).as("n")))
+  }
+
+  test("decimal sums widen in the rollup and cast back exactly") {
+    parity(routable = true)(_.groupBy("source").agg(
+      sum("price").as("sp"), min("price").as("mnp"),
+      max("price").as("mxp"), count(col("price")).as("np")))
+  }
+
+  test("out-of-surface shapes stay on the base plan, still correct") {
+    // DISTINCT aggregate
+    parity(routable = false)(_.groupBy("lang")
+      .agg(countDistinct(col("source")).as("d")))
+    // AVG (not re-aggregable from sum/min/max/count without fusing)
+    parity(routable = false)(_.groupBy("lang").agg(avg("n_chars").as("a")))
+    // expression grouping
+    parity(routable = false)(_.groupBy(upper(col("lang")).as("l"))
+      .agg(count(lit(1)).as("n")))
+    // filter touching a measure
+    parity(routable = false)(_.where(col("n_chars") > 150)
+      .groupBy("lang").agg(count(lit(1)).as("n")))
+    // sum over a dim (collapsed duplicates would under-count)
+    parity(routable = false)(_.groupBy("source")
+      .agg(sum(length(col("lang"))).as("s")))
+    // count(NULL) is 0, never count(*) — Spark constant-folds it to a
+    // literal before this rule runs, leaving a groups-only aggregate
+    // that routes legitimately (rollup dims = the base's distinct
+    // groups); parity() still proves the values match the base. The
+    // rule's own non-null-literal guard covers the injectOptimizerRule
+    // path, where it can see the un-folded form mid-optimization.
+    parity(routable = true)(_.groupBy("lang")
+      .agg(count(lit(null)).as("n")))
+  }
+
+  test("unregister stops routing") {
+    Graft.init(spark)
+    Rollup.register(spark, basePath, rollupPath)
+    val q = base.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(readsRollup(q))
+    Rollup.unregister(spark, basePath)
+    assert(!readsRollup(base.groupBy("lang").agg(count(lit(1)).as("n"))))
+  }
+
+  test("saveRollup validates its contract") {
+    intercept[IllegalArgumentException] {
+      Rollup.saveRollup(base, "/tmp/never", Seq("lang"), Seq("lang"))
+    }
+    intercept[IllegalArgumentException] {
+      Rollup.saveRollup(base, "/tmp/never", Seq("lang"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      // string measure: sums are not defined
+      Rollup.saveRollup(base, "/tmp/never", Seq("lang"), Seq("source"))
+    }
+  }
+}
