@@ -3437,9 +3437,7 @@ object SparkEntry {
             min("n_chars").as("min_chars"),
             max("n_chars").as("max_chars"),
             count(col("source")).as("n_sources"))
-        // force plan resolution while registered (queryExecution's
-        // lazy vals pin the routed plan); contract-check the swap
-        q.queryExecution.executedPlan
+        // contract-check the swap on the plan that will run
         val routed = q.queryExecution.optimizedPlan.collectFirst {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             lr.relation match {
@@ -3450,7 +3448,14 @@ object SparkEntry {
         }
         require(routed.contains(true),
           "q_rollup_route did not route through the rollup")
-        q
+        // EXECUTE the routed plan while the registration is live and
+        // return its result as a local relation: the driver wraps the
+        // returned frame in a NEW QueryExecution (coalesce + write),
+        // which would re-optimize AFTER the finally-unregister and
+        // silently hash-compare the direct scan — proving nothing
+        // about the routed read. The collect is dim-cardinality-
+        // bounded (one row per lang, ≤ a handful) by construction.
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
       } finally graft.ops.Rollup.unregister(s, basePath)
     }),
 

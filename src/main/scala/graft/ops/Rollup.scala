@@ -46,16 +46,44 @@ object Rollup {
       measures: Seq[String],
       template: LogicalRelation)
 
-  /** JVM-wide registry keyed by the base relation's canonical root
-    * paths (the same string the optimizer reads off a matched scan).
-    * One rollup per base table; re-registering replaces. */
-  private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, RollupInfo]
+  /** Registries keyed by SESSION IDENTITY (weakly — a closed session's
+    * registrations GC with it), then base root paths. Per-session on
+    * purpose: registering in one session never makes another session
+    * in the same JVM (whose rollup snapshot may be known-stale there)
+    * start routing; the routing opt-in is exactly the session that
+    * called [[register]]. One rollup per (session, base);
+    * re-registering replaces. */
+  private val registries = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, RollupInfo]]()
 
-  private[graft] def lookup(key: String): Option[RollupInfo] =
-    registry.get(key)
+  private def registryOf(session: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, RollupInfo] =
+    registries.synchronized {
+      var r = registries.get(session)
+      if (r == null) {
+        r = scala.collection.concurrent.TrieMap.empty
+        registries.put(session, r)
+      }
+      r
+    }
 
-  private[graft] def isEmpty: Boolean = registry.isEmpty
+  private[graft] def lookup(session: SparkSession, key: String)
+      : Option[RollupInfo] =
+    registries.synchronized(Option(registries.get(session)))
+      .flatMap(_.get(key))
+
+  private[graft] def isEmpty(session: SparkSession): Boolean =
+    registries.synchronized {
+      val r = registries.get(session)
+      r == null || r.isEmpty
+    }
+
+  /** True while [[saveRollup]]'s own build aggregation runs on this
+    * thread: the build's groupBy(dims).agg(...) is itself inside the
+    * routing surface, so without this guard REBUILDING a rollup for a
+    * still-registered base would silently re-aggregate the STALE
+    * rollup instead of re-scanning the changed base. */
+  private[graft] val building = new scala.util.DynamicVariable(false)
 
   /** Canonical registry key of a parquet location: the sorted,
     * fully-qualified root paths — identical whether computed here from
@@ -112,8 +140,14 @@ object Rollup {
     val aggs = count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
       sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
       max(col(m)).as(maxCol(m)), count(col(m)).as(cntColOf(m))))
-    base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$path/data")
+    // building=true makes RollupRouting skip this plan: the write
+    // action plans synchronously on this thread, and the build must
+    // always scan the BASE — routing a rebuild through the old rollup
+    // would freeze the summary at its first build forever
+    building.withValue(true) {
+      base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
     val spark = base.sparkSession
     import spark.implicits._
     Seq((dims, measures)).toDF("dims", "measures")
@@ -140,13 +174,17 @@ object Rollup {
       throw new IllegalStateException(
         s"base at $basePath is not a file-source relation"))
     val template = analyzedRelation(spark, s"$rollupPath/data")
-    registry.put(baseKey, RollupInfo(rollupPath, dims, measures, template))
+    registryOf(spark).put(baseKey,
+      RollupInfo(rollupPath, dims, measures, template))
+    ()
   }
 
-  /** Stop routing queries over `basePath` (e.g. the base changed and
-    * the rollup is stale). Safe when nothing is registered. */
+  /** Stop routing queries over `basePath` in this session (e.g. the
+    * base changed and the rollup is stale). Safe when nothing is
+    * registered. */
   def unregister(spark: SparkSession, basePath: String): Unit = {
-    keyOf(analyzedRelation(spark, basePath)).foreach(registry.remove)
+    keyOf(analyzedRelation(spark, basePath)).foreach(k =>
+      registryOf(spark).remove(k))
     ()
   }
 }

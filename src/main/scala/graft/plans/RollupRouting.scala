@@ -41,11 +41,16 @@ import graft.ops.Rollup
   * base. */
 object RollupRouting extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (Rollup.isEmpty || plan.isStreaming) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    // building: saveRollup's own aggregation must always scan the base
+    // (routing a REBUILD through the old rollup would freeze it)
+    if (session == null || Rollup.building.value ||
+        Rollup.isEmpty(session) || plan.isStreaming) plan
     else plan.transformUp {
-      case agg: Aggregate => route(agg).getOrElse(agg)
+      case agg: Aggregate => route(session, agg).getOrElse(agg)
     }
+  }
 
   /** Peel attribute-only Projects and deterministic Filters down to a
     * single relation, collecting filter conditions. */
@@ -63,10 +68,11 @@ object RollupRouting extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def route(agg: Aggregate): Option[Aggregate] = for {
+  private def route(session: org.apache.spark.sql.SparkSession,
+      agg: Aggregate): Option[Aggregate] = for {
     (baseLr, conds) <- strip(agg.child, Nil)
     key <- Rollup.keyOf(baseLr)
-    info <- Rollup.lookup(key)
+    info <- Rollup.lookup(session, key)
     routed <- rewrite(agg, baseLr, conds, info)
   } yield routed
 
@@ -175,8 +181,17 @@ object RollupRouting extends Rule[LogicalPlan] {
       }
     if (newResults.exists(_.isEmpty)) return None
 
-    val newChild = newConds.flatten
+    // explicit pruning Project: ColumnPruning already ran (this rule
+    // sits in extraOptimizations), so without it the physical scan
+    // reads EVERY rollup column — measured, not hypothetical: the
+    // routed ReadSchema carried all stored partials of every measure
+    val refs = AttributeSet(
+      newGroupings.flatten.flatMap(_.references) ++
+        newResults.flatten.flatMap(_.references) ++
+        newConds.flatten.flatMap(_.references))
+    val filtered = newConds.flatten
       .foldLeft(rollupLr: LogicalPlan)((p, c) => Filter(c, p))
-    Some(Aggregate(newGroupings.flatten, newResults.flatten, newChild))
+    val pruned = Project(rollupLr.output.filter(refs.contains), filtered)
+    Some(Aggregate(newGroupings.flatten, newResults.flatten, pruned))
   }
 }

@@ -533,20 +533,39 @@ class PlanSpec extends SparkSpec {
   }
 
   test("rollup routing answers the aggregation from the rollup artifact") {
-    val p = plan("q_rollup_route")
-    // the base corpus is never scanned — the whole point at 100 TB
-    assert(!p.contains("documents.parquet"),
-      s"base table must not be scanned:\n$p")
-    assert(p.contains("graft_rollup__cnt"))
-    // the dim filter reaches the ROLLUP scan as a pushed filter, and
-    // column pruning still applies even though the rewrite runs late
-    // (FileSourceStrategy prunes at physical planning): neither the
-    // base text column nor unreferenced rollup measures are read
-    assert(p.contains("Not(EqualTo(source,src0))"))
-    assert(readSchemas(p).forall(l =>
-      !l.contains("text") && !l.contains("__price")))
-    // re-aggregation of stored partials is itself partial+final
-    assert(p.contains("partial_sum"))
+    // built directly (not via queries(): q_rollup_route intentionally
+    // returns the routed EXECUTION's rows as a local relation, so its
+    // own plan is a LocalTableScan — the plan to pin is the routed
+    // aggregation while the registration is live)
+    import org.apache.spark.sql.functions._
+    Graft.init(spark)
+    val basePath = s"$sfDir/documents.parquet"
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-rollup-plan").toString
+    graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
+      dims = Seq("lang", "source"), measures = Seq("n_chars"))
+    graft.ops.Rollup.register(spark, basePath, roll)
+    try {
+      val p = spark.read.parquet(basePath)
+        .where(col("source") =!= "src0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"))
+        .queryExecution.explainString(FormattedMode)
+      // the base corpus is never scanned — the whole point at 100 TB
+      assert(!p.contains("documents.parquet"),
+        s"base table must not be scanned:\n$p")
+      assert(p.contains("graft_rollup__cnt"))
+      // the dim filter reaches the ROLLUP scan as a pushed filter, and
+      // column pruning still applies even though the rewrite runs late
+      // (FileSourceStrategy prunes at physical planning): neither the
+      // base text column nor unreferenced rollup columns are read
+      assert(p.contains("Not(EqualTo(source,src0))"))
+      assert(readSchemas(p).forall(l =>
+        !l.contains("text") && !l.contains("__max__")))
+      // re-aggregation of stored partials is itself partial+final
+      assert(p.contains("partial_sum"))
+    } finally graft.ops.Rollup.unregister(spark, basePath)
   }
 
   test("pageRank hash-join regime keys the edge table exactly once") {

@@ -135,6 +135,46 @@ class RollupSpec extends SparkSpec {
       .agg(count(lit(null)).as("n")))
   }
 
+  test("rebuilding a rollup for a still-registered base scans the BASE") {
+    // saveRollup's own aggregation is inside the routing surface; the
+    // building guard must force it to the base scan or a rebuild would
+    // re-aggregate the STALE rollup and freeze the summary forever
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-rebuild")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L), ("de", 20L)).toDF("lang", "n")
+      .write.mode("overwrite").parquet(bp)
+    val r1 = dir.resolve("r1").toString
+    Rollup.saveRollup(spark.read.parquet(bp), r1, Seq("lang"), Seq("n"))
+    Rollup.register(spark, bp, r1)
+    try {
+      // base grows AFTER the registration
+      Seq(("en", 10L), ("de", 20L), ("en", 30L), ("fr", 40L))
+        .toDF("lang", "n").write.mode("overwrite").parquet(bp)
+      val r2 = dir.resolve("r2").toString
+      Rollup.saveRollup(spark.read.parquet(bp), r2, Seq("lang"), Seq("n"))
+      val total = spark.read.parquet(s"$r2/data")
+        .agg(sum(col(Rollup.cntCol))).head.getLong(0)
+      assert(total == 4L,
+        s"rebuild must reflect the grown base (got $total of 4 rows)")
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("registrations are per-session: a sibling session never routes") {
+    Graft.init(spark)
+    Rollup.register(spark, basePath, rollupPath)
+    try {
+      val sibling = Graft.init(spark.newSession())
+      val q = sibling.read.parquet(basePath)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      assert(!readsRollup(q),
+        "a session that never registered must keep its base plan")
+      assert(readsRollup(
+        base.groupBy("lang").agg(count(lit(1)).as("n"))))
+    } finally Rollup.unregister(spark, basePath)
+  }
+
   test("unregister stops routing") {
     Graft.init(spark)
     Rollup.register(spark, basePath, rollupPath)
