@@ -311,10 +311,14 @@ object Bench {
             .select("doc_id", "text")
           import org.apache.spark.sql.functions.{col, pmod, lit}
           // standing corpus: even ids; stream: odd ids, split by
-          // doc_id % 4 into two single-file parquet batches
+          // doc_id % 4 into two single-file parquet batches. Buckets
+          // sized to the corpus (16 for a few-thousand-doc index):
+          // every probe lists and every append writes ≥ 1 file per
+          // touched bucket, so overshading a small index pays pure
+          // file-IO — at 100 TB the same rule sizes buckets UP
           graft.ops.Dedup.saveGramIndex(
             docs.where(pmod(col("doc_id"), lit(2)) === 0), idxPath,
-            "text", minLen = 8, buckets = 64)
+            "text", minLen = 8, buckets = 16)
           Seq(1L, 3L).zipWithIndex.foreach { case (r, j) =>
             val stage = base.resolve(s"stage$j")
             docs.where(pmod(col("doc_id"), lit(4)) === r)
