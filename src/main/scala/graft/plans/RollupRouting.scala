@@ -73,13 +73,18 @@ object RollupRouting extends Rule[LogicalPlan] {
     (baseLr, conds) <- strip(agg.child, Nil)
     key <- Rollup.keyOf(baseLr)
     info <- Rollup.lookup(session, key)
-    routed <- rewrite(agg, baseLr, conds, info)
+    routed <- rewrite(session, agg, baseLr, conds, info)
   } yield routed
 
-  private def rewrite(agg: Aggregate, baseLr: LogicalRelation,
+  private def rewrite(session: org.apache.spark.sql.SparkSession,
+      agg: Aggregate, baseLr: LogicalRelation,
       conds: Seq[Expression], info: Rollup.RollupInfo)
       : Option[Aggregate] = {
-    val rollupLr = info.template.newInstance()
+    // analyzed fresh per rewrite: fresh expression ids per use, no
+    // cached relation pinning the session (see RollupInfo), and a
+    // fresh file listing
+    val rollupLr =
+      Rollup.analyzedRelation(session, s"${info.rollupPath}/data")
     val byName = rollupLr.output.map(a => a.name -> a).toMap
     val dims = info.dims.toSet
     val measures = info.measures.toSet
@@ -124,7 +129,14 @@ object RollupRouting extends Rule[LogicalPlan] {
             if dims(a.name) && dimMap.contains(a.exprId) =>
           Some(reSumCount(If(IsNotNull(dimMap(a.exprId)), cnt,
             Literal(null, LongType))))
-        case Sum(a: AttributeReference, _) if measures(a.name) =>
+        // default eval context ONLY: try_sum resolves to Sum with a
+        // TRY context (TrySumExpressionBuilder) and would otherwise
+        // match here — routing it as a default-mode Sum turns its
+        // NULL-on-overflow into a wrap or an ANSI throw, a semantics
+        // change. Case-class equality against a freshly built default
+        // Sum compares exactly the context field.
+        case s0 @ Sum(a: AttributeReference, _)
+            if measures(a.name) && s0 == Sum(a) =>
           val s = complete(Sum(byName(Rollup.sumCol(a.name))))
           Some(if (s.dataType == ae.dataType) s else Cast(s, ae.dataType))
         case Min(a: AttributeReference) if measures(a.name) =>

@@ -763,6 +763,24 @@ class PropertySpec extends SparkSpec {
     assert(copies == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("mixtureToBudget: a weighted source with all-NULL tokens is " +
+      "treated as empty, not an NPE") {
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "good", 100L), (2L, "good", 100L),
+      (3L, "hollow", null), (4L, "hollow", null))
+      .toDF("id", "source", "toks")
+    val out = graft.ops.Sampling.mixtureToBudget(df, "source", "id",
+      "toks", Map("good" -> 0.5, "hollow" -> 0.5), budgetTokens = 200L)
+    val copies = out.select("id", "n_copies").as[(Long, Long)]
+      .collect().toMap
+    // hollow has no usable tokens -> excluded like a zero-total
+    // source; good's docs keep by the deterministic md5 bucket at
+    // f = 0.5 (each doc independently 0 or 1 copies — only the
+    // hollow-source exclusion and the absence of the NPE are pinned)
+    assert(copies.keySet.subsetOf(Set(1L, 2L)), s"got $copies")
+    assert(copies.values.forall(_ == 1L), s"got $copies")
+  }
+
   test("HLL merge is commutative, associative, idempotent for ANY key sets (property)") {
     import graft.ops.Hll
     val setGen = Gen.listOfN(80, Gen.chooseNum(0L, 400L))

@@ -125,6 +125,10 @@ class RollupSpec extends SparkSpec {
     // sum over a dim (collapsed duplicates would under-count)
     parity(routable = false)(_.groupBy("source")
       .agg(sum(length(col("lang"))).as("s")))
+    // try_sum resolves to Sum with a TRY eval context; routing it as a
+    // default-mode Sum would change NULL-on-overflow into wrap/throw
+    parity(routable = false)(_.groupBy("lang")
+      .agg(expr("try_sum(n_chars)").as("s")))
     // count(NULL) is 0, never count(*) — Spark constant-folds it to a
     // literal before this rule runs, leaving a groups-only aggregate
     // that routes legitimately (rollup dims = the base's distinct
