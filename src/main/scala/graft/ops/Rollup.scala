@@ -134,9 +134,10 @@ object Rollup {
     * numeric (re-aggregable sums); dimension min/max queries need no
     * stored state — the dims themselves serve. */
   def saveRollup(base: DataFrame, path: String, dims: Seq[String],
-      measures: Seq[String]): Unit = {
+      measures: Seq[String] = Seq.empty): Unit = {
     require(dims.nonEmpty, "rollup needs at least one dimension column")
-    require(measures.nonEmpty, "rollup needs at least one measure column")
+    // measures MAY be empty: a dims-only rollup still answers
+    // COUNT(*), COUNT(dim), MIN/MAX(dim), and DISTINCT-groups queries
     require(dims.intersect(measures).isEmpty,
       s"dims and measures overlap: ${dims.intersect(measures)}")
     val cols = base.columns.toSet

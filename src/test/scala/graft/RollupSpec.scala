@@ -188,6 +188,28 @@ class RollupSpec extends SparkSpec {
     assert(!readsRollup(base.groupBy("lang").agg(count(lit(1)).as("n"))))
   }
 
+  test("a dims-only rollup (no measures) routes counts and dim min/max") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-dims")
+    val bp = dir.resolve("base").toString
+    Seq(("en", "web"), ("en", "web"), ("de", null), (null, "book"))
+      .toDF("lang", "source").write.mode("overwrite").parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang", "source"))
+    val direct = rows(spark.read.parquet(bp).groupBy("lang").agg(
+      count(lit(1)).as("n"), count(col("source")).as("ns"),
+      max(col("source")).as("mx")))
+    Rollup.register(spark, bp, rp)
+    try {
+      val q = spark.read.parquet(bp).groupBy("lang").agg(
+        count(lit(1)).as("n"), count(col("source")).as("ns"),
+        max(col("source")).as("mx"))
+      assert(readsRollup(q))
+      assert(rows(q) == direct)
+    } finally Rollup.unregister(spark, bp)
+  }
+
   test("saveRollup validates its contract") {
     intercept[IllegalArgumentException] {
       Rollup.saveRollup(base, "/tmp/never", Seq("lang"), Seq("lang"))
