@@ -179,6 +179,27 @@ class RollupSpec extends SparkSpec {
     } finally Rollup.unregister(spark, basePath)
   }
 
+  test("SQL-text and temp-view queries route identically (no caller changes)") {
+    // the registry keys on the scan's root paths, so every front door
+    // that resolves to the same parquet relation routes: DataFrame API,
+    // SQL over parquet.`path`, and a registered temp view
+    Graft.init(spark)
+    Rollup.unregister(spark, basePath)
+    spark.read.parquet(basePath).createOrReplaceTempView("rollup_spec_docs")
+    val bySql = () => spark.sql(
+      s"SELECT lang, count(*) AS n, sum(n_chars) AS s FROM parquet.`$basePath` GROUP BY lang")
+    val byView = () => spark.sql(
+      "SELECT lang, count(*) AS n, sum(n_chars) AS s FROM rollup_spec_docs GROUP BY lang")
+    val direct = (rows(bySql()), rows(byView()))
+    Rollup.register(spark, basePath, rollupPath)
+    try {
+      val (s, v) = (bySql(), byView())
+      assert(readsRollup(s), "SQL-text query must route")
+      assert(readsRollup(v), "temp-view query must route")
+      assert((rows(s), rows(v)) == direct)
+    } finally Rollup.unregister(spark, basePath)
+  }
+
   test("unregister stops routing") {
     Graft.init(spark)
     Rollup.register(spark, basePath, rollupPath)
