@@ -1012,9 +1012,19 @@ object Dedup {
     if (!fs.rename(cur, old)) throw new IllegalStateException(
       s"compaction: cannot move $cur aside")
     if (!fs.rename(tmp, cur)) {
-      fs.rename(old, cur)
+      // report what actually happened: if something foreign recreated
+      // $cur between the renames, the restore ALSO fails and claiming
+      // "restored" would send the operator away from the real state
+      val restored = fs.rename(old, cur)
       throw new IllegalStateException(
-        s"compaction: swap of $cur failed; previous contents restored")
+        if (restored)
+          s"compaction: swap of $cur failed; previous contents restored"
+        else
+          s"compaction: swap of $cur failed AND the restore failed — " +
+            s"the previous contents remain at $old and $cur holds " +
+            "foreign files; remove the foreign directory and rerun " +
+            "(recoverCrashedSwap restores from the _old_ copy when " +
+            s"$cur is absent)")
     }
     fs.delete(old, true)
     ()
