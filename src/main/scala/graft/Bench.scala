@@ -83,7 +83,13 @@ object Bench {
     // (VERDICT r10 #6) — the incremental PROBE path (index built once
     // per JVM, repeat runs measure the batch rewrite against the
     // standing grams) and the codegen'd integer-Viterbi unigram encode
-    "q_substring_dedup_indexed", "q_unigram_encode")
+    "q_substring_dedup_indexed", "q_unigram_encode",
+    // round 13 (VERDICT r12 #7): the materialized-rollup ROUTED read —
+    // rollup built once per JVM (SparkEntry.rollupCache), each run
+    // registers, routes (plan-checked), executes, unregisters; a
+    // routing-overhead or rollup-read regression now shows in
+    // BENCH_r{N}.json instead of being invisible
+    "q_rollup_route")
 
   /** Untimed JVM warm-up, shared with BenchOne. The cheap generic costs
     * (codegen infra, parquet footers) were always warmed; the string- and
@@ -301,9 +307,18 @@ object Bench {
     // staged-read replays instead of the lifecycle under measurement.
     val streamingSubstring = {
       val name = "s_substring_ingest"
+      // each run builds a fresh gram index + parquet copies + checkpoint
+      // under a temp tree; deleted in the finally below (ADVICE r13 —
+      // three runs per bench invocation otherwise leak the trees)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val f = p.toFile
+        Option(f.listFiles()).foreach(_.foreach(c => rmTree(c.toPath)))
+        f.delete(); ()
+      }
       val samples = (1 to runs).map { i =>
         try {
           val base = java.nio.file.Files.createTempDirectory(s"graft-bench-sub$i")
+          try {
           val idxPath = base.resolve("gramidx").toString
           val watchDir = base.resolve("in")
           java.nio.file.Files.createDirectory(watchDir)
@@ -338,12 +353,13 @@ object Bench {
             val q = graft.streaming.StreamOps.substringDedupIngest(
                 spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(watchDir.toString),
-                idxPath) { (cleaned, _) => delivered += cleaned.count() }
-              .option("checkpointLocation", base.resolve("ckpt").toString)
+                idxPath, checkpoint = base.resolve("ckpt").toString) {
+              (cleaned, _) => delivered += cleaned.count() }
               .start()
             q.processAllAvailable(); q.stop()
             require(delivered > 0, "substring ingest delivered no rows")
           }
+          } finally rmTree(base)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (-1.0, false)

@@ -38,11 +38,26 @@ object SparkEntry {
   private val gramIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** One saved rollup per (corpus dir, JVM) for q_rollup_route — a
-    * build-once release artifact like the gram index, so repeat bench
+  /** One saved rollup per (corpus dir, JVM) for the q_rollup_* family —
+    * a build-once release artifact like the gram index, so repeat bench
     * runs measure the ROUTED read, not the rollup build. */
   private val rollupCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Plan contract check shared by the q_rollup_* family: true when the
+    * optimized plan's scan reads the rollup artifact (the routed plan),
+    * false when it still reads the base. Checked on the exact plan that
+    * will execute, while the registration is live. */
+  private def readsRollupPlan(q: org.apache.spark.sql.DataFrame,
+      roll: String): Boolean =
+    q.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(roll))
+          case _ => false
+        }
+    }.getOrElse(false)
 
   /** Planted unigram piece vocabulary for q_unigram_encode, shared
     * verbatim between the Spark encode and the DuckDB Viterbi replay:
@@ -3438,15 +3453,7 @@ object SparkEntry {
             max("n_chars").as("max_chars"),
             count(col("source")).as("n_sources"))
         // contract-check the swap on the plan that will run
-        val routed = q.queryExecution.optimizedPlan.collectFirst {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                fs.location.rootPaths.exists(_.toString.contains(roll))
-              case _ => false
-            }
-        }
-        require(routed.contains(true),
+        require(readsRollupPlan(q, roll),
           "q_rollup_route did not route through the rollup")
         // EXECUTE the routed plan while the registration is live and
         // return its result as a local relation: the driver wraps the
@@ -3455,6 +3462,66 @@ object SparkEntry {
         // silently hash-compare the direct scan — proving nothing
         // about the routed read. The collect is dim-cardinality-
         // bounded (one row per lang, ≤ a handful) by construction.
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
+    // ---- engine: AVG routed from the rollup's stored sum+count pair -
+    // (VERDICT r12 #2: saveRollup always persists sum__m AND cnt__m,
+    // so Average re-aggregates exactly — the r12 exclusion was wrong).
+    // Routed result = exact long re-sum / count; the oracle aggregates
+    // the base, so the hash compare proves routed ≡ direct. Same
+    // register/execute/unregister discipline as q_rollup_route
+    "q_rollup_avg" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-rollup-q").toString
+        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
+          dims = Seq("lang", "source"), measures = Seq("n_chars"))
+        p
+      })
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .groupBy("lang")
+          .agg(avg("n_chars").as("avg_chars"),
+            count(col("n_chars")).as("n_docs"),
+            sum("n_chars").as("sum_chars"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_avg did not route through the rollup")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
+    // ---- engine: dim-EXPRESSION grouping routed (VERDICT r12 #5) ----
+    // GROUP BY upper(lang): any deterministic expression whose leaves
+    // are all rollup dims re-evaluates over the rollup's dim columns —
+    // coarser grouping re-aggregates exactly. PullOutGroupingExpressions
+    // has already rewritten the shape into a computed-column Project by
+    // the time the rule runs; the routed plan proves the alias-inlining
+    // path end-to-end
+    "q_rollup_expr" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-rollup-q").toString
+        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
+          dims = Seq("lang", "source"), measures = Seq("n_chars"))
+        p
+      })
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .where(col("source") =!= "src0")
+          .groupBy(upper(col("lang")).as("lang_u"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            avg("n_chars").as("avg_chars"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_expr did not route through the rollup")
         s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
       } finally graft.ops.Rollup.unregister(s, basePath)
     }),
@@ -8719,6 +8786,28 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(count(source) AS BIGINT) AS n_sources
         |FROM documents WHERE source <> 'src0'
         |GROUP BY lang""".stripMargin,
+
+    // AVG routed from the rollup's stored sum+count pair: routed value
+    // is exact-long-sum / count in double — bit-identical to the
+    // oracle's (every partial sum of ~1k-char counts is exactly
+    // representable far below 2^53, so accumulation order is moot)
+    "q_rollup_avg" ->
+      """SELECT lang,
+        |  avg(n_chars) AS avg_chars,
+        |  CAST(count(n_chars) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // dim-expression grouping routed: GROUP BY upper(lang) over the
+    // (lang, source) rollup — the oracle aggregates the base with the
+    // same expression, proving coarser-than-dims re-aggregation exact
+    "q_rollup_expr" ->
+      """SELECT upper(lang) AS lang_u,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars
+        |FROM documents WHERE source <> 'src0'
+        |GROUP BY 1""".stripMargin,
 
     // mirrors TextOps.noveltyScores: distinct 8-grams per doc, first
     // occurrence by min doc id, one double division per row

@@ -733,7 +733,13 @@ object Dedup {
   }
 
   /** Claims/done-markers older than this many generations behind the
-    * newest claim prune on each new claim. */
+    * newest claim prune on each new claim. Contract made explicit
+    * (VERDICT r12 #8): pruning an UNDONE claim this old assumes no
+    * writer stalls across 64 successful claims — true under the
+    * single-writer lifecycle, where a claim precedes its own append
+    * and no second writer can advance the counter past it; a writer
+    * stalled that long is outside the contract, and the compaction
+    * quiet-check cannot see it once its claim is pruned. */
   private[graft] val ClaimHistoryKeep = 64L
 
   /** Record that a claimed generation's data is durably written —
@@ -910,6 +916,11 @@ object Dedup {
     // slip rows into (or recreate) a directory mid-swap
     val marker = new org.apache.hadoop.fs.Path(s"$path/gen/c$claimed")
     fs.create(marker, true).close()
+    // tracks whether the directory swap committed: the catch path must
+    // distinguish a failed compaction (index untouched — release the
+    // claim) from a committed one whose CLEANUP failed (index already
+    // compacted — keep the claim, report the truth). ADVICE r13.
+    var swapped = false
     try {
       requireQuiet(spark, path, claimed, fs)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compacting"), true)
@@ -921,23 +932,51 @@ object Dedup {
         .parquet(s"$path/_compacting/grams")
       validateClaim(spark, path, claimed, fs)
       atomicSwapDir(fs, path, "grams")
+      swapped = true
       markGenerationDone(spark, path, claimed)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compacting"), true)
       ()
     } catch { case e: Throwable =>
-      // an aborted compaction releases its own claim — otherwise the
-      // RE-RUN's quiet-check refuses on this orphan undone claim. The
-      // done marker goes FIRST: a failure after markGenerationDone
-      // (e.g. the final temp delete) must not leave d<N> behind with
-      // g<N> gone — a later append would re-claim N and a subsequent
-      // compaction's quiet-check would read the STALE d<N> as that
-      // append's completion while its rows are still landing
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/d$claimed"),
-        false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/g$claimed"),
-        false)
-      throw e
+      abortOrCommitReport(spark, path, claimed, fs, swapped, e)
     } finally { fs.delete(marker, false); () }
+  }
+
+  /** Shared abort path of the two compaction ops. PRE-swap failures
+    * release the claim (the index is untouched; without the release the
+    * re-run's quiet-check would refuse on our own orphan undone claim)
+    * and rethrow. POST-swap failures must NOT release it (ADVICE r13):
+    * the compacted data IS live, so deleting g/d would both report a
+    * committed compaction as failed and regress the generation counter
+    * — a later append would re-claim the same number and a subsequent
+    * quiet-check could read our stale done marker as that append's
+    * completion. Instead the done marker is best-effort re-written and
+    * the error says the truth: swap committed, cleanup pending. The
+    * claim-release order on abort keeps the done marker FIRST — a
+    * failure between the two deletes must not leave d<N> behind with
+    * g<N> gone (same stale-marker hazard). */
+  private def abortOrCommitReport(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      claimed: Long, fs: org.apache.hadoop.fs.FileSystem,
+      swapped: Boolean, e: Throwable): Nothing = {
+    if (swapped) {
+      // the index content is already the compacted one and consistent;
+      // only bookkeeping failed. Best-effort the done marker so the
+      // next quiet-check doesn't block on our claim — if even that
+      // fails, the next compaction refuses loudly with guidance, which
+      // is the correct degraded behavior
+      scala.util.Try(markGenerationDone(spark, path, claimed))
+      throw new IllegalStateException(
+        s"index at $path: compaction generation $claimed COMMITTED " +
+          "(directory swap succeeded; the index is compacted and " +
+          "consistent) but post-swap cleanup failed — sweep leftover " +
+          s"$path/_compacting or _old_* dirs manually or via the next " +
+          "compaction run", e)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/d$claimed"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/g$claimed"),
+      false)
+    throw e
   }
 
   /** Compact a [[saveSignatureIndex]] corpus fragmented by many
@@ -962,6 +1001,11 @@ object Dedup {
     val claimed = claimGeneration(spark, path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/gen/c$claimed")
     fs.create(marker, true).close()
+    // flips on the FIRST swap: once `sets` is swapped the index content
+    // has changed (still consistent — compaction is content-identical
+    // per directory, so a half-compacted index is correct, just not yet
+    // fully defragmented) and the claim must survive (ADVICE r13)
+    var swapped = false
     try {
       requireQuiet(spark, path, claimed, fs)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compacting"), true)
@@ -972,17 +1016,13 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$path/_compacting/buckets")
       validateClaim(spark, path, claimed, fs)
       atomicSwapDir(fs, path, "sets")
+      swapped = true
       atomicSwapDir(fs, path, "buckets")
       markGenerationDone(spark, path, claimed)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compacting"), true)
       ()
     } catch { case e: Throwable =>
-      // done marker FIRST (see compactGramIndex's abort path)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/d$claimed"),
-        false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen/g$claimed"),
-        false)
-      throw e
+      abortOrCommitReport(spark, path, claimed, fs, swapped, e)
     } finally { fs.delete(marker, false); () }
   }
 

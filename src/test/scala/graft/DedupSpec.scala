@@ -1025,7 +1025,56 @@ class DedupSpec extends SparkSpec {
       "completed append must write its done marker")
   }
 
+  test("a POST-swap compaction failure keeps the claim and reports " +
+      "the commit (ADVICE r13)") {
+    // failure injected AFTER atomicSwapDir: gen/d2 pre-exists as a
+    // non-empty DIRECTORY, so markGenerationDone's file create throws.
+    // The old catch released g2/d2 on any Throwable — reporting a
+    // committed compaction as failed and regressing the generation
+    // counter (a later append would re-claim 2)
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy " +
+      "dog again today")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gramidx-postswap").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 4)
+    Dedup.appendToGramIndex(Seq((2L, "pack my box with five dozen " +
+      "liquor jugs ok")).toDF("doc_id", "text"), tmp, "doc_id", "text")
+    val before = spark.read.parquet(s"$tmp/grams")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val gen = java.nio.file.Paths.get(tmp, "gen")
+    val trap = gen.resolve("d2")
+    java.nio.file.Files.createDirectories(trap)
+    java.nio.file.Files.createFile(trap.resolve("occupied"))
+    val e = intercept[IllegalStateException](
+      Dedup.compactGramIndex(spark, tmp))
+    assert(e.getMessage.contains("COMMITTED"), e.getMessage)
+    // the swap IS live: content identical, defragmented, claim kept
+    assert(spark.read.parquet(s"$tmp/grams")
+      .collect().map(_.getLong(0)).sorted.toSeq == before,
+      "committed compaction must leave content identical")
+    assert(java.nio.file.Files.exists(gen.resolve("g2")),
+      "post-swap failure must KEEP the committed generation claim")
+    assert(Dedup.indexGeneration(spark, tmp) == 2L,
+      "generation counter must not regress past the committed swap")
+    // the lifecycle continues past the committed generation: the next
+    // compaction claims g3 and completes (the injected d2 entry reads
+    // as the done marker it semantically is — the swap DID commit; a
+    // real transient create failure leaves d2 absent, and the
+    // "refuses over an un-done claim" path above covers that refusal)
+    Dedup.compactGramIndex(spark, tmp)
+    assert(Dedup.indexGeneration(spark, tmp) == 3L)
+    assert(spark.read.parquet(s"$tmp/grams")
+      .collect().map(_.getLong(0)).sorted.toSeq == before)
+  }
+
   test("generation claim history prunes to the keep window") {
+    // contract note (VERDICT r12 #8): pruning includes UNDONE claims
+    // older than the window. That is safe exactly because the lifecycle
+    // is single-writer — a claim precedes its own append, so nobody can
+    // advance the counter 64 generations past a still-running writer;
+    // a writer stalled that long is outside the contract and the
+    // quiet-check cannot see it once its claim is pruned (the
+    // ClaimHistoryKeep scaladoc states the same assumption).
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy " +
       "dog again today")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files
