@@ -61,6 +61,17 @@ object Rollup {
   private[graft] final case class BaseSnapshot(
       nFiles: Int, totalBytes: Long, mtimeHash: Long)
 
+  /** One file's contribution to a snapshot's order-free XOR hash. The
+    * scheme-less URI path (never the full qualified string) keeps the
+    * stamp identical whether the file was seen through a relation's
+    * FileIndex listing or through `DataFrame.inputFiles` (the
+    * streaming accumulator's source), whose qualification spellings
+    * can differ. */
+  private[graft] def fileStamp(p: org.apache.hadoop.fs.Path,
+      mtime: Long, len: Long): Long =
+    scala.util.hashing.MurmurHash3.stringHash(
+      s"${p.toUri.getPath}@$mtime@$len").toLong
+
   /** Compute the snapshot from an ALREADY-LISTED relation — both
     * [[register]] (its own fresh analysis) and the routing rule (the
     * query's analysis) hold one, so this never lists the filesystem
@@ -73,8 +84,7 @@ object Rollup {
         var bytes = 0L
         files.foreach { st =>
           bytes += st.getLen
-          h ^= scala.util.hashing.MurmurHash3.stringHash(
-            s"${st.getPath}@${st.getModificationTime}@${st.getLen}").toLong
+          h ^= fileStamp(st.getPath, st.getModificationTime, st.getLen)
         }
         BaseSnapshot(files.length, bytes, h)
       case other =>
@@ -239,6 +249,20 @@ object Rollup {
     // through to the base plan (RollupRouting), so a post-registration
     // append/overwrite can never serve stale aggregates silently.
     val snap = snapshotOf(baseLr.relation.asInstanceOf[HadoopFsRelation])
+    registerWithSnapshot(spark, baseKey, rollupPath, dims, measures, snap)
+  }
+
+  /** Registration with an EXPLICIT base snapshot — the streaming
+    * maintainer's entry point
+    * ([[graft.streaming.StreamOps.routableRollupSink]]): the sink
+    * accumulates the stamps of exactly the files its folds have
+    * PROCESSED, so queries route only when the base listing equals the
+    * processed set — files landed but not yet folded make the compare
+    * fail and the query falls through to the (fresh) base, instead of
+    * the rollup serving a listing-matches-but-content-lags answer. */
+  private[graft] def registerWithSnapshot(spark: SparkSession,
+      baseKey: String, rollupPath: String, dims: Seq[String],
+      measures: Seq[String], snap: BaseSnapshot): Unit = {
     // analyze once here to FAIL FAST on a missing/corrupt rollup; the
     // relation itself is rebuilt per rewrite (see RollupInfo)
     analyzedRelation(spark, s"$rollupPath/data")
@@ -249,6 +273,14 @@ object Rollup {
     staleWarned.remove(baseKey)
     ()
   }
+
+  /** The canonical registry key of a base path (one fresh analysis —
+    * lists the files once). */
+  private[graft] def baseKeyOf(spark: SparkSession,
+      basePath: String): String =
+    keyOf(analyzedRelation(spark, basePath)).getOrElse(
+      throw new IllegalStateException(
+        s"base at $basePath is not a file-source relation"))
 
   /** Keys whose staleness the routing rule has already warned about —
     * once per REGISTRATION (register clears the key), so a dashboard

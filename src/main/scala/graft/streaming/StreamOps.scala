@@ -380,15 +380,18 @@ object StreamOps {
     * rule re-aggregates whatever numeric sum type it finds and casts
     * to the query's own, so routed ≡ direct still holds.
     *
-    * Freshness contract when auto-registering: each fold re-registers
-    * with a base snapshot listed at FOLD-COMMIT time, so once the
-    * stream drains (`processAllAvailable`, availableNow) routing is
-    * exact; while batches are in flight, files the source has listed
-    * but not yet folded are inside the registered snapshot for at most
-    * one micro-batch of lag — the standard IVM freshness window. The
-    * batch tripwire still catches every out-of-band writer: a file
-    * landing AFTER the fold's registration trips the snapshot compare
-    * and queries fall through to the base until the next fold.
+    * Freshness contract when auto-registering: the registration's
+    * snapshot is the accumulated stamps of exactly the files the folds
+    * have PROCESSED (`batch.inputFiles`, committed atomically with
+    * each fold), not a directory listing — so a routed query's
+    * listing-vs-snapshot compare succeeds ONLY when the base contains
+    * precisely the folded files. Landed-but-unfolded files, deletions,
+    * and out-of-band writers all fall through to the (fresh) base;
+    * the rollup can never serve a lagging answer. Once the stream
+    * drains (`processAllAvailable`, availableNow), listing == folded
+    * set and routing resumes. `routeBase` therefore requires the
+    * stream to BE the file source over that directory (memory streams
+    * accumulate no file stamps and never route).
     * Caller starts/stops the returned writer. */
   def routableRollupSink(rows: DataFrame, path: String,
       dims: Seq[String], measures: Seq[String], checkpoint: String,
@@ -402,9 +405,64 @@ object StreamOps {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyRoutableRollupBatch(path, batch, batchId, dims, measures)
-        routeBase.foreach(bp => graft.ops.Rollup.register(owner, bp, path))
+        applyRoutableRollupBatch(path, batch, batchId, dims, measures,
+          batchInputFiles(batch.sparkSession, checkpoint, batchId))
+        // register with the PROCESSED-files snapshot the folds have
+        // accumulated (not the current directory listing): queries
+        // route only when the base listing equals what the rollup has
+        // actually folded, so in-flight files mean fall-through to the
+        // fresh base, never a lagging rollup answer. Runs on the
+        // replay path too — the stored snapshot is already correct
+        // there and the (possibly lost) registration must be redone
+        routeBase.foreach { bp =>
+          accumulatedBaseSnapshot(owner, path).foreach(snap =>
+            graft.ops.Rollup.registerWithSnapshot(owner,
+              graft.ops.Rollup.baseKeyOf(owner, bp), path,
+              dims, measures, snap))
+        }
       }
+  }
+
+  /** The files a file-source micro-batch consumed, from the source's
+    * own checkpoint metadata log (`$checkpoint/sources/0/<batchId>`,
+    * the `v1` JSON-lines format FileStreamSource has written since
+    * Spark 2.x). The foreachBatch DataFrame itself is a LogicalRDD in
+    * Spark 4 — `inputFiles` on it is EMPTY, so the log is the only
+    * faithful record of batch↔file attribution. Single-source streams
+    * only (index 0 — exactly the [[routableRollupSink]] shape); absent
+    * log (memory streams) → Nil, and the processed-files snapshot
+    * simply never matches a file listing, i.e. never routes. */
+  private[graft] def batchInputFiles(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String,
+      batchId: Long): Seq[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$checkpoint/sources/0/$batchId")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        // compact Spark-written JSON; paths are URIs (no raw quotes)
+        "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
+          .map(_.group(1)).toSeq
+      }
+    } catch { case _: java.io.IOException => Nil }
+
+  /** The processed-files snapshot [[applyRoutableRollupBatch]] has
+    * accumulated so far — rides inside `$path/data` so the atomic swap
+    * commits data + fence + snapshot together. */
+  private[graft] def accumulatedBaseSnapshot(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[graft.ops.Rollup.BaseSnapshot] = {
+    val f = new java.io.File(s"$path/data/_base_snapshot")
+    if (!f.exists()) None
+    else java.nio.file.Files.readString(f.toPath).trim.split('|') match {
+      case Array(c, b, h) => Some(graft.ops.Rollup.BaseSnapshot(
+        c.toInt, b.toLong, h.toLong))
+      case _ => None
+    }
   }
 
   /** One exactly-once fold of [[routableRollupSink]] — exposed so the
@@ -412,7 +470,8 @@ object StreamOps {
     * Returns true when folded, false when the batch id was already in
     * the snapshot fence. */
   def applyRoutableRollupBatch(path: String, batch: DataFrame,
-      batchId: Long, dims: Seq[String], measures: Seq[String]): Boolean = {
+      batchId: Long, dims: Seq[String], measures: Seq[String],
+      inputFiles: Seq[String] = Seq.empty): Boolean = {
     import graft.ops.Rollup
     val spark = batch.sparkSession
     val dataDir = new java.io.File(s"$path/data")
@@ -453,11 +512,36 @@ object StreamOps {
       else delta.limit(0)
     val merged = current.unionByName(delta)
       .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // accumulate the stamps of the files THIS batch consumed (from the
+    // source's checkpoint metadata via [[batchInputFiles]] — the batch
+    // DataFrame itself is a LogicalRDD with no file lineage) into the
+    // processed-files snapshot (exactly-once: rides the same fence +
+    // swap as the data). No files (memory streams) accumulates
+    // nothing — routeBase is a file-source feature
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var (accC, accB, accH) = accumulatedBaseSnapshot(spark, path)
+      .map(s => (s.nFiles, s.totalBytes, s.mtimeHash))
+      .getOrElse((0, 0L, 0L))
+    inputFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      // a file deleted between the batch and this stat simply never
+      // enters the snapshot: the compare then fails and queries fall
+      // through to the base — the conservative direction
+      scala.util.Try(p.getFileSystem(hconf).getFileStatus(p)).foreach {
+        st =>
+          accC += 1
+          accB += st.getLen
+          accH ^= graft.ops.Rollup.fileStamp(st.getPath,
+            st.getModificationTime, st.getLen)
+      }
+    }
     val next = new java.io.File(s"$path/data.next")
     if (next.exists()) delete(next)
     merged.write.mode("overwrite").parquet(next.getPath)
     java.nio.file.Files.writeString(
       new java.io.File(next, "_last_batch_id").toPath, batchId.toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(next, "_base_snapshot").toPath, s"$accC|$accB|$accH")
     val tmp = new java.io.File(s"$path/data.old")
     if (tmp.exists()) delete(tmp)
     if (dataDir.exists() && !dataDir.renameTo(tmp))

@@ -568,6 +568,39 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.Rollup.unregister(spark, basePath)
   }
 
+  test("routed AVG + dim-expression grouping prune to the sum+count pair") {
+    // the round-13 surface: avg(m) routes via the stored sum__m/cnt__m
+    // pair and GROUP BY upper(lang) routes through the pulled-out
+    // grouping alias — pinned here so the routed scan stays minimal:
+    // base never read, min/max partials never read, dim filter pushed
+    import org.apache.spark.sql.functions._
+    Graft.init(spark)
+    val basePath = s"$sfDir/documents.parquet"
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-rollup-plan-avg").toString
+    graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
+      dims = Seq("lang", "source"), measures = Seq("n_chars"))
+    graft.ops.Rollup.register(spark, basePath, roll)
+    try {
+      val p = spark.read.parquet(basePath)
+        .where(col("source") =!= "src0")
+        .groupBy(upper(col("lang")).as("lang_u"))
+        .agg(avg("n_chars").as("avg_chars"), count(lit(1)).as("n_docs"))
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("documents.parquet"),
+        s"base table must not be scanned:\n$p")
+      // avg reads ONLY the sum+count partials (plus cnt + dims): the
+      // min/max partials must be pruned out of the rollup scan
+      assert(readSchemas(p).forall(l =>
+        !l.contains("__min__") && !l.contains("__max__") &&
+          !l.contains("text")), s"routed avg must prune min/max:\n$p")
+      assert(p.contains("graft_rollup__sum__n_chars") &&
+        p.contains("graft_rollup__cnt__n_chars"))
+      assert(p.contains("Not(EqualTo(source,src0))"),
+        s"dim filter must push to the rollup scan:\n$p")
+    } finally graft.ops.Rollup.unregister(spark, basePath)
+  }
+
   test("pageRank hash-join regime keys the edge table exactly once") {
     // broadcastState=false is the billions-of-nodes path
     // (Graph.scala's documented regime for node sets that outgrow a

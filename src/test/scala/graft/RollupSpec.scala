@@ -312,6 +312,39 @@ class RollupSpec extends SparkSpec {
     } finally Rollup.unregister(spark, bp)
   }
 
+  test("a hive-partitioned base routes on its partition column and " +
+      "trips on a new partition") {
+    // dims can be partition columns (the common warehouse layout): the
+    // relation output carries them, the rollup stores them as plain
+    // columns, and the freshness snapshot walks the partitioned
+    // listing — a NEW partition directory must trip it like any append
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-part")
+    val bp = dir.resolve("base").toString
+    Seq(("en", "web", 10L), ("de", "web", 20L), ("en", "book", 30L))
+      .toDF("lang", "source", "n")
+      .write.partitionBy("lang").parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    def q() = spark.read.parquet(bp).groupBy("lang")
+      .agg(count(lit(1)).as("c"), sum("n").as("s"), avg("n").as("a"))
+    val direct = rows(q())
+    Rollup.register(spark, bp, rp)
+    try {
+      val routed = q()
+      assert(readsRollup(routed),
+        s"partitioned base must route:\n${routed.queryExecution.optimizedPlan}")
+      assert(rows(routed) == direct)
+      // a new partition directory lands — the normal ingest motion
+      Seq(("fr", "web", 40L)).toDF("lang", "source", "n")
+        .write.mode("append").partitionBy("lang").parquet(bp)
+      val after = q()
+      assert(!readsRollup(after), "new partition must trip the snapshot")
+      assert(rows(after).exists(_.head == "fr"))
+    } finally Rollup.unregister(spark, bp)
+  }
+
   test("unregister works after the base files are deleted (ADVICE r13)") {
     import spark.implicits._
     Graft.init(spark)
