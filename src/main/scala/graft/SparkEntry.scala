@@ -44,6 +44,20 @@ object SparkEntry {
   private val rollupCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The q_rollup_* family's shared artifact: (lang, source) dims with
+    * the n_chars measure over `documents` — ONE definition, so the
+    * three queries can never silently build divergent artifacts under
+    * the same cache key. */
+  private def rollupFor(s: SparkSession, dir: String): String =
+    rollupCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-rollup-q").toString
+      graft.ops.Rollup.saveRollup(
+        s.read.parquet(s"$dir/documents.parquet"), p,
+        dims = Seq("lang", "source"), measures = Seq("n_chars"))
+      p
+    })
+
   /** Plan contract check shared by the q_rollup_* family: true when the
     * optimized plan's scan reads the rollup artifact (the routed plan),
     * false when it still reads the base. Checked on the exact plan that
@@ -3435,13 +3449,7 @@ object SparkEntry {
     "q_rollup_route" -> ((s, dir) => {
       graft.Graft.init(s)
       val basePath = s"$dir/documents.parquet"
-      val roll = rollupCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-rollup-q").toString
-        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
-          dims = Seq("lang", "source"), measures = Seq("n_chars"))
-        p
-      })
+      val roll = rollupFor(s, dir)
       graft.ops.Rollup.register(s, basePath, roll)
       try {
         val q = s.read.parquet(basePath)
@@ -3475,13 +3483,7 @@ object SparkEntry {
     "q_rollup_avg" -> ((s, dir) => {
       graft.Graft.init(s)
       val basePath = s"$dir/documents.parquet"
-      val roll = rollupCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-rollup-q").toString
-        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
-          dims = Seq("lang", "source"), measures = Seq("n_chars"))
-        p
-      })
+      val roll = rollupFor(s, dir)
       graft.ops.Rollup.register(s, basePath, roll)
       try {
         val q = s.read.parquet(basePath)
@@ -3505,13 +3507,7 @@ object SparkEntry {
     "q_rollup_expr" -> ((s, dir) => {
       graft.Graft.init(s)
       val basePath = s"$dir/documents.parquet"
-      val roll = rollupCache.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-rollup-q").toString
-        graft.ops.Rollup.saveRollup(s.read.parquet(basePath), p,
-          dims = Seq("lang", "source"), measures = Seq("n_chars"))
-        p
-      })
+      val roll = rollupFor(s, dir)
       graft.ops.Rollup.register(s, basePath, roll)
       try {
         val q = s.read.parquet(basePath)

@@ -270,8 +270,7 @@ object Rollup {
       RollupInfo(rollupPath, dims, measures, snap))
     // a re-registration is a fresh snapshot: let the rule warn again
     // if the base drifts from THIS registration too
-    staleWarned.remove(baseKey)
-    ()
+    clearStaleWarned(spark, baseKey)
   }
 
   /** The canonical registry key of a base path (one fresh analysis —
@@ -283,10 +282,29 @@ object Rollup {
         s"base at $basePath is not a file-source relation"))
 
   /** Keys whose staleness the routing rule has already warned about —
-    * once per REGISTRATION (register clears the key), so a dashboard
-    * re-running the same routed query does not spam the log. */
-  private[graft] val staleWarned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * once per REGISTRATION (register clears the key), per SESSION
+    * (registrations are per-session, so one session's warning must not
+    * suppress another's — review finding, r13), weakly held so the
+    * bookkeeping GCs with the session like the registry itself. */
+  private val staleWarnedSets = new java.util.WeakHashMap[SparkSession,
+    java.util.Set[String]]()
+
+  private def staleWarnedOf(session: SparkSession): java.util.Set[String] =
+    staleWarnedSets.synchronized {
+      var s = staleWarnedSets.get(session)
+      if (s == null) {
+        s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        staleWarnedSets.put(session, s)
+      }
+      s
+    }
+
+  /** True exactly once per (session, registration, staleness). */
+  private[graft] def shouldWarnStale(session: SparkSession,
+      key: String): Boolean = staleWarnedOf(session).add(key)
+
+  private[graft] def clearStaleWarned(session: SparkSession,
+      key: String): Unit = { staleWarnedOf(session).remove(key); () }
 
   /** Stop routing queries over `basePath` in this session (e.g. the
     * base changed and the rollup is stale). Safe when nothing is
@@ -301,9 +319,9 @@ object Rollup {
     val qualified = scala.util.Try(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(p).toString).toOption
-    qualified.foreach(reg.remove)
+    qualified.foreach { k => reg.remove(k); clearStaleWarned(spark, k) }
     scala.util.Try(keyOf(analyzedRelation(spark, basePath))).toOption
-      .flatten.foreach(reg.remove)
+      .flatten.foreach { k => reg.remove(k); clearStaleWarned(spark, k) }
     ()
   }
 }

@@ -104,7 +104,7 @@ object RollupRouting extends Rule[LogicalPlan] {
     (baseLr, conds, aliases) <- strip(agg.child, Nil, Map.empty)
     key <- Rollup.keyOf(baseLr)
     info <- Rollup.lookup(session, key)
-    _ <- fresh(key, baseLr, info)
+    _ <- fresh(session, key, baseLr, info)
     routed <- rewrite(session, agg, baseLr, conds, aliases, info)
   } yield routed
 
@@ -113,13 +113,14 @@ object RollupRouting extends Rule[LogicalPlan] {
     * snapshot. A changed base (append, overwrite, delete — the normal
     * ingest motions) falls through to the base plan, which is correct
     * by construction; the stale registration is reported once. */
-  private def fresh(key: String, baseLr: LogicalRelation,
+  private def fresh(session: org.apache.spark.sql.SparkSession,
+      key: String, baseLr: LogicalRelation,
       info: Rollup.RollupInfo): Option[Unit] = baseLr.relation match {
     case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
       val now = Rollup.snapshotOf(fs)
       if (now == info.baseSnapshot) Some(())
       else {
-        if (Rollup.staleWarned.add(key)) logWarning(
+        if (Rollup.shouldWarnStale(session, key)) logWarning(
           s"rollup at ${info.rollupPath} is STALE for base $key " +
             s"(registered ${info.baseSnapshot}, base now $now); " +
             "queries use the base scan until re-registered")

@@ -267,24 +267,18 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new java.io.File(path)
+        val dir = new java.io.File(path)
+        recoverSwap(dir)
         val base =
-          if (fs.exists() && fs.list() != null && fs.list().nonEmpty)
+          if (dir.exists() && dir.list() != null && dir.list().nonEmpty)
             spark.read.parquet(path)
           else batch.select(payloadCols.map(col).toIndexedSeq: _*).limit(0)
         val merged = graft.ops.Cdc.applyChanges(base, batch,
           keyCols, seqCols, opCol)
-        val next = path + ".next"
-        merged.write.mode("overwrite").parquet(next)
-        // swap: the reader sees the old snapshot or the new, never a mix
-        val dir = new java.io.File(path)
-        val tmp = new java.io.File(path + ".old")
-        if (tmp.exists()) delete(tmp)
-        if (dir.exists() && !dir.renameTo(tmp))
-          throw new java.io.IOException(s"cdcSink: cannot stage $path")
-        if (!new java.io.File(next).renameTo(dir))
-          throw new java.io.IOException(s"cdcSink: cannot swap $next")
-        delete(tmp)
+        // swap: the reader sees the old snapshot or the new, never a
+        // mix (no fence needed — applyChanges is idempotent per batch)
+        swapInto(dir)(next =>
+          merged.write.mode("overwrite").parquet(next.getPath))
       }
   }
 
@@ -293,6 +287,40 @@ object StreamOps {
     if (kids != null) kids.foreach(delete)
     if (f.exists() && !f.delete())
       throw new java.io.IOException(s"cdcSink: cannot delete $f")
+  }
+
+  /** Restore a snapshot directory whose atomic swap crashed between
+    * its two renames (review finding, r13): that window leaves
+    * `<target>.old` holding the ONLY copy of the accumulated state —
+    * without this, the next fold would read an absent directory and
+    * silently restart the snapshot from one batch. Call before
+    * reading current state; the interrupted batch then re-folds onto
+    * the restored state (its id is above the restored fence). */
+  private def recoverSwap(target: java.io.File): Unit = {
+    val tmp = new java.io.File(target.getPath + ".old")
+    if (!target.exists() && tmp.exists() && !tmp.renameTo(target))
+      throw new java.io.IOException(
+        s"cannot recover crashed snapshot swap at $target")
+  }
+
+  /** The one atomic directory replacement all snapshot sinks share
+    * (cdc MERGE, rollup, routable rollup — review finding, r13: three
+    * hand-rolled copies drifted): `write` materializes the next state
+    * into `<target>.next`, then two renames swap it in — a reader
+    * sees the old state or the new, never a mix. Pair with
+    * [[recoverSwap]] at the top of each fold. */
+  private def swapInto(target: java.io.File)
+      (write: java.io.File => Unit): Unit = {
+    val next = new java.io.File(target.getPath + ".next")
+    if (next.exists()) delete(next)
+    write(next)
+    val tmp = new java.io.File(target.getPath + ".old")
+    if (tmp.exists()) delete(tmp)
+    if (target.exists() && !target.renameTo(tmp))
+      throw new java.io.IOException(s"snapshot swap: cannot stage $target")
+    if (!next.renameTo(target))
+      throw new java.io.IOException(s"snapshot swap: cannot swap $next")
+    delete(tmp)
   }
 
   /** Streaming materialized rollup with EXACTLY-ONCE batch folding:
@@ -313,47 +341,84 @@ object StreamOps {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyRollupBatch(path, batch, batchId, groupCol, valueCol)
+        applyRollupBatch(path, batch, batchId, groupCol, valueCol,
+          runId = streamIdentity(batch.sparkSession, checkpoint))
         ()
       }
+
+  /** Parse a snapshot fence: `<batchId>` (legacy, pre-r13) or
+    * `<batchId>|<runId>`. A None return means no fence file. */
+  private def readFence(dir: java.io.File): Option[(Long, String)] = {
+    val fence = new java.io.File(dir, "_last_batch_id")
+    if (!fence.exists()) None
+    else java.nio.file.Files.readString(fence.toPath).trim
+      .split('|') match {
+        case Array(id) => Some((id.toLong, ""))
+        case Array(id, run) => Some((id.toLong, run))
+        case other => Some((other.head.toLong, other.tail.mkString("|")))
+      }
+  }
+
+  /** The fold's admission check, shared by both rollup sinks (review
+    * finding, r13 — the batch-id fence alone let a NEW stream over a
+    * standing artifact silently misread its early batches as replays,
+    * and let the first fold silently REPLACE a pre-existing unfenced
+    * artifact, e.g. one saveRollup built): returns Some(lastApplied)
+    * when this stream owns the artifact, throws when a different
+    * stream (or no stream) built what is already there. Legacy fences
+    * without a run id (pre-r13 artifacts) are grandfathered — an
+    * in-place upgrade continues its stream rather than crashing; all
+    * new fences carry identity. */
+  private def fenceAdmission(dir: java.io.File, path: String,
+      runId: String): Long = readFence(dir) match {
+    case Some((last, run)) =>
+      if (run.nonEmpty && run != runId) throw new IllegalStateException(
+        s"rollup snapshot at $path was maintained by stream run '$run' " +
+          s"but this stream is '$runId' — a fresh-checkpoint stream " +
+          "re-reads its source from scratch, so folding onto another " +
+          "stream's artifact would double-count; point the new stream " +
+          "at a fresh path (or delete the artifact to rebuild)")
+      last
+    case None =>
+      val files = dir.list()
+      if (dir.exists() && files != null && files.nonEmpty)
+        throw new IllegalStateException(
+          s"directory at $path already holds data but no snapshot " +
+            "fence — it was not built by this sink (saveRollup " +
+            "artifact? foreign files?); folding onto it would " +
+            "double-count or destroy it. Point the stream at a fresh " +
+            "path.")
+      -1L
+  }
 
   /** One exactly-once fold of [[rollupSink]] — exposed so the replay
     * guard is directly testable. Returns true when the batch was
     * folded, false when its id was already in the snapshot fence. */
   def applyRollupBatch(path: String, batch: DataFrame, batchId: Long,
-      groupCol: String, valueCol: String): Boolean = {
+      groupCol: String, valueCol: String, runId: String = ""): Boolean = {
     val spark = batch.sparkSession
     val dir = new java.io.File(path)
-    val fence = new java.io.File(dir, "_last_batch_id")
-    val lastApplied =
-      if (fence.exists())
-        java.nio.file.Files.readString(fence.toPath).trim.toLong
-      else -1L
+    recoverSwap(dir)
+    val lastApplied = fenceAdmission(dir, path, runId)
     if (batchId <= lastApplied) return false
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val delta = batch.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol).cast(dec)).as("total"))
     val current =
-      if (fence.exists()) spark.read.parquet(path)
+      if (lastApplied >= 0L) spark.read.parquet(path)
       else delta.limit(0)
     val merged = current.unionByName(delta)
       .groupBy(col(groupCol))
       .agg(sum(col("n")).as("n"),
         sum(col("total").cast(dec)).cast(dec).as("total"))
-    val next = new java.io.File(path + ".next")
-    if (next.exists()) delete(next)
-    merged.write.mode("overwrite").parquet(next.getPath)
     // the fence rides inside the staged directory: one rename commits
     // data + fence atomically
-    java.nio.file.Files.writeString(
-      new java.io.File(next, "_last_batch_id").toPath, batchId.toString)
-    val tmp = new java.io.File(path + ".old")
-    if (tmp.exists()) delete(tmp)
-    if (dir.exists() && !dir.renameTo(tmp))
-      throw new java.io.IOException(s"rollupSink: cannot stage $path")
-    if (!next.renameTo(dir))
-      throw new java.io.IOException(s"rollupSink: cannot swap $next")
-    delete(tmp)
+    swapInto(dir) { next =>
+      merged.write.mode("overwrite").parquet(next.getPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(next, "_last_batch_id").toPath,
+        s"$batchId|$runId")
+    }
     true
   }
 
@@ -402,11 +467,17 @@ object StreamOps {
     // rollup registry keys on session identity — registering there
     // would route the clone's (nonexistent) queries, not the user's
     val owner = rows.sparkSession
+    // the base key is invariant for the stream's lifetime — derived
+    // once on the first fold (not at wiring: an empty watch dir has no
+    // readable schema yet) and reused, instead of re-analyzing the
+    // base per micro-batch (review finding, r13)
+    var baseKey: Option[String] = None
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyRoutableRollupBatch(path, batch, batchId, dims, measures,
-          batchInputFiles(batch.sparkSession, checkpoint, batchId))
+          batchInputFiles(batch.sparkSession, checkpoint, batchId),
+          runId = streamIdentity(batch.sparkSession, checkpoint))
         // register with the PROCESSED-files snapshot the folds have
         // accumulated (not the current directory listing): queries
         // route only when the base listing equals what the rollup has
@@ -415,9 +486,12 @@ object StreamOps {
         // replay path too — the stored snapshot is already correct
         // there and the (possibly lost) registration must be redone
         routeBase.foreach { bp =>
+          val key = baseKey.getOrElse {
+            val k = graft.ops.Rollup.baseKeyOf(owner, bp)
+            baseKey = Some(k); k
+          }
           accumulatedBaseSnapshot(owner, path).foreach(snap =>
-            graft.ops.Rollup.registerWithSnapshot(owner,
-              graft.ops.Rollup.baseKeyOf(owner, bp), path,
+            graft.ops.Rollup.registerWithSnapshot(owner, key, path,
               dims, measures, snap))
         }
       }
@@ -436,18 +510,33 @@ object StreamOps {
       spark: org.apache.spark.sql.SparkSession, checkpoint: String,
       batchId: Long): Seq[String] =
     try {
-      val p = new org.apache.hadoop.fs.Path(
-        s"$checkpoint/sources/0/$batchId")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Nil
-      else {
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        // compact Spark-written JSON; paths are URIs (no raw quotes)
-        "\"path\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
-          .map(_.group(1)).toSeq
-      }
+      // FileStreamSourceLog is COMPACTIBLE: every compactInterval-th
+      // batch (default 10) is written as `<batchId>.compact` holding
+      // the WHOLE history instead of a plain `<batchId>` file (review
+      // finding, r13 — without this branch, every compaction batch's
+      // files silently never entered the processed snapshot and
+      // routing died at the 10th micro-batch). Each JSON line carries
+      // its own batchId, so both file kinds filter the same way.
+      val dir = s"$checkpoint/sources/0"
+      val plain = new org.apache.hadoop.fs.Path(s"$dir/$batchId")
+      val compact =
+        new org.apache.hadoop.fs.Path(s"$dir/$batchId.compact")
+      val fs = plain.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = if (fs.exists(plain)) plain
+        else if (fs.exists(compact)) compact
+        else return Nil
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // compact Spark-written JSON; paths are URIs (no raw quotes)
+      val pathRe = "\"path\"\\s*:\\s*\"([^\"]+)\"".r
+      val bidRe = "\"batchId\"\\s*:\\s*(-?\\d+)".r
+      text.linesIterator.flatMap { line =>
+        val bid = bidRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        if (bid.contains(batchId))
+          pathRe.findFirstMatchIn(line).map(_.group(1))
+        else None
+      }.toSeq
     } catch { case _: java.io.IOException => Nil }
 
   /** The processed-files snapshot [[applyRoutableRollupBatch]] has
@@ -471,16 +560,14 @@ object StreamOps {
     * the snapshot fence. */
   def applyRoutableRollupBatch(path: String, batch: DataFrame,
       batchId: Long, dims: Seq[String], measures: Seq[String],
-      inputFiles: Seq[String] = Seq.empty): Boolean = {
+      inputFiles: Seq[String] = Seq.empty, runId: String = ""): Boolean = {
     import graft.ops.Rollup
     val spark = batch.sparkSession
     val dataDir = new java.io.File(s"$path/data")
-    val fence = new java.io.File(dataDir, "_last_batch_id")
-    val lastApplied =
-      if (fence.exists())
-        java.nio.file.Files.readString(fence.toPath).trim.toLong
-      else -1L
+    recoverSwap(dataDir)
+    val lastApplied = fenceAdmission(dataDir, s"$path/data", runId)
     if (batchId <= lastApplied) return false
+    val hasCurrent = lastApplied >= 0L
     // pinned, fold-stable storage type per measure (sum(decimal(p,s))
     // widens its precision on every re-aggregation; without the pin
     // the snapshot schema would creep fold over fold)
@@ -508,7 +595,7 @@ object StreamOps {
     val delta = batch.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val current =
-      if (fence.exists()) spark.read.parquet(dataDir.getPath)
+      if (hasCurrent) spark.read.parquet(dataDir.getPath)
       else delta.limit(0)
     val merged = current.unionByName(delta)
       .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -535,20 +622,16 @@ object StreamOps {
             st.getModificationTime, st.getLen)
       }
     }
-    val next = new java.io.File(s"$path/data.next")
-    if (next.exists()) delete(next)
-    merged.write.mode("overwrite").parquet(next.getPath)
-    java.nio.file.Files.writeString(
-      new java.io.File(next, "_last_batch_id").toPath, batchId.toString)
-    java.nio.file.Files.writeString(
-      new java.io.File(next, "_base_snapshot").toPath, s"$accC|$accB|$accH")
-    val tmp = new java.io.File(s"$path/data.old")
-    if (tmp.exists()) delete(tmp)
-    if (dataDir.exists() && !dataDir.renameTo(tmp))
-      throw new java.io.IOException(s"routableRollupSink: cannot stage $dataDir")
-    if (!next.renameTo(dataDir))
-      throw new java.io.IOException(s"routableRollupSink: cannot swap $next")
-    delete(tmp)
+    // one rename commits data + fence + processed-files snapshot
+    swapInto(dataDir) { next =>
+      merged.write.mode("overwrite").parquet(next.getPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(next, "_last_batch_id").toPath,
+        s"$batchId|$runId")
+      java.nio.file.Files.writeString(
+        new java.io.File(next, "_base_snapshot").toPath,
+        s"$accC|$accB|$accH")
+    }
     // meta is immutable Rollup metadata; written once, after the first
     // data swap so register's fail-fast read never sees meta-without-data
     val metaDir = new java.io.File(s"$path/meta")
@@ -901,9 +984,20 @@ object StreamOps {
     val staged =
       fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")) &&
         scala.util.Try {
-          val r = spark.read.parquet(fpDir).head()
-          (r.getLong(0), r.getLong(1), r.getLong(2)) == fp &&
-            r.getString(3) == runId
+          val fpDf = spark.read.parquet(fpDir)
+          val r = fpDf.head()
+          if (fpDf.columns.length >= 4)
+            (r.getLong(0), r.getLong(1), r.getLong(2)) == fp &&
+              r.getString(3) == runId
+          else
+            // legacy 2-column stage (pre-content-hash build): accept
+            // on input identity alone (review finding, r13). Rejecting
+            // it would RECOMPUTE, and for a genuine replay whose
+            // append already ran, recomputation excises the batch
+            // against its own grams — the exact loss the stage
+            // prevents. The legacy stage merely lacks the stronger
+            // fences; every stage written by this build carries them
+            (r.getLong(0), r.getLong(1)) == ((fp._1, fp._2))
         }.getOrElse(false)
     if (!staged) {
       // compute is by-name: a replayed batch never re-plans (let alone

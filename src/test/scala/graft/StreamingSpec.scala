@@ -513,16 +513,21 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(snapshot() == batchOracle)
     // a re-delivered batch id must NOT double-count (adding a delta
-    // twice is not idempotent, unlike the cdc MERGE)
+    // twice is not idempotent, unlike the cdc MERGE). A replay runs as
+    // the SAME stream, so it carries the stream's run identity (the
+    // r13 fence: a different run id is a different stream and throws)
+    val runId = StreamOps.streamIdentity(spark,
+      root.resolve("ckpt").toString)
+    assert(runId.nonEmpty, "checkpoint metadata must yield the query id")
     val before = snapshot()
     val replayed = StreamOps.applyRollupBatch(path,
-      evs.take(2).toDF(), batchId = 0L, "event_type", "value")
+      evs.take(2).toDF(), batchId = 0L, "event_type", "value", runId)
     assert(!replayed, "replayed batch id must be fenced out")
     assert(snapshot() == before)
     // a NEW batch id still folds
     assert(StreamOps.applyRollupBatch(path,
       Seq(Ev(9, ts(59), 9, "click", 10.0)).toDF(), 99L,
-      "event_type", "value"))
+      "event_type", "value", runId))
     assert(snapshot() != before)
   }
 
@@ -982,6 +987,164 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       graft.ops.Rollup.unregister(spark, basePath)
     }
+  }
+
+  test("routableRollupSink survives the source log's compaction batches") {
+    // FileStreamSourceLog writes every compactInterval-th batch as
+    // <id>.compact (whole history, per-line batchIds) instead of a
+    // plain <id> file; batchInputFiles must read those too or the
+    // compaction batch's files never enter the processed snapshot and
+    // routing silently dies (review finding, r13). interval=2 makes
+    // batches 1 and 3 compaction batches within a 4-file drive.
+    Graft.init(spark)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.fileSource.log.compactInterval")
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll-compact")
+    val basePath = dir.resolve("base").toString
+    try {
+      import spark.implicits._
+      (1 to 4).foreach(i =>
+        Seq((s"l$i", i.toLong)).toDF("lang", "n").coalesce(1)
+          .write.mode("append").parquet(basePath))
+      val schema = spark.read.parquet(basePath).schema
+      val q = StreamOps.routableRollupSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(basePath),
+        dir.resolve("roll").toString, Seq("lang"), Seq("n"),
+        checkpoint = dir.resolve("ckpt").toString,
+        routeBase = Some(basePath)).start()
+      try {
+        q.processAllAvailable()
+        val agg = spark.read.parquet(basePath).groupBy("lang")
+          .agg(count(lit(1)).as("c"), sum("n").as("s"))
+        val routed = agg.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+            lr.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("roll"))
+        }.getOrElse(false)
+        assert(routed, "drained stream spanning compaction batches " +
+          s"must route:\n${agg.queryExecution.optimizedPlan}")
+        assert(agg.collect().map(r => r.getString(0) -> r.getLong(2))
+          .toMap == Map("l1" -> 1L, "l2" -> 2L, "l3" -> 3L, "l4" -> 4L))
+      } finally {
+        q.stop()
+        graft.ops.Rollup.unregister(spark, basePath)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.fileSource.log.compactInterval", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.fileSource.log.compactInterval")
+    }
+  }
+
+  test("rollup folds refuse foreign artifacts and foreign stream runs") {
+    import graft.ops.Rollup
+    // (a) a fresh-checkpoint stream (different run id) over a standing
+    // artifact must fail LOUDLY, not misread its batches as replays
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft-roll-foreign1").toString
+    assert(StreamOps.applyRoutableRollupBatch(p1,
+      Seq(("en", 1L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
+      runId = "runA"))
+    val eA = intercept[IllegalStateException](
+      StreamOps.applyRoutableRollupBatch(p1,
+        Seq(("de", 2L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
+        runId = "runB"))
+    assert(eA.getMessage.contains("maintained by stream run"), eA.getMessage)
+    // same run id: batch 0 is a replay (fenced), batch 1 folds
+    assert(!StreamOps.applyRoutableRollupBatch(p1,
+      Seq(("en", 1L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
+      runId = "runA"))
+    assert(StreamOps.applyRoutableRollupBatch(p1,
+      Seq(("de", 2L)).toDF("lang", "n"), 1L, Seq("lang"), Seq("n"),
+      runId = "runA"))
+    // (b) an unfenced pre-existing artifact (saveRollup-built) must
+    // not be silently replaced by the first fold
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-roll-foreign2")
+    val bp = dir2.resolve("base").toString
+    Seq(("en", 5L), ("de", 6L)).toDF("lang", "n")
+      .write.mode("overwrite").parquet(bp)
+    val p2 = dir2.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), p2, Seq("lang"), Seq("n"))
+    val eB = intercept[IllegalStateException](
+      StreamOps.applyRoutableRollupBatch(p2,
+        Seq(("fr", 7L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
+        runId = "runC"))
+    assert(eB.getMessage.contains("no snapshot fence"), eB.getMessage)
+    // the artifact survived intact
+    assert(spark.read.parquet(s"$p2/data")
+      .agg(sum(col(Rollup.cntCol))).head.getLong(0) == 2L)
+    // same guards on the (groupCol, n, total) sink
+    val p3 = java.nio.file.Files
+      .createTempDirectory("graft-roll-foreign3").toString
+    assert(StreamOps.applyRollupBatch(p3,
+      Seq(("a", 1.0)).toDF("k", "v"), 0L, "k", "v", runId = "runA"))
+    val eC = intercept[IllegalStateException](
+      StreamOps.applyRollupBatch(p3,
+        Seq(("b", 2.0)).toDF("k", "v"), 0L, "k", "v", runId = "runB"))
+    assert(eC.getMessage.contains("maintained by stream run"), eC.getMessage)
+  }
+
+  test("a crash between the snapshot swap's two renames recovers") {
+    // the window: data -> data.old succeeded, data.next -> data did
+    // not. Without recovery the next fold reads an ABSENT directory
+    // and silently restarts the rollup from one batch (review
+    // finding, r13)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-roll-crash").toString
+    assert(StreamOps.applyRoutableRollupBatch(p,
+      Seq(("en", 10L), ("de", 20L)).toDF("lang", "n"), 0L,
+      Seq("lang"), Seq("n"), runId = "r"))
+    // simulate the crash window
+    assert(new java.io.File(s"$p/data")
+      .renameTo(new java.io.File(s"$p/data.old")))
+    assert(StreamOps.applyRoutableRollupBatch(p,
+      Seq(("en", 30L)).toDF("lang", "n"), 1L,
+      Seq("lang"), Seq("n"), runId = "r"))
+    val en = spark.read.parquet(s"$p/data")
+      .where(col("lang") === "en").head()
+    assert(en.getAs[Long](graft.ops.Rollup.cntCol) == 2L,
+      "recovered fold must keep batch 0's history")
+    assert(en.getAs[Long](graft.ops.Rollup.sumCol("n")) == 40L)
+  }
+
+  test("a legacy 2-column staged fingerprint is reused, not recomputed") {
+    // pre-r13 stages carry only (count, id-xor). Rejecting them would
+    // recompute — and for a genuine replay whose append already ran,
+    // recomputation excises the batch against its OWN grams (review
+    // finding, r13). The legacy stage must be accepted on input
+    // identity alone.
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-legacy-fp").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 8)
+    val batch = Seq((101L, "head s1 s2 s3 s4 s5 s6 s7 s8 foot"))
+      .toDF("doc_id", "text")
+    var delivered = Vector.empty[String]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      delivered = delivered ++ df.collect().map(_.getString(1))
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
+      "text", minLen = 8, runId = "runA")(sink)
+    assert(delivered == Vector("head s1 s2 s3 s4 s5 s6 s7 s8 foot"))
+    // rewrite the staged fingerprint into the legacy 2-column form
+    val fpDir = s"$tmp/ingest_stage/b0/_input_fp"
+    val legacy = spark.read.parquet(fpDir).select("c", "x").collect()
+    import spark.implicits._
+    legacy.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("c", "x")
+      .coalesce(1).write.mode("overwrite").parquet(fpDir)
+    // replay (same input; the append ALREADY ran above): must deliver
+    // the staged original, not a recompute that excises the passage
+    delivered = Vector.empty
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
+      "text", minLen = 8, runId = "runA")(sink)
+    assert(delivered == Vector("head s1 s2 s3 s4 s5 s6 s7 s8 foot"),
+      s"legacy stage must replay, got $delivered")
   }
 
   test("applyRoutableRollupBatch: replayed batch ids are fenced out") {
