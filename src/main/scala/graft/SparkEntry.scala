@@ -58,6 +58,32 @@ object SparkEntry {
       p
     })
 
+  /** q_rollup_refresh's fixture, once per (corpus dir, JVM): a private
+    * copy of `documents` as the base, a rollup built on it, and then
+    * an APPEND of the doc_id%7==0 slice (ids shifted) — so the rollup
+    * is one refresh behind its base, exactly the nightly-ingest shape
+    * [[graft.ops.Rollup.refresh]] exists for. */
+  private val refreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def refreshFixtureFor(s: SparkSession, dir: String)
+      : (String, String) =
+    refreshCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rollup-refresh-q")
+      val bp = root.resolve("base").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.write.parquet(bp)
+      val rp = root.resolve("roll").toString
+      graft.ops.Rollup.saveRollup(s.read.parquet(bp), rp,
+        dims = Seq("lang", "source"), measures = Seq("n_chars"))
+      docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(bp)
+      (bp, rp)
+    })
+
   /** Plan contract check shared by the q_rollup_* family: true when the
     * optimized plan's scan reads the rollup artifact (the routed plan),
     * false when it still reads the base. Checked on the exact plan that
@@ -3520,6 +3546,30 @@ object SparkEntry {
           "q_rollup_expr did not route through the rollup")
         s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
       } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
+    // ---- engine: INCREMENTAL rollup refresh (batch IVM) --------------
+    // the base (a private documents copy) grew by an appended slice
+    // after the rollup's build; Rollup.refresh re-aggregates ONLY the
+    // new files, merges the delta into the artifact, and re-registers —
+    // the routed read then matches the oracle, which aggregates
+    // documents ∪ the same slice directly. Repeat runs hit the
+    // no-new-files path (refresh returns 0) and still route
+    "q_rollup_refresh" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val (bp, roll) = refreshFixtureFor(s, dir)
+      graft.ops.Rollup.refresh(s, bp, roll, register = true)
+      try {
+        val q = s.read.parquet(bp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            avg("n_chars").as("avg_chars"),
+            max("n_chars").as("max_chars"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_refresh did not route through the refreshed rollup")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, bp)
     }),
 
     // ---- LLM: streaming decontamination gate (batch-parity surface) ---
@@ -8804,6 +8854,22 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  avg(n_chars) AS avg_chars
         |FROM documents WHERE source <> 'src0'
         |GROUP BY 1""".stripMargin,
+
+    // incremental refresh: the Spark base is documents PLUS an appended
+    // doc_id%7==0 slice, folded into the rollup by Rollup.refresh from
+    // the new files only; the oracle replays the same union directly —
+    // a hash match proves delta-fold ≡ full rescan
+    "q_rollup_refresh" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM (
+        |  SELECT lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 = 0)
+        |GROUP BY lang""".stripMargin,
 
     // mirrors TextOps.noveltyScores: distinct 8-grams per doc, first
     // occurrence by min doc id, one double division per row

@@ -173,6 +173,31 @@ object Rollup {
   private[graft] def maxCol(m: String) = s"graft_rollup__max__$m"
   private[graft] def cntColOf(m: String) = s"graft_rollup__cnt__$m"
 
+  /** The build aggregation — base rows -> one row per dim combination
+    * carrying (cnt, sum/min/max/cnt per measure). Shared by
+    * [[saveRollup]] (whole base) and [[refresh]] (new files only). */
+  private def buildAggs(measures: Seq[String])
+      : Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
+      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
+      max(col(m)).as(maxCol(m)), count(col(m)).as(cntColOf(m))))
+
+  /** The merge re-aggregation — stored partials (old rollup ∪ a delta
+    * built by [[buildAggs]]) -> the same schema: counts and sums add,
+    * min/max compose; every re-summed column casts back to the stored
+    * type (SUM widens decimal precision per application — without the
+    * cast the artifact's schema would creep refresh over refresh). */
+  private def mergeAggs(oldSchema: org.apache.spark.sql.types.StructType,
+      measures: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    def t(c: String) = oldSchema(c).dataType
+    sum(col(cntCol)).cast(t(cntCol)).as(cntCol) +: measures.flatMap(m =>
+      Seq(
+        sum(col(sumCol(m))).cast(t(sumCol(m))).as(sumCol(m)),
+        min(col(minCol(m))).as(minCol(m)),
+        max(col(maxCol(m))).as(maxCol(m)),
+        sum(col(cntColOf(m))).cast(t(cntColOf(m))).as(cntColOf(m))))
+  }
+
   /** Build and persist the rollup: one row per distinct `dims`
     * combination carrying the group count plus (sum, min, max,
     * non-null count) for every measure. ONE partial+final aggregation
@@ -206,9 +231,7 @@ object Rollup {
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"measure '$m' must be numeric (re-aggregable sum), got $dt")
     }
-    val aggs = count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
-      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
-      max(col(m)).as(maxCol(m)), count(col(m)).as(cntColOf(m))))
+    val aggs = buildAggs(measures)
     // building=true makes RollupRouting skip this plan: the write
     // action plans synchronously on this thread, and the build must
     // always scan the BASE — routing a rebuild through the old rollup
@@ -218,9 +241,172 @@ object Rollup {
         .write.mode("overwrite").parquet(s"$path/data")
     }
     val spark = base.sparkSession
+    // a full rebuild supersedes any crashed refresh's leftovers — and
+    // a stale data_old MUST go, or a later crashed-refresh recovery
+    // could resurrect an ancient artifact over this fresh one
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data_old"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data_next"), true)
+    // record the covered base files when (and only when) the base IS a
+    // bare file relation: [[refresh]] folds exactly the files NOT in
+    // this set, which is only sound if the rollup aggregated the raw
+    // relation (a filtered/derived frame has no file-level identity —
+    // refresh then refuses with guidance). Hidden inside data/ so a
+    // reader never sees it and a future full data overwrite drops it
+    // together with the rows it describes.
+    base.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fsRel: HadoopFsRelation => fsRel.location match {
+            case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+              writeCovered(spark, s"$path/data", p.allFiles().map(st =>
+                (st.getPath.toUri.getPath, st.getModificationTime,
+                  st.getLen)))
+            case _ => ()
+          }
+          case _ => ()
+        }
+      case _ => ()
+    }
     import spark.implicits._
     Seq((dims, measures)).toDF("dims", "measures")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Persist the covered-files record under a data directory. */
+  private def writeCovered(spark: SparkSession, dataPath: String,
+      files: Seq[(String, Long, Long)]): Unit = {
+    import spark.implicits._
+    files.toDF("path", "mtime", "len").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataPath/_covered")
+  }
+
+  /** The covered-files record of a rollup's data directory, or None
+    * when the artifact predates incremental tracking (pre-r13) or was
+    * built from a derived frame. Driver-side size is file-count-
+    * bounded — the same order as any file listing this engine already
+    * does. */
+  private def readCovered(spark: SparkSession, dataPath: String)
+      : Option[Map[String, (Long, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dataPath/_covered")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+  }
+
+  /** Incrementally FOLD the base's newly-appended files into a saved
+    * rollup — the batch-world sibling of
+    * [[graft.streaming.StreamOps.routableRollupSink]], and the cure
+    * the freshness tripwire points at: after an append-only ingest
+    * lands (`Layout.upsertPartitions`, a nightly batch, a manual
+    * copy), `refresh` re-aggregates ONLY the new files and merges the
+    * delta into the artifact, then (by default) re-registers, so the
+    * cost of staying routed is new-data-sized, never base-sized — at
+    * 100 TB a daily refresh prices at one day's data plus a
+    * rollup-sized merge.
+    *
+    * Exactness: the delta runs the same [[saveRollup]] aggregation
+    * over the new files (partition columns recovered via the
+    * `basePath` option), and the merge is the same re-aggregation the
+    * routing rule itself performs (counts/sums add, min/max compose,
+    * re-summed columns cast back to their stored types) — so a routed
+    * answer after refresh equals the direct scan, which RollupSpec
+    * pins. Append-only is REQUIRED and enforced: a covered file that
+    * vanished or changed (mtime/len) makes refresh throw — deletions
+    * are not incrementally subtractable (min/max are not invertible);
+    * rebuild with [[saveRollup]] at the next release. Artifacts
+    * without a covered-files record (pre-r13, or built from a derived
+    * frame) also refuse with that guidance.
+    *
+    * Crash safety mirrors the streaming sink: the merged data and the
+    * updated covered record land in `data_next` and swap in with one
+    * rename (reader sees old or new, never a mix); a crash between
+    * the swap's two renames is restored from `data_old` on the next
+    * call. Single-writer: don't run two refreshes (or a refresh and a
+    * rebuild) concurrently — same contract as every artifact in this
+    * engine.
+    *
+    * Returns the number of new files folded (0 = already current).
+    * `register=true` re-registers THIS session with the refresh's own
+    * listing snapshot, so files landing mid-refresh keep falling
+    * through to the base until the next refresh. */
+  def refresh(spark: SparkSession, basePath: String, rollupPath: String,
+      register: Boolean = true): Long = {
+    val meta = spark.read.parquet(s"$rollupPath/meta").head()
+    val dims = meta.getSeq[String](meta.fieldIndex("dims"))
+    val measures = meta.getSeq[String](meta.fieldIndex("measures"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data_old")
+    val nextPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data_next")
+    val fs = dataPath.getFileSystem(conf)
+    // recover a crashed swap: between its two renames, data_old holds
+    // the only copy
+    if (!fs.exists(dataPath) && fs.exists(oldPath) &&
+        !fs.rename(oldPath, dataPath))
+      throw new java.io.IOException(
+        s"cannot recover crashed refresh swap at $dataPath")
+    val baseLr = analyzedRelation(spark, basePath)
+    val fsRel = baseLr.relation.asInstanceOf[HadoopFsRelation]
+    val files = fsRel.location match {
+      case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+        p.allFiles()
+      case other => throw new IllegalStateException(
+        s"refresh needs a listable file relation at $basePath, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+    val snap = snapshotOf(fsRel)
+    val covered = readCovered(spark, s"$rollupPath/data").getOrElse(
+      throw new IllegalStateException(
+        s"rollup at $rollupPath has no covered-files record (built " +
+          "before incremental tracking, or from a derived frame) — " +
+          "incremental refresh cannot prove what it already " +
+          "aggregated; rebuild with saveRollup"))
+    val current = files.map(st =>
+      st.getPath.toUri.getPath ->
+        ((st.getModificationTime, st.getLen, st.getPath.toString))).toMap
+    val gone = covered.collect { case (k, (m, l))
+        if !current.get(k).exists(v => (v._1, v._2) == ((m, l))) => k }
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"base at $basePath is not append-only since the rollup's build: " +
+        s"${gone.size} covered file(s) vanished or changed (e.g. " +
+        s"${gone.take(3).mkString(", ")}) — deletions are not " +
+        "incrementally subtractable; rebuild with saveRollup")
+    val newFiles = current.filterNot { case (k, _) => covered.contains(k) }
+    if (newFiles.nonEmpty) {
+      val delta = building.withValue(true) {
+        val newDf = spark.read.option("basePath", basePath)
+          .parquet(newFiles.values.map(_._3).toSeq: _*)
+        val aggs = buildAggs(measures)
+        newDf.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+      val old = spark.read.parquet(dataPath.toString)
+      val merge = mergeAggs(old.schema, measures)
+      fs.delete(nextPath, true)
+      building.withValue(true) {
+        old.unionByName(delta).groupBy(dims.map(col): _*)
+          .agg(merge.head, merge.tail: _*)
+          .write.mode("overwrite").parquet(nextPath.toString)
+      }
+      writeCovered(spark, nextPath.toString, files.map(st =>
+        (st.getPath.toUri.getPath, st.getModificationTime, st.getLen)))
+      // the swap: one rename commits merged data + covered record
+      fs.delete(oldPath, true)
+      if (fs.exists(dataPath) && !fs.rename(dataPath, oldPath))
+        throw new java.io.IOException(s"refresh: cannot stage $dataPath")
+      if (!fs.rename(nextPath, dataPath))
+        throw new java.io.IOException(s"refresh: cannot swap $nextPath")
+      fs.delete(oldPath, true)
+      ()
+    }
+    if (register)
+      registerWithSnapshot(spark, keyOf(baseLr).getOrElse(
+          throw new IllegalStateException(
+            s"base at $basePath is not a file-source relation")),
+        rollupPath, dims, measures, snap)
+    newFiles.size.toLong
   }
 
   /** Point queries over `basePath` at the rollup saved at

@@ -345,6 +345,102 @@ class RollupSpec extends SparkSpec {
     } finally Rollup.unregister(spark, bp)
   }
 
+  test("refresh folds only appended files, re-registers, and is idempotent") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-refresh")
+    val bp = dir.resolve("base").toString
+    Seq[(String, java.lang.Long)](("en", 10L), ("de", 20L), ("en", null))
+      .toDF("lang", "n").coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    Rollup.register(spark, bp, rp)
+    try {
+      def q() = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"), avg("n").as("a"),
+          min("n").as("mn"), max("n").as("mx"), count(col("n")).as("cn"))
+      assert(readsRollup(q()))
+      // the append: one new part file, one new group, one null measure
+      Seq[(String, java.lang.Long)](("en", 30L), ("fr", 40L), ("fr", null))
+        .toDF("lang", "n").coalesce(1).write.mode("append").parquet(bp)
+      assert(!readsRollup(q()), "tripwire must fire before the refresh")
+      val direct = rows(q())
+      assert(Rollup.refresh(spark, bp, rp) == 1L, "one appended file")
+      val routed = q()
+      assert(readsRollup(routed),
+        s"refresh must re-register and route:\n${routed.queryExecution.optimizedPlan}")
+      assert(rows(routed) == direct,
+        "refreshed rollup must answer exactly like the direct scan")
+      assert(rows(routed).exists(_.head == "fr"))
+      // idempotent: nothing new to fold, still routed, same answer
+      assert(Rollup.refresh(spark, bp, rp) == 0L)
+      assert(readsRollup(q()) && rows(q()) == direct)
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("refresh recovers partition dims on a hive-partitioned base") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-refp")
+    val bp = dir.resolve("base").toString
+    Seq(("en", "web", 10L), ("de", "web", 20L))
+      .toDF("lang", "source", "n")
+      .write.partitionBy("lang").parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    try {
+      // a whole NEW partition directory lands
+      Seq(("fr", "web", 40L), ("en", "book", 50L))
+        .toDF("lang", "source", "n")
+        .write.mode("append").partitionBy("lang").parquet(bp)
+      val direct = rows(spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s")))
+      assert(Rollup.refresh(spark, bp, rp) >= 1L)
+      val routed = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(readsRollup(routed))
+      assert(rows(routed) == direct)
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("refresh refuses deletions, derived-frame artifacts, and heals " +
+      "its crash window") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-refx")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L)).toDF("lang", "n").coalesce(1).write.parquet(bp)
+    Seq(("de", 20L)).toDF("lang", "n").coalesce(1)
+      .write.mode("append").parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    // crash window: data -> data_old done, data_next -> data not; the
+    // next refresh must restore and then fold the pending append
+    assert(new java.io.File(s"$rp/data")
+      .renameTo(new java.io.File(s"$rp/data_old")))
+    Seq(("fr", 30L)).toDF("lang", "n").coalesce(1)
+      .write.mode("append").parquet(bp)
+    assert(Rollup.refresh(spark, bp, rp, register = false) == 1L)
+    assert(spark.read.parquet(s"$rp/data")
+      .agg(sum(col(Rollup.cntCol))).head.getLong(0) == 3L,
+      "recovered artifact must keep pre-crash history plus the fold")
+    // a covered file vanishes -> not append-only -> loud refusal
+    val part = new java.io.File(bp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val e = intercept[IllegalStateException](Rollup.refresh(spark, bp, rp))
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+    // a derived-frame rollup has no covered record -> loud refusal
+    val bp2 = dir.resolve("base2").toString
+    Seq(("en", 1L), ("de", 2L)).toDF("lang", "n").write.parquet(bp2)
+    val rp2 = dir.resolve("roll2").toString
+    Rollup.saveRollup(spark.read.parquet(bp2).where(col("n") > 0),
+      rp2, Seq("lang"), Seq("n"))
+    val e2 = intercept[IllegalStateException](
+      Rollup.refresh(spark, bp2, rp2))
+    assert(e2.getMessage.contains("no covered-files record"), e2.getMessage)
+  }
+
   test("unregister works after the base files are deleted (ADVICE r13)") {
     import spark.implicits._
     Graft.init(spark)
