@@ -71,14 +71,26 @@ object SparkEntry {
     refreshCache.getOrElseUpdate(dir, {
       val root = java.nio.file.Files
         .createTempDirectory("graft-rollup-refresh-q")
+      // a JVM-lifetime fixture, not a leak: the copy drops `text`
+      // (~95% of the bytes — the rollup and the oracle use only the
+      // dims + n_chars) and the whole tree is swept at JVM exit
+      // (review finding, r13: repeated bench/verify runs otherwise
+      // accumulate corpus-sized dead copies in /tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root.toFile)
+      }))
       val bp = root.resolve("base").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
       docs.write.parquet(bp)
       val rp = root.resolve("roll").toString
       graft.ops.Rollup.saveRollup(s.read.parquet(bp), rp,
         dims = Seq("lang", "source"), measures = Seq("n_chars"))
       docs.where(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("append").parquet(bp)
       (bp, rp)

@@ -241,13 +241,11 @@ object Rollup {
         .write.mode("overwrite").parquet(s"$path/data")
     }
     val spark = base.sparkSession
-    // a full rebuild supersedes any crashed refresh's leftovers — and
-    // a stale data_old MUST go, or a later crashed-refresh recovery
-    // could resurrect an ancient artifact over this fresh one
+    // a full rebuild supersedes any crashed refresh's leftovers
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data_old"), true)
-    hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data_next"), true)
+    AtomicSwap.dropLeftovers(hfs,
+      new org.apache.hadoop.fs.Path(s"$path/data"))
     // record the covered base files when (and only when) the base IS a
     // bare file relation: [[refresh]] folds exactly the files NOT in
     // this set, which is only sound if the rollup aggregated the raw
@@ -320,13 +318,16 @@ object Rollup {
     * without a covered-files record (pre-r13, or built from a derived
     * frame) also refuse with that guidance.
     *
-    * Crash safety mirrors the streaming sink: the merged data and the
-    * updated covered record land in `data_next` and swap in with one
-    * rename (reader sees old or new, never a mix); a crash between
-    * the swap's two renames is restored from `data_old` on the next
-    * call. Single-writer: don't run two refreshes (or a refresh and a
-    * rebuild) concurrently — same contract as every artifact in this
-    * engine.
+    * Crash safety is [[AtomicSwap]]'s contract: the merged data and
+    * the updated covered record land in `data.next` and swap in with
+    * one rename (reader sees old or new, never a mix); a crash
+    * between the swap's two renames is restored from `data.old` on
+    * the next call, a FAILED swap restores immediately, and a routed
+    * query that catches the rename window itself falls through to the
+    * base (the rule treats an unreadable rollup as not-routable, never
+    * as an error). Single-writer: don't run two refreshes (or a
+    * refresh and a rebuild) concurrently — same contract as every
+    * artifact in this engine.
     *
     * Returns the number of new files folded (0 = already current).
     * `register=true` re-registers THIS session with the refresh's own
@@ -339,15 +340,10 @@ object Rollup {
     val measures = meta.getSeq[String](meta.fieldIndex("measures"))
     val conf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data")
-    val oldPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data_old")
-    val nextPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data_next")
     val fs = dataPath.getFileSystem(conf)
-    // recover a crashed swap: between its two renames, data_old holds
+    // recover a crashed swap: between its two renames, data.old holds
     // the only copy
-    if (!fs.exists(dataPath) && fs.exists(oldPath) &&
-        !fs.rename(oldPath, dataPath))
-      throw new java.io.IOException(
-        s"cannot recover crashed refresh swap at $dataPath")
+    AtomicSwap.recover(fs, dataPath)
     val baseLr = analyzedRelation(spark, basePath)
     val fsRel = baseLr.relation.asInstanceOf[HadoopFsRelation]
     val files = fsRel.location match {
@@ -384,22 +380,19 @@ object Rollup {
       }
       val old = spark.read.parquet(dataPath.toString)
       val merge = mergeAggs(old.schema, measures)
-      fs.delete(nextPath, true)
-      building.withValue(true) {
-        old.unionByName(delta).groupBy(dims.map(col): _*)
-          .agg(merge.head, merge.tail: _*)
-          .write.mode("overwrite").parquet(nextPath.toString)
+      // one rename commits merged data + covered record; a failed swap
+      // restores the previous state so a live registration never
+      // points at a missing directory (and the routing rule tolerates
+      // the rename window itself by falling through to the base)
+      AtomicSwap.swapInto(fs, dataPath) { next =>
+        building.withValue(true) {
+          old.unionByName(delta).groupBy(dims.map(col): _*)
+            .agg(merge.head, merge.tail: _*)
+            .write.mode("overwrite").parquet(next.toString)
+        }
+        writeCovered(spark, next.toString, files.map(st =>
+          (st.getPath.toUri.getPath, st.getModificationTime, st.getLen)))
       }
-      writeCovered(spark, nextPath.toString, files.map(st =>
-        (st.getPath.toUri.getPath, st.getModificationTime, st.getLen)))
-      // the swap: one rename commits merged data + covered record
-      fs.delete(oldPath, true)
-      if (fs.exists(dataPath) && !fs.rename(dataPath, oldPath))
-        throw new java.io.IOException(s"refresh: cannot stage $dataPath")
-      if (!fs.rename(nextPath, dataPath))
-        throw new java.io.IOException(s"refresh: cannot swap $nextPath")
-      fs.delete(oldPath, true)
-      ()
     }
     if (register)
       registerWithSnapshot(spark, keyOf(baseLr).getOrElse(
@@ -455,8 +448,10 @@ object Rollup {
     registryOf(spark).put(baseKey,
       RollupInfo(rollupPath, dims, measures, snap))
     // a re-registration is a fresh snapshot: let the rule warn again
-    // if the base drifts from THIS registration too
+    // if the base drifts from THIS registration (or its artifact turns
+    // unreadable) too
     clearStaleWarned(spark, baseKey)
+    clearStaleWarned(spark, s"$baseKey|unreadable")
   }
 
   /** The canonical registry key of a base path (one fresh analysis —

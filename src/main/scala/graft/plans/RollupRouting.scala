@@ -153,9 +153,20 @@ object RollupRouting extends Rule[LogicalPlan] {
     val conds = conds0.map(inline)
     // analyzed fresh per rewrite: fresh expression ids per use, no
     // cached relation pinning the session (see RollupInfo), and a
-    // fresh file listing
-    val rollupLr =
+    // fresh file listing. An UNREADABLE rollup (mid-swap window of a
+    // concurrent refresh, deleted artifact, transient FS error) must
+    // degrade to the base plan — never fail the user's query; routing
+    // is an optimization (review finding, r13)
+    val rollupLr = try
       Rollup.analyzedRelation(session, s"${info.rollupPath}/data")
+    catch { case scala.util.control.NonFatal(e) =>
+      if (Rollup.shouldWarnStale(session,
+          s"${Rollup.keyOf(baseLr).getOrElse("")}|unreadable")) logWarning(
+        s"rollup at ${info.rollupPath} is unreadable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); queries " +
+          "use the base scan until it reappears or is re-registered")
+      return None
+    }
     val byName = rollupLr.output.map(a => a.name -> a).toMap
     val dims = info.dims.toSet
     val measures = info.measures.toSet

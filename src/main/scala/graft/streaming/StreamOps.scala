@@ -303,12 +303,17 @@ object StreamOps {
         s"cannot recover crashed snapshot swap at $target")
   }
 
-  /** The one atomic directory replacement all snapshot sinks share
-    * (cdc MERGE, rollup, routable rollup — review finding, r13: three
-    * hand-rolled copies drifted): `write` materializes the next state
-    * into `<target>.next`, then two renames swap it in — a reader
-    * sees the old state or the new, never a mix. Pair with
-    * [[recoverSwap]] at the top of each fold. */
+  /** The one atomic directory replacement the LOCAL snapshot sinks
+    * share (cdc MERGE, rollup, routable rollup — review finding, r13:
+    * three hand-rolled copies drifted): `write` materializes the next
+    * state into `<target>.next`, then two renames swap it in — a
+    * reader sees the old state or the new, never a mix. Pair with
+    * [[recoverSwap]] at the top of each fold. Kept java.io on purpose
+    * — these sinks' fences are java.nio local files by contract, and
+    * resolving caller paths through the default Hadoop FS would
+    * silently retarget them on HDFS-default clusters; the PERSISTED-
+    * artifact twin with identical `.next`/`.old` protocol is
+    * [[graft.ops.AtomicSwap]] — keep the two in lockstep. */
   private def swapInto(target: java.io.File)
       (write: java.io.File => Unit): Unit = {
     val next = new java.io.File(target.getPath + ".next")
@@ -318,8 +323,13 @@ object StreamOps {
     if (tmp.exists()) delete(tmp)
     if (target.exists() && !target.renameTo(tmp))
       throw new java.io.IOException(s"snapshot swap: cannot stage $target")
-    if (!next.renameTo(target))
-      throw new java.io.IOException(s"snapshot swap: cannot swap $next")
+    if (!next.renameTo(target)) {
+      // leave the reader a present directory, not a dangling name
+      val restored = tmp.exists() && tmp.renameTo(target)
+      throw new java.io.IOException(s"snapshot swap: cannot swap $next" +
+        (if (restored) " (previous state restored)"
+         else s" and could not restore $tmp — restore it manually"))
+    }
     delete(tmp)
   }
 

@@ -85,6 +85,35 @@ object DumpPlans {
         .mkString("\n") + "\n"
       sb.append(s"\n## $name\n\n$note\n\n```\n$clipped```\n")
     }
+    // the routed rollup plan, built directly: queries("q_rollup_route")
+    // deliberately returns the EXECUTED rows as a local relation (its
+    // own plan is a LocalTableScan), so the plan worth pinning — the
+    // base scan swapped for the rollup artifact — is captured here
+    // while a registration is live
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.Graft.init(spark)
+      val basePath = s"$dir/documents.parquet"
+      val roll = Files.createTempDirectory("graft-plans-rollup").toString
+      graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
+        dims = Seq("lang", "source"), measures = Seq("n_chars"))
+      graft.ops.Rollup.register(spark, basePath, roll)
+      try {
+        val plan = spark.read.parquet(basePath)
+          .where(col("source") =!= "src0")
+          .groupBy(upper(col("lang")).as("lang_u"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            avg("n_chars").as("avg_chars"))
+          .queryExecution.explainString(FormattedMode)
+        sb.append("\n## q_rollup_route (routed aggregation, while registered)\n\n" +
+          "Materialized-rollup routing: the query names the BASE path but " +
+          "the scan reads the rollup artifact — the base never appears; " +
+          "the dim filter is pushed into the rollup scan, only the " +
+          "referenced partial columns are read (avg = the sum+count " +
+          "pair), and the dim-expression grouping re-aggregates the " +
+          "stored partials partial+final.\n\n```\n" + plan + "\n```\n")
+      } finally graft.ops.Rollup.unregister(spark, basePath)
+    }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${sb.length} chars)")
     spark.stop()

@@ -414,10 +414,10 @@ class RollupSpec extends SparkSpec {
       .write.mode("append").parquet(bp)
     val rp = dir.resolve("roll").toString
     Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
-    // crash window: data -> data_old done, data_next -> data not; the
+    // crash window: data -> data.old done, data.next -> data not; the
     // next refresh must restore and then fold the pending append
     assert(new java.io.File(s"$rp/data")
-      .renameTo(new java.io.File(s"$rp/data_old")))
+      .renameTo(new java.io.File(s"$rp/data.old")))
     Seq(("fr", 30L)).toDF("lang", "n").coalesce(1)
       .write.mode("append").parquet(bp)
     assert(Rollup.refresh(spark, bp, rp, register = false) == 1L)
@@ -439,6 +439,37 @@ class RollupSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](
       Rollup.refresh(spark, bp2, rp2))
     assert(e2.getMessage.contains("no covered-files record"), e2.getMessage)
+  }
+
+  test("an unreadable rollup falls through to the base, never fails") {
+    // the mid-swap window of a concurrent refresh (or a deleted
+    // artifact) must degrade a routed query to its base plan — routing
+    // is an optimization, never a failure mode (review finding, r13)
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-gone2")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L), ("de", 20L)).toDF("lang", "n").write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    Rollup.register(spark, bp, rp)
+    try {
+      def q() = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(readsRollup(q()))
+      // the artifact vanishes mid-registration (swap window / cleanup)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$rp/data"))
+      val fallen = q()
+      assert(!readsRollup(fallen),
+        "unreadable rollup must fall through, not route")
+      assert(fallen.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("de", 1L, 20L), ("en", 1L, 10L)),
+        "fallen-through query must return the base answer")
+    } finally Rollup.unregister(spark, bp)
   }
 
   test("unregister works after the base files are deleted (ADVICE r13)") {
