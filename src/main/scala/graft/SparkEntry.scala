@@ -3560,6 +3560,32 @@ object SparkEntry {
       } finally graft.ops.Rollup.unregister(s, basePath)
     }),
 
+    // ---- engine: COUNT(DISTINCT dim) + MIN/MAX over dim expressions --
+    // routed (VERDICT r13 #3): the rollup rows ARE the distinct dim
+    // combinations, so a distinct-dim count re-derives from them
+    // exactly, and f(dims) extrema re-derive because f is constant per
+    // combination; one routed aggregate mixes the distinct count with
+    // dim-expression extrema and a measure re-sum. Same
+    // register/plan-check/execute/unregister discipline as the family
+    "q_rollup_distinct" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupFor(s, dir)
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .groupBy("lang")
+          .agg(countDistinct(col("source")).as("n_sources_d"),
+            min(upper(col("source"))).as("min_source_u"),
+            max(length(col("source"))).cast("long").as("max_source_len"),
+            sum("n_chars").as("sum_chars"),
+            count(lit(1)).as("n_docs"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_distinct did not route through the rollup")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
     // ---- engine: INCREMENTAL rollup refresh (batch IVM) --------------
     // the base (a private documents copy) grew by an appended slice
     // after the rollup's build; Rollup.refresh re-aggregates ONLY the
@@ -8866,6 +8892,19 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  avg(n_chars) AS avg_chars
         |FROM documents WHERE source <> 'src0'
         |GROUP BY 1""".stripMargin,
+
+    // COUNT(DISTINCT dim) + dim-expression extrema routed: the oracle
+    // aggregates the base directly; the hash match proves the
+    // rollup-row re-derivation (distinct dims ARE rollup rows; f(dims)
+    // extrema ignore multiplicity) exact
+    "q_rollup_distinct" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources_d,
+        |  min(upper(source)) AS min_source_u,
+        |  CAST(max(length(source)) AS BIGINT) AS max_source_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // incremental refresh: the Spark base is documents PLUS an appended
     // doc_id%7==0 slice, folded into the rollup by Rollup.refresh from

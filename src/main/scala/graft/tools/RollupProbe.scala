@@ -26,7 +26,8 @@ object RollupProbe {
       dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
       measures = Seq("l_quantity", "l_extendedprice"))
     println(f"[rollup] build: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val nGroups = spark.read.parquet(s"$roll/data").count()
+    val nGroups = spark.read.parquet(
+      graft.ops.Rollup.currentDataPath(spark, roll)).count()
     println(s"[rollup] groups: $nGroups")
 
     def q() = spark.read.parquet(basePath)
@@ -53,6 +54,85 @@ object RollupProbe {
     val routed = timed("routed")
     graft.ops.Rollup.unregister(spark, basePath)
     println(f"[rollup] speedup: ${direct / routed}%.1fx")
+
+    // ---- incremental refresh vs full rebuild (VERDICT r13 #4) -------
+    // the nightly-ingest shape: a private copy of the base grows by a
+    // ~1% append after its rollup was built; `refresh` must price at
+    // new-data-plus-merge (independent of base size), a full
+    // `saveRollup` rebuild at 101% of the base scan (linear in it).
+    // Three base sizes (sf1 and 4x/16x self-replications) expose the
+    // two growth terms: the rebuild scales with the base, the refresh
+    // stays flat — the crossover is what "never a base rescan" is
+    // worth, and at 100 TB the rebuild term is the whole corpus.
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_extendedprice")
+    val sel = spark.read.parquet(basePath).select(cols.head, cols.tail: _*)
+    val slice = spark.read.parquet(basePath)
+      .where(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(cols.head, cols.tail: _*)
+    for (mult <- Seq(1, 4, 16)) {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-rollup-refresh-probe-x$mult")
+      val bp = work.resolve("base").toString
+      Iterator.fill(mult)(sel).reduce(_ unionAll _).write.parquet(bp)
+      val rp = work.resolve("roll").toString
+      val tBuild = System.nanoTime()
+      graft.ops.Rollup.saveRollup(spark.read.parquet(bp), rp,
+        dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      println(f"[refresh x$mult] initial build: " +
+        f"${(System.nanoTime() - tBuild) / 1e9}%.2f s")
+      // the append: a deterministic slice, SAME absolute size at both
+      // multipliers (a night's ingest doesn't grow because history did)
+      val nAppend = slice.count()
+      slice.write.mode("append").parquet(bp)
+      val nBase = spark.read.parquet(bp).count()
+      println(s"[refresh x$mult] appended $nAppend of $nBase rows")
+      val tRef = System.nanoTime()
+      // register=false: the parity check below must collect its
+      // "direct" answer UNROUTED — with the default re-registration it
+      // would compare the routed plan against itself and hold
+      // vacuously even on a broken refresh (review finding, r14)
+      val folded = graft.ops.Rollup.refresh(spark, bp, rp,
+        register = false)
+      val refreshS = (System.nanoTime() - tRef) / 1e9
+      println(f"[refresh x$mult] refresh ($folded new files): $refreshS%.2f s")
+      // the alternative: rebuild from scratch over the grown base
+      val rp2 = work.resolve("roll2").toString
+      val tReb = System.nanoTime()
+      graft.ops.Rollup.saveRollup(spark.read.parquet(bp), rp2,
+        dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+      val rebuildS = (System.nanoTime() - tReb) / 1e9
+      println(f"[refresh x$mult] full rebuild: $rebuildS%.2f s " +
+        f"(refresh = ${refreshS / rebuildS}%.2fx of a rebuild)")
+      // parity: the routed answer over the refreshed artifact equals
+      // the direct scan of the grown base
+      def qb() = spark.read.parquet(bp)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          max("l_extendedprice").as("max_price"))
+      val directRows = qb().collect().map(_.toString).sorted.toSeq
+      graft.ops.Rollup.register(spark, bp, rp)
+      val routedQ = qb()
+      val isRouted = routedQ.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(rp))
+            case _ => false
+          }
+      }.getOrElse(false)
+      val routedRows = routedQ.collect().map(_.toString).sorted.toSeq
+      graft.ops.Rollup.unregister(spark, bp)
+      println(s"[refresh x$mult] routed plan: $isRouted; parity: " +
+        s"${routedRows == directRows}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.toFile)
+    }
     spark.stop()
   }
 }

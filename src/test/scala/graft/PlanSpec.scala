@@ -601,6 +601,37 @@ class PlanSpec extends SparkSpec {
     } finally graft.ops.Rollup.unregister(spark, basePath)
   }
 
+  test("routed COUNT(DISTINCT dim) + dim-expression extrema read ONLY " +
+      "the dim columns") {
+    // the round-14 surface (VERDICT r13 #3): a distinct-dim count and
+    // f(dims) min/max need no stored partial at all — the routed scan
+    // must be dims-only (not even graft_rollup__cnt), base never read,
+    // dim filter pushed
+    import org.apache.spark.sql.functions._
+    Graft.init(spark)
+    val basePath = s"$sfDir/documents.parquet"
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-rollup-plan-dist").toString
+    graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
+      dims = Seq("lang", "source"), measures = Seq("n_chars"))
+    graft.ops.Rollup.register(spark, basePath, roll)
+    try {
+      val p = spark.read.parquet(basePath)
+        .where(col("source") =!= "src0")
+        .groupBy("lang")
+        .agg(countDistinct(col("source")).as("n_sources_d"),
+          min(upper(col("source"))).as("min_source_u"))
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("documents.parquet"),
+        s"base table must not be scanned:\n$p")
+      assert(readSchemas(p).forall(l => !l.contains("graft_rollup__") &&
+        !l.contains("text")),
+        s"distinct-dim count must read dims only, no stored partials:\n$p")
+      assert(p.contains("Not(EqualTo(source,src0))"),
+        s"dim filter must push to the rollup scan:\n$p")
+    } finally graft.ops.Rollup.unregister(spark, basePath)
+  }
+
   test("pageRank hash-join regime keys the edge table exactly once") {
     // broadcastState=false is the billions-of-nodes path
     // (Graph.scala's documented regime for node sets that outgrow a

@@ -146,10 +146,47 @@ class RollupSpec extends SparkSpec {
       .agg(sum("n_chars").as("s")))
   }
 
-  test("out-of-surface shapes stay on the base plan, still correct") {
-    // DISTINCT aggregate
-    parity(routable = false)(_.groupBy("lang")
+  test("count(DISTINCT dim) routes — rollup rows ARE the distinct combos") {
+    // grouped, with NULL dims present (row 7 lang=NULL, row 5
+    // source=NULL): DISTINCT drops NULLs identically on both sides
+    parity(routable = true)(_.groupBy("lang")
+      .agg(countDistinct(col("source")).as("d"), count(lit(1)).as("n")))
+    // global; over a dim EXPRESSION; multi-arg tuple form
+    parity(routable = true)(_.agg(countDistinct(col("source")).as("d")))
+    parity(routable = true)(_.groupBy("source")
+      .agg(countDistinct(upper(col("lang"))).as("d"),
+        sum("n_chars").as("s")))
+    parity(routable = true)(_.agg(
+      countDistinct(col("lang"), col("source")).as("d")))
+    // filtered-to-empty global: distinct count of nothing is 0
+    parity(routable = true)(_.where(col("lang") === "zz")
       .agg(countDistinct(col("source")).as("d")))
+  }
+
+  test("min/max and count over dim EXPRESSIONS route") {
+    // f(dims) is constant per combination: extrema and null-counts
+    // re-derive from rollup rows exactly
+    parity(routable = true)(_.groupBy("lang").agg(
+      min(upper(col("source"))).as("mn"),
+      max(concat_ws("|", col("lang"), col("source"))).as("mx"),
+      count(substring(col("source"), 1, 2)).as("c")))
+    // expressions yielding NULL on NULL dims, global form
+    parity(routable = true)(_.agg(
+      min(length(col("source"))).as("mn"),
+      count(length(col("source"))).as("c"),
+      expr("count(lang, source)").as("cb")))
+  }
+
+  test("out-of-surface shapes stay on the base plan, still correct") {
+    // DISTINCT over a MEASURE: distinct values are not stored
+    parity(routable = false)(_.groupBy("lang")
+      .agg(countDistinct(col("n_chars")).as("d")))
+    // DISTINCT SUM, even over a dim expression (excluded surface)
+    parity(routable = false)(_.groupBy("lang")
+      .agg(sum_distinct(length(col("source"))).as("d")))
+    // min over a measure EXPRESSION (not derivable from stored min)
+    parity(routable = false)(_.groupBy("lang")
+      .agg(min(col("n_chars") + 1).as("m")))
     // expression grouping touching a MEASURE (collapsed duplicates)
     parity(routable = false)(_.groupBy((col("n_chars") % 2).as("m2"))
       .agg(count(lit(1)).as("n")))
@@ -199,7 +236,7 @@ class RollupSpec extends SparkSpec {
         .toDF("lang", "n").write.mode("overwrite").parquet(bp)
       val r2 = dir.resolve("r2").toString
       Rollup.saveRollup(spark.read.parquet(bp), r2, Seq("lang"), Seq("n"))
-      val total = spark.read.parquet(s"$r2/data")
+      val total = spark.read.parquet(Rollup.currentDataPath(spark, r2))
         .agg(sum(col(Rollup.cntCol))).head.getLong(0)
       assert(total == 4L,
         s"rebuild must reflect the grown base (got $total of 4 rows)")
@@ -414,14 +451,21 @@ class RollupSpec extends SparkSpec {
       .write.mode("append").parquet(bp)
     val rp = dir.resolve("roll").toString
     Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
-    // crash window: data -> data.old done, data.next -> data not; the
-    // next refresh must restore and then fold the pending append
+    // turn the artifact into a LEGACY (pre-versioned, in-place) one:
+    // data_v1 -> data with no commit marker — the form every pre-r14
+    // build shipped — then simulate ITS crash window (data -> data.old
+    // done, data.next -> data not); the next refresh must restore the
+    // legacy directory and then fold the pending append into a fresh
+    // committed version
+    assert(new java.io.File(s"$rp/data_v1")
+      .renameTo(new java.io.File(s"$rp/data")))
+    assert(new java.io.File(s"$rp/data/${Rollup.CommittedMarker}").delete())
     assert(new java.io.File(s"$rp/data")
       .renameTo(new java.io.File(s"$rp/data.old")))
     Seq(("fr", 30L)).toDF("lang", "n").coalesce(1)
       .write.mode("append").parquet(bp)
     assert(Rollup.refresh(spark, bp, rp, register = false) == 1L)
-    assert(spark.read.parquet(s"$rp/data")
+    assert(spark.read.parquet(Rollup.currentDataPath(spark, rp))
       .agg(sum(col(Rollup.cntCol))).head.getLong(0) == 3L,
       "recovered artifact must keep pre-crash history plus the fold")
     // a covered file vanishes -> not append-only -> loud refusal
@@ -457,11 +501,12 @@ class RollupSpec extends SparkSpec {
       def q() = spark.read.parquet(bp).groupBy("lang")
         .agg(count(lit(1)).as("c"), sum("n").as("s"))
       assert(readsRollup(q()))
-      // the artifact vanishes mid-registration (swap window / cleanup)
+      // the artifact vanishes mid-registration (retention sweep /
+      // manual cleanup)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(s"$rp/data"))
+      rm(new java.io.File(Rollup.currentDataPath(spark, rp)))
       val fallen = q()
       assert(!readsRollup(fallen),
         "unreadable rollup must fall through, not route")
@@ -490,6 +535,179 @@ class RollupSpec extends SparkSpec {
     Rollup.unregister(spark, bp)
     assert(Rollup.lookup(spark,
       s"file:$bp").isEmpty && Rollup.lookup(spark, bp).isEmpty)
+  }
+
+  test("a routed query planned before a refresh completes on the old " +
+      "version; the superseded version GCs one cycle later") {
+    // VERDICT r13 #1: the r13 in-place swap yanked files out from
+    // under a query already EXECUTING. Now a refresh commits a fresh
+    // data_v<N+1> and leaves data_v<N> intact for one more write
+    // cycle, so the in-flight query finishes CORRECTLY on the version
+    // it planned against. (The file listing pins at analysis time —
+    // materializing executedPlan below is the "query in flight" state.)
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-live")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L), ("de", 20L)).toDF("lang", "n")
+      .coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    assert(new java.io.File(s"$rp/data_v1/${Rollup.CommittedMarker}")
+      .exists(), "saveRollup must commit data_v1 with its marker")
+    Rollup.register(spark, bp, rp)
+    try {
+      val planned = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(readsRollup(planned))
+      planned.queryExecution.executedPlan // pin plan + v1 file listing
+      // the refresh lands v2 while the planned query is in flight
+      Seq(("fr", 40L)).toDF("lang", "n").coalesce(1)
+        .write.mode("append").parquet(bp)
+      assert(Rollup.refresh(spark, bp, rp) == 1L)
+      assert(new java.io.File(s"$rp/data_v2/${Rollup.CommittedMarker}")
+        .exists(), "refresh must commit data_v2")
+      assert(new java.io.File(s"$rp/data_v1").exists(),
+        "superseded version must survive one write cycle as grace")
+      // the in-flight query completes correctly on the OLD version
+      assert(rows(planned) == Seq(Seq("de", 1L, 20L), Seq("en", 1L, 10L)),
+        "query planned against v1 must finish on v1's intact files")
+      // a NEW query resolves the refreshed version
+      val freshQ = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(readsRollup(freshQ))
+      assert(rows(freshQ).exists(_.head == "fr"))
+      // the next write cycle GCs v1
+      Seq(("it", 50L)).toDF("lang", "n").coalesce(1)
+        .write.mode("append").parquet(bp)
+      assert(Rollup.refresh(spark, bp, rp) == 1L)
+      assert(new java.io.File(s"$rp/data_v3").exists())
+      assert(!new java.io.File(s"$rp/data_v1").exists(),
+        "grace is one write cycle: v1 GCs on the v3 commit")
+      assert(new java.io.File(s"$rp/data_v2").exists())
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("an uncommitted version is invisible to resolution and swept " +
+      "by the next writer (crash window)") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-crash")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L), ("de", 20L)).toDF("lang", "n")
+      .coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    // a writer crashed mid-write: a version directory with data but NO
+    // commit marker (the marker is written last by contract)
+    val junk = new java.io.File(s"$rp/data_v7")
+    assert(junk.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(junk, "part-junk.parquet").toPath, "not parquet")
+    assert(Rollup.currentDataPath(spark, rp).endsWith("data_v1"),
+      "resolution must ignore the uncommitted directory")
+    Rollup.register(spark, bp, rp)
+    try {
+      val q = spark.read.parquet(bp).groupBy("lang")
+        .agg(sum("n").as("s"))
+      assert(readsRollup(q))
+      assert(rows(q) == Seq(Seq("de", 20L), Seq("en", 10L)))
+      // the next refresh sweeps the crashed leftover and commits v2
+      Seq(("fr", 40L)).toDF("lang", "n").coalesce(1)
+        .write.mode("append").parquet(bp)
+      assert(Rollup.refresh(spark, bp, rp) == 1L)
+      assert(!junk.exists(), "uncommitted leftover must be swept")
+      assert(Rollup.currentDataPath(spark, rp).endsWith("data_v2"))
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("rebuild at a standing path commits the next version, and the " +
+      "legacy in-place directory survives exactly one cycle") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-reb")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L)).toDF("lang", "n").coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    // age the artifact into the legacy layout (what pre-r14 shipped)
+    assert(new java.io.File(s"$rp/data_v1")
+      .renameTo(new java.io.File(s"$rp/data")))
+    assert(new java.io.File(s"$rp/data/${Rollup.CommittedMarker}").delete())
+    assert(Rollup.currentDataPath(spark, rp).endsWith("/data"),
+      "a legacy artifact resolves through the fallback")
+    // first versioned rebuild: data stays as reader grace
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    assert(Rollup.currentDataPath(spark, rp).endsWith("data_v1"))
+    assert(new java.io.File(s"$rp/data").exists(),
+      "legacy directory is version 0: it survives the first commit")
+    // second rebuild: legacy grace expires
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    assert(Rollup.currentDataPath(spark, rp).endsWith("data_v2"))
+    assert(!new java.io.File(s"$rp/data").exists(),
+      "legacy directory GCs on the second commit")
+    // the artifact still registers and routes
+    Rollup.register(spark, bp, rp)
+    try {
+      val q = spark.read.parquet(bp).groupBy("lang").agg(sum("n").as("s"))
+      assert(readsRollup(q))
+      assert(rows(q) == Seq(Seq("en", 10L)))
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("two rollups over one base: each query routes to its own " +
+      "(VERDICT r13 #5)") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-two")
+    val bp = dir.resolve("base").toString
+    Seq(("en", "web", 10L), ("en", "book", 20L), ("de", "web", 30L))
+      .toDF("lang", "source", "n").write.parquet(bp)
+    val byLang = dir.resolve("by_lang").toString
+    val bySource = dir.resolve("by_source").toString
+    Rollup.saveRollup(spark.read.parquet(bp), byLang,
+      Seq("lang"), Seq("n"))
+    Rollup.saveRollup(spark.read.parquet(bp), bySource,
+      Seq("source"), Seq("n"))
+    Rollup.register(spark, bp, byLang)
+    Rollup.register(spark, bp, bySource)
+    try {
+      def qLang = spark.read.parquet(bp).groupBy("lang")
+        .agg(sum("n").as("s"))
+      def qSource = spark.read.parquet(bp).groupBy("source")
+        .agg(sum("n").as("s"))
+      def qBoth = spark.read.parquet(bp).groupBy("lang", "source")
+        .agg(sum("n").as("s"))
+      // lang-query can only match the by-lang rollup (the by-source
+      // one, though registered more recently, lacks the dim)
+      assert(scanPaths(qLang).exists(_.contains(byLang)),
+        s"lang query must route to the by-lang rollup:\n${qLang.queryExecution.optimizedPlan}")
+      assert(rows(qLang) == Seq(Seq("de", 30L), Seq("en", 30L)))
+      assert(scanPaths(qSource).exists(_.contains(bySource)))
+      assert(rows(qSource) == Seq(Seq("book", 20L), Seq("web", 40L)))
+      // a query neither dim-set covers falls through to the base
+      assert(!readsRollup(qBoth))
+      assert(rows(qBoth).size == 3)
+      // re-registering one sibling replaces only its own entry
+      Rollup.register(spark, bp, byLang)
+      assert(scanPaths(qSource).exists(_.contains(bySource)),
+        "re-registering a sibling must not evict the other rollup")
+      // unregister clears them all
+      Rollup.unregister(spark, bp)
+      assert(!readsRollup(qLang) && !readsRollup(qSource))
+    } finally Rollup.unregister(spark, bp)
+  }
+
+  test("fileStamp carries 64 bits: both halves react to the input " +
+      "(VERDICT r13 #6)") {
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft/part-0001.parquet")
+    val stamps = (1 to 64).map(i =>
+      Rollup.fileStamp(p, 1700000000000L + i, 1000L + i))
+    assert(stamps.distinct.size == 64)
+    assert(stamps.map(s => (s >>> 32).toInt).distinct.size > 32,
+      "upper 32 bits must carry their own entropy, not a sign-extension")
+    assert(stamps.map(_.toInt).distinct.size > 32,
+      "lower 32 bits must vary independently")
   }
 
   test("saveRollup validates its contract") {

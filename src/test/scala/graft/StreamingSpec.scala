@@ -1076,8 +1076,8 @@ class StreamingSpec extends SparkSpec {
         Seq(("fr", 7L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
         runId = "runC"))
     assert(eB.getMessage.contains("no snapshot fence"), eB.getMessage)
-    // the artifact survived intact
-    assert(spark.read.parquet(s"$p2/data")
+    // the artifact survived intact (resolved through its version dir)
+    assert(spark.read.parquet(Rollup.currentDataPath(spark, p2))
       .agg(sum(col(Rollup.cntCol))).head.getLong(0) == 2L)
     // same guards on the (groupCol, n, total) sink
     val p3 = java.nio.file.Files
@@ -1090,23 +1090,36 @@ class StreamingSpec extends SparkSpec {
     assert(eC.getMessage.contains("maintained by stream run"), eC.getMessage)
   }
 
-  test("a crash between the snapshot swap's two renames recovers") {
-    // the window: data -> data.old succeeded, data.next -> data did
-    // not. Without recovery the next fold reads an ABSENT directory
-    // and silently restarts the rollup from one batch (review
-    // finding, r13)
+  test("a LEGACY artifact's crashed swap recovers; an uncommitted " +
+      "version is invisible and swept") {
+    // pre-r14 artifacts swapped `data` in place; their crash window
+    // (data -> data.old succeeded, data.next -> data did not) must
+    // still heal before the fold resolves current state. Without
+    // recovery the next fold reads an ABSENT directory and silently
+    // restarts the rollup from one batch (review finding, r13)
     val p = java.nio.file.Files
       .createTempDirectory("graft-roll-crash").toString
     assert(StreamOps.applyRoutableRollupBatch(p,
       Seq(("en", 10L), ("de", 20L)).toDF("lang", "n"), 0L,
       Seq("lang"), Seq("n"), runId = "r"))
-    // simulate the crash window
+    // age the fold's version into the legacy in-place layout, then
+    // simulate the legacy crash window
+    assert(new java.io.File(s"$p/data_v1")
+      .renameTo(new java.io.File(s"$p/data")))
+    assert(new java.io.File(
+      s"$p/data/${graft.ops.Rollup.CommittedMarker}").delete())
     assert(new java.io.File(s"$p/data")
       .renameTo(new java.io.File(s"$p/data.old")))
+    // r14 crash shape on top: a version directory written but never
+    // committed (no marker) must stay invisible and be swept
+    val junk = new java.io.File(s"$p/data_v9")
+    assert(junk.mkdirs())
     assert(StreamOps.applyRoutableRollupBatch(p,
       Seq(("en", 30L)).toDF("lang", "n"), 1L,
       Seq("lang"), Seq("n"), runId = "r"))
-    val en = spark.read.parquet(s"$p/data")
+    assert(!junk.exists(), "uncommitted version must be swept by the fold")
+    val en = spark.read
+      .parquet(StreamOps.currentLocalDataDir(p).getPath)
       .where(col("lang") === "en").head()
     assert(en.getAs[Long](graft.ops.Rollup.cntCol) == 2L,
       "recovered fold must keep batch 0's history")
@@ -1145,24 +1158,126 @@ class StreamingSpec extends SparkSpec {
       "text", minLen = 8, runId = "runA")(sink)
     assert(delivered == Vector("head s1 s2 s3 s4 s5 s6 s7 s8 foot"),
       s"legacy stage must replay, got $delivered")
+    // the acceptance is logged once (ADVICE r13): accidental index-path
+    // reuse by a new stream is spottable
+    assert(StreamOps.warnedOnce.contains(s"legacy-stage|$tmp"),
+      "legacy-stage acceptance must warn, not pass silently")
+  }
+
+  test("a grandfathered legacy fence is accepted WITH a warning, and " +
+      "the first fold upgrades it to this stream's identity") {
+    // VERDICT r13 #2 / #3a: the acceptance is correct (an in-place
+    // upgrade continues its stream) but must not be silent — operators
+    // need to spot accidental path reuse in the log
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-legacy-fence").toString
+    // a pre-identity artifact: runId "" writes the bare-id fence form
+    assert(StreamOps.applyRoutableRollupBatch(p,
+      Seq(("en", 1L)).toDF("lang", "n"), 0L, Seq("lang"), Seq("n"),
+      runId = ""))
+    val fenced = StreamOps.currentLocalDataDir(p)
+    assert(java.nio.file.Files.readString(
+      new java.io.File(fenced, "_last_batch_id").toPath).trim == "0|",
+      "runId-less fold must write the legacy-parseable fence")
+    // an identity-carrying stream continues it: accepted + warned once
+    assert(StreamOps.applyRoutableRollupBatch(p,
+      Seq(("de", 2L)).toDF("lang", "n"), 1L, Seq("lang"), Seq("n"),
+      runId = "runX"))
+    assert(StreamOps.warnedOnce.contains(s"legacy-fence|${fenced.getPath}"),
+      "grandfathering must warn, not pass silently")
+    // the accepted fold upgraded the fence: a DIFFERENT run now refuses
+    val e = intercept[IllegalStateException](
+      StreamOps.applyRoutableRollupBatch(p,
+        Seq(("fr", 3L)).toDF("lang", "n"), 2L, Seq("lang"), Seq("n"),
+        runId = "runY"))
+    assert(e.getMessage.contains("maintained by stream run 'runX'"),
+      e.getMessage)
+  }
+
+  test("an unreadable source metadata log warns once and degrades to " +
+      "never-routing, not to a crash") {
+    // VERDICT r13 #2a: the processed-files snapshot only accumulates,
+    // so a dropped batch's files never enter it and routing never
+    // resumes — that must be SAID once, while the fold (and the
+    // answers) stay correct
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-badlog").toString
+    // an entry that EXISTS but cannot be opened as a file: a directory
+    // where the per-batch log file should be — fs.open throws, the
+    // benign no-log (memory stream) path is not taken
+    assert(new java.io.File(s"$cp/sources/0/7").mkdirs())
+    val files = StreamOps.batchInputFiles(spark, cp, 7L)
+    assert(files.isEmpty, "a failed log read must degrade to Nil")
+    assert(StreamOps.warnedOnce.contains(s"batch-files|$cp"),
+      "the permanent routing loss must be warned about")
+    // the genuinely-absent log (memory streams) stays silent
+    val cp2 = java.nio.file.Files
+      .createTempDirectory("graft-nolog").toString
+    assert(StreamOps.batchInputFiles(spark, cp2, 0L).isEmpty)
+    assert(!StreamOps.warnedOnce.contains(s"batch-files|$cp2"),
+      "no-log is the benign memory-stream case, not a degradation")
+  }
+
+  test("streamIdentity: absent metadata degrades to \"\", a READ " +
+      "failure fails the batch with the truth") {
+    // VERDICT r13 #2b: returning "" on a transient read failure fed an
+    // empty id into the fence compare, which then rejected the
+    // stream's OWN artifact as foreign — a misleading hard failure.
+    // Absent file: the documented pre-identity degradation
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-ident-absent").toString
+    assert(StreamOps.streamIdentity(spark, cp) == "")
+    // present-but-unreadable (a directory where the file should be):
+    // must THROW a clear diagnosis, not misattribute the artifact
+    val cp2 = java.nio.file.Files
+      .createTempDirectory("graft-ident-bad").toString
+    assert(new java.io.File(s"$cp2/metadata").mkdirs())
+    val e = intercept[IllegalStateException](
+      StreamOps.streamIdentity(spark, cp2))
+    assert(e.getMessage.contains("cannot read the stream's checkpoint " +
+      "metadata"), e.getMessage)
   }
 
   test("applyRoutableRollupBatch: replayed batch ids are fenced out") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-routable-fence").toString
     val b0 = Seq(("en", 1L), ("de", 2L)).toDF("lang", "n")
+    def cur() = StreamOps.currentLocalDataDir(dir).getPath
     assert(StreamOps.applyRoutableRollupBatch(dir, b0, 0L,
       Seq("lang"), Seq("n")))
-    val snap1 = spark.read.parquet(s"$dir/data").collect().toSet
+    val snap1 = spark.read.parquet(cur()).collect().toSet
     // at-least-once replay of the SAME batch id: must not double-count
+    // (and must not commit a new version)
     assert(!StreamOps.applyRoutableRollupBatch(dir, b0, 0L,
       Seq("lang"), Seq("n")))
-    assert(spark.read.parquet(s"$dir/data").collect().toSet == snap1)
-    // the next id folds
+    assert(cur().endsWith("data_v1"))
+    assert(spark.read.parquet(cur()).collect().toSet == snap1)
+    // the next id folds into a fresh version; superseded versions stay
+    // as reader grace
     assert(StreamOps.applyRoutableRollupBatch(dir,
       Seq(("en", 3L)).toDF("lang", "n"), 1L, Seq("lang"), Seq("n")))
-    val en = spark.read.parquet(s"$dir/data")
+    assert(cur().endsWith("data_v2"))
+    assert(new java.io.File(s"$dir/data_v1").exists(),
+      "superseded version must survive as reader grace")
+    val en = spark.read.parquet(cur())
       .where(col("lang") === "en").head()
     assert(en.getAs[Long](graft.ops.Rollup.cntCol) == 2L)
+    // grace is StreamRollupGraceFolds cycles: fold id b commits
+    // v(b+1), and v1 is swept when current - grace > 1, i.e. at
+    // v(grace + 2) = fold id (grace + 1); every fold before that
+    // keeps it
+    val grace = StreamOps.StreamRollupGraceFolds
+    (2L to grace).foreach { id =>
+      assert(StreamOps.applyRoutableRollupBatch(dir,
+        Seq(("de", id)).toDF("lang", "n"), id, Seq("lang"), Seq("n")))
+      assert(new java.io.File(s"$dir/data_v1").exists(),
+        s"v1 must survive inside the grace window (batch $id)")
+    }
+    assert(StreamOps.applyRoutableRollupBatch(dir,
+      Seq(("de", 99L)).toDF("lang", "n"), grace + 1L,
+      Seq("lang"), Seq("n")))
+    assert(!new java.io.File(s"$dir/data_v1").exists(),
+      "grace expires after StreamRollupGraceFolds fold cycles")
+    assert(new java.io.File(s"$dir/data_v${grace + 2L}").exists())
   }
 }
