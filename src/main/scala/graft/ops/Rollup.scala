@@ -593,9 +593,10 @@ object Rollup {
       prev.getOrElse(Nil).filterNot(_.rollupPath == rollupPath)))
     // a re-registration is a fresh snapshot: let the rule warn again
     // if the base drifts from THIS registration (or its artifact turns
-    // unreadable) too
+    // unreadable or schema-drifted) too
     clearStaleWarned(spark, staleKey(baseKey, rollupPath))
     clearStaleWarned(spark, s"${staleKey(baseKey, rollupPath)}|unreadable")
+    clearStaleWarned(spark, s"${staleKey(baseKey, rollupPath)}|schema")
   }
 
   /** Warn-once key for one (base, rollup) registration — per rollup,
@@ -648,6 +649,7 @@ object Rollup {
     def drop(k: String): Unit = reg.remove(k).foreach(_.foreach { info =>
       clearStaleWarned(spark, staleKey(k, info.rollupPath))
       clearStaleWarned(spark, s"${staleKey(k, info.rollupPath)}|unreadable")
+      clearStaleWarned(spark, s"${staleKey(k, info.rollupPath)}|schema")
     })
     val p = new org.apache.hadoop.fs.Path(basePath)
     scala.util.Try(

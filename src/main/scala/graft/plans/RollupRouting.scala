@@ -110,38 +110,79 @@ object RollupRouting extends Rule[LogicalPlan] {
     }
 
   private def route(session: org.apache.spark.sql.SparkSession,
-      agg: Aggregate): Option[Aggregate] = for {
-    (baseLr, conds, aliases) <- strip(agg.child, Nil, Map.empty)
-    key <- Rollup.keyOf(baseLr)
+      agg: Aggregate): Option[Aggregate] = {
+    val stripped = strip(agg.child, Nil, Map.empty)
+    if (stripped.isEmpty) return None
+    val (baseLr, conds0, aliases) = stripped.get
+    val key = Rollup.keyOf(baseLr).getOrElse(return None)
+    val infos = Rollup.lookup(session, key)
+    if (infos.isEmpty) return None
+    // the freshness snapshot hashes EVERY file of the (possibly huge)
+    // already-listed base index — compute it ONCE per matched
+    // aggregate, not once per registered rollup (review finding, r14)
+    val now = baseLr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        Rollup.snapshotOf(fs)
+      case _ => return None // keyOf matched HadoopFsRelation; defensive
+    }
     // several rollups may be registered for one base (different
-    // dim-sets); take the FIRST — most recently registered — whose
-    // freshness and shape both match, falling through entry by entry
-    routed <- Rollup.lookup(session, key).view.flatMap { info =>
-      fresh(session, key, baseLr, info).flatMap(_ =>
-        rewrite(session, agg, baseLr, conds, aliases, info))
-    }.headOption
-  } yield routed
-
-  /** The freshness tripwire: Some(()) only when the matched relation's
-    * ALREADY-LISTED file index still matches the registration-time
-    * snapshot. A changed base (append, overwrite, delete — the normal
-    * ingest motions) falls through to the base plan, which is correct
-    * by construction; the stale registration is reported once. */
-  private def fresh(session: org.apache.spark.sql.SparkSession,
-      key: String, baseLr: LogicalRelation,
-      info: Rollup.RollupInfo): Option[Unit] = baseLr.relation match {
-    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-      val now = Rollup.snapshotOf(fs)
-      if (now == info.baseSnapshot) Some(())
-      else {
+    // dim-sets): take the FIRST — most recently registered — whose
+    // shape and freshness both match. Shape (cheap, name-level) is
+    // checked BEFORE freshness so a stale sibling whose dims can never
+    // serve this query neither warns nor costs anything.
+    infos.view.flatMap { info =>
+      if (!shapePrefilter(agg, conds0, aliases, info)) None
+      else if (now != info.baseSnapshot) {
+        // the freshness tripwire: a changed base (append, overwrite,
+        // delete — the normal ingest motions) falls through to the
+        // base plan, which is correct by construction; the stale
+        // registration is reported once
         if (Rollup.shouldWarnStale(session,
             Rollup.staleKey(key, info.rollupPath))) logWarning(
           s"rollup at ${info.rollupPath} is STALE for base $key " +
             s"(registered ${info.baseSnapshot}, base now $now); " +
             "queries use the base scan until re-registered")
         None
+      } else rewrite(session, agg, baseLr, conds0, aliases, info)
+    }.headOption
+  }
+
+  /** Inline computed-column aliases to fixpoint (aliases can chain
+    * across stacked Projects; exprId references form a DAG, so the
+    * loop terminates — the guard is pure defense). */
+  private def inlineAliases(e0: Expression,
+      aliases: Map[ExprId, Expression]): Expression = {
+    var cur = e0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false; guard += 1
+      cur = cur.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) =>
+          changed = true; aliases(a.exprId)
       }
-    case _ => None // keyOf matched HadoopFsRelation; defensive
+    }
+    cur
+  }
+
+  /** Cheap NAME-level shape prefilter, run BEFORE any filesystem work
+    * (review finding, r14): with several rollups registered, every
+    * aggregation over the base would otherwise pay one freshness hash
+    * + artifact analysis per entry even when no rewrite can possibly
+    * match. A superset of the routable surface — groupings/filters
+    * reference only dims, result leaves only dims ∪ measures — so it
+    * never rejects a plan the full rewrite would have routed. */
+  private def shapePrefilter(agg: Aggregate, conds0: Seq[Expression],
+      aliases: Map[ExprId, Expression],
+      info: Rollup.RollupInfo): Boolean = {
+    val dimNames = info.dims.toSet
+    val okNames = dimNames ++ info.measures
+    agg.groupingExpressions.forall(g =>
+      inlineAliases(g, aliases).references.forall(a => dimNames(a.name))) &&
+    conds0.forall(c =>
+      inlineAliases(c, aliases).references.forall(a => dimNames(a.name))) &&
+    agg.aggregateExpressions.forall(e =>
+      inlineAliases(e, aliases).references.forall(a => okNames(a.name)))
   }
 
   private def rewrite(session: org.apache.spark.sql.SparkSession,
@@ -149,39 +190,8 @@ object RollupRouting extends Rule[LogicalPlan] {
       conds0: Seq[Expression], aliases: Map[ExprId, Expression],
       info: Rollup.RollupInfo)
       : Option[Aggregate] = {
-    // inline computed-column aliases to fixpoint (aliases can chain
-    // across stacked Projects; exprId references form a DAG, so the
-    // loop terminates — the guard is pure defense)
-    def inline(e0: Expression): Expression = {
-      var cur = e0
-      var changed = true
-      var guard = 0
-      while (changed && guard < 32) {
-        changed = false; guard += 1
-        cur = cur.transformUp {
-          case a: AttributeReference if aliases.contains(a.exprId) =>
-            changed = true; aliases(a.exprId)
-        }
-      }
-      cur
-    }
+    def inline(e0: Expression): Expression = inlineAliases(e0, aliases)
     val conds = conds0.map(inline)
-    // cheap NAME-level shape prefilter BEFORE touching the filesystem
-    // (review finding, r14): with several rollups registered, every
-    // aggregation over the base would otherwise pay one artifact
-    // analysis (version resolution + footer read + file listing) per
-    // entry even when no rewrite can possibly match. A superset of the
-    // routable surface — groupings/filters reference only dims, result
-    // leaves only dims ∪ measures — so it never rejects a plan the
-    // full rewrite below would have routed.
-    val dimNames = info.dims.toSet
-    val okNames = dimNames ++ info.measures
-    if (agg.groupingExpressions.exists(g =>
-          !inline(g).references.forall(a => dimNames(a.name))) ||
-        conds.exists(c => !c.references.forall(a => dimNames(a.name))) ||
-        agg.aggregateExpressions.exists(e =>
-          !inline(e).references.forall(a => okNames(a.name))))
-      return None
     // resolved + analyzed fresh per rewrite: fresh expression ids per
     // use, no cached relation pinning the session (see RollupInfo), a
     // fresh file listing — and version resolution, so a refresh or
@@ -203,6 +213,28 @@ object RollupRouting extends Rule[LogicalPlan] {
       return None
     }
     val byName = rollupLr.output.map(a => a.name -> a).toMap
+    // the resolved artifact must still carry every column the
+    // REGISTRATION promises (review finding, r14): a same-path rebuild
+    // with a different dim/measure set that was not re-registered
+    // passes the prefilter (it checks the STALE RollupInfo) and the
+    // freshness tripwire (the BASE is unchanged), and would then crash
+    // convert()'s byName lookups mid-optimization — routing must
+    // degrade, never fail the query. Warn once; re-register to resume.
+    val promised = info.dims ++ Seq(Rollup.cntCol) ++
+      info.measures.flatMap(m => Seq(Rollup.sumCol(m), Rollup.minCol(m),
+        Rollup.maxCol(m), Rollup.cntColOf(m)))
+    val missingCols = promised.filterNot(byName.contains)
+    if (missingCols.nonEmpty) {
+      if (Rollup.shouldWarnStale(session,
+          s"${Rollup.staleKey(Rollup.keyOf(baseLr).getOrElse(""),
+            info.rollupPath)}|schema")) logWarning(
+        s"rollup at ${info.rollupPath} no longer carries the " +
+          s"registered columns (missing: " +
+          s"${missingCols.take(3).mkString(", ")}) — rebuilt with " +
+          "different dims/measures? Queries use the base scan until " +
+          "re-registered")
+      return None
+    }
     val dims = info.dims.toSet
     val measures = info.measures.toSet
 

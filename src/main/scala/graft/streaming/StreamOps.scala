@@ -355,6 +355,15 @@ object StreamOps extends org.apache.spark.internal.Logging {
     * travels inside the snapshot directory, so the atomic swap commits
     * data and fence together; totals accumulate in DECIMAL(18,6)
     * ([[graft.ops.Cdc.incrementalAgg]]'s exactness rule).
+    *
+    * Reader contract: `$path` IS the snapshot table (parquet files at
+    * the root), read directly — the simple-read contract is why this
+    * sink keeps the in-place swap, which carries the usual
+    * rewrite-under-reader caveat of ANY overwritten table: a query
+    * planned just before a fold can lose its files to the swap. For
+    * rollups served to continuous QUERY traffic use
+    * [[routableRollupSink]], whose versioned commits give routed
+    * readers a grace window.
     * Caller starts/stops the returned writer. */
   def rollupSink(rows: DataFrame, path: String, groupCol: String,
       valueCol: String, checkpoint: String):

@@ -112,6 +112,25 @@ object DumpPlans {
           "referenced partial columns are read (avg = the sum+count " +
           "pair), and the dim-expression grouping re-aggregates the " +
           "stored partials partial+final.\n\n```\n" + plan + "\n```\n")
+        // the round-14 surface: COUNT(DISTINCT dim) + dim-expression
+        // extrema need NO stored partial at all — the routed scan is
+        // dims-only
+        val planD = spark.read.parquet(basePath)
+          .where(col("source") =!= "src0")
+          .groupBy("lang")
+          .agg(countDistinct(col("source")).as("n_sources_d"),
+            min(upper(col("source"))).as("min_source_u"))
+          .queryExecution.explainString(FormattedMode)
+        sb.append("\n## q_rollup_distinct (routed COUNT DISTINCT + " +
+          "dim-expression extrema, while registered)\n\n" +
+          "The rollup rows ARE the distinct dim combinations, so the " +
+          "distinct count and f(dims) extrema re-derive from them with " +
+          "no stored partials: the routed scan reads ONLY the dim " +
+          "columns (ReadSchema carries no graft_rollup__ column), the " +
+          "dim filter is pushed, the base never appears, and the " +
+          "one-distinct aggregate plans through Spark's standard " +
+          "two-phase distinct path over the tiny artifact.\n\n```\n" +
+          planD + "\n```\n")
       } finally graft.ops.Rollup.unregister(spark, basePath)
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)

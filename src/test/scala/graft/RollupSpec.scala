@@ -698,6 +698,45 @@ class RollupSpec extends SparkSpec {
     } finally Rollup.unregister(spark, bp)
   }
 
+  test("a same-path rebuild with DIFFERENT measures degrades routing " +
+      "instead of crashing the query") {
+    // the r14 crash path a review pass caught: the rebuild passes the
+    // prefilter (it checks the stale RollupInfo) and the freshness
+    // tripwire (the BASE never changed), resolves the NEW version, and
+    // would then miss the registered measure's stored columns — the
+    // rewrite must fall through to the base, never throw
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-drift")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L, 1L), ("de", 20L, 2L)).toDF("lang", "n", "m")
+      .write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    Rollup.register(spark, bp, rp)
+    try {
+      def q() = spark.read.parquet(bp).groupBy("lang")
+        .agg(sum("n").as("s"))
+      assert(readsRollup(q()))
+      // the artifact is rebuilt at the SAME path with another measure
+      // set and NOT re-registered
+      Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("m"))
+      val fallen = q() // must not throw from the optimizer rule
+      assert(!readsRollup(fallen),
+        "schema-drifted artifact must degrade, not route")
+      assert(rows(fallen) == Seq(Seq("de", 20L), Seq("en", 10L)),
+        "fallen-through query must return the base answer")
+      // re-registering picks up the new measure set: m routes, n no
+      // longer does (not a registered measure any more)
+      Rollup.register(spark, bp, rp)
+      val qm = spark.read.parquet(bp).groupBy("lang")
+        .agg(sum("m").as("s"))
+      assert(readsRollup(qm))
+      assert(rows(qm) == Seq(Seq("de", 2L), Seq("en", 1L)))
+      assert(!readsRollup(q()))
+    } finally Rollup.unregister(spark, bp)
+  }
+
   test("fileStamp carries 64 bits: both halves react to the input " +
       "(VERDICT r13 #6)") {
     val p = new org.apache.hadoop.fs.Path("/tmp/graft/part-0001.parquet")
