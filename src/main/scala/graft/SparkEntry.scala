@@ -3586,6 +3586,31 @@ object SparkEntry {
       } finally graft.ops.Rollup.unregister(s, basePath)
     }),
 
+    // ---- engine: conditional counts / integral dim-expression SUM+AVG
+    // routed via the cnt-weighted re-sum (round 14): f(dims) is
+    // constant per combination, so sum(f) re-derives as sum(f * cnt) —
+    // the everyday dashboard shape sum(CASE WHEN dim.. THEN 1 END).
+    // Same register/plan-check/execute/unregister discipline
+    "q_rollup_condsum" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupFor(s, dir)
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .groupBy("lang")
+          .agg(
+            sum(when(col("source") === "src0", 1L).otherwise(0L))
+              .as("n_src0"),
+            sum(length(col("source"))).cast("long").as("sum_srclen"),
+            avg(length(col("source"))).as("avg_srclen"),
+            count(lit(1)).as("n_docs"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_condsum did not route through the rollup")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
     // ---- engine: INCREMENTAL rollup refresh (batch IVM) --------------
     // the base (a private documents copy) grew by an appended slice
     // after the rollup's build; Rollup.refresh re-aggregates ONLY the
@@ -8903,6 +8928,18 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  min(upper(source)) AS min_source_u,
         |  CAST(max(length(source)) AS BIGINT) AS max_source_len,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // conditional-count + integral dim-expression SUM/AVG routed via
+    // the cnt-weighted re-sum: the oracle aggregates the base; exact
+    // long sums (and an integral avg whose sums sit far below 2^53)
+    // make the hash compare strict
+    "q_rollup_condsum" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+        |  CAST(sum(length(source)) AS BIGINT) AS sum_srclen,
+        |  avg(length(source)) AS avg_srclen,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
 

@@ -29,10 +29,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * / MIN / MAX / AVG over stored measure columns (all re-aggregable
   * from the stored partials — AVG from the sum+count pair saveRollup
   * always persists), COUNT / COUNT(DISTINCT) / MIN / MAX over dim
-  * expressions (exact because the rollup rows are the distinct dim
-  * combinations; DISTINCT over a MEASURE stays excluded — distinct
-  * values are not stored), and dim-only residual filters. Anything
-  * else keeps its base-table plan untouched.
+  * expressions plus SUM / AVG over INTEGRAL dim expressions via the
+  * cnt-weighted re-sum (exact because the rollup rows are the
+  * distinct dim combinations and f(dims) is constant per combination;
+  * DISTINCT over a MEASURE stays excluded — distinct values are not
+  * stored), and dim-only residual filters. Anything else keeps its
+  * base-table plan untouched.
   *
   * Exactness: SUM re-aggregates partial sums (integral/decimal sums
   * are exactly associative; double sums carry Spark's usual

@@ -36,10 +36,16 @@ import graft.ops.Rollup
   *     back when decimal widening changes the type); MIN/MAX(measure
   *     or any dim expression) -> MIN/MAX compose (a dim expression is
   *     constant per combination, so multiplicity never moves an
-  *     extremum); AVG(measure) -> the stored sum+count pair re-divided
-  *     with Average's own evaluate shape (probed per-type against this
-  *     Spark build, RollupSpec-pinned) — double measures carry the
-  *     same partition-order caveat SUM already accepts.
+  *     extremum); SUM/AVG over INTEGRAL dim expressions -> the
+  *     cnt-weighted re-sum (f constant per combination makes the
+  *     group contribution exactly f * cnt — the conditional-count
+  *     shape sum(CASE WHEN dim.. THEN 1 END); float/double/raw-decimal
+  *     dim expressions stay excluded, their weighted products can
+  *     differ by ulps/rounding); AVG(measure) -> the stored sum+count
+  *     pair re-divided with Average's own evaluate shape (probed
+  *     per-type against this Spark build, RollupSpec-pinned) — double
+  *     measures carry the same partition-order caveat SUM already
+  *     accepts.
   * Anything else — DISTINCT over measures or over SUM/AVG,
   * measure-referencing filters or groupings, any other function —
   * leaves the plan untouched; routing is an optimization, never a
@@ -258,6 +264,15 @@ object RollupRouting extends Rule[LogicalPlan] {
       if (ok) Some(out) else None
     }
 
+    // the exactly-weightable types (IntegralType itself is private[sql])
+    def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
     def cnt = byName(Rollup.cntCol)
     def complete(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false, None,
@@ -402,6 +417,48 @@ object RollupRouting extends Rule[LogicalPlan] {
               Some(Divide(Cast(sums, DoubleType), Cast(cnts, DoubleType),
                 NumericEvalContext(EvalMode.LEGACY,
                   allowDecimalPrecisionLoss = true)))
+          }
+        // SUM over an INTEGRAL dim expression — the cnt-weighted
+        // re-sum: f(dims) is constant within each combination, so a
+        // group's contribution to sum(f) is exactly f * cnt. This is
+        // the everyday conditional-count dashboard shape
+        // (sum(CASE WHEN dim-cond THEN 1 ELSE 0 END)), and it also
+        // carries DecimalAggregates' unscaled form for small-precision
+        // decimal DIMS (the child arrives as UnscaledValue -> long,
+        // and the exact unscaled total re-scales in the result tree).
+        // Integral only: a float/double product f*cnt can differ from
+        // the base's repeated addition by ulps (not just ordering),
+        // and a RAW decimal product widens through Spark's multiply
+        // rules and can round — both outside this module's
+        // provably-exact contract, so they keep the base plan.
+        // Overflow corner under ANSI: both plans throw, possibly at
+        // different accumulation points — the same order-dependence
+        // class Spark's own partial sums already carry. These general
+        // cases sit AFTER every measure case on purpose: a
+        // measure-referencing Sum/Average must reach its own rewrite,
+        // not die in mapDimExpr here. Same default-eval-context guard
+        // as the measure cases (try_sum/try_avg must not route).
+        case s0 @ Sum(e, _) if s0 == Sum(e) && isIntegral(e.dataType) =>
+          mapDimExpr(e).map { m =>
+            val s = complete(Sum(Multiply(Cast(m, LongType),
+              Cast(cnt, LongType))))
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
+          }
+        // AVG over an INTEGRAL dim expression — the weighted pair:
+        // sum(f * cnt) / (non-null-f cnt total), divided in double
+        // exactly like Average's own integral evaluate (exact longs
+        // here vs incremental doubles there — identical below 2^53,
+        // the documented caveat class of the measure AVG above)
+        case a0 @ Average(e, _) if a0 == Average(e) &&
+            isIntegral(e.dataType) =>
+          mapDimExpr(e).map { m =>
+            val sums = complete(Sum(Multiply(Cast(m, LongType),
+              Cast(cnt, LongType))))
+            val cnts = reSumCount(If(IsNotNull(m), cnt,
+              Literal(null, LongType)))
+            Divide(Cast(sums, DoubleType), Cast(cnts, DoubleType),
+              NumericEvalContext(EvalMode.LEGACY,
+                allowDecimalPrecisionLoss = true))
           }
         case _ => None
       }

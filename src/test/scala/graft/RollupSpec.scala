@@ -177,6 +177,57 @@ class RollupSpec extends SparkSpec {
       expr("count(lang, source)").as("cb")))
   }
 
+  test("sum/avg over INTEGRAL dim expressions route via the " +
+      "cnt-weighted re-sum") {
+    // f(dims) is constant per combination, so a group's sum(f)
+    // contribution is exactly f * cnt — the conditional-count shape.
+    // NULL dims: length(NULL) is NULL, the NULL product drops from the
+    // sum and the avg's non-null count, exactly like the base
+    parity(routable = true)(_.groupBy("source").agg(
+      sum(length(col("lang"))).as("s"),
+      avg(length(col("lang"))).as("a"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      count(lit(1)).as("n")))
+    // global, and filtered-to-empty (sum NULL, avg NULL — matches base)
+    parity(routable = true)(_.agg(sum(length(col("source"))).as("s"),
+      avg(length(col("source"))).as("a")))
+    parity(routable = true)(_.where(col("lang") === "zz").agg(
+      sum(length(col("source"))).as("s"),
+      avg(length(col("source"))).as("a")))
+    // sum over a literal weights the group counts — count(*)-shaped
+    parity(routable = true)(_.groupBy("lang").agg(sum(lit(2L)).as("s2")))
+  }
+
+  test("a small-precision decimal DIM sums/avgs route through " +
+      "DecimalAggregates' unscaled form") {
+    // sum(decimalDim) arrives at the rule as
+    // MakeDecimal(Sum(UnscaledValue(dim))) — the unscaled child is a
+    // LONG dim expression, so the weighted re-sum carries the exact
+    // unscaled total and the result tree re-scales it
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-decdim")
+    val bp = dir.resolve("base").toString
+    Seq[(String, String)](("en", "1.25"), ("en", "1.25"), ("de", "2.50"),
+      ("de", null), (null, "0.75"))
+      .toDF("lang", "ds")
+      .withColumn("d", col("ds").cast("decimal(5,2)")).drop("ds")
+      .write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang", "d"))
+    def q() = spark.read.parquet(bp).groupBy("lang")
+      .agg(sum(col("d")).as("s"), avg(col("d")).as("a"),
+        count(col("d")).as("c"))
+    val direct = rows(q())
+    Rollup.register(spark, bp, rp)
+    try {
+      val routed = q()
+      assert(readsRollup(routed),
+        s"decimal-dim sum must route:\n${routed.queryExecution.optimizedPlan}")
+      assert(rows(routed) == direct)
+    } finally Rollup.unregister(spark, bp)
+  }
+
   test("out-of-surface shapes stay on the base plan, still correct") {
     // DISTINCT over a MEASURE: distinct values are not stored
     parity(routable = false)(_.groupBy("lang")
@@ -193,9 +244,14 @@ class RollupSpec extends SparkSpec {
     // filter touching a measure
     parity(routable = false)(_.where(col("n_chars") > 150)
       .groupBy("lang").agg(count(lit(1)).as("n")))
-    // sum over a dim (collapsed duplicates would under-count)
+    // sum over a MEASURE expression (not derivable from stored sums)
+    parity(routable = false)(_.groupBy("lang")
+      .agg(sum(col("n_chars") + 1).as("s")))
+    // sum over a DOUBLE dim expression: the weighted product f*cnt
+    // can differ from repeated addition by ulps — outside the
+    // provably-exact contract
     parity(routable = false)(_.groupBy("source")
-      .agg(sum(length(col("lang"))).as("s")))
+      .agg(sum(length(col("lang")) * 0.5).as("s")))
     // try_sum/try_avg resolve with a TRY eval context; routing them as
     // default-mode Sum/Average would change NULL-on-overflow into
     // wrap/throw
@@ -203,10 +259,9 @@ class RollupSpec extends SparkSpec {
       .agg(expr("try_sum(n_chars)").as("s")))
     parity(routable = false)(_.groupBy("lang")
       .agg(expr("try_avg(n_chars)").as("a")))
-    // avg over a DIM is outside the surface (no stored pair; collapsed
-    // duplicates would mis-weight it)
+    // avg over a DOUBLE dim expression: same ulp exclusion as sum
     parity(routable = false)(_.groupBy("source")
-      .agg(avg(length(col("lang"))).as("a")))
+      .agg(avg(length(col("lang")) * 0.5).as("a")))
     // count(NULL) is 0, never count(*) — Spark constant-folds it to a
     // literal before this rule runs, leaving a groups-only aggregate
     // that routes legitimately (rollup dims = the base's distinct
