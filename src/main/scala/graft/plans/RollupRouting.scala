@@ -123,21 +123,32 @@ object RollupRouting extends Rule[LogicalPlan] {
     val key = Rollup.keyOf(baseLr).getOrElse(return None)
     val infos = Rollup.lookup(session, key)
     if (infos.isEmpty) return None
-    // the freshness snapshot hashes EVERY file of the (possibly huge)
-    // already-listed base index — compute it ONCE per matched
-    // aggregate, not once per registered rollup (review finding, r14)
-    val now = baseLr.relation match {
+    val fsRel = baseLr.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        Rollup.snapshotOf(fs)
+        fs
       case _ => return None // keyOf matched HadoopFsRelation; defensive
     }
+    // the inlined reference sets do not depend on the candidate
+    // rollup — computed ONCE per aggregate so the per-entry prefilter
+    // never repeats the alias-inlining fixpoint (review finding, r14)
+    val groupingRefs =
+      agg.groupingExpressions.map(g => inlineAliases(g, aliases).references)
+    val condRefs = conds0.map(c => inlineAliases(c, aliases).references)
+    val resultRefs =
+      agg.aggregateExpressions.map(e => inlineAliases(e, aliases).references)
+    // the freshness snapshot hashes EVERY file of the (possibly huge)
+    // already-listed base index — LAZY and computed at most once: only
+    // a shape-matching candidate pays it, so the overwhelmingly common
+    // non-routable aggregates over a registered base cost nothing
+    // (review finding, r14)
+    lazy val now = Rollup.snapshotOf(fsRel)
     // several rollups may be registered for one base (different
     // dim-sets): take the FIRST — most recently registered — whose
     // shape and freshness both match. Shape (cheap, name-level) is
     // checked BEFORE freshness so a stale sibling whose dims can never
     // serve this query neither warns nor costs anything.
     infos.view.flatMap { info =>
-      if (!shapePrefilter(agg, conds0, aliases, info)) None
+      if (!shapePrefilter(groupingRefs, condRefs, resultRefs, info)) None
       else if (now != info.baseSnapshot) {
         // the freshness tripwire: a changed base (append, overwrite,
         // delete — the normal ingest motions) falls through to the
@@ -149,7 +160,7 @@ object RollupRouting extends Rule[LogicalPlan] {
             s"(registered ${info.baseSnapshot}, base now $now); " +
             "queries use the base scan until re-registered")
         None
-      } else rewrite(session, agg, baseLr, conds0, aliases, info)
+      } else rewrite(session, agg, baseLr, key, conds0, aliases, info)
     }.headOption
   }
 
@@ -178,21 +189,18 @@ object RollupRouting extends Rule[LogicalPlan] {
     * match. A superset of the routable surface — groupings/filters
     * reference only dims, result leaves only dims ∪ measures — so it
     * never rejects a plan the full rewrite would have routed. */
-  private def shapePrefilter(agg: Aggregate, conds0: Seq[Expression],
-      aliases: Map[ExprId, Expression],
+  private def shapePrefilter(groupingRefs: Seq[AttributeSet],
+      condRefs: Seq[AttributeSet], resultRefs: Seq[AttributeSet],
       info: Rollup.RollupInfo): Boolean = {
     val dimNames = info.dims.toSet
     val okNames = dimNames ++ info.measures
-    agg.groupingExpressions.forall(g =>
-      inlineAliases(g, aliases).references.forall(a => dimNames(a.name))) &&
-    conds0.forall(c =>
-      inlineAliases(c, aliases).references.forall(a => dimNames(a.name))) &&
-    agg.aggregateExpressions.forall(e =>
-      inlineAliases(e, aliases).references.forall(a => okNames(a.name)))
+    groupingRefs.forall(_.forall(a => dimNames(a.name))) &&
+    condRefs.forall(_.forall(a => dimNames(a.name))) &&
+    resultRefs.forall(_.forall(a => okNames(a.name)))
   }
 
   private def rewrite(session: org.apache.spark.sql.SparkSession,
-      agg: Aggregate, baseLr: LogicalRelation,
+      agg: Aggregate, baseLr: LogicalRelation, key: String,
       conds0: Seq[Expression], aliases: Map[ExprId, Expression],
       info: Rollup.RollupInfo)
       : Option[Aggregate] = {
@@ -211,8 +219,7 @@ object RollupRouting extends Rule[LogicalPlan] {
         Rollup.currentDataPath(session, info.rollupPath))
     catch { case scala.util.control.NonFatal(e) =>
       if (Rollup.shouldWarnStale(session,
-          s"${Rollup.staleKey(Rollup.keyOf(baseLr).getOrElse(""),
-            info.rollupPath)}|unreadable")) logWarning(
+          s"${Rollup.staleKey(key, info.rollupPath)}|unreadable")) logWarning(
         s"rollup at ${info.rollupPath} is unreadable " +
           s"(${e.getClass.getSimpleName}: ${e.getMessage}); queries " +
           "use the base scan until it reappears or is re-registered")
@@ -232,8 +239,7 @@ object RollupRouting extends Rule[LogicalPlan] {
     val missingCols = promised.filterNot(byName.contains)
     if (missingCols.nonEmpty) {
       if (Rollup.shouldWarnStale(session,
-          s"${Rollup.staleKey(Rollup.keyOf(baseLr).getOrElse(""),
-            info.rollupPath)}|schema")) logWarning(
+          s"${Rollup.staleKey(key, info.rollupPath)}|schema")) logWarning(
         s"rollup at ${info.rollupPath} no longer carries the " +
           s"registered columns (missing: " +
           s"${missingCols.take(3).mkString(", ")}) — rebuilt with " +
@@ -445,18 +451,24 @@ object RollupRouting extends Rule[LogicalPlan] {
             if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
           }
         // AVG over an INTEGRAL dim expression — the weighted pair:
-        // sum(f * cnt) / (non-null-f cnt total), divided in double
-        // exactly like Average's own integral evaluate (exact longs
-        // here vs incremental doubles there — identical below 2^53,
-        // the documented caveat class of the measure AVG above)
+        // sum(f * cnt) / (non-null-f cnt total). The weighted sum runs
+        // in DOUBLE, matching Average's own integral buffer — NOT in
+        // exact longs like the SUM case above: the base's double
+        // accumulation can never overflow, so a long-weighted re-sum
+        // would wrap (LEGACY) or throw (ANSI) on totals past 2^63
+        // where the base quietly succeeds — a semantics change, not
+        // the ulp-class drift this module accepts (review finding,
+        // r14). Below 2^53 every product and the total are exact in
+        // double, so routed ≡ direct bit-for-bit; above it, both plans
+        // carry Average's documented accumulation-order drift.
         case a0 @ Average(e, _) if a0 == Average(e) &&
             isIntegral(e.dataType) =>
           mapDimExpr(e).map { m =>
-            val sums = complete(Sum(Multiply(Cast(m, LongType),
-              Cast(cnt, LongType))))
+            val sums = complete(Sum(Multiply(Cast(m, DoubleType),
+              Cast(cnt, DoubleType))))
             val cnts = reSumCount(If(IsNotNull(m), cnt,
               Literal(null, LongType)))
-            Divide(Cast(sums, DoubleType), Cast(cnts, DoubleType),
+            Divide(sums, Cast(cnts, DoubleType),
               NumericEvalContext(EvalMode.LEGACY,
                 allowDecimalPrecisionLoss = true))
           }

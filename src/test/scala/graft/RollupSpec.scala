@@ -198,6 +198,38 @@ class RollupSpec extends SparkSpec {
     parity(routable = true)(_.groupBy("lang").agg(sum(lit(2L)).as("s2")))
   }
 
+  test("avg over a huge long dim never wraps: weighted in double like " +
+      "Average's own buffer") {
+    // dim values 2^60 are exactly representable in double and the
+    // weighted total (10 * 2^60) exceeds Long.MaxValue: an exact-long
+    // weighting would wrap (LEGACY) or throw (ANSI) where the base
+    // plan's double accumulation quietly succeeds — the review-caught
+    // semantics hazard. With double weighting both plans are exact
+    // here (every partial fits the mantissa), so parity is strict.
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-huge")
+    val bp = dir.resolve("base").toString
+    val v = 1L << 60
+    ((1 to 5).map(_ => ("en", v)) ++ (1 to 5).map(_ => ("de", v)))
+      .toDF("lang", "v").write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang", "v"))
+    // avg only: a SUM of this total overflows long in BOTH plans (loud
+    // under ANSI either way — the asymmetry is specific to Average's
+    // double buffer)
+    def q() = spark.read.parquet(bp).agg(avg(col("v")).as("a"))
+    val direct = rows(q())
+    Rollup.register(spark, bp, rp)
+    try {
+      val routed = q()
+      assert(readsRollup(routed))
+      assert(rows(routed) == direct)
+      assert(routed.head().getDouble(0) == v.toDouble,
+        "routed avg must be the true value, not a wrapped negative")
+    } finally Rollup.unregister(spark, bp)
+  }
+
   test("a small-precision decimal DIM sums/avgs route through " +
       "DecimalAggregates' unscaled form") {
     // sum(decimalDim) arrives at the rule as
