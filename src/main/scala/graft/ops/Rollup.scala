@@ -28,13 +28,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * exact for the whole routed function set), SUM / COUNT / COUNT(col)
   * / MIN / MAX / AVG over stored measure columns (all re-aggregable
   * from the stored partials — AVG from the sum+count pair saveRollup
-  * always persists), COUNT / COUNT(DISTINCT) / MIN / MAX over dim
-  * expressions plus SUM / AVG over INTEGRAL dim expressions via the
-  * cnt-weighted re-sum (exact because the rollup rows are the
-  * distinct dim combinations and f(dims) is constant per combination;
-  * DISTINCT over a MEASURE stays excluded — distinct values are not
-  * stored), and dim-only residual filters. Anything else keeps its
-  * base-table plan untouched.
+  * always persists), COUNT / COUNT(DISTINCT) / MIN / MAX /
+  * SUM(DISTINCT) / AVG(DISTINCT) over dim expressions plus SUM / AVG
+  * over INTEGRAL dim expressions via the cnt-weighted re-sum (exact
+  * because the rollup rows are the distinct dim combinations and
+  * f(dims) is constant per combination; DISTINCT over a MEASURE stays
+  * excluded — distinct values are not stored), and dim-only residual
+  * filters. The same surface routes through the STAR-SCHEMA shape —
+  * an aggregate above `fact ⋈ dim_table` joined on rollup dims, with
+  * dim-table attributes participating everywhere dims do (the router
+  * swaps only the fact side for the rollup; see
+  * [[graft.plans.RollupRouting]]'s summary-preservation argument).
+  * Anything else keeps its base-table plan untouched.
   *
   * Exactness: SUM re-aggregates partial sums (integral/decimal sums
   * are exactly associative; double sums carry Spark's usual
@@ -164,13 +169,53 @@ object Rollup {
       .getOrElse(s"$rollupPath/data")
   }
 
+  /** Refuse a BATCH write at an artifact the streaming sink maintains
+    * (ADVICE r14): a streaming-maintained version directory carries the
+    * sink's `_last_batch_id` fence, and the sink's reader-grace window
+    * is [[graft.streaming.StreamOps]]' 4 folds — a batch
+    * [[saveRollup]]/[[refresh]] landing there would apply THIS module's
+    * one-cycle GC, sweeping the stream's grace versions (and any
+    * directory the stream is mid-writing) out from under it. The
+    * single-writer contract already says don't do this; now the
+    * violation fails loudly instead of corrupting the artifact. */
+  private def requireNotStreamMaintained(spark: SparkSession,
+      rollupPath: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(
+      currentDataPath(spark, rollupPath))
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(cur, "_last_batch_id")))
+      throw new IllegalStateException(
+        s"the rollup at $rollupPath is maintained by a streaming " +
+          "routableRollupSink (its current version carries the " +
+          "sink's batch fence) — a batch rebuild/refresh here would " +
+          "GC the stream's reader-grace versions and race its " +
+          "in-flight fold. Stop the stream first, or build the batch " +
+          "rollup at a fresh path")
+  }
+
   /** Write one new committed version: `write` fills the fresh
     * directory, the `_committed` marker lands last, then older versions
     * GC. Returns the committed version's path. Single-writer contract
     * (same as every artifact in this engine): two concurrent writers
     * could pick the same next version number. */
+  /** Minimum age (spark conf, milliseconds) a SUPERSEDED committed
+    * version must reach before [[gcVersions]] may delete it — the
+    * time floor under the write-cycle-keyed grace (VERDICT r14 #1):
+    * without it, a script rebuilding twice in quick succession (a
+    * dim-set iteration, a per-partition backfill loop) GCs the version
+    * a dashboard query planned seconds ago. 10 minutes by default —
+    * generous against any routed read of a dim-cardinality-sized
+    * artifact, and retention stays bounded at one version per rebuild
+    * inside the window (at the feature's hourly-refresh pitch: one). */
+  private[graft] val GcMinAgeConf = "spark.graft.rollup.gcMinAgeMs"
+  private[graft] val GcMinAgeDefaultMs = 600000L
+
+  private def gcMinAgeMs(spark: SparkSession): Long =
+    spark.conf.getOption(GcMinAgeConf).map(_.toLong)
+      .getOrElse(GcMinAgeDefaultMs)
+
   private def commitVersion(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path)(
+      root: org.apache.hadoop.fs.Path, minAgeMs: Long)(
       write: org.apache.hadoop.fs.Path => Unit)
       : org.apache.hadoop.fs.Path = {
     val next = committedVersions(fs, root).lastOption.getOrElse(0L) + 1L
@@ -179,27 +224,36 @@ object Rollup {
     write(target)
     fs.create(new org.apache.hadoop.fs.Path(target, CommittedMarker))
       .close()
-    gcVersions(fs, root, next)
+    gcVersions(fs, root, next, minAgeMs)
     target
   }
 
-  /** Keep the just-committed version and — as the one-write-cycle grace
-    * for readers that planned before the commit — the one it
-    * superseded; every older or uncommitted version directory goes. A
-    * reader that outlives TWO subsequent refreshes can still lose its
-    * files (documented bound; at the feature's hourly-refresh pitch
-    * that is a query running for hours). The legacy in-place `data`
-    * directory is "version 0": it survives the first versioned write,
-    * goes on the second. */
+  /** Keep the just-committed version, the one it superseded (the
+    * one-write-cycle reader grace), and any older COMMITTED version
+    * whose commit marker is younger than `minAgeMs` (the time floor —
+    * VERDICT r14 #1: back-to-back rebuilds must not sweep the files a
+    * query planned seconds ago); everything else — older-and-aged
+    * versions, uncommitted crashed-writer leftovers — goes. A reader
+    * that outlives both bounds can still lose its files (documented;
+    * at hourly-refresh pitch that is a query running for hours). The
+    * legacy in-place `data` directory is "version 0": it survives the
+    * first versioned write, goes on the second (its pre-versioned era
+    * had no commit marker to age-check). */
   private def gcVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, current: Long): Unit = {
+      root: org.apache.hadoop.fs.Path, current: Long,
+      minAgeMs: Long): Unit = {
+    val now = System.currentTimeMillis()
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case VersionRe(n) =>
           val v = n.toLong
-          val committed = fs.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, CommittedMarker))
-          if (v < current - 1L || (v != current && !committed))
+          val marker =
+            new org.apache.hadoop.fs.Path(st.getPath, CommittedMarker)
+          val committed = fs.exists(marker)
+          val aged = committed && (now -
+            fs.getFileStatus(marker).getModificationTime) >= minAgeMs
+          if ((v < current - 1L && (aged || !committed)) ||
+              (v != current && !committed))
             fs.delete(st.getPath, true)
         case _ => ()
       }
@@ -223,7 +277,16 @@ object Rollup {
       rollupPath: String,
       dims: Seq[String],
       measures: Seq[String],
-      baseSnapshot: BaseSnapshot)
+      baseSnapshot: BaseSnapshot,
+      /** Register-time size of the artifact's current data version
+        * (VERDICT r14 #3): with sibling rollups registered (a coarse
+        * daily-ops dim-set AND a fine per-source one), the router
+        * orders shape-matching candidates by this — the cheapest
+        * artifact that can answer the query wins, not merely the most
+        * recently registered. One `getContentSummary` per registration
+        * (the same metadata order as the fail-fast analysis); a
+        * refresh/rebuild re-registers and re-measures. */
+      artifactBytes: Long = Long.MaxValue)
 
   /** Registries keyed by SESSION IDENTITY (weakly — a closed session's
     * registrations GC with it), then base root paths. Per-session on
@@ -363,10 +426,14 @@ object Rollup {
     // heal a legacy (pre-versioned) artifact's crashed swap first so
     // the grace-keeping below preserves a READABLE previous state
     AtomicSwap.recover(hfs, new org.apache.hadoop.fs.Path(s"$path/data"))
+    // a streaming-maintained artifact refuses the batch write LOUDLY
+    // (ADVICE r14) — this module's GC would sweep the stream's wider
+    // grace window and race its in-flight fold
+    requireNotStreamMaintained(spark, path)
     // a rebuild at a standing path commits the NEXT version — never an
     // in-place overwrite, so a routed query planned against the
     // current version finishes on intact files (VERDICT r13 #1)
-    commitVersion(hfs, root) { target =>
+    commitVersion(hfs, root, gcMinAgeMs(spark)) { target =>
       // building=true makes RollupRouting skip this plan: the write
       // action plans synchronously on this thread, and the build must
       // always scan the BASE — routing a rebuild through the old
@@ -475,6 +542,11 @@ object Rollup {
     // heal a LEGACY (pre-versioned) artifact's crashed swap: between
     // its two renames, data.old held the only copy
     AtomicSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$rollupPath/data"))
+    // a streaming-maintained artifact refuses the batch refresh LOUDLY
+    // (ADVICE r14): the covered-files check below would refuse anyway
+    // (no _covered record), but with guidance — "rebuild with
+    // saveRollup" — that would then corrupt the stream's artifact
+    requireNotStreamMaintained(spark, rollupPath)
     val curPath = currentDataPath(spark, rollupPath)
     val baseLr = analyzedRelation(spark, basePath)
     val fsRel = baseLr.relation.asInstanceOf[HadoopFsRelation]
@@ -516,7 +588,7 @@ object Rollup {
       // version; the current one stays intact for any routed query
       // already executing against it, and a crash before the marker
       // leaves only an invisible uncommitted directory
-      commitVersion(fs, root) { target =>
+      commitVersion(fs, root, gcMinAgeMs(spark)) { target =>
         building.withValue(true) {
           old.unionByName(delta).groupBy(dims.map(col): _*)
             .agg(merge.head, merge.tail: _*)
@@ -582,9 +654,19 @@ object Rollup {
       measures: Seq[String], snap: BaseSnapshot): Unit = {
     // analyze once here to FAIL FAST on a missing/corrupt rollup; the
     // relation itself is rebuilt per rewrite (see RollupInfo)
-    analyzedRelation(spark, currentDataPath(spark, rollupPath))
+    val dataPath = currentDataPath(spark, rollupPath)
+    analyzedRelation(spark, dataPath)
+    // size the artifact for the router's cheapest-first ordering
+    // (VERDICT r14 #3); a size that cannot be measured degrades to
+    // "largest" — the entry still routes, just last among siblings
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(dataPath)
+      scala.util.Try(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength).getOrElse(Long.MaxValue)
+    }
     val reg = registryOf(spark)
-    val info = RollupInfo(rollupPath, dims, measures, snap)
+    val info = RollupInfo(rollupPath, dims, measures, snap, bytes)
     // most-recent-first; replacing only this rollupPath's own entry so
     // sibling rollups over the same base stay registered. Atomic
     // updateWith, not get-then-put: the streaming sink re-registers on
