@@ -58,6 +58,28 @@ object SparkEntry {
       p
     })
 
+  /** q_rollup_star's dim-table fixture, once per (corpus dir, JVM):
+    * one row per distinct documents.source with deterministic derived
+    * attributes, persisted as parquet so the routed star plan provably
+    * reads rollup + dim table ONLY — the oracle re-derives the same
+    * dim table from `documents` in a CTE. */
+  private val starDimCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def starDimFor(s: SparkSession, dir: String): String =
+    starDimCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-rollup-dim").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source")).distinct()
+        .select(col("source").as("src"),
+          when(col("source").isin("src0", "src1"), "low")
+            .otherwise("high").as("tier"),
+          length(col("source")).cast("int").as("src_len"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** q_rollup_refresh's fixture, once per (corpus dir, JVM): a private
     * copy of `documents` as the base, a rollup built on it, and then
     * an APPEND of the doc_id%7==0 slice (ids shifted) — so the rollup
@@ -96,20 +118,33 @@ object SparkEntry {
       (bp, rp)
     })
 
-  /** Plan contract check shared by the q_rollup_* family: true when the
-    * optimized plan's scan reads the rollup artifact (the routed plan),
-    * false when it still reads the base. Checked on the exact plan that
-    * will execute, while the registration is live. */
-  private def readsRollupPlan(q: org.apache.spark.sql.DataFrame,
-      roll: String): Boolean =
-    q.queryExecution.optimizedPlan.collectFirst {
+  /** All file-relation scan roots of the optimized plan — a star plan
+    * carries several relations (rollup + dim table), so the contract
+    * checks walk them ALL (the r14 collectFirst judged only whichever
+    * relation the traversal met first). */
+  private def planScanRoots(q: org.apache.spark.sql.DataFrame): Seq[String] =
+    q.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.contains(roll))
-          case _ => false
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
         }
-    }.getOrElse(false)
+    }
+
+  /** Plan contract check shared by the q_rollup_* family: true when the
+    * optimized plan reads the rollup artifact (the routed plan), false
+    * when it still reads only the base. Checked on the exact plan that
+    * will execute, while the registration is live. */
+  private def readsRollupPlan(q: org.apache.spark.sql.DataFrame,
+      roll: String): Boolean = planScanRoots(q).exists(_.contains(roll))
+
+  /** True when the optimized plan still scans the base — the star
+    * entry's stronger contract is readsRollupPlan && !scansBasePlan:
+    * rollup + dim table only, the fact corpus never read. */
+  private def scansBasePlan(q: org.apache.spark.sql.DataFrame,
+      basePath: String): Boolean =
+    planScanRoots(q).exists(_.contains(basePath))
 
   /** Planted unigram piece vocabulary for q_unigram_encode, shared
     * verbatim between the Spark encode and the DuckDB Viterbi replay:
@@ -3607,6 +3642,67 @@ object SparkEntry {
             count(lit(1)).as("n_docs"))
         require(readsRollupPlan(q, roll),
           "q_rollup_condsum did not route through the rollup")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
+    // ---- engine: STAR-SCHEMA routing (round 15) ----------------------
+    // the single most common real dashboard shape: aggregate above
+    // fact JOIN dim_table ON fact.dim_key = dim.pk, grouped/filtered
+    // by dim-TABLE attributes. The router swaps ONLY the fact side for
+    // the rollup (the joined rollup is itself a valid rollup of the
+    // joined base — see RollupRouting's summary-preservation note);
+    // plan contract: rollup + dim table scanned, base NEVER. The
+    // oracle re-derives the dim table from documents in a CTE and
+    // aggregates the base join directly
+    "q_rollup_star" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupFor(s, dir)
+      val dim = s.read.parquet(starDimFor(s, dir))
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .join(dim, col("source") === col("src"))
+          .where(col("tier") === "high")
+          .groupBy("tier", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            avg("n_chars").as("avg_chars"),
+            max("n_chars").as("max_chars"),
+            sum(col("src_len")).cast("long").as("sum_srclen"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_star did not route through the rollup")
+        require(!scansBasePlan(q, basePath),
+          "q_rollup_star must not scan the base corpus")
+        s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+      } finally graft.ops.Rollup.unregister(s, basePath)
+    }),
+
+    // ---- engine: SUM/AVG(DISTINCT dim expression) routed (round 15) --
+    // the last everyday aggregate shape: DISTINCT sums/averages over a
+    // dim expression re-derive from the rollup rows DIRECTLY (they are
+    // the distinct dim combinations — no weighting; multiplicity never
+    // matters to DISTINCT). One distinct set only, so the plan
+    // survives RewriteDistinctAggregates to the one-distinct physical
+    // path. Same register/plan-check/execute/unregister discipline
+    "q_rollup_sumdistinct" -> ((s, dir) => {
+      graft.Graft.init(s)
+      val basePath = s"$dir/documents.parquet"
+      val roll = rollupFor(s, dir)
+      graft.ops.Rollup.register(s, basePath, roll)
+      try {
+        val q = s.read.parquet(basePath)
+          .groupBy("lang")
+          .agg(
+            expr("sum(DISTINCT length(source))").cast("long")
+              .as("sum_srclen_d"),
+            expr("avg(DISTINCT length(source))").as("avg_srclen_d"),
+            expr("count(DISTINCT length(source))").as("n_srclen_d"),
+            sum("n_chars").as("sum_chars"),
+            count(lit(1)).as("n_docs"))
+        require(readsRollupPlan(q, roll),
+          "q_rollup_sumdistinct did not route through the rollup")
         s.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
       } finally graft.ops.Rollup.unregister(s, basePath)
     }),
@@ -8940,6 +9036,41 @@ ORDER BY adc_dist, c.vec_id LIMIT $topk"""
         |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
         |  CAST(sum(length(source)) AS BIGINT) AS sum_srclen,
         |  avg(length(source)) AS avg_srclen,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // star-schema routing: the oracle re-derives the dim table from
+    // documents (same deterministic attrs the Spark fixture persisted)
+    // and aggregates the base join directly; the Spark side answered
+    // from rollup ⋈ dim with the base never scanned (plan-checked), so
+    // the hash match proves the joined-rollup re-aggregation exact
+    "q_rollup_star" ->
+      """WITH dim AS (
+        |  SELECT source AS src,
+        |    CASE WHEN source IN ('src0','src1') THEN 'low'
+        |         ELSE 'high' END AS tier,
+        |    length(source) AS src_len
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT tier, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(src_len) AS BIGINT) AS sum_srclen
+        |FROM documents JOIN dim ON documents.source = dim.src
+        |WHERE tier = 'high'
+        |GROUP BY tier, lang""".stripMargin,
+
+    // SUM/AVG/COUNT(DISTINCT dim expression) routed from the rollup
+    // rows directly (they ARE the distinct dim combinations); the
+    // oracle aggregates the base — distinct srclen values are small
+    // ints, so the distinct avg is exact in double on both engines
+    "q_rollup_sumdistinct" ->
+      """SELECT lang,
+        |  CAST(sum(DISTINCT length(source)) AS BIGINT) AS sum_srclen_d,
+        |  avg(DISTINCT length(source)) AS avg_srclen_d,
+        |  CAST(count(DISTINCT length(source)) AS BIGINT) AS n_srclen_d,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
 

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -46,12 +47,56 @@ import graft.ops.Rollup
   *     per-type against this Spark build, RollupSpec-pinned) — double
   *     measures carry the same partition-order caveat SUM already
   *     accepts.
+  * SUM/AVG(DISTINCT integral dim expressions) -> the same
+  *     aggregate over the rollup rows directly, NO weighting (the
+  *     rollup rows are the distinct dim combinations, so f's distinct
+  *     value SET is identical over base and rollup rows; multiplicity
+  *     never matters to DISTINCT — VERDICT r14 #4, closing the last
+  *     everyday aggregate shape).
   * Anything else — DISTINCT over measures or over SUM/AVG,
   * measure-referencing filters or groupings, any other function —
   * leaves the plan untouched; routing is an optimization, never a
-  * semantics change. Several rollups may be registered per base
-  * (different dim-sets); the first — most recently registered — whose
-  * freshness and shape both match wins, and the artifact's CURRENT
+  * semantics change.
+  *
+  * STAR SCHEMA (VERDICT r14 #1): the same surface routes through an
+  * aggregate sitting ABOVE a join `fact ⋈ dim_table` whenever the
+  * fact side strips to a registered base and every fact-side
+  * reference in the join condition, the filters, and the groupings is
+  * a rollup dim. The rewrite replaces ONLY the fact side with the
+  * (filtered, pruned) rollup and re-aggregates — the dim-table side
+  * and the join node survive untouched. Exact WITHOUT any dim-side
+  * uniqueness requirement, by a summary-preservation argument: the
+  * joined rollup is itself a valid rollup of the joined base. A base
+  * row r in dim-combination c matches exactly the dim rows the
+  * condition admits for c (fact-side refs are dims, so the match set
+  * depends only on c, never on r); hence joined-rollup row (c, d)
+  * summarizes exactly the joined-base rows {(r, d) : r ∈ c} — same
+  * dims, same dim-table attrs, and the stored partials (cnt, sums,
+  * min/max, non-null counts) are exactly that row set's partials. A
+  * NON-unique dim side simply yields several (c, d) rows, each a
+  * correct summary of its own slice — multiplicity multiplies both
+  * sides identically (RollupSpec pins parity with a duplicate-key dim
+  * side). Dim-TABLE attributes therefore participate everywhere dims
+  * do: groupings, filters, COUNT/MIN/MAX/COUNT-DISTINCT, and the
+  * cnt-weighted SUM/AVG (the weight is the fact-side multiplicity,
+  * which is what cnt stores). Supported join types are the ones that
+  * never null-extend the FACT side: Inner, LeftOuter with the fact on
+  * the left, RightOuter with the fact on the right. (An outer join
+  * that preserves the DIM side would emit unmatched dim rows with a
+  * NULL cnt that must count as one base row — underivable from the
+  * stored partials, so those shapes keep the base plan. For the
+  * supported outer shapes an unmatched COMBINATION null-extends once
+  * in the rollup against cnt(c) base rows, and the partials carry
+  * exactly those cnt(c) rows — still exact.) The dim side must be
+  * deterministic; a non-deterministic dim side (rand() filters) has
+  * no single exact answer to preserve. One join level: snowflake
+  * chains (fact ⋈ dim1 ⋈ dim2) fall through today — the fact side of
+  * the outer join is itself a join and strip() rejects it.
+  *
+  * Several rollups may be registered per base (different dim-sets);
+  * shape-matching candidates are tried CHEAPEST ARTIFACT FIRST
+  * (VERDICT r14 #3 — register-time size, ties keep the r13
+  * most-recently-registered-first order), and the artifact's CURRENT
   * data version is resolved per rewrite (see
   * [[Rollup.CommittedMarker]]), so a concurrent refresh never yanks a
   * planned query's files.
@@ -115,11 +160,92 @@ object RollupRouting extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The join context of a star-shaped route: everything around the
+    * fact side that the rewrite must reconstruct — the untouched dim
+    * side, the join's type/condition/hint, any un-pushed conditions
+    * that sat between the Aggregate and the Join (they reference both
+    * sides), and which side the fact was on. */
+  private final case class StarJoin(
+      dimSide: LogicalPlan,
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      cond: Option[Expression],
+      hint: JoinHint,
+      aboveConds: Seq[Expression],
+      factOnLeft: Boolean)
+
   private def route(session: org.apache.spark.sql.SparkSession,
+      agg: Aggregate): Option[Aggregate] =
+    strip(agg.child, Nil, Map.empty) match {
+      case Some((baseLr, conds0, aliases)) =>
+        routeStripped(session, agg, baseLr, conds0, aliases, None)
+      case None => routeStar(session, agg)
+    }
+
+  /** Peel Projects/Filters down to a JOIN node — the star-schema
+    * shape's entry (VERDICT r14 #1). Alias/filter guards identical to
+    * [[strip]]; the conditions collected here sat ABOVE the join (the
+    * optimizer pushed single-sided ones down, so these reference both
+    * sides) and are re-imposed above the rewritten join. */
+  private def stripToJoin(p: LogicalPlan, conds: Seq[Expression],
+      aliases: Map[ExprId, Expression])
+      : Option[(Join, Seq[Expression], Map[ExprId, Expression])] =
+    p match {
+      case j: Join => Some((j, conds, aliases))
+      case Project(pl, child) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => al.child.deterministic &&
+            al.child.collectFirst { case p: PlanExpression[_] => p }.isEmpty
+          case _ => false
+        } =>
+        stripToJoin(child, conds,
+          aliases ++ pl.collect { case al: Alias => al.exprId -> al.child })
+      case Filter(cond, child) if cond.deterministic &&
+          cond.collectFirst { case p: PlanExpression[_] => p }.isEmpty =>
+        stripToJoin(child, conds :+ cond, aliases)
+      case _ => None
+    }
+
+  /** Try the star shape: Aggregate over fact ⋈ dim. Either join side
+    * may be the fact; the OTHER side survives untouched (it may be a
+    * parquet dim table, a local relation, even another join — a
+    * deterministic subplan is all the exactness argument needs). Join
+    * types are restricted to the ones that never null-extend the fact
+    * side; see the object scaladoc for the proof sketch. */
+  private def routeStar(session: org.apache.spark.sql.SparkSession,
       agg: Aggregate): Option[Aggregate] = {
-    val stripped = strip(agg.child, Nil, Map.empty)
-    if (stripped.isEmpty) return None
-    val (baseLr, conds0, aliases) = stripped.get
+    val (join, aboveConds, aboveAliases) =
+      stripToJoin(agg.child, Nil, Map.empty).getOrElse(return None)
+    if (join.condition.exists(c => !c.deterministic ||
+        c.collectFirst { case p: PlanExpression[_] => p }.nonEmpty))
+      return None
+    def attempt(factPlan: LogicalPlan, dimSide: LogicalPlan,
+        factOnLeft: Boolean): Option[Aggregate] = {
+      val typeOk = join.joinType match {
+        case Inner => true
+        case LeftOuter => factOnLeft   // dim side null-extends: exact
+        case RightOuter => !factOnLeft // (unmatched combos carry cnt)
+        case _ => false
+      }
+      // a non-deterministic dim side has no single exact answer the
+      // routed plan could be proven equal to
+      if (!typeOk ||
+          dimSide.exists(_.expressions.exists(!_.deterministic)))
+        return None
+      strip(factPlan, Nil, aboveAliases).flatMap {
+        case (baseLr, conds0, aliases) =>
+          routeStripped(session, agg, baseLr, conds0, aliases,
+            Some(StarJoin(dimSide, join.joinType, join.condition,
+              join.hint, aboveConds, factOnLeft)))
+      }
+    }
+    attempt(join.left, join.right, factOnLeft = true)
+      .orElse(attempt(join.right, join.left, factOnLeft = false))
+  }
+
+  private def routeStripped(session: org.apache.spark.sql.SparkSession,
+      agg: Aggregate, baseLr: LogicalRelation, conds0: Seq[Expression],
+      aliases: Map[ExprId, Expression], star: Option[StarJoin])
+      : Option[Aggregate] = {
     val key = Rollup.keyOf(baseLr).getOrElse(return None)
     val infos = Rollup.lookup(session, key)
     if (infos.isEmpty) return None
@@ -128,12 +254,18 @@ object RollupRouting extends Rule[LogicalPlan] {
         fs
       case _ => return None // keyOf matched HadoopFsRelation; defensive
     }
+    // the prefilter judges only FACT-side references (a star's
+    // dim-side attrs are invisible to the rollup's name sets and the
+    // full rewrite validates them by ExprId)
+    val factOut = baseLr.outputSet
     // the inlined reference sets do not depend on the candidate
     // rollup — computed ONCE per aggregate so the per-entry prefilter
     // never repeats the alias-inlining fixpoint (review finding, r14)
     val groupingRefs =
       agg.groupingExpressions.map(g => inlineAliases(g, aliases).references)
-    val condRefs = conds0.map(c => inlineAliases(c, aliases).references)
+    val condRefs =
+      (conds0 ++ star.toSeq.flatMap(s => s.aboveConds ++ s.cond.toSeq))
+        .map(c => inlineAliases(c, aliases).references)
     val resultRefs =
       agg.aggregateExpressions.map(e => inlineAliases(e, aliases).references)
     // the freshness snapshot hashes EVERY file of the (possibly huge)
@@ -143,12 +275,17 @@ object RollupRouting extends Rule[LogicalPlan] {
     // (review finding, r14)
     lazy val now = Rollup.snapshotOf(fsRel)
     // several rollups may be registered for one base (different
-    // dim-sets): take the FIRST — most recently registered — whose
-    // shape and freshness both match. Shape (cheap, name-level) is
-    // checked BEFORE freshness so a stale sibling whose dims can never
-    // serve this query neither warns nor costs anything.
-    infos.view.flatMap { info =>
-      if (!shapePrefilter(groupingRefs, condRefs, resultRefs, info)) None
+    // dim-sets): candidates are ordered CHEAPEST ARTIFACT FIRST
+    // (VERDICT r14 #3 — a coarse daily-ops rollup and a fine
+    // per-source sibling can both match; the smaller answers the
+    // query for less), with the stable sort keeping the r13
+    // most-recently-registered-first order among equals. Shape
+    // (cheap, name-level) is checked BEFORE freshness so a stale
+    // sibling whose dims can never serve this query neither warns nor
+    // costs anything.
+    infos.sortBy(_.artifactBytes).view.flatMap { info =>
+      if (!shapePrefilter(factOut, groupingRefs, condRefs, resultRefs,
+          info)) None
       else if (now != info.baseSnapshot) {
         // the freshness tripwire: a changed base (append, overwrite,
         // delete — the normal ingest motions) falls through to the
@@ -160,7 +297,8 @@ object RollupRouting extends Rule[LogicalPlan] {
             s"(registered ${info.baseSnapshot}, base now $now); " +
             "queries use the base scan until re-registered")
         None
-      } else rewrite(session, agg, baseLr, key, conds0, aliases, info)
+      } else rewrite(session, agg, baseLr, key, conds0, aliases, info,
+        star)
     }.headOption
   }
 
@@ -186,23 +324,28 @@ object RollupRouting extends Rule[LogicalPlan] {
     * (review finding, r14): with several rollups registered, every
     * aggregation over the base would otherwise pay one freshness hash
     * + artifact analysis per entry even when no rewrite can possibly
-    * match. A superset of the routable surface — groupings/filters
-    * reference only dims, result leaves only dims ∪ measures — so it
-    * never rejects a plan the full rewrite would have routed. */
-  private def shapePrefilter(groupingRefs: Seq[AttributeSet],
-      condRefs: Seq[AttributeSet], resultRefs: Seq[AttributeSet],
-      info: Rollup.RollupInfo): Boolean = {
+    * match. A superset of the routable surface — FACT-side
+    * groupings/filters reference only dims, fact-side result leaves
+    * only dims ∪ measures; refs outside the fact relation (a star's
+    * dim-table attrs) pass here and are validated by the full
+    * rewrite — so it never rejects a plan the rewrite would have
+    * routed. */
+  private def shapePrefilter(factOut: AttributeSet,
+      groupingRefs: Seq[AttributeSet], condRefs: Seq[AttributeSet],
+      resultRefs: Seq[AttributeSet], info: Rollup.RollupInfo): Boolean = {
     val dimNames = info.dims.toSet
     val okNames = dimNames ++ info.measures
-    groupingRefs.forall(_.forall(a => dimNames(a.name))) &&
-    condRefs.forall(_.forall(a => dimNames(a.name))) &&
-    resultRefs.forall(_.forall(a => okNames(a.name)))
+    def dimOk(a: Attribute) = !factOut.contains(a) || dimNames(a.name)
+    def resOk(a: Attribute) = !factOut.contains(a) || okNames(a.name)
+    groupingRefs.forall(_.forall(dimOk)) &&
+    condRefs.forall(_.forall(dimOk)) &&
+    resultRefs.forall(_.forall(resOk))
   }
 
   private def rewrite(session: org.apache.spark.sql.SparkSession,
       agg: Aggregate, baseLr: LogicalRelation, key: String,
       conds0: Seq[Expression], aliases: Map[ExprId, Expression],
-      info: Rollup.RollupInfo)
+      info: Rollup.RollupInfo, star: Option[StarJoin])
       : Option[Aggregate] = {
     def inline(e0: Expression): Expression = inlineAliases(e0, aliases)
     val conds = conds0.map(inline)
@@ -249,6 +392,20 @@ object RollupRouting extends Rule[LogicalPlan] {
     }
     val dims = info.dims.toSet
     val measures = info.measures.toSet
+    val factOut = baseLr.outputSet
+    // a star's dim-side attributes pass through the rewrite untouched
+    // (same ExprIds — the dim side itself is kept verbatim); they
+    // participate in groupings/filters/dim-expression aggregates
+    // exactly like dims, because a joined-rollup row is constant in
+    // them (see the object scaladoc's summary-preservation argument)
+    val passthrough: AttributeSet =
+      star.map(_.dimSide.outputSet).getOrElse(AttributeSet.empty)
+    // a measure is a FACT-side attribute with a registered measure
+    // name — the relation check matters in star mode, where a
+    // dim-side column may share a measure's name but must not be
+    // rewritten to the rollup's stored partials
+    def isMeasure(a: AttributeReference): Boolean =
+      measures(a.name) && factOut.contains(a)
 
     // base dim attribute -> rollup dim attribute, by name; built from
     // the RELATION output (not agg.child.output) so a filter on a dim
@@ -264,6 +421,7 @@ object RollupRouting extends Rule[LogicalPlan] {
         case a: AttributeReference =>
           dimMap.get(a.exprId) match {
             case Some(r) => r
+            case None if passthrough.contains(a) => a
             case None => ok = false; a
           }
       }
@@ -314,22 +472,41 @@ object RollupRouting extends Rule[LogicalPlan] {
         // Expand by RewriteDistinctAggregates before this rule runs
         // and never matches strip(), so a routed plan carries at most
         // one distinct set, exactly what the physical planner's
-        // one-distinct path expects.) SUM/AVG DISTINCT over dims would
-        // be derivable the same way but stay excluded until a query
-        // shape demands them; over measures they are underivable —
-        // distinct VALUES are not stored.
+        // one-distinct path expects.) DISTINCT over MEASURES stays
+        // underivable — distinct VALUES are not stored.
         case Count(children) if children.nonEmpty =>
           val mapped = children.map(mapDimExpr)
           if (mapped.forall(_.isDefined))
             Some(AggregateExpression(Count(mapped.map(_.get)), Complete,
               isDistinct = true, None, NamedExpression.newExprId))
           else None
+        // SUM/AVG(DISTINCT integral dim expr) — VERDICT r14 #4: the
+        // same derivation as COUNT DISTINCT, with NO weighting — the
+        // distinct value SET of f over a routed group's base rows
+        // equals its set over that group's rollup rows, and
+        // SUM/AVG(DISTINCT) depend only on the set. Integral only,
+        // same default-eval-context guards as the non-distinct cases
+        // (try_sum/try_avg must not route); this also carries
+        // DecimalAggregates' unscaled form for small-precision decimal
+        // dims (the child arrives as UnscaledValue -> long, distinct
+        // unscaled values re-scale in the result tree). NULLs drop on
+        // both sides by the functions' own rule.
+        case s0 @ Sum(e, _) if s0 == Sum(e) && isIntegral(e.dataType) =>
+          mapDimExpr(e).map { m =>
+            val s = AggregateExpression(Sum(m), Complete,
+              isDistinct = true, None, NamedExpression.newExprId)
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
+          }
+        case a0 @ Average(e, _) if a0 == Average(e) &&
+            isIntegral(e.dataType) =>
+          mapDimExpr(e).map(m => AggregateExpression(Average(m),
+            Complete, isDistinct = true, None, NamedExpression.newExprId))
         case _ => None
       }
       ae.aggregateFunction match {
         // non-null literal only: count(NULL) is always 0, not count(*)
         case Count(Seq(Literal(v, _))) if v != null => Some(reSumCount(cnt))
-        case Count(Seq(a: AttributeReference)) if measures(a.name) =>
+        case Count(Seq(a: AttributeReference)) if isMeasure(a) =>
           Some(reSumCount(byName(Rollup.cntColOf(a.name))))
         // COUNT over dim expressions, single- or multi-arg: the value
         // tuple is constant within each combination, so the base count
@@ -349,10 +526,10 @@ object RollupRouting extends Rule[LogicalPlan] {
         // change. Case-class equality against a freshly built default
         // Sum compares exactly the context field.
         case s0 @ Sum(a: AttributeReference, _)
-            if measures(a.name) && s0 == Sum(a) =>
+            if isMeasure(a) && s0 == Sum(a) =>
           val s = complete(Sum(byName(Rollup.sumCol(a.name))))
           Some(if (s.dataType == ae.dataType) s else Cast(s, ae.dataType))
-        case Min(a: AttributeReference) if measures(a.name) =>
+        case Min(a: AttributeReference) if isMeasure(a) =>
           Some(complete(Min(byName(Rollup.minCol(a.name)))))
         // MIN/MAX over ANY dim expression (VERDICT r13 #3, widening
         // the attribute-only cases): f(dims) is constant within each
@@ -361,7 +538,7 @@ object RollupRouting extends Rule[LogicalPlan] {
         // extremum. A measure-touching expression fails mapDimExpr and
         // keeps the base plan.
         case Min(e) => mapDimExpr(e).map(m => complete(Min(m)))
-        case Max(a: AttributeReference) if measures(a.name) =>
+        case Max(a: AttributeReference) if isMeasure(a) =>
           Some(complete(Max(byName(Rollup.maxCol(a.name)))))
         case Max(e) => mapDimExpr(e).map(m => complete(Max(m)))
         // DecimalAggregates (main optimizer batch, runs before this
@@ -374,10 +551,10 @@ object RollupRouting extends Rule[LogicalPlan] {
         // its UnscaledValue is exactly sum(UnscaledValue(m)) — same
         // scale, null iff all-null
         case s0 @ Sum(u @ UnscaledValue(a: AttributeReference), _)
-            if measures(a.name) && s0 == Sum(u) =>
+            if isMeasure(a) && s0 == Sum(u) =>
           Some(UnscaledValue(complete(Sum(byName(Rollup.sumCol(a.name))))))
         case a0 @ Average(u @ UnscaledValue(a: AttributeReference), _)
-            if measures(a.name) && a0 == Average(u) =>
+            if isMeasure(a) && a0 == Average(u) =>
           Some(Divide(
             Cast(UnscaledValue(complete(Sum(byName(Rollup.sumCol(a.name))))),
               DoubleType),
@@ -392,7 +569,7 @@ object RollupRouting extends Rule[LogicalPlan] {
         // overflow check into Average's exact result type. Same
         // default-eval-context guard as Sum: try_avg must not route.
         case a0 @ Average(a: AttributeReference, _)
-            if measures(a.name) && a0 == Average(a) =>
+            if isMeasure(a) && a0 == Average(a) =>
           val sums = complete(Sum(byName(Rollup.sumCol(a.name))))
           val cnts = reSumCount(byName(Rollup.cntColOf(a.name)))
           a.dataType match {
@@ -486,8 +663,11 @@ object RollupRouting extends Rule[LogicalPlan] {
     // groups the base grouping would, and every routed function
     // re-aggregates over merged groups (sum of sums, min of mins, the
     // avg pair)
+    def mapAttr(a: AttributeReference): Option[Expression] =
+      dimMap.get(a.exprId)
+        .orElse(Option.when(passthrough.contains(a))(a))
     val newGroupings = agg.groupingExpressions.map(g => inline(g) match {
-      case a: AttributeReference => dimMap.get(a.exprId)
+      case a: AttributeReference => mapAttr(a)
       case e if e.deterministic &&
           e.collectFirst { case p: PlanExpression[_] => p }.isEmpty =>
         mapDims(e)
@@ -508,7 +688,7 @@ object RollupRouting extends Rule[LogicalPlan] {
     // and reject the rollup-side attrs it just produced.
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => convert(ae)
-      case a: AttributeReference => dimMap.get(a.exprId)
+      case a: AttributeReference => mapAttr(a)
       case other =>
         val kids = other.children.map(rewriteExpr)
         if (kids.exists(_.isEmpty)) None
@@ -522,7 +702,7 @@ object RollupRouting extends Rule[LogicalPlan] {
           // column — inline() resolves the latter to its expression,
           // which then rewrites like any dim expression
           (inline(a) match {
-            case a2: AttributeReference => dimMap.get(a2.exprId)
+            case a2: AttributeReference => mapAttr(a2)
             case e => rewriteExpr(e)
           }).map(r =>
             Alias(r, a.name)(exprId = a.exprId, qualifier = a.qualifier))
@@ -535,17 +715,48 @@ object RollupRouting extends Rule[LogicalPlan] {
       }
     if (newResults.exists(_.isEmpty)) return None
 
+    // star mode: remap the join condition and the above-join filters
+    // the same way (fact refs -> rollup dims, dim-side refs pass
+    // through); a measure in either place fails mapDims and keeps the
+    // base plan — a measure-dependent match set would make the join
+    // multiplicity underivable from the stored partials
+    val newStar: Option[(Option[Expression], Seq[Expression])] =
+      star match {
+        case None => None
+        case Some(sc) =>
+          val c = sc.cond.map(c0 => mapDims(inline(c0)))
+          val above = sc.aboveConds.map(c0 => mapDims(inline(c0)))
+          if (c.exists(_.isEmpty) || above.exists(_.isEmpty)) return None
+          Some((c.map(_.get), above.map(_.get)))
+      }
+
     // explicit pruning Project: ColumnPruning already ran (this rule
     // sits in extraOptimizations), so without it the physical scan
     // reads EVERY rollup column — measured, not hypothetical: the
-    // routed ReadSchema carried all stored partials of every measure
+    // routed ReadSchema carried all stored partials of every measure.
+    // Star refs include the rewritten join/above conditions; filtering
+    // against rollupLr.output keeps only the rollup-side ones.
     val refs = AttributeSet(
       newGroupings.flatten.flatMap(_.references) ++
         newResults.flatten.flatMap(_.references) ++
-        newConds.flatten.flatMap(_.references))
+        newConds.flatten.flatMap(_.references) ++
+        newStar.toSeq.flatMap { case (c, above) =>
+          (c.toSeq ++ above).flatMap(_.references) })
     val filtered = newConds.flatten
       .foldLeft(rollupLr: LogicalPlan)((p, c) => Filter(c, p))
     val pruned = Project(rollupLr.output.filter(refs.contains), filtered)
-    Some(Aggregate(newGroupings.flatten, newResults.flatten, pruned))
+    // star mode rebuilds the join with the rollup in the fact's seat
+    // (same side, type, hint — the dim side verbatim, so its ExprIds
+    // keep resolving) and re-imposes the above-join filters
+    val core: LogicalPlan = (star, newStar) match {
+      case (Some(sc), Some((newCond, newAbove))) =>
+        val joined =
+          if (sc.factOnLeft)
+            Join(pruned, sc.dimSide, sc.joinType, newCond, sc.hint)
+          else Join(sc.dimSide, pruned, sc.joinType, newCond, sc.hint)
+        newAbove.foldLeft(joined: LogicalPlan)((p, c) => Filter(c, p))
+      case _ => pruned
+    }
+    Some(Aggregate(newGroupings.flatten, newResults.flatten, core))
   }
 }

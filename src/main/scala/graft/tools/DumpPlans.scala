@@ -131,6 +131,32 @@ object DumpPlans {
           "one-distinct aggregate plans through Spark's standard " +
           "two-phase distinct path over the tiny artifact.\n\n```\n" +
           planD + "\n```\n")
+        // the round-15 surface: the STAR shape — aggregate above
+        // fact ⋈ dim_table — routes by swapping only the fact side
+        val dimT = Files.createTempDirectory("graft-plans-dim")
+          .resolve("d").toString
+        spark.read.parquet(basePath).select(col("source")).distinct()
+          .select(col("source").as("src"),
+            when(col("source").isin("src0", "src1"), "low")
+              .otherwise("high").as("tier"))
+          .coalesce(1).write.parquet(dimT)
+        val dim = spark.read.parquet(dimT)
+        val planS = spark.read.parquet(basePath)
+          .join(dim, col("source") === col("src"))
+          .where(col("tier") === "high")
+          .groupBy("tier", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .queryExecution.explainString(FormattedMode)
+        sb.append("\n## q_rollup_star (routed star-schema aggregate, " +
+          "while registered)\n\n" +
+          "Aggregate above fact ⋈ dim_table: the router swaps ONLY the " +
+          "fact side for the rollup (the joined rollup is itself a " +
+          "valid rollup of the joined base — multiplicity multiplies " +
+          "both sides identically), so the plan reads the rollup and " +
+          "the dim table, never the base corpus; the two tiny operands " +
+          "broadcast-join, the dim-table filter is pushed into the dim " +
+          "scan, and the rollup scan is pruned to dims + the partials " +
+          "the aggregates need.\n\n```\n" + planS + "\n```\n")
       } finally graft.ops.Rollup.unregister(spark, basePath)
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)

@@ -629,6 +629,68 @@ class PlanSpec extends SparkSpec {
         s"distinct-dim count must read dims only, no stored partials:\n$p")
       assert(p.contains("Not(EqualTo(source,src0))"),
         s"dim filter must push to the rollup scan:\n$p")
+      // the round-15 widening: SUM/AVG(DISTINCT dim expr) re-derive
+      // from the rollup rows directly — still a dims-only scan
+      val p2 = spark.read.parquet(basePath)
+        .groupBy("lang")
+        .agg(expr("sum(DISTINCT length(source))").as("sd"),
+          expr("avg(DISTINCT length(source))").as("ad"))
+        .queryExecution.explainString(FormattedMode)
+      assert(!p2.contains("documents.parquet"),
+        s"base table must not be scanned:\n$p2")
+      assert(readSchemas(p2).forall(l => !l.contains("graft_rollup__") &&
+        !l.contains("text")),
+        s"distinct-dim sum/avg must read dims only:\n$p2")
+    } finally graft.ops.Rollup.unregister(spark, basePath)
+  }
+
+  test("routed STAR plan: rollup joined to the dim table, base never " +
+      "scanned, dim side broadcast") {
+    // the round-15 surface (VERDICT r14 #1): aggregate above
+    // fact ⋈ dim_table routes by swapping ONLY the fact side for the
+    // rollup. The plan to pin: the base corpus absent, the join
+    // surviving with the dim table intact, the dim-cardinality-sized
+    // rollup side joining BROADCAST (both operands are tiny — at
+    // 100 TB the base scan this replaces was the whole corpus), and
+    // the rollup scan pruned to dims + the partials the aggregates
+    // need (no min/max partials for a count/sum query).
+    import org.apache.spark.sql.functions._
+    Graft.init(spark)
+    val basePath = s"$sfDir/documents.parquet"
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-rollup-plan-star").toString
+    graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
+      dims = Seq("lang", "source"), measures = Seq("n_chars"))
+    val dimT = java.nio.file.Files
+      .createTempDirectory("graft-rollup-plan-dim").resolve("d").toString
+    spark.read.parquet(basePath).select(col("source")).distinct()
+      .select(col("source").as("src"),
+        when(col("source").isin("src0", "src1"), "low")
+          .otherwise("high").as("tier"))
+      .coalesce(1).write.parquet(dimT)
+    graft.ops.Rollup.register(spark, basePath, roll)
+    try {
+      val dim = spark.read.parquet(dimT)
+      val p = spark.read.parquet(basePath)
+        .join(dim, col("source") === col("src"))
+        .where(col("tier") === "high")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("documents.parquet"),
+        s"base table must not be scanned:\n$p")
+      assert(p.contains("graft_rollup__cnt"),
+        s"the fact seat must hold the rollup:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"two tiny operands must broadcast-join:\n$p")
+      // the rollup scan stays minimal: no min/max partials, no text
+      assert(readSchemas(p).forall(l =>
+        !l.contains("__min__") && !l.contains("__max__") &&
+          !l.contains("text")),
+        s"routed star scan must prune unused partials:\n$p")
+      // the dim filter pushed into the DIM side's scan
+      assert(p.contains("EqualTo(tier,high)"),
+        s"dim-table filter must push into the dim scan:\n$p")
     } finally graft.ops.Rollup.unregister(spark, basePath)
   }
 

@@ -59,7 +59,8 @@ class RollupSpec extends SparkSpec {
   private def base: DataFrame = spark.read.parquet(basePath)
 
   /** Run `q` against the base both unrouted and routed, assert the
-    * routed plan actually reads the rollup, and compare results. */
+    * routed plan actually reads the rollup (and — star contract —
+    * never the base), and compare results. */
   private def parity(routable: Boolean)(q: DataFrame => DataFrame): Unit = {
     Graft.init(spark)
     Rollup.unregister(spark, basePath)
@@ -69,6 +70,8 @@ class RollupSpec extends SparkSpec {
       val routed = q(base)
       assert(readsRollup(routed) == routable,
         s"expected readsRollup=$routable:\n${routed.queryExecution.optimizedPlan}")
+      if (routable) assert(!scanPaths(routed).exists(_.contains(basePath)),
+        s"routed plan must not scan the base:\n${routed.queryExecution.optimizedPlan}")
       assert(rows(routed) == direct)
     } finally Rollup.unregister(spark, basePath)
   }
@@ -264,9 +267,10 @@ class RollupSpec extends SparkSpec {
     // DISTINCT over a MEASURE: distinct values are not stored
     parity(routable = false)(_.groupBy("lang")
       .agg(countDistinct(col("n_chars")).as("d")))
-    // DISTINCT SUM, even over a dim expression (excluded surface)
+    // DISTINCT SUM over a FLOAT dim expression (the r15 distinct
+    // surface is integral-only, like the cnt-weighted one)
     parity(routable = false)(_.groupBy("lang")
-      .agg(sum_distinct(length(col("source"))).as("d")))
+      .agg(sum_distinct(length(col("source")).cast("double")).as("d")))
     // min over a measure EXPRESSION (not derivable from stored min)
     parity(routable = false)(_.groupBy("lang")
       .agg(min(col("n_chars") + 1).as("m")))
@@ -642,6 +646,9 @@ class RollupSpec extends SparkSpec {
     Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
     assert(new java.io.File(s"$rp/data_v1/${Rollup.CommittedMarker}")
       .exists(), "saveRollup must commit data_v1 with its marker")
+    // floor OFF: this test pins the write-cycle bound itself; the time
+    // floor (r15) gets its own test below
+    spark.conf.set(Rollup.GcMinAgeConf, "0")
     Rollup.register(spark, bp, rp)
     try {
       val planned = spark.read.parquet(bp).groupBy("lang")
@@ -672,7 +679,83 @@ class RollupSpec extends SparkSpec {
       assert(!new java.io.File(s"$rp/data_v1").exists(),
         "grace is one write cycle: v1 GCs on the v3 commit")
       assert(new java.io.File(s"$rp/data_v2").exists())
-    } finally Rollup.unregister(spark, bp)
+    } finally {
+      Rollup.unregister(spark, bp)
+      spark.conf.unset(Rollup.GcMinAgeConf)
+    }
+  }
+
+  test("the GC time floor keeps a recent version through back-to-back " +
+      "rebuilds; an aged version still expires") {
+    // VERDICT r14 #1: the write-cycle grace alone lets a script that
+    // rebuilds twice in quick succession sweep the version a query
+    // planned seconds ago. The floor (default 10 min; pinned here via
+    // conf) keeps any superseded version younger than the minimum age.
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-floor")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L), ("de", 20L)).toDF("lang", "n")
+      .coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    Rollup.register(spark, bp, rp)
+    try {
+      val planned = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(readsRollup(planned))
+      planned.queryExecution.executedPlan // pin plan + v1 file listing
+      // two IMMEDIATE rebuilds (the dim-set-iteration / backfill-loop
+      // shape): under the default floor v1 must survive both — it is
+      // seconds old, far under the minimum age
+      Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+      Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+      assert(Rollup.currentDataPath(spark, rp).endsWith("data_v3"))
+      assert(new java.io.File(s"$rp/data_v1").exists(),
+        "the time floor must keep a seconds-old superseded version")
+      assert(rows(planned) == Seq(Seq("de", 1L, 20L), Seq("en", 1L, 10L)),
+        "query planned before the rebuild burst must finish on v1")
+      // aged expiry: with a 300ms floor, a version older than that is
+      // outside both the cycle grace and the floor — it goes
+      spark.conf.set(Rollup.GcMinAgeConf, "300")
+      Thread.sleep(400L)
+      Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+      assert(Rollup.currentDataPath(spark, rp).endsWith("data_v4"))
+      assert(!new java.io.File(s"$rp/data_v1").exists() &&
+        !new java.io.File(s"$rp/data_v2").exists(),
+        "superseded versions past the floor expire (v3 stays as grace)")
+      assert(new java.io.File(s"$rp/data_v3").exists())
+    } finally {
+      Rollup.unregister(spark, bp)
+      spark.conf.unset(Rollup.GcMinAgeConf)
+    }
+  }
+
+  test("a batch rebuild/refresh at a streaming-maintained artifact " +
+      "refuses loudly instead of sweeping the stream's grace") {
+    // ADVICE r14: the streaming sink keeps 4 grace folds; the batch
+    // writers keep 1 cycle — a batch write landing on the stream's
+    // path would GC versions its readers still hold. The sink's fence
+    // file marks the artifact; batch writers must refuse.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-fence")
+    val bp = dir.resolve("base").toString
+    Seq(("en", 10L)).toDF("lang", "n").coalesce(1).write.parquet(bp)
+    val rp = dir.resolve("roll").toString
+    // a streaming fold commits data_v1 with the sink's batch fence
+    assert(graft.streaming.StreamOps.applyRoutableRollupBatch(
+      rp, spark.read.parquet(bp), 0L, Seq("lang"), Seq("n")))
+    assert(new java.io.File(s"$rp/data_v1/_last_batch_id").exists())
+    val e1 = intercept[IllegalStateException] {
+      Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    }
+    assert(e1.getMessage.contains("streaming"))
+    val e2 = intercept[IllegalStateException] {
+      Rollup.refresh(spark, bp, rp)
+    }
+    assert(e2.getMessage.contains("streaming"))
+    // the artifact is untouched by the refusals
+    assert(Rollup.currentDataPath(spark, rp).endsWith("data_v1"))
   }
 
   test("an uncommitted version is invisible to resolution and swept " +
@@ -847,5 +930,175 @@ class RollupSpec extends SparkSpec {
       // string measure: sums are not defined
       Rollup.saveRollup(base, "/tmp/never", Seq("lang"), Seq("source"))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Star-schema routing (VERDICT r14 #1): aggregate above fact ⋈ dim.
+  // The base fixture's NULL source rows double as the NULL-join-key
+  // case; the dim side is a local relation unless stated.
+  // ------------------------------------------------------------------
+
+  private lazy val dimDf: DataFrame = {
+    import spark.implicits._
+    Seq[(String, String, java.lang.Long)](
+      ("web", "online", 1L), ("book", "print", 2L), (null, "none", 9L))
+      .toDF("src", "tier", "weight")
+  }
+
+  test("inner star join routes: the fact side becomes the rollup, the " +
+      "dim side survives untouched, NULL keys drop identically") {
+    parity(routable = true)(b =>
+      b.join(dimDf, b("source") === dimDf("src"))
+        .groupBy("tier").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          avg("n_chars").as("a"), max("n_chars").as("mx")))
+  }
+
+  test("star: dim-table attrs group, filter, and aggregate like dims " +
+      "(cnt-weighted sums, null-guarded counts, distinct)") {
+    parity(routable = true)(b =>
+      b.join(dimDf, b("source") === dimDf("src"))
+        .where(col("tier") =!= "none")
+        .groupBy("tier", "lang").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          sum(col("weight")).as("sw"), // dim-side integral: f*cnt
+          min(col("weight")).as("mnw"),
+          count(col("tier")).as("nt"),
+          countDistinct(col("source")).as("nd")))
+  }
+
+  test("star: a NON-unique dim side still routes exactly — " +
+      "multiplicity multiplies base and rollup sides identically") {
+    import spark.implicits._
+    // 'web' matches TWO dim rows: every web-combination row fans out
+    // twice on both the direct and the routed side
+    val dup = Seq(("web", "w1", 10L), ("web", "w2", 20L),
+      ("book", "b1", 30L)).toDF("src", "label", "weight")
+    parity(routable = true)(b =>
+      b.join(dup, b("source") === dup("src"))
+        .groupBy("label").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          avg("n_chars").as("a"), sum(col("weight")).as("sw")))
+    // and grouped by a FACT dim with the fan-out folded in
+    parity(routable = true)(b =>
+      b.join(dup, b("source") === dup("src"))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("s")))
+  }
+
+  test("star: left outer with the fact preserved routes; unmatched " +
+      "combinations keep their counts with NULL dim attrs") {
+    import spark.implicits._
+    val dimPart = Seq(("web", "online")).toDF("src", "tier")
+    parity(routable = true)(b =>
+      b.join(dimPart, b("source") === dimPart("src"), "left_outer")
+        .groupBy("lang", "tier").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("s"),
+          count(col("tier")).as("nt")))
+  }
+
+  test("star: the fact side may sit on the RIGHT of the join; " +
+      "right outer with the fact preserved routes") {
+    import spark.implicits._
+    val d = Seq(("web", "online"), ("book", "print")).toDF("src", "tier")
+    parity(routable = true)(b =>
+      d.join(b, d("src") === b("source"))
+        .groupBy("tier").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("s")))
+    parity(routable = true)(b =>
+      d.join(b, d("src") === b("source"), "right_outer")
+        .groupBy("tier").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("s")))
+  }
+
+  test("star fall-throughs: dim-preserved outer join, measure join " +
+      "key, non-deterministic dim side") {
+    import spark.implicits._
+    val d = Seq(("web", "online")).toDF("src", "tier")
+    // left outer with the fact on the RIGHT preserves the dim side: an
+    // unmatched dim row null-extends with a NULL cnt that must count
+    // as ONE base output row — underivable from the stored partials
+    parity(routable = false)(b =>
+      d.join(b, d("src") === b("source"), "left_outer")
+        .groupBy("tier").agg(count(lit(1)).as("n")))
+    // a measure join key makes the match multiplicity depend on the
+    // measure value — outside the summary-preservation argument
+    val byN = Seq((100L, "x"), (500L, "y")).toDF("k", "lab")
+    parity(routable = false)(b =>
+      b.join(byN, b("n_chars") === byN("k"))
+        .groupBy("lab").agg(count(lit(1)).as("n")))
+    // a non-deterministic dim side has no single exact answer; the
+    // predicate keeps every row (a uuid is 36 chars) so the parity
+    // compare is stable, and unlike `rand(7) >= 0.0` the optimizer
+    // cannot range-fold it away. The dim must also be FILE-backed:
+    // over a LocalRelation, ConvertToLocalRelation executes the
+    // filter at plan time and the surviving dim side is deterministic
+    // again (and then routing it is correct — the rule judges the
+    // plan it actually receives)
+    val dimPq = java.nio.file.Files
+      .createTempDirectory("graft-star-dim").resolve("d").toString
+    dimDf.write.parquet(dimPq)
+    val dimFile = spark.read.parquet(dimPq)
+    parity(routable = false)(b =>
+      b.join(dimFile.where(length(expr("uuid()")) > 10),
+          b("source") === dimFile("src"))
+        .groupBy("tier").agg(count(lit(1)).as("n")))
+  }
+
+  test("sum/avg DISTINCT over integral dim expressions route; over a " +
+      "measure they keep the base plan (VERDICT r14 #4)") {
+    // grouped — NULL sources drop from the distinct set on both sides
+    parity(routable = true)(_.groupBy("lang").agg(
+      expr("sum(DISTINCT length(source))").as("sd"),
+      expr("avg(DISTINCT length(source))").as("ad"),
+      expr("count(DISTINCT length(source))").as("cd"),
+      sum("n_chars").as("s")))
+    // global, and filtered-to-empty (NULL sums both sides)
+    parity(routable = true)(_.agg(
+      expr("sum(DISTINCT length(source))").as("sd"),
+      expr("avg(DISTINCT length(source))").as("ad")))
+    parity(routable = true)(_.where(col("lang") === "zz").agg(
+      expr("sum(DISTINCT length(source))").as("sd"),
+      expr("avg(DISTINCT length(source))").as("ad")))
+    // distinct over a MEASURE: the values are not stored
+    parity(routable = false)(_.groupBy("lang").agg(
+      expr("sum(DISTINCT n_chars)").as("sd")))
+  }
+
+  test("with two fresh shape-matching siblings the router picks the " +
+      "SMALLER artifact (VERDICT r14 #3)") {
+    import spark.implicits._
+    Graft.init(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-size")
+    val bp = dir.resolve("base").toString
+    // ~2000 distinct sources make the fine (lang, src) artifact
+    // clearly larger than the coarse (lang) one
+    (0 until 4000).map(i => (if (i % 2 == 0) "en" else "de",
+        s"src$i", i.toLong))
+      .toDF("lang", "src", "n").coalesce(1).write.parquet(bp)
+    val fine = dir.resolve("fine").toString
+    val coarse = dir.resolve("coarse").toString
+    Rollup.saveRollup(spark.read.parquet(bp), fine,
+      Seq("lang", "src"), Seq("n"))
+    Rollup.saveRollup(spark.read.parquet(bp), coarse,
+      Seq("lang"), Seq("n"))
+    // register the FINE one LAST: recency alone would pick it; the
+    // size ordering must pick the coarse artifact for a lang-only
+    // query anyway
+    Rollup.register(spark, bp, coarse)
+    Rollup.register(spark, bp, fine)
+    try {
+      val q = spark.read.parquet(bp).groupBy("lang")
+        .agg(count(lit(1)).as("c"), sum("n").as("s"))
+      assert(scanPaths(q).exists(_.contains(coarse)),
+        s"expected the smaller (coarse) artifact:\n${q.queryExecution.optimizedPlan}")
+      assert(rows(q) == Seq(Seq("de", 2000L, 4000000L),
+        Seq("en", 2000L, 3998000L)))
+      // a query only the fine one can serve still routes to it
+      val qf = spark.read.parquet(bp).where(col("src") === "src7")
+        .groupBy("lang").agg(sum("n").as("s"))
+      assert(scanPaths(qf).exists(_.contains(fine)))
+      assert(rows(qf) == Seq(Seq("de", 7L)))
+    } finally Rollup.unregister(spark, bp)
   }
 }
