@@ -66,7 +66,11 @@ object SparkEntry {
   private val starDimCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def starDimFor(s: SparkSession, dir: String): String =
+  /** private[graft]: DumpPlans and PlanSpec pin the routed star plan
+    * against THIS fixture rather than re-deriving their own (one
+    * definition — the oracle CTE must mirror it exactly, and a copy
+    * that drifted would break q_rollup_star's hash parity silently). */
+  private[graft] def starDimFor(s: SparkSession, dir: String): String =
     starDimCache.getOrElseUpdate(dir, {
       val p = java.nio.file.Files
         .createTempDirectory("graft-rollup-dim").toString

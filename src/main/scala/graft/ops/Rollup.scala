@@ -177,7 +177,11 @@ object Rollup {
     * one-cycle GC, sweeping the stream's grace versions (and any
     * directory the stream is mid-writing) out from under it. The
     * single-writer contract already says don't do this; now the
-    * violation fails loudly instead of corrupting the artifact. */
+    * violation fails loudly instead of corrupting the artifact.
+    * The fence persists after the stream STOPS (a stopped stream is
+    * indistinguishable from a paused one), so handing a retired
+    * stream's path over to batch maintenance is an explicit act:
+    * [[releaseStreamFence]]. */
   private def requireNotStreamMaintained(spark: SparkSession,
       rollupPath: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(
@@ -189,15 +193,33 @@ object Rollup {
           "routableRollupSink (its current version carries the " +
           "sink's batch fence) — a batch rebuild/refresh here would " +
           "GC the stream's reader-grace versions and race its " +
-          "in-flight fold. Stop the stream first, or build the batch " +
+          "in-flight fold. If the stream is PERMANENTLY retired, " +
+          "call Rollup.releaseStreamFence(spark, path) to hand the " +
+          "artifact to batch maintenance; otherwise build the batch " +
           "rollup at a fresh path")
   }
 
-  /** Write one new committed version: `write` fills the fresh
-    * directory, the `_committed` marker lands last, then older versions
-    * GC. Returns the committed version's path. Single-writer contract
-    * (same as every artifact in this engine): two concurrent writers
-    * could pick the same next version number. */
+  /** Hand a PERMANENTLY-retired streaming artifact over to batch
+    * maintenance by removing the sink's batch fence from the current
+    * version — the explicit act [[requireNotStreamMaintained]]'s
+    * refusal points at (review finding, r15: without it the refusal's
+    * 'stop the stream' remedy could never succeed — the fence
+    * persists after the stream stops, locking the path forever).
+    * IRREVERSIBLE for the stream: the fence is its exactly-once
+    * replay guard, so if the supposedly-retired stream is ever
+    * restarted on its old checkpoint it would RE-FOLD its last batch.
+    * Only call this when the stream (and its checkpoint) are gone for
+    * good; the next [[saveRollup]] then rebuilds and versions the
+    * artifact under the batch contract. Returns true when a fence was
+    * actually removed. */
+  def releaseStreamFence(spark: SparkSession, rollupPath: String)
+      : Boolean = {
+    val cur = new org.apache.hadoop.fs.Path(
+      currentDataPath(spark, rollupPath))
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cur, "_last_batch_id"), false)
+  }
+
   /** Minimum age (spark conf, milliseconds) a SUPERSEDED committed
     * version must reach before [[gcVersions]] may delete it — the
     * time floor under the write-cycle-keyed grace (VERDICT r14 #1):
@@ -214,6 +236,11 @@ object Rollup {
     spark.conf.getOption(GcMinAgeConf).map(_.toLong)
       .getOrElse(GcMinAgeDefaultMs)
 
+  /** Write one new committed version: `write` fills the fresh
+    * directory, the `_committed` marker lands last, then older versions
+    * GC. Returns the committed version's path. Single-writer contract
+    * (same as every artifact in this engine): two concurrent writers
+    * could pick the same next version number. */
   private def commitVersion(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, minAgeMs: Long)(
       write: org.apache.hadoop.fs.Path => Unit)
@@ -237,12 +264,27 @@ object Rollup {
     * that outlives both bounds can still lose its files (documented;
     * at hourly-refresh pitch that is a query running for hours). The
     * legacy in-place `data` directory is "version 0": it survives the
-    * first versioned write, goes on the second (its pre-versioned era
-    * had no commit marker to age-check). */
+    * first versioned write and then GCs like any superseded version —
+    * its supersede moment is v1's commit, so v1's marker age stands in
+    * for the commit marker the pre-versioned era never wrote.
+    *
+    * Ages are measured against the JUST-COMMITTED version's marker
+    * mtime, not the driver's clock (review finding, r15): both stamps
+    * come from the same storage clock, so driver/storage skew can
+    * neither erode nor inflate the floor. Fallback to the local clock
+    * only if that marker cannot be statted. */
   private def gcVersions(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, current: Long,
       minAgeMs: Long): Unit = {
-    val now = System.currentTimeMillis()
+    def markerOf(v: Long) = new org.apache.hadoop.fs.Path(
+      root, s"data_v$v/$CommittedMarker")
+    val now = scala.util.Try(
+      fs.getFileStatus(markerOf(current)).getModificationTime)
+      .getOrElse(System.currentTimeMillis())
+    def aged(marker: org.apache.hadoop.fs.Path): Boolean =
+      scala.util.Try(
+        now - fs.getFileStatus(marker).getModificationTime >= minAgeMs)
+        .getOrElse(true) // unstattable marker: no age claim to honor
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case VersionRe(n) =>
@@ -250,15 +292,17 @@ object Rollup {
           val marker =
             new org.apache.hadoop.fs.Path(st.getPath, CommittedMarker)
           val committed = fs.exists(marker)
-          val aged = committed && (now -
-            fs.getFileStatus(marker).getModificationTime) >= minAgeMs
-          if ((v < current - 1L && (aged || !committed)) ||
+          if ((v < current - 1L && (!committed || aged(marker))) ||
               (v != current && !committed))
             fs.delete(st.getPath, true)
         case _ => ()
       }
     }
-    if (current >= 2L) {
+    // the legacy dir was superseded when v1 committed; while v1's
+    // marker is younger than the floor, a query planned against the
+    // legacy layout may still be executing (review finding, r15)
+    if (current >= 2L &&
+        (!fs.exists(markerOf(1L)) || aged(markerOf(1L)))) {
       fs.delete(new org.apache.hadoop.fs.Path(root, "data"), true)
       AtomicSwap.dropLeftovers(fs,
         new org.apache.hadoop.fs.Path(root, "data"))

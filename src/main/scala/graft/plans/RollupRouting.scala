@@ -144,19 +144,31 @@ object RollupRouting extends Rule[LogicalPlan] {
   private def strip(p: LogicalPlan, conds: Seq[Expression],
       aliases: Map[ExprId, Expression])
       : Option[(LogicalRelation, Seq[Expression], Map[ExprId, Expression])] =
+    peel(p, conds, aliases) { case lr: LogicalRelation => lr }
+
+  /** The shared Project/Filter peel under [[strip]] and
+    * [[stripToJoin]] (one copy, review finding r15): walk attribute/
+    * deterministic-alias Projects and deterministic subquery-free
+    * Filters down to whatever `terminal` accepts. */
+  private def peel[T](p: LogicalPlan, conds: Seq[Expression],
+      aliases: Map[ExprId, Expression])(
+      terminal: PartialFunction[LogicalPlan, T])
+      : Option[(T, Seq[Expression], Map[ExprId, Expression])] =
     p match {
-      case lr: LogicalRelation => Some((lr, conds, aliases))
+      case t if terminal.isDefinedAt(t) =>
+        Some((terminal(t), conds, aliases))
       case Project(pl, child) if pl.forall {
           case _: AttributeReference => true
           case al: Alias => al.child.deterministic &&
             al.child.collectFirst { case p: PlanExpression[_] => p }.isEmpty
           case _ => false
         } =>
-        strip(child, conds,
-          aliases ++ pl.collect { case al: Alias => al.exprId -> al.child })
+        peel(child, conds,
+          aliases ++ pl.collect { case al: Alias => al.exprId -> al.child })(
+          terminal)
       case Filter(cond, child) if cond.deterministic &&
           cond.collectFirst { case p: PlanExpression[_] => p }.isEmpty =>
-        strip(child, conds :+ cond, aliases)
+        peel(child, conds :+ cond, aliases)(terminal)
       case _ => None
     }
 
@@ -182,28 +194,14 @@ object RollupRouting extends Rule[LogicalPlan] {
     }
 
   /** Peel Projects/Filters down to a JOIN node — the star-schema
-    * shape's entry (VERDICT r14 #1). Alias/filter guards identical to
+    * shape's entry (VERDICT r14 #1), sharing [[peel]]'s guards with
     * [[strip]]; the conditions collected here sat ABOVE the join (the
     * optimizer pushed single-sided ones down, so these reference both
     * sides) and are re-imposed above the rewritten join. */
   private def stripToJoin(p: LogicalPlan, conds: Seq[Expression],
       aliases: Map[ExprId, Expression])
       : Option[(Join, Seq[Expression], Map[ExprId, Expression])] =
-    p match {
-      case j: Join => Some((j, conds, aliases))
-      case Project(pl, child) if pl.forall {
-          case _: AttributeReference => true
-          case al: Alias => al.child.deterministic &&
-            al.child.collectFirst { case p: PlanExpression[_] => p }.isEmpty
-          case _ => false
-        } =>
-        stripToJoin(child, conds,
-          aliases ++ pl.collect { case al: Alias => al.exprId -> al.child })
-      case Filter(cond, child) if cond.deterministic &&
-          cond.collectFirst { case p: PlanExpression[_] => p }.isEmpty =>
-        stripToJoin(child, conds :+ cond, aliases)
-      case _ => None
-    }
+    peel(p, conds, aliases) { case j: Join => j }
 
   /** Try the star shape: Aggregate over fact ⋈ dim. Either join side
     * may be the fact; the OTHER side survives untouched (it may be a
@@ -226,14 +224,21 @@ object RollupRouting extends Rule[LogicalPlan] {
         case RightOuter => !factOnLeft // (unmatched combos carry cnt)
         case _ => false
       }
-      // a non-deterministic dim side has no single exact answer the
-      // routed plan could be proven equal to
-      if (!typeOk ||
-          dimSide.exists(_.expressions.exists(!_.deterministic)))
-        return None
+      if (!typeOk) return None
       strip(factPlan, Nil, aboveAliases).flatMap {
         case (baseLr, conds0, aliases) =>
-          routeStripped(session, agg, baseLr, conds0, aliases,
+          // registry check BEFORE the dim-side determinism walk
+          // (review finding, r15): every aggregate-above-join in a
+          // session with any registration reaches here, and the
+          // lookup is a map probe while the determinism check walks
+          // the whole dim subtree's expressions
+          if (Rollup.keyOf(baseLr)
+              .forall(k => Rollup.lookup(session, k).isEmpty)) None
+          // a non-deterministic dim side has no single exact answer
+          // the routed plan could be proven equal to
+          else if (dimSide.exists(_.expressions.exists(!_.deterministic)))
+            None
+          else routeStripped(session, agg, baseLr, conds0, aliases,
             Some(StarJoin(dimSide, join.joinType, join.condition,
               join.hint, aboveConds, factOnLeft)))
       }

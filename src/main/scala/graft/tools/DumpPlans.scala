@@ -132,15 +132,11 @@ object DumpPlans {
           "two-phase distinct path over the tiny artifact.\n\n```\n" +
           planD + "\n```\n")
         // the round-15 surface: the STAR shape — aggregate above
-        // fact ⋈ dim_table — routes by swapping only the fact side
-        val dimT = Files.createTempDirectory("graft-plans-dim")
-          .resolve("d").toString
-        spark.read.parquet(basePath).select(col("source")).distinct()
-          .select(col("source").as("src"),
-            when(col("source").isin("src0", "src1"), "low")
-              .otherwise("high").as("tier"))
-          .coalesce(1).write.parquet(dimT)
-        val dim = spark.read.parquet(dimT)
+        // fact ⋈ dim_table — routes by swapping only the fact side.
+        // The dim table is q_rollup_star's OWN fixture (one
+        // definition; the oracle CTE mirrors it)
+        val dim = spark.read.parquet(
+          graft.SparkEntry.starDimFor(spark, dir))
         val planS = spark.read.parquet(basePath)
           .join(dim, col("source") === col("src"))
           .where(col("tier") === "high")

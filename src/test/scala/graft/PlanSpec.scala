@@ -661,16 +661,11 @@ class PlanSpec extends SparkSpec {
       .createTempDirectory("graft-rollup-plan-star").toString
     graft.ops.Rollup.saveRollup(spark.read.parquet(basePath), roll,
       dims = Seq("lang", "source"), measures = Seq("n_chars"))
-    val dimT = java.nio.file.Files
-      .createTempDirectory("graft-rollup-plan-dim").resolve("d").toString
-    spark.read.parquet(basePath).select(col("source")).distinct()
-      .select(col("source").as("src"),
-        when(col("source").isin("src0", "src1"), "low")
-          .otherwise("high").as("tier"))
-      .coalesce(1).write.parquet(dimT)
     graft.ops.Rollup.register(spark, basePath, roll)
     try {
-      val dim = spark.read.parquet(dimT)
+      // q_rollup_star's own dim fixture — one definition, mirrored by
+      // the DuckDB oracle CTE
+      val dim = spark.read.parquet(SparkEntry.starDimFor(spark, sfDir))
       val p = spark.read.parquet(basePath)
         .join(dim, col("source") === col("src"))
         .where(col("tier") === "high")

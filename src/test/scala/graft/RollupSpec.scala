@@ -756,6 +756,18 @@ class RollupSpec extends SparkSpec {
     assert(e2.getMessage.contains("streaming"))
     // the artifact is untouched by the refusals
     assert(Rollup.currentDataPath(spark, rp).endsWith("data_v1"))
+    // handing a PERMANENTLY-retired stream's artifact to batch
+    // maintenance is the explicit act the refusal points at: release
+    // the fence, then a batch rebuild versions the path normally
+    assert(Rollup.releaseStreamFence(spark, rp))
+    Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
+    assert(Rollup.currentDataPath(spark, rp).endsWith("data_v2"))
+    Rollup.register(spark, bp, rp)
+    try {
+      val q = spark.read.parquet(bp).groupBy("lang").agg(sum("n").as("s"))
+      assert(readsRollup(q))
+      assert(rows(q) == Seq(Seq("en", 10L)))
+    } finally Rollup.unregister(spark, bp)
   }
 
   test("an uncommitted version is invisible to resolution and swept " +
@@ -799,6 +811,10 @@ class RollupSpec extends SparkSpec {
     val bp = dir.resolve("base").toString
     Seq(("en", 10L)).toDF("lang", "n").coalesce(1).write.parquet(bp)
     val rp = dir.resolve("roll").toString
+    // floor OFF: this test pins the write-cycle bound for the legacy
+    // layout; under the default floor the legacy dir would (rightly)
+    // survive while v1's commit marker is younger than the minimum age
+    spark.conf.set(Rollup.GcMinAgeConf, "0")
     Rollup.saveRollup(spark.read.parquet(bp), rp, Seq("lang"), Seq("n"))
     // age the artifact into the legacy layout (what pre-r14 shipped)
     assert(new java.io.File(s"$rp/data_v1")
@@ -822,7 +838,10 @@ class RollupSpec extends SparkSpec {
       val q = spark.read.parquet(bp).groupBy("lang").agg(sum("n").as("s"))
       assert(readsRollup(q))
       assert(rows(q) == Seq(Seq("en", 10L)))
-    } finally Rollup.unregister(spark, bp)
+    } finally {
+      Rollup.unregister(spark, bp)
+      spark.conf.unset(Rollup.GcMinAgeConf)
+    }
   }
 
   test("two rollups over one base: each query routes to its own " +
