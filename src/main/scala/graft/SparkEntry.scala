@@ -1471,14 +1471,24 @@ object SparkEntry {
     "q_tpch_q21" -> ((s, dir) => {
       val late = col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 20 DAYS")
-      val l1 = Frame(t(s, dir, "lineitem"))
-        .join(Frame(t(s, dir, "orders")), Seq(("l_orderkey", "o_orderkey")))
-        .filter(Raw(col("o_orderstatus") === "F" && late, "late on F"))
-      val others = Frame(t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey")))
-      val lateOthers = Frame(t(s, dir, "lineitem")
+      // round 15: the late-on-F lineitem ⋈ orders subtree is consumed
+      // TWICE (the probe side and the NOT-EXISTS side) — previously as
+      // two separate scans+joins. One explicit l_orderkey exchange lets
+      // both consumers reuse a single build (the r11 shared-exchange
+      // rule): lineitem is scanned twice total (late-F + the EXISTS
+      // side) instead of three times, orders once instead of twice,
+      // and the anti join's two sides sort over the SAME exchange.
+      // Projected to the two columns every consumer needs before the
+      // exchange (guide §2.3 — project before the exchange).
+      val lateF = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .where(col("o_orderstatus") === "F" && late)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(col("l_orderkey"))
+      val l1 = Frame(lateF)
+      val others = Frame(t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey")))
+      val lateOthers = Frame(lateF
         .select(col("l_orderkey").as("o3_orderkey"),
           col("l_suppkey").as("o3_suppkey")))
       l1.joinOn(others, Raw(col("l_orderkey") === col("o2_orderkey") &&

@@ -37,6 +37,41 @@ object Dedup {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val observeId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Per-JVM cache of the gram index's IMMUTABLE meta row (min_len,
+    * n_buckets, release generation), keyed on the meta directory's
+    * listing signature (file names + mtimes + lengths). The meta is
+    * written once per release build and never rewritten — appends
+    * claim generations via `gen/` side files precisely so readers
+    * never see meta churn (ADVICE r11) — yet every excise probe AND
+    * every append paid a full Spark job (~0.12 s locally) re-reading
+    * the same one-row parquet: four such jobs per ingest micro-batch
+    * pair (measured, round 15). A rebuild at the same path writes new
+    * UUID-named part files, so the signature changes and the cache
+    * misses — the safe direction; nothing here caches query RESULTS,
+    * only the artifact's build parameters. */
+  private val gramMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Int, Int, Long))]()
+
+  private[graft] def gramIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Long) = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(metaDir).map(st =>
+        s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+      .sorted.mkString("|")
+    val cached = gramMetaCache.get(path)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val meta = spark.read.parquet(s"$path/meta").head
+      val v = (meta.getAs[Int]("min_len"), meta.getAs[Int]("n_buckets"),
+        if (meta.schema.fieldNames.contains("generation"))
+          meta.getAs[Long]("generation") else 0L)
+      gramMetaCache.put(path, (sig, v))
+      v
+    }
+  }
+
   /** The near-dup detectors key their pair tables on a long id; a blind
     * cast("long") would turn string/UUID ids into NULLs and silently
     * report "no duplicates", so non-integral id columns are rejected. */
@@ -219,8 +254,17 @@ object Dedup {
     // a collision at ~2^-64/pair is irrelevant to intersection counts)
     val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
+    // one explicit tok exchange shared by the document-frequency
+    // aggregate and the prefix join-back (the r11 shared-exchange rule:
+    // an aggregate partial-combines below its own exchange, so its
+    // subtree can never canonicalize equal to the raw-token join side —
+    // without the repartition the corpus explode ran twice in one job,
+    // round-15 plan audit). The join side ships every token occurrence
+    // regardless, so the aggregate riding the same exchange adds no
+    // shuffle bytes — it removes the separate partial-agg exchange.
     val toks = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
+      .repartition(col("tok"))
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // EPS relaxes every pruning bound below: the thresholds are rationals
     // computed in double arithmetic (sz * t can round UP past the exact
@@ -572,35 +616,73 @@ object Dedup {
     * batch text never shuffles. */
   def exciseAgainstIndex(batch: DataFrame, path: String, idCol: String,
       textCol: String, minLen: Int = 8,
-      maxBroadcastGrams: Long = 4000000L): DataFrame = {
+      maxBroadcastGrams: Long = 4000000L): DataFrame =
+    exciseAgainstIndexAnchored(batch,
+      batchAnchorTable(batch, idCol, textCol, minLen), path, idCol,
+      textCol, minLen, maxBroadcastGrams)
+
+  /** The batch's positional anchor table (id, pos, h), MATERIALIZED
+    * once (eager localCheckpoint). Exchange reuse only shares the
+    * anchor explode WITHIN one job; the lifecycle runs it from four
+    * separate actions — the excise's size-gate/bucket collect, the
+    * excise/staged write itself, the append's bucket collect, and the
+    * append's novel anti-join — so without materialization the fused
+    * anchor pass over the batch text executes four times per ingest
+    * micro-batch (measured, round 15: ~0.3–0.5 s each at sf0.1). The
+    * cache holds 24-byte rows (id, pos, 64-bit hash — text never
+    * enters it) and spills to disk past memory, so a backfill-sized
+    * batch pays storage proportional to its own anchor volume — the
+    * same bytes its repartition already writes to shuffle disk —
+    * never a driver cliff. NULL-id docs are excluded here, the
+    * exactSubstringDedup pass-through rule both consumers share. */
+  private[graft] def batchAnchorTable(batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    require(maxBroadcastGrams >= 1, "maxBroadcastGrams must be positive")
     import graft.functions.ShingleExprs.shingleAnchors
-    val spark = batch.sparkSession
-    graft.Graft.init(spark)
+    graft.Graft.init(batch.sparkSession)
     val id = longId(batch, idCol)
-    // NULL-id docs pass through unexcised — the exactSubstringDedup rule;
-    // the explicit h-exchange is shared by all four anchor consumers
-    // (gram distinct, bucket collect, corpus-hit probe, within-batch
-    // dup detection) — the exactSubstringDedup reuse shape
-    val anchors = batch
+    Checkpoints.materialize(batch
       .where(id.isNotNull)
       .select(id.as("id"),
         posexplode(shingleAnchors(lower(col(textCol)), minLen))
           .as(Seq("i", "h")))
-      .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h"))
-      .repartition(col("h"))
+      .select(col("id"), (col("i") + 1).cast("long").as("pos"), col("h")),
+      None)
+  }
+
+  /** [[exciseAgainstIndex]] over a pre-materialized
+    * [[batchAnchorTable]] — the ingest lifecycle
+    * ([[graft.streaming.StreamOps.substringDedupIngestBatch]]) builds
+    * the anchor table once and shares it with
+    * [[appendToGramIndexAnchored]], so the batch text is anchored
+    * exactly once per micro-batch. `anchorTable` MUST be built with
+    * this `minLen` over this `batch` (enforced for the index side by
+    * the meta check below). */
+  private[graft] def exciseAgainstIndexAnchored(batch: DataFrame,
+      anchorTable: DataFrame, path: String, idCol: String,
+      textCol: String, minLen: Int = 8,
+      maxBroadcastGrams: Long = 4000000L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxBroadcastGrams >= 1, "maxBroadcastGrams must be positive")
+    val spark = batch.sparkSession
+    graft.Graft.init(spark)
+    // the explicit h-exchange is shared by the three anchor consumers
+    // of the main job (gram distinct, corpus-hit probe, within-batch
+    // dup detection) — the exactSubstringDedup reuse shape; its input
+    // is the materialized anchor cache, not a re-explode
+    val anchors = anchorTable.repartition(col("h"))
     val batchGrams = anchors.select(col("h")).distinct()
     val idx = spark.read.parquet(s"$path/grams")
     // bucket arithmetic must mirror the writer: pmod(h, nBuckets) with
     // the recorded bucket count (and the recorded minLen must match —
-    // a mismatch would silently MISS duplicated spans, so fail loudly)
-    val meta = spark.read.parquet(s"$path/meta").head
-    val idxMinLen = meta.getAs[Int]("min_len")
+    // a mismatch would silently MISS duplicated spans, so fail loudly);
+    // the meta row comes through the signature-keyed per-JVM cache —
+    // re-reading the immutable one-row parquet cost a Spark job per probe
+    val (idxMinLen, nBucketsInt, _) = gramIndexMeta(spark, path)
     require(idxMinLen == minLen,
       s"exciseAgainstIndex: index was built with minLen=$idxMinLen, " +
         s"probe uses $minLen — gram identities cannot match")
-    val nBuckets = meta.getAs[Int]("n_buckets").toLong
+    val nBuckets = nBucketsInt.toLong
     // ONE ≤ nBuckets-row collect carries BOTH driver decisions: the
     // per-bucket distinct-gram counts sum to the size-gate total, and
     // the keys are the partition-pruning bucket list — fusing what was
@@ -638,7 +720,13 @@ object Dedup {
       .join(anchors, Seq("h"))
       .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"), col("pos"))
-    exciseAtPositions(batch, corpusHit.unionByName(batchDups).distinct(),
+    // no distinct on the union (round 15): the only duplicates are
+    // positions hit by BOTH branches (corpus gram AND within-batch
+    // repeat), and the interval merge in exciseAtPositions is
+    // idempotent to duplicate (id, pos) rows — a duplicate lands in
+    // the same island and moves no min/max/sum. Dropping the distinct
+    // removes a whole (id, pos)-keyed exchange+aggregate per probe.
+    exciseAtPositions(batch, corpusHit.unionByName(batchDups),
       idCol, textCol, minLen)
   }
 
@@ -834,27 +922,43 @@ object Dedup {
     * excised (no identity) must not make OTHER docs' copies of its
     * text "already seen", or the lifecycle's two halves disagree. */
   def appendToGramIndex(batch: DataFrame, path: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String): Unit =
+    appendToGramIndexAnchored(batch, path, idCol, textCol, None)
+
+  /** [[appendToGramIndex]], optionally reusing the ingest lifecycle's
+    * already-materialized [[batchAnchorTable]] (`anchored` = the table
+    * plus the minLen it was built with — REQUIRED to match the index's
+    * recorded minLen, or the appended gram identities could not match
+    * future probes). Without it the gram set is anchored here, still
+    * in ONE materialized pass shared by the bucket collect and the
+    * novel anti-join below (previously two separate re-explodes). */
+  private[graft] def appendToGramIndexAnchored(batch: DataFrame,
+      path: String, idCol: String, textCol: String,
+      anchored: Option[(DataFrame, Int)]): Unit = {
     import graft.functions.ShingleExprs.shingleAnchors
     val spark = batch.sparkSession
     graft.Graft.init(spark)
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head
-    val minLen = meta.getAs[Int]("min_len")
-    val nBuckets = meta.getAs[Int]("n_buckets")
+    // the meta row comes through the signature-keyed per-JVM cache (one
+    // FS listing instead of a Spark job on every micro-batch append)
+    val (minLen, nBuckets, metaGen) = gramIndexMeta(spark, path)
+    anchored.foreach { case (_, anchorMinLen) =>
+      require(anchorMinLen == minLen,
+        s"appendToGramIndex: shared anchor table was built with " +
+          s"minLen=$anchorMinLen, index records $minLen — gram " +
+          "identities cannot match") }
     // claim BEFORE any data write: a concurrent writer dies here with
     // nothing appended (the single-writer CAS, VERDICT r11 #2), and an
     // in-flight compaction marker aborts the append before it can slip
-    // rows into (or recreate) a directory mid-swap. metaGen rides the
-    // meta row read above — no second meta job on the hot path
-    val metaGen = if (meta.schema.fieldNames.contains("generation"))
-      meta.getAs[Long]("generation") else 0L
+    // rows into (or recreate) a directory mid-swap
     val claimed = claimWrite(spark, path, metaGen, failOnCompaction = true)
-    val grams = batch
-      .where(longId(batch, idCol).isNotNull)
-      .select(explode(shingleAnchors(lower(col(textCol)), minLen)).as("h"))
-      .distinct()
-      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+    val grams = (anchored match {
+      case Some((anchorTable, _)) => anchorTable.select(col("h")).distinct()
+      case None => Checkpoints.materialize(batch
+        .where(longId(batch, idCol).isNotNull)
+        .select(explode(shingleAnchors(lower(col(textCol)), minLen))
+          .as("h")).distinct(), None)
+    }).withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
     // prune the standing read to the buckets the batch actually hits
     // (≤ nBuckets values — bounded), then keep only NOVEL grams: an
     // append must never duplicate an (h) row, or future probes would
@@ -1374,8 +1478,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      // one stream of `base` attaches both sides (round 15 — the same
+      // pair-explode attach as confirmJaccard/attachPairVectors: the
+      // old per-side join-backs each streamed the full string table)
+      .select(struct(col("id_a"), col("id_b")).as("p"))
+      .select(col("p"), explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
+      .join(base, Seq("id"))
+      .groupBy(col("p"))
+      .agg(
+        first(when(col("id") === col("p.id_a"), col("s")),
+          ignoreNulls = true).as("s_a"),
+        first(when(col("id") === col("p.id_b"), col("s")),
+          ignoreNulls = true).as("s_b"))
+      .where(col("s_a").isNotNull && col("s_b").isNotNull)
       // bounded confirm: the threshold form runs the banded O(k·L) DP
       // and returns -1 past the bound — computed once per candidate,
       // then filtered on the column (a filter-then-reproject would pay
@@ -1383,7 +1498,8 @@ object Dedup {
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .where(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("dist"))
   }
 
   /** The deduped corpus a near-dup pass actually produces: from a pair
@@ -1567,11 +1683,36 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Exact-Jaccard confirm of a DISTINCT candidate-pair table (every
+    * caller distincts — the group-by below relies on it). Round 15:
+    * the pairs attach both shingle sets through ONE stream of `sets`
+    * — the old per-side join-backs each streamed the full corpus
+    * build (scan + fused shingle pass, the most expensive per-row
+    * work in these pipelines) because the candidate side broadcasts
+    * and the corpus side streams, per join. Exploding each pair to
+    * its member ids makes the attach a single corpus pass; the
+    * exchange above it is candidate-bounded (a doc's set moves once
+    * per pair it appears in — density the PPJoin prefix / LSH band
+    * filters bound by construction). `first(when)` is deterministic
+    * here: ids are unique per caller contract and id_a ≠ id_b, so
+    * exactly one non-null row exists per side of each pair. */
   private def confirmJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(struct(col("id_a"), col("id_b")).as("p"))
+      .select(col("p"),
+        explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
+      .join(sets, Seq("id"))
+      .groupBy(col("p"))
+      .agg(
+        first(when(col("id") === col("p.id_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col("id") === col("p.id_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
+      // a pair whose side is missing from `sets` keeps a NULL sh —
+      // the old inner join-backs dropped it; the null-safe jaccard
+      // comparison below filters it the same way
+      .where(col("sh_a").isNotNull && col("sh_b").isNotNull)
       // sorted-distinct hash sets -> allocation-free merge count
       // (functions.SortedIntersectCount == size(array_intersect) here)
       .withColumn("inter", graft.functions.ShingleExprs
@@ -1579,5 +1720,6 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
 }

@@ -422,13 +422,37 @@ object Similarity {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+    attachPairVectors(cand, base, "id_a", "id_b")
       .withColumn("cosine", VectorExprs.cosineSim(col("v_a"), col("v_b")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Attach both members' vectors to a DISTINCT pair table through ONE
+    * stream of `base` (round 15): the per-side join-backs each streamed
+    * the full embedding table (the candidate side broadcasts, the
+    * corpus side streams — per join), so the confirm paid two corpus
+    * scans. Exploding each pair to its member ids makes the attach a
+    * single pass; the exchange above it is candidate-bounded (a vector
+    * moves once per pair it appears in — the band-occupancy bound).
+    * `first(when)` is deterministic: ids are unique per the embedding
+    * contract and left ≠ right in every caller. Returns
+    * (leftName, rightName, v_a, v_b). */
+  private def attachPairVectors(pairs: DataFrame, base: DataFrame,
+      leftName: String, rightName: String): DataFrame =
+    pairs
+      .select(struct(col(leftName).as("l"), col(rightName).as("r")).as("p"))
+      .select(col("p"), explode(array(col("p.l"), col("p.r"))).as("id"))
+      .join(base, Seq("id"))
+      .groupBy(col("p"))
+      .agg(
+        first(when(col("id") === col("p.l"), col("v")),
+          ignoreNulls = true).as("v_a"),
+        first(when(col("id") === col("p.r"), col("v")),
+          ignoreNulls = true).as("v_b"))
+      .where(col("v_a").isNotNull && col("v_b").isNotNull)
+      .select(col("p.l").as(leftName), col("p.r").as(rightName),
+        col("v_a"), col("v_b"))
 
   /** k-nearest-neighbor self-join: for EVERY document, its top-k most
     * cosine-similar neighbors — the retrieval / clustering / hard-negative
@@ -465,10 +489,8 @@ object Similarity {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    cand
-      .join(base.select(col("id").as("qid"), col("v").as("v_q")), Seq("qid"))
-      .join(base.select(col("id").as("nid"), col("v").as("v_n")), Seq("nid"))
-      .withColumn("cosine", VectorExprs.cosineSim(col("v_q"), col("v_n")))
+    attachPairVectors(cand, base, "qid", "nid")
+      .withColumn("cosine", VectorExprs.cosineSim(col("v_a"), col("v_b")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("cosine"), 4).as("cosine"),

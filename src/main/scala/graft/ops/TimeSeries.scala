@@ -52,17 +52,44 @@ object TimeSeries {
   def resampleFfill(df: DataFrame, keyCol: String, bucket: Column,
       aggs: Seq[Column], fillCols: Seq[String]): DataFrame = {
     require(aggs.nonEmpty, "resampleFfill needs at least one aggregate")
+    // Round 15 (join-free form): the old shape built the grid as a
+    // second aggregate over the per-bucket table and LEFT-joined the
+    // per-bucket table back to it — and Catalyst's column pruning
+    // specialized the grid branch into its own scan+aggregate over the
+    // raw input (2 corpus scans, a grid join, 3 exchanges — plan
+    // audit). Instead, each real row expands to itself plus the GAP
+    // buckets up to the next real row (lead), which is also exactly
+    // the forward-fill: gap rows copy their preceding real row's
+    // already-filled values. One scan, the aggregate exchange, one
+    // key-partitioned window — no join, and a key's grid now explodes
+    // from its gap segments rather than one giant per-key row.
+    //
+    // Preserved edge semantics of the join form: null-bucket groups
+    // joined to no grid row (filtered here before the window so their
+    // values cannot leak into a fill); null-KEY grid rows survived the
+    // join UNMATCHED — every aggregate null — so all outputs are
+    // nulled for a null key; a real row whose fill value is null
+    // carries the latest earlier non-null (fill runs on real rows
+    // before expansion).
     val perBucket = df.groupBy(col(keyCol), bucket.as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
-    val grid = perBucket.groupBy(col(keyCol))
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col(keyCol),
-        explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val joined = grid.join(perBucket, Seq(keyCol, "bucket"), "left")
+      .where(col("bucket").isNotNull)
+    val aggCols = perBucket.columns.filterNot(c => c == keyCol || c == "bucket")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fillCols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = fillCols.foldLeft(perBucket)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val outAggs = aggCols.map { c =>
+      if (fillCols.contains(c)) when(col(keyCol).isNotNull, col(c)).as(c)
+      else when(col(keyCol).isNotNull && col("_b") === col("_rb"), col(c)).as(c)
+    }
+    filled
+      .withColumn("_nxt", lead(col("bucket"), 1).over(w))
+      .select(col(keyCol) +: col("bucket").as("_rb") +:
+        explode(sequence(col("bucket"),
+          coalesce(col("_nxt") - 1, col("bucket")))).as("_b") +:
+        aggCols.map(col): _*)
+      .select(col(keyCol) +: col("_b").as("bucket") +: outAggs: _*)
   }
 
   /** Cohort retention matrix: bucket each entity's activity (the

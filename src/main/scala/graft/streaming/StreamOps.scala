@@ -1181,9 +1181,27 @@ object StreamOps extends org.apache.spark.internal.Logging {
     // the safe direction.
     val fp = inputFingerprint(batch, idCol, textCol)
     val fpDir = s"$dir/_input_fp"
+    // the fingerprint is ONE tiny record — since round 15 it lands as a
+    // plain file written through the FS API (`_input_fp_v2`), not a
+    // 1-row parquet dataset: the parquet form cost a full Spark
+    // write job (~0.14 s) on every micro-batch for ~40 bytes of state.
+    // Read order: a v2 file is authoritative when present (any mismatch
+    // recomputes — never falls through to a stale legacy dir); absent
+    // it, the pre-r15 parquet forms are honored unchanged.
+    val fpFile = new org.apache.hadoop.fs.Path(s"$dir/_input_fp_v2")
+    def fpFileMatches(): Boolean = scala.util.Try {
+      val in = fs.open(fpFile)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      val parts = line.split("\\|", 4)
+      parts.length == 4 && parts(0).toLong == fp._1 &&
+        parts(1).toLong == fp._2 && parts(2).toLong == fp._3 &&
+        parts(3) == runId
+    }.getOrElse(false)
     val staged =
-      fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")) &&
-        scala.util.Try {
+      fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")) && (
+        if (fs.exists(fpFile)) fpFileMatches()
+        else scala.util.Try {
           val fpDf = spark.read.parquet(fpDir)
           val r = fpDf.head()
           if (fpDf.columns.length >= 4)
@@ -1211,14 +1229,17 @@ object StreamOps extends org.apache.spark.internal.Logging {
                 "fingerprint.")
             ok
           }
-        }.getOrElse(false)
+        }.getOrElse(false))
     if (!staged) {
       // compute is by-name: a replayed batch never re-plans (let alone
-      // re-runs) the dedup against the already-grown index
+      // re-runs) the dedup against the already-grown index. The
+      // fingerprint file lands AFTER the data (one FS create — no
+      // Spark job): a crash between the two reads as a mismatch on
+      // replay and recomputes, the safe direction.
       compute.write.mode("overwrite").parquet(dir)
-      import spark.implicits._
-      Seq((fp._1, fp._2, fp._3, runId)).toDF("c", "x", "t", "run")
-        .coalesce(1).write.mode("overwrite").parquet(fpDir)
+      val out = fs.create(fpFile, true)
+      try out.write(s"${fp._1}|${fp._2}|${fp._3}|$runId\n"
+        .getBytes("UTF-8")) finally out.close()
     }
     spark.read.parquet(dir)
   }
@@ -1274,12 +1295,19 @@ object StreamOps extends org.apache.spark.internal.Logging {
       indexPath: String, idCol: String, textCol: String, minLen: Int = 8,
       maxBroadcastGrams: Long = 4000000L, runId: String = "")
       (sink: (DataFrame, Long) => Unit): Unit = {
+    // anchor the batch text ONCE per micro-batch: the materialized
+    // (id, pos, h) table feeds both the excise probe and the novel-gram
+    // append, which otherwise each re-run the fused anchor explode as
+    // their own jobs (4 passes per batch measured at sf0.1, round 15)
+    val anchors = graft.ops.Dedup.batchAnchorTable(batch, idCol, textCol,
+      minLen)
     val cleaned = stagedBatchResult(batch, idCol, textCol, indexPath,
       batchId, runId)(
-      graft.ops.Dedup.exciseAgainstIndex(batch, indexPath, idCol, textCol,
-        minLen, maxBroadcastGrams))
+      graft.ops.Dedup.exciseAgainstIndexAnchored(batch, anchors,
+        indexPath, idCol, textCol, minLen, maxBroadcastGrams))
     sink(cleaned, batchId)
-    graft.ops.Dedup.appendToGramIndex(batch, indexPath, idCol, textCol)
+    graft.ops.Dedup.appendToGramIndexAnchored(batch, indexPath, idCol,
+      textCol, Some((anchors, minLen)))
   }
 
   /** Streaming corpus ingest with NEAR-duplicate dedup — the signature

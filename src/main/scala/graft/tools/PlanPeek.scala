@@ -7,10 +7,24 @@ object PlanPeek {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val p = graft.SparkEntry.queries(args(0))(
-        spark, if (args.length > 1) args(1) else "/root/testdata/sf0.001")
-      .queryExecution.explainString(FormattedMode)
-    println(p)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    // comma-separated names; with a third arg, write each plan to
+    // <outDir>/<name><suffix>.txt instead of stdout (round-15 plan
+    // capture: one JVM for the whole list)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val outDir = if (args.length > 2) Some(args(2)) else None
+    val suffix = if (args.length > 3) args(3) else ""
+    names.foreach { name =>
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      outDir match {
+        case Some(od) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(od, s"$name$suffix.txt"), p)
+          println(s"[planpeek] wrote $od/$name$suffix.txt")
+        case None => println(s"== $name ==\n$p")
+      }
+    }
     spark.stop()
   }
 }

@@ -1145,11 +1145,22 @@ class StreamingSpec extends SparkSpec {
     StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
       "text", minLen = 8, runId = "runA")(sink)
     assert(delivered == Vector("head s1 s2 s3 s4 s5 s6 s7 s8 foot"))
-    // rewrite the staged fingerprint into the legacy 2-column form
+    // since r15 a fresh stage records its fingerprint as the plain
+    // `_input_fp_v2` FILE (no per-batch parquet job); a pre-r15 stage
+    // carries the parquet DIR instead. Rebuild that legacy state:
+    // drop the v2 file and plant the 2-column (count, id-xor) parquet
+    // a pre-r13 build would have written.
+    val fpV2 = java.nio.file.Paths.get(tmp, "ingest_stage", "b0",
+      "_input_fp_v2")
+    assert(java.nio.file.Files.exists(fpV2),
+      "fresh stage must record the v2 fingerprint file")
+    java.nio.file.Files.delete(fpV2)
     val fpDir = s"$tmp/ingest_stage/b0/_input_fp"
-    val legacy = spark.read.parquet(fpDir).select("c", "x").collect()
+    val cx = batch.selectExpr("count(1) AS c",
+      "coalesce(bit_xor(xxhash64(cast(doc_id AS string))), 0L) AS x")
+      .head()
     import spark.implicits._
-    legacy.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("c", "x")
+    Seq((cx.getLong(0), cx.getLong(1))).toDF("c", "x")
       .coalesce(1).write.mode("overwrite").parquet(fpDir)
     // replay (same input; the append ALREADY ran above): must deliver
     // the staged original, not a recompute that excises the passage
