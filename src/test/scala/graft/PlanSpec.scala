@@ -213,11 +213,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))
     assert("HashAggregate".r.findAllIn(p).isEmpty)
-    // skew report: each key column costs exactly its own count
-    // aggregation (the shuffle being measured) and a 1-row stats agg
+    // skew report (round 15): ONE input pass for every key column —
+    // each row explodes to its (key_col, key) projections and a single
+    // count aggregation covers them all; the old per-column Union of
+    // scans (3 scans for 3 key columns) is gone
     val sk = plan("q_skew_report")
     assert(!sk.contains("CartesianProduct"))
-    assert(sk.contains("Union"))
+    assert(!sk.contains("Union"),
+      s"skew report must not union per-column scans:\n$sk")
+    val skScans = sk.linesIterator
+      .count(_.matches("\\(\\d+\\) Scan parquet\\s*"))
+    assert(skScans == 1,
+      s"skew report must scan the input exactly once, got $skScans:\n$sk")
   }
 
   test("TPC-H Q13 left join keeps order-less customers; both aggs partial+final") {
