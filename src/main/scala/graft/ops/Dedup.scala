@@ -1477,20 +1477,30 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
-      // one stream of `base` attaches both sides (round 15 — the same
-      // pair-explode attach as confirmJaccard/attachPairVectors: the
-      // old per-side join-backs each streamed the full string table)
-      .select(struct(col("id_a"), col("id_b")).as("p"))
-      .select(col("p"), explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
-      .join(base, Seq("id"))
-      .groupBy(col("p"))
-      .agg(
-        first(when(col("id") === col("p.id_a"), col("s")),
-          ignoreNulls = true).as("s_a"),
-        first(when(col("id") === col("p.id_b"), col("s")),
-          ignoreNulls = true).as("s_b"))
-      .where(col("s_a").isNotNull && col("s_b").isNotNull)
+    // size-gated attach (see pairExplodeAttach): small string tables use
+    // two broadcast join-backs, large ones one stream + pair regroup
+    val attached =
+      if (pairExplodeAttach(base))
+        cand
+          .select(struct(col("id_a"), col("id_b")).as("p"))
+          .select(col("p"), explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
+          .join(base, Seq("id"))
+          .groupBy(col("p"))
+          .agg(
+            first(when(col("id") === col("p.id_a"), col("s")),
+              ignoreNulls = true).as("s_a"),
+            first(when(col("id") === col("p.id_b"), col("s")),
+              ignoreNulls = true).as("s_b"))
+          .where(col("s_a").isNotNull && col("s_b").isNotNull)
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("s_a"), col("s_b"))
+      else
+        cand
+          .join(base.select(col("id").as("id_a"), col("s").as("s_a")),
+            Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("s").as("s_b")),
+            Seq("id_b"))
+    attached
       // bounded confirm: the threshold form runs the banded O(k·L) DP
       // and returns -1 past the bound — computed once per candidate,
       // then filtered on the column (a filter-then-reproject would pay
@@ -1498,8 +1508,7 @@ object Dedup {
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .where(col("dist") >= 0)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** The deduped corpus a near-dup pass actually produces: from a pair
@@ -1683,36 +1692,76 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Attach-strategy gate shared by the exact confirms ([[confirmJaccard]],
+    * [[editDistancePairs]], [[graft.ops.Similarity]]'s vector attach).
+    * Two ways to re-attach per-id payloads to a DISTINCT candidate-pair
+    * table, with opposite cost shapes (round-16 driver-measured):
+    *
+    *  - TWO JOIN-BACKS (pairs ⋈ corpus on id_a, then on id_b): the pair
+    *    side broadcasts, so NO payload ever crosses an exchange — but the
+    *    corpus build (scan + fused shingle/vector pass) streams once per
+    *    join. Cheap while the corpus is small; at 100 TB it is two full
+    *    corpus streams, and once the pair table outgrows broadcast the
+    *    planner degrades it to two corpus-sized shuffles keyed on id.
+    *  - PAIR-EXPLODE (explode each pair to its member ids, join the
+    *    corpus ONCE, regroup by pair): one corpus stream, but the regroup
+    *    shuffles full payloads once per pair membership, and at small
+    *    scale the planner inverts the build side — it broadcasts the
+    *    CORPUS under the exploded pairs (round-15 plan dump: the whole
+    *    shingle build collected into a BroadcastExchange), which is what
+    *    regressed four headline queries ~40% at sf0.1.
+    *
+    * Gate on the corpus subtree's size estimate (for file sources this
+    * is the scan's real file bytes scaled by projection — reliable,
+    * unlike post-join estimates): below the threshold the corpus is
+    * cheap to re-stream and broadcast-safe, so the two-join form wins;
+    * above it the corpus must not broadcast and must not stream twice,
+    * so the pair-explode form wins. Scale-adaptive by construction —
+    * the same query flips strategy as its input grows — and tunable via
+    * spark.graft.confirm.explodeMinBytes (bytes; local default keeps
+    * every test SF in the two-join regime, see OPTIMIZATION_r16.md). */
+  private[graft] def pairExplodeAttach(corpus: DataFrame): Boolean = {
+    val minBytes = corpus.sparkSession.conf
+      .get("spark.graft.confirm.explodeMinBytes", (1L << 30).toString).toLong
+    corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+  }
+
   /** Exact-Jaccard confirm of a DISTINCT candidate-pair table (every
-    * caller distincts — the group-by below relies on it). Round 15:
-    * the pairs attach both shingle sets through ONE stream of `sets`
-    * — the old per-side join-backs each streamed the full corpus
-    * build (scan + fused shingle pass, the most expensive per-row
-    * work in these pipelines) because the candidate side broadcasts
-    * and the corpus side streams, per join. Exploding each pair to
-    * its member ids makes the attach a single corpus pass; the
-    * exchange above it is candidate-bounded (a doc's set moves once
-    * per pair it appears in — density the PPJoin prefix / LSH band
-    * filters bound by construction). `first(when)` is deterministic
-    * here: ids are unique per caller contract and id_a ≠ id_b, so
-    * exactly one non-null row exists per side of each pair. */
+    * caller distincts — the pair-explode regroup relies on it). The
+    * attach strategy is size-gated, see [[pairExplodeAttach]]: small
+    * corpora use two broadcast join-backs (zero payload shuffle), large
+    * corpora one corpus stream + a candidate-bounded pair regroup (a
+    * doc's set moves once per pair it appears in — density the PPJoin
+    * prefix / LSH band filters bound by construction). `first(when)` in
+    * the explode branch is deterministic: ids are unique per caller
+    * contract and id_a ≠ id_b, so exactly one non-null row exists per
+    * side of each pair. Both branches drop a pair whose side is missing
+    * from `sets` (inner joins there, the null filter here). */
   private def confirmJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame =
-    cand
-      .select(struct(col("id_a"), col("id_b")).as("p"))
-      .select(col("p"),
-        explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
-      .join(sets, Seq("id"))
-      .groupBy(col("p"))
-      .agg(
-        first(when(col("id") === col("p.id_a"), col("sh")),
-          ignoreNulls = true).as("sh_a"),
-        first(when(col("id") === col("p.id_b"), col("sh")),
-          ignoreNulls = true).as("sh_b"))
-      // a pair whose side is missing from `sets` keeps a NULL sh —
-      // the old inner join-backs dropped it; the null-safe jaccard
-      // comparison below filters it the same way
-      .where(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      threshold: Double): DataFrame = {
+    val attached =
+      if (pairExplodeAttach(sets))
+        cand
+          .select(struct(col("id_a"), col("id_b")).as("p"))
+          .select(col("p"),
+            explode(array(col("p.id_a"), col("p.id_b"))).as("id"))
+          .join(sets, Seq("id"))
+          .groupBy(col("p"))
+          .agg(
+            first(when(col("id") === col("p.id_a"), col("sh")),
+              ignoreNulls = true).as("sh_a"),
+            first(when(col("id") === col("p.id_b"), col("sh")),
+              ignoreNulls = true).as("sh_b"))
+          .where(col("sh_a").isNotNull && col("sh_b").isNotNull)
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("sh_a"), col("sh_b"))
+      else
+        cand
+          .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+    attached
       // sorted-distinct hash sets -> allocation-free merge count
       // (functions.SortedIntersectCount == size(array_intersect) here)
       .withColumn("inter", graft.functions.ShingleExprs
@@ -1720,6 +1769,6 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

@@ -428,31 +428,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Attach both members' vectors to a DISTINCT pair table through ONE
-    * stream of `base` (round 15): the per-side join-backs each streamed
-    * the full embedding table (the candidate side broadcasts, the
-    * corpus side streams — per join), so the confirm paid two corpus
-    * scans. Exploding each pair to its member ids makes the attach a
-    * single pass; the exchange above it is candidate-bounded (a vector
-    * moves once per pair it appears in — the band-occupancy bound).
-    * `first(when)` is deterministic: ids are unique per the embedding
-    * contract and left ≠ right in every caller. Returns
+  /** Attach both members' vectors to a DISTINCT pair table. Size-gated
+    * like the Jaccard confirm (see [[Dedup.pairExplodeAttach]]): a small
+    * embedding table re-attaches through two broadcast join-backs (the
+    * pair side broadcasts — zero vector ever crosses an exchange); a
+    * large one streams ONCE through a pair-explode + regroup, whose
+    * exchange is candidate-bounded (a vector moves once per pair it
+    * appears in — the band-occupancy bound). `first(when)` is
+    * deterministic: ids are unique per the embedding contract and
+    * left ≠ right in every caller. Returns
     * (leftName, rightName, v_a, v_b). */
   private def attachPairVectors(pairs: DataFrame, base: DataFrame,
       leftName: String, rightName: String): DataFrame =
-    pairs
-      .select(struct(col(leftName).as("l"), col(rightName).as("r")).as("p"))
-      .select(col("p"), explode(array(col("p.l"), col("p.r"))).as("id"))
-      .join(base, Seq("id"))
-      .groupBy(col("p"))
-      .agg(
-        first(when(col("id") === col("p.l"), col("v")),
-          ignoreNulls = true).as("v_a"),
-        first(when(col("id") === col("p.r"), col("v")),
-          ignoreNulls = true).as("v_b"))
-      .where(col("v_a").isNotNull && col("v_b").isNotNull)
-      .select(col("p.l").as(leftName), col("p.r").as(rightName),
-        col("v_a"), col("v_b"))
+    if (Dedup.pairExplodeAttach(base))
+      pairs
+        .select(struct(col(leftName).as("l"), col(rightName).as("r")).as("p"))
+        .select(col("p"), explode(array(col("p.l"), col("p.r"))).as("id"))
+        .join(base, Seq("id"))
+        .groupBy(col("p"))
+        .agg(
+          first(when(col("id") === col("p.l"), col("v")),
+            ignoreNulls = true).as("v_a"),
+          first(when(col("id") === col("p.r"), col("v")),
+            ignoreNulls = true).as("v_b"))
+        .where(col("v_a").isNotNull && col("v_b").isNotNull)
+        .select(col("p.l").as(leftName), col("p.r").as(rightName),
+          col("v_a"), col("v_b"))
+    else
+      pairs
+        .join(base.select(col("id").as(leftName), col("v").as("v_a")),
+          Seq(leftName))
+        .join(base.select(col("id").as(rightName), col("v").as("v_b")),
+          Seq(rightName))
+        .select(col(leftName), col(rightName), col("v_a"), col("v_b"))
 
   /** k-nearest-neighbor self-join: for EVERY document, its top-k most
     * cosine-similar neighbors — the retrieval / clustering / hard-negative

@@ -2,10 +2,17 @@ package graft.tools
 import org.apache.spark.sql.execution.FormattedMode
 object PlanPeek {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+    val builder = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // extra confs (e.g. forcing a plan-time strategy gate):
+    // SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     // comma-separated names; with a third arg, write each plan to
