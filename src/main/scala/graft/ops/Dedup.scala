@@ -254,17 +254,22 @@ object Dedup {
     // a collision at ~2^-64/pair is irrelevant to intersection counts)
     val sets = docs.select(longId(docs, idCol).as("id"),
       shingleHash64(col(textCol), shingleN).as("sh"))
-    // one explicit tok exchange shared by the document-frequency
-    // aggregate and the prefix join-back (the r11 shared-exchange rule:
-    // an aggregate partial-combines below its own exchange, so its
-    // subtree can never canonicalize equal to the raw-token join side —
-    // without the repartition the corpus explode ran twice in one job,
-    // round-15 plan audit). The join side ships every token occurrence
-    // regardless, so the aggregate riding the same exchange adds no
-    // shuffle bytes — it removes the separate partial-agg exchange.
-    val toks = sets.select(col("id"), size(col("sh")).as("sz"),
+    // The explicit tok exchange shared by the document-frequency
+    // aggregate and the prefix join-back (the r11 shared-exchange rule)
+    // is size-gated like the confirm attach (round 16): at small scale
+    // the planner BROADCASTS the df join anyway, so the repartition is
+    // an exchange computed and thrown away (round-15 plan dump: the
+    // repartitioned occurrence table collected into a BroadcastExchange)
+    // — and it also robs the df aggregate of its map-side partial
+    // combine. Small corpora skip it (df partial-combines below its own
+    // small exchange; the explode may run twice, cheap at that size);
+    // large corpora keep the single shared corpus-sized exchange.
+    val toksBase = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
-      .repartition(col("tok"))
+    val toks =
+      if (corpusExceeds(sets, "spark.graft.jaccard.sharedTokExchangeMinBytes"))
+        toksBase.repartition(col("tok"))
+      else toksBase
     val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // EPS relaxes every pruning bound below: the thresholds are rationals
     // computed in double arithmetic (sz * t can round UP past the exact
@@ -1720,9 +1725,16 @@ object Dedup {
     * the same query flips strategy as its input grows — and tunable via
     * spark.graft.confirm.explodeMinBytes (bytes; local default keeps
     * every test SF in the two-join regime, see OPTIMIZATION_r16.md). */
-  private[graft] def pairExplodeAttach(corpus: DataFrame): Boolean = {
+  private[graft] def pairExplodeAttach(corpus: DataFrame): Boolean =
+    corpusExceeds(corpus, "spark.graft.confirm.explodeMinBytes")
+
+  /** True when `corpus`'s optimizer size estimate reaches the byte
+    * threshold configured under `confKey` (default 1 GiB) — the shared
+    * plan-time predicate behind the scale-adaptive strategy gates. */
+  private[graft] def corpusExceeds(corpus: DataFrame,
+      confKey: String): Boolean = {
     val minBytes = corpus.sparkSession.conf
-      .get("spark.graft.confirm.explodeMinBytes", (1L << 30).toString).toLong
+      .get(confKey, (1L << 30).toString).toLong
     corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
   }
 
