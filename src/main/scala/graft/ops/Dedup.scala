@@ -711,28 +711,33 @@ object Dedup {
         pruned.join(broadcast(batchGrams), Seq("h"), "left_semi")
       else pruned.join(batchGrams, Seq("h"), "left_semi"))
       .select(col("h"))
-    // corpus always wins: every batch occurrence of an indexed gram is
-    // excised; batch-internal duplicates keep their first occurrence
-    val corpusHit = (if (broadcastRegime)
-        anchors.join(broadcast(hits), Seq("h"), "left_semi")
-      else anchors.join(hits, Seq("h"), "left_semi"))
-      .select(col("id"), col("pos"))
-    val batchDups = anchors
+    // ONE pass decides every cut (round 16 — the fused form of what was
+    // two anchor consumers plus a union): the per-gram aggregate (rides
+    // the shared h-exchange) left-joins the corpus-hit set — the gram
+    // index holds globally DISTINCT h (the release build distincts, the
+    // appends are novel-only), so the left join never fans out — and a
+    // gram survives as a cut source when the corpus has it (every batch
+    // occurrence is excised: corpus always wins) or the batch repeats
+    // it (all but the min-(id, pos) first occurrence excised). The
+    // join-back to the anchors is h-keyed on both sides of the same
+    // exchange. vs the round-15 shape this removes one full read of the
+    // anchor exchange (the separate corpus-hit semi-join) and the
+    // union, and each cut position now arrives exactly once.
+    val hitGrams = hits.withColumn("__hit", lit(true))
+    val gramAgg = anchors
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n"),
         min(struct(col("id"), col("pos"))).as("first"))
-      .where(col("n") >= 2)
-      .join(anchors, Seq("h"))
-      .where(col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+    val gramCuts = (if (broadcastRegime)
+        gramAgg.join(broadcast(hitGrams), Seq("h"), "left")
+      else gramAgg.join(hitGrams, Seq("h"), "left"))
+      .withColumn("__hit", coalesce(col("__hit"), lit(false)))
+      .where(col("__hit") || col("n") >= 2)
+    val cuts = anchors.join(gramCuts, Seq("h"))
+      .where(col("__hit") ||
+        col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"), col("pos"))
-    // no distinct on the union (round 15): the only duplicates are
-    // positions hit by BOTH branches (corpus gram AND within-batch
-    // repeat), and the interval merge in exciseAtPositions is
-    // idempotent to duplicate (id, pos) rows — a duplicate lands in
-    // the same island and moves no min/max/sum. Dropping the distinct
-    // removes a whole (id, pos)-keyed exchange+aggregate per probe.
-    exciseAtPositions(batch, corpusHit.unionByName(batchDups),
-      idCol, textCol, minLen)
+    exciseAtPositions(batch, cuts, idCol, textCol, minLen)
   }
 
   /** Current generation of a gram/signature index: the release
