@@ -518,13 +518,25 @@ object Dedup {
     * [[graft.functions.ExciseSpans]]. `dupPos` is (id, pos) with id =
     * [[longId]] of `idCol`. */
   private def exciseAtPositions(docs: DataFrame, dupPos: DataFrame,
-      idCol: String, textCol: String, minLen: Int): DataFrame = {
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    applyCuts(docs, mergedCuts(dupPos, minLen), idCol, textCol)
+
+  /** The per-doc merged cut intervals of a (id, pos) duplicated-position
+    * table: each position's [pos, pos+minLen) window, islands-merged
+    * into maximal disjoint spans (per-DOC windows — bounded by document
+    * length). Output (id, cuts sorted array<struct<s,e>>, removed) with
+    * only the docs that HAVE cuts — [[applyCuts]] passes absent docs
+    * through. This table is the excise DECISION in full: staging it
+    * (instead of the rewritten text) makes the ingest replay artifact
+    * cut-sized, and [[applyCuts]] re-derives the identical rewrite from
+    * the replayed batch (all-integer spans + a deterministic codegen'd
+    * rewrite — bit-exact). */
+  private[graft] def mergedCuts(dupPos: DataFrame, minLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val id = longId(docs, idCol)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(minLen.toLong))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val cuts = dupPos
+    dupPos
       .withColumn("new_isl",
         when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
       .withColumn("grp", sum(col("new_isl"))
@@ -535,6 +547,15 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s")).as("removed"))
+  }
+
+  /** Rewrite `docs` through a [[mergedCuts]] table: docs with cuts go
+    * through the codegen'd two-pointer [[graft.functions.ExciseSpans]],
+    * docs without pass through verbatim (left join). Shared by the
+    * direct excise paths and the staged-cuts ingest replay read. */
+  private[graft] def applyCuts(docs: DataFrame, cuts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val id = longId(docs, idCol)
     docs
       .select(id.as("id"), col(textCol).as("_text"),
         TextOps.nTokens(col(textCol)).cast("long").as("n_tokens"))
@@ -666,10 +687,23 @@ object Dedup {
   private[graft] def exciseAgainstIndexAnchored(batch: DataFrame,
       anchorTable: DataFrame, path: String, idCol: String,
       textCol: String, minLen: Int = 8,
+      maxBroadcastGrams: Long = 4000000L): DataFrame =
+    applyCuts(batch,
+      exciseCutsAgainstIndexAnchored(anchorTable, path, minLen,
+        maxBroadcastGrams),
+      idCol, textCol)
+
+  /** The excise DECISION of [[exciseAgainstIndexAnchored]] — the merged
+    * per-doc cut table ((id, cuts, removed), [[mergedCuts]] shape)
+    * without the text rewrite, so the ingest lifecycle can stage the
+    * cut-sized decision instead of the batch-sized rewritten text and
+    * re-apply it deterministically on (re)delivery. */
+  private[graft] def exciseCutsAgainstIndexAnchored(
+      anchorTable: DataFrame, path: String, minLen: Int = 8,
       maxBroadcastGrams: Long = 4000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxBroadcastGrams >= 1, "maxBroadcastGrams must be positive")
-    val spark = batch.sparkSession
+    val spark = anchorTable.sparkSession
     graft.Graft.init(spark)
     // the explicit h-exchange is shared by the three anchor consumers
     // of the main job (gram distinct, corpus-hit probe, within-batch
@@ -737,7 +771,7 @@ object Dedup {
       .where(col("__hit") ||
         col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
       .select(col("id"), col("pos"))
-    exciseAtPositions(batch, cuts, idCol, textCol, minLen)
+    mergedCuts(cuts, minLen)
   }
 
   /** Current generation of a gram/signature index: the release

@@ -1147,9 +1147,19 @@ object StreamOps extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Stage-or-replay a micro-batch artifact. `compute` (by-name — a
+    * replayed batch never re-plans the dedup against the already-grown
+    * index) produces the STAGED artifact; `deliver` turns the staged
+    * read back into the sink-facing result (identity when the artifact
+    * IS the result; the substring ingest stages the cut DECISIONS and
+    * re-derives the rewrite deterministically from the replayed batch —
+    * round 16, the staged write is then cut-sized, not batch-text-
+    * sized). `deliver` sees whatever schema is on disk, so it must
+    * sniff and pass legacy artifacts through unchanged. */
   private def stagedBatchResult(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, batchId: Long, runId: String)
-      (compute: => DataFrame): DataFrame = {
+      (compute: => DataFrame)
+      (deliver: DataFrame => DataFrame = identity): DataFrame = {
     val spark = batch.sparkSession
     val dir = s"$indexPath/ingest_stage/b$batchId"
     val hPath = new org.apache.hadoop.fs.Path(dir)
@@ -1241,7 +1251,7 @@ object StreamOps extends org.apache.spark.internal.Logging {
       try out.write(s"${fp._1}|${fp._2}|${fp._3}|$runId\n"
         .getBytes("UTF-8")) finally out.close()
     }
-    spark.read.parquet(dir)
+    deliver(spark.read.parquet(dir))
   }
 
   /** Streaming corpus ingest with exact-substring dedup — the
@@ -1301,10 +1311,20 @@ object StreamOps extends org.apache.spark.internal.Logging {
     // their own jobs (4 passes per batch measured at sf0.1, round 15)
     val anchors = graft.ops.Dedup.batchAnchorTable(batch, idCol, textCol,
       minLen)
+    // staged-v3 (round 16): the artifact is the per-doc merged CUT
+    // table — cut-sized, not batch-text-sized — and the sink-facing
+    // rewrite re-derives deterministically (integer spans + codegen'd
+    // excise over the replay-identical batch text, fingerprint-fenced).
+    // A legacy stage (pre-r16: the full rewritten batch) has no `cuts`
+    // column and is delivered verbatim, exactly as before.
     val cleaned = stagedBatchResult(batch, idCol, textCol, indexPath,
       batchId, runId)(
-      graft.ops.Dedup.exciseAgainstIndexAnchored(batch, anchors,
-        indexPath, idCol, textCol, minLen, maxBroadcastGrams))
+      graft.ops.Dedup.exciseCutsAgainstIndexAnchored(anchors,
+        indexPath, minLen, maxBroadcastGrams)) { staged =>
+      if (staged.columns.contains("cuts"))
+        graft.ops.Dedup.applyCuts(batch, staged, idCol, textCol)
+      else staged
+    }
     sink(cleaned, batchId)
     graft.ops.Dedup.appendToGramIndexAnchored(batch, indexPath, idCol,
       textCol, Some((anchors, minLen)))
@@ -1376,7 +1396,7 @@ object StreamOps extends org.apache.spark.internal.Logging {
       val pairs = Dedup.minhashNearDups(noCorpusDup, idCol, textCol,
         shingleN, bands, rowsPerBand, threshold)
       Dedup.representatives(noCorpusDup, pairs, idCol)
-    }
+    }()
     sink(accepted, batchId)
     Dedup.appendToSignatureIndex(accepted, indexPath, idCol, textCol)
   }

@@ -64,6 +64,30 @@ object IngestProbe {
         }
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+    // the REAL lifecycle end to end (round 16): substringDedupIngestBatch
+    // per micro-batch — staging, sink delivery and append exactly as the
+    // bench's streaming entry runs them (count sink), so staged-artifact
+    // changes show here, which the manual phases above cannot see
+    (1 to runs).foreach { run =>
+      println(s"[ingest] ---- lifecycle run $run ----")
+      val base = java.nio.file.Files.createTempDirectory(s"ingestlife$run")
+      val idxPath = base.resolve("gramidx").toString
+      graft.ops.Dedup.saveGramIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idxPath,
+        "text", minLen = 8, buckets = 16)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try Seq(1L, 3L).zipWithIndex.foreach { case (r, j) =>
+        val batch = docs.where(pmod(col("doc_id"), lit(4)) === r)
+          .localCheckpoint(true)
+        var n = 0L
+        time(s"ingestBatch $j (full lifecycle)")(
+          graft.streaming.StreamOps.substringDedupIngestBatch(
+            batch, j.toLong, idxPath, "doc_id", "text", minLen = 8,
+            runId = s"probe$run") { (c, _) => n = c.count() })
+        println(s"[ingest] delivered $n rows")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.stop()
   }
 }

@@ -1175,6 +1175,53 @@ class StreamingSpec extends SparkSpec {
       "legacy-stage acceptance must warn, not pass silently")
   }
 
+  test("staged-v3 stages the CUT decisions, replays them bit-exactly, " +
+      "and a pre-r16 full-text staged artifact is delivered verbatim") {
+    import graft.ops.Dedup
+    val corpus = Seq((1L, "c1 a b c d e f g h c2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stage-v3").toString
+    Dedup.saveGramIndex(corpus, tmp, "text", minLen = 8, buckets = 8)
+    // one doc hit by the corpus passage, one untouched
+    val batch = Seq(
+      (101L, "head a b c d e f g h foot"),
+      (102L, "totally novel words nothing shared")).toDF("doc_id", "text")
+    var out = Map.empty[Long, (String, Long)]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      out = df.collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
+      "text", minLen = 8, runId = "runV3")(sink)
+    assert(out(101L) == (("head foot", 8L)), s"excise wrong: $out")
+    assert(out(102L) == (("totally novel words nothing shared", 0L)))
+    // the staged artifact is the CUT table: cut-sized (only the one doc
+    // with cuts), never the batch text
+    val stagedDir = s"$tmp/ingest_stage/b0"
+    val staged = spark.read.parquet(stagedDir)
+    assert(staged.columns.contains("cuts"),
+      s"staged-v3 must hold cuts, got ${staged.columns.mkString(",")}")
+    assert(staged.count() == 1L, "cut table must only hold docs WITH cuts")
+    // replay: cuts re-apply deterministically over the replayed batch
+    val firstOut = out; out = Map.empty
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
+      "text", minLen = 8, runId = "runV3")(sink)
+    assert(out == firstOut, s"v3 replay diverged: $out vs $firstOut")
+    // a pre-r16 stage held the full rewritten frame; plant one (with a
+    // sentinel) under the same fingerprint and the replay must deliver
+    // it verbatim — never re-derive from cuts it does not have
+    val fpV2 = java.nio.file.Paths.get(stagedDir, "_input_fp_v2")
+    val fpBytes = java.nio.file.Files.readAllBytes(fpV2)
+    Seq((101L, "SENTINEL", 9L, 8L), (102L, "SENTINEL2", 5L, 0L))
+      .toDF("doc_id", "text_dedup", "n_tokens", "removed_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(stagedDir)
+    java.nio.file.Files.write(fpV2, fpBytes)
+    out = Map.empty
+    StreamOps.substringDedupIngestBatch(batch, 0L, tmp, "doc_id",
+      "text", minLen = 8, runId = "runV3")(sink)
+    assert(out(101L)._1 == "SENTINEL" && out(102L)._1 == "SENTINEL2",
+      s"legacy full-text stage must be delivered verbatim, got $out")
+  }
+
   test("a grandfathered legacy fence is accepted WITH a warning, and " +
       "the first fold upgrades it to this stream's identity") {
     // VERDICT r13 #2 / #3a: the acceptance is correct (an in-place
