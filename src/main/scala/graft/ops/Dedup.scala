@@ -627,9 +627,11 @@ object Dedup {
     * novel passage both survive (each is novel vs the standing corpus).
     *
     * Scale shape: the probe is SIZE-GATED (the `temperatureSample`
-    * contract pattern, VERDICT r10) on the batch's distinct gram count
-    * — one count over the already-built gram set, paid before any
-    * join. At or under `maxBroadcastGrams` (the ingest-micro-batch
+    * contract pattern, VERDICT r10) on the batch's anchor count — a
+    * map-side partial count over the cached anchor table, paid before
+    * any join; it upper-bounds the distinct gram count, so the gate
+    * only errs conservative. At or under `maxBroadcastGrams` (the
+    * ingest-micro-batch
     * regime) the gram set broadcasts: the index side streams ONCE
     * through a broadcast semi-join, and the surviving corpus-hit grams
     * (batch-bounded) broadcast back onto the batch's anchor table.
@@ -705,12 +707,11 @@ object Dedup {
     require(maxBroadcastGrams >= 1, "maxBroadcastGrams must be positive")
     val spark = anchorTable.sparkSession
     graft.Graft.init(spark)
-    // the explicit h-exchange is shared by the three anchor consumers
-    // of the main job (gram distinct, corpus-hit probe, within-batch
-    // dup detection) — the exactSubstringDedup reuse shape; its input
-    // is the materialized anchor cache, not a re-explode
+    // the explicit h-exchange is shared by the main job's anchor
+    // consumers (the per-gram aggregate and the cut join-back) — the
+    // exactSubstringDedup reuse shape; its input is the materialized
+    // anchor cache, not a re-explode
     val anchors = anchorTable.repartition(col("h"))
-    val batchGrams = anchors.select(col("h")).distinct()
     val idx = spark.read.parquet(s"$path/grams")
     // bucket arithmetic must mirror the writer: pmod(h, nBuckets) with
     // the recorded bucket count (and the recorded minLen must match —
@@ -723,24 +724,37 @@ object Dedup {
         s"probe uses $minLen — gram identities cannot match")
     val nBuckets = nBucketsInt.toLong
     // ONE ≤ nBuckets-row collect carries BOTH driver decisions: the
-    // per-bucket distinct-gram counts sum to the size-gate total, and
-    // the keys are the partition-pruning bucket list — fusing what was
-    // a count job plus a distinct-collect job into a single pass over
-    // the batch's anchors
-    val bucketCounts = batchGrams
+    // bucket keys are the partition-pruning list, and the per-bucket
+    // ANCHOR counts upper-bound the distinct-gram count for the size
+    // gate. Counting occurrences instead of distinct grams (round 16)
+    // lets the whole collect run as a map-side partial aggregate over
+    // the cached 24-byte anchor rows — no h-exchange in this job (the
+    // main job re-shuffles regardless: shuffle reuse is per-action) —
+    // and only errs CONSERVATIVE: a heavily self-repeating batch flips
+    // to the shuffle regime early, it can never OOM the broadcast.
+    val bucketCounts = anchorTable
       .groupBy(pmod(col("h"), lit(nBuckets)).as("b"))
       .agg(count(lit(1)).as("n")).collect()
     // the size gate: 8 bytes × maxBroadcastGrams bounds the broadcast
     // (default ~32 MB); a quarter-corpus "batch" would otherwise OOM
-    // the driver and every executor through broadcast(batchGrams)
-    val nBatchGrams = bucketCounts.map(_.getLong(1)).sum
-    val broadcastRegime = nBatchGrams <= maxBroadcastGrams
+    // the driver and every executor through the gram broadcast
+    val nBatchAnchors = bucketCounts.map(_.getLong(1)).sum
+    val broadcastRegime = nBatchAnchors <= maxBroadcastGrams
     if (!broadcastRegime) log.warn(
-      s"exciseAgainstIndex: $nBatchGrams batch grams exceed the " +
+      s"exciseAgainstIndex: $nBatchAnchors batch anchors exceed the " +
         s"broadcast gate ($maxBroadcastGrams) — probing via " +
         "hash-partitioned semi-joins (backfill regime)")
     val wanted = bucketCounts.map(_.getLong(0))
     val pruned = idx.where(col("bucket").isin(wanted: _*))
+    // the probe side IS the per-gram aggregate's key column — distinct
+    // by construction, so the separate distinct() consumer of the
+    // anchor exchange is gone; within the job the aggregate's subtree
+    // canonicalizes equal for both uses and computes once
+    val gramAgg = anchors
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("pos"))).as("first"))
+    val batchGrams = gramAgg.select(col("h"))
     val hits = (if (broadcastRegime)
         pruned.join(broadcast(batchGrams), Seq("h"), "left_semi")
       else pruned.join(batchGrams, Seq("h"), "left_semi"))
@@ -758,10 +772,6 @@ object Dedup {
     // anchor exchange (the separate corpus-hit semi-join) and the
     // union, and each cut position now arrives exactly once.
     val hitGrams = hits.withColumn("__hit", lit(true))
-    val gramAgg = anchors
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("id"), col("pos"))).as("first"))
     val gramCuts = (if (broadcastRegime)
         gramAgg.join(broadcast(hitGrams), Seq("h"), "left")
       else gramAgg.join(hitGrams, Seq("h"), "left"))

@@ -13,7 +13,8 @@ object IngestProbe {
   def main(args: Array[String]): Unit = {
     val sf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val runs = if (args.length > 1) args(1).toInt else 2
-    val spark = graft.GraftSession.create("local[32]", 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
     graft.Graft.init(spark)
     def time[A](l: String)(f: => A): A = {

@@ -64,7 +64,13 @@ object ScalingCurve {
     // gram exchange), the distinct-(fp, source) duplication matrix,
     // and the KMV containment estimators (global + grouped)
     "q_novelty", "q_cross_source_dups", "q_kmv_containment",
-    "q_kmv_containment_by")
+    "q_kmv_containment_by",
+    // round 16 (VERDICT r15 ask #3): the rows the size-gated confirm
+    // attach / tok exchange and the r15 rewrites touched, measured to
+    // sf1 at both core counts (run once with SPARK_GRAFT_CPUS=32 and
+    // once with 8 — the tool honors it)
+    "q_resample_ffill", "q_skew_report", "q_corpus_curate",
+    "q_editdist_pairs")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
